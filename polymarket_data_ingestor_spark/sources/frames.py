@@ -1,0 +1,86 @@
+"""Frame-log scan + feed-message decode (SURVEY §2.1 S5, §2.2 F3/F4, §2.8 C8).
+
+The reference reads hourly ``YYYY-MM-DD-HH.jsonl.zst`` files line by line
+(``cli/src/tick_generator.rs:164-195``) and relies on file order + line order
+as the replay ordering contract (``cli/src/file_reader.rs:46-50``). Spark
+reads preserve line order *within* a file split but give no global order, so
+this module materializes the contract as explicit sort-key columns:
+
+* ``file_hour`` — the hour bucket parsed from the file name (lexicographic ==
+  chronological, same as the reference's filename sort);
+* ``line_id`` — ``monotonically_increasing_id()``, which increases with line
+  order inside each file because (a) ``.zst`` is a non-splittable codec, so a
+  compressed file is always a single read stream, and (b) for splittable
+  plain ``.jsonl``, a file's splits are planned in offset order so partition
+  index (the id's high bits) increases with offset. ``line_id`` values are
+  sparse; only their order within a ``file_hour`` is meaningful.
+* ``msg_idx`` — position of a feed message inside its frame's content array
+  (``posexplode``).
+
+Per-asset replay order is then ``(file_hour, line_id, msg_idx)`` — carried as
+columns through the shuffle into the stateful kernel (SURVEY §4 "total order
+contract").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.schemas import (
+    FEED_MESSAGE_ARRAY_SCHEMA,
+    FRAME_SCHEMA,
+)
+
+#: Regex capturing the hour bucket from a log file name
+#: (``collector/src/main.rs:132-135`` naming; parsed back in
+#: ``cli/src/file_reader.rs:53-73``).
+_FILE_HOUR_RE = r"(\d{4}-\d{2}-\d{2}-\d{2})\.jsonl(\.zst|\.gz)?$"
+
+
+def read_frames(spark: SparkSession, paths: Sequence[str] | str) -> DataFrame:
+    """Scan framed JSONL logs into a frames DataFrame with order columns.
+
+    Columns: ``timestamp, message_type, content, file_hour, line_id``.
+    Accepts ``.jsonl`` and ``.jsonl.zst`` (Spark decodes zstd natively).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    df = spark.read.schema(FRAME_SCHEMA).json(list(paths))
+    return df.select(
+        "*",
+        F.regexp_extract(F.input_file_name(), _FILE_HOUR_RE, 1).alias("file_hour"),
+        F.monotonically_increasing_id().alias("line_id"),
+    )
+
+
+def parse_feed_messages(frames: DataFrame) -> DataFrame:
+    """Decode feed frames into one row per inner feed message.
+
+    Applies the reference's frame filter — keep ``message_type ==
+    "feed_message"`` whose content is not the literal ``"PONG"``
+    (``cli/src/tick_generator.rs:179-185``) — then undoes the double JSON
+    encoding (content is a string-encoded JSON *array* of messages,
+    ``tick_generator.rs:370-377``) and explodes with position.
+
+    Output: the FEED_MESSAGE_SCHEMA fields plus ``file_hour, line_id,
+    msg_idx``. Unknown ``event_type`` values survive here (they parse to rows
+    with null variant fields) and are dropped by the replay kernel, matching
+    serde's ``#[serde(other)]`` ignore (``tick_generator.rs:391-392``).
+    """
+    feed = frames.filter(
+        (F.col("message_type") == "feed_message") & (F.col("content") != "PONG")
+    )
+    parsed = feed.select(
+        "file_hour",
+        "line_id",
+        F.from_json("content", FEED_MESSAGE_ARRAY_SCHEMA).alias("msgs"),
+    )
+    exploded = parsed.select(
+        "file_hour",
+        "line_id",
+        F.posexplode_outer("msgs").alias("msg_idx", "msg"),
+    ).filter(F.col("msg").isNotNull())
+    return exploded.select("file_hour", "line_id", "msg_idx", "msg.*")

@@ -1,0 +1,189 @@
+"""Golden + property tests for the replay operator (SURVEY §5 plan items 1-2).
+
+Covers what the reference never tested: book reconstruction correctness,
+BBO-per-event emission, ask-then-bid order, size-0 deletes, empty-side (0,0),
+cross-file state carry, PONG/unknown-type skips, and the market filter.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from polymarket_data_ingestor_spark.operators.replay import (
+    ORDER_COLUMNS,
+    TICK_COLUMNS,
+    replay,
+    with_event_time,
+)
+from polymarket_data_ingestor_spark.sources.frames import (
+    parse_feed_messages,
+    read_frames,
+)
+
+from fixture_gen import _asset_id, _mkt_id, naive_replay, write_fixture_files
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory) -> list[Path]:
+    return write_fixture_files(tmp_path_factory.mktemp("rawlogs"), n_hours=3,
+                               msgs_per_hour=150, seed=42)
+
+
+def _spark_rows(df):
+    return [tuple(r) for r in df.select(*TICK_COLUMNS).collect()]
+
+
+def test_replay_matches_naive_oracle_log_order(spark, fixture_paths):
+    """Strict log-order output must equal the independent oracle exactly."""
+    got = replay(
+        spark, [str(p) for p in fixture_paths], in_log_order=True, ticks_only=False
+    )
+    got_rows = [tuple(r) for r in got.select(*TICK_COLUMNS).collect()]
+    want = naive_replay(fixture_paths)
+    assert len(got_rows) == len(want)
+    assert got_rows == want  # includes ask-before-bid order within messages
+
+
+def test_replay_market_filter(spark, fixture_paths):
+    keep = {_mkt_id(0), _mkt_id(2)}
+    got = replay(spark, [str(p) for p in fixture_paths], markets=keep,
+                 in_log_order=True, ticks_only=False)
+    got_rows = [tuple(r) for r in got.select(*TICK_COLUMNS).collect()]
+    want = naive_replay(fixture_paths, markets=keep)
+    assert got_rows == want
+    assert all(r[2] in keep for r in got_rows)
+
+
+def test_diff_before_snapshot_and_empty_side(spark, tmp_path):
+    """Hand-written golden case pinning the parity landmines."""
+    mkt, asset = _mkt_id(9), _asset_id(9, 0)
+    msgs = [
+        # diff before any snapshot → applies to empty book; one bid only →
+        # ask side empty → ASK row must be (0, 0)
+        {"event_type": "price_change", "timestamp": "1000", "market": mkt,
+         "asset_id": asset,
+         "changes": [{"price": "0.40", "size": "10", "side": "BUY"}]},
+        # snapshot resets both sides
+        {"event_type": "book", "timestamp": "2000", "market": mkt,
+         "asset_id": asset,
+         "bids": [{"price": "0.30", "size": "5"}, {"price": "0.35", "size": "7"}],
+         "asks": [{"price": "0.60", "size": "9"}, {"price": "0.55", "size": "3"}]},
+        # delete best ask (size 0) → next ask level becomes top
+        {"event_type": "price_change", "timestamp": "3000", "market": mkt,
+         "asset_id": asset,
+         "changes": [{"price": "0.55", "size": "0", "side": "SELL"}]},
+        # delete remaining ask → ask side empty again
+        {"event_type": "price_change", "timestamp": "4000", "market": mkt,
+         "asset_id": asset,
+         "changes": [{"price": "0.60", "size": "0", "side": "SELL"}]},
+        # trade does not mutate the book
+        {"event_type": "last_trade_price", "timestamp": "5000", "market": mkt,
+         "asset_id": asset, "side": "SELL", "price": "0.35", "size": "2.5"},
+        {"event_type": "price_change", "timestamp": "6000", "market": mkt,
+         "asset_id": asset,
+         "changes": [{"price": "0.35", "size": "1", "side": "BUY"}]},
+    ]
+    lines = [json.dumps({"timestamp": "2025-09-30T14:00:01+00:00",
+                         "message_type": "feed_message",
+                         "content": json.dumps([m])}) for m in msgs]
+    p = tmp_path / "2025-09-30-14.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    rows = _spark_rows(replay(spark, [str(p)], in_log_order=True,
+                              ticks_only=False))
+    assert rows == [
+        ("1000", "BBO", mkt, asset, "ASK", 0.0, 0.0),
+        ("1000", "BBO", mkt, asset, "BID", 0.40, 10.0),
+        ("2000", "BBO", mkt, asset, "ASK", 0.55, 3.0),
+        ("2000", "BBO", mkt, asset, "BID", 0.35, 7.0),
+        ("3000", "BBO", mkt, asset, "ASK", 0.60, 9.0),
+        ("3000", "BBO", mkt, asset, "BID", 0.35, 7.0),
+        ("4000", "BBO", mkt, asset, "ASK", 0.0, 0.0),
+        ("4000", "BBO", mkt, asset, "BID", 0.35, 7.0),
+        ("5000", "TRADE", mkt, asset, "ASK", 0.35, 2.5),
+        ("6000", "BBO", mkt, asset, "ASK", 0.0, 0.0),
+        ("6000", "BBO", mkt, asset, "BID", 0.35, 1.0),  # upserted by the diff
+    ]
+
+
+def test_cross_file_state_carry(spark, tmp_path):
+    """Book built in hour N must persist into hour N+1 (main.rs:142-164)."""
+    mkt, asset = _mkt_id(8), _asset_id(8, 1)
+    f1 = tmp_path / "2025-09-30-14.jsonl"
+    f1.write_text(json.dumps({
+        "timestamp": "t", "message_type": "feed_message",
+        "content": json.dumps([{
+            "event_type": "book", "timestamp": "1000", "market": mkt,
+            "asset_id": asset,
+            "bids": [{"price": "0.40", "size": "10"}],
+            "asks": [{"price": "0.60", "size": "20"}]}])}) + "\n")
+    f2 = tmp_path / "2025-09-30-15.jsonl"
+    f2.write_text(json.dumps({
+        "timestamp": "t", "message_type": "feed_message",
+        "content": json.dumps([{
+            "event_type": "price_change", "timestamp": "2000", "market": mkt,
+            "asset_id": asset,
+            "changes": [{"price": "0.41", "size": "5", "side": "BUY"}]}])}) + "\n")
+
+    rows = _spark_rows(replay(spark, [str(f1), str(f2)], in_log_order=True,
+                              ticks_only=False))
+    # Second message sees the hour-14 book plus the new best bid.
+    assert rows[2:] == [
+        ("2000", "BBO", mkt, asset, "ASK", 0.60, 20.0),
+        ("2000", "BBO", mkt, asset, "BID", 0.41, 5.0),
+    ]
+
+
+def test_bbo_and_trade_counts(spark, fixture_paths):
+    """Row-count invariants: 2 BBO rows per book event, 1 per trade."""
+    frames = read_frames(spark, [str(p) for p in fixture_paths])
+    feed = parse_feed_messages(frames)
+    by_type = {r["event_type"]: r["n"] for r in
+               feed.groupBy("event_type").count().withColumnRenamed("count", "n")
+               .collect()}
+    ticks = replay(spark, [str(p) for p in fixture_paths], ticks_only=False)
+    n_bbo = ticks.filter("kind = 'BBO'").count()
+    n_trade = ticks.filter("kind = 'TRADE'").count()
+    assert n_bbo == 2 * (by_type.get("book", 0) + by_type.get("price_change", 0))
+    assert n_trade == by_type.get("last_trade_price", 0)
+
+
+def test_output_schema_and_event_time(spark, fixture_paths):
+    ticks = replay(spark, [str(fixture_paths[0])])
+    assert [f.name for f in ticks.schema.fields] == TICK_COLUMNS
+    typed = with_event_time(ticks)
+    row = typed.filter("kind = 'TRADE'").select("timestamp", "event_time").first()
+    assert row.event_time.timestamp() * 1000 == pytest.approx(int(row.timestamp))
+
+
+def test_compressed_roundtrip(spark, tmp_path, fixture_paths):
+    """Compressed .jsonl.gz reads identically to plain .jsonl.
+
+    The reference format is .jsonl.zst; Hadoop's zstd codec needs native
+    libhadoop (present on real clusters, absent in this container), so the
+    codec-path test uses gzip — the read pipeline is identical modulo codec,
+    and both are non-splittable single-stream reads (the property the
+    line-ordering contract relies on).
+    """
+    raw = spark.sparkContext.textFile(str(fixture_paths[0]))
+    zdir = tmp_path / "z"
+    raw.coalesce(1).saveAsTextFile(
+        str(zdir), "org.apache.hadoop.io.compress.GzipCodec"
+    )
+    part = next(Path(zdir).glob("part-*.gz"))
+    target = tmp_path / "2025-09-30-14.jsonl.gz"
+    part.rename(target)
+    a = _spark_rows(replay(spark, [str(target)], in_log_order=True,
+                           ticks_only=False))
+    b = _spark_rows(replay(spark, [str(fixture_paths[0])], in_log_order=True,
+                           ticks_only=False))
+    assert a == b
+
+
+def test_order_columns_present_when_not_ticks_only(spark, fixture_paths):
+    df = replay(spark, [str(fixture_paths[0])], ticks_only=False)
+    for c in ORDER_COLUMNS:
+        assert c in df.columns

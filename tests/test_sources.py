@@ -1,0 +1,119 @@
+"""Tests for frame parsing, path pruning, time parsing, and market queries."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from polymarket_data_ingestor_spark.sources.frames import (
+    parse_feed_messages,
+    read_frames,
+)
+from polymarket_data_ingestor_spark.sources.markets import (
+    active_markets,
+    filter_markets,
+    market_tokens,
+    read_market_info,
+)
+from polymarket_data_ingestor_spark.sources.paths import (
+    discover_files,
+    hour_range,
+    parse_duration,
+    parse_time_range,
+    parse_timestamp_multi,
+)
+
+from fixture_gen import write_fixture_files
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    return write_fixture_files(tmp_path_factory.mktemp("rawlogs2"), n_hours=2,
+                               msgs_per_hour=60, seed=7)
+
+
+# --- frames ---------------------------------------------------------------
+
+def test_read_frames_columns_and_file_hour(spark, fixture_paths):
+    frames = read_frames(spark, [str(p) for p in fixture_paths])
+    assert set(frames.columns) == {"timestamp", "message_type", "content",
+                                   "file_hour", "line_id"}
+    hours = {r.file_hour for r in frames.select("file_hour").distinct().collect()}
+    assert hours == {"2025-09-30-14", "2025-09-30-15"}
+
+
+def test_parse_feed_messages_skips_pong_and_keeps_position(spark, fixture_paths):
+    frames = read_frames(spark, [str(p) for p in fixture_paths])
+    feed = parse_feed_messages(frames)
+    assert feed.filter("event_type IS NULL").count() == 0
+    # PONG frames contribute zero messages.
+    n_pong = frames.filter("content = 'PONG'").count()
+    assert n_pong > 0  # fixture includes them
+    assert feed.filter("msg_idx >= 3").count() == 0  # frames carry ≤3 msgs
+    # unknown event types survive parsing (replay drops them later)
+    assert feed.filter("event_type = 'tick_size_change'").count() > 0
+
+
+# --- markets --------------------------------------------------------------
+
+def test_read_market_info_and_filters(spark, fixture_paths):
+    frames = read_frames(spark, [str(p) for p in fixture_paths])
+    mkts = read_market_info(frames)
+    assert mkts.count() == 4
+    act = active_markets(mkts)
+    # fixture: market 2 not accepting orders, market 3 closed
+    assert {r.condition_id for r in act.collect()} == \
+        {"0x" + f"{0:064x}", "0x" + f"{1:064x}"}
+    assert filter_markets(mkts, "EVENT 1").count() == 1
+    toks = market_tokens(mkts)
+    assert toks.count() == 8
+    assert {"outcome", "token_id", "condition_id", "question"} <= set(toks.columns)
+
+
+# --- paths / time parsing -------------------------------------------------
+
+def test_parse_timestamp_multi():
+    utc = timezone.utc
+    assert parse_timestamp_multi("2025-09-30T14:03:07+00:00") == \
+        datetime(2025, 9, 30, 14, 3, 7, tzinfo=utc)
+    assert parse_timestamp_multi("2025-09-30T14:03:07") == \
+        datetime(2025, 9, 30, 14, 3, 7, tzinfo=utc)
+    assert parse_timestamp_multi("2025-09-30") == \
+        datetime(2025, 9, 30, tzinfo=utc)
+    # offset normalization
+    assert parse_timestamp_multi("2025-09-30T16:00:00+02:00") == \
+        datetime(2025, 9, 30, 14, 0, 0, tzinfo=utc)
+    with pytest.raises(ValueError):
+        parse_timestamp_multi("not a time")
+
+
+def test_parse_duration_and_range():
+    assert parse_duration("12h") == timedelta(hours=12)
+    assert parse_duration("2d") == timedelta(days=2)
+    with pytest.raises(ValueError):
+        parse_duration("12x")
+    now = datetime(2025, 9, 30, 14, 30, tzinfo=timezone.utc)
+    start, end = parse_time_range("24h", now=now)
+    assert start == now - timedelta(hours=24)
+    assert end == datetime(2025, 9, 30, 13, 59, tzinfo=timezone.utc)
+
+
+def test_hour_range_and_discover_files():
+    utc = timezone.utc
+    hrs = hour_range(datetime(2025, 9, 30, 13, 30, tzinfo=utc),
+                     datetime(2025, 9, 30, 16, 0, tzinfo=utc))
+    assert hrs == ["2025-09-30-13", "2025-09-30-14", "2025-09-30-15"]
+
+    paths = [
+        "/d/2025-09-30-13.jsonl.zst",
+        "/d/2025-09-30-14.jsonl",
+        "/d/2025-09-30-15.jsonl.zst",
+        "/d/current.jsonl",  # non-matching name skipped
+    ]
+    # Range fully covering 14 only; 13 kept because its hour overlaps start.
+    got = discover_files(paths, datetime(2025, 9, 30, 13, 30, tzinfo=utc),
+                         datetime(2025, 9, 30, 15, 0, tzinfo=utc))
+    assert got == ["/d/2025-09-30-13.jsonl.zst", "/d/2025-09-30-14.jsonl"]
+    # No bounds → everything valid, sorted.
+    assert discover_files(paths[::-1]) == paths[:3]
