@@ -1,0 +1,133 @@
+"""Time-bar and summary aggregations over ticks (SURVEY §2.4-§2.5, notebook).
+
+The reference delegates these to pandas in ``notebooks/bbo.ipynb`` cell 2-3:
+1-minute BBO bars (``resample('1min').last()``), 1-hour volume bars
+(``resample('1h').sum()``), and ``describe()``. Here they are DataFrame
+functions over the replay output.
+
+Ordered-``last`` correctness (SURVEY §4): Spark's ``last()`` is
+order-sensitive but shuffles destroy order, so bars use ``max_by(value,
+order_key)`` with an explicit total order key — deterministic on any number
+of executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.operators.replay import ORDER_COLUMNS
+
+
+def _order_key(df: DataFrame) -> Column:
+    """Total order key for 'last' semantics.
+
+    Prefers the replay ordering columns (exact log order); falls back to the
+    event-time + timestamp string, which is deterministic when timestamps are
+    unique per (group, bucket).
+    """
+    if all(c in df.columns for c in ORDER_COLUMNS):
+        return F.struct(*[F.col(c) for c in ORDER_COLUMNS])
+    return F.struct(F.col("event_time"), F.col("timestamp"))
+
+
+def bbo_bars(
+    ticks: DataFrame,
+    every: str = "1 minute",
+    by: tuple[str, ...] = ("asset", "side"),
+) -> DataFrame:
+    """Last BBO price/size per time bucket (A3, ``bbo.ipynb`` cell 2).
+
+    ``ticks`` must carry ``event_time`` (see ``with_event_time``). Returns
+    one row per (window, *by*) with the bucket's last observed price/size.
+    """
+    key = _order_key(ticks)
+    return (
+        ticks.filter(F.col("kind") == "BBO")
+        .groupBy(F.window("event_time", every).alias("window"), *by)
+        .agg(
+            F.max_by("price", key).alias("price"),
+            F.max_by("size", key).alias("size"),
+        )
+        .select(
+            F.col("window.start").alias("bar_time"),
+            *by,
+            "price",
+            "size",
+        )
+    )
+
+
+def volume_bars(
+    ticks: DataFrame,
+    every: str = "1 hour",
+    by: tuple[str, ...] = ("asset",),
+) -> DataFrame:
+    """Traded volume per time bucket (A4, ``bbo.ipynb`` cell 2).
+
+    Sums are computed in decimal for run-to-run bit stability, then
+    downcast — float summation order varies across partitionings.
+    """
+    return (
+        ticks.filter(F.col("kind") == "TRADE")
+        .groupBy(F.window("event_time", every).alias("window"), *by)
+        .agg(
+            F.sum(F.col("size").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(F.col("window.start").alias("bar_time"), *by, "volume", "n_trades")
+    )
+
+
+def trade_summary(ticks: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """Deterministic ``describe()`` over trades (A5, ``bbo.ipynb`` cell 3).
+
+    ``df.summary()`` uses approximate percentiles; this uses exact
+    ``percentile`` (they differ; the notebook's pandas ``describe`` is also
+    exact, so exact is the parity choice).
+    """
+    trades = ticks.filter(F.col("kind") == "TRADE")
+    aggs = []
+    for c in ("price", "size"):
+        aggs += [
+            F.count(c).alias(f"{c}_count"),
+            F.avg(c).alias(f"{c}_mean"),
+            F.stddev_samp(c).alias(f"{c}_std"),
+            F.min(c).alias(f"{c}_min"),
+            F.percentile(c, F.lit(0.25)).alias(f"{c}_p25"),
+            F.percentile(c, F.lit(0.5)).alias(f"{c}_p50"),
+            F.percentile(c, F.lit(0.75)).alias(f"{c}_p75"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    if by:
+        return trades.groupBy(*by).agg(*aggs)
+    return trades.agg(*aggs)
+
+
+def label_outcomes(ticks: DataFrame, tokens: DataFrame) -> DataFrame:
+    """Attach outcome labels to ticks (J1/F10, ``bbo.ipynb`` cell 1).
+
+    The notebook does a dict-map ``asset_id → "YES"/"NO"``; at scale this is
+    a broadcast equi-join against the exploded token dimension (the markets
+    snapshot is driver-small by construction).
+    """
+    dim = F.broadcast(tokens.select("token_id", "outcome"))
+    return ticks.join(dim, ticks["asset"] == dim["token_id"], "left").drop(
+        "token_id"
+    )
+
+
+def top_of_book(ticks: DataFrame) -> DataFrame:
+    """Latest BBO per (asset, side) — standalone W1 over a tick table."""
+    key = _order_key(ticks)
+    return (
+        ticks.filter(F.col("kind") == "BBO")
+        .groupBy("asset", "side")
+        .agg(
+            F.max_by("price", key).alias("price"),
+            F.max_by("size", key).alias("size"),
+            F.max_by("timestamp", key).alias("as_of"),
+        )
+    )

@@ -1,0 +1,626 @@
+"""The oracle-backed query catalog: SURVEY §2 operators over the test tables.
+
+Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL oracle
+(DuckDB dialect) over the same parquet tables. The driver runs both at
+sf=0.01 and compares row counts, schemas, and order-insensitive value hashes
+— so both sides are written to produce *bit-identical* values:
+
+* Aggregates over money-like doubles go through exact DECIMAL casts (inputs
+  are ≤2 dp) and are downcast to DOUBLE at the end: exact decimal → double
+  is deterministic in both engines, while float summation order is not.
+* Every 'last/first per group' uses an explicit scalar order key
+  (``event_id`` — monotone with ``ts`` in the test data) because ordering
+  through a shuffle is undefined otherwise (SURVEY §4).
+* Tie-breaks in rankings are always total (append a key column).
+* Exact-percentile outputs are rounded to 6 dp on both sides (the two
+  engines' linear interpolation can differ in the last ulp).
+
+Scale notes are inline per query: which joins broadcast, where the shuffles
+are, and what changes at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table (TESTDATA.md layout).
+
+    The test parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's reader
+    rejects by default; ``nanosAsLong`` reads it as an int64 we then floor to
+    microseconds with integer DIV (double division would corrupt the low
+    digits of an int64 epoch-nanos). DuckDB reads the same column as
+    TIMESTAMP_NS, so catalog queries that *emit* event times use epoch-ms
+    integers on both sides — same floor, no cross-engine precision ambiguity.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible (driver does rows-only)
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+CATALOG: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = QueryDef(name, fn, sql, doc, tags)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_project",
+    """
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+    FROM events WHERE event_type = 'click'
+    """,
+    doc="F1/F6: predicate + projection; pushed to the parquet scan.",
+    tags=("filter",),
+)
+def q_filter_project(spark, sf_dir):
+    # Filter + pruned projection: .explain shows PushedFilters on the scan
+    # and a 4-column ReadSchema — no shuffle at any scale.
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "value")
+    )
+
+
+@register(
+    "isin_filter",
+    """
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE event_type IN ('click', 'view') AND user_id % 10 = 3
+    """,
+    doc="F2: literal IN-set filter (the replay --markets filter shape).",
+    tags=("filter",),
+)
+def q_isin_filter(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view") & (F.col("user_id") % 10 == 3))
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+@register(
+    "substring_filter",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE contains(lower(text), 'spark merge')
+    """,
+    doc="F5: case-insensitive substring filter (markets question filter).",
+    tags=("filter", "text"),
+)
+def q_substring_filter(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.lower(F.col("text")).contains("spark merge"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "case_dispatch",
+    """
+    SELECT event_id,
+           CASE WHEN value < 10 THEN 'small'
+                WHEN value < 30 THEN 'mid'
+                ELSE 'big' END AS bucket,
+           event_type
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+    doc="F4: tagged-union dispatch as when/otherwise chains.",
+    tags=("filter",),
+)
+def q_case_dispatch(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id",
+        F.when(F.col("value") < 10, "small")
+        .when(F.col("value") < 30, "mid")
+        .otherwise("big")
+        .alias("bucket"),
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) — the notebook's resample queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "minute_last_bars",
+    """
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           arg_max(value, event_id) AS last_value,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="A3/W3: resample('1min').last() — ordered last via max_by(value, key).",
+    tags=("agg", "bars"),
+)
+def q_minute_last_bars(spark, sf_dir):
+    # Ordered `last` survives shuffling because the order key is explicit;
+    # map-side partial max_by keeps the shuffle small (pre-aggregated).
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.max_by("value", "event_id").alias("last_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "hourly_volume",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+           count(*) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="A4: resample('1h').sum() — decimal-exact sum, double at the edge.",
+    tags=("agg", "bars"),
+)
+def q_hourly_volume(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "summary_stats",
+    """
+    SELECT event_type,
+           count(value) AS value_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(value) AS DOUBLE) AS value_mean,
+           round(sqrt(
+             (CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(count(value) AS DOUBLE))
+             / (CAST(count(value) AS DOUBLE) - 1.0)), 6) AS value_std,
+           min(value) AS value_min,
+           round(quantile_cont(value, 0.5), 6) AS value_p50,
+           max(value) AS value_max
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="A5: describe() — exact-decimal moments, rounded percentile.",
+    tags=("agg",),
+)
+def q_summary_stats(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    s = F.sum(dec).cast("double")
+    ss = F.sum(dec * dec).cast("double")
+    n = F.count("value").cast("double")
+    return e.groupBy("event_type").agg(
+        F.count("value").alias("value_count"),
+        (s / n).alias("value_mean"),
+        F.round(F.sqrt((ss - s * s / n) / (n - F.lit(1.0))), 6).alias("value_std"),
+        F.min("value").alias("value_min"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("value_p50"),
+        F.max("value").alias("value_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="J2: star-schema enrichment join + decimal-exact revenue rollup.",
+    tags=("join", "agg"),
+)
+def q_region_revenue(spark, sf_dir):
+    # Scale shape: lineitem⋈orders is the one real shuffle (both huge, keyed
+    # on orderkey); customer/nation/region are broadcast — at 100 TB the
+    # dims stay broadcast-able and AQE would pick that even without hints.
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "outcome_lookup",
+    """
+    SELECT e.event_id, e.value, c.c_name AS user_name, c.c_mktsegment AS segment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="J1: fact↔dimension N:1 lookup (the notebook outcome-label join).",
+    tags=("join",),
+)
+def q_outcome_lookup(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    c = table(spark, sf_dir, "customer")
+    # Dimension is small → broadcast: no shuffle of the fact side at all.
+    return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+        "event_id",
+        "value",
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="J3: anti-join (the GCS download-cache 'required minus cached' shape).",
+    tags=("join",),
+)
+def q_anti_join(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "semi_join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_acctbal > 5000
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left-semi join + pushed filter.",
+    tags=("join",),
+)
+def q_semi_join(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / ordered analytics (SURVEY §2.5-§2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_per_group",
+    """
+    SELECT mktsegment, c_custkey, c_acctbal, rank
+    FROM (
+      SELECT c_mktsegment AS mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rank
+      FROM customer)
+    WHERE rank <= 3
+    """,
+    doc="W1: top-k per group with a total (tie-broken) order.",
+    tags=("window",),
+)
+def q_topk_per_group(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "first_event_per_user",
+    """
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events)
+    WHERE rn = 1 AND user_id < 50
+    """,
+    doc="W2: first-row-per-group (first/last file selection shape).",
+    tags=("window",),
+)
+def q_first_event_per_user(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("user_id") < 50))
+        .select(
+            "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
+        )
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           min(epoch_ms(ts)) AS session_start_ms,
+           max(epoch_ms(ts)) AS session_end_ms,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30 min) — batch analogue of streaming "
+    "session windows, pure window functions (no UDF).",
+    tags=("window", "sessions"),
+)
+def q_sessionize(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ms = F.unix_millis(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            prev_ms.isNull() | ((F.unix_millis("ts") - prev_ms) > 1800000), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session").over(cum).alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_millis("ts")).alias("session_start_ms"),
+        F.max(F.unix_millis("ts")).alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / distinct / unnest (SURVEY §2.7, F8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 100",
+    doc="distinct (hash aggregate, map-side partial).",
+    tags=("set",),
+)
+def q_distinct_pairs(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+
+
+@register(
+    "union_dedup",
+    """
+    SELECT event_id, user_id FROM events WHERE event_type = 'error'
+    UNION
+    SELECT event_id, user_id FROM events WHERE value > 95
+    """,
+    doc="union + dedup (fan-in of streams shape).",
+    tags=("set",),
+)
+def q_union_dedup(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "error").select("event_id", "user_id")
+    b = e.filter(F.col("value") > 95).select("event_id", "user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "token_explode",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 40
+    """,
+    doc="F8: array unnest (market tokens explode shape).",
+    tags=("set", "text"),
+)
+def q_token_explode(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suite (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_suite",
+    """
+    SELECT event_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS hour_bucket,
+           epoch_ms(event_id * 60000) AS synth_ts,
+           lower(event_type) AS lower_type,
+           contains(event_type, 'ic') AS has_ic,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           to_base64(CAST(CAST(user_id AS VARCHAR) AS BLOB)) AS user_b64
+    FROM events WHERE event_id < 500
+    """,
+    doc="C2/C3/C7/C8/C11: hour bucketing, ms-epoch cast, JSON extract, base64.",
+    tags=("scalar",),
+)
+def q_scalar_suite(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH").alias(
+            "hour_bucket"
+        ),
+        F.timestamp_millis(F.col("event_id") * 60000).alias("synth_ts"),
+        F.lower("event_type").alias("lower_type"),
+        F.col("event_type").contains("ic").alias("has_ic"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.base64(F.col("user_id").cast("string").cast("binary")).alias("user_b64"),
+    )
+
+
+@register(
+    "multiformat_timestamp",
+    """
+    SELECT event_id,
+           coalesce(
+             try_strptime(raw, '%Y-%m-%dT%H:%M:%S%z')::TIMESTAMP,
+             try_strptime(raw, '%Y-%m-%dT%H:%M:%S'),
+             try_strptime(raw, '%Y-%m-%d')
+           ) AS parsed
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0
+                    THEN strftime(ts, '%Y-%m-%dT%H:%M:%S+00:00')
+                  WHEN event_id % 3 = 1
+                    THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                  ELSE strftime(ts, '%Y-%m-%d') END AS raw
+      FROM events WHERE event_id < 300)
+    """,
+    doc="C4: multi-format timestamp fallback chain (coalesce of try-parses).",
+    tags=("scalar",),
+)
+def q_multiformat_timestamp(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    raw = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss+00:00"),
+        )
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("raw"), F.lit("yyyy-MM-dd'T'HH:mm:ssxxx")),
+        F.try_to_timestamp(F.col("raw"), F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(F.col("raw"), F.lit("yyyy-MM-dd")),
+    )
+    return e.select("event_id", raw.alias("raw")).select(
+        "event_id", parsed.alias("parsed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful replay shape with a SQL oracle (O1's semantics, verifiable)
+# ---------------------------------------------------------------------------
+
+@register(
+    "running_total",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+    FROM events
+    """,
+    doc="O1-shaped per-key ordered stateful scan, expressed as a window "
+    "cumulative sum so DuckDB can verify it. The replay kernel itself is "
+    "oracle-checked by golden tests (tests/test_replay.py).",
+    tags=("stateful", "window"),
+)
+def q_running_total(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_value"),
+    )
