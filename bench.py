@@ -1,0 +1,115 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Includes an end-to-end replay benchmark (raw framed JSONL → stateful book
+reconstruction → tick count), the reference's own headline number
+(README.md:78: ~2 min for 24 h of feed data, single-threaded). The frame log
+is generated deterministically from the events table size so it scales with
+sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from polymarket_data_ingestor_spark.plans.catalog import CATALOG  # noqa: E402
+from polymarket_data_ingestor_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "filter_project",
+    "minute_last_bars",
+    "hourly_volume",
+    "summary_stats",
+    "region_revenue",
+    "outcome_lookup",
+    "topk_per_group",
+    "sessionize",
+    "running_total",
+    "token_explode",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _ensure_replay_fixture(sf_dir: str, cache_root: Path) -> list[str]:
+    """Deterministic framed feed logs sized to the scale factor.
+
+    ~12 hourly files, total messages ≈ 10x the events row count at the same
+    sf (sf0.1 ⇒ ~1.2M messages), across 200 assets — enough to exercise the
+    parse → shuffle → kernel path with real skew.
+    """
+    sys.path.insert(0, str(Path(_REPO) / "tests"))
+    from fixture_gen import write_fixture_files  # noqa: E402
+
+    sf = _sf_of(sf_dir)
+    n_hours = 12
+    msgs_per_hour = max(200, int(1_000_000 * sf))
+    out = cache_root / f"replay_bench_sf{sf}"
+    marker = out / "_DONE"
+    if not marker.exists():
+        import fixture_gen
+
+        old_m, old_a = fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET
+        fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET = 100, 2
+        try:
+            write_fixture_files(out, n_hours=n_hours,
+                                msgs_per_hour=msgs_per_hour, seed=42)
+        finally:
+            fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET = old_m, old_a
+        marker.write_text("ok")
+    return sorted(str(p) for p in out.glob("*.jsonl"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="pdi-spark-bench")
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/session on a trivial action so q1 isn't charged for init.
+    spark.range(1000).count()
+
+    for name in BENCH_QUERIES:
+        q = CATALOG[name]
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side materialization
+        # of the result set (the sink cost is what we'd tune separately).
+        q.spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # End-to-end replay: raw logs -> parse -> stateful kernel -> ticks.
+    from polymarket_data_ingestor_spark.operators.replay import replay
+
+    paths = _ensure_replay_fixture(sf_dir, Path("/tmp/pdi_bench"))
+    t0 = time.perf_counter()
+    n_ticks = replay(spark, paths).count()
+    timings["replay_e2e"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "replay_ticks": n_ticks,
+    }))
+
+
+if __name__ == "__main__":
+    main()
