@@ -1,0 +1,149 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata struct
+(media_type, n_bytes, digest). The Spark-side machinery — schema, Arrow
+batch shape, ``mapInPandas`` signature, partition sizing — is real and
+tested; the actual media decode is STUBBED (this environment has no image/
+audio libraries): ``decode_features`` computes a deterministic fake feature
+vector from the payload bytes, and :func:`decode_image` raises
+``NotImplementedError`` to mark the integration point for a real decoder
+(PIL/torchvision/ffmpeg) on a production cluster.
+
+Scale notes: payload columns dominate row size, so feature extraction uses
+``mapInPandas`` (streaming Arrow batches — bounded memory per task, no
+per-group collect) and the batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``. Select away the payload
+column as early as possible after extraction; Parquet stores it in its own
+column chunk so reads that don't need bytes never touch them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 8
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("digest", StringType(), False),
+        StructField("features", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize an opaque binary payload column + typed metadata.
+
+    Stands in for reading real media bytes; production replaces this with
+    ``spark.read.format('binaryFile')`` or a payload column in the lakehouse
+    table. Everything downstream treats ``payload`` as opaque.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("media_type"),
+            F.length(payload).alias("n_bytes"),
+            F.md5(payload).alias("digest"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real media decode — integration point, intentionally unimplemented.
+
+    On a production cluster: ``PIL.Image.open(io.BytesIO(payload))`` etc.
+    This container ships no media libraries, so the plumbing is exercised
+    with :func:`_fake_features` instead.
+    """
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "environment; use extract_features(..., featurizer=...) with a real "
+        "decoder on a production cluster"
+    )
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in featurizer: byte-sum folds per stride.
+
+    Reproducible in SQL (see catalog oracle) so the full mapInPandas path is
+    correctness-gated despite the stubbed decode.
+    """
+    if not payload:
+        return [0.0] * dim
+    out = [0] * dim
+    for i, b in enumerate(payload):
+        out[i % dim] += b
+    return [float(v % 997) for v in out]
+
+
+def extract_features(
+    media: DataFrame,
+    featurizer: Callable[[bytes], list[float]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature extraction over payloads via mapInPandas (Arrow-batched).
+
+    ``featurizer`` maps payload bytes → fixed-dim feature list; defaults to
+    the deterministic fake. The UDF signature (iterator of pandas
+    DataFrames) streams batches — constant memory regardless of partition
+    size, the required shape for 100 MB+ media payloads.
+    """
+    fz = featurizer or _fake_features
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                    "n_bytes": [int(m["n_bytes"]) for m in pdf["media_meta"]],
+                    "digest": [m["digest"] for m in pdf["media_meta"]],
+                    "features": [fz(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """'Frame sampling' stub: emit one row per byte-stride of the payload.
+
+    Models video frame extraction's 1→N row shape (posexplode over a
+    computed index) with deterministic sampled offsets; a real decoder
+    replaces the stride arithmetic with frame timestamps.
+    """
+    n = F.col("media_meta.n_bytes")
+    idx = F.sequence(
+        F.lit(0), F.greatest((n - 1) / every_n_bytes, F.lit(0)).cast("long")
+    )
+    return media.select(
+        F.col(id_col),
+        F.posexplode(idx).alias("frame_no", "_i"),
+    ).select(
+        id_col,
+        "frame_no",
+        (F.col("frame_no") * every_n_bytes).alias("byte_offset"),
+    )

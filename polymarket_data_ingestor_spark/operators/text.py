@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference surface (SURVEY §7 step 6): language ID, quality
+scoring, token counting, and document fingerprinting over a text column —
+all pure Catalyst expressions (no Python UDFs), so they run JVM-side inside
+whole-stage codegen and scale linearly with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.functions.scalars import hash32
+
+#: Marker stopwords per language for the n-gram/stopword language heuristic.
+#: Deliberately tiny and deterministic — the operator shape (per-language
+#: marker counting + argmax) is what matters; swap in real frequency tables
+#: for production.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "les", "des"),
+    "de": ("der", "die", "und"),
+    "zh": ("的", "是", "了"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_MUL = 31
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: total, unique, and a BPE-ish subword estimate.
+
+    The subword estimate counts alphanumeric runs and digit/punct boundaries
+    (a cheap proxy for BPE token counts; ~chars/4 floor like common rules of
+    thumb).
+    """
+    toks = tokens(text_col)
+    n_chars = F.length(text_col)
+    return df.select(
+        "*",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.split(F.col(text_col), r"[^A-Za-z0-9]+")).alias("n_words"),
+        F.greatest(
+            (n_chars / F.lit(4)).cast("long"), F.lit(1)
+        ).alias("n_subword_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation and repetition ratios.
+
+    Mirrors common pretraining-corpus filters (C4/Gopher-style rules):
+    mean token length, non-alphanumeric density, unique-token ratio; a
+    composite [0,1] score. All ratios are double divisions of exact integer
+    counts — deterministic across engines.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    n_alnum = F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", "")
+    ).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    mean_tok_len = (n_alnum / n_tok)
+    punct_ratio = (n_chars - n_alnum) / n_chars
+    score = (
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * F.lit(0.25)
+        + uniq_ratio * F.lit(0.5)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.25)
+    )
+    return df.select(
+        "*",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language ID with deterministic arg-max.
+
+    Counts whole-word marker hits per language, predicts the language with
+    the highest count (ties broken by language code order); no hit at all →
+    'und'. Pure regexp_count expressions — vectorized, no UDF.
+    """
+    counts = {
+        lang: sum(
+            (F.regexp_count(F.col(text_col), F.lit(rf"\b{m}\b")) for m in ms),
+            start=F.lit(0),
+        ).alias(f"hits_{lang}")
+        for lang, ms in LANG_MARKERS.items()
+    }
+    with_counts = df.select("*", *counts.values())
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit("und")
+    # reversed so earlier language codes win ties (when() chains override)
+    for l in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{l}") == best) & (best > 0), F.lit(l)
+        ).otherwise(pred)
+    return with_counts.select("*", pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling document fingerprint.
+
+    Polynomial rolling hash over word hashes: ``acc = (acc*31 +
+    hash32(word)) mod 1e9+7`` — an ``F.aggregate`` fold, JVM-side, exact
+    int64 arithmetic (reproducible in any engine; see catalog oracle).
+    Detects exact + near-exact (same word order) duplicates cheaply.
+    """
+    word_hashes = F.transform(tokens(text_col), lambda w: hash32(w))
+    fp = F.aggregate(
+        word_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FINGERPRINT_MUL + h) % FINGERPRINT_MOD,
+    )
+    return df.select("*", fp.alias("fingerprint"))

@@ -624,3 +624,9 @@ def q_running_total(spark, sf_dir):
         .cast("double")
         .alias("cum_value"),
     )
+
+
+# Training-data operator entries register themselves on import (placed at
+# module end: they import `register`/`table` from this partially-initialized
+# module, which works because those are defined above).
+from polymarket_data_ingestor_spark.plans import catalog_trainingdata  # noqa: E402,F401

@@ -1,0 +1,400 @@
+"""Training-data operator catalog entries (dedup / similarity / text / media).
+
+Imported by plans.catalog for its registration side effects. Every oracle
+reproduces the Spark computation exactly: the shared md5-based hash32
+primitive, explicit DOUBLE casts in float folds, and deterministic
+tie-breaks keep both engines bit-identical (rounding only where linear
+interpolation or fold order could differ in the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.operators import dedup as D
+from polymarket_data_ingestor_spark.operators import multimodal as M
+from polymarket_data_ingestor_spark.operators import similarity as S
+from polymarket_data_ingestor_spark.operators import text as T
+from polymarket_data_ingestor_spark.plans.catalog import register, table
+
+# DuckDB fragments shared by the oracles below.
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SQL_HASH = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+_SQL_GRAMS3 = (
+    "list_distinct(list_transform("
+    "generate_series(0, greatest(len(toks) - 3, 0)),"
+    " i -> array_to_string(toks[i+1:i+3], ' ')))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique_tokens,
+           len(string_split_regex(text, '[^A-Za-z0-9]+')) AS n_words,
+           greatest(length(text) // 4, 1) AS n_subword_est
+    FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    """,
+    doc="Token counting (whitespace + word-ish + subword estimate).",
+    tags=("text",),
+)
+def q_text_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.token_stats(d).select(
+        "doc_id", "n_tokens", "n_unique_tokens", "n_words", "n_subword_est"
+    )
+
+
+@register(
+    "doc_quality",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(n_alnum / n_tok, 6) AS mean_token_len,
+           round((n_chars - n_alnum) / n_chars, 6) AS punct_ratio,
+           round(n_uniq / n_tok, 6) AS unique_ratio,
+           round(least(n_tok / 64.0, 1.0) * 0.25
+                 + (n_uniq / n_tok) * 0.5
+                 + (1.0 - (n_chars - n_alnum) / n_chars) * 0.25, 6) AS quality
+    FROM (
+      SELECT doc_id, toks,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                  AS DOUBLE) AS n_alnum
+      FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents))
+    """,
+    doc="Quality scoring: length/punct/repetition ratios + composite score.",
+    tags=("text",),
+)
+def q_doc_quality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.quality_score(d).select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "unique_ratio", "quality",
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    markers = T.LANG_MARKERS[lang]
+    return " + ".join(
+        rf"len(regexp_extract_all(text, '\b{m}\b'))" for m in markers
+    )
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE
+             {"".join(
+               f"WHEN hits_{l} = best AND best > 0 THEN '{l}' "
+               for l in sorted(T.LANG_MARKERS))}
+             ELSE 'und' END AS pred_lang
+    FROM (
+      SELECT doc_id, lang,
+             {", ".join(f"{_sql_lang_hits(l)} AS hits_{l}"
+                        for l in sorted(T.LANG_MARKERS))},
+             greatest({", ".join(f"{_sql_lang_hits(l)}"
+                                 for l in sorted(T.LANG_MARKERS))}) AS best
+      FROM documents)
+    """,
+    doc="Language ID: marker-stopword counts + deterministic argmax.",
+    tags=("text",),
+)
+def q_doc_lang_id(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.lang_id(d).select("doc_id", "lang", "pred_lang")
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_SQL_TOKS},
+                 w -> {_SQL_HASH.format(x='w')})),
+             (acc, h) -> (acc * {T.FINGERPRINT_MUL} + h)
+                           % {T.FINGERPRINT_MOD}) AS fingerprint
+    FROM documents
+    """,
+    doc="Order-sensitive rolling document fingerprint (polynomial hash fold).",
+    tags=("text", "dedup"),
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.fingerprint(d).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup groups: digest -> keeper id + multiplicity.",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang, {_SQL_GRAMS3} AS grams
+      FROM (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents
+            WHERE doc_id < 150)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / CAST(len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams)) AS DOUBLE),
+                 6) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / CAST(len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.01
+    """,
+    doc="Near-dup via word-3-gram Jaccard, blocked by lang (all-pairs is "
+    "the verify stage; LSH buckets are the scale path).",
+    tags=("dedup",),
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return D.ngram_jaccard_pairs(d, threshold=0.01, block_col="lang")
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(grams) AS gram FROM (
+        SELECT doc_id, {_SQL_GRAMS3} AS grams
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+              WHERE doc_id < 60))
+    ), hashed AS (
+      SELECT doc_id, {_SQL_HASH.format(x='gram')} AS h FROM grams
+    ), expanded AS (
+      SELECT doc_id, i.i AS hash_idx,
+             ((2 * i.i + 1) * h + i.i * 987654321) % {D.MINHASH_PRIME} AS hv
+      FROM hashed CROSS JOIN
+           (SELECT unnest(generate_series(0, 15)) AS i) i
+    )
+    SELECT doc_id, hash_idx, min(hv) AS minhash
+    FROM expanded GROUP BY 1, 2
+    """,
+    doc="MinHash signatures (k=16, 3-gram shingles), long format.",
+    tags=("dedup", "sketch"),
+)
+def q_minhash_signatures(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return D.minhash_signatures(d, num_hashes=16)
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(grams) AS gram FROM (
+        SELECT doc_id, {_SQL_GRAMS3} AS grams
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents))
+    ), hashed AS (
+      SELECT doc_id, {_SQL_HASH.format(x='gram')} AS h FROM grams
+    ), expanded AS (
+      SELECT doc_id, i.i AS hash_idx,
+             ((2 * i.i + 1) * h + i.i * 987654321) % {D.MINHASH_PRIME} AS hv
+      FROM hashed CROSS JOIN
+           (SELECT unnest(generate_series(0, 15)) AS i) i
+    ), sigs AS (
+      SELECT doc_id, hash_idx, min(hv) AS minhash
+      FROM expanded GROUP BY 1, 2
+    ), bands AS (
+      SELECT doc_id, hash_idx // 2 AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx)
+               AS band_key
+      FROM sigs GROUP BY doc_id, hash_idx // 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs (16 hashes, 8 bands x 2 rows): "
+    "docs sharing any identical band. The linear-time near-dedup path.",
+    tags=("dedup", "sketch"),
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), num_hashes=16, bands=8
+    )
+
+
+@register(
+    "simhash_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_HASH.format(x='tok')} AS h FROM (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+        WHERE doc_id < 100)
+    ), votes AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END AS vote
+      FROM toks CROSS JOIN
+           (SELECT unnest(generate_series(0, 31)) AS bit) b
+    ), bv AS (
+      SELECT doc_id, bit, sum(vote) AS v FROM votes GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bv GROUP BY 1
+    """,
+    doc="SimHash (32-bit) per document: per-bit majority of token hashes.",
+    tags=("dedup", "sketch"),
+)
+def q_simhash_docs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.simhash(d, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))),"
+    " (x, y) -> x + y)"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"{_SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "cosine_topk",
+    f"""
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round({_sql_cos('q.embedding', 'e.embedding')}, 6) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_cos('q.embedding', 'e.embedding')} DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      WHERE e.vec_id != q.vec_id)
+    WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 ANN baseline (queries broadcast, one "
+    "corpus scan; JVM array folds, no UDF).",
+    tags=("similarity",),
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+@register(
+    "embedding_dup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cos >= 0.4 on this corpus).",
+    tags=("similarity", "dedup"),
+)
+def q_embedding_dup_pairs(spark, sf_dir):
+    return S.embedding_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode; real Spark machinery)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    """
+    WITH meta AS (
+      SELECT doc_id, encode(text) AS payload, text FROM documents
+      WHERE doc_id < 100
+    ), feats AS (
+      SELECT doc_id, f.i AS feat_idx,
+             CAST(COALESCE((
+               SELECT sum(ascii(substr(m.text, p.i, 1)))
+               FROM (SELECT unnest(generate_series(1, length(m.text))) AS i) p
+               WHERE (p.i - 1) % 8 = f.i), 0) % 997 AS DOUBLE) AS feat
+      FROM meta m CROSS JOIN
+           (SELECT unnest(generate_series(0, 7)) AS i) f
+    )
+    SELECT m.doc_id, 'application/octet-stream' AS media_type,
+           octet_length(m.payload) AS n_bytes,
+           md5(m.text) AS digest,
+           f.feat_idx, f.feat
+    FROM meta m JOIN feats f ON m.doc_id = f.doc_id
+    """,
+    doc="Multimodal plumbing: opaque binary payload + metadata through a "
+    "real mapInPandas Arrow path; decode stubbed with a deterministic "
+    "byte-fold featurizer (ASCII corpus ⇒ SQL-reproducible).",
+    tags=("multimodal",),
+)
+def q_multimodal_features(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_payload(d)
+    feats = M.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "digest",
+        F.posexplode("features").alias("feat_idx", "feat"),
+    )
+
+
+@register(
+    "frame_sample",
+    """
+    SELECT doc_id, f.i AS frame_no, f.i * 64 AS byte_offset
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+          WHERE doc_id < 100) d
+    CROSS JOIN LATERAL
+      (SELECT unnest(generate_series(0, greatest((n - 1) // 64, 0))) AS i) f
+    """,
+    doc="Frame-sampling shape: 1->N rows per payload at fixed strides "
+    "(posexplode of a computed index).",
+    tags=("multimodal",),
+)
+def q_frame_sample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_payload(d)
+    return M.frame_sample(media, every_n_bytes=64)

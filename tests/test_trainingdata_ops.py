@@ -1,0 +1,148 @@
+"""Tests for dedup / similarity / text / multimodal operator APIs.
+
+The catalog oracles (tools/check.py, driver t2) pin cross-engine value
+parity; these tests pin operator *semantics*: LSH recall vs brute force,
+dedup materialization, Hamming near-dup behavior, and the multimodal
+mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.operators import dedup as D
+from polymarket_data_ingestor_spark.operators import multimodal as M
+from polymarket_data_ingestor_spark.operators import similarity as S
+from polymarket_data_ingestor_spark.operators import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    # add exact + near duplicates so dedup has real work
+    d0 = df.filter(F.col("doc_id") < 30)
+    exact = d0.withColumn("doc_id", F.col("doc_id") + 100000)
+    near = d0.withColumn("doc_id", F.col("doc_id") + 200000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra tail token"))
+    )
+    return df.unionByName(exact).unionByName(near)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_drops_planted_dupes(spark, docs):
+    n_orig = docs.count()
+    deduped = D.drop_exact_dupes(docs)
+    # the 30 exact copies vanish; the 30 near-copies stay
+    assert deduped.count() == n_orig - 30
+    # keeper is the min doc_id: original rows survive, +100000 rows don't
+    assert deduped.filter(F.col("doc_id").between(100000, 199999)).count() == 0
+
+
+def test_minhash_lsh_finds_planted_near_dupes(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    # exact copies must collide in every band; near copies in some band
+    exact_expected = {(i, i + 100000) for i in range(30)}
+    assert exact_expected <= got
+    near_hits = sum((i, i + 200000) in got for i in range(30))
+    assert near_hits >= 25  # high-similarity pairs: near-full recall
+
+
+def test_simhash_hamming_near_dupes(spark, docs):
+    sig = D.simhash(docs, bits=32)
+    pairs = D.hamming_pairs(sig, max_distance=2).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert {(i, i + 100000) for i in range(30)} <= got  # distance 0
+    near_hits = sum((i, i + 200000) in got for i in range(30))
+    assert near_hits >= 20
+
+
+def test_ngram_jaccard_scores_planted_pairs(spark, docs):
+    sub = docs.filter(
+        (F.col("doc_id") < 30) | (F.col("doc_id") >= 200000)
+    )
+    pairs = D.ngram_jaccard_pairs(sub, threshold=0.5).toPandas()
+    planted = pairs[pairs.id_b == pairs.id_a + 200000]
+    assert len(planted) == 30
+    # shortest docs (~20 shingles) score ~0.73 after 3 appended shingles
+    assert (planted.jaccard > 0.7).all()
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, queries, k=10).toPandas()
+    approx = S.cosine_topk_lsh(emb, queries, k=10, n_planes=2).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    approx_set = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random-hyperplane collision prob for cos≈0.3 neighbors is ~0.6/plane:
+    # 2 planes ⇒ ~0.36 expected recall (vs 0.25 random-bucket baseline)
+    assert recall >= 0.2
+    # approx results are a subset of the same scoring function's ranking:
+    # every approx hit's cos must equal the exact cos for that pair
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (merged.cos_a == merged.cos_e).all()
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.cosine_topk(emb, queries, k=5).toPandas()
+    assert (out.query_id != out.vec_id).all()
+    for _, grp in out.groupby("query_id"):
+        assert list(grp.sort_values("rank")["cos"]) == sorted(grp.cos, reverse=True)
+        assert len(grp) == 5
+
+
+def test_lang_id_und_on_no_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "xyzzy plugh qwerty"), (2, "the cat and the hat of things")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in T.lang_id(df).collect()}
+    assert out[1] == "und"
+    assert out[2] == "en"
+
+
+def test_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in T.fingerprint(df).collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]
+
+
+def test_multimodal_pipeline_and_stub(spark, docs):
+    media = M.attach_payload(docs.filter(F.col("doc_id") < 10))
+    feats = M.extract_features(media).toPandas()
+    assert len(feats) == 10
+    assert all(len(f) == M.FEATURE_DIM for f in feats.features)
+    # digest matches Spark-side md5 of the payload
+    md = media.select(F.md5("payload").alias("d"), "media_meta.digest").toPandas()
+    assert (md.d == md.digest).all()
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...")
+
+
+def test_frame_sample_row_shape(spark, docs):
+    media = M.attach_payload(docs.filter(F.col("doc_id") < 5))
+    frames = M.frame_sample(media, every_n_bytes=50).toPandas()
+    sizes = {r.doc_id: r["media_meta"]["n_bytes"]
+             for r in media.select("doc_id", "media_meta").collect()}
+    for doc_id, grp in frames.groupby("doc_id"):
+        expected = max((sizes[doc_id] - 1) // 50, 0) + 1
+        assert len(grp) == expected
+        assert list(grp.sort_values("frame_no").byte_offset) == \
+            [i * 50 for i in range(expected)]
