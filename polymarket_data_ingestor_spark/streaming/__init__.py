@@ -1,0 +1,19 @@
+from polymarket_data_ingestor_spark.streaming.collector import (
+    FrameWriter,
+    split_markets,
+    take_chunk,
+)
+from polymarket_data_ingestor_spark.streaming.live import (
+    live_ticks,
+    read_frames_stream,
+    write_frames_stream,
+)
+
+__all__ = [
+    "FrameWriter",
+    "split_markets",
+    "take_chunk",
+    "read_frames_stream",
+    "write_frames_stream",
+    "live_ticks",
+]

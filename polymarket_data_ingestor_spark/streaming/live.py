@@ -1,0 +1,185 @@
+"""Structured Streaming: live tick generation + streaming frame sinks.
+
+Batch replay (``operators.replay``) is the parity path; this module is the
+*live* path (SURVEY §2.9 T8, §7 step 5): ``readStream`` over the collector's
+frame files → the same book semantics keyed per asset with
+``applyInPandasWithState`` → an append stream of ticks.
+
+Ordering: the reference relies on per-connection FIFO order as logged
+(SURVEY §2.9 note). Streaming preserves that per micro-batch by sorting each
+group on ``(file_hour, line_id)``; across micro-batches the file source's
+chronological discovery (hourly filenames) preserves it end-to-end. Late
+*files* are not reordered — same contract as the reference, which never
+reorders either.
+
+State: one small JSON blob per asset (two price→size maps). With the
+RocksDB state store on a real cluster this scales to millions of assets;
+state size is O(book depth), not O(history).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StringType, StructField, StructType
+
+from polymarket_data_ingestor_spark.schemas import FRAME_SCHEMA, TICK_SCHEMA
+from polymarket_data_ingestor_spark.sources.frames import (
+    _FILE_HOUR_RE,
+    parse_feed_messages,
+)
+
+STATE_SCHEMA = StructType([StructField("book_json", StringType(), True)])
+
+
+def read_frames_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of framed JSONL logs (same shape as read_frames)."""
+    reader = spark.readStream.schema(FRAME_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.json(path)
+    # monotonically_increasing_id() is not allowed on streaming DataFrames,
+    # so live mode orders frames by their log timestamp (the collector
+    # stamps every frame with now() — monotone within a file,
+    # collector/src/main.rs:28). Batch replay keeps exact line order; this
+    # is the documented live-mode ordering contract.
+    return df.select(
+        "*",
+        F.regexp_extract(F.input_file_name(), _FILE_HOUR_RE, 1).alias("file_hour"),
+        F.unix_micros(F.to_timestamp("timestamp")).alias("line_id"),
+    )
+
+
+def write_frames_stream(
+    frames: DataFrame, path: str, checkpoint: str, compression: str = "gzip"
+):
+    """Hourly-partitioned streaming frame sink (S6 as a Spark sink).
+
+    The collector's hand-rolled rotation becomes ``partitionBy(hour)`` on
+    the frame timestamp; the codec option mirrors zstd-on-cluster (gzip
+    locally). Returns the started StreamingQuery.
+    """
+    hour = F.date_format(F.to_timestamp("timestamp"), "yyyy-MM-dd-HH").alias(
+        "hour"
+    )
+    return (
+        frames.withColumn("hour", hour)
+        .writeStream.format("json")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .option("compression", compression)
+        .partitionBy("hour")
+        .start()
+    )
+
+
+def _tick_rows(
+    out: dict[str, list], ts: str, market: str, asset: str, bids: dict, asks: dict
+) -> None:
+    """Append the two BBO rows (ASK then BID; empty side → (0,0))."""
+    for side, levels, pick in (("ASK", asks, min), ("BID", bids, max)):
+        if levels:
+            p = pick(levels)
+            price, size = float(p), float(levels[p])
+        else:
+            price, size = 0.0, 0.0
+        out["timestamp"].append(ts)
+        out["kind"].append("BBO")
+        out["market"].append(market)
+        out["asset"].append(asset)
+        out["side"].append(side)
+        out["price"].append(price)
+        out["size"].append(size)
+
+
+def _is_null(v: Any) -> bool:
+    return v is None or (isinstance(v, float) and v != v)
+
+
+def _live_kernel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-asset stateful kernel: same semantics as the batch replay
+    (tick_generator.rs:224-367), state persisted across micro-batches.
+
+    Book uses float price keys (wire decimal strings are ≤4 dp — float
+    equality on parsed values is exact in that domain) serialized to JSON
+    between batches.
+    """
+    if state.exists:
+        raw = state.get[0]
+        book = json.loads(raw) if raw else {"bids": [], "asks": []}
+    else:
+        book = {"bids": [], "asks": []}
+    bids = {float(p): float(s) for p, s in book["bids"]}
+    asks = {float(p): float(s) for p, s in book["asks"]}
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["file_hour", "line_id", "msg_idx"],
+                              kind="mergesort")
+        out: dict[str, list] = {f.name: [] for f in TICK_SCHEMA.fields}
+        for row in pdf.itertuples(index=False):
+            et = row.event_type
+            if et == "book":
+                bids.clear()
+                asks.clear()
+                if not _is_null(row.bids):
+                    for lv in row.bids:
+                        bids[float(lv["price"])] = float(lv["size"])
+                if not _is_null(row.asks):
+                    for lv in row.asks:
+                        asks[float(lv["price"])] = float(lv["size"])
+                _tick_rows(out, row.timestamp, row.market, row.asset_id,
+                           bids, asks)
+            elif et == "price_change":
+                if not _is_null(row.changes):
+                    for ch in row.changes:
+                        levels = bids if ch["side"] == "BUY" else asks
+                        price = float(ch["price"])
+                        if float(ch["size"]) == 0.0:
+                            levels.pop(price, None)
+                        else:
+                            levels[price] = float(ch["size"])
+                _tick_rows(out, row.timestamp, row.market, row.asset_id,
+                           bids, asks)
+            elif et == "last_trade_price":
+                out["timestamp"].append(row.timestamp)
+                out["kind"].append("TRADE")
+                out["market"].append(row.market)
+                out["asset"].append(row.asset_id)
+                out["side"].append("BID" if row.side == "BUY" else "ASK")
+                out["price"].append(float(row.price))
+                out["size"].append(float(row.size))
+        if out["timestamp"]:
+            yield pd.DataFrame(out)
+
+    state.update(
+        (json.dumps({
+            "bids": [[p, s] for p, s in bids.items()],
+            "asks": [[p, s] for p, s in asks.items()],
+        }),)
+    )
+
+
+def live_ticks(frames_stream: DataFrame) -> DataFrame:
+    """Streaming frames → streaming ticks (append mode, per-asset state)."""
+    feed = parse_feed_messages(frames_stream)
+    feed = feed.filter(
+        F.col("event_type").isin("book", "price_change", "last_trade_price")
+    )
+    return feed.groupBy("asset_id").applyInPandasWithState(
+        _live_kernel,
+        outputStructType=TICK_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -157,18 +157,30 @@ def write_fixture_files(
     out_dir: Path, n_hours: int = 3, msgs_per_hour: int = 120, seed: int = 42
 ) -> list[Path]:
     """Write n_hours hourly .jsonl files in the reference frame format."""
+    from datetime import datetime, timedelta, timezone
+
     rng = random.Random(seed)
     out_dir.mkdir(parents=True, exist_ok=True)
     markets = make_markets()
     paths = []
     for h in range(n_hours):
         hour = f"2025-09-30-{14 + h:02d}"
+        # Frame timestamps strictly increase within a file, like a real
+        # collector stamping each frame with now() (main.rs:28) — the live
+        # streaming path orders on them.
+        t = datetime(2025, 9, 30, 14 + h, 0, 0, tzinfo=timezone.utc)
+
+        def stamp():
+            nonlocal t
+            t += timedelta(microseconds=rng.randint(1, 500000))
+            return t.isoformat()
+
         lines = []
         # Line-1 invariant: active_markets snapshot (main.rs:176-179).
         lines.append(
             json.dumps(
                 {
-                    "timestamp": f"2025-09-30T{14 + h:02d}:00:00.000001+00:00",
+                    "timestamp": stamp(),
                     "message_type": "active_markets",
                     "content": json.dumps(
                         {"markets": markets, "count": len(markets)}
@@ -185,7 +197,7 @@ def write_fixture_files(
                 lines.append(
                     json.dumps(
                         {
-                            "timestamp": f"2025-09-30T{14 + h:02d}:30:00+00:00",
+                            "timestamp": stamp(),
                             "message_type": "feed_message",
                             "content": "PONG",
                         }
@@ -197,7 +209,7 @@ def write_fixture_files(
             lines.append(
                 json.dumps(
                     {
-                        "timestamp": f"2025-09-30T{14 + h:02d}:30:01+00:00",
+                        "timestamp": stamp(),
                         "message_type": "feed_message",
                         "content": json.dumps(batch),  # double-encoded
                     }
