@@ -38,8 +38,8 @@ already gives us.
 from __future__ import annotations
 
 from collections.abc import Iterable, Sequence
-from decimal import Decimal
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -73,6 +73,9 @@ REPLAY_OUTPUT_SCHEMA = StructType(
 TICK_COLUMNS = ["timestamp", "kind", "market", "asset", "side", "price", "size"]
 ORDER_COLUMNS = ["file_hour", "line_id", "msg_idx", "emit_idx"]
 
+# Packed message kind codes (see replay_feed_messages).
+KIND_BOOK, KIND_CHANGE, KIND_TRADE = 0, 1, 2
+
 # Ship this module's code inside the serialized plan instead of by reference:
 # executors then never need the package on their PYTHONPATH (the kernel only
 # uses pandas + stdlib). Without this, a driver script running from outside
@@ -85,20 +88,6 @@ try:  # pragma: no cover - environment-dependent
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # noqa: BLE001 - best-effort; PYTHONPATH fallback applies
     pass
-
-_ZERO = Decimal(0)
-
-
-def _iter_levels(arr):
-    """Null-safe iteration over an Arrow list column value.
-
-    Arrow→pandas yields numpy arrays for lists and None/NaN for nulls, so
-    plain ``arr or ()`` would hit numpy truth-value ambiguity.
-    """
-    if arr is None or isinstance(arr, float):
-        return ()
-    return arr
-
 
 def _top(levels: dict, highest: bool) -> tuple[float, float]:
     """Top-of-book for one side; empty side → (0.0, 0.0).
@@ -114,15 +103,23 @@ def _top(levels: dict, highest: bool) -> tuple[float, float]:
 
 
 def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Replay all messages of one asset in log order; emit tick rows.
+    """Replay one asset's *book events* in log order; emit BBO tick rows.
 
-    Pure-Python book state: ``{"bids": {Decimal: Decimal}, "asks": ...}``.
-    Exact decimal arithmetic during replay, f64 downcast at emission — the
-    reference's split (``tick_generator.rs:15,89-90``).
+    Input is the packed form produced by :func:`replay_feed_messages`:
+    levels arrive as flat ``array<double>`` columns (``[p1, s1, p2, s2,
+    ...]``; change prices sign-encode the side, BUY positive / SELL
+    negative) — numpy-friendly, no per-level dicts through Arrow. Trades
+    never reach this kernel (they're a stateless JVM projection).
+
+    Numeric note: the wire's decimal strings are cast to f64 JVM-side;
+    within the tick domain (≤4 dp prices, ≤6 dp sizes) the string→double
+    mapping is injective, so float dict keys reproduce the reference's
+    ``BTreeMap<Decimal>`` keying exactly, and emitted values equal its
+    ``to_f64`` downcasts (``tick_generator.rs:89-90``).
     """
     pdf = pdf.sort_values(["file_hour", "line_id", "msg_idx"], kind="mergesort")
-    bids: dict[Decimal, Decimal] = {}
-    asks: dict[Decimal, Decimal] = {}
+    bids: dict[float, float] = {}
+    asks: dict[float, float] = {}
     out: dict[str, list] = {c: [] for c in TICK_COLUMNS + ORDER_COLUMNS}
 
     o_ts = out["timestamp"]
@@ -137,9 +134,62 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
     o_mi = out["msg_idx"]
     o_ei = out["emit_idx"]
 
-    def emit_bbo(ts, market, asset, fh, li, mi):
+    for row in zip(
+        pdf["kind_code"].to_numpy(),
+        pdf["timestamp"].to_numpy(),
+        pdf["market"].to_numpy(),
+        pdf["asset_id"].to_numpy(),
+        pdf["bids_flat"].to_numpy(),
+        pdf["asks_flat"].to_numpy(),
+        pdf["changes_flat"].to_numpy(),
+        pdf["file_hour"].to_numpy(),
+        pdf["line_id"].to_numpy(),
+        pdf["msg_idx"].to_numpy(),
+    ):
+        kind, ts, market, asset, b_flat, a_flat, c_flat, fh, li, mi = row
+        if kind == KIND_TRADE:
+            # One TRADE row; no book mutation (tick_generator.rs:322-330).
+            sp, size = c_flat[0], c_flat[1]
+            buy = not np.signbit(sp)  # signbit: price 0.0 vs -0.0 exact
+            o_ts.append(ts)
+            o_kind.append("TRADE")
+            o_market.append(market)
+            o_asset.append(asset)
+            o_side.append("BID" if buy else "ASK")
+            o_price.append(sp if buy else -sp)
+            o_size.append(size)
+            o_fh.append(fh)
+            o_li.append(li)
+            o_mi.append(mi)
+            o_ei.append(0)
+            continue
+        if kind == KIND_BOOK:
+            # Snapshot replaces both sides (tick_generator.rs:242-254).
+            bids = (
+                dict(zip(b_flat[0::2], b_flat[1::2]))
+                if b_flat is not None
+                else {}
+            )
+            asks = (
+                dict(zip(a_flat[0::2], a_flat[1::2]))
+                if a_flat is not None
+                else {}
+            )
+        else:
+            # Diff upserts; size==0 deletes (tick_generator.rs:257-272);
+            # sign of the packed price encodes BUY(+)/SELL(-).
+            if c_flat is not None:
+                for sp, size in zip(c_flat[0::2], c_flat[1::2]):
+                    if not np.signbit(sp):
+                        levels, price = bids, sp
+                    else:
+                        levels, price = asks, -sp
+                    if size == 0.0:
+                        levels.pop(price, None)
+                    else:
+                        levels[price] = size
         # Exactly two rows per book event, ASK first then BID
-        # (tick_generator.rs:283-316).
+        # (tick_generator.rs:283-316); empty side → (0, 0) (:274-281).
         ask_p, ask_s = _top(asks, highest=False)
         bid_p, bid_s = _top(bids, highest=True)
         o_ts.extend((ts, ts))
@@ -153,46 +203,6 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
         o_li.extend((li, li))
         o_mi.extend((mi, mi))
         o_ei.extend((0, 1))
-
-    for row in pdf.itertuples(index=False):
-        et = row.event_type
-        if et == "book":
-            # Snapshot replaces both sides (tick_generator.rs:242-254).
-            bids.clear()
-            asks.clear()
-            for lv in _iter_levels(row.bids):
-                bids[Decimal(lv["price"])] = Decimal(lv["size"])
-            for lv in _iter_levels(row.asks):
-                asks[Decimal(lv["price"])] = Decimal(lv["size"])
-            emit_bbo(row.timestamp, row.market, row.asset_id,
-                     row.file_hour, row.line_id, row.msg_idx)
-        elif et == "price_change":
-            # Upsert levels; size==0 deletes (tick_generator.rs:257-272).
-            for ch in _iter_levels(row.changes):
-                side_levels = bids if ch["side"] == "BUY" else asks
-                price = Decimal(ch["price"])
-                size = Decimal(ch["size"])
-                if size == _ZERO:
-                    side_levels.pop(price, None)
-                else:
-                    side_levels[price] = size
-            emit_bbo(row.timestamp, row.market, row.asset_id,
-                     row.file_hour, row.line_id, row.msg_idx)
-        elif et == "last_trade_price":
-            # One TRADE row; wire BUY/SELL → sink BID/ASK
-            # (tick_generator.rs:85-88,209-221); no book mutation.
-            o_ts.append(row.timestamp)
-            o_kind.append("TRADE")
-            o_market.append(row.market)
-            o_asset.append(row.asset_id)
-            o_side.append("BID" if row.side == "BUY" else "ASK")
-            o_price.append(float(Decimal(row.price)))
-            o_size.append(float(Decimal(row.size)))
-            o_fh.append(row.file_hour)
-            o_li.append(row.line_id)
-            o_mi.append(row.msg_idx)
-            o_ei.append(0)
-        # else: unknown event_type — ignored (tick_generator.rs:391-392).
 
     return pd.DataFrame(out)
 
@@ -219,12 +229,59 @@ def replay_feed_messages(
         # Literal IN for small sets — Catalyst pushes it to the scan; for
         # very large sets callers should pre-join a broadcast id table.
         feed = feed.filter(F.col("market").isin(ids))
-    # Prune unknown event types before the shuffle: the kernel would drop
-    # them anyway, but dropping here avoids shuffling dead rows.
-    feed = feed.filter(
-        F.col("event_type").isin("book", "price_change", "last_trade_price")
+
+    # One scan, one shuffle: every message is packed JVM-side into a slim
+    # row — a kind code plus flat double arrays (pairs of [price, size];
+    # change/trade prices sign-encode BUY(+)/SELL(-)). The Arrow→pandas hop
+    # then moves numpy float arrays instead of per-level dicts (~10x
+    # cheaper), and the raw JSON is scanned exactly once. Trades ride the
+    # same shuffle as packed pairs: at 100 TB re-scanning the raw logs for
+    # a stateless trade branch would cost far more than shuffling these
+    # few extra bytes.
+    level_pairs = lambda col: F.flatten(  # noqa: E731
+        F.transform(
+            col,
+            lambda lv: F.array(
+                lv["price"].cast("double"), lv["size"].cast("double")
+            ),
+        )
     )
-    ticks = feed.groupBy("asset_id").applyInPandas(
+    change_pairs = F.flatten(
+        F.transform(
+            F.col("changes"),
+            lambda ch: F.array(
+                F.when(ch["side"] == "BUY", ch["price"].cast("double"))
+                .otherwise(-ch["price"].cast("double")),
+                ch["size"].cast("double"),
+            ),
+        )
+    )
+    trade_pair = F.array(
+        F.when(F.col("side") == "BUY", F.col("price").cast("double"))
+        .otherwise(-F.col("price").cast("double")),
+        F.col("size").cast("double"),
+    )
+    packed = feed.filter(
+        F.col("event_type").isin("book", "price_change", "last_trade_price")
+    ).select(
+        "asset_id",
+        "file_hour",
+        "line_id",
+        "msg_idx",
+        "timestamp",
+        "market",
+        F.when(F.col("event_type") == "book", KIND_BOOK)
+        .when(F.col("event_type") == "price_change", KIND_CHANGE)
+        .otherwise(KIND_TRADE)
+        .cast("int")
+        .alias("kind_code"),
+        level_pairs(F.col("bids")).alias("bids_flat"),
+        level_pairs(F.col("asks")).alias("asks_flat"),
+        F.when(F.col("event_type") == "price_change", change_pairs)
+        .when(F.col("event_type") == "last_trade_price", trade_pair)
+        .alias("changes_flat"),
+    )
+    ticks = packed.groupBy("asset_id").applyInPandas(
         _replay_group, schema=REPLAY_OUTPUT_SCHEMA
     )
     if in_log_order:
