@@ -1,0 +1,163 @@
+"""Command-line interface — reference CLI parity (SURVEY §3.1, §3.3).
+
+Mirrors ``cli/src/main.rs``:
+
+* ``replay -t 24h -o ticks.parquet [--markets id,...]`` — time-range →
+  hour-file pruning → stateful replay → Parquet tick sink (S7: snappy, the
+  reference's codec; ``tick_generator.rs:60-63``). Output extension fix-up
+  matches ``main.rs:148-156``.
+* ``markets [filter] [--format pretty|csv|json] [-t range] [--last]`` —
+  first (or last) ``active_markets`` snapshot → substring filter → token
+  unnest → sink (S8 CSV columns ``question,question_id,outcome,token_id``
+  per ``main.rs:224-231``; S9 pretty; raw JSON).
+
+Usage: ``python -m polymarket_data_ingestor_spark <command> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+from pathlib import Path
+
+from polymarket_data_ingestor_spark.session import get_spark
+from polymarket_data_ingestor_spark.sources.paths import (
+    discover_files,
+    parse_time_range,
+    parse_timestamp_multi,
+)
+
+
+def _resolve_paths(data_dir: str, time_range: str | None,
+                   start: str | None, end: str | None) -> list[str]:
+    candidates = [
+        p
+        for pat in ("*.jsonl", "*.jsonl.zst", "*.jsonl.gz")
+        for p in glob.glob(str(Path(data_dir) / pat))
+    ]
+    t0 = t1 = None
+    if time_range:
+        t0, t1 = parse_time_range(time_range)
+    if start:
+        t0 = parse_timestamp_multi(start)
+    if end:
+        t1 = parse_timestamp_multi(end)
+    return discover_files(candidates, t0, t1)
+
+
+def cmd_replay(args: argparse.Namespace) -> int:
+    from polymarket_data_ingestor_spark.operators.replay import replay
+
+    paths = _resolve_paths(args.data_dir, args.time_range, args.start, args.end)
+    if not paths:
+        print("no log files in range", file=sys.stderr)
+        return 1
+    out = args.output
+    # extension fix-up like main.rs:148-156
+    if not out.endswith(".parquet"):
+        out += ".parquet"
+    markets = args.markets.split(",") if args.markets else None
+    spark = get_spark(app_name="pdi-replay")
+    ticks = replay(spark, paths, markets=markets,
+                   in_log_order=args.log_order)
+    ticks.write.mode("overwrite").parquet(out, compression="snappy")
+    n = spark.read.parquet(out).count()
+    print(f"wrote {n} ticks from {len(paths)} file(s) to {out}")
+    return 0
+
+
+def cmd_markets(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.sources.frames import read_frames
+    from polymarket_data_ingestor_spark.sources.markets import (
+        filter_markets,
+        market_tokens,
+        read_market_info,
+    )
+
+    paths = _resolve_paths(args.data_dir, args.time_range, args.start, args.end)
+    if not paths:
+        print("no log files in range", file=sys.stderr)
+        return 1
+    # first file in range, or last when no range given (main.rs:179-185)
+    no_range = not (args.time_range or args.start or args.end)
+    spark = get_spark(app_name="pdi-markets")
+    frames = read_frames(spark, [paths[-1] if no_range else paths[0]])
+    mkts = read_market_info(frames, last=no_range)
+    if args.filter:
+        mkts = filter_markets(mkts, args.filter)
+
+    if args.format == "json":
+        for row in mkts.toJSON().collect():
+            print(row)
+    elif args.format == "csv":
+        toks = market_tokens(mkts).select(
+            "question", "question_id", "outcome", "token_id"
+        )
+        if args.output:
+            toks.coalesce(1).write.mode("overwrite").csv(
+                args.output, header=True
+            )
+            print(f"wrote {args.output}")
+        else:
+            print("question,question_id,outcome,token_id")
+            for r in toks.collect():
+                # reference does a naive comma join (main.rs:224-231)
+                print(f"{r.question},{r.question_id},{r.outcome},{r.token_id}")
+    else:  # pretty (main.rs:204-241, minus ANSI colors)
+        for r in mkts.select(
+            "question", "condition_id", "tokens"
+        ).collect():
+            print(r.question)
+            print(f"  condition_id: {r.condition_id}")
+            for t in r.tokens or []:
+                print(f"  {t.outcome}: {t.token_id} @ {t.price}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="polymarket_data_ingestor_spark",
+        description="PySpark-native Polymarket order-book analytics engine",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--data-dir", default="data/raw",
+                        help="directory of hourly .jsonl[.zst|.gz] logs")
+    common.add_argument("-t", "--time-range", default=None,
+                        help="duration like 24h / 2d (end = last full hour)")
+    common.add_argument("--start", default=None, help="range start timestamp")
+    common.add_argument("--end", default=None, help="range end timestamp")
+
+    r = sub.add_parser("replay", parents=[common],
+                       help="raw logs -> tick parquet")
+    r.add_argument("-o", "--output", default="ticks.parquet")
+    r.add_argument("--markets", default=None,
+                   help="comma-separated market (condition) ids to keep")
+    r.add_argument("--log-order", action="store_true",
+                   help="globally sort output in exact log order")
+    r.set_defaults(fn=cmd_replay)
+
+    m = sub.add_parser("markets", parents=[common],
+                       help="inspect the active_markets dimension")
+    m.add_argument("filter", nargs="?", default=None,
+                   help="case-insensitive question substring")
+    m.add_argument("--format", choices=["pretty", "csv", "json"],
+                   default="pretty")
+    m.add_argument("-o", "--output", default=None,
+                   help="write CSV here instead of stdout")
+    m.set_defaults(fn=cmd_markets)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

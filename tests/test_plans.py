@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (SURVEY §4).
+
+The engine's scale story rests on plan shapes, not code intent — these
+tests pin them: filters reach the parquet scan, columns are pruned, small
+dims broadcast, aggregations have map-side partials, and replay does
+exactly one shuffle. A regression here is a 100-TB performance bug even
+when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from polymarket_data_ingestor_spark.plans.catalog import CATALOG
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = CATALOG[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "filter_project")
+    # predicate evaluated at the scan, not in a separate stage after it
+    assert "DataFilters: [isnotnull(event_type" in plan
+    assert "event_type" in plan.split("ReadSchema")[-1]
+    # projection pruned: props (the widest column) must not be read
+    assert "props" not in plan
+    # a pure filter+project plan must not shuffle
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # decimal-exact partial aggregation on the map side
+    assert "partial_sum" in plan
+
+
+def test_lookup_join_broadcasts_dim(spark):
+    plan = plan_of(spark, "outcome_lookup")
+    assert "BroadcastHashJoin" in plan
+    # fact side streams: only one exchange (the broadcast itself)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_bars_partial_aggregation(spark):
+    plan = plan_of(spark, "minute_last_bars")
+    assert "partial_max_by" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semi_and_anti_join_shapes(spark):
+    for name, kind in (("semi_join", "LeftSemi"), ("anti_join", "LeftAnti")):
+        plan = plan_of(spark, name)
+        assert kind in plan, f"{name} lost its {kind} join shape"
+
+
+def test_replay_single_shuffle(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixture_gen import write_fixture_files
+
+    from polymarket_data_ingestor_spark.operators.replay import replay
+
+    paths = write_fixture_files(tmp_path, n_hours=1, msgs_per_hour=30, seed=3)
+    df = replay(spark, [str(p) for p in paths])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one hash exchange: the groupBy(asset_id) into the kernel
+    assert plan.count("Exchange hashpartitioning") == 1
+    # raw JSON scanned exactly once (trades must not fork a second scan)
+    assert plan.count("FileScan json") == 1
+
+
+def test_dedup_exact_partial_agg(spark):
+    plan = plan_of(spark, "dedup_exact")
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+@pytest.mark.parametrize("name", ["cosine_topk", "minhash_lsh_pairs"])
+def test_trainingdata_plans_have_no_cartesian_on_big_side(spark, name):
+    plan = plan_of(spark, name)
+    if name == "cosine_topk":
+        # the cross join must build/broadcast the tiny query side
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    else:
+        # LSH candidates join on (band, band_key) equi-keys, never cartesian
+        assert "CartesianProduct" not in plan
