@@ -162,6 +162,84 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
+
+    The classic ANN scale path: train a small KMeans codebook (MLlib,
+    deterministic seed), assign every corpus vector to its nearest centroid
+    (the 'inverted list'), and search each query only in its ``n_probe``
+    nearest lists. Candidate set shrinks ~n_clusters/n_probe-fold; recall
+    rises with n_probe. The codebook is trained once and broadcast — at
+    100 TB the corpus assignment is a single linear pass, and re-training
+    samples a fraction (``KMeans`` on a ``.sample()``).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    ml_emb = emb.withColumn("__features", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_clusters, seed=42, featuresCol="__features",
+                predictionCol="__cluster")
+    model = km.fit(ml_emb)
+    assigned = model.transform(ml_emb).drop("__features")
+
+    centers = model.clusterCenters()
+    centers_df = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "cluster int, center array<double>",
+        )
+    )
+
+    # n_probe nearest centroids per query (small cross join: queries are a
+    # batch, centroids a codebook).
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    qc = q.crossJoin(centers_df).select(
+        query_id_col,
+        "__qvec",
+        "cluster",
+        cosine(F.col("__qvec"), F.col("center")).alias("__ccos"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__ccos").desc(), F.col("cluster")
+    )
+    probes = F.broadcast(
+        qc.withColumn("__crank", F.row_number().over(wq))
+        .filter(F.col("__crank") <= n_probe)
+        .select(query_id_col, "__qvec", F.col("cluster").alias("__cluster"))
+    )
+
+    scored = (
+        emb.withColumn("__cluster", F.col("__cluster"))
+        if "__cluster" in emb.columns
+        else assigned
+    ).join(probes, "__cluster").filter(
+        F.col(query_id_col) != F.col(id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -626,6 +626,171 @@ def q_running_total(spark, sf_dir):
     )
 
 
+@register(
+    "revenue_rollup",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="Hierarchical ROLLUP totals (grouping sets — absent in the "
+    "reference, free from Catalyst; SURVEY §2.4 note).",
+    tags=("agg", "rollup"),
+)
+def q_revenue_rollup(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "total",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "throughput_15s",
+    """
+    SELECT to_timestamp(epoch_ms(ts) // 15000 * 15000 / 1000) AS bucket,
+           count(*) AS n_msgs,
+           CAST(SUM(CAST(length(props) AS BIGINT)) AS BIGINT) AS n_bytes
+    FROM events
+    WHERE ts < (SELECT min(ts) FROM events) + INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+    doc="A1: the collector's 15-second msgs/sec + bytes/sec telemetry "
+    "(collector/src/main.rs:275-290) as a tumbling-window aggregate.",
+    tags=("agg", "telemetry"),
+)
+def q_throughput_15s(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    lo = e.agg(F.min("ts")).first()[0]
+    import datetime
+
+    hi = lo + datetime.timedelta(hours=2)
+    return (
+        e.filter(F.col("ts") < F.lit(hi))
+        .groupBy(F.window("ts", "15 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum(F.length("props").cast("bigint")).alias("n_bytes"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n_msgs", "n_bytes")
+    )
+
+
+@register(
+    "hour_sequence",
+    """
+    SELECT user_id,
+           strftime(unnest(generate_series(first_ts_hour, last_ts_hour,
+                                           INTERVAL 1 HOUR)),
+                    '%Y-%m-%d-%H') AS hour_bucket
+    FROM (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS first_ts_hour,
+             date_trunc('hour', max(ts)) AS last_ts_hour
+      FROM events WHERE user_id < 20 GROUP BY user_id)
+    """,
+    doc="C5/S4: duration → hour-bucket list (sequence of intervals), the "
+    "expected-files computation of gcs_downloader.rs:106-124.",
+    tags=("scalar",),
+)
+def q_hour_sequence(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    spans = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("first_ts_hour"),
+        F.date_trunc("hour", F.max("ts")).alias("last_ts_hour"),
+    )
+    return spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "first_ts_hour", "last_ts_hour", F.expr("INTERVAL 1 HOUR")
+            )
+        ).alias("h"),
+    ).select(
+        "user_id", F.date_format("h", "yyyy-MM-dd-HH").alias("hour_bucket")
+    )
+
+
+@register(
+    "hourly_volume_salted",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+           count(*) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Skew-resistant two-phase (salted) aggregation: same result as "
+    "hourly_volume, but the first shuffle key is (hour, salt) so one hot "
+    "hour spreads over N partitions before the final combine — the manual "
+    "fallback when AQE skew handling isn't enough.",
+    tags=("agg", "skew"),
+)
+def q_hourly_volume_salted(spark, sf_dir):
+    n_salts = 8
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    salted = e.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        (F.crc32(F.col("event_id").cast("string")) % n_salts).alias("salt"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    partial = salted.groupBy("hour", "salt").agg(
+        F.sum("v").alias("pv"), F.count(F.lit(1)).alias("pn")
+    )
+    return partial.groupBy("hour").agg(
+        F.sum("pv").cast("double").alias("volume"),
+        F.sum("pn").alias("n"),
+    )
+
+
+@register(
+    "count_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Distinct aggregate (expand + two-phase under the hood).",
+    tags=("agg",),
+)
+def q_count_distinct_users(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # Training-data operator entries register themselves on import (placed at
 # module end: they import `register`/`table` from this partially-initialized
 # module, which works because those are defined above).

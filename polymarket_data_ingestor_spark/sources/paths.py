@@ -103,6 +103,28 @@ def hour_range(start: datetime, end: datetime) -> list[str]:
     return out
 
 
+def gcs_paths(
+    bucket: str,
+    start: datetime,
+    end: datetime,
+    prefix: str = "raw",
+    compressed: bool = True,
+) -> list[str]:
+    """Expected GCS object URLs for a time range (S4).
+
+    Replaces the reference's download-then-read
+    (``cli/src/gcs_downloader.rs:39-124``, bucket layout
+    ``gs://polymarket-data-bucket/raw/``): Spark reads ``gs://`` directly
+    via the GCS connector, so the hour-range → object-name logic is all
+    that survives — the local cache and the ``gcloud storage cp``
+    subprocess disappear entirely.
+    """
+    ext = ".jsonl.zst" if compressed else ".jsonl"
+    return [
+        f"gs://{bucket}/{prefix}/{h}{ext}" for h in hour_range(start, end)
+    ]
+
+
 def discover_files(
     paths: list[str],
     start: datetime | None = None,

@@ -1,0 +1,133 @@
+"""Tests: REST pagination logic (S1/S2), GCS path helper (S4), IVF ANN."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.sources.paths import gcs_paths
+from polymarket_data_ingestor_spark.sources.rest import (
+    END_CURSOR,
+    PAGE_SIZE,
+    active_filter,
+    decode_cursor,
+    encode_cursor,
+    fetch_markets,
+    fetch_sampling_markets,
+    markets_to_df,
+)
+
+
+def _fake_api(n_markets: int):
+    """Offset-cursor paginated fake of the CLOB /markets endpoint."""
+    calls = []
+
+    def fetch_page(cursor: str) -> dict:
+        calls.append(cursor)
+        off = decode_cursor(cursor) if cursor else 0
+        rows = [{"condition_id": f"m{i}"} for i in
+                range(off, min(off + PAGE_SIZE, n_markets))]
+        nxt = (encode_cursor(off + PAGE_SIZE)
+               if off + PAGE_SIZE < n_markets else END_CURSOR)
+        return {"data": rows, "next_cursor": nxt}
+
+    return fetch_page, calls
+
+
+def test_cursor_roundtrip():
+    assert decode_cursor(encode_cursor(1500)) == 1500
+    assert encode_cursor(0) == "MA=="  # base64("0"), like the reference
+
+
+def test_fetch_markets_paginates_fully():
+    fetch, calls = _fake_api(1203)
+    got = fetch_markets(fetch)
+    assert len(got) == 1203
+    assert [m["condition_id"] for m in got[:2]] == ["m0", "m1"]
+    assert len(calls) == 3  # 500 + 500 + 203
+
+
+def test_fetch_markets_single_short_page():
+    fetch, calls = _fake_api(7)
+    assert len(fetch_markets(fetch)) == 7
+    assert len(calls) == 1
+
+
+def test_fetch_markets_retries_transient_errors():
+    attempts = {"n": 0}
+
+    def flaky(cursor: str) -> dict:
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise ConnectionError("transient")
+        return {"data": [{"condition_id": "m0"}], "next_cursor": END_CURSOR}
+
+    assert len(fetch_markets(flaky)) == 1
+    assert attempts["n"] == 2
+
+
+def test_fetch_sampling_markets_sequential():
+    pages = [
+        {"data": [{"condition_id": "a"}], "next_cursor": "XYZ"},
+        {"data": [{"condition_id": "b"}], "next_cursor": END_CURSOR},
+    ]
+    it = iter(pages)
+    got = fetch_sampling_markets(lambda c: next(it))
+    assert [m["condition_id"] for m in got] == ["a", "b"]
+
+
+def test_active_filter_clauses():
+    base = {"enable_order_book": True, "accepting_orders": True,
+            "archived": False, "closed": False}
+    bad = [dict(base, enable_order_book=False),
+           dict(base, accepting_orders=False),
+           dict(base, archived=True),
+           dict(base, closed=True)]
+    assert active_filter([base] + bad) == [base]
+
+
+def test_markets_to_df_schema_and_dynamic_fields(spark):
+    mkts = [{
+        "condition_id": "0xabc", "question": "Q?", "closed": False,
+        "tokens": [{"outcome": "Yes", "price": 0.5, "token_id": "t",
+                    "winner": False}],
+        "someday_new_field": 42,
+    }]
+    df = markets_to_df(spark, mkts)
+    row = df.first()
+    assert row.condition_id == "0xabc"
+    assert row.tokens[0].outcome == "Yes"
+    assert row.other == {"someday_new_field": "42"}  # serde-flatten analogue
+
+
+def test_gcs_paths():
+    got = gcs_paths(
+        "polymarket-data-bucket",
+        datetime(2025, 9, 30, 13, 30, tzinfo=timezone.utc),
+        datetime(2025, 9, 30, 15, 0, tzinfo=timezone.utc),
+    )
+    assert got == [
+        "gs://polymarket-data-bucket/raw/2025-09-30-13.jsonl.zst",
+        "gs://polymarket-data-bucket/raw/2025-09-30-14.jsonl.zst",
+    ]
+
+
+@pytest.mark.slow
+def test_ivf_topk_recall_beats_lsh_style_subset(spark):
+    from polymarket_data_ingestor_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, queries, k=10).toPandas()
+    ivf = S.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=3).toPandas()
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    a = set(map(tuple, ivf[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    # probing 3/8 clusters must capture well over the 3/8 random baseline
+    assert recall >= 0.5
+    merged = ivf.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (merged.cos_a == merged.cos_e).all()
