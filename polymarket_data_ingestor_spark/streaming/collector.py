@@ -189,6 +189,88 @@ class FrameWriter:
         return self._rotate()
 
 
+#: Liveness / reconnect policy constants (``collector/src/client``).
+LONG_LIVED_S = 30  # connection.rs:165 — resets the failure counter
+SPLIT_FAILURE_THRESHOLD = 20  # connection.rs:195
+MAX_PARALLEL_OPENS = 50  # mod.rs:17
+NORMAL_BACKOFF_S = 0.5  # reconnecter.rs:182-196
+INITIAL_READ_TIMEOUT_S = 10  # mod.rs:13
+
+
+class ConnectionState:
+    """Per-connection liveness bookkeeping (``connection.rs:139-208``).
+
+    Tracks consecutive failures and whether the connection ever lived long
+    enough to count as working; decides when a problematic multi-market
+    connection should be split to isolate a hot/broken market (T4).
+    """
+
+    def __init__(self, markets: list[dict]) -> None:
+        self.markets = markets
+        self.consecutive_failures = 0
+        self.ever_long_lived = False
+        self.opened_at: float | None = None
+
+    def record_open(self, now: float) -> None:
+        self.opened_at = now
+
+    def record_close(self, now: float) -> None:
+        """A close after a long-lived run resets the failure counter
+        (``connection.rs:149-179``); a short-lived run counts as a
+        failure."""
+        lived = (now - self.opened_at) if self.opened_at is not None else 0.0
+        if self.opened_at is not None and lived >= LONG_LIVED_S:
+            self.ever_long_lived = True
+            self.consecutive_failures = 0
+        else:
+            self.consecutive_failures += 1
+        self.opened_at = None
+
+    def should_split(self) -> bool:
+        """Truth table of ``connection.rs:187-208``: enough consecutive
+        failures AND previously working AND more than one market."""
+        return (
+            self.consecutive_failures >= SPLIT_FAILURE_THRESHOLD
+            and self.ever_long_lived
+            and len(self.markets) > 1
+        )
+
+    def split(self) -> tuple["ConnectionState", "ConnectionState"]:
+        """Split markets into two fresh connections
+        (``reconnecter.rs:280-350``) — recursively isolates a problematic
+        market."""
+        mid = len(self.markets) // 2
+        return (
+            ConnectionState(self.markets[:mid]),
+            ConnectionState(self.markets[mid:]),
+        )
+
+
+def reconnect_backoff(batch_size: int, failed_in_batch: int,
+                      error_count: int) -> float:
+    """Backoff policy (``reconnecter.rs:182-196``): 500 ms normally;
+    ``max(error_count, 3)`` seconds when the majority of a reconnect batch
+    failed."""
+    if batch_size > 0 and failed_in_batch * 2 > batch_size:
+        return float(max(error_count, 3))
+    return NORMAL_BACKOFF_S
+
+
+def next_reconnect_batch(pending: list[ConnectionState]) -> list[ConnectionState]:
+    """Up to 50 connections reconnect in parallel (``mod.rs:17``),
+    splitting any that qualify first (T4)."""
+    batch: list[ConnectionState] = []
+    for conn in pending:
+        if conn.should_split():
+            a, b = conn.split()
+            batch.extend([a, b])
+        else:
+            batch.append(conn)
+        if len(batch) >= MAX_PARALLEL_OPENS:
+            break
+    return batch[:MAX_PARALLEL_OPENS]
+
+
 def collect(
     out_dir: str | Path,
     fetch_markets: Callable[[], list[dict]],

@@ -170,6 +170,44 @@ def _live_kernel(
     )
 
 
+def live_bbo_bars(
+    ticks_stream: DataFrame,
+    every: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming 1-minute BBO bars with a watermark (late-data extension).
+
+    The reference has no watermarks (SURVEY §2.9: replay trusts log order);
+    live aggregation needs one to bound state: events later than
+    ``watermark`` behind the max seen event time are dropped and windows
+    finalize. Uses ``max_by(price, event_time)`` for in-window 'last'.
+
+    Topology note: feed this from a *tick stream source* (e.g. a
+    ``readStream`` over the parquet directory that :func:`live_ticks`
+    writes), not by chaining directly onto the ``applyInPandasWithState``
+    output — two stateful operators in one query don't propagate the
+    watermark, and ticks-as-a-durable-table is the production shape anyway.
+    """
+    typed = ticks_stream.withColumn(
+        "event_time", F.timestamp_millis(F.col("timestamp").cast("long"))
+    )
+    return (
+        typed.filter(F.col("kind") == "BBO")
+        .withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", every).alias("w"), "asset", "side"
+        )
+        .agg(
+            F.max_by("price", "event_time").alias("price"),
+            F.max_by("size", "event_time").alias("size"),
+        )
+        .select(
+            F.col("w.start").alias("bar_time"), "asset", "side",
+            "price", "size",
+        )
+    )
+
+
 def live_ticks(frames_stream: DataFrame) -> DataFrame:
     """Streaming frames → streaming ticks (append mode, per-asset state)."""
     feed = parse_feed_messages(frames_stream)

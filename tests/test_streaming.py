@@ -11,12 +11,16 @@ import pytest
 
 from polymarket_data_ingestor_spark.operators.replay import TICK_COLUMNS, replay
 from polymarket_data_ingestor_spark.streaming.collector import (
+    ConnectionState,
     FrameWriter,
+    next_reconnect_batch,
+    reconnect_backoff,
     split_markets,
     subscribe_message,
     take_chunk,
 )
 from polymarket_data_ingestor_spark.streaming.live import (
+    live_bbo_bars,
     live_ticks,
     read_frames_stream,
 )
@@ -73,6 +77,66 @@ def test_subscribe_message_shape():
     assert msg["assets_ids"] == ["t0_0", "t0_1", "t1_0"]
 
 
+# --- connection state machine (mirrors connection.rs:372-523 tests) -------
+
+def test_should_split_truth_table():
+    multi = [_mkt(2, 0), _mkt(2, 1)]
+    # insufficient failures
+    c = ConnectionState(multi)
+    c.ever_long_lived = True
+    c.consecutive_failures = 19
+    assert not c.should_split()
+    # single market never splits
+    c = ConnectionState([_mkt(2, 0)])
+    c.ever_long_lived = True
+    c.consecutive_failures = 25
+    assert not c.should_split()
+    # never opened long enough
+    c = ConnectionState(multi)
+    c.consecutive_failures = 25
+    assert not c.should_split()
+    # all conditions met
+    c = ConnectionState(multi)
+    c.ever_long_lived = True
+    c.consecutive_failures = 20
+    assert c.should_split()
+
+
+def test_long_lived_resets_failures_short_lived_counts():
+    c = ConnectionState([_mkt(2, 0), _mkt(2, 1)])
+    c.record_open(1000.0)
+    c.record_close(1005.0)  # 5s < 30s → failure
+    assert c.consecutive_failures == 1 and not c.ever_long_lived
+    c.record_open(2000.0)
+    c.record_close(2040.0)  # 40s ≥ 30s → long-lived, counter resets
+    assert c.consecutive_failures == 0 and c.ever_long_lived
+
+
+def test_split_partitions_markets():
+    c = ConnectionState([_mkt(2, i) for i in range(5)])
+    a, b = c.split()
+    assert len(a.markets) == 2 and len(b.markets) == 3
+    assert a.markets + b.markets == c.markets
+
+
+def test_reconnect_backoff_policy():
+    assert reconnect_backoff(10, 2, 7) == 0.5  # minority failed → normal
+    assert reconnect_backoff(10, 6, 7) == 7.0  # majority → max(errors, 3)
+    assert reconnect_backoff(10, 6, 1) == 3.0  # floor of 3 s
+    assert reconnect_backoff(0, 0, 0) == 0.5
+
+
+def test_next_reconnect_batch_splits_and_caps():
+    bad = ConnectionState([_mkt(2, 0), _mkt(2, 1)])
+    bad.ever_long_lived = True
+    bad.consecutive_failures = 20
+    pending = [bad] + [ConnectionState([_mkt(2, i)]) for i in range(60)]
+    batch = next_reconnect_batch(pending)
+    assert len(batch) == 50  # parallel-open cap (mod.rs:17)
+    # the problematic connection was replaced by its two halves
+    assert len(batch[0].markets) == 1 and len(batch[1].markets) == 1
+
+
 # --- FrameWriter rotation --------------------------------------------------
 
 def test_frame_writer_rotation_and_headers(tmp_path):
@@ -121,6 +185,54 @@ def test_frame_writer_output_replays(spark, tmp_path):
 
 
 # --- live streaming tick generation ---------------------------------------
+
+@pytest.mark.slow
+def test_live_bbo_bars_with_watermark(spark, tmp_path):
+    """Windowed last-BBO bars over the live tick stream (append mode:
+    only watermark-finalized windows are emitted)."""
+    src = tmp_path / "frames"
+    write_fixture_files(src, n_hours=2, msgs_per_hour=120, seed=33)
+    ticks_dir = tmp_path / "ticks"
+    out = tmp_path / "bars_out"
+
+    # production topology: query 1 materializes the durable tick table...
+    q1 = (
+        live_ticks(read_frames_stream(spark, str(src) + "/*.jsonl"))
+        .writeStream.format("parquet")
+        .option("path", str(ticks_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(300)
+
+    # ...query 2 aggregates bars from the tick stream. One parquet file
+    # per micro-batch: append mode only emits windows finalized by a LATER
+    # batch's watermark, so a single batch would emit nothing.
+    from polymarket_data_ingestor_spark.schemas import TICK_SCHEMA
+
+    tick_stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ticks_dir))
+    )
+    # fixture event times span only ~8 minutes, so use a short watermark:
+    # windows finalize when a later batch's watermark passes their end
+    q2 = (
+        live_bbo_bars(tick_stream, "1 minute", "30 seconds")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    bars = pd.read_parquet(out)
+    assert len(bars) > 0
+    # one row per (bar, asset, side); sides only BID/ASK
+    assert set(bars.side) <= {"ASK", "BID"}
+    assert not bars.duplicated(["bar_time", "asset", "side"]).any()
+
 
 @pytest.mark.slow
 def test_live_ticks_matches_batch_replay(spark, tmp_path):
