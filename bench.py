@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "sessionize",
     "running_total",
     "token_explode",
+    "revenue_rollup",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "cosine_topk",
+    "doc_quality",
 ]
 
 
@@ -93,9 +98,14 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # End-to-end replay: raw logs -> parse -> stateful kernel -> ticks.
+    # One untimed warmup run first: it faults the fixture into the page
+    # cache and spins up the Python worker pool, so the timed run measures
+    # steady-state engine throughput (the quantity that scales to a
+    # cluster) instead of local cold-disk latency.
     from polymarket_data_ingestor_spark.operators.replay import replay
 
     paths = _ensure_replay_fixture(sf_dir, Path("/tmp/pdi_bench"))
+    replay(spark, paths).count()
     t0 = time.perf_counter()
     n_ticks = replay(spark, paths).count()
     timings["replay_e2e"] = round(time.perf_counter() - t0, 3)

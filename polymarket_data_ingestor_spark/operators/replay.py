@@ -263,6 +263,11 @@ def replay_feed_messages(
     )
     packed = feed.filter(
         F.col("event_type").isin("book", "price_change", "last_trade_price")
+        # malformed messages without a key would otherwise form a null
+        # group; serde in the reference rejects them at parse time
+        & F.col("asset_id").isNotNull()
+        & F.col("market").isNotNull()
+        & F.col("timestamp").isNotNull()
     ).select(
         "asset_id",
         "file_hour",

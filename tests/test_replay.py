@@ -183,6 +183,27 @@ def test_compressed_roundtrip(spark, tmp_path, fixture_paths):
     assert a == b
 
 
+def test_malformed_messages_without_keys_are_dropped(spark, tmp_path):
+    """Messages missing asset_id/market/timestamp must not form null
+    groups (the reference's serde rejects them at parse time)."""
+    mkt, asset = _mkt_id(7), _asset_id(7, 0)
+    msgs = [
+        {"event_type": "last_trade_price", "timestamp": "1000",
+         "market": mkt, "side": "BUY", "price": "0.5", "size": "1"},  # no asset
+        {"event_type": "book", "timestamp": "2000", "market": None,
+         "asset_id": asset, "bids": [], "asks": []},  # null market
+        {"event_type": "last_trade_price", "timestamp": "3000", "market": mkt,
+         "asset_id": asset, "side": "SELL", "price": "0.5", "size": "2"},  # ok
+    ]
+    p = tmp_path / "2025-09-30-14.jsonl"
+    p.write_text("\n".join(
+        json.dumps({"timestamp": "t", "message_type": "feed_message",
+                    "content": json.dumps([m])}) for m in msgs) + "\n")
+    rows = _spark_rows(replay(spark, [str(p)], in_log_order=True,
+                              ticks_only=False))
+    assert rows == [("3000", "TRADE", mkt, asset, "ASK", 0.5, 2.0)]
+
+
 def test_order_columns_present_when_not_ticks_only(spark, fixture_paths):
     df = replay(spark, [str(fixture_paths[0])], ticks_only=False)
     for c in ORDER_COLUMNS:
