@@ -186,6 +186,54 @@ def test_frame_writer_output_replays(spark, tmp_path):
 
 # --- live streaming tick generation ---------------------------------------
 
+def test_throughput_observation(spark, tmp_path):
+    from polymarket_data_ingestor_spark.sources.frames import read_frames
+    from polymarket_data_ingestor_spark.streaming.metrics import (
+        with_throughput_observation,
+    )
+
+    paths = write_fixture_files(tmp_path, n_hours=1, msgs_per_hour=30, seed=2)
+    frames = read_frames(spark, [str(p) for p in paths])
+    observed, obs = with_throughput_observation(frames)
+    n = observed.count()
+    got = obs.get
+    assert got["n_msgs"] == n
+    assert got["n_bytes"] > 0
+
+
+@pytest.mark.slow
+def test_streaming_throughput_listener(spark, tmp_path):
+    from polymarket_data_ingestor_spark.streaming.metrics import (
+        ThroughputListener,
+    )
+
+    src = tmp_path / "frames"
+    write_fixture_files(src, n_hours=2, msgs_per_hour=40, seed=9)
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            live_ticks(read_frames_stream(spark, str(src) + "/*.jsonl",
+                                          max_files_per_trigger=1))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        # listener events are async; wait briefly for delivery
+        import time
+
+        for _ in range(20):
+            if len(listener.samples) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert len(listener.samples) >= 2  # one per micro-batch
+    assert sum(s["num_input_rows"] for s in listener.samples) > 0
+
+
 @pytest.mark.slow
 def test_live_bbo_bars_with_watermark(spark, tmp_path):
     """Windowed last-BBO bars over the live tick stream (append mode:
