@@ -1,0 +1,113 @@
+"""As-of join (SURVEY §2.3 note: "BBO prevailing at time t").
+
+Spark has no native ASOF JOIN; the scalable composition is the union-tag
+trick — one shuffle, no range explosion:
+
+1. tag probe rows and reference rows, union them on the shared key space;
+2. one window pass per key ordered by ``(order, is_probe)`` carries the
+   most recent reference payload forward (``last_value(..., ignorenulls)``);
+3. keep the probe rows.
+
+Complexity is a single shuffle + sort over N+M rows — versus the naive
+range-join which is quadratic per key. Equivalent to DuckDB/Pandas
+``ASOF JOIN`` with ``direction='backward'`` (reference value at the
+greatest order key ≤ the probe's).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    by: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each probe row, attach the latest reference values at-or-before
+    its ``order_col`` (per ``by`` group).
+
+    ``strict=True`` uses strictly-before (reference order < probe order)
+    by breaking ties in favor of the probe row.
+
+    Returns the probe rows + ``value_cols`` (null when no reference row
+    precedes). Both inputs must share the ``by`` + ``order_col`` columns;
+    ``value_cols`` must not collide with probe columns.
+    """
+    by = list(by)
+    value_cols = list(value_cols)
+    probe_cols = probe.columns
+    for c in value_cols:
+        if c in probe_cols:
+            raise ValueError(f"value column {c!r} collides with probe column")
+
+    p = probe.select(
+        *by,
+        F.col(order_col).alias("__ord"),
+        F.lit(1).alias("__is_probe"),
+        F.struct(*probe_cols).alias("__row"),
+        *[F.lit(None).cast(reference.schema[c].dataType).alias(c)
+          for c in value_cols],
+    )
+    r = reference.select(
+        *by,
+        F.col(order_col).alias("__ord"),
+        F.lit(0).alias("__is_probe"),
+        F.lit(None).cast(p.schema["__row"].dataType).alias("__row"),
+        *value_cols,
+    )
+    # tie order: strict → probe sorts before same-ord reference rows
+    tie = F.col("__is_probe").desc() if strict else F.col("__is_probe").asc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__ord"), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = p.unionByName(r).select(
+        "__is_probe",
+        "__row",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.filter(F.col("__is_probe") == 1).select(
+        *[F.col("__row")[c].alias(c) for c in probe_cols], *value_cols
+    )
+
+
+def trades_with_prevailing_bbo(ticks: DataFrame) -> DataFrame:
+    """Enrich TRADE ticks with the prevailing best bid/ask (per asset).
+
+    The notebook's implicit as-of query made explicit: each trade gets the
+    most recent BBO quote at-or-before it in replay order. Requires the
+    replay ordering columns (``ticks_only=False`` output).
+    """
+    # message-level order key (emit_idx excluded so a quote's ASK+BID rows
+    # share one key and pivot into a single row)
+    order = F.concat_ws(
+        "|",
+        F.col("file_hour"),
+        F.lpad(F.col("line_id").cast("string"), 20, "0"),
+        F.lpad(F.col("msg_idx").cast("string"), 10, "0"),
+    )
+    with_ord = ticks.withColumn("__seq", order)
+    trades = with_ord.filter(F.col("kind") == "TRADE")
+    quotes = (
+        with_ord.filter(F.col("kind") == "BBO")
+        .groupBy("asset", "__seq")
+        .pivot("side", ["ASK", "BID"])
+        .agg(F.first("price"))
+        .withColumnsRenamed({"ASK": "best_ask", "BID": "best_bid"})
+    )
+    return asof_join(
+        trades.select("timestamp", "market", "asset", "side", "price",
+                      "size", "__seq"),
+        quotes,
+        by=["asset"],
+        order_col="__seq",
+        value_cols=["best_ask", "best_bid"],
+    ).drop("__seq")

@@ -770,6 +770,46 @@ def q_hourly_volume_salted(spark, sf_dir):
 
 
 @register(
+    "asof_join",
+    """
+    SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+           p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.event_id <= c.event_id
+    """,
+    doc="As-of join (SURVEY §2.3: 'BBO prevailing at time t'): each click "
+    "gets the user's most recent purchase value at-or-before it. Spark "
+    "side is the union-tag + window composition (one shuffle, no range "
+    "explosion); oracle is DuckDB's native ASOF JOIN.",
+    tags=("join", "asof"),
+)
+def q_asof_join(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("last_purchase_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        order_col="event_id",
+        value_cols=["last_purchase_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"),
+        "last_purchase_value",
+    )
+
+
+@register(
     "count_distinct_users",
     """
     SELECT event_type,

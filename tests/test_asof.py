@@ -1,0 +1,83 @@
+"""As-of join tests: semantics + the prevailing-BBO tick query."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.operators.asof import (
+    asof_join,
+    trades_with_prevailing_bbo,
+)
+from polymarket_data_ingestor_spark.operators.replay import replay
+
+from fixture_gen import naive_replay, write_fixture_files
+
+
+def test_asof_backward_semantics(spark):
+    probe = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 2), ("b", 7)], "k string, t long"
+    )
+    ref = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 5, 50.0), ("a", 9, 90.0), ("c", 1, 10.0)],
+        "k string, t long, v double",
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in asof_join(probe, ref, by=["k"], order_col="t",
+                           value_cols=["v"]).collect()
+    }
+    assert got == {
+        ("a", 2): None,       # nothing at-or-before 2
+        ("a", 5): 50.0,       # exact match wins (backward, inclusive)
+        ("a", 10): 90.0,      # most recent before 10
+        ("b", 7): None,       # no reference rows for key b
+    }
+
+
+def test_asof_strict_excludes_same_instant(spark):
+    probe = spark.createDataFrame([("a", 5)], "k string, t long")
+    ref = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 5, 50.0)], "k string, t long, v double"
+    )
+    got = asof_join(probe, ref, by=["k"], order_col="t", value_cols=["v"],
+                    strict=True).first()
+    assert got.v == 30.0  # the t=5 reference no longer qualifies
+
+
+def test_asof_value_collision_raises(spark):
+    df = spark.createDataFrame([("a", 1, 2.0)], "k string, t long, v double")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(df, df, by=["k"], order_col="t", value_cols=["v"])
+
+
+def test_trades_with_prevailing_bbo(spark, tmp_path):
+    paths = write_fixture_files(tmp_path, n_hours=2, msgs_per_hour=150,
+                                seed=13)
+    ticks = replay(spark, [str(p) for p in paths], ticks_only=False)
+    got = trades_with_prevailing_bbo(ticks).toPandas()
+
+    # independent expectation from the naive oracle's strict log order
+    rows = naive_replay(paths)
+    last_quote: dict[str, dict[str, float]] = {}
+    want = []
+    for ts, kind, market, asset, side, price, size in rows:
+        if kind == "BBO":
+            last_quote.setdefault(asset, {})[side] = price
+        else:
+            q = last_quote.get(asset, {})
+            want.append((ts, asset, price, q.get("ASK"), q.get("BID")))
+    want_df = (
+        pd.DataFrame(want, columns=["timestamp", "asset", "price",
+                                    "best_ask", "best_bid"])
+        .sort_values(["timestamp", "asset", "price"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got_df = (
+        got[["timestamp", "asset", "price", "best_ask", "best_bid"]]
+        .sort_values(["timestamp", "asset", "price"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_df, want_df)
+    assert len(got_df) == sum(1 for r in rows if r[1] == "TRADE")
