@@ -89,19 +89,13 @@ def main() -> None:
     # Warm the JVM/session on a trivial action so q1 isn't charged for init.
     spark.range(1000).count()
 
-    for name in BENCH_QUERIES:
-        q = CATALOG[name]
-        t0 = time.perf_counter()
-        # count() forces full execution without driver-side materialization
-        # of the result set (the sink cost is what we'd tune separately).
-        q.spark(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # End-to-end replay: raw logs -> parse -> stateful kernel -> ticks.
-    # One untimed warmup run first: it faults the fixture into the page
-    # cache and spins up the Python worker pool, so the timed run measures
-    # steady-state engine throughput (the quantity that scales to a
-    # cluster) instead of local cold-disk latency.
+    # End-to-end replay FIRST, in the fresh session: reused Python workers
+    # accumulate heap after many pandas-heavy queries and can slow later
+    # Arrow stages 2-3x, so the stateful benchmark runs before the query
+    # sweep. One untimed warmup faults the fixture into the page cache and
+    # spins up the worker pool — the timed run measures steady-state
+    # engine throughput (the quantity that scales to a cluster), not local
+    # cold-disk latency.
     from polymarket_data_ingestor_spark.operators.replay import replay
 
     paths = _ensure_replay_fixture(sf_dir, Path("/tmp/pdi_bench"))
@@ -109,6 +103,14 @@ def main() -> None:
     t0 = time.perf_counter()
     n_ticks = replay(spark, paths).count()
     timings["replay_e2e"] = round(time.perf_counter() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        q = CATALOG[name]
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side materialization
+        # of the result set (the sink cost is what we'd tune separately).
+        q.spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

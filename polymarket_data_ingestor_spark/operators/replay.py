@@ -89,19 +89,6 @@ try:  # pragma: no cover - environment-dependent
 except Exception:  # noqa: BLE001 - best-effort; PYTHONPATH fallback applies
     pass
 
-def _top(levels: dict, highest: bool) -> tuple[float, float]:
-    """Top-of-book for one side; empty side → (0.0, 0.0).
-
-    Mirrors ``tick_generator.rs:274-281`` (``unwrap_or_default`` on an empty
-    ``BTreeMap``). ``highest=True`` for bids (best bid = max price),
-    ``False`` for asks (best ask = min price).
-    """
-    if not levels:
-        return 0.0, 0.0
-    price = max(levels) if highest else min(levels)
-    return float(price), float(levels[price])
-
-
 def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Replay one asset's *book events* in log order; emit BBO tick rows.
 
@@ -120,48 +107,40 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["file_hour", "line_id", "msg_idx"], kind="mergesort")
     bids: dict[float, float] = {}
     asks: dict[float, float] = {}
-    out: dict[str, list] = {c: [] for c in TICK_COLUMNS + ORDER_COLUMNS}
+    # Incremental top-of-book: recomputing min/max over the dict per event
+    # is O(depth) and dominates on deep books (a hot asset accumulating
+    # hundreds of levels); tracking the best and recomputing only when the
+    # best level is deleted is O(1) amortized.
+    best_bid: float | None = None
+    best_ask: float | None = None
 
-    o_ts = out["timestamp"]
-    o_kind = out["kind"]
-    o_market = out["market"]
-    o_asset = out["asset"]
-    o_side = out["side"]
-    o_price = out["price"]
-    o_size = out["size"]
-    o_fh = out["file_hour"]
-    o_li = out["line_id"]
-    o_mi = out["msg_idx"]
-    o_ei = out["emit_idx"]
+    # The loop appends only to numeric buffers (cheap); per-row string
+    # columns are recovered afterwards by vectorized fancy-indexing of the
+    # input arrays — building object columns row-by-row in Python costs as
+    # much as the replay itself on large groups.
+    src_idx: list[int] = []  # input ordinal per output row
+    is_trade: list[bool] = []
+    is_ask_row: list[bool] = []  # ASK leg of a BBO pair / SELL trade
+    prices: list[float] = []
+    sizes: list[float] = []
 
-    for row in zip(
-        pdf["kind_code"].to_numpy(),
-        pdf["timestamp"].to_numpy(),
-        pdf["market"].to_numpy(),
-        pdf["asset_id"].to_numpy(),
-        pdf["bids_flat"].to_numpy(),
-        pdf["asks_flat"].to_numpy(),
-        pdf["changes_flat"].to_numpy(),
-        pdf["file_hour"].to_numpy(),
-        pdf["line_id"].to_numpy(),
-        pdf["msg_idx"].to_numpy(),
+    for i, (kind, b_flat, a_flat, c_flat) in enumerate(
+        zip(
+            pdf["kind_code"].to_numpy(),
+            pdf["bids_flat"].to_numpy(),
+            pdf["asks_flat"].to_numpy(),
+            pdf["changes_flat"].to_numpy(),
+        )
     ):
-        kind, ts, market, asset, b_flat, a_flat, c_flat, fh, li, mi = row
         if kind == KIND_TRADE:
             # One TRADE row; no book mutation (tick_generator.rs:322-330).
-            sp, size = c_flat[0], c_flat[1]
+            sp = c_flat[0]
             buy = not np.signbit(sp)  # signbit: price 0.0 vs -0.0 exact
-            o_ts.append(ts)
-            o_kind.append("TRADE")
-            o_market.append(market)
-            o_asset.append(asset)
-            o_side.append("BID" if buy else "ASK")
-            o_price.append(sp if buy else -sp)
-            o_size.append(size)
-            o_fh.append(fh)
-            o_li.append(li)
-            o_mi.append(mi)
-            o_ei.append(0)
+            src_idx.append(i)
+            is_trade.append(True)
+            is_ask_row.append(not buy)
+            prices.append(sp if buy else -sp)
+            sizes.append(c_flat[1])
             continue
         if kind == KIND_BOOK:
             # Snapshot replaces both sides (tick_generator.rs:242-254).
@@ -175,36 +154,71 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 if a_flat is not None
                 else {}
             )
+            best_bid = max(bids) if bids else None
+            best_ask = min(asks) if asks else None
         else:
             # Diff upserts; size==0 deletes (tick_generator.rs:257-272);
             # sign of the packed price encodes BUY(+)/SELL(-).
             if c_flat is not None:
                 for sp, size in zip(c_flat[0::2], c_flat[1::2]):
                     if not np.signbit(sp):
-                        levels, price = bids, sp
+                        price = sp
+                        if size == 0.0:
+                            if bids.pop(price, None) is not None \
+                                    and price == best_bid:
+                                best_bid = max(bids) if bids else None
+                        else:
+                            bids[price] = size
+                            if best_bid is None or price > best_bid:
+                                best_bid = price
                     else:
-                        levels, price = asks, -sp
-                    if size == 0.0:
-                        levels.pop(price, None)
-                    else:
-                        levels[price] = size
+                        price = -sp
+                        if size == 0.0:
+                            if asks.pop(price, None) is not None \
+                                    and price == best_ask:
+                                best_ask = min(asks) if asks else None
+                        else:
+                            asks[price] = size
+                            if best_ask is None or price < best_ask:
+                                best_ask = price
         # Exactly two rows per book event, ASK first then BID
         # (tick_generator.rs:283-316); empty side → (0, 0) (:274-281).
-        ask_p, ask_s = _top(asks, highest=False)
-        bid_p, bid_s = _top(bids, highest=True)
-        o_ts.extend((ts, ts))
-        o_kind.extend(("BBO", "BBO"))
-        o_market.extend((market, market))
-        o_asset.extend((asset, asset))
-        o_side.extend(("ASK", "BID"))
-        o_price.extend((ask_p, bid_p))
-        o_size.extend((ask_s, bid_s))
-        o_fh.extend((fh, fh))
-        o_li.extend((li, li))
-        o_mi.extend((mi, mi))
-        o_ei.extend((0, 1))
+        src_idx.extend((i, i))
+        is_trade.extend((False, False))
+        is_ask_row.extend((True, False))
+        if best_ask is not None:
+            prices.append(best_ask)
+            sizes.append(asks[best_ask])
+        else:
+            prices.append(0.0)
+            sizes.append(0.0)
+        if best_bid is not None:
+            prices.append(best_bid)
+            sizes.append(bids[best_bid])
+        else:
+            prices.append(0.0)
+            sizes.append(0.0)
 
-    return pd.DataFrame(out)
+    idx = np.asarray(src_idx, dtype=np.int64)
+    trade_mask = np.asarray(is_trade, dtype=bool)
+    ask_mask = np.asarray(is_ask_row, dtype=bool)
+    # emit_idx: 0 for trades and ASK legs, 1 for BID legs of BBO pairs
+    emit = (~trade_mask & ~ask_mask).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "timestamp": pdf["timestamp"].to_numpy()[idx],
+            "kind": np.where(trade_mask, "TRADE", "BBO"),
+            "market": pdf["market"].to_numpy()[idx],
+            "asset": pdf["asset_id"].to_numpy()[idx],
+            "side": np.where(ask_mask, "ASK", "BID"),
+            "price": np.asarray(prices, dtype=np.float64),
+            "size": np.asarray(sizes, dtype=np.float64),
+            "file_hour": pdf["file_hour"].to_numpy()[idx],
+            "line_id": pdf["line_id"].to_numpy()[idx],
+            "msg_idx": pdf["msg_idx"].to_numpy()[idx],
+            "emit_idx": emit,
+        }
+    )
 
 
 def replay_feed_messages(

@@ -163,12 +163,13 @@ def write_fixture_files(
     out_dir.mkdir(parents=True, exist_ok=True)
     markets = make_markets()
     paths = []
+    base = datetime(2025, 9, 30, 14, 0, 0, tzinfo=timezone.utc)
     for h in range(n_hours):
-        hour = f"2025-09-30-{14 + h:02d}"
         # Frame timestamps strictly increase within a file, like a real
         # collector stamping each frame with now() (main.rs:28) — the live
-        # streaming path orders on them.
-        t = datetime(2025, 9, 30, 14 + h, 0, 0, tzinfo=timezone.utc)
+        # streaming path orders on them. Rolls over day boundaries.
+        t = base + timedelta(hours=h)
+        hour = t.strftime("%Y-%m-%d-%H")
 
         def stamp():
             nonlocal t
