@@ -19,8 +19,10 @@ Parity landmines encoded here (SURVEY §1.4):
 * empty side emits ``(price=0, size=0)`` (``:274-281``);
 * sink side labels are ``BID``/``ASK`` while the wire uses ``BUY``/``SELL``
   (``:85-88`` vs ``:407-413``);
-* book math in exact decimal, downcast to f64 only at emission
-  (``:89-90,199-207``);
+* the reference keeps book math in exact decimal and downcasts to f64 at
+  emission (``:89-90,199-207``); we cast the wire's decimal strings to f64
+  once, JVM-side — injective in the tick domain (≤4 dp prices), so keying
+  and outputs are bit-identical to the reference's Decimal→f64 path;
 * state persists across hourly files — guaranteed here because *all* of an
   asset's messages land in one group, sorted by ``(file_hour, line_id,
   msg_idx)`` before the kernel runs (``cli/src/main.rs:142-164``).
@@ -335,6 +337,24 @@ def replay(
     if ticks_only:
         ticks = ticks.select(*TICK_COLUMNS)
     return ticks
+
+
+def write_tick_lake(
+    ticks: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Write ticks as an hour-partitioned Parquet lake (S7 at scale).
+
+    ``partitionBy(file_hour)`` gives downstream time-range queries free
+    partition pruning (the Catalyst-native version of the reference's
+    filename-based pruning); snappy matches the reference sink codec
+    (``tick_generator.rs:60-63``). Requires ``ticks_only=False`` replay
+    output (the partition column).
+    """
+    (
+        ticks.write.mode(mode)
+        .partitionBy("file_hour")
+        .parquet(path, compression="snappy")
+    )
 
 
 def with_event_time(ticks: DataFrame, column: str = "event_time") -> DataFrame:

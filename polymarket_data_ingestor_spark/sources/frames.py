@@ -40,15 +40,37 @@ from polymarket_data_ingestor_spark.schemas import (
 _FILE_HOUR_RE = r"(\d{4}-\d{2}-\d{2}-\d{2})\.jsonl(\.zst|\.gz)?$"
 
 
-def read_frames(spark: SparkSession, paths: Sequence[str] | str) -> DataFrame:
+def read_frames(
+    spark: SparkSession,
+    paths: Sequence[str] | str,
+    keep_corrupt: bool = False,
+) -> DataFrame:
     """Scan framed JSONL logs into a frames DataFrame with order columns.
 
     Columns: ``timestamp, message_type, content, file_hour, line_id``.
     Accepts ``.jsonl`` and ``.jsonl.zst`` (Spark decodes zstd natively).
+
+    ``keep_corrupt=True`` adds a ``corrupt_record`` column holding the raw
+    text of unparseable lines (PERMISSIVE mode otherwise drops them
+    silently — at 100 TB you want the reject rate observable). Spark
+    disallows aggregates whose referenced columns are *only* the corrupt
+    column (``QUERY_ONLY_CORRUPT_RECORD_COLUMN``), so quarantine by
+    *writing* the filtered rejects (all columns) to a sink — or ``cache()``
+    first — rather than calling ``count()`` directly on the filter.
     """
     if isinstance(paths, str):
         paths = [paths]
-    df = spark.read.schema(FRAME_SCHEMA).json(list(paths))
+    schema = FRAME_SCHEMA
+    reader = spark.read
+    if keep_corrupt:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            list(FRAME_SCHEMA.fields)
+            + [StructField("corrupt_record", StringType(), True)]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", "corrupt_record")
+    df = reader.schema(schema).json(list(paths))
     return df.select(
         "*",
         F.regexp_extract(F.input_file_name(), _FILE_HOUR_RE, 1).alias("file_hour"),

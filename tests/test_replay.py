@@ -11,6 +11,7 @@ import json
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from polymarket_data_ingestor_spark.operators.replay import (
     ORDER_COLUMNS,
@@ -181,6 +182,42 @@ def test_compressed_roundtrip(spark, tmp_path, fixture_paths):
     b = _spark_rows(replay(spark, [str(fixture_paths[0])], in_log_order=True,
                            ticks_only=False))
     assert a == b
+
+
+def test_corrupt_record_capture(spark, tmp_path):
+    """keep_corrupt=True surfaces unparseable lines instead of dropping."""
+    p = tmp_path / "2025-09-30-14.jsonl"
+    p.write_text(
+        json.dumps({"timestamp": "t", "message_type": "feed_message",
+                    "content": "PONG"})
+        + "\nthis is not json {{{\n"
+    )
+    frames = read_frames(spark, [str(p)], keep_corrupt=True)
+    bad = frames.filter("corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1
+    assert "not json" in bad[0].corrupt_record
+    # default mode: silently dropped, same row count minus the bad line
+    assert read_frames(spark, [str(p)]).filter(
+        "message_type IS NOT NULL").count() == 1
+
+
+def test_write_tick_lake_partition_pruning(spark, fixture_paths, tmp_path):
+    """Hour-partitioned lake: reads with an hour filter prune partitions."""
+    from polymarket_data_ingestor_spark.operators.replay import write_tick_lake
+
+    ticks = replay(spark, [str(p) for p in fixture_paths], ticks_only=False)
+    lake = str(tmp_path / "lake")
+    write_tick_lake(ticks, lake)
+    back = spark.read.parquet(lake)
+    assert back.count() == ticks.count()
+    pruned = back.filter(F.col("file_hour") == "2025-09-30-15")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (PartitionFilters, not a
+    # post-scan Filter over all partitions)
+    assert "PartitionFilters: [isnotnull(file_hour" in plan \
+        or "PartitionFilters: [(file_hour" in plan
+    assert pruned.count() == ticks.filter(
+        F.col("file_hour") == "2025-09-30-15").count()
 
 
 def test_malformed_messages_without_keys_are_dropped(spark, tmp_path):
