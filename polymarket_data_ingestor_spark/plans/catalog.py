@@ -770,6 +770,45 @@ def q_hourly_volume_salted(spark, sf_dir):
 
 
 @register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                  FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+             AS purchase_value
+    FROM events WHERE user_id < 60
+    GROUP BY user_id
+    """,
+    doc="Pivot (long→wide): per-user event-type counts + decimal-exact "
+    "purchase value. Spark .pivot with explicit values (no extra pass to "
+    "discover them); oracle uses FILTER aggregation.",
+    tags=("agg", "pivot"),
+)
+def q_pivot_event_counts(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("click"),
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("view"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase"),
+        F.coalesce(F.col("purchase_v"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+@register(
     "asof_join",
     """
     SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,

@@ -83,13 +83,19 @@ def write_frames_stream(
 
 
 def _tick_rows(
-    out: dict[str, list], ts: str, market: str, asset: str, bids: dict, asks: dict
+    out: dict[str, list],
+    ts: str,
+    market: str,
+    asset: str,
+    bids: dict,
+    asks: dict,
+    best_bid: float | None,
+    best_ask: float | None,
 ) -> None:
     """Append the two BBO rows (ASK then BID; empty side → (0,0))."""
-    for side, levels, pick in (("ASK", asks, min), ("BID", bids, max)):
-        if levels:
-            p = pick(levels)
-            price, size = float(p), float(levels[p])
+    for side, levels, best in (("ASK", asks, best_ask), ("BID", bids, best_bid)):
+        if best is not None:
+            price, size = best, levels[best]
         else:
             price, size = 0.0, 0.0
         out["timestamp"].append(ts)
@@ -122,6 +128,10 @@ def _live_kernel(
         book = {"bids": [], "asks": []}
     bids = {float(p): float(s) for p, s in book["bids"]}
     asks = {float(p): float(s) for p, s in book["asks"]}
+    # incremental top-of-book, same O(1)-amortized scheme as the batch
+    # kernel (recompute only when the best level is deleted)
+    best_bid = max(bids) if bids else None
+    best_ask = min(asks) if asks else None
 
     for pdf in pdfs:
         pdf = pdf.sort_values(["file_hour", "line_id", "msg_idx"],
@@ -138,19 +148,34 @@ def _live_kernel(
                 if not _is_null(row.asks):
                     for lv in row.asks:
                         asks[float(lv["price"])] = float(lv["size"])
+                best_bid = max(bids) if bids else None
+                best_ask = min(asks) if asks else None
                 _tick_rows(out, row.timestamp, row.market, row.asset_id,
-                           bids, asks)
+                           bids, asks, best_bid, best_ask)
             elif et == "price_change":
                 if not _is_null(row.changes):
                     for ch in row.changes:
-                        levels = bids if ch["side"] == "BUY" else asks
                         price = float(ch["price"])
-                        if float(ch["size"]) == 0.0:
-                            levels.pop(price, None)
+                        if ch["side"] == "BUY":
+                            if float(ch["size"]) == 0.0:
+                                if bids.pop(price, None) is not None \
+                                        and price == best_bid:
+                                    best_bid = max(bids) if bids else None
+                            else:
+                                bids[price] = float(ch["size"])
+                                if best_bid is None or price > best_bid:
+                                    best_bid = price
                         else:
-                            levels[price] = float(ch["size"])
+                            if float(ch["size"]) == 0.0:
+                                if asks.pop(price, None) is not None \
+                                        and price == best_ask:
+                                    best_ask = min(asks) if asks else None
+                            else:
+                                asks[price] = float(ch["size"])
+                                if best_ask is None or price < best_ask:
+                                    best_ask = price
                 _tick_rows(out, row.timestamp, row.market, row.asset_id,
-                           bids, asks)
+                           bids, asks, best_bid, best_ask)
             elif et == "last_trade_price":
                 out["timestamp"].append(row.timestamp)
                 out["kind"].append("TRADE")
