@@ -1,0 +1,119 @@
+"""Range join + multi-resolution (hypertable-style) rollups.
+
+Two time-series operators beyond the reference surface:
+
+* :func:`range_join_count` — "events of B within a window before each A"
+  (e.g. clicks in the 10 minutes before each purchase). The naive
+  inequality join is quadratic per key; the scalable form bucketizes the
+  reference side into fixed time bins and equi-joins each probe to the
+  two bins its window can span, turning an O(n·m) theta-join into an
+  equi-join with ≤2x fan-out. Catalyst plans it as a hash join on
+  (key, bin).
+* :func:`multi_resolution_bars` — TimescaleDB-style continuous-aggregate
+  hierarchy: the finest bars are computed from raw data once, coarser
+  resolutions are derived *from the finer bars* (sum of sums; last of
+  lasts via the carried order key), never re-scanning raw. At 100 TB the
+  raw scan happens once per refresh instead of once per resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_count(
+    probe: DataFrame,
+    reference: DataFrame,
+    key: str,
+    probe_ts: str = "ts",
+    ref_ts: str = "ts",
+    window_seconds: int = 600,
+    count_name: str = "n_in_window",
+) -> DataFrame:
+    """Count reference rows within ``(probe_ts - window, probe_ts]`` per key.
+
+    Bin-bucketed: a window of W seconds can only intersect a probe's own
+    W-second bin and the previous one, so the reference is aggregated per
+    (key, bin) into sorted timestamp arrays once, each probe looks at ≤2
+    bins, and the in-bin refinement filters exact bounds. One equi-shuffle
+    on (key, bin); no theta-join.
+    """
+    w_ms = window_seconds * 1000
+    p = probe.withColumn("__pms", F.unix_millis(F.col(probe_ts)))
+    r = reference.select(
+        F.col(key), F.unix_millis(F.col(ref_ts)).alias("__rms")
+    ).withColumn("__bin", F.expr(f"__rms div {w_ms}"))
+    binned = r.groupBy(key, "__bin").agg(
+        F.sort_array(F.collect_list("__rms")).alias("__times")
+    )
+
+    probes = p.withColumn(
+        "__bin", F.explode(
+            F.array(F.expr(f"__pms div {w_ms}"), F.expr(f"__pms div {w_ms} - 1"))
+        )
+    )
+    joined = probes.join(binned, on=[key, "__bin"], how="left")
+    # count timestamps in (__pms - w_ms, __pms] within each bin's array
+    in_window = F.size(
+        F.filter(
+            F.coalesce(F.col("__times"), F.array()),
+            lambda t: (t > F.col("__pms") - w_ms) & (t <= F.col("__pms")),
+        )
+    )
+    out_cols = [c for c in probe.columns]
+    return (
+        joined.withColumn("__n", in_window)
+        .groupBy(*out_cols, "__pms")
+        .agg(F.sum("__n").cast("long").alias(count_name))
+        .drop("__pms")
+    )
+
+
+def multi_resolution_bars(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(minute_bars, hour_bars): the hour level derived FROM minute bars.
+
+    Each level carries (sum, count, last_value, last_order) so the next
+    level composes exactly: sums add, counts add, last = max_by over the
+    carried order key. Decimal-exact sums end-to-end.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    minute = (
+        events.groupBy(
+            F.date_trunc("minute", ts_col).alias("bar_time"), *key_cols
+        )
+        .agg(
+            F.sum(dec).alias("__sum_dec"),
+            F.count(F.lit(1)).alias("n"),
+            F.max_by(value_col, order_col).alias("last_value"),
+            F.max(order_col).alias("__last_ord"),
+        )
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "bar_time").alias("bar_time"), *key_cols
+        )
+        .agg(
+            F.sum("__sum_dec").alias("__sum_dec"),
+            F.sum("n").alias("n"),
+            F.max_by("last_value", "__last_ord").alias("last_value"),
+            F.max("__last_ord").alias("__last_ord"),
+        )
+    )
+
+    def finish(df: DataFrame) -> DataFrame:
+        return df.select(
+            "bar_time",
+            *key_cols,
+            F.col("__sum_dec").cast("double").alias("total"),
+            "n",
+            "last_value",
+        )
+
+    return finish(minute), finish(hour)
