@@ -144,6 +144,6 @@ def frame_sample(
         F.posexplode(idx).alias("frame_no", "_i"),
     ).select(
         id_col,
-        "frame_no",
-        (F.col("frame_no") * every_n_bytes).alias("byte_offset"),
+        F.col("frame_no").cast("long").alias("frame_no"),
+        (F.col("frame_no").cast("long") * every_n_bytes).alias("byte_offset"),
     )

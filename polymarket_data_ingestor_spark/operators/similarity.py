@@ -81,7 +81,7 @@ def cosine_topk(
         F.col("cos").desc(), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -157,7 +157,7 @@ def cosine_topk_lsh(
         F.col("cos").desc(), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -235,7 +235,7 @@ def ivf_topk(
         F.col("cos").desc(), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

@@ -46,9 +46,9 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(text_col)
     return df.select(
         "*",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.size(F.split(F.col(text_col), r"[^A-Za-z0-9]+")).alias("n_words"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.size(F.split(F.col(text_col), r"[^A-Za-z0-9]+")).cast("long").alias("n_words"),
         F.greatest(
             (n_chars / F.lit(4)).cast("long"), F.lit(1)
         ).alias("n_subword_est"),

@@ -380,7 +380,7 @@ def q_topk_per_group(spark, sf_dir):
             F.col("c_mktsegment").alias("mktsegment"),
             "c_custkey",
             "c_acctbal",
-            F.row_number().over(w).alias("rank"),
+            F.row_number().over(w).cast("long").alias("rank"),
         )
         .filter(F.col("rank") <= 3)
     )
@@ -674,7 +674,9 @@ def q_revenue_rollup(spark, sf_dir):
 @register(
     "throughput_15s",
     """
-    SELECT to_timestamp(epoch_ms(ts) // 15000 * 15000 / 1000) AS bucket,
+    -- epoch_ms(BIGINT) yields a NAIVE timestamp; to_timestamp would yield
+    -- TIMESTAMPTZ and tz-dtype-mismatch against Spark's window start
+    SELECT epoch_ms(epoch_ms(ts) // 15000 * 15000) AS bucket,
            count(*) AS n_msgs,
            CAST(SUM(CAST(length(props) AS BIGINT)) AS BIGINT) AS n_bytes
     FROM events
@@ -907,6 +909,27 @@ def q_asof_join(spark, sf_dir):
     return joined.select(
         "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"),
         "last_purchase_value",
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketch values are engine-specific → rows-only check
+    doc="Approximate distinct (HyperLogLog++): the constant-memory sketch "
+    "path for cardinalities too large for exact distinct at 100 TB. No "
+    "SQL oracle — sketch estimates are engine-specific; the exact "
+    "companion (count_distinct_users) is the correctness anchor, and "
+    "tests pin the estimate within rsd of it.",
+    tags=("agg", "sketch"),
+)
+def q_approx_distinct_users(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )
 
 

@@ -378,7 +378,7 @@ def q_multimodal_features(spark, sf_dir):
         "n_bytes",
         "digest",
         F.posexplode("features").alias("feat_idx", "feat"),
-    )
+    ).withColumn("feat_idx", F.col("feat_idx").cast("long"))
 
 
 @register(

@@ -76,6 +76,19 @@ def test_replay_single_shuffle(spark, tmp_path):
     assert plan.count("FileScan json") == 1
 
 
+def test_approx_distinct_within_rsd_of_exact(spark):
+    approx = {
+        r.event_type: r.approx_users
+        for r in CATALOG["approx_distinct_users"].spark(spark, SF).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in CATALOG["count_distinct_users"].spark(spark, SF).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.05 * n), (et, approx[et], n)
+
+
 def test_dedup_exact_partial_agg(spark):
     plan = plan_of(spark, "dedup_exact")
     assert "partial_min" in plan and "partial_count" in plan
