@@ -15,9 +15,12 @@ Three parts:
   ``active_markets`` snapshot as the first frame of every file, periodic
   flush, and a shutdown frame (mirrors ``collector/src/main.rs:72-298``).
   Plain file I/O — fully testable offline.
-* :func:`collect` — the live WebSocket loop, gated on the ``websockets``
-  package (absent here); the subscribe-message shape and ping cadence
-  follow ``collector/src/client/connection.rs``.
+* :func:`collect` — the live collection loop, written against an
+  *injectable transport* (:class:`Transport`) so the full pump —
+  connect per chunk, subscribe, initial-read timeout, 15 s pings,
+  frame forwarding, reconnect/split policy — runs offline under test
+  with a fake transport; in production :class:`WebsocketsTransport`
+  plugs in the real socket (``collector/src/client/connection.rs``).
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ from __future__ import annotations
 import gzip
 import io
 import json
+import time
 from datetime import datetime, timezone
 from pathlib import Path
 from typing import Any, Callable, Sequence
@@ -76,9 +80,11 @@ def split_markets(markets: Sequence[dict]) -> list[list[dict]]:
 
 
 def subscribe_message(markets: Sequence[dict]) -> str:
-    """The wire subscribe frame (``connection.rs:211-228``)."""
+    """The wire subscribe frame (``connection.rs:230-248``); empty token
+    ids are skipped as in the reference's ``filter(|id| !id.is_empty())``."""
     asset_ids = [
         t["token_id"] for m in markets for t in (m.get("tokens") or [])
+        if t.get("token_id")
     ]
     return json.dumps({"type": "MARKET", "assets_ids": asset_ids})
 
@@ -179,12 +185,22 @@ class FrameWriter:
     def set_markets(self, markets: list[dict]) -> None:
         self.markets = markets
 
-    def shutdown(self) -> Path | None:
-        """Log the shutdown frame, flush, and rotate the final file
+    def log_event(self, message_type: str, content: dict) -> None:
+        """Write an auxiliary event frame (e.g. ``all_connections_ready``,
+        ``main.rs:55-64,243-256``) — dropped when no file is open yet,
+        matching the reference's ``if let Some(ref mut writer)`` guard."""
+        if self._fh is None:
+            return
+        self._write_frame(message_type, json.dumps(content))
+        self._fh.flush()
+
+    def shutdown(self, signal: str = "SIGINT") -> Path | None:
+        """Log the shutdown frame (with the triggering signal,
+        ``main.rs:45-53``), flush, and rotate the final file
         (``main.rs:292-298,352-407``)."""
         if self._fh is None:
             return None
-        self._write_frame("shutdown_initiated", json.dumps({}))
+        self._write_frame("shutdown_initiated", json.dumps({"signal": signal}))
         self._fh.flush()
         return self._rotate()
 
@@ -271,28 +287,251 @@ def next_reconnect_batch(pending: list[ConnectionState]) -> list[ConnectionState
     return batch[:MAX_PARALLEL_OPENS]
 
 
+#: App-level ping payload (``connection.rs:334``).
+PING_TEXT = '{"type":"ping"}'
+
+
+class RecvTimeout(Exception):
+    """No text frame arrived within the recv timeout."""
+
+
+class TransportClosed(Exception):
+    """The connection closed (server close, stream end, or socket error)."""
+
+
+class Transport:
+    """Injectable socket factory: ``connect(url) -> connection``.
+
+    A connection must provide ``send(text)``, ``recv(timeout) -> str``
+    (raising :class:`RecvTimeout` / :class:`TransportClosed`; non-text
+    frames are the transport's job to skip, ``connection.rs:322-326``)
+    and ``close()``. ``connect`` raises :class:`TransportClosed` on
+    handshake failure. The same pattern as ``sources/rest.py``'s
+    injectable ``FetchPage``.
+    """
+
+    def connect(self, url: str) -> Any:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class WebsocketsTransport(Transport):
+    """Production transport over ``websockets.sync`` (gated import —
+    the package is absent in this sandbox, so this class is exercised
+    only in deployments; the :func:`collect` loop itself is fully
+    tested offline against a fake transport)."""
+
+    def __init__(self) -> None:
+        try:
+            import websockets.sync.client  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "live collection needs the 'websockets' package (not "
+                "installed in this environment); pass a custom transport "
+                "or use FrameWriter/split_markets offline"
+            ) from e
+        self._client = websockets.sync.client
+
+    def connect(self, url: str) -> Any:  # pragma: no cover - needs network
+        try:
+            return _WebsocketsConn(self._client.connect(url))
+        except Exception as e:
+            raise TransportClosed(str(e)) from e
+
+
+class _WebsocketsConn:  # pragma: no cover - needs network
+    def __init__(self, ws: Any) -> None:
+        self._ws = ws
+
+    def send(self, text: str) -> None:
+        try:
+            self._ws.send(text)
+        except Exception as e:
+            raise TransportClosed(str(e)) from e
+
+    def recv(self, timeout: float) -> str:
+        import websockets.exceptions
+
+        try:
+            while True:
+                msg = self._ws.recv(timeout=timeout)
+                if isinstance(msg, str):
+                    return msg
+                # binary frames: ignore, as the reference ignores
+                # non-text messages (connection.rs:322-326)
+        except TimeoutError as e:
+            raise RecvTimeout() from e
+        except websockets.exceptions.ConnectionClosed as e:
+            raise TransportClosed(str(e)) from e
+
+    def close(self) -> None:
+        try:
+            self._ws.close()
+        except Exception:
+            pass
+
+
+class _LiveConn:
+    """A connected socket plus its liveness state and next ping deadline."""
+
+    __slots__ = ("state", "sock", "next_ping")
+
+    def __init__(self, state: ConnectionState, sock: Any, next_ping: float):
+        self.state = state
+        self.sock = sock
+        self.next_ping = next_ping
+
+
+def _open_connection(
+    transport: Transport,
+    state: ConnectionState,
+    writer: FrameWriter,
+    clock: Callable[[], float],
+) -> _LiveConn | None:
+    """Connect → subscribe → await first text frame within 10 s
+    (``connection.rs:250-286``). Success forwards the first message and
+    records the open; any failure records a close (failure counting per
+    :meth:`ConnectionState.record_close`) and returns ``None``."""
+    try:
+        sock = transport.connect(WS_URL)
+    except TransportClosed:
+        state.record_close(clock())
+        return None
+    try:
+        sock.send(subscribe_message(state.markets))
+        first = sock.recv(timeout=INITIAL_READ_TIMEOUT_S)
+    except (RecvTimeout, TransportClosed):
+        sock.close()
+        state.record_close(clock())
+        return None
+    state.record_open(clock())
+    writer.handle_message(first)
+    return _LiveConn(state, sock, clock() + PING_INTERVAL_S)
+
+
+#: Max messages drained from one connection before servicing the others.
+_DRAIN_LIMIT = 256
+
+
 def collect(
     out_dir: str | Path,
     fetch_markets: Callable[[], list[dict]],
+    transport: Transport | None = None,
     compress: bool = False,
-) -> Any:
-    """Live WebSocket collection loop — requires the ``websockets`` package.
+    stop: Callable[[], bool] | None = None,
+    clock: Callable[[], float] | None = None,
+    sleep: Callable[[float], None] | None = None,
+    now: Callable[[], datetime] | None = None,
+    poll_timeout: float = 0.05,
+) -> Path | None:
+    """Live collection loop (S3/T2/T3/T4, ``collector/src/main.rs:300-407``
+    + ``client/connection.rs:288-360`` + ``reconnecter.rs:68-109``).
 
-    Not runnable in this environment (no package, no network); the logic it
-    would drive — sharding (:func:`split_markets`), the subscribe frame
-    (:func:`subscribe_message`), framing/rotation (:class:`FrameWriter`) —
-    is all implemented and tested offline above.
+    One connection per :func:`split_markets` chunk; each open sends the
+    subscribe frame, must see a first text frame within 10 s, then pings
+    every 15 s and forwards every text frame to
+    :meth:`FrameWriter.handle_message`. Closes/failures feed the
+    :class:`ConnectionState` policy: reconnect batches of ≤50 with the
+    reference's backoff (500 ms normally, ``max(error_count, 3)`` s after a
+    majority-failed batch), splitting connections that qualify (T4). When
+    every connection has opened at least once, an ``all_connections_ready``
+    frame is logged (``main.rs:258-267``).
+
+    ``transport``/``clock``/``sleep``/``now``/``stop`` are injectable so the
+    whole loop runs deterministically offline; by default it uses
+    :class:`WebsocketsTransport` and wall clocks. Returns the final rotated
+    file path (from :meth:`FrameWriter.shutdown`).
     """
+    if transport is None:
+        transport = WebsocketsTransport()  # pragma: no cover - needs package
+    clock = clock or time.monotonic
+    sleep = sleep or time.sleep
+    stop = stop or (lambda: False)
+
+    markets = fetch_markets()
+    writer = FrameWriter(out_dir, markets, compress=compress, now=now)
+    states = [ConnectionState(chunk) for chunk in split_markets(markets)]
+    pending: list[ConnectionState] = list(states)
+    live: list[_LiveConn] = []
+    ever_opened: set[int] = set()
+    ready_logged = False
+    error_count = 0
+
+    def _mark_opened(state: ConnectionState) -> None:
+        nonlocal ready_logged
+        ever_opened.add(id(state))
+        if not ready_logged and all(id(s) in ever_opened for s in states):
+            ready_logged = True
+            writer.log_event(
+                "all_connections_ready",
+                {"connection_count": len(states),
+                 "markets_count": len(markets)},
+            )
+
+    def _drop(lc: _LiveConn) -> None:
+        lc.sock.close()
+        lc.state.record_close(clock())
+        live.remove(lc)
+        pending.append(lc.state)
+
     try:
-        import websockets  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "live collection needs the 'websockets' package (not installed "
-            "in this environment); FrameWriter/split_markets are fully "
-            "usable offline"
-        ) from e
-    raise NotImplementedError(
-        "wire the websockets event loop here: one connection per "
-        "split_markets() chunk, subscribe_message() on open, 15s pings, "
-        "FrameWriter.handle_message per text frame"
-    )  # pragma: no cover
+        while not stop():
+            if pending:
+                # Backoff before each reconnect batch (reconnecter.rs:182-196)
+                sleep(float(max(error_count, 3)) if error_count > 0
+                      else NORMAL_BACKOFF_S)
+                # Assemble a batch of ≤50, splitting qualifying connections
+                # first (reconnecter.rs:199-230)
+                batch: list[ConnectionState] = []
+                while pending and len(batch) < MAX_PARALLEL_OPENS:
+                    st = pending.pop(0)
+                    if st.should_split():
+                        a, b = st.split()
+                        states.remove(st)
+                        states.extend([a, b])
+                        batch.extend([a, b])
+                    else:
+                        batch.append(st)
+                failed = 0
+                for st in batch:
+                    if stop():
+                        pending.append(st)
+                        continue
+                    lc = _open_connection(transport, st, writer, clock)
+                    if lc is None:
+                        failed += 1
+                        pending.append(st)
+                    else:
+                        live.append(lc)
+                        _mark_opened(st)
+                # Majority-failed batches escalate the backoff
+                # (reconnecter.rs:155-163 error_count transitions)
+                if failed == 0:
+                    error_count = 0
+                elif failed * 2 > len(batch):
+                    error_count += 1
+
+            # Service every live connection: pings when due, then drain
+            # available text frames into the writer.
+            for lc in list(live):
+                if clock() >= lc.next_ping:
+                    try:
+                        lc.sock.send(PING_TEXT)
+                        lc.next_ping = clock() + PING_INTERVAL_S
+                    except TransportClosed:
+                        _drop(lc)
+                        continue
+                for _ in range(_DRAIN_LIMIT):
+                    try:
+                        msg = lc.sock.recv(timeout=poll_timeout)
+                    except RecvTimeout:
+                        break
+                    except TransportClosed:
+                        _drop(lc)
+                        break
+                    writer.handle_message(msg)
+                    if clock() >= lc.next_ping or stop():
+                        break
+    finally:
+        for lc in live:
+            lc.sock.close()
+    return writer.shutdown(signal="stop")
