@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "simhash_docs",
     "cosine_topk",
     "doc_quality",
+    "asof_join",
+    "range_join_count",
+    "multires_rollup",
+    "embedding_dup_pairs_lsh",
+    "hamming_dup_pairs",
 ]
 
 

@@ -82,11 +82,14 @@ def cmd_markets(args: argparse.Namespace) -> int:
     if not paths:
         print("no log files in range", file=sys.stderr)
         return 1
-    # first file in range, or last when no range given (main.rs:179-185)
+    # first file in range, or last when no range given (main.rs:179-185);
+    # either way the reference reads the FIRST active_markets frame of the
+    # chosen file (snapshots may repeat mid-file if re-logged), so
+    # last=False in both cases.
     no_range = not (args.time_range or args.start or args.end)
     spark = get_spark(app_name="pdi-markets")
     frames = read_frames(spark, [paths[-1] if no_range else paths[0]])
-    mkts = read_market_info(frames, last=no_range)
+    mkts = read_market_info(frames, last=False)
     if args.filter:
         mkts = filter_markets(mkts, args.filter)
 

@@ -228,22 +228,74 @@ def simhash(
 
 
 def hamming_pairs(
-    sig: DataFrame, id_col: str = "doc_id", max_distance: int = 3
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    bits: int = 32,
+    all_pairs: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance (≤ max_distance).
 
-    All-pairs on signatures only (8 bytes/doc) — at corpus scale, block by
-    signature prefix bands first (same trick as LSH).
+    Default path is **banded and exact**: split the ``bits``-bit signature
+    into ``max_distance + 1`` disjoint bands — by pigeonhole, any pair
+    within Hamming distance d differs in at most d bands, so it matches
+    *exactly* on at least one band. Candidates are the within-band-bucket
+    self-join; the ``bit_count(xor)`` verify then yields precisely the
+    all-pairs answer (full equality, not approximate recall) with a
+    linear-ish candidate stage instead of O(N²).
+
+    ``all_pairs=True`` is the quadratic escape hatch (signatures are
+    8 bytes/doc so it survives longer than vector all-pairs, but it is
+    still O(N²)).
     """
-    a, b = sig.alias("a"), sig.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    dist = F.bit_count(xor)
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if all_pairs:
+        a, b = sig.alias("a"), sig.alias("b")
+        xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        dist = F.bit_count(xor)
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                dist.cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_distance)
+        )
+    n_bands = max_distance + 1
+    band_exprs = []
+    lo = 0
+    for i in range(n_bands):
+        w = bits // n_bands + (1 if i < bits % n_bands else 0)
+        mask = (1 << w) - 1
+        band_exprs.append(
+            F.expr(f"shiftright(simhash, {lo}) & {mask}").cast("long")
+        )
+        lo += w
+    keys = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band", "key")
+    ).withColumn("band", F.col("band").cast("long"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            dist.alias("hamming"),
         )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"),
+                    F.col("simhash").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"),
+                    F.col("simhash").alias("__sb"))
+    dist = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", dist.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_distance)
     )

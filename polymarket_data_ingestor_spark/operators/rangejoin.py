@@ -40,7 +40,13 @@ def range_join_count(
     on (key, bin); no theta-join.
     """
     w_ms = window_seconds * 1000
-    p = probe.withColumn("__pms", F.unix_millis(F.col(probe_ts)))
+    # Unique per-row id so the 2-bin explode re-merges row-by-row — two
+    # fully identical probe rows must NOT collapse into one doubled-count
+    # output row. (monotonically_increasing_id is partition-stable here:
+    # it is assigned and re-grouped within the same plan.)
+    p = probe.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+        "__pms", F.unix_millis(F.col(probe_ts))
+    )
     r = reference.select(
         F.col(key), F.unix_millis(F.col(ref_ts)).alias("__rms")
     ).withColumn("__bin", F.expr(f"__rms div {w_ms}"))
@@ -64,9 +70,9 @@ def range_join_count(
     out_cols = [c for c in probe.columns]
     return (
         joined.withColumn("__n", in_window)
-        .groupBy(*out_cols, "__pms")
+        .groupBy("__rid", *out_cols)
         .agg(F.sum("__n").cast("long").alias(count_name))
-        .drop("__pms")
+        .drop("__rid")
     )
 
 

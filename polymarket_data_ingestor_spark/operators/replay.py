@@ -277,6 +277,23 @@ def replay_feed_messages(
         .otherwise(-F.col("price").cast("double")),
         F.col("size").cast("double"),
     )
+    # The reference's serde rejects whole messages whose side is not a
+    # BUY/SELL enum value or whose price/size fail Decimal parse
+    # (tick_generator.rs serde structs); mirror that as a message-level
+    # validity predicate so garbage can't sign-encode into the book.
+    # try_cast: under ANSI mode a plain cast would THROW on garbage
+    # instead of classifying it for rejection.
+    valid_changes = F.forall(
+        F.coalesce(F.col("changes"), F.array()),
+        lambda ch: ch["side"].isin("BUY", "SELL")
+        & ch["price"].try_cast("double").isNotNull()
+        & ch["size"].try_cast("double").isNotNull(),
+    )
+    valid_trade = (
+        F.col("side").isin("BUY", "SELL")
+        & F.col("price").try_cast("double").isNotNull()
+        & F.col("size").try_cast("double").isNotNull()
+    )
     packed = feed.filter(
         F.col("event_type").isin("book", "price_change", "last_trade_price")
         # malformed messages without a key would otherwise form a null
@@ -284,6 +301,9 @@ def replay_feed_messages(
         & F.col("asset_id").isNotNull()
         & F.col("market").isNotNull()
         & F.col("timestamp").isNotNull()
+        & F.when(F.col("event_type") == "price_change", valid_changes)
+        .when(F.col("event_type") == "last_trade_price", valid_trade)
+        .otherwise(F.lit(True))
     ).select(
         "asset_id",
         "file_hour",

@@ -15,10 +15,10 @@ Two tiers (SURVEY §7 step 6):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from polymarket_data_ingestor_spark.functions.scalars import hash32
 
 
 def _dot(a, b) -> F.Column:
@@ -86,40 +86,52 @@ def cosine_topk(
     )
 
 
+def _plane_component(plane_id: int, p: int) -> float:
+    """Pseudo-random plane component in [-0.5, 0.5) from the md5-based
+    hash32 — computed driver-side (planes are data-independent) but
+    arithmetically IDENTICAL to the in-engine form
+    ``(hash32(concat(plane_id, ':', p)) % 1000) / 1000.0 - 0.5`` that the
+    DuckDB oracles reproduce, so bucket keys stay bit-exact across
+    engines."""
+    h = int(hashlib.md5(f"{plane_id}:{p}".encode()).hexdigest()[:8], 16)
+    return (h % 1000) / 1000.0 - 0.5
+
+
 def hyperplane_signs(
-    vec_col: str, n_planes: int = 16, dim: int = 64
+    vec_col: str, n_planes: int = 16, dim: int = 64, plane_offset: int = 0
 ) -> F.Column:
     """Deterministic random-hyperplane LSH bucket key (int64).
 
     Plane components are pseudo-random in [-0.5, 0.5] derived from
     ``hash32(plane:pos)`` — reproducible everywhere, no stored model.
-    Bit j = sign of <v, plane_j>.
+    Bit j = sign of <v, plane_j>. ``plane_offset`` shifts the plane
+    identities (not the bit weights) so banded schemes can draw
+    independent plane sets per band.
+
+    The planes are data-independent, so their components are baked in as
+    literal arrays: per-row work is ``n_planes`` sequential-fold dot
+    products (zip_with + aggregate, JVM-side), with zero hash calls in
+    the hot path — at corpus scale this removes ~n_planes*dim md5
+    evaluations per row while producing the exact same keys.
     """
-    def plane_component(j, p):
-        return (hash32(F.concat_ws(":", j.cast("string"), p.cast("string")))
-                % 1000).cast("double") / 1000.0 - 0.5
-
-    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
-
-    def bit(j):
-        pos = F.sequence(F.lit(0), F.lit(dim - 1))
+    bits = []
+    for j in range(n_planes):
+        comps = F.array(*[
+            F.lit(_plane_component(plane_offset + j, p)) for p in range(dim)
+        ])
         dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(pos, lambda p: plane_component(j, p)),
-                lambda x, c: x * c,
-            ),
+            F.zip_with(F.col(vec_col), comps, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        # 2^j via pow (exact for j<53): F.shiftleft can't take a Column shift
-        return F.when(
-            dot > 0, F.pow(F.lit(2.0), j.cast("double")).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-
-    return F.aggregate(
-        F.transform(planes, bit), F.lit(0).cast("long"), lambda a, b: a + b
-    )
+        bits.append(
+            F.when(dot > 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    key = bits[0]
+    for b in bits[1:]:
+        key = key + b
+    return key
 
 
 def cosine_topk_lsh(
@@ -240,25 +252,92 @@ def ivf_topk(
     )
 
 
+def banded_hyperplane_keys(
+    emb: DataFrame,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, key) rows: band i's key is ``band_bits`` hyperplane sign
+    bits drawn from plane set ``[i*band_bits, (i+1)*band_bits)``.
+
+    The banded analogue of MinHash-LSH for cosine space: two vectors are
+    candidates iff they agree on *all* bits of *some* band — recall
+    ``1-(1-p^r)^b`` with ``p = 1 - θ/π``. One linear pass; nothing
+    quadratic.
+    """
+    keys = F.array(*[
+        hyperplane_signs(vec_col, band_bits, dim,
+                         plane_offset=i * band_bits)
+        for i in range(n_bands)
+    ])
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(keys).alias("band", "key"),
+    ).withColumn("band", F.col("band").cast("long"))
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    all_pairs: bool = False,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
 
-    All-pairs form for exactness; at scale route through
-    :func:`cosine_topk_lsh` buckets first and verify candidates here.
+    Default path is **bucketed**: banded hyperplane-LSH candidates
+    (:func:`banded_hyperplane_keys` self-join within (band, key) buckets
+    only), then an exact cosine verify on the candidate pairs. Linear-ish
+    at corpus scale — the shuffle carries (id, band, int64) triples and the
+    verify join touches candidates only. Recall is
+    ``1-(1-p^r)^b`` (≈1 for true near-dups at the default 8×4
+    configuration); pinned against the all-pairs oracle in tests.
+
+    ``all_pairs=True`` is the O(N²) exact escape hatch — the *verify
+    stage* form, for small corpora or post-candidate confirmation.
     """
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if all_pairs:
+        a, b = emb.alias("a"), emb.alias("b")
+        cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(cos, 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+    keys = banded_hyperplane_keys(emb, n_bands, band_bits, dim,
+                                  id_col, vec_col)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cos, 6).alias("cos"),
         )
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("__va"))
+    eb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("__vb"))
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -688,13 +688,19 @@ def q_revenue_rollup(spark, sf_dir):
     tags=("agg", "telemetry"),
 )
 def q_throughput_15s(spark, sf_dir):
+    # Fully lazy: the 2-hour bound is a broadcast 1-row min-aggregate
+    # cross-joined into the plan (no driver-side .first() — at 100 TB an
+    # eager bound would be a second full pass before the query starts).
+    # The bound's scan prunes to the ts column only.
     e = table(spark, sf_dir, "events")
-    lo = e.agg(F.min("ts")).first()[0]
-    import datetime
-
-    hi = lo + datetime.timedelta(hours=2)
+    bound = F.broadcast(
+        e.agg(
+            (F.min("ts") + F.expr("INTERVAL 2 HOURS")).alias("__hi")
+        )
+    )
     return (
-        e.filter(F.col("ts") < F.lit(hi))
+        e.crossJoin(bound)
+        .filter(F.col("ts") < F.col("__hi"))
         .groupBy(F.window("ts", "15 seconds").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_msgs"),

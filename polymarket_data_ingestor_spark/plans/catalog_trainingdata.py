@@ -273,6 +273,42 @@ def q_simhash_docs(spark, sf_dir):
     return D.simhash(d, bits=32)
 
 
+@register(
+    "hamming_dup_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_HASH.format(x='tok')} AS h FROM (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+        WHERE doc_id < 100)
+    ), votes AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END AS vote
+      FROM toks CROSS JOIN
+           (SELECT unnest(generate_series(0, 31)) AS bit) b
+    ), bv AS (
+      SELECT doc_id, bit, sum(vote) AS v FROM votes GROUP BY 1, 2
+    ), s AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bv GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+    doc="SimHash near-dup pairs (Hamming <= 4) via the DEFAULT banded "
+    "path: 5 disjoint signature bands -> bucket self-join -> bit_count "
+    "verify. Pigeonhole makes banding EXACT, so the oracle is the plain "
+    "all-pairs SQL — a hash match proves full equality, not recall.",
+    tags=("dedup", "sketch"),
+)
+def q_hamming_dup_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.hamming_pairs(D.simhash(d, bits=32), max_distance=4)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -329,12 +365,70 @@ def q_cosine_topk(spark, sf_dir):
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.4
     """,
-    doc="Embedding-cosine near-duplicate pairs (cos >= 0.4 on this corpus).",
+    doc="Embedding-cosine near-duplicate pairs, all-pairs *verify-stage* "
+    "form (explicit all_pairs=True escape hatch; the default path is "
+    "bucketed — see embedding_dup_pairs_lsh).",
     tags=("similarity", "dedup"),
 )
 def q_embedding_dup_pairs(spark, sf_dir):
     return S.embedding_dup_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.4
+        table(spark, sf_dir, "embeddings"), threshold=0.4, all_pairs=True
+    )
+
+
+# Banded hyperplane-LSH key, SQL twin of similarity.banded_hyperplane_keys:
+# band b's bit j uses plane id b*BITS+j; component p of a plane is
+# (hash32(plane_id:p) % 1000)/1000 - 0.5; bit set iff the sequential-fold
+# dot product is > 0 (identical fold order in both engines ⇒ identical
+# sign ⇒ identical buckets).
+_LSH_BANDS, _LSH_BITS = 8, 4
+_SQL_PLANE_HASH = _SQL_HASH.format(
+    x="(CAST(b.band * 4 + j AS VARCHAR) || ':' || CAST(p AS VARCHAR))"
+)
+_SQL_BAND_KEY = f"""
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(0, {_LSH_BITS - 1}), j ->
+        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(0, 63), p ->
+              CAST(embedding[p + 1] AS DOUBLE) *
+              (CAST({_SQL_PLANE_HASH} % 1000 AS DOUBLE)
+               / CAST(1000 AS DOUBLE) - CAST(0.5 AS DOUBLE)))),
+            (a, v) -> a + v) > 0
+        THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      (a, v) -> a + v) AS BIGINT)
+"""
+
+
+@register(
+    "embedding_dup_pairs_lsh",
+    f"""
+    WITH keys AS (
+      SELECT vec_id, b.band AS band, {_SQL_BAND_KEY} AS key
+      FROM embeddings CROSS JOIN
+           (SELECT unnest(generate_series(0, {_LSH_BANDS - 1})) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM keys a JOIN keys b2
+        ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round({_sql_cos('ea.embedding', 'eb.embedding')}, 6) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {_sql_cos('ea.embedding', 'eb.embedding')} >= 0.4
+    """,
+    doc="Embedding near-dup pairs via the DEFAULT bucketed path: banded "
+    "hyperplane-LSH candidates (8 bands x 4 bits) + exact cosine verify. "
+    "The linear-ish scale shape; recall vs all-pairs pinned in tests. "
+    "(At this corpus's low 0.4 threshold bands are deliberately wide; "
+    "production near-dup thresholds >=0.9 make them sharp.)",
+    tags=("similarity", "dedup", "sketch"),
+)
+def q_embedding_dup_pairs_lsh(spark, sf_dir):
+    return S.embedding_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_bands=_LSH_BANDS, band_bits=_LSH_BITS,
     )
 
 

@@ -70,7 +70,16 @@ def fetch_markets(fetch_page: FetchPage) -> list[dict]:
         nxt = page.get("next_cursor")
         if not rows or nxt in (None, "", END_CURSOR):
             break
-        offset = decode_cursor(nxt)
+        nxt_offset = decode_cursor(nxt)
+        if nxt_offset <= offset:
+            # A non-advancing cursor would spin this loop forever; the
+            # reference's indexed concurrent pagination can't loop, so
+            # treat it as a server-side protocol error.
+            raise RuntimeError(
+                f"non-advancing next_cursor {nxt!r} "
+                f"(offset {nxt_offset} <= {offset})"
+            )
+        offset = nxt_offset
     return out
 
 

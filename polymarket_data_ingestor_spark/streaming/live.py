@@ -133,7 +133,16 @@ def _live_kernel(
     best_bid = max(bids) if bids else None
     best_ask = min(asks) if asks else None
 
-    for pdf in pdfs:
+    # A hot asset's micro-batch can arrive as multiple Arrow chunks and
+    # the pre-kernel shuffle does not guarantee order across them —
+    # concatenate and sort the WHOLE group once (chunk count per
+    # micro-batch is bounded; books are small), exactly like the batch
+    # kernel sorts its full group.
+    chunks = list(pdfs)
+    frames = (
+        [pd.concat(chunks, ignore_index=True)] if len(chunks) > 1 else chunks
+    )
+    for pdf in frames:
         pdf = pdf.sort_values(["file_hour", "line_id", "msg_idx"],
                               kind="mergesort")
         out: dict[str, list] = {f.name: [] for f in TICK_SCHEMA.fields}

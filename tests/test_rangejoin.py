@@ -35,6 +35,21 @@ def test_range_join_window_bounds(spark):
     assert out.first().n_in_window == 3
 
 
+def test_range_join_identical_probe_rows_stay_distinct(spark):
+    """Two fully identical probe rows must yield two output rows with the
+    correct per-row count (not one collapsed row with a doubled count)."""
+    probe = spark.createDataFrame(
+        [(1, 100, _ts(20)), (1, 100, _ts(20))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ref = spark.createDataFrame(
+        [(100, _ts(19)), (100, _ts(18))], "user_id long, ts timestamp"
+    )
+    out = range_join_count(probe, ref, key="user_id",
+                           window_seconds=600).collect()
+    assert [r.n_in_window for r in out] == [2, 2]
+
+
 def test_range_join_no_reference(spark):
     probe = spark.createDataFrame(
         [(1, 5, _ts(0))], "event_id long, user_id long, ts timestamp"

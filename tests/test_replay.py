@@ -163,11 +163,9 @@ def test_output_schema_and_event_time(spark, fixture_paths):
 def test_compressed_roundtrip(spark, tmp_path, fixture_paths):
     """Compressed .jsonl.gz reads identically to plain .jsonl.
 
-    The reference format is .jsonl.zst; Hadoop's zstd codec needs native
-    libhadoop (present on real clusters, absent in this container), so the
-    codec-path test uses gzip — the read pipeline is identical modulo codec,
-    and both are non-splittable single-stream reads (the property the
-    line-ordering contract relies on).
+    gzip exercises the generic codec path (non-splittable single-stream
+    read — the property the line-ordering contract relies on); the
+    flagship .jsonl.zst format gets its own dedicated test below.
     """
     raw = spark.sparkContext.textFile(str(fixture_paths[0]))
     zdir = tmp_path / "z"
@@ -182,6 +180,61 @@ def test_compressed_roundtrip(spark, tmp_path, fixture_paths):
     b = _spark_rows(replay(spark, [str(fixture_paths[0])], in_log_order=True,
                            ticks_only=False))
     assert a == b
+
+
+def test_zstd_roundtrip(spark, tmp_path, fixture_paths):
+    """REAL .jsonl.zst read (the reference's flagship input format,
+    collector/src/main.rs:104 + cli/src/tick_generator.rs:164-195):
+    a pyarrow-zstd-compressed log replays identically to the plain file.
+
+    Skips with a reason only if either codec half is unavailable
+    (pyarrow writer here, Hadoop zstd reader in the JVM).
+    """
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("zstd"):
+        pytest.skip("pyarrow zstd codec unavailable: cannot write fixture")
+    raw = Path(fixture_paths[0]).read_bytes()
+    target = tmp_path / "2025-09-30-14.jsonl.zst"
+    target.write_bytes(pa.Codec("zstd").compress(raw).to_pybytes())
+    try:
+        a = _spark_rows(replay(spark, [str(target)], in_log_order=True,
+                               ticks_only=False))
+    except Exception as e:  # pragma: no cover - cluster-dependent codec
+        if "zstd" in str(e).lower() or "native" in str(e).lower():
+            pytest.skip(f"JVM-side zstd codec unavailable: {e}")
+        raise
+    b = _spark_rows(replay(spark, [str(fixture_paths[0])], in_log_order=True,
+                           ticks_only=False))
+    assert a == b and len(a) > 0
+
+
+def test_line_id_order_on_multisplit_jsonl(spark, tmp_path):
+    """The line-ordering contract (sources/frames.py line_id) must hold
+    even when a plain .jsonl file splits into many read partitions:
+    Spark plans a file's equal-size splits in offset order (stable
+    size-descending packing), so monotonically_increasing_id's
+    (partition << 33 | row) still increases with line order. This test
+    pins that planner behavior — it is load-bearing for replay order."""
+    n = 30000
+    p = tmp_path / "2025-09-30-14.jsonl"
+    with open(p, "w") as f:
+        for i in range(n):
+            f.write(json.dumps({
+                "timestamp": str(i), "message_type": "feed_message",
+                "content": "padding-" + "x" * 80,
+            }) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    try:
+        df = read_frames(spark, [str(p)])
+        n_parts = df.rdd.getNumPartitions()
+        rows = df.select("timestamp", "line_id").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert n_parts >= 3, f"file did not split ({n_parts} partitions)"
+    rows.sort(key=lambda r: r.line_id)
+    assert [r.timestamp for r in rows] == [str(i) for i in range(n)]
 
 
 def test_corrupt_record_capture(spark, tmp_path):
@@ -239,6 +292,44 @@ def test_malformed_messages_without_keys_are_dropped(spark, tmp_path):
     rows = _spark_rows(replay(spark, [str(p)], in_log_order=True,
                               ticks_only=False))
     assert rows == [("3000", "TRADE", mkt, asset, "ASK", 0.5, 2.0)]
+
+
+def test_malformed_side_and_price_are_dropped(spark, tmp_path):
+    """A change/trade with a non-BUY/SELL side or an unparseable price is
+    rejected whole, like the reference's serde — not sign-encoded into
+    the book as garbage."""
+    mkt, asset = _mkt_id(8), _asset_id(8, 0)
+    msgs = [
+        {"event_type": "book", "timestamp": "1000", "market": mkt,
+         "asset_id": asset, "bids": [{"price": "0.4", "size": "5"}],
+         "asks": []},  # ok
+        {"event_type": "price_change", "timestamp": "2000", "market": mkt,
+         "asset_id": asset,
+         "changes": [{"price": "0.41", "size": "3", "side": "HOLD"}]},  # bad side
+        {"event_type": "price_change", "timestamp": "3000", "market": mkt,
+         "asset_id": asset,
+         "changes": [{"price": None, "size": "3", "side": "BUY"}]},  # null price
+        {"event_type": "last_trade_price", "timestamp": "4000", "market": mkt,
+         "asset_id": asset, "side": "both", "price": "0.5",
+         "size": "1"},  # bad side
+        {"event_type": "last_trade_price", "timestamp": "5000", "market": mkt,
+         "asset_id": asset, "side": "BUY", "price": "oops",
+         "size": "1"},  # unparseable price
+        {"event_type": "last_trade_price", "timestamp": "6000", "market": mkt,
+         "asset_id": asset, "side": "BUY", "price": "0.42",
+         "size": "2"},  # ok
+    ]
+    p = tmp_path / "2025-09-30-14.jsonl"
+    p.write_text("\n".join(
+        json.dumps({"timestamp": "t", "message_type": "feed_message",
+                    "content": json.dumps([m])}) for m in msgs) + "\n")
+    rows = _spark_rows(replay(spark, [str(p)], in_log_order=True,
+                              ticks_only=False))
+    assert rows == [
+        ("1000", "BBO", mkt, asset, "ASK", 0.0, 0.0),
+        ("1000", "BBO", mkt, asset, "BID", 0.4, 5.0),
+        ("6000", "TRADE", mkt, asset, "BID", 0.42, 2.0),
+    ]
 
 
 def test_order_columns_present_when_not_ticks_only(spark, fixture_paths):

@@ -68,6 +68,17 @@ def test_fetch_markets_retries_transient_errors():
     assert attempts["n"] == 2
 
 
+def test_fetch_markets_non_advancing_cursor_raises():
+    """A server returning the same cursor with non-empty data must raise
+    instead of spinning the pagination loop forever."""
+    def stuck(cursor: str) -> dict:
+        return {"data": [{"condition_id": "m0"}],
+                "next_cursor": encode_cursor(0)}
+
+    with pytest.raises(RuntimeError, match="non-advancing"):
+        fetch_markets(stuck)
+
+
 def test_fetch_sampling_markets_sequential():
     pages = [
         {"data": [{"condition_id": "a"}], "next_cursor": "XYZ"},

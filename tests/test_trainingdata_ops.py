@@ -93,6 +93,37 @@ def test_lsh_topk_recall_vs_bruteforce(spark, emb):
     assert (merged.cos_a == merged.cos_e).all()
 
 
+def test_embedding_dup_default_bucketed_recall(spark, emb):
+    """The DEFAULT embedding_dup_pairs path is banded-LSH bucketed; on
+    planted near-dups (cos≈0.99) it must find ≥95% of what the all-pairs
+    escape hatch finds, be a subset of it, and agree on every cos."""
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    # plant a perturbed twin of every vector: cos(v, twin) ≈ 0.99+
+    twins = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v, i: v + F.when(i % 7 == 0, F.lit(0.05))
+            .otherwise(F.lit(-0.01)),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    exact = S.embedding_dup_pairs(
+        corpus, threshold=0.95, all_pairs=True
+    ).toPandas()
+    approx = S.embedding_dup_pairs(corpus, threshold=0.95).toPandas()
+    exact_set = set(map(tuple, exact[["id_a", "id_b"]]
+                        .itertuples(index=False)))
+    approx_set = set(map(tuple, approx[["id_a", "id_b"]]
+                         .itertuples(index=False)))
+    assert len(exact_set) >= 150  # the planted twins are really there
+    assert approx_set <= exact_set  # candidates ⊆ all-pairs truth
+    recall = len(approx_set) / len(exact_set)
+    assert recall >= 0.95
+    merged = approx.merge(exact, on=["id_a", "id_b"], suffixes=("_a", "_e"))
+    assert (merged.cos_a == merged.cos_e).all()
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark, emb):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
