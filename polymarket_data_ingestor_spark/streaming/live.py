@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StringType, StructField, StructType
 
+try:  # Spark 4 forward-path state API (absent on Spark 3.x)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - Spark 3.x fallback
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = Any  # type: ignore[assignment,misc]
+
 from polymarket_data_ingestor_spark.schemas import FRAME_SCHEMA, TICK_SCHEMA
 from polymarket_data_ingestor_spark.sources.frames import (
     _FILE_HOUR_RE,
@@ -111,21 +120,22 @@ def _is_null(v: Any) -> bool:
     return v is None or (isinstance(v, float) and v != v)
 
 
-def _live_kernel(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-asset stateful kernel: same semantics as the batch replay
+def _run_book_kernel(
+    book_json: str | None, pdfs: Iterator[pd.DataFrame]
+) -> tuple[list[pd.DataFrame], str]:
+    """Shared per-asset stateful core: same semantics as the batch replay
     (tick_generator.rs:224-367), state persisted across micro-batches.
+
+    Used by BOTH streaming state APIs — ``applyInPandasWithState``
+    (:func:`_live_kernel`) and Spark 4's ``transformWithStateInPandas``
+    (:class:`BookStatefulProcessor`) — so the book semantics exist in
+    exactly one place. Returns (output frames, new state JSON).
 
     Book uses float price keys (wire decimal strings are ≤4 dp — float
     equality on parsed values is exact in that domain) serialized to JSON
     between batches.
     """
-    if state.exists:
-        raw = state.get[0]
-        book = json.loads(raw) if raw else {"bids": [], "asks": []}
-    else:
-        book = {"bids": [], "asks": []}
+    book = json.loads(book_json) if book_json else {"bids": [], "asks": []}
     bids = {float(p): float(s) for p, s in book["bids"]}
     asks = {float(p): float(s) for p, s in book["asks"]}
     # incremental top-of-book, same O(1)-amortized scheme as the batch
@@ -142,6 +152,7 @@ def _live_kernel(
     frames = (
         [pd.concat(chunks, ignore_index=True)] if len(chunks) > 1 else chunks
     )
+    outputs: list[pd.DataFrame] = []
     for pdf in frames:
         pdf = pdf.sort_values(["file_hour", "line_id", "msg_idx"],
                               kind="mergesort")
@@ -194,14 +205,47 @@ def _live_kernel(
                 out["price"].append(float(row.price))
                 out["size"].append(float(row.size))
         if out["timestamp"]:
-            yield pd.DataFrame(out)
+            outputs.append(pd.DataFrame(out))
 
-    state.update(
-        (json.dumps({
-            "bids": [[p, s] for p, s in bids.items()],
-            "asks": [[p, s] for p, s in asks.items()],
-        }),)
-    )
+    new_state = json.dumps({
+        "bids": [[p, s] for p, s in bids.items()],
+        "asks": [[p, s] for p, s in asks.items()],
+    })
+    return outputs, new_state
+
+
+def _live_kernel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState adapter over :func:`_run_book_kernel`."""
+    prev = state.get[0] if state.exists else None
+    outputs, new_state = _run_book_kernel(prev, pdfs)
+    state.update((new_state,))
+    yield from outputs
+
+
+class BookStatefulProcessor(StatefulProcessor):
+    """Spark 4 ``transformWithStateInPandas`` adapter over the same
+    :func:`_run_book_kernel` core (the forward-path state API; requires
+    the RocksDB state store provider).
+
+    Same book-reconstruction semantics, new handle-based state: one
+    ValueState holding the serialized book per asset key.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("book", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        prev = self._state.get()[0] if self._state.exists() else None
+        outputs, new_state = _run_book_kernel(prev, rows)
+        self._state.update((new_state,))
+        yield from outputs
+
+    def close(self) -> None:
+        pass
 
 
 def live_bbo_bars(
@@ -242,13 +286,44 @@ def live_bbo_bars(
     )
 
 
-def live_ticks(frames_stream: DataFrame) -> DataFrame:
-    """Streaming frames → streaming ticks (append mode, per-asset state)."""
+def live_ticks(
+    frames_stream: DataFrame, state_api: str = "apply"
+) -> DataFrame:
+    """Streaming frames → streaming ticks (append mode, per-asset state).
+
+    ``state_api`` picks the Structured Streaming state API:
+
+    * ``"apply"`` (default) — ``applyInPandasWithState`` (Spark 3.4+; the
+      broadly-available API).
+    * ``"transform"`` — Spark 4's ``transformWithStateInPandas``
+      (:class:`BookStatefulProcessor`), the forward path. Needs the
+      RocksDB state store provider
+      (``spark.sql.streaming.stateStore.providerClass`` →
+      ``...RocksDBStateStoreProvider``).
+
+    Both adapters share :func:`_run_book_kernel`, so semantics are
+    identical; a parity test drives each against the batch replay.
+    """
     feed = parse_feed_messages(frames_stream)
     feed = feed.filter(
         F.col("event_type").isin("book", "price_change", "last_trade_price")
     )
-    return feed.groupBy("asset_id").applyInPandasWithState(
+    grouped = feed.groupBy("asset_id")
+    if state_api == "transform":
+        if not hasattr(grouped, "transformWithStateInPandas"):
+            raise NotImplementedError(
+                "transformWithStateInPandas needs Spark >= 4.0; "
+                "use state_api='apply'"
+            )
+        return grouped.transformWithStateInPandas(
+            statefulProcessor=BookStatefulProcessor(),
+            outputStructType=TICK_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    if state_api != "apply":
+        raise ValueError(f"unknown state_api {state_api!r}")
+    return grouped.applyInPandasWithState(
         _live_kernel,
         outputStructType=TICK_SCHEMA,
         stateStructType=STATE_SCHEMA,

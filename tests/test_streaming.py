@@ -283,6 +283,124 @@ def test_live_bbo_bars_with_watermark(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_book_stateful_processor_adapter_offline():
+    """BookStatefulProcessor (the transformWithStateInPandas adapter)
+    drives the shared kernel correctly through the handle/ValueState
+    protocol — exercised offline with a fake handle, since the real
+    runner needs protobuf (absent here). State must carry across calls."""
+    from polymarket_data_ingestor_spark.streaming.live import (
+        BookStatefulProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, new):
+            self.v = new
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+    mkt, asset = "0x" + "c" * 64, "42"
+
+    def row(i, et, **kw):
+        base = {"event_type": et, "timestamp": str(1000 + i), "market": mkt,
+                "asset_id": asset, "bids": None, "asks": None,
+                "changes": None, "side": None, "price": None, "size": None,
+                "file_hour": "2025-09-30-14", "line_id": i, "msg_idx": 0}
+        base.update(kw)
+        return base
+
+    proc = BookStatefulProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    # batch 1: snapshot
+    pdf1 = pd.DataFrame([row(0, "book",
+                             bids=[{"price": "0.4", "size": "10"}],
+                             asks=[{"price": "0.6", "size": "4"}])])
+    out1 = pd.concat(list(proc.handleInputRows((asset,), iter([pdf1]), None)))
+    assert list(out1[["side", "price", "size"]].itertuples(index=False)) == [
+        ("ASK", 0.6, 4.0), ("BID", 0.4, 10.0)]
+    # batch 2: a change against the PERSISTED book from batch 1
+    pdf2 = pd.DataFrame([row(1, "price_change",
+                             changes=[{"price": "0.45", "size": "7",
+                                       "side": "BUY"}])])
+    out2 = pd.concat(list(proc.handleInputRows((asset,), iter([pdf2]), None)))
+    assert list(out2[["side", "price", "size"]].itertuples(index=False)) == [
+        ("ASK", 0.6, 4.0), ("BID", 0.45, 7.0)]
+    proc.close()
+
+
+def test_live_ticks_transform_with_state_parity(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas path ≡ the naive oracle (same
+    shared kernel as the applyInPandasWithState path; needs the RocksDB
+    state store provider)."""
+    import pyspark
+
+    if int(pyspark.__version__.split(".")[0]) < 4:
+        pytest.skip("transformWithStateInPandas needs Spark >= 4.0")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas' state protocol needs the "
+            "'protobuf' package (absent in this sandbox); the adapter "
+            "shares _run_book_kernel with the tested apply path"
+        )
+    src = tmp_path / "frames"
+    paths = write_fixture_files(src, n_hours=2, msgs_per_hour=60, seed=13)
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_frames_stream(spark, str(src) + "/*.jsonl",
+                                    max_files_per_trigger=1)
+        q = (
+            live_ticks(stream, state_api="transform")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if old is not None:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+
+    got = (
+        pd.read_parquet(out)
+        .sort_values(TICK_COLUMNS, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(naive_replay(paths), columns=TICK_COLUMNS)
+        .sort_values(TICK_COLUMNS, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_live_ticks_matches_batch_replay(spark, tmp_path):
     """Streaming (1 file per micro-batch, state across batches) ≡ batch."""
     src = tmp_path / "frames"
