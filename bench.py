@@ -108,6 +108,12 @@ def main() -> None:
     t0 = time.perf_counter()
     n_ticks = replay(spark, paths).count()
     timings["replay_e2e"] = round(time.perf_counter() - t0, 3)
+    # The hot-asset skew mitigation (group per (asset, snapshot-segment)):
+    # identical output; timed here so the window's overhead vs the skew
+    # win stays visible round-over-round.
+    t0 = time.perf_counter()
+    replay(spark, paths, split_at_snapshots=True).count()
+    timings["replay_e2e_segmented"] = round(time.perf_counter() - t0, 3)
 
     for name in BENCH_QUERIES:
         q = CATALOG[name]

@@ -227,6 +227,8 @@ def replay_feed_messages(
     feed: DataFrame,
     markets: Iterable[str] | None = None,
     in_log_order: bool = False,
+    split_at_snapshots: bool = False,
+    snapshots_per_segment: int = 1000,
 ) -> DataFrame:
     """Feed-message rows → tick DataFrame via the stateful kernel.
 
@@ -239,6 +241,22 @@ def replay_feed_messages(
     ``in_log_order=True`` globally sorts the result by the replay key,
     reproducing the reference's strict interleaved log-order Parquet. Default
     keeps per-asset-contiguous order (cheaper: no extra global sort).
+
+    ``split_at_snapshots=True`` is the hot-asset skew mitigation: a
+    ``book`` snapshot fully resets per-asset state, so an asset's stream
+    factors into independent segments at snapshot boundaries — segment 0
+    (pre-snapshot diffs against an empty book, ``tick_generator.rs:339-343``)
+    plus one segment per ``snapshots_per_segment`` snapshots (coarse on
+    purpose: each segment must stay big enough to amortize per-group
+    kernel overhead — a segment per *individual* snapshot on a
+    snapshot-heavy feed explodes the group count and the overhead eats
+    the win). The kernel then groups on ``(asset_id, segment)`` instead
+    of ``asset_id``, spreading a hyper-active asset across executors;
+    outputs are identical row-for-row (the order columns still
+    reconstruct global order). Costs one window pass to number the
+    segments, so it's opt-in — flip it on when one asset dominates a
+    partition (the per-key skew AQE cannot fix, because a *stateful*
+    group can't be split without this semantic argument).
     """
     if markets is not None:
         ids = list(markets)
@@ -322,7 +340,31 @@ def replay_feed_messages(
         .when(F.col("event_type") == "last_trade_price", trade_pair)
         .alias("changes_flat"),
     )
-    ticks = packed.groupBy("asset_id").applyInPandas(
+    if split_at_snapshots:
+        from pyspark.sql import Window
+
+        # Running count of snapshots up to AND including this message:
+        # a segment boundary falls on every snapshots_per_segment-th
+        # snapshot, so each segment starts at a snapshot (which replaces
+        # the whole book, making prior state irrelevant); segment 0
+        # replays pre-snapshot diffs against the empty book — both
+        # exactly the unsegmented semantics.
+        w = (
+            Window.partitionBy("asset_id")
+            .orderBy("file_hour", "line_id", "msg_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        snap_count = F.sum(
+            F.when(F.col("kind_code") == KIND_BOOK, 1).otherwise(0)
+        ).over(w)
+        packed = packed.withColumn(
+            "__segment",
+            snap_count - (snap_count % F.lit(snapshots_per_segment)),
+        )
+        group_cols = ["asset_id", "__segment"]
+    else:
+        group_cols = ["asset_id"]
+    ticks = packed.groupBy(*group_cols).applyInPandas(
         _replay_group, schema=REPLAY_OUTPUT_SCHEMA
     )
     if in_log_order:
@@ -336,12 +378,16 @@ def replay(
     markets: Iterable[str] | None = None,
     in_log_order: bool = False,
     ticks_only: bool = True,
+    split_at_snapshots: bool = False,
+    snapshots_per_segment: int = 1000,
 ) -> DataFrame:
     """End-to-end replay: raw frame logs → tick table (SURVEY §3.1).
 
     ``replay(spark, paths)`` reads + parses + replays; ``replay(frames_df)``
     replays an already-read frames DataFrame. ``ticks_only=True`` projects to
     the reference's exact 7-column sink schema (``tick_generator.rs:50-58``).
+    ``split_at_snapshots`` — see :func:`replay_feed_messages` (hot-asset
+    skew mitigation; identical output).
     """
     from polymarket_data_ingestor_spark.sources.frames import (
         parse_feed_messages,
@@ -353,7 +399,13 @@ def replay(
     else:
         frames = spark_or_frames
     feed = parse_feed_messages(frames)
-    ticks = replay_feed_messages(feed, markets=markets, in_log_order=in_log_order)
+    ticks = replay_feed_messages(
+        feed,
+        markets=markets,
+        in_log_order=in_log_order,
+        split_at_snapshots=split_at_snapshots,
+        snapshots_per_segment=snapshots_per_segment,
+    )
     if ticks_only:
         ticks = ticks.select(*TICK_COLUMNS)
     return ticks

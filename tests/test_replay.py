@@ -209,6 +209,58 @@ def test_zstd_roundtrip(spark, tmp_path, fixture_paths):
     assert a == b and len(a) > 0
 
 
+def test_split_at_snapshots_parity(spark, fixture_paths):
+    """Snapshot-segmented replay (hot-asset skew mitigation) must be
+    row-for-row identical to the unsegmented kernel: a book snapshot
+    resets all state, so segments are independent by construction."""
+    normal = _spark_rows(replay(spark, [str(p) for p in fixture_paths],
+                                in_log_order=True, ticks_only=False))
+    segmented = _spark_rows(replay(spark, [str(p) for p in fixture_paths],
+                                   in_log_order=True, ticks_only=False,
+                                   split_at_snapshots=True))
+    assert segmented == normal and len(normal) > 0
+
+
+def test_split_at_snapshots_hot_asset(spark, tmp_path):
+    """One hyper-active asset with many snapshots: segmented output equals
+    the naive oracle (segments genuinely split the group — the asset has
+    multiple snapshots, so > 1 segment exists)."""
+    import random
+
+    rng = random.Random(99)
+    mkt, asset = _mkt_id(3), _asset_id(3, 1)
+    msgs = []
+    ts = 1759240800000
+    for i in range(400):
+        ts += rng.randint(1, 100)
+        if i % 50 == 0:  # periodic full snapshot → 8 segments
+            msgs.append({"event_type": "book", "timestamp": str(ts),
+                         "market": mkt, "asset_id": asset,
+                         "bids": [{"price": "0.40", "size": str(i + 1)}],
+                         "asks": [{"price": "0.60", "size": "5"}]})
+        else:
+            side = rng.choice(["BUY", "SELL"])
+            lo = 0.3 if side == "BUY" else 0.5
+            msgs.append({
+                "event_type": "price_change", "timestamp": str(ts),
+                "market": mkt, "asset_id": asset,
+                "changes": [{
+                    "price": f"{lo + 0.001 * rng.randint(0, 99):.3f}",
+                    "size": "0" if rng.random() < 0.3
+                    else str(rng.randint(1, 99)),
+                    "side": side}],
+            })
+    p = tmp_path / "2025-09-30-14.jsonl"
+    p.write_text("\n".join(
+        json.dumps({"timestamp": "t", "message_type": "feed_message",
+                    "content": json.dumps([m])}) for m in msgs) + "\n")
+    got = _spark_rows(replay(spark, [str(p)], in_log_order=True,
+                             ticks_only=False, split_at_snapshots=True,
+                             snapshots_per_segment=2))
+    want = naive_replay([p])
+    assert got == want
+
+
 def test_line_id_order_on_multisplit_jsonl(spark, tmp_path):
     """The line-ordering contract (sources/frames.py line_id) must hold
     even when a plain .jsonl file splits into many read partitions:
