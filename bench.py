@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "multires_rollup",
     "embedding_dup_pairs_lsh",
     "hamming_dup_pairs",
+    "pack_sequences",
+    "stratified_sample",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Sequence packing for LLM pretraining data (beyond-reference operator).
+
+GPT-style concat-and-chunk packing: documents are laid out end-to-end in a
+deterministic order and cut into fixed ``seq_len``-token training
+sequences; a document crossing a boundary is split across the adjacent
+sequences. The output is the *assignment map* (sequence id ↔ document
+span), which downstream tokenization jobs consume to materialize each
+sequence.
+
+Scale design: the global token offset is a prefix sum. A naive
+``Window.orderBy`` over the whole corpus collapses to ONE partition — a
+non-starter at 100 TB — so the prefix sum is two-level: a within-shard
+cumulative sum (window partitioned by shard) plus exclusive shard offsets
+(one tiny aggregate, cumulated driver-side-small and broadcast back).
+Everything is exact integer arithmetic → bit-reproducible in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.operators.text import tokens
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_size: int = 100_000,
+) -> DataFrame:
+    """Assignment map of documents to fixed-length training sequences.
+
+    Output: one row per (sequence, document) overlap —
+    ``(seq_id, doc_id, doc_start, n_tok)``: tokens
+    ``[doc_start, doc_start + n_tok)`` of ``doc_id`` land in sequence
+    ``seq_id``. Documents are packed in ``id_col`` order; token counts are
+    whitespace tokens (swap in a real tokenizer's counts upstream).
+
+    The two-level prefix sum keeps every stage wide: per-shard window
+    (shard = ``id_col div shard_size``), then a #shards-row cumulative
+    offset broadcast back — no single-partition global sort.
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(tokens(text_col)), F.lit(1)).cast("long")
+        .alias("__n_tok"),
+        F.expr(f"{id_col} div {shard_size}").alias("__shard"),
+    )
+    w_in = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__cum_in_shard", F.sum("__n_tok").over(w_in))
+
+    shard_tot = d.groupBy("__shard").agg(
+        F.sum("__n_tok").alias("__shard_tok")
+    )
+    w_sh = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # #shards rows only — the single-partition window here is over a
+    # driver-small relation, then broadcast back.
+    offsets = F.broadcast(
+        shard_tot.withColumn(
+            "__shard_off",
+            F.sum("__shard_tok").over(w_sh) - F.col("__shard_tok"),
+        ).select("__shard", "__shard_off")
+    )
+
+    laid = d.join(offsets, "__shard").select(
+        id_col,
+        "__n_tok",
+        (F.col("__shard_off") + F.col("__cum_in_shard")).alias("__end"),
+    ).withColumn("__start", F.col("__end") - F.col("__n_tok"))
+
+    # A doc spans sequences floor(start/L) .. floor((end-1)/L); its
+    # intersection with sequence s is [max(start, s*L), min(end, (s+1)*L)).
+    first_seq = F.expr(f"__start div {seq_len}")
+    last_seq = F.expr(f"(__end - 1) div {seq_len}")
+    spanned = laid.select(
+        id_col,
+        "__start",
+        "__end",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("__start"), F.col("seq_id") * seq_len)
+    hi = F.least(F.col("__end"), (F.col("seq_id") + 1) * seq_len)
+    return spanned.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col(id_col),
+        (lo - F.col("__start")).cast("long").alias("doc_start"),
+        (hi - lo).cast("long").alias("n_tok"),
+    )

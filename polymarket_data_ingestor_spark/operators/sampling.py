@@ -1,0 +1,83 @@
+"""Deterministic sampling for training-data mixtures (beyond-reference).
+
+Pretraining pipelines need *reproducible* subsampling: the same corpus +
+the same config must select the same documents on any engine, any
+partitioning, any day. Both operators key off the md5-based ``hash32`` —
+the engine's portable content hash — so the selection is a pure function
+of (id, seed), never of partition layout or RNG state:
+
+* :func:`stratified_sample` — per-stratum Bernoulli rates (e.g. language
+  or source mixture weights) via ``hash32(seed:id) % 10000 < rate``.
+  One scan, no shuffle, filter pushes down.
+* :func:`rank_sample` — exactly-k-per-stratum without replacement:
+  rank by the hash within each stratum, keep the top k. One shuffle on
+  the stratum key (skew-safe: strata are few and the rank is a heap-like
+  top-k under AQE).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.functions.scalars import hash32
+
+#: Rate denominator: rates are expressed in permyriad (1/10000).
+RATE_DENOM = 10_000
+
+
+def _sample_hash(id_col: str, seed: int) -> Column:
+    return hash32(F.col(id_col).cast("string"), seed=seed) % RATE_DENOM
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 1,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample.
+
+    ``rates`` maps stratum value → keep probability in [0, 1] (resolved
+    to permyriad). Selection = ``hash32(seed:id) % 10000 < rate``: the
+    same rows survive on every engine and every run. No shuffle — it is
+    a pure filter, and Catalyst pushes the stratum predicate to the scan.
+    """
+    rate_expr: Column = F.lit(int(default_rate * RATE_DENOM))
+    for value, rate in sorted(rates.items()):
+        rate_expr = (
+            F.when(F.col(stratum_col) == value,
+                   F.lit(int(rate * RATE_DENOM)))
+            .otherwise(rate_expr)
+        )
+    return df.filter(_sample_hash(id_col, seed) < rate_expr)
+
+
+def rank_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (without replacement).
+
+    Ranks rows within each stratum by ``(hash32(seed:id), id)`` — a
+    reproducible shuffle order — and keeps the first k. Ties on the hash
+    are broken by id, so the selection is total-ordered and
+    engine-portable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        _sample_hash(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from polymarket_data_ingestor_spark.functions.scalars import sql_hash32
 from polymarket_data_ingestor_spark.operators import dedup as D
 from polymarket_data_ingestor_spark.operators import multimodal as M
 from polymarket_data_ingestor_spark.operators import similarity as S
@@ -430,6 +431,107 @@ def q_embedding_dup_pairs_lsh(spark, sf_dir):
         table(spark, sf_dir, "embeddings"), threshold=0.4,
         n_bands=_LSH_BANDS, band_bits=_LSH_BITS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture construction: packing + deterministic sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH laid AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS "end"
+      FROM (SELECT doc_id,
+                   greatest(len({_SQL_TOKS}), 1) AS n_tok
+            FROM documents)
+    ), spanned AS (
+      SELECT doc_id, "end" - n_tok AS "start", "end",
+             unnest(generate_series(("end" - n_tok) // 128,
+                                    ("end" - 1) // 128)) AS seq_id
+      FROM laid
+    )
+    SELECT seq_id, doc_id,
+           greatest("start", seq_id * 128) - "start" AS doc_start,
+           least("end", (seq_id + 1) * 128)
+             - greatest("start", seq_id * 128) AS n_tok
+    FROM spanned
+    """,
+    doc="GPT-style concat-and-chunk sequence packing (128-token "
+    "sequences): the (seq_id, doc span) assignment map. Spark side uses "
+    "a TWO-LEVEL prefix sum (per-shard window + broadcast shard offsets) "
+    "— no single-partition global sort; the oracle's plain global cumsum "
+    "proves the values identical.",
+    tags=("trainmix",),
+)
+def q_pack_sequences(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    # shard_size 100 → many shards even on the small fixture, so the
+    # two-level prefix sum is genuinely exercised
+    return pack_sequences(
+        table(spark, sf_dir, "documents"), seq_len=128, shard_size=100
+    )
+
+
+_SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.1}
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ({sql_hash32("CAST(doc_id AS VARCHAR)", seed=1)} % 10000) <
+          CASE {"".join(
+              f"WHEN lang = '{lang}' THEN {int(rate * 10000)} "
+              for lang, rate in sorted(_SAMPLE_RATES.items()))}
+          ELSE 0 END
+    """,
+    doc="Deterministic per-language Bernoulli sample (mixture weights "
+    "en .8 / de .5 / fr .25 / zh .1) keyed on hash32(seed:id) — same "
+    "selection on any engine/partitioning; pure pushed-down filter, no "
+    "shuffle.",
+    tags=("trainmix",),
+)
+def q_stratified_sample(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return stratified_sample(d, _SAMPLE_RATES, seed=1).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "rank_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ({sql_hash32("CAST(doc_id AS VARCHAR)", seed=1)}
+                         % 10000), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 25
+    """,
+    doc="Exactly-25-per-language deterministic sample without "
+    "replacement: rank by the portable hash within each stratum "
+    "(hash-then-id total order), keep the top 25.",
+    tags=("trainmix",),
+)
+def q_rank_sample(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.sampling import rank_sample
+
+    d = table(spark, sf_dir, "documents")
+    return rank_sample(d, k=25, seed=1).select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,101 @@
+"""Semantics tests for sequence packing + deterministic sampling.
+
+The catalog oracles pin cross-engine value parity; these pin the operator
+invariants: full-sequence packing, shard-size invariance of the two-level
+prefix sum, per-stratum rates, and exact-k selection.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.operators.packing import pack_sequences
+from polymarket_data_ingestor_spark.operators.sampling import (
+    rank_sample,
+    stratified_sample,
+)
+from polymarket_data_ingestor_spark.operators.text import tokens
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_pack_sequences_full_and_contiguous(spark, docs):
+    out = pack_sequences(docs, seq_len=128).toPandas()
+    # Every sequence except the last is exactly full.
+    per_seq = out.groupby("seq_id").n_tok.sum().sort_index()
+    assert (per_seq.iloc[:-1] == 128).all()
+    assert 0 < per_seq.iloc[-1] <= 128
+    # Each document is fully assigned, in contiguous chunks from token 0.
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.greatest(F.size(tokens("text")), F.lit(1)).alias("n"),
+        ).collect()
+    }
+    for doc_id, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("seq_id")
+        assert grp.n_tok.sum() == toks[doc_id]
+        assert grp.doc_start.iloc[0] == 0
+        assert (grp.doc_start.to_numpy()[1:]
+                == grp.doc_start.to_numpy()[:-1]
+                + grp.n_tok.to_numpy()[:-1]).all()
+        # spanning docs occupy consecutive sequences
+        assert (grp.seq_id.diff().dropna() == 1).all()
+
+
+def test_pack_sequences_shard_size_invariant(spark, docs):
+    """The two-level prefix sum must give identical offsets for ANY shard
+    size (including one shard per handful of docs)."""
+    a = sorted(map(tuple, pack_sequences(docs, seq_len=64, shard_size=7)
+                   .collect()))
+    b = sorted(map(tuple, pack_sequences(docs, seq_len=64,
+                                         shard_size=10**6).collect()))
+    assert a == b
+
+
+def test_stratified_sample_rates_and_determinism(spark, docs):
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.0}
+    kept = stratified_sample(docs, rates, seed=1)
+    n_by_lang = {r.lang: r.n for r in
+                 kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot_by_lang = {r.lang: r.n for r in
+                   docs.groupBy("lang").agg(F.count("*").alias("n"))
+                   .collect()}
+    assert n_by_lang["en"] == tot_by_lang["en"]  # rate 1.0 keeps all
+    assert "fr" not in n_by_lang  # rate 0.0 drops all
+    assert "zh" not in n_by_lang  # unlisted stratum -> default 0
+    # rate 0.5 lands in a loose binomial window
+    assert 0.25 * tot_by_lang["de"] < n_by_lang["de"] < 0.75 * tot_by_lang["de"]
+    # deterministic: same selection both runs
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               stratified_sample(docs, rates, seed=1).select("doc_id")
+               .collect())
+    assert a == b
+    # a different seed selects a different subset
+    c = sorted(r.doc_id for r in
+               stratified_sample(docs, rates, seed=2).select("doc_id")
+               .collect())
+    assert a != c
+
+
+def test_rank_sample_exact_k(spark, docs):
+    out = rank_sample(docs, k=10, seed=1)
+    sizes = {r.lang: r.n for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r.lang: r.n for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(10, tot[lang])
+    # selection is a deterministic function of (id, seed)
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               rank_sample(docs, k=10, seed=1).select("doc_id").collect())
+    assert a == b
