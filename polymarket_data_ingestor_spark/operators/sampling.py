@@ -8,7 +8,9 @@ of (id, seed), never of partition layout or RNG state:
 
 * :func:`stratified_sample` — per-stratum Bernoulli rates (e.g. language
   or source mixture weights) via ``hash32(seed:id) % 10000 < rate``.
-  One scan, no shuffle, filter pushes down.
+  One scan, no shuffle; the predicate runs inside the scan's
+  whole-stage-codegen filter (the md5 itself can't prune row groups,
+  but nothing shuffles and only the referenced columns are read).
 * :func:`rank_sample` — exactly-k-per-stratum without replacement:
   rank by the hash within each stratum, keep the top k. One shuffle on
   the stratum key (skew-safe: strata are few and the rank is a heap-like

@@ -534,9 +534,78 @@ def q_rank_sample(spark, sf_dir):
     return rank_sample(d, k=25, seed=1).select("doc_id", "lang")
 
 
-# ---------------------------------------------------------------------------
-# Multimodal plumbing (stubbed decode; real Spark machinery)
-# ---------------------------------------------------------------------------
+@register(
+    "curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             round(least(n_tok / 64.0, 1.0) * 0.25
+                   + (n_uniq / n_tok) * 0.5
+                   + (1.0 - (n_chars - n_alnum) / n_chars) * 0.25, 6)
+               AS quality
+      FROM (
+        SELECT doc_id, lang, text,
+               CAST(len(toks) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                    AS DOUBLE) AS n_alnum
+        FROM (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks
+              FROM documents))
+    ), quality_kept AS (
+      SELECT * FROM scored WHERE quality >= 0.5
+    ), deduped AS (
+      SELECT * FROM quality_kept WHERE doc_id IN (
+        SELECT min(doc_id) FROM quality_kept GROUP BY md5(text))
+    ), sampled AS (
+      SELECT * FROM deduped
+      WHERE ({sql_hash32("CAST(doc_id AS VARCHAR)", seed=1)} % 10000) <
+            CASE WHEN lang = 'en' THEN 10000
+                 WHEN lang = 'de' THEN 5000 ELSE 2500 END
+    ), laid AS (
+      SELECT doc_id, lang, quality, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS "end"
+      FROM (SELECT doc_id, lang, quality,
+                   greatest(len({_SQL_TOKS}), 1) AS n_tok FROM sampled)
+    )
+    SELECT ("end" - n_tok) // 128 AS seq_id, doc_id, lang, quality
+    FROM laid
+    """,
+    doc="End-to-end curation pipeline COMPOSED from the catalog's "
+    "stage operators: quality filter (>= 0.5) -> exact dedup (keep "
+    "min-id per digest) -> language-stratified sample (en 1.0 / de .5 / "
+    "else .25) -> sequence assignment (first sequence each surviving "
+    "doc starts in). One Spark job; every stage is the same code the "
+    "individual entries exercise.",
+    tags=("trainmix", "pipeline"),
+)
+def q_curation_pipeline(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        drop_exact_dupes,
+    )
+    from polymarket_data_ingestor_spark.operators.packing import (
+        pack_sequences,
+    )
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    scored = T.quality_score(d).select("doc_id", "quality").join(d, "doc_id")
+    kept = scored.filter(F.col("quality") >= 0.5)
+    deduped = drop_exact_dupes(kept)
+    sampled = stratified_sample(
+        deduped, {"en": 1.0, "de": 0.5}, seed=1, default_rate=0.25
+    )
+    packed = pack_sequences(sampled, seq_len=128, shard_size=100)
+    first_seq = packed.filter(F.col("doc_start") == 0).select(
+        "seq_id", "doc_id"
+    )
+    return first_seq.join(
+        sampled.select("doc_id", "lang", "quality"), "doc_id"
+    ).select("seq_id", "doc_id", "lang", "quality")
 
 @register(
     "multimodal_features",
