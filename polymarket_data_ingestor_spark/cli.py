@@ -10,6 +10,9 @@ Mirrors ``cli/src/main.rs``:
   first (or last) ``active_markets`` snapshot → substring filter → token
   unnest → sink (S8 CSV columns ``question,question_id,outcome,token_id``
   per ``main.rs:224-231``; S9 pretty; raw JSON).
+* ``collect [--out-dir d] [--markets-file f] [--sampling] [--compress]``
+  — the reference's ``collector`` binary: live WebSocket collection into
+  hourly framed JSONL logs (``collector/src/main.rs:300-407``).
 
 Usage: ``python -m polymarket_data_ingestor_spark <command> ...``
 """
@@ -121,6 +124,46 @@ def cmd_markets(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_collect(args: argparse.Namespace) -> int:
+    """Live collection — the reference's primary ``collector`` binary
+    (``collector/src/main.rs:300-407``): fetch active markets, open one
+    WebSocket per market chunk, write hourly-rotating framed JSONL.
+
+    ``--markets-file`` substitutes a local JSON market list for the REST
+    fetch; the socket transport itself is the gated
+    :class:`~..streaming.collector.WebsocketsTransport` unless a test
+    injects a fake through the module attribute.
+    """
+    from polymarket_data_ingestor_spark.sources.rest import (
+        active_filter,
+        fetch_markets,
+        fetch_sampling_markets,
+        http_fetch_page,
+    )
+    from polymarket_data_ingestor_spark.streaming import collector
+
+    if args.markets_file:
+        markets = json.loads(Path(args.markets_file).read_text())
+
+        def fetch() -> list[dict]:
+            return active_filter(markets)
+    elif args.sampling:
+        def fetch() -> list[dict]:
+            return active_filter(
+                fetch_sampling_markets(http_fetch_page("/sampling-markets"))
+            )
+    else:
+        def fetch() -> list[dict]:
+            return active_filter(fetch_markets(http_fetch_page()))
+
+    final = collector.collect(
+        args.out_dir, fetch, compress=args.compress
+    )
+    if final is not None:
+        print(f"final file: {final}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="polymarket_data_ingestor_spark",
@@ -154,6 +197,18 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("-o", "--output", default=None,
                    help="write CSV here instead of stdout")
     m.set_defaults(fn=cmd_markets)
+
+    c = sub.add_parser("collect",
+                       help="live WebSocket collection -> framed JSONL logs")
+    c.add_argument("--out-dir", default="data/raw",
+                   help="directory for hourly log files")
+    c.add_argument("--markets-file", default=None,
+                   help="JSON list of markets (skips the REST fetch)")
+    c.add_argument("--sampling", action="store_true",
+                   help="use the sampling-markets endpoint")
+    c.add_argument("--compress", action="store_true",
+                   help="gzip the log files")
+    c.set_defaults(fn=cmd_collect)
     return p
 
 

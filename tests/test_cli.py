@@ -20,6 +20,81 @@ def test_parser_markets_formats():
     assert args.format == "csv"
 
 
+def test_parser_collect_defaults():
+    args = build_parser().parse_args(["collect", "--markets-file", "m.json"])
+    assert args.command == "collect"
+    assert args.out_dir == "data/raw"
+    assert args.markets_file == "m.json"
+    assert not args.sampling and not args.compress
+
+
+def test_cmd_collect_end_to_end(tmp_path, monkeypatch):
+    """`collect --markets-file` drives the real loop through the CLI with
+    a fake transport injected at the module seam, producing a rotated
+    framed log whose first frame is the market snapshot."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.cli import main
+    from polymarket_data_ingestor_spark.streaming import collector as C
+
+    markets = [{
+        "condition_id": "0x" + "a" * 64,
+        "enable_order_book": True, "accepting_orders": True,
+        "archived": False, "closed": False,
+        "tokens": [{"token_id": str(10**70 + 1)}],
+    }]
+    mf = tmp_path / "markets.json"
+    mf.write_text(_json.dumps(markets))
+    out = tmp_path / "logs"
+
+    class FakeConn:
+        def __init__(self):
+            self.msgs = [_json.dumps([{"event_type": "x"}])] * 3
+
+        def send(self, text):
+            pass
+
+        def recv(self, timeout):
+            if not self.msgs:
+                raise C.TransportClosed("eof")
+            return self.msgs.pop(0)
+
+        def close(self):
+            self.closed = True
+
+    conn = FakeConn()
+
+    class FakeTransport(C.Transport):
+        def __init__(self):
+            pass
+
+        def connect(self, url):
+            if conn.msgs:
+                return conn
+            raise C.TransportClosed("done")
+
+    monkeypatch.setattr(C, "WebsocketsTransport", FakeTransport)
+    # stop once the scripted messages drain (collect polls stop() between
+    # rounds; sleep is real here but bounded by the 0.5 s backoff)
+    monkeypatch.setattr(C, "NORMAL_BACKOFF_S", 0.0)
+    orig_collect = C.collect
+
+    def patched_collect(out_dir, fetch_markets, **kw):
+        kw["stop"] = lambda: not conn.msgs
+        return orig_collect(out_dir, fetch_markets, **kw)
+
+    monkeypatch.setattr(C, "collect", patched_collect)
+    rc = main(["collect", "--out-dir", str(out),
+               "--markets-file", str(mf)])
+    assert rc == 0
+    files = list(out.glob("*.jsonl"))
+    assert len(files) == 1
+    frames = [_json.loads(x) for x in files[0].read_text().splitlines()]
+    assert frames[0]["message_type"] == "active_markets"
+    assert sum(f["message_type"] == "feed_message" for f in frames) == 3
+    assert frames[-1]["message_type"] == "shutdown_initiated"
+
+
 def test_resolve_paths_prunes_and_sorts(tmp_path):
     write_fixture_files(tmp_path, n_hours=3, msgs_per_hour=5, seed=1)
     (tmp_path / "current").mkdir(exist_ok=True)
