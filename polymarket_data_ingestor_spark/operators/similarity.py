@@ -65,14 +65,24 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # Norms once per vector (not once per (query, vector) pair): the pair
+    # expression dot/(qn*vn) is the identical op sequence to cosine() —
+    # bit-exact — but folds the corpus norm n_queries-fold less often.
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
         )
     )
-    cos = cosine(F.col("__qvec"), F.col(vec_col))
+    e = emb.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn")
+    )
+    cos = _dot(F.col("__qvec"), F.col(vec_col)) / (
+        F.col("__qn") * F.col("__vn")
+    )
     scored = (
-        emb.crossJoin(q)
+        e.crossJoin(q)
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,

@@ -940,6 +940,35 @@ def q_approx_distinct_users(spark, sf_dir):
 
 
 @register(
+    "approx_value_quantiles",
+    None,  # sketch interpolation is engine-specific → rows-only check
+    doc="Approximate percentiles (Greenwald-Khanna-style sketch, accuracy "
+    "10000): the constant-memory quantile path — an exact per-group "
+    "percentile needs a per-group sort at 100 TB, the sketch is one "
+    "mergeable pass. No SQL oracle (interpolation differs per engine); "
+    "tests pin each estimate against the exact percentile within the "
+    "sketch's rank-error bound.",
+    tags=("agg", "sketch"),
+)
+def q_approx_value_quantiles(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95], 10000)
+            .alias("approx_q"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("approx_q")[0], 6).alias("p50"),
+            F.round(F.col("approx_q")[1], 6).alias("p95"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "count_distinct_users",
     """
     SELECT event_type,
@@ -958,6 +987,39 @@ def q_count_distinct_users(spark, sf_dir):
             F.count_distinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
+    )
+
+
+@register(
+    "variant_props_agg",
+    """
+    SELECT event_type,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           count(*) AS n
+    FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+    doc="Semi-structured props via Spark 4's VARIANT type: parse_json "
+    "once, variant_get typed extraction, then a plain aggregate — the "
+    "forward path for dynamic fields (the reference's serde_json::Value "
+    "passthrough, SURVEY §2.8 C8) without a fixed schema or re-parsing "
+    "per field.",
+    tags=("scalar", "variant"),
+)
+def q_variant_props_agg(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("__v")
+    ).select(
+        "event_type",
+        F.variant_get("__v", "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

@@ -34,6 +34,34 @@ def read_market_info(frames: DataFrame, last: bool = False) -> DataFrame:
     return parsed.select(F.explode("snap.markets").alias("m")).select("m.*")
 
 
+def read_market_info_variant(
+    frames: DataFrame, last: bool = False
+) -> DataFrame:
+    """Dynamic-field-preserving snapshot reader: one VARIANT per market.
+
+    :func:`read_market_info` projects through the fixed
+    ``ACTIVE_MARKETS_SCHEMA``, silently dropping fields the upstream API
+    adds later (the reference's ``serde_json::Value`` passthrough keeps
+    them, ``collector/src/lib.rs`` market struct's flattened extras).
+    This variant-typed reader keeps EVERY field: ``market`` is a Spark 4
+    VARIANT column — extract typed paths with ``F.variant_get(market,
+    "$.field", type)`` or serialize back with ``F.to_json``. No schema
+    maintenance as the wire format evolves.
+    """
+    snaps = frames.filter(F.col("message_type") == "active_markets")
+    order = [F.col("file_hour"), F.col("line_id")]
+    if last:
+        order = [c.desc() for c in order]
+    first = snaps.orderBy(*order).limit(1)
+    return first.select(
+        F.explode(
+            F.variant_get(
+                F.parse_json("content"), "$.markets", "array<variant>"
+            )
+        ).alias("market")
+    )
+
+
 def active_markets(markets: DataFrame) -> DataFrame:
     """Active-market predicate F1 (``collector/src/lib.rs:69-71``)."""
     return markets.filter(

@@ -89,6 +89,34 @@ def test_approx_distinct_within_rsd_of_exact(spark):
         assert abs(approx[et] - n) <= max(3, 0.05 * n), (et, approx[et], n)
 
 
+def test_approx_quantiles_within_rank_error(spark):
+    """The quantile sketch must land within its rank-error bound of the
+    exact percentile (computed independently here via the exact
+    percentile aggregate)."""
+    from pyspark.sql import functions as F
+    from polymarket_data_ingestor_spark.plans.catalog import table
+
+    approx = {
+        r.event_type: (r.p50, r.p95)
+        for r in CATALOG["approx_value_quantiles"].spark(spark, SF).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for et, (e50, e95) in exact.items():
+        a50, a95 = approx[et]
+        # accuracy=10000 → rank error ≈ 1/10000; loose value-domain bound
+        assert abs(a50 - e50) <= max(0.01, 0.01 * abs(e50)), (et, a50, e50)
+        assert abs(a95 - e95) <= max(0.01, 0.01 * abs(e95)), (et, a95, e95)
+
+
 def test_dedup_exact_partial_agg(spark):
     plan = plan_of(spark, "dedup_exact")
     assert "partial_min" in plan and "partial_count" in plan

@@ -71,6 +71,32 @@ def test_read_market_info_and_filters(spark, fixture_paths):
     assert {"outcome", "token_id", "condition_id", "question"} <= set(toks.columns)
 
 
+def test_read_market_info_variant_keeps_dynamic_fields(spark, fixture_paths):
+    """The VARIANT reader must surface fields the fixed schema drops —
+    the fixture plants `extra_dynamic_field` on every market."""
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.sources.markets import (
+        read_market_info_variant,
+    )
+
+    frames = read_frames(spark, [str(p) for p in fixture_paths])
+    v = read_market_info_variant(frames)
+    out = v.select(
+        F.variant_get("market", "$.condition_id", "string").alias("cid"),
+        F.variant_get("market", "$.extra_dynamic_field", "string")
+        .alias("dyn"),
+        F.variant_get("market", "$.tokens[0].token_id", "string")
+        .alias("tok0"),
+    ).orderBy("cid").collect()
+    assert len(out) == 4
+    assert [r.dyn for r in out] == [f"dyn{i}" for i in range(4)]
+    # typed nested-path extraction agrees with the schema'd reader
+    fixed = {r.condition_id: r.tokens[0].token_id
+             for r in read_market_info(frames).collect()}
+    assert all(fixed[r.cid] == r.tok0 for r in out)
+
+
 # --- paths / time parsing -------------------------------------------------
 
 def test_parse_timestamp_multi():
