@@ -108,6 +108,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_wide(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Wide-form MinHash: one row per doc, columns ``__mh_0..__mh_{k-1}``.
+
+    All k minima are computed in ONE aggregation over the exploded
+    shingles — the shuffle carries (id, h) pairs with k tiny min buffers
+    instead of k× exploded rows (k=16 ⇒ 16× fewer shuffle rows than the
+    long-format-first plan). ``h_i(x) = (2i+1)*hash32(x) + i*b mod p``,
+    the standard universal family; min is order-insensitive so the values
+    are identical to any evaluation order.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("gram")
+    )
+    base = grams.select(id_col, hash32("gram").alias("h"))
+    # long literals: i * 987654321 overflows int32 under ANSI mode
+    b = F.lit(987_654_321).cast("long")
+    mins = [
+        F.min(
+            ((F.lit(2 * i + 1).cast("long")) * F.col("h") + F.lit(i).cast("long") * b)
+            % MINHASH_PRIME
+        ).alias(f"__mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return base.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -120,32 +152,18 @@ def minhash_signatures(
     ``h_i(x) = (a_i * hash32(x) + b_i) mod p`` with fixed odd ``a_i``,
     ``b_i`` derived from ``i`` — the standard universal-hash family, fully
     deterministic. Long format keeps every stage SQL-expressible (the
-    DuckDB oracle reproduces it exactly) and shuffles only
-    (id, idx, int64) triples.
+    DuckDB oracle reproduces it exactly); internally the minima come from
+    the single-pass wide aggregation (:func:`_minhash_wide`) and are
+    unpivoted — one shuffle of (id, h) pairs, never k× exploded rows.
     """
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("gram")
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    pairs = ", ".join(
+        f"CAST({i} AS BIGINT), __mh_{i}" for i in range(num_hashes)
     )
-    base = grams.select(id_col, hash32("gram").alias("h"))
-    hashed = base.select(
+    return wide.selectExpr(
         id_col,
-        # long hash_idx: idx * 987654321 overflows int32 under ANSI mode
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
-        ).alias("hash_idx"),
-        "h",
-    ).select(
-        id_col,
-        "hash_idx",
-        (
-            (
-                (F.col("hash_idx") * 2 + 1) * F.col("h")
-                + F.col("hash_idx") * F.lit(987_654_321).cast("long")
-            )
-            % MINHASH_PRIME
-        ).alias("hv"),
+        f"stack({num_hashes}, {pairs}) AS (hash_idx, minhash)",
     )
-    return hashed.groupBy(id_col, "hash_idx").agg(F.min("hv").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -164,18 +182,23 @@ def minhash_lsh_pairs(
     confirmed with :func:`ngram_jaccard_pairs` on the candidate set.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sigs.withColumn("band", F.expr(f"hash_idx div {rows_per_band}"))
-    # order within the band fixed by hash_idx → deterministic key string
-    band_keys = banded.groupBy(id_col, "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-            ",",
-        ).alias("band_key")
-    )
+    # Band keys straight from the wide single-pass signatures: the key is
+    # the ordered comma-join of the band's minima — no k× explode and no
+    # second groupBy; one explode of `bands` small structs per doc.
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.concat_ws(",", *[
+                F.col(f"__mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ]).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    band_keys = wide.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     return (
