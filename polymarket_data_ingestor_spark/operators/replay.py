@@ -312,6 +312,15 @@ def replay_feed_messages(
         & F.col("price").try_cast("double").isNotNull()
         & F.col("size").try_cast("double").isNotNull()
     )
+
+    def _valid_levels(col):
+        return F.forall(
+            F.coalesce(F.col(col), F.array()),
+            lambda lv: lv["price"].try_cast("double").isNotNull()
+            & lv["size"].try_cast("double").isNotNull(),
+        )
+
+    valid_book = _valid_levels("bids") & _valid_levels("asks")
     packed = feed.filter(
         F.col("event_type").isin("book", "price_change", "last_trade_price")
         # malformed messages without a key would otherwise form a null
@@ -321,7 +330,7 @@ def replay_feed_messages(
         & F.col("timestamp").isNotNull()
         & F.when(F.col("event_type") == "price_change", valid_changes)
         .when(F.col("event_type") == "last_trade_price", valid_trade)
-        .otherwise(F.lit(True))
+        .otherwise(valid_book)
     ).select(
         "asset_id",
         "file_hour",

@@ -120,6 +120,44 @@ def _is_null(v: Any) -> bool:
     return v is None or (isinstance(v, float) and v != v)
 
 
+def _is_num(v: Any) -> bool:
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _row_valid(row: Any) -> bool:
+    """Message-level validity, mirroring the batch packed filter (and the
+    reference's serde rejection): keys present; BUY/SELL sides; numeric
+    prices/sizes on every level/change/trade."""
+    if _is_null(row.asset_id) or _is_null(row.market) \
+            or _is_null(row.timestamp):
+        return False
+    et = row.event_type
+    if et == "book":
+        for side in (row.bids, row.asks):
+            if _is_null(side):
+                continue
+            for lv in side:
+                if not (_is_num(lv["price"]) and _is_num(lv["size"])):
+                    return False
+        return True
+    if et == "price_change":
+        if _is_null(row.changes):
+            return True
+        return all(
+            ch["side"] in ("BUY", "SELL")
+            and _is_num(ch["price"]) and _is_num(ch["size"])
+            for ch in row.changes
+        )
+    if et == "last_trade_price":
+        return (row.side in ("BUY", "SELL")
+                and _is_num(row.price) and _is_num(row.size))
+    return True
+
+
 def _run_book_kernel(
     book_json: str | None, pdfs: Iterator[pd.DataFrame]
 ) -> tuple[list[pd.DataFrame], str]:
@@ -158,6 +196,10 @@ def _run_book_kernel(
                               kind="mergesort")
         out: dict[str, list] = {f.name: [] for f in TICK_SCHEMA.fields}
         for row in pdf.itertuples(index=False):
+            if not _row_valid(row):
+                # the reference's serde rejects unparseable messages whole;
+                # a poison-pill message must not kill the stream
+                continue
             et = row.event_type
             if et == "book":
                 bids.clear()

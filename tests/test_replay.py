@@ -367,6 +367,10 @@ def test_malformed_side_and_price_are_dropped(spark, tmp_path):
         {"event_type": "last_trade_price", "timestamp": "5000", "market": mkt,
          "asset_id": asset, "side": "BUY", "price": "oops",
          "size": "1"},  # unparseable price
+        {"event_type": "book", "timestamp": "5500", "market": mkt,
+         "asset_id": asset,
+         "bids": [{"price": "not-a-price", "size": "1"}],
+         "asks": []},  # unparseable book level -> whole snapshot rejected
         {"event_type": "last_trade_price", "timestamp": "6000", "market": mkt,
          "asset_id": asset, "side": "BUY", "price": "0.42",
          "size": "2"},  # ok

@@ -332,10 +332,15 @@ def test_book_stateful_processor_adapter_offline():
     out1 = pd.concat(list(proc.handleInputRows((asset,), iter([pdf1]), None)))
     assert list(out1[["side", "price", "size"]].itertuples(index=False)) == [
         ("ASK", 0.6, 4.0), ("BID", 0.4, 10.0)]
-    # batch 2: a change against the PERSISTED book from batch 1
-    pdf2 = pd.DataFrame([row(1, "price_change",
-                             changes=[{"price": "0.45", "size": "7",
-                                       "side": "BUY"}])])
+    # batch 2: a POISON message (garbage price) then a valid change — the
+    # garbage is rejected whole (serde semantics), never kills the stream
+    pdf2 = pd.DataFrame([
+        row(1, "price_change",
+            changes=[{"price": "garbage", "size": "1", "side": "BUY"}]),
+        row(2, "last_trade_price", side="HOLD", price="0.5", size="1"),
+        row(3, "price_change",
+            changes=[{"price": "0.45", "size": "7", "side": "BUY"}]),
+    ])
     out2 = pd.concat(list(proc.handleInputRows((asset,), iter([pdf2]), None)))
     assert list(out2[["side", "price", "size"]].itertuples(index=False)) == [
         ("ASK", 0.6, 4.0), ("BID", 0.45, 7.0)]

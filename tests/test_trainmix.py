@@ -50,6 +50,33 @@ def test_pack_sequences_full_and_contiguous(spark, docs):
         assert (grp.seq_id.diff().dropna() == 1).all()
 
 
+def test_pack_sequences_edge_cases(spark):
+    """Spanning docs, single-token sequences, and empty texts."""
+    rows = [
+        (0, " ".join(["w"] * 10)),   # 10 tokens
+        (1, ""),                      # empty -> clamped to 1 token
+        (2, " ".join(["w"] * 17)),   # spans many 4-token sequences
+        (3, "a b"),                   # 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=4, shard_size=2).toPandas()
+    # total tokens = 10 + 1 + 17 + 2 = 30 -> sequences 0..7 (last partial)
+    per_seq = out.groupby("seq_id").n_tok.sum().sort_index()
+    assert list(per_seq.index) == list(range(8))
+    assert (per_seq.iloc[:-1] == 4).all() and per_seq.iloc[-1] == 2
+    # doc 2 starts at offset 11 -> spans sequences 2..6
+    d2 = out[out.doc_id == 2].sort_values("seq_id")
+    assert list(d2.seq_id) == [2, 3, 4, 5, 6]
+    assert d2.n_tok.sum() == 17 and d2.doc_start.iloc[0] == 0
+    # the empty doc occupies exactly one slot
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.n_tok.iloc[0] == 1
+
+    # seq_len=1: every token its own sequence
+    out1 = pack_sequences(df.filter("doc_id = 3"), seq_len=1).toPandas()
+    assert len(out1) == 2 and (out1.n_tok == 1).all()
+
+
 def test_pack_sequences_shard_size_invariant(spark, docs):
     """The two-level prefix sum must give identical offsets for ANY shard
     size (including one shard per handful of docs)."""
