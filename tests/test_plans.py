@@ -131,3 +131,38 @@ def test_trainingdata_plans_have_no_cartesian_on_big_side(spark, name):
     else:
         # LSH candidates join on (band, band_key) equi-keys, never cartesian
         assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_pure_scan_filter(spark):
+    """Deterministic sampling must not shuffle: one scan, the predicate
+    inside the scan stage, only the projected columns read."""
+    plan = plan_of(spark, "stratified_sample")
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "text" not in plan  # widest column pruned away
+
+
+def test_pack_sequences_two_level_prefix_sum(spark):
+    """The packing layout must never collapse to a single global sort:
+    the only single-partition window is over the tiny shard-totals
+    relation, whose offsets come back via broadcast."""
+    plan = plan_of(spark, "pack_sequences")
+    assert plan.count("BroadcastExchange") == 1
+    # exactly one SinglePartition exchange — the #shards-row offsets
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_hamming_banded_no_cartesian(spark):
+    """Banded Hamming candidates join on (band, key) equi-keys; the
+    O(N^2) all-pairs shape must not appear in the default plan."""
+    plan = plan_of(spark, "hamming_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_throughput_bound_is_broadcast_not_driver(spark):
+    """The 2-hour bound rides the plan as a broadcast 1-row aggregate —
+    query construction must not run a driver-side action (job count is
+    checked in the verify drive; here: the broadcast is in the plan)."""
+    plan = plan_of(spark, "throughput_15s")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
