@@ -165,14 +165,20 @@ def cosine_topk_lsh(
     """
     from pyspark.sql import Window
 
-    e = emb.withColumn("__bucket", hyperplane_signs(vec_col, n_planes, dim))
+    e = emb.withColumn(
+        "__bucket", hyperplane_signs(vec_col, n_planes, dim)
+    ).withColumn("__vn", _norm(F.col(vec_col)))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
         ).withColumn("__bucket", hyperplane_signs("__qvec", n_planes, dim))
     )
-    cos = cosine(F.col("__qvec"), F.col(vec_col))
+    # per-vector norms reused across pairs; op order identical to cosine()
+    cos = _dot(F.col("__qvec"), F.col(vec_col)) / (
+        F.col("__qn") * F.col("__vn")
+    )
     scored = (
         e.join(q, "__bucket")
         .filter(F.col(query_id_col) != F.col(id_col))
