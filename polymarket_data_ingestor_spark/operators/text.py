@@ -113,6 +113,42 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return with_counts.select("*", pred.alias("pred_lang"))
 
 
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary with tf / df / smoothed idf per term.
+
+    The tokenizer-training / vocab-pruning primitive: one explode +
+    one groupBy on the term — map-side partial counts, a single shuffle
+    keyed by term (the natural key; hot stopwords are handled by the
+    partial aggregation, not by the shuffle). ``idf = ln((1 + N) /
+    (1 + df)) + 1`` (sklearn's smoothed form), exact integer counts.
+    The corpus size N rides the plan as a broadcast 1-row aggregate —
+    fully lazy, no driver-side action.
+    """
+    n_docs = F.broadcast(
+        df.agg(F.countDistinct(id_col).cast("double").alias("__n_docs"))
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    idf = (
+        F.log((F.lit(1.0) + F.col("__n_docs")) / (F.col("df") + 1)) + 1.0
+    )
+    return (
+        counts.crossJoin(n_docs)
+        .filter(F.col("df") >= min_df)
+        .select("term", "tf", "df", F.round(idf, 6).alias("idf"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling document fingerprint.
 

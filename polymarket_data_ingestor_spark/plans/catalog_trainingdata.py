@@ -535,6 +535,32 @@ def q_rank_sample(spark, sf_dir):
 
 
 @register(
+    "vocab_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM toks WHERE term != '' GROUP BY term
+    )
+    SELECT term, tf, df,
+           round(ln((CAST(1 AS DOUBLE)
+                     + (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE)
+                        FROM documents))
+                    / (df + 1)) + 1.0, 6) AS idf
+    FROM counts WHERE df >= 2
+    """,
+    doc="Corpus vocabulary with tf/df/smoothed-idf (the tokenizer-"
+    "training primitive): one explode + one term-keyed groupBy with "
+    "map-side partials; corpus size N is an in-plan broadcast 1-row "
+    "aggregate, never a driver action.",
+    tags=("text", "trainmix"),
+)
+def q_vocab_stats(spark, sf_dir):
+    return T.vocabulary(table(spark, sf_dir, "documents"), min_df=2)
+
+
+@register(
     "curation_pipeline",
     f"""
     WITH scored AS (

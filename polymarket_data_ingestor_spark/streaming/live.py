@@ -290,6 +290,40 @@ class BookStatefulProcessor(StatefulProcessor):
         pass
 
 
+def dedup_feed_stream(
+    feed: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Drop duplicate feed messages within a watermark window.
+
+    Reconnects can re-deliver frames the server already sent (the
+    reference logs whatever arrives; duplicates replay as duplicate
+    ticks). For live pipelines that want exactly-once message semantics,
+    this keys each message by (asset, event time, content fingerprint)
+    and applies ``dropDuplicatesWithinWatermark`` — state is bounded by
+    the watermark horizon instead of growing forever.
+
+    ``feed`` is ``parse_feed_messages`` output on a streaming frames
+    DataFrame. The content fingerprint hashes the full message struct,
+    so two genuinely identical deliveries dedup while distinct messages
+    at the same millisecond survive.
+    """
+    keyed = feed.withColumn(
+        "__event_time", F.timestamp_millis(F.col("timestamp").cast("long"))
+    ).withColumn(
+        "__msg_fp",
+        F.md5(F.to_json(F.struct(*[
+            c for c in feed.columns
+            if c not in ("file_hour", "line_id", "msg_idx")
+        ]))),
+    )
+    return (
+        keyed.withWatermark("__event_time", watermark)
+        .dropDuplicatesWithinWatermark(["asset_id", "__event_time",
+                                        "__msg_fp"])
+        .drop("__msg_fp", "__event_time")
+    )
+
+
 def live_bbo_bars(
     ticks_stream: DataFrame,
     every: str = "1 minute",

@@ -406,6 +406,45 @@ def test_live_ticks_transform_with_state_parity(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_dedup_feed_stream_drops_redelivered_frames(spark, tmp_path):
+    """A frame re-delivered after a reconnect must replay once: the
+    deduped stream keeps one copy of each (asset, time, content) message
+    while distinct same-millisecond messages survive."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.sources.frames import (
+        parse_feed_messages,
+    )
+    from polymarket_data_ingestor_spark.streaming.live import (
+        dedup_feed_stream,
+    )
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    mkt, asset = "0x" + "5" * 64, str(10**70 + 6)
+    msg = {"event_type": "price_change", "timestamp": "1000",
+           "market": mkt, "asset_id": asset,
+           "changes": [{"price": "0.4", "size": "1", "side": "BUY"}]}
+    other = dict(msg, changes=[{"price": "0.41", "size": "2",
+                                "side": "BUY"}])  # same ms, different body
+    lines = [_json.dumps({"timestamp": f"2025-09-30T14:00:0{i}+00:00",
+                          "message_type": "feed_message",
+                          "content": _json.dumps([m])})
+             for i, m in enumerate([msg, msg, other, msg])]  # 3x duplicate
+    (src / "2025-09-30-14.jsonl").write_text("\n".join(lines) + "\n")
+
+    stream = read_frames_stream(spark, str(src) + "/*.jsonl")
+    out = tmp_path / "out"
+    q = (dedup_feed_stream(parse_feed_messages(stream))
+         .writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = pd.read_parquet(out)
+    assert len(got) == 2  # one copy of msg + the distinct same-ms message
+
+
 def test_live_ticks_matches_batch_replay(spark, tmp_path):
     """Streaming (1 file per micro-batch, state across batches) ≡ batch."""
     src = tmp_path / "frames"
