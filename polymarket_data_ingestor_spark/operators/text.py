@@ -149,6 +149,59 @@ def vocabulary(
     )
 
 
+def doc_tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction).
+
+    Composes :func:`vocabulary`'s idf with per-document term counts: one
+    extra groupBy on (doc, term) and a broadcast-friendly join on the
+    term (the vocabulary is orders of magnitude smaller than the token
+    stream). Deterministic ranking: score desc, then term.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    doc_tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("doc_tf")
+    )
+    # unrounded idf here (vocabulary() rounds its public column; the
+    # score must multiply the raw value or cross-engine ranks drift)
+    n_docs = F.broadcast(
+        df.agg(F.countDistinct(id_col).cast("double").alias("__n_docs"))
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .crossJoin(n_docs)
+        .select(
+            "term",
+            (F.log((F.lit(1.0) + F.col("__n_docs"))
+                   / (F.col("__df") + 1)) + 1.0).alias("__idf"),
+        )
+    )
+    scored = doc_tf.join(vocab, "term").select(
+        id_col,
+        "term",
+        "doc_tf",
+        F.round(F.col("doc_tf") * F.col("__idf"), 6).alias("tfidf"),
+        (F.col("doc_tf") * F.col("__idf")).alias("__raw"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__raw").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("__raw")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling document fingerprint.
 

@@ -561,6 +561,40 @@ def q_vocab_stats(spark, sf_dir):
 
 
 @register(
+    "doc_tfidf_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ), doc_tf AS (
+      SELECT doc_id, term, count(*) AS doc_tf
+      FROM toks WHERE term != '' GROUP BY doc_id, term
+    ), vocab AS (
+      SELECT term,
+             ln((CAST(1 AS DOUBLE)
+                 + (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE)
+                    FROM documents))
+                / (count(DISTINCT doc_id) + 1)) + 1.0 AS idf
+      FROM toks WHERE term != '' GROUP BY term
+    )
+    SELECT doc_id, term, doc_tf, tfidf, rank FROM (
+      SELECT d.doc_id, d.term, d.doc_tf,
+             round(d.doc_tf * v.idf, 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY d.doc_id
+               ORDER BY d.doc_tf * v.idf DESC, d.term) AS rank
+      FROM doc_tf d JOIN vocab v ON d.term = v.term)
+    WHERE rank <= 3
+    """,
+    doc="Top-3 TF-IDF terms per document (keyword extraction): per-doc "
+    "term counts joined to the corpus vocabulary's smoothed idf, ranked "
+    "with a total tie-break.",
+    tags=("text", "trainmix"),
+)
+def q_doc_tfidf_topk(spark, sf_dir):
+    return T.doc_tfidf_topk(table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
     "curation_pipeline",
     f"""
     WITH scored AS (
