@@ -145,6 +145,28 @@ def test_lang_id_und_on_no_markers(spark):
     assert out[2] == "en"
 
 
+def test_doc_tfidf_topk_shape_and_ranking(spark, docs):
+    out = T.doc_tfidf_topk(
+        docs.filter(F.col("doc_id") < 50), k=3
+    ).toPandas()
+    for _, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert list(grp.tfidf) == sorted(grp.tfidf, reverse=True)
+        assert grp.term.is_unique
+    # a planted corpus-unique term must be its document's #1 keyword
+    # (max idf beats the common vocabulary even at doc_tf 1)
+    planted = docs.filter(F.col("doc_id") < 50).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3,
+               F.concat(F.col("text"), F.lit(" zzzuniquekeyword")))
+        .otherwise(F.col("text")),
+    )
+    out2 = T.doc_tfidf_topk(planted, k=3).toPandas()
+    top_doc3 = out2[(out2.doc_id == 3) & (out2["rank"] == 1)]
+    assert list(top_doc3.term) == ["zzzuniquekeyword"]
+
+
 def test_fingerprint_order_sensitivity(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "c b a"), (3, "a b c")],
