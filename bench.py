@@ -25,7 +25,16 @@ if _REPO not in sys.path:
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG  # noqa: E402
 from polymarket_data_ingestor_spark.session import get_spark  # noqa: E402
 
+#: Arrow-heavy (pandas-UDF) queries run FIRST, right after the replay
+#: benchmarks: reused Python workers accumulate heap over a long session
+#: and degrade Arrow stages up to ~3x, so timing them late would charge
+#: them a local session artifact that doesn't exist on a fresh cluster.
 BENCH_QUERIES = [
+    "embedding_dup_pairs_lsh",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "simhash_docs",
+    "hamming_dup_pairs",
     "filter_project",
     "minute_last_bars",
     "hourly_volume",
@@ -37,15 +46,10 @@ BENCH_QUERIES = [
     "running_total",
     "token_explode",
     "revenue_rollup",
-    "minhash_lsh_pairs",
-    "simhash_docs",
-    "cosine_topk",
     "doc_quality",
     "asof_join",
     "range_join_count",
     "multires_rollup",
-    "embedding_dup_pairs_lsh",
-    "hamming_dup_pairs",
     "pack_sequences",
     "stratified_sample",
 ]
