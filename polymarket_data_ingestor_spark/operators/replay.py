@@ -134,6 +134,16 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf["changes_flat"].to_numpy(),
         )
     ):
+        # A NULL flat array marks a message the packing pass rejected
+        # (unparseable price/size, non-BUY/SELL side, or a missing/null
+        # collection — required Vecs in the reference's serde structs):
+        # drop the whole message, exactly like the reference's parse-time
+        # rejection — no emission, no state mutation.
+        if kind == KIND_BOOK:
+            if b_flat is None or a_flat is None:
+                continue
+        elif c_flat is None:
+            continue
         if kind == KIND_TRADE:
             # One TRADE row; no book mutation (tick_generator.rs:322-330).
             sp = c_flat[0]
@@ -146,43 +156,34 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
             continue
         if kind == KIND_BOOK:
             # Snapshot replaces both sides (tick_generator.rs:242-254).
-            bids = (
-                dict(zip(b_flat[0::2], b_flat[1::2]))
-                if b_flat is not None
-                else {}
-            )
-            asks = (
-                dict(zip(a_flat[0::2], a_flat[1::2]))
-                if a_flat is not None
-                else {}
-            )
+            bids = dict(zip(b_flat[0::2], b_flat[1::2]))
+            asks = dict(zip(a_flat[0::2], a_flat[1::2]))
             best_bid = max(bids) if bids else None
             best_ask = min(asks) if asks else None
         else:
             # Diff upserts; size==0 deletes (tick_generator.rs:257-272);
             # sign of the packed price encodes BUY(+)/SELL(-).
-            if c_flat is not None:
-                for sp, size in zip(c_flat[0::2], c_flat[1::2]):
-                    if not np.signbit(sp):
-                        price = sp
-                        if size == 0.0:
-                            if bids.pop(price, None) is not None \
-                                    and price == best_bid:
-                                best_bid = max(bids) if bids else None
-                        else:
-                            bids[price] = size
-                            if best_bid is None or price > best_bid:
-                                best_bid = price
+            for sp, size in zip(c_flat[0::2], c_flat[1::2]):
+                if not np.signbit(sp):
+                    price = sp
+                    if size == 0.0:
+                        if bids.pop(price, None) is not None \
+                                and price == best_bid:
+                            best_bid = max(bids) if bids else None
                     else:
-                        price = -sp
-                        if size == 0.0:
-                            if asks.pop(price, None) is not None \
-                                    and price == best_ask:
-                                best_ask = min(asks) if asks else None
-                        else:
-                            asks[price] = size
-                            if best_ask is None or price < best_ask:
-                                best_ask = price
+                        bids[price] = size
+                        if best_bid is None or price > best_bid:
+                            best_bid = price
+                else:
+                    price = -sp
+                    if size == 0.0:
+                        if asks.pop(price, None) is not None \
+                                and price == best_ask:
+                            best_ask = min(asks) if asks else None
+                    else:
+                        asks[price] = size
+                        if best_ask is None or price < best_ask:
+                            best_ask = price
         # Exactly two rows per book event, ASK first then BID
         # (tick_generator.rs:283-316); empty side → (0, 0) (:274-281).
         src_idx.extend((i, i))
@@ -272,55 +273,44 @@ def replay_feed_messages(
     # same shuffle as packed pairs: at 100 TB re-scanning the raw logs for
     # a stateless trade branch would cost far more than shuffling these
     # few extra bytes.
-    level_pairs = lambda col: F.flatten(  # noqa: E731
-        F.transform(
-            col,
-            lambda lv: F.array(
-                lv["price"].cast("double"), lv["size"].cast("double")
-            ),
-        )
-    )
+    #
+    # Validity is FUSED into the packing pass (the reference's serde
+    # rejects a whole message when any level's price/size fails Decimal
+    # parse or a side isn't the BUY/SELL enum — tick_generator.rs serde
+    # structs): a level that fails the rules packs to a NULL element,
+    # and flatten() propagates any NULL element to a NULL flat array;
+    # a NULL collection (the reference structs make changes/bids/asks
+    # required Vecs, so a missing/null collection fails serde there)
+    # transforms to NULL directly. The kernel then drops any message
+    # whose relevant flat array is NULL — one array traversal both
+    # validates and packs (the r2 version traversed each array twice:
+    # a forall validity pass plus the packing transform). Empty-but-
+    # present arrays stay valid: they pack to empty (non-NULL) arrays.
+    # try_cast: under ANSI mode a plain cast would THROW on garbage
+    # instead of classifying it for rejection.
+    def level_pairs(col):
+        def pack(lv):
+            p = lv["price"].try_cast("double")
+            s = lv["size"].try_cast("double")
+            return F.when(p.isNotNull() & s.isNotNull(), F.array(p, s))
+
+        return F.flatten(F.transform(col, pack))
+
+    def signed_pack(side, price, size):
+        # Sign-encodes BUY(+)/SELL(-); an unknown side yields NULL (not
+        # a sign-encoded guess), poisoning the element → message.
+        p = price.try_cast("double")
+        s = size.try_cast("double")
+        sp = F.when(side == "BUY", p).when(side == "SELL", -p)
+        return F.when(sp.isNotNull() & s.isNotNull(), F.array(sp, s))
+
     change_pairs = F.flatten(
         F.transform(
             F.col("changes"),
-            lambda ch: F.array(
-                F.when(ch["side"] == "BUY", ch["price"].cast("double"))
-                .otherwise(-ch["price"].cast("double")),
-                ch["size"].cast("double"),
-            ),
+            lambda ch: signed_pack(ch["side"], ch["price"], ch["size"]),
         )
     )
-    trade_pair = F.array(
-        F.when(F.col("side") == "BUY", F.col("price").cast("double"))
-        .otherwise(-F.col("price").cast("double")),
-        F.col("size").cast("double"),
-    )
-    # The reference's serde rejects whole messages whose side is not a
-    # BUY/SELL enum value or whose price/size fail Decimal parse
-    # (tick_generator.rs serde structs); mirror that as a message-level
-    # validity predicate so garbage can't sign-encode into the book.
-    # try_cast: under ANSI mode a plain cast would THROW on garbage
-    # instead of classifying it for rejection.
-    valid_changes = F.forall(
-        F.coalesce(F.col("changes"), F.array()),
-        lambda ch: ch["side"].isin("BUY", "SELL")
-        & ch["price"].try_cast("double").isNotNull()
-        & ch["size"].try_cast("double").isNotNull(),
-    )
-    valid_trade = (
-        F.col("side").isin("BUY", "SELL")
-        & F.col("price").try_cast("double").isNotNull()
-        & F.col("size").try_cast("double").isNotNull()
-    )
-
-    def _valid_levels(col):
-        return F.forall(
-            F.coalesce(F.col(col), F.array()),
-            lambda lv: lv["price"].try_cast("double").isNotNull()
-            & lv["size"].try_cast("double").isNotNull(),
-        )
-
-    valid_book = _valid_levels("bids") & _valid_levels("asks")
+    trade_pair = signed_pack(F.col("side"), F.col("price"), F.col("size"))
     packed = feed.filter(
         F.col("event_type").isin("book", "price_change", "last_trade_price")
         # malformed messages without a key would otherwise form a null
@@ -328,9 +318,6 @@ def replay_feed_messages(
         & F.col("asset_id").isNotNull()
         & F.col("market").isNotNull()
         & F.col("timestamp").isNotNull()
-        & F.when(F.col("event_type") == "price_change", valid_changes)
-        .when(F.col("event_type") == "last_trade_price", valid_trade)
-        .otherwise(valid_book)
     ).select(
         "asset_id",
         "file_hour",

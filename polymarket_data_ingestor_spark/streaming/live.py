@@ -131,7 +131,11 @@ def _is_num(v: Any) -> bool:
 def _row_valid(row: Any) -> bool:
     """Message-level validity, mirroring the batch packed filter (and the
     reference's serde rejection): keys present; BUY/SELL sides; numeric
-    prices/sizes on every level/change/trade."""
+    prices/sizes on every level/change/trade. A missing/null collection
+    rejects the whole message — the reference structs make
+    changes/bids/asks required ``Vec``s (tick_generator.rs
+    BookDiffMessage.changes, BookSnapshotMessage.bids/asks), so serde
+    fails there too; empty-but-present collections stay valid."""
     if _is_null(row.asset_id) or _is_null(row.market) \
             or _is_null(row.timestamp):
         return False
@@ -139,14 +143,14 @@ def _row_valid(row: Any) -> bool:
     if et == "book":
         for side in (row.bids, row.asks):
             if _is_null(side):
-                continue
+                return False
             for lv in side:
                 if not (_is_num(lv["price"]) and _is_num(lv["size"])):
                     return False
         return True
     if et == "price_change":
         if _is_null(row.changes):
-            return True
+            return False
         return all(
             ch["side"] in ("BUY", "SELL")
             and _is_num(ch["price"]) and _is_num(ch["size"])

@@ -263,20 +263,25 @@ def naive_replay(paths: list[Path], markets: set[str] | None = None) -> list[tup
                 if markets is not None and msg.get("market") not in markets:
                     continue
                 et = msg["event_type"]
+                if not _serde_ok(msg):
+                    # the reference's serde rejects the whole message:
+                    # unparseable Decimal, non-BUY/SELL side, or a
+                    # missing/null collection (required Vec fields)
+                    continue
                 if et == "book":
                     b = get_book(msg["asset_id"])
                     b["bids"] = [
                         (Decimal(x["price"]), Decimal(x["size"]))
-                        for x in msg.get("bids") or []
+                        for x in msg["bids"]
                     ]
                     b["asks"] = [
                         (Decimal(x["price"]), Decimal(x["size"]))
-                        for x in msg.get("asks") or []
+                        for x in msg["asks"]
                     ]
                     emit_bbo(msg)
                 elif et == "price_change":
                     b = get_book(msg["asset_id"])
-                    for ch in msg.get("changes") or []:
+                    for ch in msg["changes"]:
                         key = "bids" if ch["side"] == "BUY" else "asks"
                         price = Decimal(ch["price"])
                         size = Decimal(ch["size"])
@@ -293,3 +298,42 @@ def naive_replay(paths: list[Path], markets: set[str] | None = None) -> list[tup
                          float(Decimal(msg["size"])))
                     )
     return out
+
+
+def _dec_ok(v) -> bool:
+    try:
+        Decimal(v)
+        return True
+    except Exception:  # noqa: BLE001 - InvalidOperation/TypeError alike
+        return False
+
+
+def _serde_ok(msg: dict) -> bool:
+    """Mirror the reference's serde struct rules (tick_generator.rs):
+    required keys present; required Vec collections present (null/missing
+    rejects, empty is fine); Decimal-parseable prices/sizes; BUY/SELL
+    side enums."""
+    if (msg.get("asset_id") is None or msg.get("market") is None
+            or msg.get("timestamp") is None):
+        return False
+    et = msg["event_type"]
+    if et == "book":
+        for side in ("bids", "asks"):
+            if msg.get(side) is None:
+                return False
+            for lv in msg[side]:
+                if not (_dec_ok(lv.get("price")) and _dec_ok(lv.get("size"))):
+                    return False
+        return True
+    if et == "price_change":
+        if msg.get("changes") is None:
+            return False
+        return all(
+            ch.get("side") in ("BUY", "SELL")
+            and _dec_ok(ch.get("price")) and _dec_ok(ch.get("size"))
+            for ch in msg["changes"]
+        )
+    if et == "last_trade_price":
+        return (msg.get("side") in ("BUY", "SELL")
+                and _dec_ok(msg.get("price")) and _dec_ok(msg.get("size")))
+    return True

@@ -371,6 +371,19 @@ def test_malformed_side_and_price_are_dropped(spark, tmp_path):
          "asset_id": asset,
          "bids": [{"price": "not-a-price", "size": "1"}],
          "asks": []},  # unparseable book level -> whole snapshot rejected
+        # null/missing collections: required Vecs in the reference's serde
+        # structs, so the message is rejected whole (NOT coalesced to an
+        # empty side, which would wipe the reconstructed book)
+        {"event_type": "price_change", "timestamp": "5600", "market": mkt,
+         "asset_id": asset, "changes": None},  # null changes
+        {"event_type": "book", "timestamp": "5700", "market": mkt,
+         "asset_id": asset, "bids": None,
+         "asks": [{"price": "0.9", "size": "1"}]},  # null bids
+        {"event_type": "book", "timestamp": "5800", "market": mkt,
+         "asset_id": asset,
+         "asks": [{"price": "0.9", "size": "1"}]},  # missing bids field
+        {"event_type": "price_change", "timestamp": "5900", "market": mkt,
+         "asset_id": asset, "changes": []},  # empty-but-present: VALID
         {"event_type": "last_trade_price", "timestamp": "6000", "market": mkt,
          "asset_id": asset, "side": "BUY", "price": "0.42",
          "size": "2"},  # ok
@@ -384,8 +397,13 @@ def test_malformed_side_and_price_are_dropped(spark, tmp_path):
     assert rows == [
         ("1000", "BBO", mkt, asset, "ASK", 0.0, 0.0),
         ("1000", "BBO", mkt, asset, "BID", 0.4, 5.0),
+        # the empty-but-present changes message: book untouched, BBO emitted
+        ("5900", "BBO", mkt, asset, "ASK", 0.0, 0.0),
+        ("5900", "BBO", mkt, asset, "BID", 0.4, 5.0),
         ("6000", "TRADE", mkt, asset, "BID", 0.42, 2.0),
     ]
+    # the independent oracle agrees on the full poison fixture
+    assert rows == naive_replay([p])
 
 
 def test_order_columns_present_when_not_ticks_only(spark, fixture_paths):
