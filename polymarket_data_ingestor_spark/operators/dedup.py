@@ -9,25 +9,83 @@ Four families, each idiomatic-Spark and scale-shaped (SURVEY §7 step 6):
   intersection. All-pairs is quadratic, so pairs are *blocked* (here by
   ``lang``; in production by LSH buckets — see minhash).
 * **MinHash + LSH** — k independent hash minima per doc → band buckets →
-  candidates join only within buckets. The linear-time scale path: one
-  explode+groupBy for signatures, one groupBy for buckets, one self-join
-  whose size is controlled by band width.
+  candidates join only within buckets. The linear-time scale path:
+  signatures are a ZERO-shuffle Arrow-batched projection (a doc's
+  signature depends only on its own text); the only shuffle is the
+  band-bucket self-join, whose size is controlled by band width.
 * **SimHash** — per-bit majority vote of token hashes → one 32-bit
-  signature; near-dups differ in few bits (Hamming). One explode+groupBy.
+  signature; near-dups differ in few bits (Hamming). Also a zero-shuffle
+  Arrow projection.
 
-All sketches use the md5-based :func:`...functions.scalars.hash32` so every
+All sketches hash with the md5-prefix scheme of
+:func:`...functions.scalars.hash32` (Python twin: :func:`_h32`) so every
 stage is bit-reproducible in the DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import re
+from hashlib import md5 as _md5
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from polymarket_data_ingestor_spark.functions.scalars import hash32
 from polymarket_data_ingestor_spark.operators.text import tokens
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne), classic Carter-Wegman
+
+# Ship this module by value inside serialized plans (same rationale as
+# operators/replay.py): the sketch kernels below close over module-level
+# helpers, and executors must not need the package on their PYTHONPATH.
+try:  # pragma: no cover - environment-dependent
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; PYTHONPATH fallback applies
+    pass
+
+
+# --- Arrow-batched text-sketch kernels --------------------------------------
+#
+# The interpreted higher-order functions (transform/slice/concat_ws under
+# word_ngrams, split under tokens) were the slowest hot loop in the corpus
+# sketches (minhash/simhash/jaccard). These Python kernels replicate the
+# Catalyst expressions' semantics EXACTLY and run vectorized over Arrow
+# batches instead — same strings, same 32-bit md5-prefix hashes, same
+# int64 arithmetic, so every downstream value is bit-identical to both the
+# Catalyst form and the DuckDB oracle SQL.
+
+#: Java's ``\s`` is ASCII-only; Python's is Unicode-aware. Spark's
+#: ``split(col, '\s+')`` uses the Java class, so match it literally.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Exact replica of :func:`...operators.text.tokens`
+    (``split(trim(col), '\\s+')``): Spark ``trim`` strips SPACES only
+    (not tabs/newlines), and Java ``split`` with limit -1 keeps the
+    empty tokens that edge whitespace produces."""
+    return _JAVA_WS.split(text.strip(" "))
+
+
+def _py_grams(toks: list[str], n: int) -> list[str]:
+    """Exact replica of :func:`word_ngrams` BEFORE array_distinct:
+    ``sequence(0, greatest(size-n, 0))`` then ``concat_ws(' ',
+    slice(toks, i+1, n))`` — short docs yield one truncated shingle."""
+    upper = max(len(toks) - n, 0)
+    return [" ".join(toks[i : i + n]) for i in range(upper + 1)]
+
+
+def _h32(s: str) -> int:
+    """Python twin of :func:`...functions.scalars.hash32` (first 8 md5
+    hex chars as int64) — identical in Spark, DuckDB, and here."""
+    return int(_md5(s.encode("utf-8")).hexdigest()[:8], 16)
 
 
 def exact_dedup_groups(
@@ -59,13 +117,42 @@ def drop_exact_dupes(
 
 
 def word_ngrams(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Pure-Catalyst reference form; the hot paths use
+    :func:`word_ngrams_vectorized`, whose output is asserted identical
+    in tests.
+    """
     toks = tokens(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return F.array_distinct(grams)
+
+
+def word_ngrams_vectorized(text_col: F.Column | str, n: int = 3) -> F.Column:
+    """Arrow-batched twin of :func:`word_ngrams`: identical strings in
+    identical (first-occurrence) order, built in a pandas kernel instead
+    of interpreted transform/slice/concat_ws HOFs (~the cost of the scan
+    instead of dominating it)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    @pandas_udf("array<string>")
+    def grams(texts: pd.Series) -> pd.Series:
+        # NULL text → [""]: in the Catalyst form size(NULL toks) = -1 →
+        # one index, and concat_ws over the NULL slice yields "" — the
+        # expression never goes NULL. Replicated bit-for-bit.
+        return pd.Series(
+            [
+                [""]
+                if t is None
+                else list(dict.fromkeys(_py_grams(_py_tokens(t), n)))
+                for t in texts
+            ]
+        )
+
+    return grams(c)
 
 
 def ngram_jaccard_pairs(
@@ -85,7 +172,7 @@ def ngram_jaccard_pairs(
     """
     grams = df.select(
         F.col(id_col), F.col(block_col) if block_col else F.lit(1).alias("__b"),
-        word_ngrams(text_col, n).alias("grams"),
+        word_ngrams_vectorized(text_col, n).alias("grams"),
     )
     bcol = block_col if block_col else "__b"
     a = grams.alias("a")
@@ -117,27 +204,45 @@ def _minhash_wide(
 ) -> DataFrame:
     """Wide-form MinHash: one row per doc, columns ``__mh_0..__mh_{k-1}``.
 
-    All k minima are computed in ONE aggregation over the exploded
-    shingles — the shuffle carries (id, h) pairs with k tiny min buffers
-    instead of k× exploded rows (k=16 ⇒ 16× fewer shuffle rows than the
-    long-format-first plan). ``h_i(x) = (2i+1)*hash32(x) + i*b mod p``,
-    the standard universal family; min is order-insensitive so the values
-    are identical to any evaluation order.
+    ZERO-shuffle: a document's signature depends only on its own text, so
+    the whole thing is one Arrow-batched pandas-UDF projection — no
+    explode, no groupBy (the r2 version shuffled (id, h) pairs into a
+    16-buffer min aggregation; this removes that shuffle entirely, the
+    dominant win at 100 TB where the shingle stream is ~100× the corpus).
+    ``h_i(x) = (2i+1)*hash32(x) + i*b mod p``, the standard universal
+    family, evaluated in int64 numpy — bit-identical to the Catalyst/
+    DuckDB long arithmetic ((2i+1)·h < 2^38, no overflow). A NULL text
+    hashes as the single empty shingle [""] — exactly what the Catalyst
+    word_ngrams form produces for NULL (concat_ws never yields NULL).
     """
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, shingle_n)).alias("gram")
+    ii = np.arange(num_hashes, dtype=np.int64)
+    mul = 2 * ii + 1
+    # i * 987654321 overflows int32; keep the int64 form the SQL uses
+    add = ii * np.int64(987_654_321)
+    n = shingle_n
+
+    @pandas_udf("array<bigint>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            # distinct is free here (set) and min is insensitive to it;
+            # NULL text hashes as the single empty shingle, like the
+            # Catalyst word_ngrams form
+            hs = (
+                {_h32("")}
+                if t is None
+                else {_h32(g) for g in _py_grams(_py_tokens(t), n)}
+            )
+            h = np.fromiter(hs, dtype=np.int64, count=len(hs))
+            out.append(
+                ((mul[:, None] * h[None, :] + add[:, None]) % MINHASH_PRIME)
+                .min(axis=1)
+            )
+        return pd.Series(out)
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("__sig")).select(
+        id_col,
+        *[F.col("__sig")[i].alias(f"__mh_{i}") for i in range(num_hashes)],
     )
-    base = grams.select(id_col, hash32("gram").alias("h"))
-    # long literals: i * 987654321 overflows int32 under ANSI mode
-    b = F.lit(987_654_321).cast("long")
-    mins = [
-        F.min(
-            ((F.lit(2 * i + 1).cast("long")) * F.col("h") + F.lit(i).cast("long") * b)
-            % MINHASH_PRIME
-        ).alias(f"__mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return base.groupBy(id_col).agg(*mins)
 
 
 def minhash_signatures(
@@ -180,7 +285,16 @@ def minhash_lsh_pairs(
     minhash concat. Self-join happens *within band buckets only* — the
     linear-ish scale path for corpus-level near-dedup. Candidates should be
     confirmed with :func:`ngram_jaccard_pairs` on the candidate set.
+
+    ``num_hashes`` must divide evenly into ``bands``: a silent remainder
+    would drop the trailing minima from every band key and lower recall.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); trailing hash minima would otherwise be "
+            "silently excluded from the band keys"
+        )
     rows_per_band = num_hashes // bands
     # Band keys straight from the wide single-pass signatures: the key is
     # the ordered comma-join of the band's minima — no k× explode and no
@@ -225,28 +339,32 @@ def simhash(
     """Per-document SimHash: sign of the per-bit sum of token hash bits.
 
     ``bit_i = 1 if Σ_tokens (2*((hash32(tok)>>i)&1) - 1) > 0`` — near-dup
-    docs land at small Hamming distance. Long-format per-bit aggregation
-    (explode bits → sum votes → reassemble) keeps it SQL-reproducible.
+    docs land at small Hamming distance. A signature depends only on its
+    own document, so this is ONE Arrow-batched projection: no bit
+    explode, no shuffle (the r2 plan exploded tokens × 32 bit-vote rows
+    through two groupBys — a 32× row multiplier through the shuffle).
+    Token hashes keep duplicate occurrences (votes are per occurrence,
+    not per distinct token), matching the explode-based form and the
+    oracle SQL bit-for-bit: identical md5-prefix hashes, identical int64
+    shifts/sums. NULL-text docs produce no row, like the explode plan.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).select(id_col, hash32("tok").alias("h"))
-    votes = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).select(
-        id_col,
-        "bit",
-        # dynamic shift amounts need expr(): F.shiftright only takes int
-        (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("vote"),
-    )
-    bit_votes = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return bit_votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            hs = np.fromiter(
+                (_h32(tok) for tok in _py_tokens(t)), dtype=np.int64
+            )
+            votes = (2 * ((hs[:, None] >> shifts[None, :]) & 1) - 1).sum(
+                axis=0
+            )
+            out[j] = ((votes > 0).astype(np.int64) << shifts).sum()
+        return pd.Series(out)
+
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), sig(F.col(text_col)).alias("simhash")
     )
 
 

@@ -64,6 +64,96 @@ def test_simhash_hamming_near_dupes(spark, docs):
     assert near_hits >= 20
 
 
+def test_vectorized_grams_match_catalyst_exactly(spark):
+    """The Arrow shingler must reproduce the Catalyst word_ngrams strings
+    byte-for-byte on the tricky cases: non-space edge whitespace (Spark
+    trim strips spaces ONLY; Java split keeps the resulting empty
+    tokens), multi-space runs, short docs, empty text, unicode NBSP
+    (Java's \\s is ASCII-only — NBSP is a token char, not a separator),
+    and NULL text."""
+    rows = [
+        ("plain three word doc plus more",),
+        ("  leading and trailing spaces  ",),
+        ("\ttab-led\nand newline separated\r\n",),
+        ("two  spaces   three\t\tmixed",),
+        ("short doc",),
+        ("one",),
+        ("",),
+        ("   ",),
+        ("nbsp stays one token",),
+        ("dup gram dup gram dup gram",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        D.word_ngrams("text", 3).alias("cat"),
+        D.word_ngrams_vectorized("text", 3).alias("vec"),
+    ).collect()
+    for r in got:
+        assert r.cat == r.vec, (r.cat, r.vec)
+
+
+def test_minhash_and_simhash_match_catalyst_reference_forms(spark, docs):
+    """The zero-shuffle Arrow kernels must equal the explode/groupBy
+    Catalyst forms value-for-value (the r2 shapes, rebuilt inline here
+    as the independent reference)."""
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+
+    sub = docs.filter(F.col("doc_id") < 40)
+    # --- minhash reference: explode distinct shingles -> k min-aggs
+    base = sub.select(
+        "doc_id", F.explode(D.word_ngrams("text", 3)).alias("gram")
+    ).select("doc_id", hash32("gram").alias("h"))
+    b = F.lit(987_654_321).cast("long")
+    mins = [
+        F.min(
+            (F.lit(2 * i + 1).cast("long") * F.col("h")
+             + F.lit(i).cast("long") * b) % D.MINHASH_PRIME
+        ).alias(f"__mh_{i}")
+        for i in range(8)
+    ]
+    want = {
+        r["doc_id"]: [r[f"__mh_{i}"] for i in range(8)]
+        for r in base.groupBy("doc_id").agg(*mins).collect()
+    }
+    got = {
+        r["doc_id"]: [r[f"__mh_{i}"] for i in range(8)]
+        for r in D._minhash_wide(sub, "text", "doc_id", 8, 3).collect()
+    }
+    assert got == want
+    # --- simhash reference: token-hash bit votes via explode
+    toks = sub.select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    ).select("doc_id", hash32("tok").alias("h"))
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("vote"),
+    )
+    ref = (
+        votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0,
+                       F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+    want_sim = {r["doc_id"]: r["simhash"] for r in ref.collect()}
+    got_sim = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash(sub, bits=32).collect()
+    }
+    assert got_sim == want_sim
+
+
+def test_minhash_lsh_rejects_ragged_bands():
+    with pytest.raises(ValueError, match="divisible"):
+        D.minhash_lsh_pairs(None, num_hashes=15, bands=8)
+
+
 def test_ngram_jaccard_scores_planted_pairs(spark, docs):
     sub = docs.filter(
         (F.col("doc_id") < 30) | (F.col("doc_id") >= 200000)
