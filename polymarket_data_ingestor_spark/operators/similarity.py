@@ -22,6 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b) -> F.Column:
@@ -193,6 +194,39 @@ def cosine_topk_lsh(
     )
 
 
+def fit_ivf_codebook(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.25,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the IVF coarse-quantizer codebook on a deterministic sample.
+
+    A coarse quantizer needs only enough points to place ``n_clusters``
+    centroids — fitting MLlib KMeans on the FULL corpus would be a
+    multi-pass training job over 100 TB before any search ran. The
+    deterministic-seed ``.sample`` bounds the fit input to a fraction;
+    the returned plain-list codebook is cheap to hold on the driver and
+    reusable across :func:`ivf_topk` calls (fit once per corpus version,
+    search many times).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_df = (
+        emb
+        if fit_fraction >= 1.0
+        else emb.sample(fraction=fit_fraction, seed=seed)
+    )
+    ml = fit_df.withColumn("__features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__features",
+        predictionCol="__cluster",
+    ).fit(ml)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -202,31 +236,45 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebook: list[list[float]] | None = None,
+    fit_fraction: float = 0.25,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
 
-    The classic ANN scale path: train a small KMeans codebook (MLlib,
-    deterministic seed), assign every corpus vector to its nearest centroid
-    (the 'inverted list'), and search each query only in its ``n_probe``
-    nearest lists. Candidate set shrinks ~n_clusters/n_probe-fold; recall
-    rises with n_probe. The codebook is trained once and broadcast — at
-    100 TB the corpus assignment is a single linear pass, and re-training
-    samples a fraction (``KMeans`` on a ``.sample()``).
+    The classic ANN scale path: a small KMeans codebook (trained on a
+    deterministic-seed sample — :func:`fit_ivf_codebook` — or passed in
+    pre-fit via ``codebook`` for reuse across calls), every corpus vector
+    assigned to its nearest centroid (the 'inverted list'), and each
+    query searched only in its ``n_probe`` nearest lists. Candidate set
+    shrinks ~n_clusters/n_probe-fold; recall rises with n_probe. The
+    assignment is ONE linear Arrow-batched pass with the codebook as a
+    broadcast closure (``argmin ||v-c||²`` via the BLAS identity
+    ``-2·V·Cᵀ + ||c||²``) — no training job, no shuffle.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    ml_emb = emb.withColumn("__features", array_to_vector(F.col(vec_col)))
-    km = KMeans(k=n_clusters, seed=42, featuresCol="__features",
-                predictionCol="__cluster")
-    model = km.fit(ml_emb)
-    assigned = model.transform(ml_emb).drop("__features")
+    if codebook is None:
+        codebook = fit_ivf_codebook(
+            emb, n_clusters, vec_col, fit_fraction=fit_fraction
+        )
+    n_clusters = len(codebook)
+    C = np.array(codebook, dtype=np.float64)  # (k, dim)
+    c2 = (C * C).sum(axis=1)
 
-    centers = model.clusterCenters()
+    @pandas_udf("int")
+    def nearest_center(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        # ||v||² is constant per row — dropping it leaves argmin intact
+        d = -2.0 * (V @ C.T) + c2[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assigned = emb.withColumn("__cluster", nearest_center(F.col(vec_col)))
+
     centers_df = F.broadcast(
         emb.sparkSession.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            [(i, c) for i, c in enumerate(codebook)],
             "cluster int, center array<double>",
         )
     )
@@ -251,11 +299,7 @@ def ivf_topk(
         .select(query_id_col, "__qvec", F.col("cluster").alias("__cluster"))
     )
 
-    scored = (
-        emb.withColumn("__cluster", F.col("__cluster"))
-        if "__cluster" in emb.columns
-        else assigned
-    ).join(probes, "__cluster").filter(
+    scored = assigned.join(probes, "__cluster").filter(
         F.col(query_id_col) != F.col(id_col)
     ).select(
         query_id_col,

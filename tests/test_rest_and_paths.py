@@ -134,7 +134,20 @@ def test_ivf_topk_recall_beats_lsh_style_subset(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = S.cosine_topk(emb, queries, k=10).toPandas()
-    ivf = S.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=3).toPandas()
+    # the codebook fit must be bounded: a deterministic sample, not the
+    # full corpus (at 100 TB a full-corpus KMeans fit per query batch
+    # would dwarf the search itself)
+    fit_fraction = 0.5
+    n_total = emb.count()
+    n_fit = emb.sample(fraction=fit_fraction, seed=42).count()
+    assert n_fit < n_total * 0.7  # genuinely a sample
+    codebook = S.fit_ivf_codebook(
+        emb, n_clusters=8, fit_fraction=fit_fraction
+    )
+    assert len(codebook) == 8
+    ivf = S.ivf_topk(
+        emb, queries, k=10, n_probe=3, codebook=codebook
+    ).toPandas()
     e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
     a = set(map(tuple, ivf[["query_id", "vec_id"]].itertuples(index=False)))
     recall = len(e & a) / len(e)
@@ -142,3 +155,6 @@ def test_ivf_topk_recall_beats_lsh_style_subset(spark):
     assert recall >= 0.5
     merged = ivf.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
     assert (merged.cos_a == merged.cos_e).all()
+    # default path (no codebook passed) fits its own sampled codebook
+    ivf2 = S.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=3).toPandas()
+    assert len(ivf2) == len(ivf)
