@@ -226,6 +226,11 @@ class ConnectionState:
         self.consecutive_failures = 0
         self.ever_long_lived = False
         self.opened_at: float | None = None
+        # Has this connection EVER opened (for all_connections_ready) —
+        # a per-state flag like the reference's, never keyed on id():
+        # CPython reuses ids of collected states after a split, which
+        # could spuriously satisfy the readiness check.
+        self.has_ever_opened = False
 
     def record_open(self, now: float) -> None:
         self.opened_at = now
@@ -452,14 +457,13 @@ def collect(
     states = [ConnectionState(chunk) for chunk in split_markets(markets)]
     pending: list[ConnectionState] = list(states)
     live: list[_LiveConn] = []
-    ever_opened: set[int] = set()
     ready_logged = False
     error_count = 0
 
     def _mark_opened(state: ConnectionState) -> None:
         nonlocal ready_logged
-        ever_opened.add(id(state))
-        if not ready_logged and all(id(s) in ever_opened for s in states):
+        state.has_ever_opened = True
+        if not ready_logged and all(s.has_ever_opened for s in states):
             ready_logged = True
             writer.log_event(
                 "all_connections_ready",
@@ -475,6 +479,12 @@ def collect(
 
     try:
         while not stop():
+            if not pending and not live:
+                # Nothing to open and nothing to service (e.g.
+                # fetch_markets() returned no markets): idle politely
+                # instead of busy-spinning on stop().
+                sleep(NORMAL_BACKOFF_S)
+                continue
             if pending:
                 # Backoff before each reconnect batch (reconnecter.rs:182-196)
                 sleep(float(max(error_count, 3)) if error_count > 0
@@ -503,11 +513,13 @@ def collect(
                     else:
                         live.append(lc)
                         _mark_opened(st)
-                # Majority-failed batches escalate the backoff
-                # (reconnecter.rs:155-163 error_count transitions)
+                # Half-or-more-failed batches escalate the backoff: the
+                # reference tests n_errors >= n/2 with INTEGER division
+                # (reconnecter.rs:87-90), so exactly-half batches (2 of
+                # 4) and the 2-of-5 case escalate too.
                 if failed == 0:
                     error_count = 0
-                elif failed * 2 > len(batch):
+                elif failed >= len(batch) // 2:
                     error_count += 1
 
             # Service every live connection: pings when due, then drain

@@ -16,6 +16,8 @@ import random
 from datetime import datetime, timedelta, timezone
 from pathlib import Path
 
+import pytest
+
 from polymarket_data_ingestor_spark.operators.replay import (
     TICK_COLUMNS,
     replay,
@@ -268,6 +270,130 @@ def test_collect_splits_failing_connection(tmp_path):
     # The two halves partition the original asset list in order.
     assert subs[0] + subs[1] == all_assets
     assert 0 < len(subs[0]) < len(all_assets)
+
+
+def _live_network_available() -> bool:
+    import socket
+
+    try:
+        socket.create_connection(
+            ("ws-subscriptions-clob.polymarket.com", 443), timeout=5
+        ).close()
+        return True
+    except OSError:
+        return False
+
+
+def test_collect_live_network_e2e(tmp_path):
+    """Gated live test with the REAL WebsocketsTransport, mirroring the
+    reference's own `--ignored` network test
+    (tests/feed_integration_test.rs:11-94): subscribe 2-3 real markets,
+    pump ~20 s of wall clock, assert frames were written. Skips (with
+    reason) without the websockets package or network access."""
+    pytest.importorskip(
+        "websockets", reason="websockets package not installed"
+    )
+    if not _live_network_available():
+        pytest.skip("no network access to the Polymarket WS endpoint")
+
+    import time
+    import urllib.request
+
+    from polymarket_data_ingestor_spark.sources.rest import CLOB_BASE
+
+    with urllib.request.urlopen(
+        f"{CLOB_BASE}/sampling-markets?next_cursor=", timeout=10
+    ) as resp:
+        body = json.loads(resp.read())
+    markets = [
+        m for m in body.get("data", [])
+        if m.get("accepting_orders") and m.get("enable_order_book")
+        and m.get("tokens")
+    ][:3]
+    if not markets:
+        pytest.skip("no active markets returned by the REST API")
+
+    deadline = time.monotonic() + 20.0
+    collect(
+        tmp_path,
+        fetch_markets=lambda: markets,
+        stop=lambda: time.monotonic() >= deadline,
+    )
+    files = sorted(tmp_path.glob("*.jsonl"))
+    assert files, "live collect wrote no hourly files"
+    frames = [json.loads(x) for f in files
+              for x in f.read_text().splitlines()]
+    assert frames[0]["message_type"] == "active_markets"
+    assert any(fr["message_type"] == "feed_message" for fr in frames)
+
+
+def test_collect_idles_when_no_markets(tmp_path):
+    """fetch_markets() returning nothing must not busy-spin the loop:
+    each pass sleeps before re-checking stop()."""
+    clock = FakeClock()
+    sleeps: list[float] = []
+
+    def sleep(s: float) -> None:
+        sleeps.append(s)
+        clock.sleep(s)
+
+    collect(
+        tmp_path,
+        fetch_markets=lambda: [],
+        transport=FakeTransport(clock, []),
+        stop=lambda: clock.t >= 5.0,
+        clock=clock,
+        sleep=sleep,
+        now=_now_fn(clock),
+    )
+    # bounded iterations (5 s / 0.5 s backoff), every pass slept
+    assert sleeps and all(s > 0 for s in sleeps)
+    assert len(sleeps) <= 12
+
+
+def test_collect_half_failed_batch_escalates_backoff(tmp_path):
+    """Exactly half of a reconnect batch failing escalates the backoff
+    (the reference tests n_errors >= n/2 with integer division,
+    reconnecter.rs:87-90 — a strict majority is NOT required)."""
+    clock = FakeClock()
+    # Two chunks: 2 markets x 15 tokens = 30 assets → 2 connections.
+    markets = []
+    for i in range(2):
+        markets.append({
+            "condition_id": f"0x{i:064x}",
+            "tokens": [{"token_id": str(10**70 + i * 100 + t)}
+                       for t in range(15)],
+        })
+    good1 = FakeConn(clock, [
+        ("msg", 0.1, json.dumps([{"event_type": "x"}])),
+        ("msg", 3600.0, json.dumps([{"event_type": "x"}])),
+    ])
+    retry = FakeConn(clock, [
+        ("msg", 0.1, json.dumps([{"event_type": "x"}])),
+        ("msg", 3600.0, json.dumps([{"event_type": "x"}])),
+    ])
+    # Batch 1: one of two opens fails (half, not a majority) → the NEXT
+    # reconnect batch must wait the escalated max(error_count, 3) s, not
+    # the normal 0.5 s.
+    transport = FakeTransport(clock, [lambda: good1, "fail", lambda: retry])
+    sleeps: list[float] = []
+
+    def sleep(s: float) -> None:
+        sleeps.append(s)
+        clock.sleep(s)
+
+    collect(
+        tmp_path,
+        fetch_markets=lambda: markets,
+        transport=transport,
+        stop=lambda: len(retry.sent) > 0 and len(retry.script) < 2,
+        clock=clock,
+        sleep=sleep,
+        now=_now_fn(clock),
+    )
+    # first batch slept the normal backoff; the retry batch 3 s
+    assert sleeps[0] == 0.5
+    assert 3.0 in sleeps
 
 
 def test_collect_all_connections_ready_frame(tmp_path):
