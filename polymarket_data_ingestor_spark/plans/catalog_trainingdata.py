@@ -726,6 +726,83 @@ def q_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# VARIANT depth (Spark 4 semi-structured type, beyond variant_props_agg):
+# nested-path extraction and per-group schema profiling.
+# ---------------------------------------------------------------------------
+
+@register(
+    "variant_nested_paths",
+    """
+    SELECT event_type AS tag,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="Nested VARIANT path extraction: rows are re-serialized as a "
+    "nested JSON document (object, sub-object, array), parsed to ONE "
+    "VARIANT, and every value is recovered through typed variant_get "
+    "paths ($.tags[0], $.u, $.m.v) — the oracle computes the same "
+    "aggregate from the flat columns, so the round-trip must be "
+    "value-exact. The forward path for querying dynamic nested fields "
+    "without a schema (one parse, many typed extractions).",
+    tags=("scalar", "variant"),
+)
+def q_variant_nested_paths(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.struct(F.col("value").alias("v")).alias("m"),
+            F.array(F.col("event_type")).alias("tags"),
+        )
+    )
+    ex = e.select(F.parse_json(j).alias("__v")).select(
+        F.variant_get("__v", "$.tags[0]", "string").alias("tag"),
+        F.variant_get("__v", "$.u", "bigint").alias("u"),
+        F.variant_get("__v", "$.m.v", "double").alias("val"),
+    )
+    return ex.groupBy("tag").agg(
+        F.count_distinct("u").cast("long").alias("n_users"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double")
+        .alias("sum_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "variant_schema_profile",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT json_structure(props::JSON)) AS BIGINT)
+             AS n_schemas,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="Schema drift profiling over a dynamic column: schema_of_variant "
+    "per row, distinct schema count per event_type (engines render the "
+    "schema string differently — Spark OBJECT<...> vs DuckDB "
+    "json_structure — so the DISTINCT COUNT is the engine-neutral "
+    "parity signal). The first thing an ingest pipeline asks of an "
+    "unknown semi-structured feed.",
+    tags=("scalar", "variant"),
+)
+def q_variant_schema_profile(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.schema_of_variant(F.parse_json("props")).alias("__s"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("__s").cast("long").alias("n_schemas"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration-order epilogue: the round-2 driver recorded correctness rows
 # for only the first 50 catalog entries, so the flagship compositions
 # (curation_pipeline, multimodal_features, frame_sample) must register
