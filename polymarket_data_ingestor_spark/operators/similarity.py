@@ -318,7 +318,7 @@ def ivf_topk(
 def banded_hyperplane_keys(
     emb: DataFrame,
     n_bands: int = 8,
-    band_bits: int = 4,
+    band_bits: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -330,6 +330,13 @@ def banded_hyperplane_keys(
     candidates iff they agree on *all* bits of *some* band — recall
     ``1-(1-p^r)^b`` with ``p = 1 - θ/π``. One linear pass; nothing
     quadratic.
+
+    **Sizing rule (the scale knob):** expected candidate pairs ≈
+    ``n_bands · N² / 2^(band_bits+1)`` — for the candidate stage to stay
+    linear-ish, pick ``band_bits ≈ log2(N / desired_bucket_size)``. Too
+    few bits makes the self-join quadratic (4 bits = 16 buckets/band
+    turned a 2k-vector corpus into 0.8M candidate pairs); each extra bit
+    halves candidates and multiplies per-true-pair recall by ``p``.
 
     Keys are computed by an Arrow-batched pandas UDF with
     **dimension-ordered accumulation**: the dot products fold over
@@ -375,7 +382,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     all_pairs: bool = False,
     n_bands: int = 8,
-    band_bits: int = 4,
+    band_bits: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
@@ -384,9 +391,11 @@ def embedding_dup_pairs(
     (:func:`banded_hyperplane_keys` self-join within (band, key) buckets
     only), then an exact cosine verify on the candidate pairs. Linear-ish
     at corpus scale — the shuffle carries (id, band, int64) triples and the
-    verify join touches candidates only. Recall is
-    ``1-(1-p^r)^b`` (≈1 for true near-dups at the default 8×4
-    configuration); pinned against the all-pairs oracle in tests.
+    verify join touches candidates only. Recall is ``1-(1-p^r)^b``
+    (≈0.99 for cos≥0.95 near-dups at the default 8 bands × 8 bits);
+    pinned against the all-pairs oracle in tests. Size ``band_bits``
+    with the occupancy rule on :func:`banded_hyperplane_keys` —
+    ``≈ log2(corpus / bucket)`` — or the candidate join goes quadratic.
 
     ``all_pairs=True`` is the O(N²) exact escape hatch — the *verify
     stage* form, for small corpora or post-candidate confirmation.

@@ -382,9 +382,14 @@ def q_embedding_dup_pairs(spark, sf_dir):
 # (hash32(plane_id:p) % 1000)/1000 - 0.5; bit set iff the sequential-fold
 # dot product is > 0 (identical fold order in both engines ⇒ identical
 # sign ⇒ identical buckets).
-_LSH_BANDS, _LSH_BITS = 8, 4
+# 11 bits/band: the occupancy rule (2^bits ≈ corpus size, see
+# banded_hyperplane_keys) at the sf0.1 corpus of 2000 vectors — 4-bit
+# bands put ~1/16th of the corpus in every bucket and made the candidate
+# self-join quadratic (0.8M pairs from 2k vectors).
+_LSH_BANDS, _LSH_BITS = 8, 11
 _SQL_PLANE_HASH = _SQL_HASH.format(
-    x="(CAST(b.band * 4 + j AS VARCHAR) || ':' || CAST(p AS VARCHAR))"
+    x=f"(CAST(b.band * {_LSH_BITS} + j AS VARCHAR) || ':' "
+      "|| CAST(p AS VARCHAR))"
 )
 _SQL_BAND_KEY = f"""
     CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -420,10 +425,13 @@ _SQL_BAND_KEY = f"""
     WHERE {_sql_cos('ea.embedding', 'eb.embedding')} >= 0.4
     """,
     doc="Embedding near-dup pairs via the DEFAULT bucketed path: banded "
-    "hyperplane-LSH candidates (8 bands x 4 bits) + exact cosine verify. "
-    "The linear-ish scale shape; recall vs all-pairs pinned in tests. "
-    "(At this corpus's low 0.4 threshold bands are deliberately wide; "
-    "production near-dup thresholds >=0.9 make them sharp.)",
+    "hyperplane-LSH candidates (8 bands x 11 bits, sized by the "
+    "2^bits ~ corpus occupancy rule) + exact cosine verify. The "
+    "linear-ish scale shape; near-dup recall vs all-pairs pinned in "
+    "tests. (This corpus has no real near-dups — max pairwise cos is "
+    "~0.5 — so the entry's 0.4 threshold surfaces the low-similarity "
+    "tail the bands intentionally down-sample; recall is engineered "
+    "for true near-dup thresholds >=0.9.)",
     tags=("similarity", "dedup", "sketch"),
 )
 def q_embedding_dup_pairs_lsh(spark, sf_dir):

@@ -152,6 +152,19 @@ def test_pack_sequences_two_level_prefix_sum(spark):
     assert plan.count("Exchange SinglePartition") == 1
 
 
+@pytest.mark.parametrize("name", ["minhash_signatures", "simhash_docs"])
+def test_sketch_signatures_zero_shuffle(spark, name):
+    """A document's MinHash/SimHash signature depends only on its own
+    text: the plan must be one Arrow projection over the scan — no
+    Exchange (the r2 explode+groupBy shapes shuffled the whole shingle/
+    bit-vote stream), the kernel evaluated exactly once, and the scan
+    pruned to (id, text)."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
 def test_hamming_banded_no_cartesian(spark):
     """Banded Hamming candidates join on (band, key) equi-keys; the
     O(N^2) all-pairs shape must not appear in the default plan."""
