@@ -87,6 +87,37 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicated word
+    n-grams per document.
+
+    Heavily repetitive documents (boilerplate, keyword stuffing, broken
+    scrapes) have a high ``dup_{n}gram_ratio = 1 - unique/total``; the
+    Gopher/Dolma pipelines filter on exactly this family of fractions.
+    Pure Catalyst (transform + array_distinct), no shuffle, no UDF —
+    acceptable interpreted-HOF cost because this runs once per doc, not
+    per shingle pair like the sketch kernels. Gram construction matches
+    :func:`...operators.dedup.word_ngrams` (short docs yield one
+    truncated gram, so ratios stay defined).
+    """
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    total = F.size(grams).cast("long")
+    uniq = F.size(F.array_distinct(grams)).cast("long")
+    ratio = F.lit(1.0) - uniq.cast("double") / total.cast("double")
+    return df.select(
+        "*",
+        total.alias(f"n_{n}grams"),
+        uniq.alias(f"n_unique_{n}grams"),
+        F.round(ratio, 6).alias(f"dup_{n}gram_ratio"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-stopword language ID with deterministic arg-max.
 

@@ -733,6 +733,38 @@ def q_frame_sample(spark, sf_dir):
     return M.frame_sample(media, every_n_bytes=64)
 
 
+@register(
+    "doc_repetition",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i+1:i+2], ' ')) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_2grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique_2grams,
+           round(CAST(1 AS DOUBLE)
+                 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / CAST(len(grams) AS DOUBLE), 6) AS dup_2gram_ratio
+    FROM g
+    """,
+    doc="Gopher-style repetition filter signal: per-doc fraction of "
+    "duplicated word 2-grams (1 - unique/total). High ratios flag "
+    "boilerplate / keyword stuffing / broken scrapes. Pure Catalyst, "
+    "zero shuffle.",
+    tags=("text", "quality"),
+)
+def q_doc_repetition(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.repetition_stats(d, n=2).select(
+        "doc_id", "n_2grams", "n_unique_2grams", "dup_2gram_ratio"
+    )
+
+
 # ---------------------------------------------------------------------------
 # VARIANT depth (Spark 4 semi-structured type, beyond variant_props_agg):
 # nested-path extraction and per-group schema profiling.

@@ -149,6 +149,20 @@ def test_minhash_and_simhash_match_catalyst_reference_forms(spark, docs):
     assert got_sim == want_sim
 
 
+def test_repetition_stats_flags_repetitive_docs(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),        # one distinct 2-gram
+        (2, "all words here are different"),    # no repeated 2-grams
+        (3, "one"),                             # short doc: 1 truncated gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in T.repetition_stats(df).collect()}
+    assert got[1]["n_2grams"] == 4 and got[1]["n_unique_2grams"] == 1
+    assert got[1]["dup_2gram_ratio"] == 0.75
+    assert got[2]["dup_2gram_ratio"] == 0.0
+    assert got[3]["n_2grams"] == 1 and got[3]["dup_2gram_ratio"] == 0.0
+
+
 def test_minhash_lsh_rejects_ragged_bands():
     with pytest.raises(ValueError, match="divisible"):
         D.minhash_lsh_pairs(None, num_hashes=15, bands=8)
