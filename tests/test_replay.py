@@ -323,6 +323,12 @@ def test_write_tick_lake_partition_pruning(spark, fixture_paths, tmp_path):
         or "PartitionFilters: [(file_hour" in plan
     assert pruned.count() == ticks.filter(
         F.col("file_hour") == "2025-09-30-15").count()
+    # compact=True (default): one data file per hour partition, not one
+    # per upstream task (the small-files problem at the lake layer)
+    hours = [d for d in Path(lake).iterdir() if d.name.startswith("file_hour=")]
+    assert hours
+    for d in hours:
+        assert len(list(d.glob("*.parquet"))) == 1, d
 
 
 def test_malformed_messages_without_keys_are_dropped(spark, tmp_path):
