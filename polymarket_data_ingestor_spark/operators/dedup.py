@@ -330,6 +330,23 @@ def minhash_lsh_pairs(
     )
 
 
+def drop_near_dupes(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize near-dedup: drop the higher-id document of every
+    near-dup pair (columns ``id_a < id_b``; e.g. from
+    :func:`minhash_lsh_pairs` or :func:`...similarity.embedding_dup_pairs`).
+
+    The greedy min-id-keeper convention (SlimPajama-style): one anti-join,
+    no transitive closure — for a chain A~B, B~C with A≁C, both A and C
+    survive. Deterministic: survivors depend only on the pair set, not on
+    evaluation order. The anti-join shuffles only the distinct loser-id
+    column, not the corpus (ids are broadcast when small enough).
+    """
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

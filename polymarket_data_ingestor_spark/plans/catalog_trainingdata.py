@@ -208,9 +208,9 @@ def q_minhash_signatures(spark, sf_dir):
     return D.minhash_signatures(d, num_hashes=16)
 
 
-@register(
-    "minhash_lsh_pairs",
-    f"""
+#: MinHash-LSH candidate pairs as a reusable SQL CTE body (SELECTs
+#: id_a < id_b); shared by the pairs entry and the materialized dedup.
+_SQL_LSH_PAIRS = f"""
     WITH grams AS (
       SELECT doc_id, unnest(grams) AS gram FROM (
         SELECT doc_id, {_SQL_GRAMS3} AS grams
@@ -235,7 +235,12 @@ def q_minhash_signatures(spark, sf_dir):
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
-    """,
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    _SQL_LSH_PAIRS,
     doc="MinHash-LSH candidate pairs (16 hashes, 8 bands x 2 rows): "
     "docs sharing any identical band. The linear-time near-dedup path.",
     tags=("dedup", "sketch"),
@@ -243,6 +248,29 @@ def q_minhash_signatures(spark, sf_dir):
 def q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"), num_hashes=16, bands=8
+    )
+
+
+@register(
+    "dedup_near_materialize",
+    f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    ANTI JOIN (SELECT DISTINCT id_b FROM ({_SQL_LSH_PAIRS})) losers
+      ON d.doc_id = losers.id_b
+    """,
+    doc="Materialized near-dedup: the corpus minus the higher-id doc of "
+    "every MinHash-LSH pair (greedy min-id keeper, SlimPajama-style; "
+    "deliberately no transitive closure). One anti-join against the "
+    "distinct loser ids — the pairs-to-corpus step that completes the "
+    "near-dedup pipeline.",
+    tags=("dedup",),
+)
+def q_dedup_near_materialize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    return D.drop_near_dupes(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -853,5 +881,5 @@ def q_variant_schema_profile(spark, sf_dir):
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 
 for _tail_entry in ("hourly_volume_salted", "rank_sample",
-                    "count_distinct_users"):
+                    "count_distinct_users", "dedup_near_materialize"):
     _CATALOG[_tail_entry] = _CATALOG.pop(_tail_entry)

@@ -55,6 +55,23 @@ def test_minhash_lsh_finds_planted_near_dupes(spark, docs):
     assert near_hits >= 25  # high-similarity pairs: near-full recall
 
 
+def test_drop_near_dupes_materializes_min_id_keepers(spark, docs):
+    """Greedy min-id dedup: every planted copy (exact AND near) appears
+    as id_b of some pair and is dropped; all originals survive."""
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    kept = D.drop_near_dupes(docs, pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    paired_b = {r.id_b for r in pairs.select("id_b").collect()}
+    # the contract: survivors are exactly the docs never seen as the
+    # higher id of a pair (originals CAN pair with each other — a
+    # lower-id original then drops them; that's the greedy keeper)
+    assert kept_ids == all_ids - paired_b
+    # every planted exact copy has id original+100000 > original, so it
+    # is id_b of its pair and always dropped
+    assert not kept_ids & {i + 100000 for i in range(30)}
+
+
 def test_simhash_hamming_near_dupes(spark, docs):
     sig = D.simhash(docs, bits=32)
     pairs = D.hamming_pairs(sig, max_distance=2).toPandas()
