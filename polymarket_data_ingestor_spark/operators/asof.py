@@ -29,6 +29,7 @@ def asof_join(
     order_col: str,
     value_cols: Sequence[str],
     strict: bool = False,
+    tolerance=None,
 ) -> DataFrame:
     """For each probe row, attach the latest reference values at-or-before
     its ``order_col`` (per ``by`` group).
@@ -36,9 +37,17 @@ def asof_join(
     ``strict=True`` uses strictly-before (reference order < probe order)
     by breaking ties in favor of the probe row.
 
+    ``tolerance`` (pandas ``merge_asof`` parity) bounds staleness: a
+    match older than ``probe_ord - tolerance`` yields nulls instead.
+    Requires an order column with a subtraction (numeric/timestamp
+    difference comparable to the tolerance literal); the carried
+    reference order rides the same window pass, so the bound costs no
+    extra shuffle.
+
     Returns the probe rows + ``value_cols`` (null when no reference row
-    precedes). Both inputs must share the ``by`` + ``order_col`` columns;
-    ``value_cols`` must not collide with probe columns.
+    precedes / none within tolerance). Both inputs must share the
+    ``by`` + ``order_col`` columns; ``value_cols`` must not collide
+    with probe columns.
     """
     by = list(by)
     value_cols = list(value_cols)
@@ -54,6 +63,8 @@ def asof_join(
         F.struct(*probe_cols).alias("__row"),
         *[F.lit(None).cast(reference.schema[c].dataType).alias(c)
           for c in value_cols],
+        F.lit(None).cast(reference.schema[order_col].dataType)
+        .alias("__ref_ord"),
     )
     r = reference.select(
         *by,
@@ -61,6 +72,7 @@ def asof_join(
         F.lit(0).alias("__is_probe"),
         F.lit(None).cast(p.schema["__row"].dataType).alias("__row"),
         *value_cols,
+        F.col(order_col).alias("__ref_ord"),
     )
     # tie order: strict → probe sorts before same-ord reference rows
     tie = F.col("__is_probe").desc() if strict else F.col("__is_probe").asc()
@@ -72,10 +84,17 @@ def asof_join(
     carried = p.unionByName(r).select(
         "__is_probe",
         "__row",
+        "__ord",
+        F.last("__ref_ord", ignorenulls=True).over(w).alias("__ref_ord"),
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
+    if tolerance is not None:
+        within = (F.col("__ord") - F.col("__ref_ord")) <= F.lit(tolerance)
+        vals = [F.when(within, F.col(c)).alias(c) for c in value_cols]
+    else:
+        vals = [F.col(c) for c in value_cols]
     return carried.filter(F.col("__is_probe") == 1).select(
-        *[F.col("__row")[c].alias(c) for c in probe_cols], *value_cols
+        *[F.col("__row")[c].alias(c) for c in probe_cols], *vals
     )
 
 

@@ -46,6 +46,27 @@ def test_asof_strict_excludes_same_instant(spark):
     assert got.v == 30.0  # the t=5 reference no longer qualifies
 
 
+def test_asof_tolerance_bounds_staleness(spark):
+    """merge_asof tolerance parity: a match older than the bound yields
+    null, in-bound matches (inclusive) are kept."""
+    probe = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 100)], "k string, t long"
+    )
+    ref = spark.createDataFrame(
+        [("a", 8, 80.0), ("a", 18, 180.0)], "k string, t long, v double"
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in asof_join(probe, ref, by=["k"], order_col="t",
+                           value_cols=["v"], tolerance=2).collect()
+    }
+    assert got == {
+        ("a", 10): 80.0,      # gap 2 == tolerance: kept (inclusive)
+        ("a", 20): 180.0,     # gap 2: kept
+        ("a", 100): None,     # match exists (t=18) but 82 > 2: nulled
+    }
+
+
 def test_asof_value_collision_raises(spark):
     df = spark.createDataFrame([("a", 1, 2.0)], "k string, t long, v double")
     with pytest.raises(ValueError, match="collides"):
