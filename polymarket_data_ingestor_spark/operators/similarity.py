@@ -157,24 +157,41 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     With b sign bits the corpus fans into 2^b buckets; the candidate join is
     bucket-equi instead of cross — the linear scale path. Recall < 1 by
-    construction; raise by lowering ``n_planes`` or multi-probing.
+    construction; raise with ``multiprobe`` or by lowering ``n_planes``.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's key (its ``n_planes`` single-bit flips
+    — the planes a near-boundary vector most plausibly fell across).
+    Probing multiplies only the tiny broadcast QUERY side (×(1+b)); the
+    corpus is still hashed/scanned once, so recall rises steeply at
+    almost no candidate cost versus halving ``n_planes`` (which doubles
+    every bucket instead).
     """
     from pyspark.sql import Window
 
     e = emb.withColumn(
         "__bucket", hyperplane_signs(vec_col, n_planes, dim)
     ).withColumn("__vn", _norm(F.col(vec_col)))
+    qkey = hyperplane_signs("__qvec", n_planes, dim)
+    if multiprobe:
+        probe_keys = F.array(
+            qkey, *[qkey.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+        )
+        bucket = F.explode(probe_keys).alias("__bucket")
+    else:
+        bucket = qkey.alias("__bucket")
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             _norm(F.col(vec_col)).alias("__qn"),
-        ).withColumn("__bucket", hyperplane_signs("__qvec", n_planes, dim))
+        ).select("*", bucket)
     )
     # per-vector norms reused across pairs; op order identical to cosine()
     cos = _dot(F.col("__qvec"), F.col(vec_col)) / (

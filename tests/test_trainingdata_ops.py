@@ -214,6 +214,31 @@ def test_lsh_topk_recall_vs_bruteforce(spark, emb):
     assert (merged.cos_a == merged.cos_e).all()
 
 
+def test_lsh_topk_multiprobe_raises_recall(spark, emb):
+    """multiprobe=1 probes the n_planes Hamming-1 buckets too: its hit set
+    must be a superset of the single-probe hits, duplicate-free (probe keys
+    are distinct, each corpus vector lives in one bucket), and strictly
+    closer to brute-force recall at these settings."""
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, queries, k=10).toPandas()
+    single = S.cosine_topk_lsh(emb, queries, k=10, n_planes=4).toPandas()
+    multi = S.cosine_topk_lsh(
+        emb, queries, k=10, n_planes=4, multiprobe=1
+    ).toPandas()
+    assert not multi.duplicated(["query_id", "vec_id"]).any()
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    s = set(map(tuple, single[["query_id", "vec_id"]].itertuples(index=False)))
+    m = set(map(tuple, multi[["query_id", "vec_id"]].itertuples(index=False)))
+    # 17x the candidate buckets can only surface better-or-equal neighbors,
+    # so multi's top-k per query dominates single's within the exact truth
+    assert len(m & e) > len(s & e)
+    # and every scored hit agrees with the exact scoring function
+    merged = multi.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (merged.cos_a == merged.cos_e).all()
+
+
 def test_embedding_dup_default_bucketed_recall(spark, emb):
     """The DEFAULT embedding_dup_pairs path is banded-LSH bucketed; on
     planted near-dups (cos≈0.99) it must find ≥95% of what the all-pairs
