@@ -457,3 +457,58 @@ def hamming_pairs(
         .select("id_a", "id_b", dist.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def benchmark_ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: per-doc n-gram overlap with a held-out set.
+
+    Standard pre-training hygiene — any corpus document sharing shingle
+    content with an evaluation/benchmark set is flagged (``contaminated``)
+    so it can be dropped before training. Overlap = fraction of the doc's
+    DISTINCT word n-grams that appear anywhere in the benchmark.
+
+    100 TB shape: the benchmark side is tiny by construction (an eval set,
+    not a corpus), so its distinct-gram set BROADCASTS; the corpus is
+    scanned once — shingle (Arrow kernel), explode, broadcast-hash-join
+    (no corpus shuffle), then a (doc_id, count) rollup whose map-side
+    partials make the single shuffle negligible.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        word_ngrams_vectorized(text_col, n).alias("__grams"),
+    ).select(
+        id_col, F.size("__grams").cast("long").alias("n_grams"), "__grams"
+    )
+    bench = (
+        benchmark.select(
+            F.explode(word_ngrams_vectorized(text_col, n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    contamination = F.round(
+        F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return (
+        grams.select(id_col, "n_grams", F.explode("__grams").alias("gram"))
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            contamination.alias("contamination"),
+        )
+        .withColumn("contaminated", F.col("contamination") >= threshold)
+    )

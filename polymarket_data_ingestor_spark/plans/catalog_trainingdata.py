@@ -906,6 +906,94 @@ def q_asof_join_tolerance(spark, sf_dir):
     )
 
 
+@register(
+    "benchmark_decontaminate",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(len(toks) - 3, 0)),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE doc_id % 50 = 0),
+    ex AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+           FROM g WHERE doc_id % 50 <> 0),
+    h AS (SELECT ex.doc_id, max(ex.n_grams) AS n_grams,
+                 sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+          FROM ex LEFT JOIN bench b ON ex.gram = b.gram
+          GROUP BY ex.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             AS contamination,
+           round(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             >= CAST(0.05 AS DOUBLE) AS contaminated
+    FROM h
+    """,
+    doc="Benchmark decontamination: flag corpus docs sharing 3-gram "
+    "shingles with a held-out benchmark slice (doc_id mod 50 = 0 stands in "
+    "for the eval set). Broadcast bench-gram join, single map-side-partial "
+    "rollup — the pre-training contamination sweep at corpus scale.",
+    tags=("text", "dedup"),
+)
+def q_benchmark_decontaminate(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return D.benchmark_ngram_overlap(corpus, bench, n=3, threshold=0.05)
+
+
+@register(
+    "redact_pii",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS n_email,
+           len(regexp_extract_all(text,
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+           len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+             AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '[IP]', 'g') AS redacted_text
+    FROM (SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-867-5309 at 10.0.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) AS text
+          FROM documents WHERE doc_id < 200)
+    """,
+    doc="PII scrub: email/phone/IPv4 counts + chained regexp_replace "
+    "redaction, pure Catalyst (codegen, zero shuffle). Patterns restricted "
+    "to the Java-regex/RE2 common subset so the DuckDB oracle matches "
+    "byte-for-byte; deterministic synthetic PII appended in both engines "
+    "(the corpus itself is clean).",
+    tags=("text",),
+)
+def q_redact_pii(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return T.redact_pii(aug).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted_text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order epilogue: the round-2 driver recorded correctness rows
 # for only the first 50 catalog entries, so the flagship compositions

@@ -345,3 +345,45 @@ def test_frame_sample_row_shape(spark, docs):
         assert len(grp) == expected
         assert list(grp.sort_values("frame_no").byte_offset) == \
             [i * 50 for i in range(expected)]
+
+
+def test_benchmark_decontamination_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # exact copy
+            (2, "alpha beta gamma then something entirely different here"),
+            (3, "no shared words at all in this document whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.benchmark_ngram_overlap(
+            corpus, bench, n=3, threshold=0.05
+        ).collect()
+    }
+    assert got[1]["contamination"] == 1.0 and got[1]["contaminated"]
+    # doc 2 shares exactly the 'alpha beta gamma' shingle of its 6
+    assert got[2]["n_hits"] == 1 and got[2]["contaminated"]
+    assert got[3]["n_hits"] == 0 and not got[3]["contaminated"]
+    assert got[3]["contamination"] == 0.0
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org, call 555-123-4567"),
+            (2, "server at 192.168.0.1 and 10.0.0.255; no mail"),
+            (3, "clean text with digits 12345 and an @ but no pii"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in T.redact_pii(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (2, 1, 0)
+    assert got[1]["redacted_text"] == "mail [EMAIL] and [EMAIL], call [PHONE]"
+    assert (got[2]["n_email"], got[2]["n_ipv4"]) == (0, 2)
+    assert got[2]["redacted_text"] == "server at [IP] and [IP]; no mail"
+    assert got[3]["redacted_text"] == got[3]["text"]
