@@ -512,3 +512,59 @@ def benchmark_ngram_overlap(
         )
         .withColumn("contaminated", F.col("contamination") >= threshold)
     )
+
+
+def dup_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive duplicate clusters: min-label connected components.
+
+    After any pair generator (LSH bands, Hamming buckets, embedding LSH)
+    the keeper decision must be TRANSITIVE — a~b and b~c put all three in
+    one cluster even when (a, c) never surfaced as a pair (the gap
+    ``drop_near_dupes``'s deliberately-greedy pair-local keeper leaves
+    open). Every node starts labeled with its own id; labels flow min-wise
+    along edges to a fixed point, mapping each node to the smallest id
+    reachable from it — one ``component`` per dup cluster.
+
+    Scale shape: standard iterative CC on DataFrames. Each round is one
+    join + one min-agg, both hash-partitioned on the same key, with
+    lineage truncated per round by an eager ``localCheckpoint`` (swap for
+    ``checkpoint()`` where fault tolerance matters). Rounds = component
+    diameter; dup graphs are near-stars and converge in 2-3. Labels only
+    ever decrease (a semilattice), so convergence is detected by the label
+    SUM going stationary — a 1-row agg per round, not a diff join.
+    """
+    sym = pairs.select(
+        F.col(id_a).cast("long").alias("u"),
+        F.col(id_b).cast("long").alias("v"),
+    )
+    edges = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    if nodes is None:
+        nodes = edges.select(F.col("u").alias(id_col)).distinct()
+    labels = nodes.select(
+        F.col(id_col).cast("long").alias("u"),
+        F.col(id_col).cast("long").alias("comp"),
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("u").alias("v"), "comp"), "v"
+        ).select("u", "comp")
+        labels = (
+            labels.union(nbr).groupBy("u").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        s = labels.agg(F.sum("comp")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(
+        F.col("u").alias(id_col), F.col("comp").alias("component")
+    )

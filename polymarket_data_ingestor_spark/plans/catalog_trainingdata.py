@@ -275,6 +275,32 @@ def q_dedup_near_materialize(spark, sf_dir):
 
 
 @register(
+    "dup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_LSH_PAIRS}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+    doc="Transitive dup clusters: min-label connected components over the "
+    "MinHash-LSH pair graph (all docs as nodes; singletons label "
+    "themselves). Iterative join+min-agg with per-round lineage "
+    "truncation; oracle is a DuckDB recursive reachability closure.",
+    tags=("dedup",),
+)
+def q_dup_components(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    return D.dup_components(pairs, nodes=docs.select("doc_id"))
+
+
+@register(
     "simhash_docs",
     f"""
     WITH toks AS (

@@ -387,3 +387,26 @@ def test_redact_pii_counts_and_replacement(spark):
     assert (got[2]["n_email"], got[2]["n_ipv4"]) == (0, 2)
     assert got[2]["redacted_text"] == "server at [IP] and [IP]; no mail"
     assert got[3]["redacted_text"] == got[3]["text"]
+
+
+def test_dup_components_transitive_closure(spark):
+    """a~b and b~c must land all three in one cluster even though (a,c)
+    never surfaced as a pair — the gap the greedy pair-local keeper
+    leaves open; singleton nodes label themselves."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                  ["doc_id"])
+    got = {
+        r["doc_id"]: r["component"]
+        for r in D.dup_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dup_components_infers_nodes_from_pairs(spark):
+    pairs = spark.createDataFrame([(5, 6)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r["component"]
+           for r in D.dup_components(pairs).collect()}
+    assert got == {5: 5, 6: 5}
