@@ -1030,7 +1030,7 @@ def q_redact_pii(spark, sf_dir):
 # count_distinct_users ~ approx_distinct_users' exact twin).
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 
-for _tail_entry in ("hourly_volume_salted", "rank_sample",
+for _tail_entry in ("dup_components", "hourly_volume_salted", "rank_sample",
                     "count_distinct_users", "dedup_near_materialize",
                     "asof_join_tolerance"):
     _CATALOG[_tail_entry] = _CATALOG.pop(_tail_entry)
