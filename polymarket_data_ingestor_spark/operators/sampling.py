@@ -83,3 +83,59 @@ def rank_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Token-budget mixture sampling: fill each source's token budget in a
+    deterministic hash-shuffled order (the "train mix" step — e.g. 30%
+    web, 20% code — expressed as absolute token budgets per source).
+
+    Docs are laid out per source in the reproducible order
+    ``(shard, hash32(source:id), id)`` and kept while they START inside
+    the budget (the boundary doc straddles it, matching how packers
+    consume a mixture). Emits ``n_tok`` and the running ``cum_tokens``.
+
+    Scale shape: the same two-level prefix sum as ``pack_sequences`` —
+    the running total is a window INSIDE each (source, shard) slice plus
+    a broadcast per-shard offset from a #source×#shard-row rollup, so no
+    per-source single-reducer sort exists at any size; budgets ride along
+    as a literal map (no join).
+    """
+    from pyspark.sql import Window
+
+    rk = hash32(F.concat_ws(":", F.col(source_col), F.col(id_col)))
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.greatest(F.size(F.split(F.trim(F.col(text_col)), r"\s+")), F.lit(1))
+        .cast("long")
+        .alias("n_tok"),
+        rk.alias("__rk"),
+    ).withColumn("__shard", (F.col("__rk") % n_shards).cast("long"))
+    w_in = Window.partitionBy(source_col, "__shard").orderBy(
+        "__rk", id_col
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_in = base.withColumn("__cum_in", F.sum("n_tok").over(w_in))
+    w_sh = Window.partitionBy(source_col).orderBy("__shard")
+    offsets = (
+        base.groupBy(source_col, "__shard")
+        .agg(F.sum("n_tok").alias("__t"))
+        .withColumn("__off", F.sum("__t").over(w_sh) - F.col("__t"))
+        .select(source_col, "__shard", "__off")
+    )
+    budget = F.create_map(
+        *[F.lit(x) for kv in sorted(budgets.items()) for x in kv]
+    )[F.col(source_col)]
+    cum = F.col("__off") + F.col("__cum_in")
+    return (
+        cum_in.join(F.broadcast(offsets), [source_col, "__shard"])
+        .filter(cum - F.col("n_tok") < budget)
+        .select(id_col, source_col, "n_tok", cum.alias("cum_tokens"))
+    )

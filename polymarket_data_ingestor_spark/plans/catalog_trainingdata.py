@@ -1020,6 +1020,45 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+@register(
+    "mixture_sample",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             greatest(len({_SQL_TOKS}), 1) AS n_tok,
+             {sql_hash32("source || ':' || CAST(doc_id AS VARCHAR)")} AS rk
+      FROM documents
+    ), sh AS (
+      SELECT *, rk % 32 AS shard FROM base
+    ), cum AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY shard, rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM sh
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum
+    WHERE cum_tokens - n_tok
+          < 600 + 300 * (CAST(substr(source, 4) AS BIGINT) % 3)
+    """,
+    doc="Token-budget train-mix sampling: each source fills its budget in "
+    "a deterministic hash-shuffled order (budgets 600/900/1200 cycling by "
+    "source index). Two-level prefix sum (per-shard window + broadcast "
+    "offsets) — no per-source single-reducer sort; budgets ride as a "
+    "literal map, no join.",
+    tags=("sampling",),
+)
+def q_mixture_sample(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    budgets = {f"src{i}": 600 + 300 * (i % 3) for i in range(20)}
+    return mixture_sample(d, budgets)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order epilogue: the round-2 driver recorded correctness rows
 # for only the first 50 catalog entries, so the flagship compositions

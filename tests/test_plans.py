@@ -179,3 +179,13 @@ def test_throughput_bound_is_broadcast_not_driver(spark):
     checked in the verify drive; here: the broadcast is in the plan)."""
     plan = plan_of(spark, "throughput_15s")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mixture_sample_two_level_prefix_sum(spark):
+    """The per-source running token total must never collapse to one
+    reducer per source over the corpus: the only single-partition-ish
+    window is over the #source x #shard-row offsets rollup, which comes
+    back via broadcast; the corpus window partitions on (source, shard)."""
+    plan = plan_of(spark, "mixture_sample")
+    assert plan.count("BroadcastExchange") == 1
+    assert "Exchange SinglePartition" not in plan

@@ -410,3 +410,22 @@ def test_dup_components_infers_nodes_from_pairs(spark):
     got = {r["doc_id"]: r["component"]
            for r in D.dup_components(pairs).collect()}
     assert got == {5: 5, 6: 5}
+
+
+def test_mixture_sample_fills_token_budgets(spark):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i < 40 else "b", "tok " * 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = mixture_sample(df, {"a": 23, "b": 0}).toPandas()
+    # source b has budget 0: nothing starts inside it
+    assert (got["source"] == "a").all()
+    # every kept doc STARTS inside the budget; the boundary doc straddles
+    assert ((got["cum_tokens"] - got["n_tok"]) < 23).all()
+    assert got["cum_tokens"].max() >= 23  # budget actually filled
+    assert len(got) == 5  # 4 full 5-token docs + the boundary doc
+    # deterministic: same ids on a re-run
+    again = mixture_sample(df, {"a": 23, "b": 0}).toPandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
