@@ -189,3 +189,13 @@ def test_mixture_sample_two_level_prefix_sum(spark):
     plan = plan_of(spark, "mixture_sample")
     assert plan.count("BroadcastExchange") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The corpus side must reach the gram join WITHOUT shuffling: the
+    benchmark gram set broadcasts, and the only corpus exchange is the
+    final (doc_id, count) rollup with a map-side partial."""
+    plan = plan_of(spark, "benchmark_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_max" in plan or "partial_sum" in plan
