@@ -32,6 +32,8 @@ from polymarket_data_ingestor_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "embedding_dup_pairs_lsh",
     "minhash_lsh_pairs",
+    "benchmark_decontaminate",
+    "mixture_sample",
     "cosine_topk",
     "simhash_docs",
     "hamming_dup_pairs",

@@ -466,6 +466,7 @@ def benchmark_ngram_overlap(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.05,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: per-doc n-gram overlap with a held-out set.
 
@@ -478,7 +479,10 @@ def benchmark_ngram_overlap(
     not a corpus), so its distinct-gram set BROADCASTS; the corpus is
     scanned once — shingle (Arrow kernel), explode, broadcast-hash-join
     (no corpus shuffle), then a (doc_id, count) rollup whose map-side
-    partials make the single shuffle negligible.
+    partials make the single shuffle negligible. If the "benchmark" is
+    itself corpus-scale (corpus-vs-corpus audits), set
+    ``broadcast_bench=False`` to let the gram join shuffle-partition
+    both sides instead of materializing the gram set on every executor.
     """
     grams = docs.select(
         F.col(id_col),
@@ -496,9 +500,10 @@ def benchmark_ngram_overlap(
     contamination = F.round(
         F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6
     )
+    bench_side = F.broadcast(bench) if broadcast_bench else bench
     return (
         grams.select(id_col, "n_grams", F.explode("__grams").alias("gram"))
-        .join(F.broadcast(bench), "gram", "left")
+        .join(bench_side, "gram", "left")
         .groupBy(id_col)
         .agg(
             F.max("n_grams").alias("n_grams"),
