@@ -573,3 +573,25 @@ def dup_components(
     return labels.select(
         F.col("u").alias(id_col), F.col("comp").alias("component")
     )
+
+
+def drop_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Materialized TRANSITIVE near-dedup: keep one doc per dup cluster.
+
+    Runs :func:`dup_components` over the pair graph and keeps exactly the
+    rows that are their own cluster label (the min id of each connected
+    component) — so a chain a~b~c keeps only ``a``, unlike the pair-local
+    greedy keeper in :func:`drop_near_dupes` which cannot see that ``c``
+    transitively duplicates ``a``. One left-semi join back to the corpus.
+    """
+    comp = dup_components(
+        pairs, nodes=df.select(id_col), id_a=id_a, id_b=id_b, id_col=id_col
+    )
+    keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

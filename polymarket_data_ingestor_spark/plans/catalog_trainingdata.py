@@ -274,9 +274,10 @@ def q_dedup_near_materialize(spark, sf_dir):
     )
 
 
-@register(
-    "dup_components",
-    f"""
+#: Recursive reachability closure over the LSH pair graph — min reachable
+#: id per doc. CTE body shared by the components entry and the transitive
+#: materializer.
+_SQL_DUP_COMPONENTS = f"""
     WITH RECURSIVE pairs AS ({_SQL_LSH_PAIRS}),
     edges AS (SELECT id_a AS u, id_b AS v FROM pairs
               UNION SELECT id_b AS u, id_a AS v FROM pairs),
@@ -287,7 +288,12 @@ def q_dedup_near_materialize(spark, sf_dir):
     )
     SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component
     FROM reach GROUP BY u
-    """,
+"""
+
+
+@register(
+    "dup_components",
+    _SQL_DUP_COMPONENTS,
     doc="Transitive dup clusters: min-label connected components over the "
     "MinHash-LSH pair graph (all docs as nodes; singletons label "
     "themselves). Iterative join+min-agg with per-round lineage "
@@ -298,6 +304,27 @@ def q_dup_components(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
     return D.dup_components(pairs, nodes=docs.select("doc_id"))
+
+
+@register(
+    "dedup_transitive_materialize",
+    f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN ({_SQL_DUP_COMPONENTS}) c
+      ON d.doc_id = c.doc_id AND d.doc_id = c.component
+    """,
+    doc="Materialized TRANSITIVE near-dedup: one keeper (the component-min "
+    "id) per connected dup cluster — a~b~c keeps only a, which the "
+    "pair-local greedy keeper (dedup_near_materialize) cannot see. "
+    "dup_components + one left-semi join.",
+    tags=("dedup",),
+)
+def q_dedup_transitive_materialize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    return D.drop_dup_clusters(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 @register(
@@ -1069,7 +1096,8 @@ def q_mixture_sample(spark, sf_dir):
 # count_distinct_users ~ approx_distinct_users' exact twin).
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 
-for _tail_entry in ("dup_components", "hourly_volume_salted", "rank_sample",
+for _tail_entry in ("dup_components", "dedup_transitive_materialize",
+                    "hourly_volume_salted", "rank_sample",
                     "count_distinct_users", "dedup_near_materialize",
                     "asof_join_tolerance"):
     _CATALOG[_tail_entry] = _CATALOG.pop(_tail_entry)

@@ -429,3 +429,17 @@ def test_mixture_sample_fills_token_budgets(spark):
     # deterministic: same ids on a re-run
     again = mixture_sample(df, {"a": 23, "b": 0}).toPandas()
     assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_drop_dup_clusters_keeps_one_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4]], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"] for r in D.drop_dup_clusters(docs, pairs).collect()
+    )
+    # 1~2~3 is ONE cluster -> only 1 survives; 4 untouched. The greedy
+    # pair-local keeper would keep the same here, but only because the
+    # chain shares ids; the component keeper is correct by construction.
+    assert kept == [1, 4]
