@@ -88,6 +88,15 @@ def _h32(s: str) -> int:
     return int(_md5(s.encode("utf-8")).hexdigest()[:8], 16)
 
 
+def _h63(s: str) -> int:
+    """63-bit token hash: two independent salted 32-bit md5-prefix hashes
+    packed as ``(h_a mod 2^31) * 2^32 + h_b``. Capping the high half at
+    31 bits keeps the packed value strictly below 2^63, so it fits a
+    signed int64 / DuckDB BIGINT with no unsigned-overflow trap (a full
+    64-bit value would need unsigned semantics neither engine shares)."""
+    return (_h32("a:" + s) % 2_147_483_648) * 4_294_967_296 + _h32("b:" + s)
+
+
 def exact_dedup_groups(
     df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -364,7 +373,15 @@ def simhash(
     not per distinct token), matching the explode-based form and the
     oracle SQL bit-for-bit: identical md5-prefix hashes, identical int64
     shifts/sums. NULL-text docs produce no row, like the explode plan.
+
+    ``bits`` up to 32 uses the 32-bit md5-prefix hash; 33..63 switches to
+    the packed two-hash :func:`_h63` so every bit position carries real
+    entropy (a 32-bit hash under a 64-bit signature would leave the high
+    bits constant-zero and silently halve discrimination).
     """
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in 1..63 (int64/BIGINT-safe)")
+    hfn = _h32 if bits <= 32 else _h63
     shifts = np.arange(bits, dtype=np.int64)
 
     @pandas_udf("bigint")
@@ -372,7 +389,7 @@ def simhash(
         out = np.empty(len(texts), dtype=np.int64)
         for j, t in enumerate(texts):
             hs = np.fromiter(
-                (_h32(tok) for tok in _py_tokens(t)), dtype=np.int64
+                (hfn(tok) for tok in _py_tokens(t)), dtype=np.int64
             )
             votes = (2 * ((hs[:, None] >> shifts[None, :]) & 1) - 1).sum(
                 axis=0

@@ -81,6 +81,31 @@ def test_simhash_hamming_near_dupes(spark, docs):
     assert near_hits >= 20
 
 
+def test_simhash63_wide_signatures(spark, docs):
+    """63-bit SimHash: high bits carry real entropy (not constant zero),
+    signatures stay signed-int64-safe, exact copies collide, and the
+    banded Hamming path equals all-pairs at the wider width."""
+    sig = D.simhash(docs, bits=63)
+    vals = [r.simhash for r in sig.collect()]
+    assert all(0 <= v < 2**63 for v in vals)
+    # at least one doc sets a bit above position 31 — a 32-bit token
+    # hash under a 64-bit signature would leave these always clear
+    assert any(v >> 32 for v in vals)
+    sig_map = {r.doc_id: r.simhash for r in sig.collect()}
+    for i in range(30):
+        assert sig_map[i] == sig_map[i + 100000]  # exact copies collide
+    banded = D.hamming_pairs(sig, max_distance=2, bits=63)
+    allp = D.hamming_pairs(sig, max_distance=2, bits=63, all_pairs=True)
+    as_set = lambda df: {  # noqa: E731
+        (r.id_a, r.id_b, r.hamming) for r in df.collect()
+    }
+    assert as_set(banded) == as_set(allp)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.simhash(docs, bits=64)
+
+
 def test_vectorized_grams_match_catalyst_exactly(spark):
     """The Arrow shingler must reproduce the Catalyst word_ngrams strings
     byte-for-byte on the tricky cases: non-space edge whitespace (Spark
