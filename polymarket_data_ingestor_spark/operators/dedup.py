@@ -612,3 +612,66 @@ def drop_dup_clusters(
     )
     keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb-style line dedup).
+
+    A line occurring in ``>= min_docs`` DISTINCT documents is boilerplate
+    (copyright headers, nav menus, newsletter footers) and is stripped
+    from every document; the survivors are re-joined in original order.
+    Output: ``(id, clean_text, n_lines, n_removed)`` — one row per input
+    doc, including docs whose every line was boilerplate (empty
+    ``clean_text``).
+
+    Scale shape (100 TB): the line-frequency aggregation shuffles 16-byte
+    md5 digests with map-side partials — never the line text. The
+    boilerplate set (lines above the threshold) is tiny by construction —
+    frequent lines are few — so tagging is a **broadcast** left join
+    against that digest set by default; ``broadcast_boiler=False`` is the
+    shuffle-join escape hatch for corpora where even the frequent-line
+    set outgrows the driver. The only full-text shuffle is the final
+    regroup-by-doc, inherent to rewriting documents. The reassembly sorts
+    each doc's surviving lines by position inside ``array_sort`` — a
+    per-row O(k log k) expression, no window, no global sort.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("line_md5", F.md5("line"))
+    boiler = (
+        lines.groupBy("line_md5")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_md5")
+        .withColumn("__boiler", F.lit(True))
+    )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    tagged = lines.join(boiler, "line_md5", "left").withColumn(
+        "keep", F.col("__boiler").isNull()
+    )
+    packed = tagged.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "line", "keep"))
+        ).alias("ls")
+    )
+    return packed.select(
+        F.col(id_col),
+        F.array_join(
+            F.expr("transform(filter(ls, x -> x.keep), x -> x.line)"),
+            "\n",
+        ).alias("clean_text"),
+        F.expr("size(ls)").cast("long").alias("n_lines"),
+        F.expr("size(filter(ls, x -> NOT x.keep))")
+        .cast("long")
+        .alias("n_removed"),
+    )

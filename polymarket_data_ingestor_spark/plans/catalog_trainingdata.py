@@ -1127,6 +1127,61 @@ def q_simhash64_docs(spark, sf_dir):
     return D.simhash(d, bits=63)
 
 
+@register(
+    "line_dedup_clean",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             '(c) ' || source || ' all rights reserved' || chr(10) ||
+             text ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN chr(10) || 'subscribe to our newsletter'
+                  ELSE '' END AS text
+      FROM documents WHERE doc_id < 200
+    ), lines AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug)
+    ), counts AS (
+      SELECT line, count(DISTINCT doc_id) AS n_docs
+      FROM lines GROUP BY 1
+    ), tagged AS (
+      SELECT l.doc_id, l.pos, l.line, (c.n_docs < 5) AS keep
+      FROM lines l JOIN counts c USING (line)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END,
+                               chr(10) ORDER BY pos), '') AS clean_text,
+           count(*) AS n_lines,
+           count(CASE WHEN NOT keep THEN 1 END) AS n_removed
+    FROM tagged GROUP BY doc_id
+    """,
+    doc="Line-level boilerplate removal (CCNet-style line dedup): lines "
+    "occurring in >= 5 distinct docs are stripped, survivors rejoin in "
+    "original order. The corpus has no newlines, so the entry injects "
+    "deterministic boilerplate (per-source copyright header, footer on "
+    "even ids) identically in both engines — same pattern as "
+    "redact_pii's injected PII.",
+    tags=("dedup", "text"),
+)
+def q_line_dedup_clean(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("(c) "),
+            F.col("source"),
+            F.lit(" all rights reserved\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nsubscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return D.remove_boilerplate_lines(aug, min_docs=5)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order epilogue: the round-2 driver recorded correctness rows
 # for only the first 50 catalog entries, so the flagship compositions

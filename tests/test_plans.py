@@ -199,3 +199,11 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_max" in plan or "partial_sum" in plan
+
+
+def test_line_dedup_broadcasts_boilerplate_set(spark):
+    """line_dedup_clean tags lines against the (tiny) frequent-line set
+    via a broadcast join — the corpus-side line table must not
+    sort-merge against it."""
+    plan = plan_of(spark, "line_dedup_clean")
+    assert "BroadcastHashJoin" in plan

@@ -468,3 +468,37 @@ def test_drop_dup_clusters_keeps_one_per_component(spark):
     # pair-local keeper would keep the same here, but only because the
     # chain shares ids; the component keeper is correct by construction.
     assert kept == [1, 4]
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """Frequent lines are stripped, survivors keep original order, docs
+    reduced to nothing still emit a row with empty clean_text, and the
+    shuffle-join escape hatch returns the identical result."""
+    rows = [
+        (1, "HEADER\nalpha one\nbeta two\nFOOTER"),
+        (2, "HEADER\ngamma three\nFOOTER"),
+        (3, "HEADER\nFOOTER"),  # nothing survives
+        (4, "HEADER\ndelta four\nalpha one\nFOOTER"),
+        (5, "unique only\nlines here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in D.remove_boilerplate_lines(docs, min_docs=4).collect()
+    }
+    assert len(got) == 5
+    assert got[1].clean_text == "alpha one\nbeta two"
+    assert got[3].clean_text == "" and got[3].n_removed == 2
+    assert got[4].clean_text == "delta four\nalpha one"
+    assert got[5].clean_text == "unique only\nlines here"
+    assert got[1].n_lines == 4 and got[1].n_removed == 2
+    # "alpha one" appears in 2 docs < 4 -> kept; HEADER/FOOTER in 4 -> cut
+    hatch = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in D.remove_boilerplate_lines(
+            docs, min_docs=4, broadcast_boiler=False
+        ).collect()
+    }
+    assert hatch == {
+        k: (v.clean_text, v.n_lines, v.n_removed) for k, v in got.items()
+    }
