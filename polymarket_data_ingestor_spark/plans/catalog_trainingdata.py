@@ -1182,6 +1182,134 @@ def q_line_dedup_clean(spark, sf_dir):
     return D.remove_boilerplate_lines(aug, min_docs=5)
 
 
+# --- Relational widening: CUBE, pivot, lag/lead deltas ---------------------
+# Registered here (not in plans/catalog.py) purely for registration-order
+# stability: catalog.py entries register first, so inserting there would
+# shift every later entry's position and disturb the driver's 50-row
+# correctness window (see the epilogue below).
+
+
+@register(
+    "cube_lineitem",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus): all four grouping sets in "
+    "one pass — Catalyst expands the cube into a single shuffle with "
+    "map-side partials, no per-set rescans. Labels coalesce to 'ALL' "
+    "(flag columns are never null) instead of GROUPING_ID for "
+    "cross-dialect parity.",
+    tags=("agg", "rollup"),
+)
+def q_cube_lineitem(spark, sf_dir):
+    le = table(spark, sf_dir, "lineitem")
+    return (
+        le.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias(
+                "returnflag"
+            ),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias(
+                "linestatus"
+            ),
+            "sum_qty",
+            "sum_price",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "pivot_status_year",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_partial
+    FROM orders GROUP BY 1
+    """,
+    doc="Pivot: order revenue by year x status, one wide row per year. "
+    "Explicit pivot values ('O','F','P') keep the plan a single "
+    "aggregation — value discovery would add a distinct-scan job.",
+    tags=("agg", "pivot"),
+)
+def q_pivot_status_year(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+        )
+        .select(
+            "order_year",
+            F.col("O").alias("total_open"),
+            F.col("F").alias("total_filled"),
+            F.col("P").alias("total_partial"),
+        )
+    )
+
+
+@register(
+    "user_event_deltas",
+    """
+    SELECT user_id, event_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WHERE event_id < 20000
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    doc="Per-user lag/lead window suite: previous/next reading and the "
+    "step delta. Ordered by the unique event_id (the running_total/"
+    "sessionize convention) — ns-vs-us timestamp ties can't reorder "
+    "engines. Partitioned window: one hash shuffle on user_id, no "
+    "global sort.",
+    tags=("window",),
+)
+def q_user_event_deltas(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order epilogue: the round-2 driver recorded correctness rows
 # for only the first 50 catalog entries, so the flagship compositions

@@ -207,3 +207,33 @@ def test_line_dedup_broadcasts_boilerplate_set(spark):
     sort-merge against it."""
     plan = plan_of(spark, "line_dedup_clean")
     assert "BroadcastHashJoin" in plan
+
+
+def test_cube_is_one_expand_one_shuffle(spark):
+    """CUBE must expand grouping sets inside a single aggregation — one
+    Expand node feeding one hash-partition exchange, not a rescan or
+    union per grouping set."""
+    plan = plan_of(spark, "cube_lineitem")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan  # map-side partials survive the cube
+
+
+def test_pivot_is_two_chained_aggregations(spark):
+    """Explicit pivot values lower to Spark's two chained aggregations —
+    pre-agg on (year, status), then pivotfirst per year — BOTH with
+    map-side partials, so each shuffle carries already-aggregated rows.
+    Value discovery would prepend a distinct-scan job; a union-per-value
+    plan would rescan the table."""
+    plan = plan_of(spark, "pivot_status_year")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_sum" in plan and "partial_pivotfirst" in plan
+    assert "Union" not in plan
+
+
+def test_window_deltas_partition_shuffle_only(spark):
+    """lag/lead over user_id must hash-partition once and sort within
+    partitions — never collapse to a single-partition global window."""
+    plan = plan_of(spark, "user_event_deltas")
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "Exchange SinglePartition" not in plan
