@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "cosine_topk",
     "simhash_docs",
+    "simhash64_docs",
     "hamming_dup_pairs",
     "filter_project",
     "minute_last_bars",
@@ -54,6 +55,8 @@ BENCH_QUERIES = [
     "multires_rollup",
     "pack_sequences",
     "stratified_sample",
+    "line_dedup_clean",
+    "cube_lineitem",
 ]
 
 
