@@ -283,3 +283,54 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for pat, token in PII_PATTERNS.values():
         red = F.regexp_replace(red, pat, token)
     return df.select("*", *counts, red.alias("redacted_text"))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-doc coverage of the corpus top-k vocabulary (a quality filter).
+
+    The classic fastText-style signal without the cross-engine ``ln``
+    trap: every output is integer-exact until one final IEEE division
+    (int/int — correctly rounded, so deterministic across engines and
+    across shuffle orders; an avg-of-logs would make the result depend
+    on float summation order). Output per doc: total tokens, tokens in
+    the top-k vocab, coverage ratio, and the mean corpus frequency of
+    its tokens (OOV counting 0).
+
+    Scale shape: the vocab ranking is ``orderBy(count desc, token)
+    .limit(k)`` — Spark lowers that to TakeOrdered (per-partition top-k
+    then a k-row merge), never a full sort shuffle. The k-row vocab then
+    broadcasts to the token stream (``broadcast_vocab=False`` is the
+    shuffle escape hatch); the only real shuffles are the two
+    aggregations, both with map-side partials.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+        .orderBy(F.col("tok_count").desc(), F.col("tok"))
+        .limit(top_k)
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    joined = toks.join(vocab, "tok", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("tok_count").alias("n_in_vocab"),
+        (
+            F.count("tok_count").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("coverage"),
+        (
+            F.sum(F.coalesce(F.col("tok_count"), F.lit(0)))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_tok_freq"),
+    )

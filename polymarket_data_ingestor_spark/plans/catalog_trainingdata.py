@@ -1182,6 +1182,38 @@ def q_line_dedup_clean(spark, sf_dir):
     return D.remove_boilerplate_lines(aug, min_docs=5)
 
 
+@register(
+    "vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, count(*) AS tok_count FROM toks
+      GROUP BY 1 ORDER BY tok_count DESC, tok LIMIT 16
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           count(v.tok_count) AS n_in_vocab,
+           CAST(count(v.tok_count) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS coverage,
+           CAST(SUM(coalesce(v.tok_count, 0)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_tok_freq
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+    doc="Per-doc coverage of the corpus top-16 vocabulary (fastText-"
+    "style quality filter). Integer-exact until one final IEEE int/int "
+    "division, so bit-reproducible with no rounding — unlike an "
+    "avg-of-logs, whose value depends on float summation order. Vocab "
+    "ranking lowers to TakeOrdered (no full sort shuffle); the k-row "
+    "vocab broadcasts to the token stream.",
+    tags=("text", "quality"),
+)
+def q_vocab_coverage(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.vocab_coverage(d, top_k=16)
+
+
 # --- Relational widening: CUBE, pivot, lag/lead deltas ---------------------
 # Registered here (not in plans/catalog.py) purely for registration-order
 # stability: catalog.py entries register first, so inserting there would

@@ -237,3 +237,13 @@ def test_window_deltas_partition_shuffle_only(spark):
     plan = plan_of(spark, "user_event_deltas")
     assert "Exchange hashpartitioning(user_id" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_vocab_coverage_takeordered_and_broadcast(spark):
+    """Top-k vocab must lower to TakeOrdered (per-partition top-k + k-row
+    merge, never a full sort shuffle) and join the token stream via
+    broadcast."""
+    plan = plan_of(spark, "vocab_coverage")
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

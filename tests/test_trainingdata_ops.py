@@ -502,3 +502,24 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert hatch == {
         k: (v.clean_text, v.n_lines, v.n_removed) for k, v in got.items()
     }
+
+
+def test_vocab_coverage_integer_exact_semantics(spark):
+    """Coverage counts only top-k tokens; OOV tokens contribute zero to
+    mean_tok_freq; ties in vocab rank break by token string."""
+    rows = [
+        (1, "a a a b b c"),
+        (2, "c c d"),
+        (3, "e e e e"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # counts: a=3, e=4, b=2, c=3, d=1 -> top3 by (count desc, tok):
+    # e(4), a(3), c(3); b and d are OOV
+    got = {
+        r.doc_id: r for r in T.vocab_coverage(docs, top_k=3).collect()
+    }
+    assert got[1].n_tokens == 6 and got[1].n_in_vocab == 4  # a,a,a,c
+    assert got[1].coverage == 4 / 6
+    assert got[1].mean_tok_freq == (3 + 3 + 3 + 3 + 0 + 0) / 6
+    assert got[3].coverage == 1.0 and got[3].mean_tok_freq == 4.0
+    assert got[2].n_in_vocab == 2  # c,c in vocab; d OOV
