@@ -280,6 +280,38 @@ def minhash_signatures(
     )
 
 
+def _band_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, band_key) rows from the wide single-pass signatures.
+
+    The key is the ordered comma-join of the band's minima — no k×
+    explode and no second groupBy; one explode of ``bands`` small
+    structs per doc. Shared by the self-join pair finder and the
+    cross-corpus incremental dedup.
+    """
+    rows_per_band = num_hashes // bands
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.concat_ws(",", *[
+                F.col(f"__mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ]).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return wide.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -304,24 +336,9 @@ def minhash_lsh_pairs(
             f"({bands}); trailing hash minima would otherwise be "
             "silently excluded from the band keys"
         )
-    rows_per_band = num_hashes // bands
-    # Band keys straight from the wide single-pass signatures: the key is
-    # the ordered comma-join of the band's minima — no k× explode and no
-    # second groupBy; one explode of `bands` small structs per doc.
-    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).cast("long").alias("band"),
-            F.concat_ws(",", *[
-                F.col(f"__mh_{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ]).alias("band_key"),
-        )
-        for b in range(bands)
-    ])
-    band_keys = wide.select(
-        F.col(id_col), F.explode(band_structs).alias("bk")
-    ).select(id_col, "bk.band", "bk.band_key")
+    band_keys = _band_keys(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     return (
@@ -675,3 +692,59 @@ def remove_boilerplate_lines(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental (ingestion-time) dedup: drop new docs that exactly or
+    nearly duplicate the EXISTING corpus; return the surviving new rows.
+
+    Two stages, both cross-corpus (never new×new — batch-internal dups
+    are :func:`drop_exact_dupes` / :func:`drop_near_dupes`'s job):
+
+    * **exact** — anti-join the new batch's md5 digests against the
+      existing corpus's distinct digests.
+    * **near** — MinHash band keys for both sides; a new doc matching
+      ANY existing doc on any (band, band_key) bucket is dropped via
+      left-semi → anti. Near-check runs only on exact survivors.
+
+    Scale shape (100 TB corpus, small daily batches): the existing
+    side's digests and band keys are signature artifacts you'd persist
+    once and reuse per batch; both joins are hash-equi on short keys
+    (16-byte digest / band string), so the corpus text is never
+    shuffled. With a small new batch, its digest and band-key sides
+    broadcast under AQE.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); trailing hash minima would otherwise be "
+            "silently excluded from the band keys"
+        )
+    ex_digests = existing.select(
+        F.md5(F.col(text_col)).alias("__ch")
+    ).distinct()
+    exact_surv = (
+        new.withColumn("__ch", F.md5(F.col(text_col)))
+        .join(ex_digests, "__ch", "left_anti")
+        .drop("__ch")
+    )
+    nb = _band_keys(
+        exact_surv, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    eb = _band_keys(
+        existing, text_col, id_col, num_hashes, bands, shingle_n
+    ).select("band", "band_key")
+    near_hit_ids = (
+        nb.join(eb, ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return exact_surv.join(near_hit_ids, id_col, "left_anti")

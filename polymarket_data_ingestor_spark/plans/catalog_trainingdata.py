@@ -1182,6 +1182,66 @@ def q_line_dedup_clean(spark, sf_dir):
     return D.remove_boilerplate_lines(aug, min_docs=5)
 
 
+def _sql_band_cte(src: str) -> str:
+    """MinHash band keys (doc_id, band, band_key) of ``src`` — the SQL
+    twin of ``dedup._band_keys`` at 16 hashes x 8 bands, parameterized
+    over the source relation for cross-corpus joins."""
+    return f"""(
+      SELECT doc_id, hash_idx // 2 AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx)
+               AS band_key
+      FROM (
+        SELECT doc_id, hash_idx, min(hv) AS minhash FROM (
+          SELECT doc_id, i.i AS hash_idx,
+                 ((2 * i.i + 1) * h + i.i * 987654321)
+                   % {D.MINHASH_PRIME} AS hv
+          FROM (
+            SELECT doc_id, {_SQL_HASH.format(x='gram')} AS h FROM (
+              SELECT doc_id, unnest(grams) AS gram FROM (
+                SELECT doc_id, {_SQL_GRAMS3} AS grams FROM (
+                  SELECT doc_id, {_SQL_TOKS} AS toks FROM {src}))))
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) i
+        ) GROUP BY 1, 2
+      ) GROUP BY doc_id, hash_idx // 2
+    )"""
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH newd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    exd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    exact_surv AS (
+      SELECT n.* FROM newd n
+      ANTI JOIN (SELECT DISTINCT md5(text) AS ch FROM exd) e
+        ON md5(n.text) = e.ch
+    ),
+    nb AS {_sql_band_cte('exact_surv')},
+    eb AS {_sql_band_cte('exd')},
+    near_hits AS (
+      SELECT DISTINCT nb.doc_id FROM nb
+      JOIN eb ON nb.band = eb.band AND nb.band_key = eb.band_key
+    )
+    SELECT s.doc_id, s.lang, s.source, s.n_chars FROM exact_surv s
+    ANTI JOIN near_hits h ON s.doc_id = h.doc_id
+    """,
+    doc="Incremental (ingestion-time) dedup: the odd-id half of the "
+    "corpus as the 'new batch', deduped against the even-id half as "
+    "the 'existing corpus' — exact digest anti-join, then MinHash "
+    "band-bucket cross-join (never new x new). The daily-ingest shape: "
+    "existing-side digests and band keys are persist-once artifacts; "
+    "the corpus text never shuffles.",
+    tags=("dedup",),
+)
+def q_dedup_incremental(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    newd = docs.filter(F.col("doc_id") % 2 == 1)
+    exd = docs.filter(F.col("doc_id") % 2 == 0)
+    return D.dedup_against(newd, exd).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 @register(
     "vocab_coverage",
     f"""

@@ -247,3 +247,11 @@ def test_vocab_coverage_takeordered_and_broadcast(spark):
     assert "TakeOrdered" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_incremental_equi_joins_only(spark):
+    """Cross-corpus dedup must stay hash-equi on short keys (digest /
+    band string) end to end — no cartesian, no nested-loop fallback."""
+    plan = plan_of(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -523,3 +523,44 @@ def test_vocab_coverage_integer_exact_semantics(spark):
     assert got[1].mean_tok_freq == (3 + 3 + 3 + 3 + 0 + 0) / 6
     assert got[3].coverage == 1.0 and got[3].mean_tok_freq == 4.0
     assert got[2].n_in_vocab == 2  # c,c in vocab; d OOV
+
+
+def test_dedup_against_drops_cross_corpus_dupes_only(spark, docs):
+    """Incremental dedup: a new batch containing an exact copy, a near
+    copy, and fresh docs — only the fresh docs survive; batch-internal
+    duplicates are deliberately NOT the operator's concern."""
+    existing = docs.filter(F.col("doc_id") < 100)
+    fresh = docs.filter(F.col("doc_id").between(200, 230))
+    exact_copy = existing.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 500000
+    )
+    near_copy = (
+        existing.filter(F.col("doc_id").between(5, 9))
+        .withColumn("doc_id", F.col("doc_id") + 600000)
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" extra tail token"))
+        )
+    )
+    # batch-internal pair: two copies of doc 250 in the batch, neither
+    # present in the existing corpus
+    orig_250 = docs.filter(F.col("doc_id") == 250)
+    internal_dup = orig_250.withColumn(
+        "doc_id", F.lit(700000).cast("long")
+    )
+    new = (
+        fresh.unionByName(exact_copy)
+        .unionByName(near_copy)
+        .unionByName(orig_250)
+        .unionByName(internal_dup)
+    )
+    surv = {
+        r.doc_id
+        for r in D.dedup_against(new, existing).select("doc_id").collect()
+    }
+    fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+    assert fresh_ids <= surv  # fresh docs all survive
+    assert not surv & {i + 500000 for i in range(5)}  # exact copies die
+    near_killed = sum(i + 600000 not in surv for i in range(5, 10))
+    assert near_killed >= 4  # near copies die via band match
+    # BOTH copies of the batch-internal pair survive: cross-corpus only
+    assert {250, 700000} <= surv
