@@ -1,0 +1,136 @@
+"""Event-sequence analytics: funnels and cohort retention.
+
+Classic warehouse operators over an (user_id, ts, event_type) stream,
+formulated integer-exact (epoch-ms arithmetic only — no floats, so
+cross-engine parity needs no rounding) and shuffle-light: the funnel is
+ONE groupBy(user) with the step ordering resolved inside collected
+arrays, not a join per step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MS_PER_WEEK = 7 * 24 * 3600 * 1000
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel user table: first completion time of each step.
+
+    A user completes step k at the EARLIEST event of ``steps[k]`` that
+    is strictly after their step k-1 completion (the standard ordered
+    funnel; step 0 is the user's first ``steps[0]`` event). Output: one
+    row per user who completed step 0, with ``t_<step>`` epoch-ms
+    columns (NULL once a step is missed) and ``n_steps`` completed.
+
+    Scale shape: ONE shuffle — ``groupBy(user)`` collecting each step's
+    event times into arrays, then the sequential scan-for-next is a
+    per-row ``array_min(filter(...))`` expression chain (JVM, no UDF,
+    no join-per-step). Per-user arrays hold only that user's matching
+    events; a pathological power user bounds a single row, not a
+    partition — for corpora where even that overflows, pre-aggregate
+    to (user, type, hour) minima first.
+    """
+    ms = F.unix_millis(F.col(ts_col))
+    aggs = [
+        F.collect_list(
+            F.when(F.col(type_col) == s, ms)
+        ).alias(f"__ts_{k}")
+        for k, s in enumerate(steps)
+    ]
+    per_user = events.groupBy(F.col(user_col)).agg(*aggs)
+
+    def _first_after(arr: F.Column, prev_t: F.Column) -> F.Column:
+        # single-arg lambda: a two-arg lambda would make Spark bind the
+        # second parameter to the ELEMENT INDEX, not our closure
+        return F.array_min(F.filter(arr, lambda x: x > prev_t))
+
+    prev = F.array_min(F.col("__ts_0"))
+    cols = [prev.alias(f"t_{steps[0]}")]
+    for k in range(1, len(steps)):
+        nxt = _first_after(F.col(f"__ts_{k}"), prev)
+        cols.append(nxt.alias(f"t_{steps[k]}"))
+        prev = nxt
+    out = per_user.select(F.col(user_col), *cols)
+    n_done = sum(
+        F.when(F.col(f"t_{s}").isNotNull(), 1).otherwise(0) for s in steps
+    )
+    return out.withColumn("n_steps", n_done.cast("long")).filter(
+        F.col(f"t_{steps[0]}").isNotNull()
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion counts: one row per step with the number of
+    users whose ordered journey reached it. Monotone non-increasing by
+    construction. Adds a final 1-row rollup over :func:`funnel_steps`.
+    """
+    per_user = funnel_steps(events, steps, user_col, ts_col, type_col)
+    wide = per_user.agg(
+        *[
+            F.count(F.col(f"t_{s}")).alias(f"__n_{k}")
+            for k, s in enumerate(steps)
+        ]
+    )
+    stack = ", ".join(
+        f"{k}L, '{s}', __n_{k}" for k, s in enumerate(steps)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    in each later week they were active.
+
+    Weeks are absolute epoch weeks (``epoch_ms DIV ms_per_week``) — no
+    global-min subquery, so the plan needs no extra pass over the data.
+    Output: (cohort_week, week_offset, n_users), integer-exact.
+
+    Scale shape: distinct (user, week) pairs first — the map-side
+    partial dedup collapses each user's events within a week before the
+    shuffle — then a first-week min per user rides the same hashed
+    layout (AQE reuses the exchange), and one count-distinct rollup.
+    """
+    active = (
+        events.select(
+            F.col(user_col),
+            F.unix_millis(F.col(ts_col)).alias("__ms"),
+        )
+        .select(
+            F.col(user_col),
+            F.expr(f"__ms DIV {MS_PER_WEEK}").alias("week"),
+        )
+        .distinct()
+    )
+    first = active.groupBy(user_col).agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

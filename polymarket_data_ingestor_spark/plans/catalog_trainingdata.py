@@ -1402,6 +1402,87 @@ def q_user_event_deltas(spark, sf_dir):
     )
 
 
+# --- Event-sequence analytics: funnel + cohort retention -------------------
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             list(epoch_ms(ts)) FILTER (WHERE event_type = 'view')
+               AS ts_view,
+             list(epoch_ms(ts)) FILTER (WHERE event_type = 'click')
+               AS ts_click,
+             list(epoch_ms(ts)) FILTER (WHERE event_type = 'purchase')
+               AS ts_purchase
+      FROM events GROUP BY user_id
+    ), resolved AS (
+      SELECT user_id,
+             t0,
+             list_min(list_filter(ts_click, x -> x > t0)) AS t1,
+             list_min(list_filter(
+               ts_purchase,
+               x -> x > list_min(list_filter(ts_click, y -> y > t0))
+             )) AS t2
+      FROM (SELECT user_id, ts_view, ts_click, ts_purchase,
+                   list_min(ts_view) AS t0 FROM per_user)
+      WHERE t0 IS NOT NULL
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+             count(t0) AS n_users FROM resolved
+      UNION ALL
+      SELECT 1, 'click', count(t1) FROM resolved
+      UNION ALL
+      SELECT 2, 'purchase', count(t2) FROM resolved)
+    """,
+    doc="Ordered funnel view -> click -> purchase: users counted at each "
+    "step only if it happened strictly after their previous step. ONE "
+    "shuffle: groupBy(user) collects each step's epoch-ms times into "
+    "arrays and the scan-for-next is a per-row array_min(filter(...)) "
+    "chain — no join per step, no window. Integer-exact.",
+    tags=("analytics", "funnel"),
+)
+def q_funnel_conversion(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        funnel_counts,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return funnel_counts(e, ["view", "click", "purchase"])
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+      FROM events
+    ), first AS (
+      SELECT user_id, min(week) AS cohort_week FROM active GROUP BY 1
+    )
+    SELECT f.cohort_week,
+           a.week - f.cohort_week AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: users bucketed by first-seen epoch "
+    "week, counted in each later active week. Absolute epoch weeks "
+    "(epoch_ms DIV ms_per_week) need no global-min pass; distinct "
+    "(user, week) collapses map-side before the shuffle. "
+    "Integer-exact.",
+    tags=("analytics", "cohort"),
+)
+def q_cohort_retention(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    return cohort_retention(table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registration-order epilogue: the round-2 driver recorded correctness rows
 # for only the first 50 catalog entries, so the flagship compositions

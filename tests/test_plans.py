@@ -255,3 +255,11 @@ def test_dedup_incremental_equi_joins_only(spark):
     plan = plan_of(spark, "dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The ordered funnel must resolve all steps inside ONE
+    groupBy(user) — array expressions, not a join or window per step."""
+    plan = plan_of(spark, "funnel_conversion")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan

@@ -564,3 +564,53 @@ def test_dedup_against_drops_cross_corpus_dupes_only(spark, docs):
     assert near_killed >= 4  # near copies die via band match
     # BOTH copies of the batch-internal pair survive: cross-corpus only
     assert {250, 700000} <= surv
+
+
+def test_funnel_ordering_and_cohorts(spark):
+    """Funnel counts respect strict event ordering: a purchase BEFORE
+    the click does not count; a user without the entry step is excluded
+    entirely. Cohort retention buckets by first-seen week."""
+    from datetime import datetime as dt
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        cohort_retention,
+        funnel_counts,
+        funnel_steps,
+    )
+
+    rows = [
+        # u1: clean journey view->click->purchase
+        (1, dt(2024, 1, 1, 10), "view"),
+        (1, dt(2024, 1, 1, 11), "click"),
+        (1, dt(2024, 1, 1, 12), "purchase"),
+        # u2: purchase BEFORE click -> reaches click only
+        (2, dt(2024, 1, 2, 10), "view"),
+        (2, dt(2024, 1, 2, 11), "purchase"),
+        (2, dt(2024, 1, 2, 12), "click"),
+        # u3: no view -> excluded from the funnel
+        (3, dt(2024, 1, 3, 10), "click"),
+        (3, dt(2024, 1, 3, 11), "purchase"),
+        # u4: view only, 3 weeks later (second cohort)
+        (4, dt(2024, 1, 22, 10), "view"),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.step_name: r.n_users
+        for r in funnel_counts(e, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+    per_user = {
+        r.user_id: r
+        for r in funnel_steps(e, ["view", "click", "purchase"]).collect()
+    }
+    assert 3 not in per_user
+    assert per_user[2].t_purchase is None and per_user[2].n_steps == 2
+    assert per_user[1].n_steps == 3
+    coh = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in cohort_retention(e).collect()
+    }
+    # u1,u2,u3 share the first epoch week; u4 lands 3 weeks later
+    weeks = sorted({w for w, _ in coh})
+    assert len(weeks) == 2 and weeks[1] - weeks[0] == 3
+    assert coh[(weeks[0], 0)] == 3 and coh[(weeks[1], 0)] == 1
