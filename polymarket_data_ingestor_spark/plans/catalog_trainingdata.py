@@ -1493,8 +1493,26 @@ def q_cohort_retention(spark, sf_dir):
 # count_distinct_users ~ approx_distinct_users' exact twin).
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 
-for _tail_entry in ("dup_components", "dedup_transitive_materialize",
-                    "hourly_volume_salted", "rank_sample",
-                    "count_distinct_users", "dedup_near_materialize",
-                    "asof_join_tolerance"):
-    _CATALOG[_tail_entry] = _CATALOG.pop(_tail_entry)
+#: Demoted past the window: parameter twins of entries that stay early,
+#: plus the two no-SQL sketches — their driver row is `no_oracle` either
+#: way (accuracy is pinned by pytest per EXACTNESS.md tier 3), so the
+#: slots are better spent on oracle-backed flagships.
+_TAIL = (
+    "approx_distinct_users", "approx_value_quantiles",
+    "dup_components", "dedup_transitive_materialize",
+    "hourly_volume_salted", "rank_sample",
+    "count_distinct_users", "dedup_near_materialize",
+    "asof_join_tolerance",
+)
+#: Promoted into the freed window slots (49-50, right after the
+#: curation/multimodal flagships): the L17/L18 training-data flagships,
+#: so the driver records first-party correctness rows for them.
+_PROMOTED = ("line_dedup_clean", "dedup_incremental")
+
+_order = [n for n in _CATALOG if n not in _TAIL and n not in _PROMOTED]
+_cut = _order.index("frame_sample") + 1
+for _n in reversed(_PROMOTED):
+    _order.insert(_cut, _n)
+_order += list(_TAIL)
+for _n in _order:
+    _CATALOG[_n] = _CATALOG.pop(_n)
