@@ -38,7 +38,10 @@ def funnel_steps(
     partition — for corpora where even that overflows, pre-aggregate
     to (user, type, hour) minima first.
     """
-    ms = F.unix_millis(F.col(ts_col))
+    # cast("timestamp") is a no-op on TIMESTAMP and makes TIMESTAMP_NTZ
+    # inputs legal for unix_millis (exact under a UTC session timezone) —
+    # callers may hand us frames read straight from NTZ parquet
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
     aggs = [
         F.collect_list(
             F.when(F.col(type_col) == s, ms)
@@ -115,7 +118,7 @@ def cohort_retention(
     active = (
         events.select(
             F.col(user_col),
-            F.unix_millis(F.col(ts_col)).alias("__ms"),
+            F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__ms"),
         )
         .select(
             F.col(user_col),

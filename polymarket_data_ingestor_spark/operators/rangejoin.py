@@ -44,11 +44,13 @@ def range_join_count(
     # fully identical probe rows must NOT collapse into one doubled-count
     # output row. (monotonically_increasing_id is partition-stable here:
     # it is assigned and re-grouped within the same plan.)
+    # .cast("timestamp") tolerates TIMESTAMP_NTZ inputs (no-op on TIMESTAMP;
+    # exact under a UTC session timezone)
     p = probe.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
-        "__pms", F.unix_millis(F.col(probe_ts))
+        "__pms", F.unix_millis(F.col(probe_ts).cast("timestamp"))
     )
     r = reference.select(
-        F.col(key), F.unix_millis(F.col(ref_ts)).alias("__rms")
+        F.col(key), F.unix_millis(F.col(ref_ts).cast("timestamp")).alias("__rms")
     ).withColumn("__bin", F.expr(f"__rms div {w_ms}"))
     binned = r.groupBy(key, "__bin").agg(
         F.sort_array(F.collect_list("__rms")).alias("__times")

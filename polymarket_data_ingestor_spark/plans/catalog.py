@@ -31,17 +31,27 @@ from pyspark.sql import functions as F
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table (TESTDATA.md layout).
 
-    The test parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's reader
-    rejects by default; ``nanosAsLong`` reads it as an int64 we then floor to
-    microseconds with integer DIV (double division would corrupt the low
-    digits of an int64 epoch-nanos). DuckDB reads the same column as
-    TIMESTAMP_NS, so catalog queries that *emit* event times use epoch-ms
-    integers on both sides — same floor, no cross-engine precision ambiguity.
+    The test parquet's ``ts`` physical type has varied across driver
+    environments, so this is the single normalization point — every catalog
+    query sees plain TIMESTAMP (session tz pinned UTC) regardless of how the
+    file was written:
+
+    * TIMESTAMP(NANOS): Spark's reader rejects it by default; ``nanosAsLong``
+      reads it as int64 epoch-nanos which we floor to microseconds with
+      integer DIV (double division would corrupt the low digits of an int64).
+    * timestamp[us] without a timezone: Spark reads TIMESTAMP_NTZ, which
+      ``unix_millis`` et al. reject. Under the UTC session timezone,
+      ``cast("timestamp")`` reinterprets the same wall-clock instant
+      bit-exactly vs DuckDB's ``epoch_ms`` (both engines treat the stored
+      micros as UTC), so downstream epoch-ms arithmetic matches the oracle.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtypes.get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

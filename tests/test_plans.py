@@ -263,3 +263,22 @@ def test_funnel_single_user_shuffle(spark):
     plan = plan_of(spark, "funnel_conversion")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_table_normalizes_ts_to_timestamp(spark):
+    """Regression (r4): the driver's events parquet switched to
+    timestamp[us] with no timezone, which Spark reads as TIMESTAMP_NTZ and
+    unix_millis rejects. table() must normalize ts to plain TIMESTAMP under
+    the pinned-UTC session so epoch-ms arithmetic resolves and matches
+    DuckDB's epoch_ms bit-exactly."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from polymarket_data_ingestor_spark.plans.catalog import table
+
+    ev = table(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = ev.agg(F.min(F.unix_millis("ts")).alias("ms")).collect()[0]["ms"]
+    want = duckdb.sql(
+        f"SELECT min(epoch_ms(ts)) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert got == want
