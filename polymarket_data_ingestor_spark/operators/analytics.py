@@ -35,8 +35,10 @@ def funnel_steps(
     per-row ``array_min(filter(...))`` expression chain (JVM, no UDF,
     no join-per-step). Per-user arrays hold only that user's matching
     events; a pathological power user bounds a single row, not a
-    partition — for corpora where even that overflows, pre-aggregate
-    to (user, type, hour) minima first.
+    partition — for corpora where even that row overflows, use
+    :func:`funnel_steps_multipass`: identical output, bounded state
+    (min-aggregates only, no arrays), at the cost of one aggregation
+    pass per step.
     """
     # cast("timestamp") is a no-op on TIMESTAMP and makes TIMESTAMP_NTZ
     # inputs legal for unix_millis (exact under a UTC session timezone) —
@@ -68,6 +70,67 @@ def funnel_steps(
     return out.withColumn("n_steps", n_done.cast("long")).filter(
         F.col(f"t_{steps[0]}").isNotNull()
     )
+
+
+def funnel_steps_multipass(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """:func:`funnel_steps` with bounded per-user state — the heavy-user
+    escape hatch.
+
+    Identical output by construction: step k's completion is
+    ``min(t of steps[k] events with t > t_{k-1})``, computed as one
+    conditional min-aggregate per step instead of collected arrays, so a
+    user with a billion events costs the same aggregation state as a
+    user with ten (a running min, not an array). A bucketed
+    "pre-aggregate to per-(user, step, bucket) minima then funnel" form
+    is NOT equivalent — a step k-1 completion falling strictly between
+    two same-bucket step-k events makes the kept bucket-min fail the
+    ``> prev`` bound while the discarded later event would have passed —
+    so this takes the exact multi-pass instead.
+
+    Cost: ``len(steps)`` aggregation passes over the (filtered) events
+    plus a broadcast-size join per pass carrying the per-user frontier
+    (one row per step-0-completing user — the small side at corpus
+    scale). Use when a single user's event arrays could overflow a row;
+    the single-shuffle array form is otherwise cheaper.
+    """
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    relevant = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col), F.col(type_col).alias("__type"), ms.alias("__ms")
+    )
+    # step 0: plain min per user — defines the user universe
+    frontier = (
+        relevant.filter(F.col("__type") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("__ms").alias(f"t_{steps[0]}"))
+    )
+    prev_col = f"t_{steps[0]}"
+    for k in range(1, len(steps)):
+        nxt = (
+            relevant.filter(F.col("__type") == steps[k])
+            .join(frontier.select(user_col, prev_col), user_col)
+            .groupBy(user_col)
+            .agg(
+                F.min(
+                    F.when(F.col("__ms") > F.col(prev_col), F.col("__ms"))
+                ).alias(f"t_{steps[k]}"),
+            )
+        )
+        # users with zero step-k events drop out of the join — restore
+        # them with null t_k (they still count at earlier steps)
+        frontier = frontier.join(
+            nxt.select(user_col, f"t_{steps[k]}"), user_col, "left"
+        )
+        prev_col = f"t_{steps[k]}"
+    n_done = sum(
+        F.when(F.col(f"t_{s}").isNotNull(), 1).otherwise(0) for s in steps
+    )
+    return frontier.withColumn("n_steps", n_done.cast("long"))
 
 
 def funnel_counts(

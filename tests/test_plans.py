@@ -126,8 +126,19 @@ def test_dedup_exact_partial_agg(spark):
 def test_trainingdata_plans_have_no_cartesian_on_big_side(spark, name):
     plan = plan_of(spark, name)
     if name == "cosine_topk":
-        # the cross join must build/broadcast the tiny query side
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # two-level top-k: level 1 is a zero-shuffle per-partition k-best
+        # (MapInPandas straight over the scan — no join at all), level 2
+        # the rank window over P×k candidates. The full N×Q cross product
+        # must never be materialized or shuffled: no join node, and the
+        # only exchange feeds the merge window.
+        assert "MapInPandas" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the only exchange partitions the P×k candidate stream (post-
+        # MapInPandas) for the merge window — and Catalyst's
+        # WindowGroupLimit caps each group to k rows BEFORE the exchange
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "WindowGroupLimit" in plan
     else:
         # LSH candidates join on (band, band_key) equi-keys, never cartesian
         assert "CartesianProduct" not in plan

@@ -614,3 +614,61 @@ def test_funnel_ordering_and_cohorts(spark):
     weeks = sorted({w for w, _ in coh})
     assert len(weeks) == 2 and weeks[1] - weeks[0] == 3
     assert coh[(weeks[0], 0)] == 3 and coh[(weeks[1], 0)] == 1
+
+
+def test_funnel_multipass_matches_array_form_with_heavy_user(spark):
+    """The bounded-state multipass funnel must be row-identical to the
+    single-shuffle array form — including the planted heavy user and the
+    pattern a bucketed pre-aggregation would get wrong (step k-1
+    completion strictly between two step-k events inside one hour)."""
+    from datetime import datetime as dt
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        funnel_steps,
+        funnel_steps_multipass,
+    )
+
+    rows = [
+        # u1: click falls strictly BETWEEN two same-hour purchases —
+        # the first purchase (10:00) must not satisfy "after click",
+        # the second (10:40) must
+        (1, dt(2024, 1, 1, 9, 0), "view"),
+        (1, dt(2024, 1, 1, 10, 0), "purchase"),
+        (1, dt(2024, 1, 1, 10, 30), "click"),
+        (1, dt(2024, 1, 1, 10, 40), "purchase"),
+        # u3: no entry step at all
+        (3, dt(2024, 1, 3, 10), "click"),
+    ]
+    # u2: heavy user — 5k interleaved events, completes all steps
+    rows += [
+        (2, dt(2024, 1, 2, 0, 0, 0, i * 100),
+         ["view", "click", "purchase"][i % 3])
+        for i in range(5000)
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["view", "click", "purchase"]
+    a = {r.user_id: r for r in funnel_steps(e, steps).collect()}
+    b = {r.user_id: r for r in funnel_steps_multipass(e, steps).collect()}
+    assert set(a) == set(b) == {1, 2}
+    for u in a:
+        assert a[u].asDict() == b[u].asDict()
+    # and the between-two-purchases resolution is the later purchase
+    assert a[1].t_purchase > a[1].t_click
+
+
+def test_dup_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter rounds cannot reach its transitive
+    closure — the operator must refuse loudly instead of returning
+    partially-propagated labels (every id was previously silently kept
+    with whatever label had flowed so far)."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="fixed point"):
+        D.dup_components(chain, max_iter=2)
+    # with enough rounds the same chain resolves to one component
+    got = {r["doc_id"]: r["component"]
+           for r in D.dup_components(chain, max_iter=20).collect()}
+    assert set(got.values()) == {0} and len(got) == 13

@@ -1,0 +1,165 @@
+"""Scale-slope measurement: does wall-clock grow ~linearly with input size?
+
+Generates ~10x variants of the three heaviest inputs in /tmp (never touching
+/root/testdata) and times the flagship operators at 1x and 10x:
+
+* replay — the bench fixture generator re-run with 10x messages/hour;
+* minhash_lsh_pairs — documents unioned 10x with a per-copy text
+  perturbation (exact copies would inflate every LSH bucket with
+  identical members and measure pair-explosion, not scan scaling);
+* embedding_dup_pairs_lsh — embeddings unioned 10x with a deterministic
+  per-copy vector rotation, band_bits raised by log2(10)≈3 per the
+  documented occupancy rule (the knob IS the scale contract: fixed bits
+  at 10x the rows would measure bucket-occupancy blowup by design).
+
+Prints one JSON line per rung: {op, scale, rows, sec}. A slope ratio
+(sec_10x / sec_1x) near 10 (or below — fixed overheads amortize) is the
+pass signal; quadratic behavior shows up as ratios near 100.
+
+Usage: python tools/scale_slope.py [--skip-replay]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from polymarket_data_ingestor_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+TMP = Path("/tmp/pdi_scale")
+
+
+def _time2(fn) -> float:
+    fn()  # warm page cache / JIT
+    t0 = time.perf_counter()
+    fn()
+    a = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fn()
+    b = time.perf_counter() - t0
+    return round(min(a, b), 3)
+
+
+def replay_fixture(msgs_per_hour: int, tag: str) -> list[str]:
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+    import fixture_gen
+    from fixture_gen import write_fixture_files
+
+    out = TMP / f"replay_{tag}"
+    marker = out / "_DONE"
+    if not marker.exists():
+        old_m, old_a = fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET
+        fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET = 100, 2
+        try:
+            write_fixture_files(out, n_hours=12,
+                                msgs_per_hour=msgs_per_hour, seed=42)
+        finally:
+            fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET = old_m, old_a
+        marker.write_text("ok")
+    return sorted(str(p) for p in out.glob("*.jsonl"))
+
+
+def main() -> None:
+    skip_replay = "--skip-replay" in sys.argv
+    spark = get_spark(app_name="scale-slope")
+    spark.range(1000).count()
+    results = []
+
+    if not skip_replay:
+        from polymarket_data_ingestor_spark.operators.replay import replay
+
+        for scale, mph in ((1, 100_000), (10, 1_000_000)):
+            paths = replay_fixture(mph, f"x{scale}")
+            n = replay(spark, paths).count()
+            sec = _time2(lambda: replay(spark, paths).count())
+            results.append({"op": "replay", "scale": scale,
+                            "rows": n, "sec": sec})
+            print(json.dumps(results[-1]), flush=True)
+
+    # ---- documents 10x (text perturbed per copy) ----
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" c{i}")).alias("text"),
+        )
+        for i in range(10)
+    ]
+    docs10 = copies[0]
+    for c in copies[1:]:
+        docs10 = docs10.unionByName(c)
+    d10_path = str(TMP / "documents_x10.parquet")
+    if not Path(d10_path).exists():
+        docs10.write.parquet(d10_path)
+    docs1 = docs.select("doc_id", "text")
+    docs10 = spark.read.parquet(d10_path)
+
+    for scale, d in ((1, docs1), (10, docs10)):
+        sec = _time2(lambda: minhash_lsh_pairs(d).count())
+        results.append({"op": "minhash_lsh_pairs", "scale": scale,
+                        "rows": n_docs * scale, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
+    # ---- embeddings 10x (vectors rotated per copy; occupancy-rule bits) ----
+    from polymarket_data_ingestor_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb.count()
+    ecopies = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            # deterministic per-copy perturbation: circular shift by i —
+            # preserves norms and the near-dup geometry within each copy
+            F.expr(
+                f"concat(slice(embedding, {i + 1}, size(embedding)), "
+                f"slice(embedding, 1, {i}))"
+            ).alias("embedding"),
+        )
+        for i in range(10)
+    ]
+    emb10 = ecopies[0]
+    for c in ecopies[1:]:
+        emb10 = emb10.unionByName(c)
+    e10_path = str(TMP / "embeddings_x10.parquet")
+    if not Path(e10_path).exists():
+        emb10.write.parquet(e10_path)
+    emb10 = spark.read.parquet(e10_path)
+
+    # occupancy rule: band_bits ≈ log2(N / bucket); +3 bits at 10x
+    for scale, e, bits in ((1, emb, 8), (10, emb10, 11)):
+        sec = _time2(
+            lambda: embedding_dup_pairs(e, band_bits=bits).count()
+        )
+        results.append({"op": "embedding_dup_pairs_lsh", "scale": scale,
+                        "rows": n_emb * scale, "sec": sec,
+                        "band_bits": bits})
+        print(json.dumps(results[-1]), flush=True)
+
+    # slope summary
+    by_op: dict[str, dict[int, float]] = {}
+    for r in results:
+        by_op.setdefault(r["op"], {})[r["scale"]] = r["sec"]
+    summary = {
+        op: round(v[10] / v[1], 2)
+        for op, v in by_op.items()
+        if 1 in v and 10 in v
+    }
+    print(json.dumps({"slope_10x_over_1x": summary}))
+
+
+if __name__ == "__main__":
+    main()
