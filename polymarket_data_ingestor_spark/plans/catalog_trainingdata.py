@@ -440,6 +440,49 @@ def q_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "cosine_topk_lsh_probe",
+    None,  # approximate by construction → rows-only check; recall vs the
+    # exact entry is pinned in tests/test_trainingdata_ops.py
+    doc="Hyperplane-LSH approximate top-5 with 1-bit multiprobe — the "
+    "bucket-equi scale path for unbounded query sides (candidates come "
+    "from the query's bucket plus its n_planes single-bit-flip "
+    "neighbors, not a cross join). No SQL oracle: recall < 1 by "
+    "construction, and the exact companion (cosine_topk) is the "
+    "correctness anchor.",
+    tags=("similarity", "ann"),
+)
+def q_cosine_topk_lsh_probe(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk_lsh(emb, queries, k=5, multiprobe=1).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+@register(
+    "ivf_topk_probe",
+    None,  # approximate by construction → rows-only check; recall vs the
+    # exact entry is pinned in tests/test_rest_and_paths.py
+    doc="IVF (KMeans coarse quantizer, deterministic seed) approximate "
+    "top-5, n_probe=2 — the inverted-list scale path: each query scans "
+    "only its nearest lists, shrinking candidates ~n_clusters/n_probe-"
+    "fold. No SQL oracle (engine-specific codebook); cosine_topk is the "
+    "exact anchor.",
+    tags=("similarity", "ann"),
+)
+def q_ivf_topk_probe(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=5, n_probe=2).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+@register(
     "embedding_dup_pairs",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1483,6 +1526,53 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(table(spark, sf_dir, "events"))
 
 
+@register(
+    "funnel_user_paths_multipass",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             list(epoch_ms(ts)) FILTER (WHERE event_type = 'view')
+               AS ts_view,
+             list(epoch_ms(ts)) FILTER (WHERE event_type = 'click')
+               AS ts_click,
+             list(epoch_ms(ts)) FILTER (WHERE event_type = 'purchase')
+               AS ts_purchase
+      FROM events GROUP BY user_id
+    ), resolved AS (
+      SELECT user_id,
+             t0 AS t_view,
+             list_min(list_filter(ts_click, x -> x > t0)) AS t_click,
+             list_min(list_filter(
+               ts_purchase,
+               x -> x > list_min(list_filter(ts_click, y -> y > t0))
+             )) AS t_purchase
+      FROM (SELECT user_id, ts_view, ts_click, ts_purchase,
+                   list_min(ts_view) AS t0 FROM per_user)
+      WHERE t0 IS NOT NULL
+    )
+    SELECT user_id, t_view, t_click, t_purchase,
+           CAST(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS n_steps
+    FROM resolved
+    """,
+    doc="Per-user ordered funnel via the bounded-state multipass form "
+    "(one conditional min-agg per step, no per-user arrays) — the "
+    "heavy-user escape hatch of funnel_conversion, proven row-identical "
+    "to the array form against the same oracle. State per user is a "
+    "running min regardless of that user's event count.",
+    tags=("analytics", "funnel"),
+)
+def q_funnel_user_paths_multipass(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        funnel_steps_multipass,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return funnel_steps_multipass(e, ["view", "click", "purchase"])
+
+
 # ---------------------------------------------------------------------------
 # Registration-order epilogue: the driver records correctness rows for only
 # the first 50 catalog entries per round, so window composition rotates each
@@ -1517,6 +1607,9 @@ _PROMOTED = (
 #: embedding_dup_pairs_lsh, revenue_rollup under cube_lineitem, and the
 #: filter/set-op/scalar families under the promoted filter_project.
 _TAIL = (
+    "funnel_user_paths_multipass",  # twin of promoted funnel_conversion
+    "cosine_topk_lsh_probe", "ivf_topk_probe",  # rows-only ANN probes;
+    # exact anchor cosine_topk stays in-window
     "isin_filter", "substring_filter", "case_dispatch",
     "anti_join", "semi_join", "distinct_pairs", "union_dedup",
     "token_explode", "scalar_suite", "multiformat_timestamp",
