@@ -61,11 +61,15 @@ def pack_sequences(
         F.sum("__n_tok").alias("__shard_tok")
     )
     w_sh = (
-        Window.orderBy("__shard")
+        # partitionBy(lit(0)) = the same single partition a global
+        # orderBy window collapses to, but declared: Spark's "No
+        # Partition Defined" warning stays reserved for windows that
+        # are ACCIDENTALLY global. #shards rows only — driver-small —
+        # then broadcast back.
+        Window.partitionBy(F.lit(0))
+        .orderBy("__shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # #shards rows only — the single-partition window here is over a
-    # driver-small relation, then broadcast back.
     offsets = F.broadcast(
         shard_tot.withColumn(
             "__shard_off",
