@@ -285,6 +285,123 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", *counts, red.alias("redacted_text"))
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc avg log-probability under a corpus-trained bigram LM.
+
+    The in-engine analogue of the CCNet/Gopher perplexity quality
+    filter: documents whose word transitions are unusual FOR THIS CORPUS
+    score low (gibberish, boilerplate, wrong-language fragments), with
+    no external model artifact — the LM is add-one-smoothed bigram MLE
+    estimated from the corpus itself in the same job. Output:
+    (id, n_bigrams, avg_logprob); docs with < 2 tokens have no bigrams
+    and drop out. ``p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)`` with V the
+    number of distinct successor types.
+
+    Cross-engine exactness despite floats: each DISTINCT bigram's
+    ``ln p`` is rounded to 9 dp and cast to ``decimal(28,9)`` BEFORE the
+    per-doc sum, so the aggregation is exact decimal arithmetic —
+    order-independent under any shuffle — and only the final
+    per-doc division is IEEE (correctly rounded, deterministic). An
+    unrounded float sum-of-logs would depend on shuffle order (see
+    :func:`vocab_coverage`'s note); the 9-dp pre-round also absorbs
+    last-ulp ``ln`` differences between engines before they can
+    accumulate.
+
+    Scale shape: bigrams come from per-row array slicing + one explode
+    (zero joins to FORM pairs), and ONE corpus pass: c2/c1/V all derive
+    from the per-doc bigram counts (``dbig``), whose identical
+    scan+explode+shuffle subplan Spark dedups via ReuseExchange — the
+    naive formulation (each count aggregating the raw token stream)
+    re-scans the corpus four times. The model join touches DISTINCT
+    (doc, bigram) pairs — not token instances — keyed by bigram, where
+    a hot bigram contributes at most one row per doc (AQE skew-join
+    absorbs the stopword head). V rides the plan as a broadcast 1-row
+    aggregate.
+    """
+    arr = tokens(text_col)
+    n = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        df.select(F.col(id_col), F.explode(pairs).alias("__bg"))
+        .select(
+            id_col,
+            F.col("__bg.w1").alias("w1"),
+            F.col("__bg.w2").alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    # aggregation CHAIN, not parallel re-aggregations of the raw token
+    # stream: dbig (per-doc bigram counts) is the only consumer of the
+    # corpus scan; c2 derives from dbig, and c1/V derive from c2 — so
+    # AQE's runtime exchange reuse collapses the shared prefixes and the
+    # corpus is scanned/exploded ONCE (the naive four-branch formulation
+    # scans it four times)
+    dbig = big.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    c2 = dbig.groupBy("w1", "w2").agg(F.sum("__m").alias("__c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
+    # the counted expression REFERENCES __c2 (never non-null branch:
+    # counts are >= 1, so the value is always just w2) — without it
+    # Catalyst collapses "distinct w2 of c2" into a distinct over the
+    # raw token stream, adding a whole second corpus scan+explode where
+    # the chained form reuses c2's already-shuffled
+    # distinct-bigram relation
+    v_expr = F.concat_ws(
+        "", F.col("w2"), F.when(F.col("__c2") < 0, F.lit("x"))
+    )
+    v = F.broadcast(c2.agg(F.count_distinct(v_expr).alias("__v")))
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(v)
+        .select(
+            "w1",
+            "w2",
+            # decimal(18,9), NOT wider: the per-doc product below is
+            # decimal(18,9) × decimal(10,0) → precision 29 ≤ 38, scale 9
+            # preserved. A wider operand (e.g. 28,9 × bigint-as-20,0)
+            # overflows Spark's 38-digit cap and allowPrecisionLoss
+            # silently TRUNCATES the scale to 6 — three digits gone.
+            F.round(
+                F.log(
+                    (F.col("__c2") + F.lit(1.0))
+                    / (F.col("__c1") + F.col("__v"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("__logp"),
+        )
+    )
+    return (
+        dbig.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").alias("n_bigrams"),
+            # NO final round: both operands are bit-identical across
+            # engines by construction (exact decimal sum → correctly-
+            # rounded double; exact count → double), so the single IEEE
+            # division is too — a round(6) here would INTRODUCE
+            # divergence at half-boundaries where engines' double
+            # rounding disagrees.
+            (
+                F.sum(
+                    F.col("__logp") * F.col("__m").cast("decimal(10,0)")
+                ).cast("double")
+                / F.sum("__m").cast("double")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     top_k: int = 1000,

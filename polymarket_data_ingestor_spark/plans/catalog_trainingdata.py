@@ -1317,6 +1317,50 @@ def q_vocab_coverage(spark, sf_dir):
     return T.vocab_coverage(d, top_k=16)
 
 
+@register(
+    "doc_bigram_lm",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+    ), big AS (
+      SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM docs, UNNEST(range(1, len(arr))) AS t(i)
+      WHERE arr[i] != '' AND arr[i + 1] != ''
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT w2) AS v FROM big
+    ), model AS (
+      SELECT w1, w2,
+             CAST(round(ln((c2 + 1.0) / (c1 + v)), 9)
+                  AS DECIMAL(18,9)) AS logp
+      FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+    ), dbig AS (
+      SELECT doc_id, w1, w2, count(*) AS m FROM big GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           CAST(sum(logp * m) AS DOUBLE)
+             / CAST(sum(m) AS DOUBLE) AS avg_logprob
+    FROM dbig JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+    doc="Corpus-trained add-one bigram LM per-doc avg log-probability — "
+    "the in-engine CCNet-style perplexity quality filter (no external "
+    "model; the LM is estimated from the corpus in the same job). "
+    "Bit-exact despite floats: each distinct bigram's ln p is rounded "
+    "to 9 dp into decimal(28,9) before the per-doc sum, making the "
+    "aggregation order-independent exact decimal math; only the final "
+    "division is IEEE.",
+    tags=("text", "quality"),
+)
+def q_doc_bigram_lm(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.bigram_lm_score(d)
+
+
 # --- Relational widening: CUBE, pivot, lag/lead deltas ---------------------
 # Registered here (not in plans/catalog.py) purely for registration-order
 # stability: catalog.py entries register first, so inserting there would
@@ -1608,6 +1652,7 @@ _PROMOTED = (
 #: filter/set-op/scalar families under the promoted filter_project.
 _TAIL = (
     "funnel_user_paths_multipass",  # twin of promoted funnel_conversion
+    "doc_bigram_lm",  # new this round; rotates in next round
     "cosine_topk_lsh_probe", "ivf_topk_probe",  # rows-only ANN probes;
     # exact anchor cosine_topk stays in-window
     "isin_filter", "substring_filter", "case_dispatch",

@@ -672,3 +672,37 @@ def test_dup_components_raises_on_nonconvergence(spark):
     got = {r["doc_id"]: r["component"]
            for r in D.dup_components(chain, max_iter=20).collect()}
     assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Add-one bigram LM on a 3-doc corpus small enough to verify by
+    hand: corpus bigrams {(a,b):2, (a,a):1, (b,a):1}, contexts
+    c(a·)=3, c(b·)=1, successor vocab V={a,b} → |V|=2."""
+    import math
+
+    d = spark.createDataFrame(
+        [(0, "a b"), (1, "a a b a"), (2, "solo")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in T.bigram_lm_score(d).collect()}
+    # doc 2 has one token → no bigrams → absent
+    assert set(got) == {0, 1}
+    p_ab = (2 + 1) / (3 + 2)  # c2(a,b)+1 / c1(a)+V
+    p_aa = (1 + 1) / (3 + 2)
+    p_ba = (1 + 1) / (1 + 2)
+    assert got[0].n_bigrams == 1
+    assert got[0].avg_logprob == pytest.approx(math.log(p_ab), abs=1e-6)
+    assert got[1].n_bigrams == 3
+    expected = (math.log(p_aa) + math.log(p_ab) + math.log(p_ba)) / 3
+    assert got[1].avg_logprob == pytest.approx(expected, abs=1e-6)
+
+
+def test_bigram_lm_score_flags_gibberish(spark):
+    """The quality-filter property: a doc whose transitions never occur
+    elsewhere in the corpus scores strictly lower than one assembled
+    from the corpus's common transitions."""
+    common = [(i, "the cat sat on the mat") for i in range(10)]
+    d = spark.createDataFrame(
+        common + [(100, "mat the on cat zz qq")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.avg_logprob for r in T.bigram_lm_score(d).collect()}
+    assert got[100] < got[0]
