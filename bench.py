@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "line_dedup_clean",
     "cube_lineitem",
+    "doc_bigram_lm",
 ]
 
 

@@ -293,3 +293,20 @@ def test_table_normalizes_ts_to_timestamp(spark):
         f"SELECT min(epoch_ms(ts)) FROM '{SF}/events.parquet'"
     ).fetchone()[0]
     assert got == want
+
+
+def test_bigram_lm_single_corpus_scan(spark):
+    """The bigram-LM aggregation chain must resolve to ONE corpus scan:
+    c2/c1/V all derive from the per-doc bigram counts, and AQE's runtime
+    exchange reuse collapses the shared prefixes. Without the chain (or
+    with the V anti-collapse guard removed) the corpus is scanned and
+    exploded up to four times — a 100-TB bug invisible at test scale.
+    Runtime plan required: reuse is an AQE decision, not a static one."""
+    df = CATALOG["doc_bigram_lm"].spark(spark, SF)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") == 1
+    assert final.count("ReusedExchange") >= 3
