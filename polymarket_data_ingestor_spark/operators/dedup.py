@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from polymarket_data_ingestor_spark.functions.scalars import hash32
 from polymarket_data_ingestor_spark.operators.text import tokens
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne), classic Carter-Wegman
@@ -763,3 +764,65 @@ def dedup_against(
         .distinct()
     )
     return exact_surv.join(near_hit_ids, id_col, "left_anti")
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_shared: int = 1,
+    max_gram_docs: int = 50,
+) -> DataFrame:
+    """Doc pairs sharing verbatim k-token windows — exact-substring
+    duplication, the containment modality set-similarity misses.
+
+    A 9-gram quote pasted into an otherwise-unrelated document moves
+    whole-doc Jaccard/MinHash barely at all; this operator catches it:
+    two docs pair when they share at least ``min_shared`` DISTINCT
+    k-token contiguous windows (tokenizer and truncated-short-doc edge
+    semantics identical to :func:`word_ngrams`). Output:
+    (id_a, id_b, n_shared) with id_a < id_b.
+
+    Windows with document frequency > ``max_gram_docs`` are excluded
+    via a broadcast anti-join (the hot set is tiny by construction,
+    same shape as :func:`line_dedup_clean`'s boilerplate set): a window
+    in d documents contributes d^2/2 pairs, so unbounded hot windows
+    (license headers, navigation chrome) turn the gram join quadratic —
+    and corpus-wide boilerplate is :func:`line_dedup_clean`'s job, not
+    pairwise dedup's. The cap is therefore the scale contract: per-gram
+    fan-out is bounded by ``max_gram_docs``, keeping the self-join
+    linear-ish in corpus size.
+
+    Windows join on their 32-bit content hash (:func:`...scalars.hash32`,
+    same function in the DuckDB oracle), so the shuffle carries int64
+    keys, not k-token strings; a hash collision can add a spurious
+    shared-window count (~N_grams^2 / 2^33 expected corpus-wide) —
+    confirm candidates with :func:`ngram_jaccard_pairs` when exactness
+    of the PAIR SET matters.
+    """
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_ngrams_vectorized(text_col, k)).alias("__g"),
+        )
+        .filter(F.col("__g") != "")
+        .select(F.col(id_col), hash32(F.col("__g")).alias("__gh"))
+    )
+    freq = grams.groupBy("__gh").agg(F.count(F.lit(1)).alias("__df"))
+    hot = freq.filter(F.col("__df") > max_gram_docs).select("__gh")
+    keep = grams.join(F.broadcast(hot), "__gh", "left_anti")
+    a, b = keep.alias("a"), keep.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__gh") == F.col("b.__gh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

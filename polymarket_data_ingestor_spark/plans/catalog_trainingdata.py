@@ -1361,6 +1361,43 @@ def q_doc_bigram_lm(spark, sf_dir):
     return T.bigram_lm_score(d)
 
 
+@register(
+    "substring_dup_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, {_SQL_HASH.format(x="g")} AS gh
+      FROM (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     generate_series(0, greatest(len(toks) - 8, 0)),
+                     i -> array_to_string(toks[i+1:i+8], ' ')))) AS g
+            FROM toks)
+      WHERE g != ''
+    ), freq AS (
+      SELECT gh, count(*) AS df FROM grams GROUP BY 1
+    ), keep AS (
+      SELECT doc_id, gh FROM grams JOIN freq USING (gh) WHERE df <= 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM keep a JOIN keep b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    doc="Exact-substring duplication (Lee et al.-style): doc pairs "
+    "sharing >= 2 distinct verbatim 8-token windows — the containment "
+    "modality whole-doc Jaccard/MinHash misses (a pasted quote barely "
+    "moves set similarity). Windows with df > 50 are dropped via a "
+    "broadcast anti-join of the tiny hot set (boilerplate is "
+    "line_dedup_clean's job), bounding per-gram join fan-out — the "
+    "scale contract.",
+    tags=("dedup", "substring"),
+)
+def q_substring_dup_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return D.substring_dup_pairs(d, k=8, min_shared=2, max_gram_docs=50)
+
+
 # --- Relational widening: CUBE, pivot, lag/lead deltas ---------------------
 # Registered here (not in plans/catalog.py) purely for registration-order
 # stability: catalog.py entries register first, so inserting there would
@@ -1652,7 +1689,8 @@ _PROMOTED = (
 #: filter/set-op/scalar families under the promoted filter_project.
 _TAIL = (
     "funnel_user_paths_multipass",  # twin of promoted funnel_conversion
-    "doc_bigram_lm",  # new this round; rotates in next round
+    "doc_bigram_lm", "substring_dup_pairs",  # new this round; rotate in
+    # next round
     "cosine_topk_lsh_probe", "ivf_topk_probe",  # rows-only ANN probes;
     # exact anchor cosine_topk stays in-window
     "isin_filter", "substring_filter", "case_dispatch",

@@ -706,3 +706,46 @@ def test_bigram_lm_score_flags_gibberish(spark):
     )
     got = {r.doc_id: r.avg_logprob for r in T.bigram_lm_score(d).collect()}
     assert got[100] < got[0]
+
+
+def test_substring_dup_catches_pasted_quote(spark):
+    """Two otherwise-unrelated docs sharing one verbatim 10-token span
+    must pair up — while their whole-doc 3-gram Jaccard stays below the
+    near-dup threshold (the containment case set similarity misses)."""
+    quote = "to be or not to be that is the question"
+    # varied filler: repetition would collapse to few DISTINCT 3-grams
+    # and let the quote dominate the Jaccard denominator
+    fill_a = " ".join(f"pasta{i} recipe{i} step{i}" for i in range(40))
+    fill_b = " ".join(f"ship{i} battle{i} year{i}" for i in range(40))
+    fill_c = " ".join(f"rock{i} mineral{i} strata{i}" for i in range(40))
+    base = [
+        (0, fill_a + " " + quote),
+        (1, quote + " " + fill_b),
+        (2, fill_c),
+    ]
+    d = spark.createDataFrame(base, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in D.substring_dup_pairs(d, k=8, min_shared=1).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    # same pair under Jaccard: far below any dedup threshold
+    jac = D.ngram_jaccard_pairs(d, threshold=0.0).collect()
+    j01 = [r.jaccard for r in jac if (r.id_a, r.id_b) == (0, 1)]
+    assert j01 and j01[0] < 0.12
+
+
+def test_substring_dup_hot_window_cap(spark):
+    """A window present in more docs than max_gram_docs is boilerplate:
+    it must not create pairs (that is line_dedup_clean's job), so a
+    corpus where the ONLY shared span is ubiquitous yields no pairs."""
+    header = "this page is copyright the example corporation all rights reserved"
+    d = spark.createDataFrame(
+        [(i, f"{header} unique content {i} " + f"filler{i} " * 10)
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    assert D.substring_dup_pairs(d, k=8, min_shared=1,
+                                 max_gram_docs=4).count() == 0
+    # raising the cap above the corpus size re-admits the shared span
+    assert D.substring_dup_pairs(d, k=8, min_shared=1,
+                                 max_gram_docs=100).count() > 0
