@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "line_dedup_clean",
     "cube_lineitem",
     "doc_bigram_lm",
+    "substring_dup_pairs",
 ]
 
 

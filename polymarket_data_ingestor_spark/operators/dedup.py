@@ -808,6 +808,14 @@ def substring_dup_pairs(
         )
         .filter(F.col("__g") != "")
         .select(F.col(id_col), hash32(F.col("__g")).alias("__gh"))
+        # one explicit exchange on the join key anchors every consumer:
+        # freq, both self-join sides, and the anti-join all read THIS
+        # shuffle via AQE stage reuse, so the Arrow gram kernel runs
+        # ONCE over the corpus (unanchored, each consumer re-extracts
+        # grams — four corpus passes). The broadcast-anti and the pair
+        # join then both ride the same hash layout with no further
+        # exchange on the big side.
+        .repartition("__gh")
     )
     freq = grams.groupBy("__gh").agg(F.count(F.lit(1)).alias("__df"))
     hot = freq.filter(F.col("__df") > max_gram_docs).select("__gh")

@@ -310,3 +310,20 @@ def test_bigram_lm_single_corpus_scan(spark):
     )
     assert final.count("FileScan parquet") == 1
     assert final.count("ReusedExchange") >= 3
+
+
+def test_substring_dup_single_gram_extraction(spark):
+    """The k-gram Arrow kernel is the expensive pass: the anchored
+    exchange on the gram hash must let freq, the anti-join, and both
+    self-join sides reuse ONE extraction (unanchored lineage re-runs it
+    per consumer — four corpus passes). Runtime plan: reuse is AQE's
+    call. Also: no cartesian anywhere — candidates meet on gram-hash
+    equi-keys only."""
+    df = CATALOG["substring_dup_pairs"].spark(spark, SF)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("ArrowEvalPython") == 1
+    assert "CartesianProduct" not in final
