@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from polymarket_data_ingestor_spark.functions.scalars import hash32
 from polymarket_data_ingestor_spark.operators.text import tokens
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne), classic Carter-Wegman
@@ -163,6 +162,43 @@ def word_ngrams_vectorized(text_col: F.Column | str, n: int = 3) -> F.Column:
         )
 
     return grams(c)
+
+
+def gram_hashes_vectorized(
+    text_col: F.Column | str, n: int = 3
+) -> F.Column:
+    """Distinct word-n-gram 32-bit hashes (array<long>), hashed INSIDE
+    the Arrow kernel.
+
+    Equivalent to ``hash32(explode(word_ngrams_vectorized(...)))`` with
+    empty grams dropped, but the Arrow batch carries one int64 per
+    n-gram instead of the n-token string — for n=8 that is ~an order of
+    magnitude less transfer and no per-gram JVM md5 — which matters
+    when the gram stream is the dominant data volume
+    (:func:`substring_dup_pairs`). Hash scheme is :func:`_h32`, the
+    exact Python twin of the JVM/DuckDB ``hash32``, so downstream
+    values are unchanged. Empty grams ('' — produced only by NULL/empty
+    text) are dropped in-kernel: the string form filters them after
+    explode, same result.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    @pandas_udf("array<long>")
+    def gram_hashes(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                []
+                if t is None
+                else [
+                    _h32(g)
+                    for g in dict.fromkeys(_py_grams(_py_tokens(t), n))
+                    if g != ""
+                ]
+                for t in texts
+            ]
+        )
+
+    return gram_hashes(c)
 
 
 def ngram_jaccard_pairs(
@@ -804,10 +840,8 @@ def substring_dup_pairs(
     grams = (
         df.select(
             F.col(id_col),
-            F.explode(word_ngrams_vectorized(text_col, k)).alias("__g"),
+            F.explode(gram_hashes_vectorized(text_col, k)).alias("__gh"),
         )
-        .filter(F.col("__g") != "")
-        .select(F.col(id_col), hash32(F.col("__g")).alias("__gh"))
         # one explicit exchange on the join key anchors every consumer:
         # freq, both self-join sides, and the anti-join all read THIS
         # shuffle via AQE stage reuse, so the Arrow gram kernel runs
