@@ -1361,9 +1361,7 @@ def q_doc_bigram_lm(spark, sf_dir):
     return T.bigram_lm_score(d)
 
 
-@register(
-    "substring_dup_pairs",
-    f"""
+_SQL_SUBSTRING_PAIRS = f"""
     WITH toks AS (
       SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
     ), grams AS (
@@ -1383,7 +1381,12 @@ def q_doc_bigram_lm(spark, sf_dir):
     FROM keep a JOIN keep b ON a.gh = b.gh AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= 2
-    """,
+"""
+
+
+@register(
+    "substring_dup_pairs",
+    _SQL_SUBSTRING_PAIRS,
     doc="Exact-substring duplication (Lee et al.-style): doc pairs "
     "sharing >= 2 distinct verbatim 8-token windows — the containment "
     "modality whole-doc Jaccard/MinHash misses (a pasted quote barely "
@@ -1396,6 +1399,43 @@ def q_doc_bigram_lm(spark, sf_dir):
 def q_substring_dup_pairs(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return D.substring_dup_pairs(d, k=8, min_shared=2, max_gram_docs=50)
+
+
+@register(
+    "substring_dedup_materialize",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_SUBSTRING_PAIRS}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN comp c
+      ON d.doc_id = c.doc_id AND d.doc_id = c.component
+    """,
+    doc="Materialized substring dedup: the L20 detector composed with "
+    "the generic transitive machinery — substring pairs -> min-label "
+    "connected components -> keep the component-min doc. Quote chains "
+    "(a shares a span with b, b another with c) collapse to one keeper "
+    "even when a and c share nothing directly; same composition shape "
+    "as dedup_transitive_materialize over MinHash pairs.",
+    tags=("dedup", "substring"),
+)
+def q_substring_dedup_materialize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.substring_dup_pairs(
+        docs, k=8, min_shared=2, max_gram_docs=50
+    )
+    return D.drop_dup_clusters(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 # --- Relational widening: CUBE, pivot, lag/lead deltas ---------------------
@@ -1689,8 +1729,8 @@ _PROMOTED = (
 #: filter/set-op/scalar families under the promoted filter_project.
 _TAIL = (
     "funnel_user_paths_multipass",  # twin of promoted funnel_conversion
-    "doc_bigram_lm", "substring_dup_pairs",  # new this round; rotate in
-    # next round
+    "doc_bigram_lm", "substring_dup_pairs", "substring_dedup_materialize",
+    # ^ new this round; rotate in next round
     "cosine_topk_lsh_probe", "ivf_topk_probe",  # rows-only ANN probes;
     # exact anchor cosine_topk stays in-window
     "isin_filter", "substring_filter", "case_dispatch",
