@@ -112,6 +112,27 @@ def main() -> None:
                         "rows": n_docs * scale, "sec": sec})
         print(json.dumps(results[-1]), flush=True)
 
+    # ---- round-5 text ops on the same 1x/10x documents fixture ----
+    # (the per-copy " c{i}" suffix also perturbs each copy's trailing
+    # bigram/window, so cross-copy hot-window/bigram collapse is mild)
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+    from polymarket_data_ingestor_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    for op, fn in (
+        ("doc_bigram_lm", bigram_lm_score),
+        ("substring_dup_pairs",
+         lambda d: substring_dup_pairs(d, k=8, min_shared=2)),
+    ):
+        for scale, d in ((1, docs1), (10, docs10)):
+            sec = _time2(lambda: fn(d).count())
+            results.append({"op": op, "scale": scale,
+                            "rows": n_docs * scale, "sec": sec})
+            print(json.dumps(results[-1]), flush=True)
+
     # ---- embeddings 10x (vectors rotated per copy; occupancy-rule bits) ----
     from polymarket_data_ingestor_spark.operators.similarity import (
         embedding_dup_pairs,
