@@ -1,0 +1,115 @@
+"""Property-based tests for the round-5 text operators.
+
+Hypothesis drives the DataFrame-level operators against naive Python
+models over small randomized corpora. Few examples (each example runs
+real Spark jobs) but adversarial shapes: empty docs, repeated tokens,
+full-duplicate docs, boilerplate grams crossing the hot-window cap.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from polymarket_data_ingestor_spark.operators.dedup import (
+    _py_grams,
+    _py_tokens,
+    substring_dup_pairs,
+)
+from polymarket_data_ingestor_spark.operators.text import bigram_lm_score
+
+VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+
+corpora = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=14),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _naive_substring_pairs(rows, k, min_shared, cap):
+    gram_sets = {
+        i: {g for g in _py_grams(_py_tokens(t), k) if g != ""}
+        for i, t in rows
+    }
+    df = Counter(g for gs in gram_sets.values() for g in gs)
+    kept = {i: {g for g in gs if df[g] <= cap}
+            for i, gs in gram_sets.items()}
+    ids = sorted(kept)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            shared = len(kept[ids[x]] & kept[ids[y]])
+            if shared >= min_shared:
+                out[(ids[x], ids[y])] = shared
+    return out
+
+
+def _naive_bigram_lm(rows):
+    doc_bigrams = {}
+    for i, t in rows:
+        toks = _py_tokens(t)
+        bg = [
+            (toks[j], toks[j + 1])
+            for j in range(len(toks) - 1)
+            if toks[j] != "" and toks[j + 1] != ""
+        ]
+        if bg:
+            doc_bigrams[i] = bg
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    succ = set()
+    for bg in doc_bigrams.values():
+        for a, b in bg:
+            c2[(a, b)] += 1
+            c1[a] += 1
+            succ.add(b)
+    v = len(succ)
+    return {
+        i: (
+            len(bg),
+            sum(round(math.log((c2[p] + 1.0) / (c1[p[0]] + v)), 9)
+                for p in bg) / len(bg),
+        )
+        for i, bg in doc_bigrams.items()
+    }
+
+
+@given(corpora)
+@settings(max_examples=5, deadline=None)
+def test_substring_pairs_match_naive_model(spark, docs):
+    # small vocab → dense overlap; low cap exercises hot-window drops
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in substring_dup_pairs(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            k=3, min_shared=1, max_gram_docs=3,
+        ).collect()
+    }
+    assert got == _naive_substring_pairs(rows, 3, 1, 3)
+
+
+@given(corpora)
+@settings(max_examples=5, deadline=None)
+def test_bigram_lm_matches_naive_model(spark, docs):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_lm_score(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    want = _naive_bigram_lm(rows)
+    assert set(got) == set(want)
+    for i, (n, avg) in want.items():
+        assert got[i][0] == n
+        # tolerance instead of bit-parity: Python's round() is
+        # round-half-even on binary doubles while the operator pins
+        # Spark/DuckDB HALF_UP decimal rounding — they can differ by
+        # 1e-9 per term at half-boundaries, which the 9-dp pre-round
+        # bounds at ~1e-9 on the average
+        assert got[i][1] == pytest.approx(avg, abs=5e-9)
