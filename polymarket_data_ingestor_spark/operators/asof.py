@@ -30,25 +30,35 @@ def asof_join(
     value_cols: Sequence[str],
     strict: bool = False,
     tolerance=None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each probe row, attach the latest reference values at-or-before
-    its ``order_col`` (per ``by`` group).
+    its ``order_col`` (per ``by`` group) — or, with
+    ``direction="forward"``, the EARLIEST at-or-after (pandas
+    ``merge_asof`` direction parity: "next quote after this trade").
 
-    ``strict=True`` uses strictly-before (reference order < probe order)
-    by breaking ties in favor of the probe row.
+    ``strict=True`` excludes the same-instant reference row (strictly
+    before / strictly after) by flipping which side wins the ordering
+    tie at equal ``order_col``.
 
-    ``tolerance`` (pandas ``merge_asof`` parity) bounds staleness: a
-    match older than ``probe_ord - tolerance`` yields nulls instead.
-    Requires an order column with a subtraction (numeric/timestamp
-    difference comparable to the tolerance literal); the carried
-    reference order rides the same window pass, so the bound costs no
-    extra shuffle.
+    ``tolerance`` (pandas ``merge_asof`` parity) bounds staleness (or
+    forward look-ahead): a match farther than ``tolerance`` from the
+    probe yields nulls instead. Requires an order column with a
+    subtraction (numeric/timestamp difference comparable to the
+    tolerance literal); the carried reference order rides the same
+    window pass, so the bound costs no extra shuffle.
 
     Returns the probe rows + ``value_cols`` (null when no reference row
-    precedes / none within tolerance). Both inputs must share the
+    qualifies / none within tolerance). Both inputs must share the
     ``by`` + ``order_col`` columns; ``value_cols`` must not collide
-    with probe columns.
+    with probe columns. With multiple reference rows at the SAME order
+    key the carried one is unspecified — use a unique order key (or a
+    pre-aggregated reference) when that matters.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     by = list(by)
     value_cols = list(value_cols)
     probe_cols = probe.columns
@@ -74,22 +84,44 @@ def asof_join(
         *value_cols,
         F.col(order_col).alias("__ref_ord"),
     )
-    # tie order: strict → probe sorts before same-ord reference rows
-    tie = F.col("__is_probe").desc() if strict else F.col("__is_probe").asc()
+    # Tie order decides whether a same-instant reference row lands inside
+    # the probe's frame. Backward frame is preceding..current, so the ref
+    # must sort BEFORE the probe to be included (asc; strict flips it
+    # out). Forward frame is current..following: the ref must sort AFTER
+    # the probe (desc; strict flips it out) — the exact mirror.
+    if direction == "backward":
+        tie = (
+            F.col("__is_probe").desc() if strict
+            else F.col("__is_probe").asc()
+        )
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        tie = (
+            F.col("__is_probe").asc() if strict
+            else F.col("__is_probe").desc()
+        )
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
     w = (
         Window.partitionBy(*by)
         .orderBy(F.col("__ord"), tie)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
     carried = p.unionByName(r).select(
         "__is_probe",
         "__row",
         "__ord",
-        F.last("__ref_ord", ignorenulls=True).over(w).alias("__ref_ord"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        pick("__ref_ord", ignorenulls=True).over(w).alias("__ref_ord"),
+        *[pick(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
     if tolerance is not None:
-        within = (F.col("__ord") - F.col("__ref_ord")) <= F.lit(tolerance)
+        gap = (
+            F.col("__ord") - F.col("__ref_ord")
+            if direction == "backward"
+            else F.col("__ref_ord") - F.col("__ord")
+        )
+        within = gap <= F.lit(tolerance)
         vals = [F.when(within, F.col(c)).alias(c) for c in value_cols]
     else:
         vals = [F.col(c) for c in value_cols]

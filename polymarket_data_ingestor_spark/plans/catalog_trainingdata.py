@@ -1003,6 +1003,43 @@ def q_asof_join_tolerance(spark, sf_dir):
 
 
 @register(
+    "asof_join_forward",
+    """
+    SELECT c.event_id, c.user_id, p.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.event_id >= c.event_id
+    """,
+    doc="Forward as-of join (merge_asof direction='forward' parity): "
+    "each click gets the EARLIEST purchase at-or-after it per user — "
+    "the 'next event after' query. Same union-tag single-shuffle plan "
+    "as the backward form, with the window frame and tie order "
+    "mirrored (current..following + first instead of "
+    "preceding..current + last); oracle is DuckDB's native forward "
+    "ASOF JOIN.",
+    tags=("join", "asof"),
+)
+def q_asof_join_forward(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("value").alias("next_purchase_value")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        order_col="event_id",
+        value_cols=["next_purchase_value"],
+        direction="forward",
+    )
+
+
+@register(
     "benchmark_decontaminate",
     """
     WITH g AS (
@@ -1730,6 +1767,7 @@ _PROMOTED = (
 _TAIL = (
     "funnel_user_paths_multipass",  # twin of promoted funnel_conversion
     "doc_bigram_lm", "substring_dup_pairs", "substring_dedup_materialize",
+    "asof_join_forward",
     # ^ new this round; rotate in next round
     "cosine_topk_lsh_probe", "ivf_topk_probe",  # rows-only ANN probes;
     # exact anchor cosine_topk stays in-window

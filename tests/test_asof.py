@@ -102,3 +102,78 @@ def test_trades_with_prevailing_bbo(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got_df, want_df)
     assert len(got_df) == sum(1 for r in rows if r[1] == "TRADE")
+
+
+def test_asof_forward_semantics(spark):
+    probe = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 2), ("b", 7)], "k string, t long"
+    )
+    ref = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 5, 50.0), ("a", 9, 90.0), ("c", 1, 10.0)],
+        "k string, t long, v double",
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in asof_join(probe, ref, by=["k"], order_col="t",
+                           value_cols=["v"],
+                           direction="forward").collect()
+    }
+    assert got == {
+        ("a", 2): 30.0,       # earliest at-or-after 2
+        ("a", 5): 50.0,       # exact match wins (forward, inclusive)
+        ("a", 10): None,      # nothing at-or-after 10
+        ("b", 7): None,       # no reference rows for key b
+    }
+    # strict: the same-instant t=5 reference no longer qualifies
+    s = {
+        (r.k, r.t): r.v
+        for r in asof_join(probe, ref, by=["k"], order_col="t",
+                           value_cols=["v"], strict=True,
+                           direction="forward").collect()
+    }
+    assert s[("a", 5)] == 90.0
+    # tolerance bounds the look-ahead: t=2 -> 3 is within 2; t=5 -> 5
+    # within; but with tolerance=1, t=2's nearest (3) still matches
+    # while a gap of 4 (5 -> 9 under strict) would not
+    tol = {
+        (r.k, r.t): r.v
+        for r in asof_join(probe, ref, by=["k"], order_col="t",
+                           value_cols=["v"], strict=True, tolerance=1,
+                           direction="forward").collect()
+    }
+    assert tol[("a", 2)] == 30.0 and tol[("a", 5)] is None
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    """Randomized parity against pandas merge_asof(direction='forward')
+    — the API whose semantics the parameter mirrors."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    probe = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], 60),
+        "t": rng.randint(0, 100, 60).astype("int64"),
+    })
+    ref = pd.DataFrame({
+        "k": rng.choice(["x", "y"], 40),
+        "t": rng.randint(0, 100, 40).astype("int64"),
+        "v": rng.rand(40).round(3),
+    })
+    # unique (k, t) on the reference: at duplicate order keys both
+    # engines' pick is unspecified (documented), so dedup for parity
+    ref = ref.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    want = pd.merge_asof(
+        probe.sort_values("t").reset_index(drop=True),
+        ref.sort_values("t").reset_index(drop=True),
+        on="t", by="k", direction="forward",
+    )
+    got = asof_join(
+        spark.createDataFrame(probe), spark.createDataFrame(ref),
+        by=["k"], order_col="t", value_cols=["v"], direction="forward",
+    ).toPandas()
+    wm = {(r.k, r.t): None if pd.isna(r.v) else r.v
+          for r in want.itertuples()}
+    gm = {(r.k, r.t): None if pd.isna(r.v) else r.v
+          for r in got.itertuples()}
+    assert gm == wm
