@@ -34,8 +34,12 @@ def asof_join(
 ) -> DataFrame:
     """For each probe row, attach the latest reference values at-or-before
     its ``order_col`` (per ``by`` group) — or, with
-    ``direction="forward"``, the EARLIEST at-or-after (pandas
-    ``merge_asof`` direction parity: "next quote after this trade").
+    ``direction="forward"``, the EARLIEST at-or-after, or with
+    ``direction="nearest"``, whichever of the two is closer (equal
+    distance prefers backward) — full pandas ``merge_asof`` direction
+    parity. With a ``tolerance``, nearest-then-bound equals
+    bound-then-nearest (the bound is symmetric), so the semantics are
+    unambiguous.
 
     ``strict=True`` excludes the same-instant reference row (strictly
     before / strictly after) by flipping which side wins the ordering
@@ -55,9 +59,10 @@ def asof_join(
     key the carried one is unspecified — use a unique order key (or a
     pre-aggregated reference) when that matters.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}"
+            "direction must be 'backward', 'forward', or 'nearest', "
+            f"got {direction!r}"
         )
     by = list(by)
     value_cols = list(value_cols)
@@ -89,42 +94,77 @@ def asof_join(
     # must sort BEFORE the probe to be included (asc; strict flips it
     # out). Forward frame is current..following: the ref must sort AFTER
     # the probe (desc; strict flips it out) — the exact mirror.
-    if direction == "backward":
-        tie = (
-            F.col("__is_probe").desc() if strict
-            else F.col("__is_probe").asc()
+    def _pass(d: str, suffix: str = ""):
+        if d == "backward":
+            tie = (
+                F.col("__is_probe").desc() if strict
+                else F.col("__is_probe").asc()
+            )
+            frame = (Window.unboundedPreceding, Window.currentRow)
+            pick = F.last
+        else:
+            tie = (
+                F.col("__is_probe").asc() if strict
+                else F.col("__is_probe").desc()
+            )
+            frame = (Window.currentRow, Window.unboundedFollowing)
+            pick = F.first
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__ord"), tie)
+            .rowsBetween(*frame)
         )
-        frame = (Window.unboundedPreceding, Window.currentRow)
-        pick = F.last
-    else:
-        tie = (
-            F.col("__is_probe").asc() if strict
-            else F.col("__is_probe").desc()
+        cols = [
+            pick("__ref_ord", ignorenulls=True).over(w)
+            .alias(f"__ref_ord{suffix}"),
+            *[pick(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
+              for c in value_cols],
+        ]
+        return cols
+
+    unioned = p.unionByName(r)
+
+    def _bounded(vals_suffix: str, gap):
+        if tolerance is None:
+            return [F.col(f"{c}{vals_suffix}").alias(c)
+                    for c in value_cols]
+        within = gap <= F.lit(tolerance)
+        return [F.when(within, F.col(f"{c}{vals_suffix}")).alias(c)
+                for c in value_cols]
+
+    if direction != "nearest":
+        carried = unioned.select(
+            "__is_probe", "__row", "__ord", *_pass(direction)
         )
-        frame = (Window.currentRow, Window.unboundedFollowing)
-        pick = F.first
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("__ord"), tie)
-        .rowsBetween(*frame)
-    )
-    carried = p.unionByName(r).select(
-        "__is_probe",
-        "__row",
-        "__ord",
-        pick("__ref_ord", ignorenulls=True).over(w).alias("__ref_ord"),
-        *[pick(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-    )
-    if tolerance is not None:
         gap = (
             F.col("__ord") - F.col("__ref_ord")
             if direction == "backward"
             else F.col("__ref_ord") - F.col("__ord")
         )
-        within = gap <= F.lit(tolerance)
-        vals = [F.when(within, F.col(c)).alias(c) for c in value_cols]
-    else:
-        vals = [F.col(c) for c in value_cols]
+        vals = _bounded("", gap)
+        return carried.filter(F.col("__is_probe") == 1).select(
+            *[F.col("__row")[c].alias(c) for c in probe_cols], *vals
+        )
+
+    # nearest: both passes ride ONE union + one hash exchange (same
+    # partitioning; the opposite tie orders cost a second sort, not a
+    # second shuffle), then a per-row gap comparison picks the closer
+    # side — equal distance prefers backward, pandas merge_asof's rule.
+    carried = unioned.select(
+        "__is_probe", "__row", "__ord",
+        *_pass("backward", "__b"), *_pass("forward", "__f"),
+    )
+    gap_b = F.col("__ord") - F.col("__ref_ord__b")
+    gap_f = F.col("__ref_ord__f") - F.col("__ord")
+    vb = _bounded("__b", gap_b)
+    vf = _bounded("__f", gap_f)
+    use_b = F.col("__ref_ord__f").isNull() | (
+        F.col("__ref_ord__b").isNotNull() & (gap_b <= gap_f)
+    )
+    vals = [
+        F.when(use_b, b).otherwise(f).alias(c)
+        for c, b, f in zip(value_cols, vb, vf)
+    ]
     return carried.filter(F.col("__is_probe") == 1).select(
         *[F.col("__row")[c].alias(c) for c in probe_cols], *vals
     )

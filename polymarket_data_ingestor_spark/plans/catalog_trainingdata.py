@@ -1040,6 +1040,58 @@ def q_asof_join_forward(spark, sf_dir):
 
 
 @register(
+    "asof_join_nearest",
+    """
+    WITH c AS (
+      SELECT event_id, user_id FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT c.event_id, c.user_id, p.event_id AS ob, p.value AS vb
+      FROM c ASOF LEFT JOIN
+           (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.event_id <= c.event_id
+    ), f AS (
+      SELECT c.event_id, p.event_id AS o_f, p.value AS vf
+      FROM c ASOF LEFT JOIN
+           (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.event_id >= c.event_id
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN o_f IS NULL THEN vb
+                WHEN ob IS NULL THEN vf
+                WHEN b.event_id - ob <= o_f - b.event_id THEN vb
+                ELSE vf END AS nearest_purchase_value
+    FROM b JOIN f USING (event_id)
+    """,
+    doc="Nearest as-of join (merge_asof direction='nearest' parity): "
+    "each click gets whichever purchase is closer in event-id order, "
+    "equal distance preferring backward — pandas' rule. Both window "
+    "passes ride ONE union + one hash exchange (opposite tie orders "
+    "cost a second sort, not a second shuffle); oracle composes "
+    "DuckDB's two ASOF directions with the same CASE.",
+    tags=("join", "asof"),
+)
+def q_asof_join_nearest(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id",
+        F.col("value").alias("nearest_purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        order_col="event_id",
+        value_cols=["nearest_purchase_value"],
+        direction="nearest",
+    )
+
+
+@register(
     "benchmark_decontaminate",
     """
     WITH g AS (
@@ -1767,7 +1819,7 @@ _PROMOTED = (
 _TAIL = (
     "funnel_user_paths_multipass",  # twin of promoted funnel_conversion
     "doc_bigram_lm", "substring_dup_pairs", "substring_dedup_materialize",
-    "asof_join_forward",
+    "asof_join_forward", "asof_join_nearest",
     # ^ new this round; rotate in next round
     "cosine_topk_lsh_probe", "ivf_topk_probe",  # rows-only ANN probes;
     # exact anchor cosine_topk stays in-window

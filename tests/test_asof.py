@@ -177,3 +177,77 @@ def test_asof_forward_matches_pandas_merge_asof(spark):
     gm = {(r.k, r.t): None if pd.isna(r.v) else r.v
           for r in got.itertuples()}
     assert gm == wm
+
+
+def test_asof_nearest_semantics(spark):
+    probe = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 2)], "k string, t long"
+    )
+    ref = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 6, 60.0), ("a", 20, 200.0)],
+        "k string, t long, v double",
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in asof_join(probe, ref, by=["k"], order_col="t",
+                           value_cols=["v"],
+                           direction="nearest").collect()
+    }
+    assert got == {
+        ("a", 2): 30.0,   # 3 (gap 1) beats nothing-behind
+        ("a", 5): 60.0,   # forward 6 (gap 1) beats backward 3 (gap 2)
+        ("a", 10): 60.0,  # backward 6 (gap 4) beats forward 20 (gap 10)
+    }
+    # equal distance prefers backward (pandas rule): probe 4 or 5?
+    # probe t=4: backward 3 (gap 1) vs forward 6 (gap 2) -> 30.0;
+    # craft an exact tie instead: ref at 3 and 7, probe 5
+    tie_ref = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 7, 70.0)], "k string, t long, v double"
+    )
+    tie = asof_join(
+        spark.createDataFrame([("a", 5)], "k string, t long"),
+        tie_ref, by=["k"], order_col="t", value_cols=["v"],
+        direction="nearest",
+    ).first()
+    assert tie.v == 30.0
+    # tolerance: nearest outside the bound -> null even if the other
+    # side has a (farther) match
+    tol = asof_join(
+        spark.createDataFrame([("a", 10)], "k string, t long"),
+        tie_ref, by=["k"], order_col="t", value_cols=["v"],
+        direction="nearest", tolerance=2,
+    ).first()
+    assert tol.v is None
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    probe = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], 60),
+        "t": rng.randint(0, 100, 60).astype("int64"),
+    })
+    ref = pd.DataFrame({
+        "k": rng.choice(["x", "y"], 40),
+        "t": rng.randint(0, 100, 40).astype("int64"),
+        "v": rng.rand(40).round(3),
+    }).drop_duplicates(["k", "t"]).reset_index(drop=True)
+    for tol in (None, 5):
+        want = pd.merge_asof(
+            probe.sort_values("t").reset_index(drop=True),
+            ref.sort_values("t").reset_index(drop=True),
+            on="t", by="k", direction="nearest",
+            tolerance=tol,
+        )
+        got = asof_join(
+            spark.createDataFrame(probe), spark.createDataFrame(ref),
+            by=["k"], order_col="t", value_cols=["v"],
+            direction="nearest", tolerance=tol,
+        ).toPandas()
+        wm = {(r.k, r.t): None if pd.isna(r.v) else r.v
+              for r in want.itertuples()}
+        gm = {(r.k, r.t): None if pd.isna(r.v) else r.v
+              for r in got.itertuples()}
+        assert gm == wm, f"tolerance={tol}"
