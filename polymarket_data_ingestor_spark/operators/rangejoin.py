@@ -18,6 +18,8 @@ Two time-series operators beyond the reference surface:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -75,6 +77,82 @@ def range_join_count(
         .groupBy("__rid", *out_cols)
         .agg(F.sum("__n").cast("long").alias(count_name))
         .drop("__rid")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+    bin_seconds: int = 600,
+) -> DataFrame:
+    """Interval × interval overlap join per key: all (left, right) pairs
+    whose half-open intervals ``[start, end)`` intersect.
+
+    Bin-bucketed like :func:`range_join_count` — no theta-join. Each
+    interval explodes to the bins it covers (≈ length/bin + 1 rows; pick
+    ``bin_seconds`` near the typical interval length — that is the scale
+    knob), pairs meet on a (key, bin) equi-join, and the exact overlap
+    predicate refines. Each overlapping pair is emitted EXACTLY once
+    with no distinct pass: the pair is kept only in the bin containing
+    ``max(l_start, r_start)`` — both intervals provably cover that bin
+    when they overlap (overlap means r_start < l_end, so
+    ``r_start div bin ≤ (l_end-1) div bin``, and symmetrically), and it
+    is unique per pair.
+
+    Empty intervals (``end ≤ start``) match nothing. ``left_cols`` /
+    ``right_cols`` name the output payload and must be disjoint.
+    """
+    overlap_cols = set(left_cols) & set(right_cols)
+    if overlap_cols:
+        raise ValueError(
+            f"left_cols and right_cols must be disjoint, both have "
+            f"{sorted(overlap_cols)}"
+        )
+    g = bin_seconds * 1000
+
+    def _ms(c: str):
+        return F.unix_millis(F.col(c).cast("timestamp"))
+
+    l = left.select(
+        F.col(key), *left_cols,
+        _ms(l_start).alias("__ls"), _ms(l_end).alias("__le"),
+    ).filter(F.col("__le") > F.col("__ls"))
+    r = right.select(
+        F.col(key), *right_cols,
+        _ms(r_start).alias("__rs"), _ms(r_end).alias("__re"),
+    ).filter(F.col("__re") > F.col("__rs"))
+    lb = l.withColumn(
+        "__bin",
+        F.explode(F.sequence(
+            F.expr(f"__ls div {g}"), F.expr(f"(__le - 1) div {g}")
+        )),
+    )
+    rb = r.withColumn(
+        "__bin",
+        F.explode(F.sequence(
+            F.expr(f"__rs div {g}"), F.expr(f"(__re - 1) div {g}")
+        )),
+    )
+    return (
+        lb.join(rb, [key, "__bin"])
+        .filter(
+            (F.col("__rs") < F.col("__le"))
+            & (F.col("__ls") < F.col("__re"))
+            & (
+                F.col("__bin")
+                == F.greatest(
+                    F.expr(f"__ls div {g}"), F.expr(f"__rs div {g}")
+                )
+            )
+        )
+        .select(F.col(key), *left_cols, *right_cols)
     )
 
 

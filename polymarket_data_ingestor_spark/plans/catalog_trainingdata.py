@@ -1040,6 +1040,57 @@ def q_asof_join_forward(spark, sf_dir):
 
 
 @register(
+    "interval_overlap_join",
+    """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id,
+             epoch_ms(ts) AS ls, epoch_ms(ts) + 300000 AS le
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_ms(ts) AS rs, epoch_ms(ts) + 600000 AS re
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.rs < c.le AND c.ls < p.re
+    """,
+    doc="Interval x interval overlap join per user: 5-minute click "
+    "windows vs 10-minute purchase windows, all intersecting pairs. "
+    "Bin-bucketed equi-join (no theta-join): intervals explode to "
+    "covered bins, pairs meet on (key, bin), and the "
+    "max-start-bin rule emits each pair exactly once with no distinct "
+    "pass. Oracle is the plain theta join, exact at sf scale.",
+    tags=("join", "range"),
+)
+def q_interval_overlap_join(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    e = table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.timestamp_millis(ms).alias("start"),
+        F.timestamp_millis(ms + 300000).alias("end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.timestamp_millis(ms).alias("start"),
+        F.timestamp_millis(ms + 600000).alias("end"),
+    )
+    return interval_overlap_join(
+        clicks, purchases,
+        key="user_id",
+        left_cols=["click_id"], right_cols=["purchase_id"],
+        bin_seconds=600,
+    )
+
+
+@register(
     "asof_join_nearest",
     """
     WITH c AS (
@@ -1819,7 +1870,7 @@ _PROMOTED = (
 _TAIL = (
     "funnel_user_paths_multipass",  # twin of promoted funnel_conversion
     "doc_bigram_lm", "substring_dup_pairs", "substring_dedup_materialize",
-    "asof_join_forward", "asof_join_nearest",
+    "asof_join_forward", "asof_join_nearest", "interval_overlap_join",
     # ^ new this round; rotate in next round
     "cosine_topk_lsh_probe", "ivf_topk_probe",  # rows-only ANN probes;
     # exact anchor cosine_topk stays in-window

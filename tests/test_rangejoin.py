@@ -83,3 +83,48 @@ def test_multires_minute_matches_direct(spark):
     )
     hr = hour.select("bar_time", "event_type", F.round("total", 6).alias("total"))
     assert hr.exceptAll(recomposed).count() == 0
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Half-open [start,end): touching endpoints do not overlap; a long
+    interval spanning many bins still pairs EXACTLY once (the
+    max-start-bin rule replaces a distinct pass); empty intervals match
+    nothing."""
+    from datetime import datetime, timedelta, timezone
+
+    from polymarket_data_ingestor_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def t(minute):
+        return base + timedelta(minutes=minute)
+
+    left = spark.createDataFrame(
+        [
+            ("u", 1, t(0), t(50)),    # spans 5 bins at 600s
+            ("u", 2, t(10), t(10)),   # empty
+            ("u", 3, t(30), t(35)),
+            ("v", 4, t(0), t(10)),    # other key
+        ],
+        "user string, lid long, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", 10, t(45), t(55)),  # overlaps 1 only
+            ("u", 11, t(35), t(40)),  # touches 3's end -> NO overlap
+            ("u", 12, t(31), t(32)),  # inside 3 (and 1)
+            ("w", 13, t(0), t(60)),   # other key
+        ],
+        "user string, rid long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, key="user",
+            left_cols=["lid"], right_cols=["rid"],
+            bin_seconds=600,
+        ).collect()
+    )
+    assert got == [(1, 10), (1, 11), (1, 12), (3, 12)]
