@@ -51,7 +51,10 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "doc_quality",
     "asof_join",
+    "asof_join_forward",
+    "asof_join_nearest",
     "range_join_count",
+    "interval_overlap_join",
     "multires_rollup",
     "pack_sequences",
     "stratified_sample",
