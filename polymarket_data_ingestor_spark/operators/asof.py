@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -53,11 +54,15 @@ def asof_join(
     window pass, so the bound costs no extra shuffle.
 
     Returns the probe rows + ``value_cols`` (null when no reference row
-    qualifies / none within tolerance). Both inputs must share the
-    ``by`` + ``order_col`` columns; ``value_cols`` must not collide
-    with probe columns. With multiple reference rows at the SAME order
-    key the carried one is unspecified — use a unique order key (or a
-    pre-aggregated reference) when that matters.
+    qualifies / none within tolerance). A matched reference row whose
+    value column is NULL yields NULL — the matched row's own values are
+    returned, never an older/farther row's (pandas ``merge_asof``
+    parity; the whole matched row travels as one struct through the
+    window pick). Both inputs must share the ``by`` + ``order_col``
+    columns; ``value_cols`` must not collide with probe columns. With
+    multiple reference rows at the SAME order key the carried one is
+    unspecified — use a unique order key (or a pre-aggregated
+    reference) when that matters.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -71,23 +76,31 @@ def asof_join(
         if c in probe_cols:
             raise ValueError(f"value column {c!r} collides with probe column")
 
+    # The whole matched reference row travels as ONE struct so the window
+    # pick is atomic: ``last(__ref, ignorenulls)`` skips probe rows (their
+    # __ref is a NULL struct) but returns the matched reference row's own
+    # fields even when a value column is NULL — per-column picks would
+    # skip past a NULL value to an older/farther row's value, breaking
+    # pandas ``merge_asof`` parity (which returns the matched row's NaN).
+    ref_type = T.StructType(
+        [T.StructField("__o", reference.schema[order_col].dataType)]
+        + [reference.schema[c] for c in value_cols]
+    )
     p = probe.select(
         *by,
         F.col(order_col).alias("__ord"),
         F.lit(1).alias("__is_probe"),
         F.struct(*probe_cols).alias("__row"),
-        *[F.lit(None).cast(reference.schema[c].dataType).alias(c)
-          for c in value_cols],
-        F.lit(None).cast(reference.schema[order_col].dataType)
-        .alias("__ref_ord"),
+        F.lit(None).cast(ref_type).alias("__ref"),
     )
     r = reference.select(
         *by,
         F.col(order_col).alias("__ord"),
         F.lit(0).alias("__is_probe"),
         F.lit(None).cast(p.schema["__row"].dataType).alias("__row"),
-        *value_cols,
-        F.col(order_col).alias("__ref_ord"),
+        F.struct(
+            F.col(order_col).alias("__o"), *value_cols
+        ).cast(ref_type).alias("__ref"),
     )
     # Tie order decides whether a same-instant reference row lands inside
     # the probe's frame. Backward frame is preceding..current, so the ref
@@ -114,34 +127,32 @@ def asof_join(
             .orderBy(F.col("__ord"), tie)
             .rowsBetween(*frame)
         )
-        cols = [
-            pick("__ref_ord", ignorenulls=True).over(w)
-            .alias(f"__ref_ord{suffix}"),
-            *[pick(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
-              for c in value_cols],
-        ]
-        return cols
+        return [pick("__ref", ignorenulls=True).over(w)
+                .alias(f"__ref{suffix}")]
 
     unioned = p.unionByName(r)
 
-    def _bounded(vals_suffix: str, gap):
+    def _bounded(ref_col: str, gap):
+        # Unpack the matched struct; with a tolerance, a too-far match
+        # yields NULLs. All value columns come from the SAME struct, so
+        # the gap decision and the returned values agree on the row.
         if tolerance is None:
-            return [F.col(f"{c}{vals_suffix}").alias(c)
-                    for c in value_cols]
+            return [F.col(ref_col)[c].alias(c) for c in value_cols]
         within = gap <= F.lit(tolerance)
-        return [F.when(within, F.col(f"{c}{vals_suffix}")).alias(c)
+        return [F.when(within, F.col(ref_col)[c]).alias(c)
                 for c in value_cols]
 
     if direction != "nearest":
         carried = unioned.select(
             "__is_probe", "__row", "__ord", *_pass(direction)
         )
+        ref_ord = F.col("__ref")["__o"]
         gap = (
-            F.col("__ord") - F.col("__ref_ord")
+            F.col("__ord") - ref_ord
             if direction == "backward"
-            else F.col("__ref_ord") - F.col("__ord")
+            else ref_ord - F.col("__ord")
         )
-        vals = _bounded("", gap)
+        vals = _bounded("__ref", gap)
         return carried.filter(F.col("__is_probe") == 1).select(
             *[F.col("__row")[c].alias(c) for c in probe_cols], *vals
         )
@@ -154,12 +165,12 @@ def asof_join(
         "__is_probe", "__row", "__ord",
         *_pass("backward", "__b"), *_pass("forward", "__f"),
     )
-    gap_b = F.col("__ord") - F.col("__ref_ord__b")
-    gap_f = F.col("__ref_ord__f") - F.col("__ord")
-    vb = _bounded("__b", gap_b)
-    vf = _bounded("__f", gap_f)
-    use_b = F.col("__ref_ord__f").isNull() | (
-        F.col("__ref_ord__b").isNotNull() & (gap_b <= gap_f)
+    gap_b = F.col("__ord") - F.col("__ref__b")["__o"]
+    gap_f = F.col("__ref__f")["__o"] - F.col("__ord")
+    vb = _bounded("__ref__b", gap_b)
+    vf = _bounded("__ref__f", gap_f)
+    use_b = F.col("__ref__f").isNull() | (
+        F.col("__ref__b").isNotNull() & (gap_b <= gap_f)
     )
     vals = [
         F.when(use_b, b).otherwise(f).alias(c)
