@@ -61,11 +61,14 @@ def pack_sequences(
         F.sum("__n_tok").alias("__shard_tok")
     )
     w_sh = (
-        # partitionBy(lit(0)) = the same single partition a global
-        # orderBy window collapses to, but declared: Spark's "No
-        # Partition Defined" warning stays reserved for windows that
-        # are ACCIDENTALLY global. #shards rows only — driver-small —
-        # then broadcast back.
+        # Deliberately single-partition — but over the #shards AGGREGATE
+        # (driver-small by construction), never the corpus; the offsets
+        # broadcast back. Note partitionBy(lit(0)) does NOT silence
+        # Spark's "No Partition Defined" warning: Catalyst constant-
+        # folds the literal key, so the warning fires anyway (observed
+        # in the bench log). The property that matters — the
+        # SinglePartition exchange's input is the shard aggregate, not
+        # the corpus — is plan-gated in tests/test_plans.py.
         Window.partitionBy(F.lit(0))
         .orderBy("__shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

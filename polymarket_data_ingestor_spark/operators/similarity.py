@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+#: :func:`cosine_topk` collects its query side to the driver (bounded
+#: batch by contract); above this many query rows it refuses and points
+#: to the distributed LSH/IVF paths instead of silently OOMing.
+COSINE_TOPK_MAX_QUERY_ROWS = 100_000
+
 
 def _dot(a, b) -> F.Column:
     # explicit double casts before multiply: float32 inputs promoted the
@@ -89,7 +94,20 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
-    rows = queries.select(query_id_col, vec_col).collect()
+    # The query batch rides the driver (like ivf_topk's codebook) — fine
+    # for a bounded batch, an OOM for an unbounded one. Fail loudly
+    # instead of silently collecting a huge side: limit(cap+1) bounds
+    # the probe itself, so even a billion-row query side costs one
+    # cheap scan, not a driver OOM.
+    cap = COSINE_TOPK_MAX_QUERY_ROWS
+    probe = queries.select(query_id_col, vec_col).limit(cap + 1).collect()
+    if len(probe) > cap:
+        raise ValueError(
+            f"cosine_topk collects the query side to the driver; got "
+            f"more than {cap} query rows. For an unbounded query side "
+            f"use cosine_topk_lsh or ivf_topk instead."
+        )
+    rows = probe
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     id_t = emb.schema[id_col].dataType.simpleString()
     mid_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, __cos double"

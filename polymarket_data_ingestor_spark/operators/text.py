@@ -302,7 +302,7 @@ def bigram_lm_score(
     number of distinct successor types.
 
     Cross-engine exactness despite floats: each DISTINCT bigram's
-    ``ln p`` is rounded to 9 dp and cast to ``decimal(28,9)`` BEFORE the
+    ``ln p`` is rounded to 9 dp and cast to ``decimal(18,9)`` BEFORE the
     per-doc sum, so the aggregation is exact decimal arithmetic —
     order-independent under any shuffle — and only the final
     per-doc division is IEEE (correctly rounded, deterministic). An

@@ -1491,7 +1491,7 @@ def q_vocab_coverage(spark, sf_dir):
     "the in-engine CCNet-style perplexity quality filter (no external "
     "model; the LM is estimated from the corpus in the same job). "
     "Bit-exact despite floats: each distinct bigram's ln p is rounded "
-    "to 9 dp into decimal(28,9) before the per-doc sum, making the "
+    "to 9 dp into decimal(18,9) before the per-doc sum, making the "
     "aggregation order-independent exact decimal math; only the final "
     "division is IEEE.",
     tags=("text", "quality"),

@@ -161,6 +161,15 @@ def test_pack_sequences_two_level_prefix_sum(spark):
     assert plan.count("BroadcastExchange") == 1
     # exactly one SinglePartition exchange — the #shards-row offsets
     assert plan.count("Exchange SinglePartition") == 1
+    # ...and its INPUT is the shard aggregate, not the corpus: the
+    # immediate child of the single-partition shuffle must be the
+    # HashAggregate keyed on __shard (one row per shard). A corpus-fed
+    # single-partition window would show Project/Scan here instead.
+    lines = plan.splitlines()
+    (i,) = [k for k, ln in enumerate(lines)
+            if "Exchange SinglePartition" in ln]
+    child = lines[i + 1]
+    assert "HashAggregate" in child and "__shard" in child, child
 
 
 @pytest.mark.parametrize("name", ["minhash_signatures", "simhash_docs"])

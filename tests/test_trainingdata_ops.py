@@ -306,6 +306,23 @@ def test_cosine_topk_self_excluded_and_ranked(spark, emb):
         assert len(grp) == 5
 
 
+def test_cosine_topk_refuses_unbounded_query_side(spark, emb, monkeypatch):
+    """The driver-collect of the query batch is capped: above the cap it
+    must fail loudly, pointing at the distributed LSH/IVF paths, instead
+    of silently materializing an unbounded side on the driver."""
+    monkeypatch.setattr(S, "COSINE_TOPK_MAX_QUERY_ROWS", 3)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="cosine_topk_lsh"):
+        S.cosine_topk(emb, queries, k=5)
+    # at the cap exactly it still runs
+    ok = S.cosine_topk(
+        emb, queries.limit(3), k=5
+    ).toPandas()
+    assert set(ok.query_id.unique()) <= {0, 1, 2, 3}
+
+
 def test_lang_id_und_on_no_markers(spark):
     df = spark.createDataFrame(
         [(1, "xyzzy plugh qwerty"), (2, "the cat and the hat of things")],
