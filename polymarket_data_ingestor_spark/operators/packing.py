@@ -29,14 +29,23 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_size: int = 100_000,
+    n_tok_col: str | None = None,
 ) -> DataFrame:
     """Assignment map of documents to fixed-length training sequences.
 
     Output: one row per (sequence, document) overlap —
     ``(seq_id, doc_id, doc_start, n_tok)``: tokens
     ``[doc_start, doc_start + n_tok)`` of ``doc_id`` land in sequence
-    ``seq_id``. Documents are packed in ``id_col`` order; token counts are
-    whitespace tokens (swap in a real tokenizer's counts upstream).
+    ``seq_id``. Documents are packed in ``id_col`` order.
+
+    Token counts default to whitespace tokens of ``text_col``; pass
+    ``n_tok_col`` to consume a PRECOMPUTED per-doc token count instead
+    (the tokenizer hook: run the real tokenizer upstream — e.g. a
+    ``mapInPandas`` over the text — persist its counts, and pack from
+    those without re-reading the text; ``text_col`` is then ignored and
+    never scanned). Counts are clamped to >= 1 so every document
+    occupies the layout (empty docs would otherwise produce zero-width
+    spans and ambiguous boundaries).
 
     The two-level prefix sum keeps every stage wide: per-shard window
     (shard = ``id_col div shard_size``), then a #shards-row cumulative
@@ -44,10 +53,14 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    n_tok = (
+        F.col(n_tok_col).cast("long")
+        if n_tok_col is not None
+        else F.size(tokens(text_col)).cast("long")
+    )
     d = docs.select(
         F.col(id_col),
-        F.greatest(F.size(tokens(text_col)), F.lit(1)).cast("long")
-        .alias("__n_tok"),
+        F.greatest(n_tok, F.lit(1)).alias("__n_tok"),
         F.expr(f"{id_col} div {shard_size}").alias("__shard"),
     )
     w_in = (

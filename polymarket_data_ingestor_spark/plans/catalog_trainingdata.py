@@ -611,6 +611,49 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+@register(
+    "pack_sequences_pretokenized",
+    """
+    WITH laid AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS "end"
+      FROM (SELECT doc_id,
+                   greatest(n_chars // 4 + 1, 1) AS n_tok
+            FROM documents)
+    ), spanned AS (
+      SELECT doc_id, "end" - n_tok AS "start", "end",
+             unnest(generate_series(("end" - n_tok) // 128,
+                                    ("end" - 1) // 128)) AS seq_id
+      FROM laid
+    )
+    SELECT seq_id, doc_id,
+           greatest("start", seq_id * 128) - "start" AS doc_start,
+           least("end", (seq_id + 1) * 128)
+             - greatest("start", seq_id * 128) AS n_tok
+    FROM spanned
+    """,
+    doc="Sequence packing from a PRECOMPUTED token-count column (the "
+    "tokenizer hook): counts here are the deterministic BPE-ish proxy "
+    "n_chars div 4 + 1, standing in for a real tokenizer's persisted "
+    "counts; the text column is never scanned. Same two-level prefix "
+    "sum as pack_sequences.",
+    tags=("trainmix",),
+)
+def q_pack_sequences_pretokenized(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "my_n_tok", F.expr("n_chars div 4 + 1").cast("long")
+    )
+    return pack_sequences(
+        d, seq_len=128, shard_size=100, n_tok_col="my_n_tok"
+    )
+
+
 _SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.1}
 
 

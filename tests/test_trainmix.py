@@ -77,6 +77,44 @@ def test_pack_sequences_edge_cases(spark):
     assert len(out1) == 2 and (out1.n_tok == 1).all()
 
 
+def test_pack_sequences_pretokenized_counts(spark):
+    """n_tok_col consumes precomputed tokenizer counts: the layout must
+    follow the given counts exactly (not whitespace tokens), clamp to
+    >= 1, and never scan the text column."""
+    df = spark.createDataFrame(
+        [(0, "ignored words here", 5), (1, "x", 0), (2, "y z", 7)],
+        "doc_id long, text string, my_tok long",
+    )
+    out = (
+        pack_sequences(df, seq_len=4, shard_size=2, n_tok_col="my_tok")
+        .toPandas().sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
+    )
+    # layout: doc0 5 tok [0,5), doc1 clamped 1 tok [5,6), doc2 7 tok [6,13)
+    got = list(map(tuple, out[["seq_id", "doc_id", "doc_start", "n_tok"]]
+                   .itertuples(index=False)))
+    assert got == [
+        (0, 0, 0, 4), (1, 0, 4, 1), (1, 1, 0, 1), (1, 2, 0, 2),
+        (2, 2, 2, 4), (3, 2, 6, 1),
+    ]
+    # the text column must not be read at all — pruned from the scan
+    # (checked against a real parquet scan, where ReadSchema shows what
+    # is actually fetched; a local relation always lists every column)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/docs")
+        pq = spark.read.parquet(f"{td}/docs")
+        plan = (
+            pack_sequences(pq, seq_len=4, shard_size=2,
+                           n_tok_col="my_tok")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        read_schemas = [ln for ln in plan.splitlines()
+                        if "ReadSchema" in ln]
+        assert read_schemas and all("text" not in ln
+                                    for ln in read_schemas), plan
+
+
 def test_pack_sequences_shard_size_invariant(spark, docs):
     """The two-level prefix sum must give identical offsets for ANY shard
     size (including one shard per handful of docs)."""
