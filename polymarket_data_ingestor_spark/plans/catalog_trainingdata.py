@@ -1881,53 +1881,76 @@ def q_funnel_user_paths_multipass(spark, sf_dir):
 # Registration-order epilogue: the driver records correctness rows for only
 # the first 50 catalog entries per round, so window composition rotates each
 # round to maximize the set of entries with at least one first-party driver
-# row.  Round-5 rotation: promote (a) the 7 entries broken by round 4's
-# TIMESTAMP_NTZ parquet change and repaired this round — the 4 red r4 rows
-# plus the 3 that were broken while sitting past position 50 — so each gets
-# a fresh first-party driver row against the fixed code, and (b) the 5
-# entries whose newest driver row is from round 2 or earlier.  Keep 38
-# anchors for continuity — the §2 core, the L-series flagships, and every
-# r4-first-green entry that is not a parameter twin of another anchor —
-# and demote 22 entries that hold 3-4 green rows already and are simple
-# family members or twins of anchors that stay in-window.
+# row.  Round-6 rotation: promote (a) the 10 entries that have NEVER held a
+# driver row — the 9 round-5 tail additions (asof forward/nearest, interval
+# overlap, bigram LM, substring dedup pair + materializer, multipass funnel,
+# the 2 rows-only ANN probes) plus this round's pack_sequences_pretokenized
+# — and (b) the 14 entries whose newest driver row is round 3 (the filter /
+# set-op / scalar / window families), which would otherwise go 3 rounds
+# stale.  Keep 26 anchors: the flagship star join, the notebook tick
+# queries, the L-tier dedup/ANN/text/sampling/multimodal flagships, and —
+# mandatory — every entry whose operator code changed THIS round (asof_join,
+# asof_join_tolerance: struct-pick NULL parity; cosine_topk: query-side
+# cap; pack_sequences: n_tok_col hook), so each gets a fresh driver row
+# against the new code.  Demote 24 entries holding a green r5 row (1 round
+# stale, family-covered in-window); the 8 entries whose newest row is r4
+# (summary_stats .. embedding_dup_pairs) stay tail-parked at 2 rounds stale
+# and MUST rotate in next round — ROUND6.md carries the entry -> latest
+# driver-green-round table.
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 
-#: Window positions 1-12. First 7: repaired this round (ts normalized to
-#: TIMESTAMP in table(); red or silently-broken under r4's NTZ parquet),
-#: re-verified bit-exact via tools/check.py against the real testdata.
-#: Last 5: no driver row since round 2 (approx_* are rows-only/no_oracle
-#: by design, EXACTNESS.md tier 3).
+#: Window positions 1-24: first-party-evidence gaps. 10 never-windowed
+#: (cosine_topk_lsh_probe / ivf_topk_probe are rows-only by design —
+#: recall pinned in pytest; the rest oracle-checked bit-exact locally via
+#: tools/check.py before this rotation), then the 14 r3-stale families.
 _PROMOTED = (
-    "funnel_conversion", "cohort_retention", "range_join_count",
-    "asof_join", "filter_project", "first_event_per_user", "sessionize",
-    "hourly_volume_salted", "rank_sample", "count_distinct_users",
-    "approx_distinct_users", "approx_value_quantiles",
-)
-#: Demoted past the window: every entry here has 3-4 green driver rows and
-#: an in-window sibling covering the same operator family — e.g.
-#: minhash_signatures / ngram_jaccard_pairs ride under minhash_lsh_pairs,
-#: simhash_docs under simhash64_docs + hamming_dup_pairs,
-#: embedding_dup_pairs (all-pairs escape hatch) under
-#: embedding_dup_pairs_lsh, revenue_rollup under cube_lineitem, and the
-#: filter/set-op/scalar families under the promoted filter_project.
-_TAIL = (
-    "funnel_user_paths_multipass",  # twin of promoted funnel_conversion
-    "doc_bigram_lm", "substring_dup_pairs", "substring_dedup_materialize",
-    "asof_join_forward", "asof_join_nearest", "interval_overlap_join",
-    # ^ new this round; rotate in next round
-    "cosine_topk_lsh_probe", "ivf_topk_probe",  # rows-only ANN probes;
-    # exact anchor cosine_topk stays in-window
+    "funnel_user_paths_multipass", "doc_bigram_lm", "substring_dup_pairs",
+    "substring_dedup_materialize", "asof_join_forward", "asof_join_nearest",
+    "interval_overlap_join", "cosine_topk_lsh_probe", "ivf_topk_probe",
+    "pack_sequences_pretokenized",
     "isin_filter", "substring_filter", "case_dispatch",
     "anti_join", "semi_join", "distinct_pairs", "union_dedup",
     "token_explode", "scalar_suite", "multiformat_timestamp",
     "hour_sequence", "topk_per_group", "throughput_15s",
-    "pivot_event_counts", "summary_stats", "running_total",
-    "revenue_rollup", "doc_fingerprint", "ngram_jaccard_pairs",
-    "minhash_signatures", "simhash_docs", "embedding_dup_pairs",
+    "pivot_event_counts",
+)
+#: Window positions 25-50: continuity anchors (all r5-green; the four
+#: code-changed entries listed first).
+_ANCHORS = (
+    "asof_join", "asof_join_tolerance", "cosine_topk", "pack_sequences",
+    "region_revenue", "outcome_lookup", "minute_last_bars", "hourly_volume",
+    "dedup_exact", "minhash_lsh_pairs", "embedding_dup_pairs_lsh",
+    "hamming_dup_pairs", "simhash64_docs",
+    "text_stats", "doc_quality", "doc_lang_id", "doc_tfidf_topk",
+    "stratified_sample", "mixture_sample",
+    "curation_pipeline", "multimodal_features", "frame_sample",
+    "variant_schema_profile",
+    "funnel_conversion", "cohort_retention", "sessionize",
+)
+#: Demoted past the window: every entry here has a green r5 driver row
+#: (1 round stale) and an in-window sibling covering its operator family;
+#: the final 8 (summary_stats onward) are 2 rounds stale (r4) and are the
+#: head of next round's promotion list.
+_TAIL = (
+    "range_join_count", "filter_project", "first_event_per_user",
+    "hourly_volume_salted", "rank_sample", "count_distinct_users",
+    "approx_distinct_users", "approx_value_quantiles", "multires_rollup",
+    "variant_props_agg", "variant_nested_paths",
+    "dedup_near_materialize", "dup_components",
+    "dedup_transitive_materialize", "benchmark_decontaminate",
+    "redact_pii", "line_dedup_clean", "dedup_incremental",
+    "vocab_stats", "vocab_coverage", "doc_repetition",
+    "cube_lineitem", "pivot_status_year", "user_event_deltas",
+    "summary_stats", "running_total", "revenue_rollup",
+    "doc_fingerprint", "ngram_jaccard_pairs", "minhash_signatures",
+    "simhash_docs", "embedding_dup_pairs",
 )
 
-_order = list(_PROMOTED)
-_order += [n for n in _CATALOG if n not in _TAIL and n not in _PROMOTED]
+_order = list(_PROMOTED) + list(_ANCHORS)
+_order += [n for n in _CATALOG if n not in _order and n not in _TAIL]
 _order += list(_TAIL)
+assert len(_order) == len(set(_order)) == len(_CATALOG), (
+    len(_order), len(_CATALOG)
+)
 for _n in _order:
     _CATALOG[_n] = _CATALOG.pop(_n)
