@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "cube_lineitem",
     "doc_bigram_lm",
     "substring_dup_pairs",
+    "substring_dedup_materialize",
+    "funnel_user_paths_multipass",
 ]
 
 
@@ -98,6 +100,33 @@ def _ensure_replay_fixture(sf_dir: str, cache_root: Path) -> list[str]:
                                 msgs_per_hour=msgs_per_hour, seed=42)
         finally:
             fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET = old_m, old_a
+        marker.write_text("ok")
+    return sorted(str(p) for p in out.glob("*.jsonl"))
+
+
+def _ensure_skewed_fixture(sf_dir: str, cache_root: Path) -> list[str]:
+    """Hot-asset variant of the replay fixture: assets[0] carries ~50% of
+    all messages (the remaining half spreads over the other 199 assets).
+    Same size as the main fixture so the two replay numbers compare."""
+    sys.path.insert(0, str(Path(_REPO) / "tests"))
+    import fixture_gen
+    from fixture_gen import write_fixture_files  # noqa: E402
+
+    sf = _sf_of(sf_dir)
+    out = cache_root / f"replay_bench_skew_sf{sf}"
+    marker = out / "_DONE"
+    if not marker.exists():
+        old = (fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET,
+               fixture_gen.HOT_ASSET_WEIGHT)
+        fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET = 100, 2
+        fixture_gen.HOT_ASSET_WEIGHT = 0.5
+        try:
+            write_fixture_files(out, n_hours=12,
+                                msgs_per_hour=max(200, int(1_000_000 * sf)),
+                                seed=43)
+        finally:
+            (fixture_gen.N_MARKETS, fixture_gen.ASSETS_PER_MARKET,
+             fixture_gen.HOT_ASSET_WEIGHT) = old
         marker.write_text("ok")
     return sorted(str(p) for p in out.glob("*.jsonl"))
 
@@ -149,6 +178,29 @@ def main() -> None:
     timings["replay_e2e_segmented"] = _min_of_2(
         lambda: replay(spark, paths, split_at_snapshots=True).count()
     )
+    # Measured skew story: one asset carries ~50% of all messages. The
+    # default grouping serializes that asset on one task; the snapshot-
+    # split path factors it into segments — the bench pins the win as a
+    # number, and the order-insensitive row-hash pins output identity
+    # (the full row-identity property lives in tests/test_replay.py).
+    skew_paths = _ensure_skewed_fixture(sf_dir, Path("/tmp/pdi_bench"))
+
+    def _rowhash(df) -> int:
+        return df.selectExpr(
+            "sum(cast(hash(timestamp, kind, market, asset, side, "
+            "price, size) as bigint)) as h"
+        ).first().h
+
+    h_default = _rowhash(replay(spark, skew_paths))
+    timings["replay_e2e_skewed"] = _min_of_2(
+        lambda: replay(spark, skew_paths).count()
+    )
+    h_split = _rowhash(replay(spark, skew_paths, split_at_snapshots=True))
+    timings["replay_e2e_skewed_split"] = _min_of_2(
+        lambda: replay(spark, skew_paths,
+                       split_at_snapshots=True).count()
+    )
+    assert h_default == h_split, "skew split changed replay output"
     # S7 at scale: replay → hour-partitioned parquet lake → pruned
     # read-back of one hour (partition pruning is the reference's
     # filename-range pruning, Catalyst-native).

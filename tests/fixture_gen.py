@@ -22,6 +22,11 @@ from pathlib import Path
 N_MARKETS = 4
 ASSETS_PER_MARKET = 2
 
+#: Probability mass concentrated on assets[0] when generating messages —
+#: 0.0 keeps the uniform spread; bench.py sets ~0.5 to build the
+#: hot-asset skew fixture (one asset carrying half of all messages).
+HOT_ASSET_WEIGHT = 0.0
+
 
 def _mkt_id(i: int) -> str:
     return "0x" + f"{i:064x}"
@@ -85,7 +90,10 @@ def gen_messages(rng: random.Random, n: int) -> list[dict]:
     )
     for _ in range(n):
         ts += rng.randint(1, 5000)
-        mkt, asset = rng.choice(assets)
+        if HOT_ASSET_WEIGHT and rng.random() < HOT_ASSET_WEIGHT:
+            mkt, asset = assets[0]
+        else:
+            mkt, asset = rng.choice(assets)
         kind = rng.choices(
             ["book", "price_change", "last_trade_price", "tick_size_change"],
             weights=[2, 5, 3, 1],

@@ -766,3 +766,82 @@ def test_substring_dup_hot_window_cap(spark):
     # raising the cap above the corpus size re-admits the shared span
     assert D.substring_dup_pairs(d, k=8, min_shared=1,
                                  max_gram_docs=100).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# EXACTNESS tier-2 recall at 10x scale: the small-fixture recall pins above
+# prove the banding math; these re-assert it at the first size where the
+# occupancy rule could break (the tools/scale_slope.py fixture shape —
+# 10 perturbed copies of the sf0.01 tables, ~5k rows).
+# ---------------------------------------------------------------------------
+
+def _docs_10x(spark):
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" c{i}")).alias("text"),
+        )
+        for i in range(10)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return base, out
+
+
+def test_minhash_lsh_recall_at_10x_scale(spark):
+    """Planted near-dup recall at 5k docs: banded MinHash recall is a
+    per-pair property (independent of corpus size), so any drop here is
+    an implementation break — bucket truncation, hash collision across
+    the copies — not banding math."""
+    base, corpus10 = _docs_10x(spark)
+    planted = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + F.lit(95_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+    )
+    corpus = corpus10.unionByName(planted)
+    pairs = D.minhash_lsh_pairs(
+        corpus, num_hashes=16, bands=8
+    ).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    # copy 0 is the byte-identical base (" c0"-suffixed), so the planted
+    # twin of doc i pairs with copy-0 doc i at near-identical Jaccard
+    near_hits = sum((i, i + 95_000_000) in got for i in range(30))
+    assert near_hits >= 25, near_hits
+
+
+def test_embedding_lsh_recall_at_10x_scale(spark):
+    """Occupancy-rule recall at 5k vectors: band_bits raised by
+    log2(10)≈3 per the documented rule (8 → 11, exactly what
+    tools/scale_slope.py and the catalog's scale story prescribe); the
+    planted cos≈0.99 twins must still surface at ≥95% recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ecopies = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.expr(
+                f"concat(slice(embedding, {i + 1}, size(embedding)), "
+                f"slice(embedding, 1, {i}))"
+            ).alias("embedding"),
+        )
+        for i in range(10)
+    ]
+    emb10 = ecopies[0]
+    for c in ecopies[1:]:
+        emb10 = emb10.unionByName(c)
+    twins = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + F.lit(95_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v, i: v + F.when(i % 7 == 0, F.lit(0.05))
+            .otherwise(F.lit(-0.01)),
+        ).alias("embedding"),
+    )
+    corpus = emb10.unionByName(twins)
+    out = S.embedding_dup_pairs(
+        corpus, threshold=0.95, band_bits=11
+    ).toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    hits = sum((i, i + 95_000_000) in got for i in range(100))
+    assert hits >= 95, hits
