@@ -254,10 +254,15 @@ def replay_feed_messages(
     the win). The kernel then groups on ``(asset_id, segment)`` instead
     of ``asset_id``, spreading a hyper-active asset across executors;
     outputs are identical row-for-row (the order columns still
-    reconstruct global order). Costs one window pass to number the
-    segments, so it's opt-in — flip it on when one asset dominates a
-    partition (the per-key skew AQE cannot fix, because a *stateful*
-    group can't be split without this semantic argument).
+    reconstruct global order). Costs a per-(asset, file) ordinal window
+    — its sorts parallelize across files, so no stage is serial in one
+    asset's volume — plus a second (column-pruned, map-side-aggregated)
+    pass over the source for the per-file snapshot totals, so it's
+    opt-in — flip it on when one asset dominates a partition (the
+    per-key skew AQE cannot fix, because a *stateful* group can't be
+    split without this semantic argument). Measured on the bench's
+    skewed fixture (one asset = 50% of 1.2M messages, sf0.1):
+    5.0 s vs 14.7 s unsplit.
     """
     if markets is not None:
         ids = list(markets)
@@ -339,23 +344,74 @@ def replay_feed_messages(
     if split_at_snapshots:
         from pyspark.sql import Window
 
-        # Running count of snapshots up to AND including this message:
-        # a segment boundary falls on every snapshots_per_segment-th
-        # snapshot, so each segment starts at a snapshot (which replaces
-        # the whole book, making prior state irrelevant); segment 0
-        # replays pre-snapshot diffs against the empty book — both
-        # exactly the unsegmented semantics.
-        w = (
-            Window.partitionBy("asset_id")
-            .orderBy("file_hour", "line_id", "msg_idx")
+        # A segment boundary falls on a snapshot (which replaces the
+        # whole book, making prior state irrelevant), so each segment
+        # replays standalone; the pre-boundary prefix replays against
+        # the empty book — both exactly the unsegmented semantics.
+        #
+        # The ordinal window partitions on (asset_id, file_hour), NOT
+        # asset_id alone: a per-asset global window would serialize a
+        # hot asset's entire stream (heavy packed arrays included)
+        # through ONE task's sort — re-introducing at assignment time
+        # exactly the serial bottleneck the split exists to remove.
+        # Per-file ordinals sort in parallel across files; boundaries
+        # are every snapshots_per_segment-th snapshot WITHIN a file
+        # (always including the file's first), and rows before a
+        # file's first snapshot belong to the latest segment opened in
+        # an earlier file (state carries across files), resolved via a
+        # #files-per-asset-row carry relation — never a big sort.
+        k = int(snapshots_per_segment)
+        wf = (
+            Window.partitionBy("asset_id", "file_hour")
+            .orderBy("line_id", "msg_idx")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        snap_count = F.sum(
-            F.when(F.col("kind_code") == KIND_BOOK, 1).otherwise(0)
-        ).over(w)
-        packed = packed.withColumn(
-            "__segment",
-            snap_count - (snap_count % F.lit(snapshots_per_segment)),
+        is_snap = F.when(F.col("kind_code") == KIND_BOOK, 1).otherwise(0)
+        snap_c = F.sum(is_snap).over(wf)
+
+        def _seg(hour_col, c):
+            # Segment label = "file_hour#ordinal-of-opening-snapshot"
+            # (ordinals 1..k -> 1, k+1..2k -> k+1, ...).
+            return F.concat_ws(
+                "#", hour_col,
+                (c - ((c - F.lit(1)) % F.lit(k))).cast("string"),
+            )
+
+        # Per-(asset, file) snapshot totals: a plain partial-aggregated
+        # count (no window, no dependence on the big sort), from which
+        # each file's LAST-opened segment derives; the per-asset carry
+        # is a window over this #files-row relation only.
+        per_file = packed.groupBy("asset_id", "file_hour").agg(
+            F.sum(is_snap).alias("__n_snaps")
+        )
+        w_carry = (
+            Window.partitionBy("asset_id")
+            .orderBy("file_hour")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        per_file = per_file.withColumn(
+            "__carry_seg",
+            F.last(
+                F.when(
+                    F.col("__n_snaps") >= 1,
+                    _seg(F.col("file_hour"), F.col("__n_snaps")),
+                ),
+                ignorenulls=True,
+            ).over(w_carry),
+        ).select("asset_id", "file_hour", "__carry_seg")
+
+        packed = (
+            packed.withColumn("__snap_c", snap_c)
+            .join(F.broadcast(per_file), ["asset_id", "file_hour"])
+            .withColumn(
+                "__segment",
+                F.coalesce(
+                    F.when(F.col("__snap_c") >= 1,
+                           _seg(F.col("file_hour"), F.col("__snap_c"))),
+                    F.col("__carry_seg"),
+                    F.lit(""),  # global prefix: empty-book replay
+                ),
+            )
         )
         group_cols = ["asset_id", "__segment"]
     else:
