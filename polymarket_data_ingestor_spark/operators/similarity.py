@@ -67,9 +67,10 @@ def cosine_topk(
 
     ``queries``: (query_id, embedding) — a bounded query batch by
     construction (collected to the driver like the IVF codebook in
-    :func:`ivf_topk`; an unbounded query side belongs in the LSH/IVF
-    paths). Ranking ties broken by neighbor id for determinism. Output:
-    (query_id, vec_id, cos, rank).
+    :func:`ivf_topk`); above ``COSINE_TOPK_MAX_QUERY_ROWS`` (100k) the
+    collect refuses loudly — an unbounded query side belongs in the
+    LSH/IVF paths. Ranking ties broken by neighbor id for determinism.
+    Output: (query_id, vec_id, cos, rank).
 
     Two-level top-k — the scale path:
 

@@ -82,6 +82,15 @@ def main() -> None:
             results.append({"op": "replay", "scale": scale,
                             "rows": n, "sec": sec})
             print(json.dumps(results[-1]), flush=True)
+            # The skew-split path must also scale ~linearly: its extra
+            # stages (per-(asset,file) ordinal window + per-file totals)
+            # are all width-preserving, so a super-linear slope here
+            # means a serial stage crept back into segment assignment.
+            sec = _time2(lambda: replay(
+                spark, paths, split_at_snapshots=True).count())
+            results.append({"op": "replay_split", "scale": scale,
+                            "rows": n, "sec": sec})
+            print(json.dumps(results[-1]), flush=True)
 
     # ---- documents 10x (text perturbed per copy) ----
     from polymarket_data_ingestor_spark.operators.dedup import (
