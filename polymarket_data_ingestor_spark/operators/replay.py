@@ -354,11 +354,13 @@ def replay_feed_messages(
         # hot asset's entire stream (heavy packed arrays included)
         # through ONE task's sort — re-introducing at assignment time
         # exactly the serial bottleneck the split exists to remove.
-        # Per-file ordinals sort in parallel across files; boundaries
-        # are every snapshots_per_segment-th snapshot WITHIN a file
-        # (always including the file's first), and rows before a
-        # file's first snapshot belong to the latest segment opened in
-        # an earlier file (state carries across files), resolved via a
+        # Per-file ordinals sort in parallel across files; in files
+        # holding >= snapshots_per_segment of an asset's snapshots
+        # ("opening" files — i.e. only where the asset is actually
+        # hot), boundaries fall on every snapshots_per_segment-th
+        # snapshot WITHIN the file (always including its first), and
+        # all other rows belong to the latest segment opened in an
+        # earlier file (state carries across files), resolved via a
         # #files-per-asset-row carry relation — never a big sort.
         k = int(snapshots_per_segment)
         wf = (
@@ -378,12 +380,18 @@ def replay_feed_messages(
             )
 
         # Per-(asset, file) snapshot totals: a plain partial-aggregated
-        # count (no window, no dependence on the big sort), from which
-        # each file's LAST-opened segment derives; the per-asset carry
-        # is a window over this #files-row relation only.
+        # count (no window, no dependence on the big sort). A file
+        # OPENS segments for an asset only when it holds at least
+        # snapshots_per_segment of its snapshots — so a cold asset
+        # (few snapshots per file) never splits and keeps exactly the
+        # unsegmented one-group-per-asset granularity, while a hot
+        # asset's files each contribute boundaries. The per-asset
+        # carry (latest segment opened in an EARLIER file) is a window
+        # over this #files-row relation only.
         per_file = packed.groupBy("asset_id", "file_hour").agg(
             F.sum(is_snap).alias("__n_snaps")
         )
+        opens = F.col("__n_snaps") >= F.lit(k)
         w_carry = (
             Window.partitionBy("asset_id")
             .orderBy("file_hour")
@@ -392,13 +400,12 @@ def replay_feed_messages(
         per_file = per_file.withColumn(
             "__carry_seg",
             F.last(
-                F.when(
-                    F.col("__n_snaps") >= 1,
-                    _seg(F.col("file_hour"), F.col("__n_snaps")),
-                ),
+                F.when(opens, _seg(F.col("file_hour"), F.col("__n_snaps"))),
                 ignorenulls=True,
             ).over(w_carry),
-        ).select("asset_id", "file_hour", "__carry_seg")
+        ).select(
+            "asset_id", "file_hour", "__carry_seg", opens.alias("__opens")
+        )
 
         packed = (
             packed.withColumn("__snap_c", snap_c)
@@ -406,8 +413,10 @@ def replay_feed_messages(
             .withColumn(
                 "__segment",
                 F.coalesce(
-                    F.when(F.col("__snap_c") >= 1,
-                           _seg(F.col("file_hour"), F.col("__snap_c"))),
+                    F.when(
+                        (F.col("__snap_c") >= 1) & F.col("__opens"),
+                        _seg(F.col("file_hour"), F.col("__snap_c")),
+                    ),
                     F.col("__carry_seg"),
                     F.lit(""),  # global prefix: empty-book replay
                 ),
