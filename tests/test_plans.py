@@ -76,6 +76,39 @@ def test_replay_single_shuffle(spark, tmp_path):
     assert plan.count("FileScan json") == 1
 
 
+def test_replay_split_no_serial_stage(spark, tmp_path):
+    """The skew-split path must have NO stage serial in one asset's
+    volume: the ordinal window partitions on (asset_id, file_hour) —
+    never asset_id alone — the carry/totals relation rides a broadcast
+    join, the heavy rows cross exactly two hash exchanges (ordinal
+    window + kernel groupBy; the third is the tiny per-file aggregate),
+    and nothing collapses to a single partition."""
+    import re
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixture_gen import write_fixture_files
+
+    from polymarket_data_ingestor_spark.operators.replay import replay
+
+    paths = write_fixture_files(tmp_path, n_hours=2, msgs_per_hour=30,
+                                seed=5)
+    df = replay(spark, [str(p) for p in paths], split_at_snapshots=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    # 2 heavy exchanges (ordinal window on (asset, file); kernel groupBy
+    # on (asset, segment)) + 2 on the tiny per-file relation (its
+    # aggregate and the per-asset carry window) — and no more
+    assert plan.count("Exchange hashpartitioning") == 4
+    assert plan.count("hashpartitioning(asset_id") == 4
+    # every window spec over the data plane includes file_hour in its
+    # partition keys (the asset-only form is the serial-sort regression)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "line_id" in spec:  # the big ordinal window
+            assert "file_hour" in spec.split("ASC")[0], spec
+
+
 def test_approx_distinct_within_rsd_of_exact(spark):
     approx = {
         r.event_type: r.approx_users

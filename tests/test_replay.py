@@ -486,3 +486,57 @@ def test_split_carry_across_mixed_files(spark, tmp_path):
     packed = replay_feed_messages(feed, split_at_snapshots=True,
                                   snapshots_per_segment=2)
     assert packed.count() == len(naive_replay(paths))
+
+
+@pytest.mark.parametrize("seed,k", [(11, 1), (12, 3), (13, 7)])
+def test_split_randomized_vs_oracle(spark, tmp_path, seed, k):
+    """Randomized multi-asset multi-file streams with varying snapshot
+    density and segment stride: split output must equal the naive
+    oracle regardless of which (asset, file) cells cross the opening
+    threshold."""
+    import random
+
+    rng = random.Random(seed)
+    assets = [(_mkt_id(i), _asset_id(i, 0)) for i in range(4)]
+    ts = 1759240800000
+    paths = []
+    for h, hour in enumerate(["2025-09-30-14", "2025-09-30-15",
+                              "2025-09-30-16"]):
+        msgs = []
+        for _ in range(rng.randint(30, 120)):
+            ts += rng.randint(1, 100)
+            mkt, asset = rng.choice(assets)
+            # per-asset snapshot density varies wildly: asset 0 is
+            # snapshot-heavy (splits), asset 3 almost never snapshots
+            p_snap = [0.5, 0.2, 0.05, 0.01][assets.index((mkt, asset))]
+            if rng.random() < p_snap:
+                msgs.append({
+                    "event_type": "book", "timestamp": str(ts),
+                    "market": mkt, "asset_id": asset,
+                    "bids": [{"price": f"{0.3 + 0.001 * rng.randint(0, 99):.3f}",
+                              "size": str(rng.randint(1, 99))}],
+                    "asks": [{"price": f"{0.5 + 0.001 * rng.randint(0, 99):.3f}",
+                              "size": str(rng.randint(1, 99))}],
+                })
+            else:
+                side = rng.choice(["BUY", "SELL"])
+                lo = 0.3 if side == "BUY" else 0.5
+                msgs.append({
+                    "event_type": "price_change", "timestamp": str(ts),
+                    "market": mkt, "asset_id": asset,
+                    "changes": [{
+                        "price": f"{lo + 0.001 * rng.randint(0, 99):.3f}",
+                        "size": "0" if rng.random() < 0.3
+                        else str(rng.randint(1, 99)),
+                        "side": side}],
+                })
+        p = tmp_path / f"{hour}.jsonl"
+        p.write_text("\n".join(
+            json.dumps({"timestamp": "t", "message_type": "feed_message",
+                        "content": json.dumps([m])}) for m in msgs) + "\n")
+        paths.append(p)
+    got = _spark_rows(replay(spark, [str(p) for p in paths],
+                             in_log_order=True, ticks_only=False,
+                             split_at_snapshots=True,
+                             snapshots_per_segment=k))
+    assert got == naive_replay(paths) and len(got) > 0
