@@ -380,14 +380,22 @@ def replay_feed_messages(
             )
 
         # Per-(asset, file) snapshot totals: a plain partial-aggregated
-        # count (no window, no dependence on the big sort). A file
-        # OPENS segments for an asset only when it holds at least
-        # snapshots_per_segment of its snapshots — so a cold asset
-        # (few snapshots per file) never splits and keeps exactly the
-        # unsegmented one-group-per-asset granularity, while a hot
-        # asset's files each contribute boundaries. The per-asset
-        # carry (latest segment opened in an EARLIER file) is a window
-        # over this #files-row relation only.
+        # count (no window, no dependence on the big sort). This branch
+        # deliberately re-scans the source rather than reusing the
+        # window's exchange: Catalyst prunes the count branch down to
+        # (event_type, asset_id) — the inner-JSON array fields are
+        # never built — so the second pass is a light tokenize+count,
+        # while sharing the exchange is impossible anyway (column
+        # pruning specializes each consumer's subtree below the
+        # exchange, so ReuseExchange never fires; verified on the
+        # executed plan). A file OPENS segments for an asset only when
+        # it holds at least snapshots_per_segment of its snapshots —
+        # so a cold asset (few snapshots per file) never splits and
+        # keeps exactly the unsegmented one-group-per-asset
+        # granularity, while a hot asset's files each contribute
+        # boundaries. The per-asset carry (latest segment opened in an
+        # EARLIER file) is a window over this #files-row relation only.
+        packed = packed.withColumn("__snap_c", snap_c)
         per_file = packed.groupBy("asset_id", "file_hour").agg(
             F.sum(is_snap).alias("__n_snaps")
         )
@@ -408,7 +416,7 @@ def replay_feed_messages(
         )
 
         packed = (
-            packed.withColumn("__snap_c", snap_c)
+            packed
             .join(F.broadcast(per_file), ["asset_id", "file_hour"])
             .withColumn(
                 "__segment",
