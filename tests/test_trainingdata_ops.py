@@ -845,3 +845,41 @@ def test_embedding_lsh_recall_at_10x_scale(spark):
     got = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
     hits = sum((i, i + 95_000_000) in got for i in range(100))
     assert hits >= 95, hits
+
+
+def test_ann_probe_recall_at_10x_scale(spark):
+    """The two rows-only driver entries (cosine_topk_lsh with multiprobe,
+    ivf_topk) re-pinned at 5k vectors: recall vs the exact two-level
+    top-k must hold at the first scale where bucket occupancy could
+    shift, and every surfaced cos must equal the exact scoring."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ecopies = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.expr(
+                f"concat(slice(embedding, {i + 1}, size(embedding)), "
+                f"slice(embedding, 1, {i}))"
+            ).alias("embedding"),
+        )
+        for i in range(10)
+    ]
+    corpus = ecopies[0]
+    for c in ecopies[1:]:
+        corpus = corpus.unionByName(c)
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(corpus, queries, k=10).toPandas()
+    e = set(map(tuple, exact[["query_id", "vec_id"]]
+                .itertuples(index=False)))
+    lsh = S.cosine_topk_lsh(
+        corpus, queries, k=10, n_planes=4, multiprobe=1
+    ).toPandas()
+    ivf = S.ivf_topk(corpus, queries, k=10).toPandas()
+    for got, floor in ((lsh, 0.2), (ivf, 0.3)):
+        g = set(map(tuple, got[["query_id", "vec_id"]]
+                    .itertuples(index=False)))
+        assert len(g & e) / len(e) >= floor
+        merged = got.merge(exact, on=["query_id", "vec_id"],
+                           suffixes=("_a", "_e"))
+        assert (merged.cos_a == merged.cos_e).all()
