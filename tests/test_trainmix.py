@@ -164,3 +164,51 @@ def test_rank_sample_exact_k(spark, docs):
     b = sorted(r.doc_id for r in
                rank_sample(docs, k=10, seed=1).select("doc_id").collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Property: the packing layout vs an independent Python model
+# ---------------------------------------------------------------------------
+
+def _model_pack(counts, seq_len):
+    """Naive single-threaded layout: docs in id order, clamped >= 1."""
+    out, pos = [], 0
+    for doc_id, n in counts:
+        n = max(n, 1)
+        start, end = pos, pos + n
+        pos = end
+        s = start
+        while s < end:
+            seq = s // seq_len
+            hi = min(end, (seq + 1) * seq_len)
+            out.append((seq, doc_id, s - start, hi - s))
+            s = hi
+    return sorted(out)
+
+
+def test_pack_sequences_matches_model_randomized(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40),
+                 min_size=1, max_size=60),
+        st.integers(min_value=1, max_value=17),
+        st.integers(min_value=1, max_value=9),
+    )
+    @settings(max_examples=5, deadline=None)
+    def run(counts, seq_len, shard_size):
+        rows = [(i, "w " * c, c) for i, c in enumerate(counts)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, n long"
+        )
+        got = sorted(
+            map(tuple, pack_sequences(
+                df, seq_len=seq_len, shard_size=shard_size,
+                n_tok_col="n",
+            ).toPandas()[["seq_id", "doc_id", "doc_start", "n_tok"]]
+            .itertuples(index=False))
+        )
+        assert got == _model_pack(list(enumerate(counts)), seq_len)
+
+    run()
