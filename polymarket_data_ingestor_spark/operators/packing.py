@@ -117,3 +117,66 @@ def pack_sequences(
         (lo - F.col("__start")).cast("long").alias("doc_start"),
         (hi - lo).cast("long").alias("n_tok"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tok_col: str | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap.
+
+    The long-context windowing op (chunk-for-embedding / sliding-window
+    eval): one row per (document, chunk) — ``(doc_id, chunk_id,
+    chunk_start, n_tok)`` where chunk ``i`` covers tokens
+    ``[i * stride, i * stride + max_tokens)`` of the document,
+    ``stride = max_tokens - overlap``. The final chunk is the remainder
+    (shorter, never empty); a document is never split into chunks whose
+    union misses a token, and consecutive chunks share exactly
+    ``overlap`` tokens (except before a shorter final chunk). Token
+    counts default to whitespace tokens of ``text_col``; pass
+    ``n_tok_col`` for precomputed tokenizer counts (the same hook as
+    :func:`pack_sequences`; ``text_col`` is then never scanned).
+
+    Scale shape: pure per-row integer math + one ``explode`` — zero
+    shuffles, zero joins, fully pipelined with the scan; the chunk
+    count per row is ``ceil(max(n - overlap, 1) / stride)``, so output
+    size is linear in corpus tokens.
+    """
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < max_tokens, got "
+            f"overlap={overlap}, max_tokens={max_tokens}"
+        )
+    stride = max_tokens - overlap
+    n_tok = (
+        F.col(n_tok_col).cast("long")
+        if n_tok_col is not None
+        else F.size(tokens(text_col)).cast("long")
+    )
+    n = F.greatest(n_tok, F.lit(1))
+    # last chunk start s satisfies s = k*stride, s < n, and s + stride
+    # >= n - overlap... simplest exact form: k_max = floor((n - 1 -
+    # overlap) / stride) clamped at 0 — chunk k covers [k*stride,
+    # min(n, k*stride + max_tokens)); k_max is the largest k whose
+    # window begins before the doc's tail is already fully covered.
+    k_max = F.greatest(
+        ((n - 1 - F.lit(overlap)) / F.lit(stride)).cast("long"),
+        F.lit(0),
+    )
+    d = docs.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    end = F.least(F.col("__n"), start + F.lit(max_tokens))
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("chunk_start"),
+        (end - start).cast("long").alias("n_tok"),
+    )

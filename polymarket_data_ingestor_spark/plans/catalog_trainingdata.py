@@ -654,6 +654,40 @@ def q_pack_sequences_pretokenized(spark, sf_dir):
     )
 
 
+@register(
+    "chunk_documents",
+    f"""
+    WITH c AS (
+      SELECT doc_id, greatest(len({_SQL_TOKS}), 1) AS n FROM documents
+    ), ch AS (
+      SELECT doc_id, n,
+             unnest(generate_series(
+               0, greatest((n - 1 - 16) // 48, 0))) AS chunk_id
+      FROM c
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 48 AS BIGINT) AS chunk_start,
+           CAST(least(n, chunk_id * 48 + 64)
+                - chunk_id * 48 AS BIGINT) AS n_tok
+    FROM ch
+    """,
+    doc="Overlapping document chunking (64-token windows, 16-token "
+    "overlap, stride 48) — the long-context windowing op for "
+    "chunk-for-embedding / sliding-window eval. Pure per-row integer "
+    "math + one explode: zero shuffles, zero joins, output linear in "
+    "corpus tokens. Same precomputed-count hook as pack_sequences.",
+    tags=("trainmix", "chunking"),
+)
+def q_chunk_documents(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+
+
 _SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.1}
 
 

@@ -212,3 +212,60 @@ def test_pack_sequences_matches_model_randomized(spark):
         assert got == _model_pack(list(enumerate(counts)), seq_len)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents: overlap windowing invariants + model parity
+# ---------------------------------------------------------------------------
+
+def _model_chunks(counts, max_tokens, overlap):
+    stride = max_tokens - overlap
+    out = []
+    for doc_id, n in counts:
+        n = max(n, 1)
+        k = 0
+        while True:
+            s = k * stride
+            out.append((doc_id, k, s, min(n, s + max_tokens) - s))
+            if s + max_tokens >= n:
+                break
+            k += 1
+    return sorted(out)
+
+
+def test_chunk_documents_invariants_and_model(spark):
+    from polymarket_data_ingestor_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    rows = [(i, "w " * c, c) for i, c in
+            enumerate([0, 1, 5, 48, 63, 64, 65, 100, 200, 777])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n long")
+    for max_tokens, overlap in ((64, 16), (4, 0), (4, 3), (7, 2)):
+        got = sorted(map(tuple, chunk_documents(
+            df, max_tokens=max_tokens, overlap=overlap, n_tok_col="n",
+        ).toPandas()[["doc_id", "chunk_id", "chunk_start", "n_tok"]]
+        .itertuples(index=False)))
+        want = _model_chunks([(i, c) for i, (_, _, c) in
+                              zip(range(len(rows)), rows)],
+                             max_tokens, overlap)
+        assert got == want, (max_tokens, overlap)
+        # invariants: full coverage with exact overlap, no empty chunk
+        import collections
+        by_doc = collections.defaultdict(list)
+        for d, k, s, n in got:
+            assert n > 0
+            by_doc[d].append((k, s, n))
+        for d, chunks in by_doc.items():
+            chunks.sort()
+            assert chunks[0][1] == 0
+            for (k1, s1, n1), (k2, s2, n2) in zip(chunks, chunks[1:]):
+                assert k2 == k1 + 1
+                assert s1 + n1 - s2 >= min(overlap, n2) or s1 + n1 >= s2
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+    # zero shuffles: the plan has no exchange at all
+    plan = (chunk_documents(df, max_tokens=64, overlap=16, n_tok_col="n")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
