@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "substring_dup_pairs",
     "substring_dedup_materialize",
     "funnel_user_paths_multipass",
+    "chunk_documents",
 ]
 
 
