@@ -626,9 +626,15 @@ def dup_components(
         F.col(id_a).cast("long").alias("u"),
         F.col(id_b).cast("long").alias("v"),
     )
+    # Materialize the edge list ONCE: `pairs` usually carries a whole
+    # detector subplan (LSH band join, substring gram shuffle, Hamming
+    # blocks) and every CC round joins against `edges` — without the
+    # checkpoint each round would re-run the full detector (measured
+    # ~2x the materializer's cost at 2-3 rounds; unbounded at scale).
+    # Storage is O(pairs), far below corpus size.
     edges = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     if nodes is None:
         nodes = edges.select(F.col("u").alias(id_col)).distinct()
     labels = nodes.select(
