@@ -230,6 +230,7 @@ def replay_feed_messages(
     in_log_order: bool = False,
     split_at_snapshots: bool = False,
     snapshots_per_segment: int = 1000,
+    assume_skewed: bool = False,
 ) -> DataFrame:
     """Feed-message rows → tick DataFrame via the stateful kernel.
 
@@ -254,15 +255,27 @@ def replay_feed_messages(
     the win). The kernel then groups on ``(asset_id, segment)`` instead
     of ``asset_id``, spreading a hyper-active asset across executors;
     outputs are identical row-for-row (the order columns still
-    reconstruct global order). Costs a per-(asset, file) ordinal window
-    — its sorts parallelize across files, so no stage is serial in one
-    asset's volume — plus a second (column-pruned, map-side-aggregated)
-    pass over the source for the per-file snapshot totals, so it's
-    opt-in — flip it on when one asset dominates a partition (the
-    per-key skew AQE cannot fix, because a *stateful* group can't be
-    split without this semantic argument). Measured on the bench's
-    skewed fixture (one asset = 50% of 1.2M messages, sf0.1):
-    5.0 s vs 14.7 s unsplit.
+    reconstruct global order).
+
+    Safe-by-default: a cheap column-pruned gate pass (per-(asset, file)
+    book-event counts — no array packing, no window) runs FIRST, and
+    when no (asset, file) cell reaches ``snapshots_per_segment`` the
+    plain per-asset path is taken — the ordinal window / carry-join /
+    segment machinery never enters the plan, so on a uniform profile
+    the only cost over the default is the gate's tokenize+count scan.
+    When the gate fires, the machinery costs a per-(asset, file)
+    ordinal window — its sorts parallelize across files, so no stage is
+    serial in one asset's volume — plus the per-file VALID-snapshot
+    totals pass (boundaries land only on snapshots the kernel will
+    apply; malformed books never open a segment). Per-file resolution
+    means an asset whose snapshots spread just under
+    ``snapshots_per_segment`` per file never splits — pick the stride
+    at or below the hottest asset's per-file snapshot density.
+    ``assume_skewed=True`` skips the gate and runs the machinery
+    unconditionally — for callers that already established skew
+    externally (:func:`replay`'s raw-text manifest gate).
+    Measured on the bench's skewed fixture (one asset = 50% of 1.2M
+    messages, sf0.1): ~3.9 s vs ~11 s unsplit.
     """
     if markets is not None:
         ids = list(markets)
@@ -349,6 +362,37 @@ def replay_feed_messages(
         # replays standalone; the pre-boundary prefix replays against
         # the empty book — both exactly the unsegmented semantics.
         #
+        # STAGE 0 — the cheap gate. Before paying for ANY of the split
+        # machinery (ordinal window, carry join, segment grouping), run
+        # a validity-agnostic per-(asset, file) count of book events.
+        # Catalyst prunes this branch to (event_type, asset_id,
+        # file_hour) — none of the packed array expressions are built —
+        # so it costs one light tokenize+count pass plus a tiny
+        # aggregate. Total book counts upper-bound the valid-snapshot
+        # counts used by the opening rule below, so if NO (asset, file)
+        # cell reaches snapshots_per_segment here, no cell can open a
+        # segment either, and the plain per-asset path is taken with
+        # byte-identical output and no window/join in the plan at all.
+        # This makes split_at_snapshots safe-by-default on uniform
+        # profiles: the only overhead is this gate pass.
+        k = int(snapshots_per_segment)
+        if assume_skewed:
+            # The caller already established skew (replay()'s raw-text
+            # manifest gate) — don't pay a second gate pass here.
+            any_hot = True
+        else:
+            gate_counts = packed.groupBy("asset_id", "file_hour").agg(
+                F.sum(
+                    F.when(F.col("kind_code") == KIND_BOOK, 1).otherwise(0)
+                ).alias("__n_books")
+            )
+            any_hot = (
+                gate_counts.filter(F.col("__n_books") >= F.lit(k))
+                .limit(1)
+                .count()
+                > 0
+            )
+    if split_at_snapshots and any_hot:
         # The ordinal window partitions on (asset_id, file_hour), NOT
         # asset_id alone: a per-asset global window would serialize a
         # hot asset's entire stream (heavy packed arrays included)
@@ -362,13 +406,37 @@ def replay_feed_messages(
         # all other rows belong to the latest segment opened in an
         # earlier file (state carries across files), resolved via a
         # #files-per-asset-row carry relation — never a big sort.
-        k = int(snapshots_per_segment)
+        #
+        # NOTE the interaction between snapshots_per_segment and
+        # per-file snapshot density: a file opens segments only when it
+        # alone holds >= k of the asset's VALID snapshots. An asset
+        # whose snapshots spread just under k per file (e.g. k=1000,
+        # ~999 snapshots/hour across many files) never splits — by
+        # design, because boundaries are resolved per-file to keep every
+        # stage parallel; pick k at or below the per-file snapshot
+        # density of the assets you want split (the reference rotates
+        # hourly, so "snapshots per hour of the hottest asset" is the
+        # right yardstick).
         wf = (
             Window.partitionBy("asset_id", "file_hour")
             .orderBy("line_id", "msg_idx")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        is_snap = F.when(F.col("kind_code") == KIND_BOOK, 1).otherwise(0)
+        # Only snapshots the KERNEL will actually apply may open a
+        # segment: a malformed book message (NULL bids_flat/asks_flat —
+        # rejected by the packing pass) is dropped by the kernel
+        # WITHOUT resetting state, so a boundary landing on one would
+        # make the new segment replay subsequent diffs against an empty
+        # book while the unsegmented path carries prior state. Gating
+        # is_snap on validity keeps boundary placement and kernel
+        # behavior in lockstep; the same gated expression feeds the
+        # per-file totals so in-file ordinals and carry labels agree.
+        is_snap = F.when(
+            (F.col("kind_code") == KIND_BOOK)
+            & F.col("bids_flat").isNotNull()
+            & F.col("asks_flat").isNotNull(),
+            1,
+        ).otherwise(0)
         snap_c = F.sum(is_snap).over(wf)
 
         def _seg(hour_col, c):
@@ -379,13 +447,15 @@ def replay_feed_messages(
                 (c - ((c - F.lit(1)) % F.lit(k))).cast("string"),
             )
 
-        # Per-(asset, file) snapshot totals: a plain partial-aggregated
-        # count (no window, no dependence on the big sort). This branch
-        # deliberately re-scans the source rather than reusing the
-        # window's exchange: Catalyst prunes the count branch down to
-        # (event_type, asset_id) — the inner-JSON array fields are
-        # never built — so the second pass is a light tokenize+count,
-        # while sharing the exchange is impossible anyway (column
+        # Per-(asset, file) VALID-snapshot totals: a plain
+        # partial-aggregated count (no window, no dependence on the big
+        # sort). This branch deliberately re-scans the source rather
+        # than reusing the window's exchange: Catalyst prunes the count
+        # branch to (event_type, asset_id, bids, asks) — validity needs
+        # the book arrays, but changes_flat / market / timestamp are
+        # never built, and this pass runs only after the cheap gate has
+        # already established real skew — while sharing the exchange is
+        # impossible anyway (column
         # pruning specializes each consumer's subtree below the
         # exchange, so ReuseExchange never fires; verified on the
         # executed plan). A file OPENS segments for an asset only when
@@ -441,6 +511,79 @@ def replay_feed_messages(
     return ticks
 
 
+#: Memoized raw-text gate statistics: path-signature → max per-(asset, file)
+#: book-line count. Hourly feed logs are immutable once rotated (the
+#: collector's contract, ``collector/src/main.rs`` hourly rotation), so the
+#: stat is a property of the file set — this is the in-process form of the
+#: per-file manifest a 100 TB deployment would maintain at ingest time.
+#: Local paths are additionally keyed by (size, mtime) so a rewritten file
+#: invalidates its entry. Bounded to keep long-lived drivers flat.
+_GATE_STATS_CACHE: dict[tuple, int] = {}
+_GATE_STATS_CACHE_MAX = 256
+
+#: Matches an ``asset_id`` key/value inside a frame line. The frame's
+#: ``content`` field is a double-encoded JSON string, so the inner quotes
+#: arrive escaped (``\"asset_id\": \"123...\"``) — the ``\\?`` prefixes
+#: accept both the escaped (inner) and bare (hypothetical single-encoded)
+#: forms.
+_ASSET_ID_RE = r'\\?"asset_id\\?"\s*:\s*\\?"(\d+)'
+
+
+def _max_snapshot_cell(spark, paths: Sequence[str]) -> int:
+    """Upper bound on any (asset, file)'s book-event count via a raw scan.
+
+    Reads the files as plain text (no JSON tokenization of non-book
+    lines), keeps only lines containing the substring ``book`` — any JSON
+    encoding of ``"event_type": "book"`` contains it, so no book event is
+    missed — extracts every ``asset_id`` mentioned on those lines, and
+    counts per (asset_id, file). Every valid snapshot of asset A in file f
+    lies on such a line and mentions A, so the returned max is >= the
+    valid-snapshot count of every cell: if it is below the segment stride,
+    the split machinery provably has nothing to split and the plain
+    per-asset plan is byte-identical. Over-counting (an asset's non-book
+    message sharing a multi-message frame with a book event, or the
+    validity-agnostic count) only ever errs toward running the machinery —
+    never toward missing skew.
+    """
+    key_parts = []
+    for p in sorted(str(x) for x in paths):
+        try:
+            import os
+
+            st = os.stat(p)
+            key_parts.append((p, st.st_size, int(st.st_mtime)))
+        except OSError:  # remote/glob paths: immutable-log contract applies
+            key_parts.append((p, -1, -1))
+    key = tuple(key_parts)
+    if key in _GATE_STATS_CACHE:
+        return _GATE_STATS_CACHE[key]
+    cand = spark.read.text(list(paths)).filter(F.col("value").contains("book"))
+    cells = cand.select(
+        F.regexp_extract(
+            F.input_file_name(), _FILE_HOUR_RE_FOR_GATE, 1
+        ).alias("file_hour"),
+        F.explode(
+            F.regexp_extract_all("value", F.lit(_ASSET_ID_RE), 1)
+        ).alias("asset_id"),
+    )
+    row = (
+        cells.groupBy("asset_id", "file_hour")
+        .count()
+        .agg(F.max("count"))
+        .first()
+    )
+    max_cell = int(row[0]) if row and row[0] is not None else 0
+    if len(_GATE_STATS_CACHE) >= _GATE_STATS_CACHE_MAX:
+        _GATE_STATS_CACHE.clear()
+    _GATE_STATS_CACHE[key] = max_cell
+    return max_cell
+
+
+#: Same hour-bucket regex as sources.frames._FILE_HOUR_RE (kept local so the
+#: gate has no import-order dependence on the sources package).
+_FILE_HOUR_RE_FOR_GATE = r"(\d{4}-\d{2}-\d{2}-\d{2})\.jsonl(\.zst|\.gz)?$"
+
+
 def replay(
     spark_or_frames,
     paths: Sequence[str] | None = None,
@@ -456,7 +599,12 @@ def replay(
     replays an already-read frames DataFrame. ``ticks_only=True`` projects to
     the reference's exact 7-column sink schema (``tick_generator.rs:50-58``).
     ``split_at_snapshots`` — see :func:`replay_feed_messages` (hot-asset
-    skew mitigation; identical output).
+    skew mitigation; identical output). When ``paths`` are given, the
+    cold-profile gate runs as a raw-text scan (regex count, no JSON parse
+    of non-book lines) whose result is memoized per immutable file set —
+    so on a uniform profile ``split_at_snapshots=True`` costs nothing
+    after the first call, and the first call pays only the light text
+    pass, not a second JSON parse.
     """
     from polymarket_data_ingestor_spark.sources.frames import (
         parse_feed_messages,
@@ -467,13 +615,25 @@ def replay(
         frames = read_frames(spark_or_frames, paths)
     else:
         frames = spark_or_frames
+    gate = "feed"
+    if split_at_snapshots and paths is not None:
+        # Path-aware gate: resolve hot/cold here from the raw-text
+        # manifest; replay_feed_messages then skips its own (costlier,
+        # parse-based) gate either way.
+        if _max_snapshot_cell(spark_or_frames, paths) >= int(
+            snapshots_per_segment
+        ):
+            gate = "hot"
+        else:
+            gate = "cold"
     feed = parse_feed_messages(frames)
     ticks = replay_feed_messages(
         feed,
         markets=markets,
         in_log_order=in_log_order,
-        split_at_snapshots=split_at_snapshots,
+        split_at_snapshots=split_at_snapshots and gate != "cold",
         snapshots_per_segment=snapshots_per_segment,
+        assume_skewed=(gate == "hot"),
     )
     if ticks_only:
         ticks = ticks.select(*TICK_COLUMNS)

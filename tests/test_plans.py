@@ -93,7 +93,10 @@ def test_replay_split_no_serial_stage(spark, tmp_path):
 
     paths = write_fixture_files(tmp_path, n_hours=2, msgs_per_hour=30,
                                 seed=5)
-    df = replay(spark, [str(p) for p in paths], split_at_snapshots=True)
+    # snapshots_per_segment=1 so the cheap gate fires (every valid
+    # snapshot opens) and the split machinery actually enters the plan.
+    df = replay(spark, [str(p) for p in paths], split_at_snapshots=True,
+                snapshots_per_segment=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert plan.count("BroadcastHashJoin") == 1
@@ -107,6 +110,28 @@ def test_replay_split_no_serial_stage(spark, tmp_path):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "line_id" in spec:  # the big ordinal window
             assert "file_hour" in spec.split("ASC")[0], spec
+
+
+def test_replay_split_gate_cold_plan(spark, tmp_path):
+    """Safe-by-default gate: on a uniform profile (no (asset, file) cell
+    reaching snapshots_per_segment) the segmented call must produce the
+    PLAIN plan — no ordinal window, no broadcast join, one exchange —
+    so split_at_snapshots=True costs only the gate's pruned count pass."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixture_gen import write_fixture_files
+
+    from polymarket_data_ingestor_spark.operators.replay import replay
+
+    paths = write_fixture_files(tmp_path, n_hours=2, msgs_per_hour=30,
+                                seed=5)
+    df = replay(spark, [str(p) for p in paths], split_at_snapshots=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" not in plan
+    assert "windowspecdefinition" not in plan
+    assert plan.count("FileScan json") == 1
 
 
 def test_approx_distinct_within_rsd_of_exact(spark):

@@ -212,13 +212,64 @@ def test_zstd_roundtrip(spark, tmp_path, fixture_paths):
 def test_split_at_snapshots_parity(spark, fixture_paths):
     """Snapshot-segmented replay (hot-asset skew mitigation) must be
     row-for-row identical to the unsegmented kernel: a book snapshot
-    resets all state, so segments are independent by construction."""
+    resets all state, so segments are independent by construction.
+    k=1 forces the gate to fire so the machinery is really exercised;
+    the default-k call exercises the gate-cold (plain-plan) path."""
     normal = _spark_rows(replay(spark, [str(p) for p in fixture_paths],
                                 in_log_order=True, ticks_only=False))
     segmented = _spark_rows(replay(spark, [str(p) for p in fixture_paths],
                                    in_log_order=True, ticks_only=False,
-                                   split_at_snapshots=True))
+                                   split_at_snapshots=True,
+                                   snapshots_per_segment=1))
     assert segmented == normal and len(normal) > 0
+    gated = _spark_rows(replay(spark, [str(p) for p in fixture_paths],
+                               in_log_order=True, ticks_only=False,
+                               split_at_snapshots=True))
+    assert gated == normal
+
+
+def test_split_boundary_on_malformed_snapshot(spark, tmp_path):
+    """A malformed book message (unparseable level → rejected by the
+    packing pass, dropped by the kernel WITHOUT resetting state) must
+    never open a segment: with k=1 every VALID snapshot is a boundary,
+    and if the invalid one counted, the segment after it would replay
+    diffs against an empty book while the unsegmented path carries the
+    prior snapshot's state. Output must equal the naive oracle."""
+    mkt, asset = _mkt_id(5), _asset_id(5, 0)
+
+    def diff(ts, price, size, side):
+        return {"event_type": "price_change", "timestamp": str(ts),
+                "market": mkt, "asset_id": asset,
+                "changes": [{"price": price, "size": size, "side": side}]}
+
+    msgs = [
+        {"event_type": "book", "timestamp": "1000", "market": mkt,
+         "asset_id": asset,
+         "bids": [{"price": "0.40", "size": "10"}],
+         "asks": [{"price": "0.60", "size": "5"}]},
+        diff("2000", "0.41", "7", "BUY"),
+        # malformed snapshot: unparseable bid price → serde-rejected;
+        # state (0.41 bid etc.) must survive it, and no boundary here
+        {"event_type": "book", "timestamp": "3000", "market": mkt,
+         "asset_id": asset,
+         "bids": [{"price": "garbage", "size": "10"}],
+         "asks": [{"price": "0.61", "size": "5"}]},
+        diff("4000", "0.42", "3", "BUY"),
+        diff("5000", "0.60", "0", "SELL"),  # delete best ask
+        {"event_type": "book", "timestamp": "6000", "market": mkt,
+         "asset_id": asset,
+         "bids": [{"price": "0.39", "size": "2"}],
+         "asks": [{"price": "0.62", "size": "4"}]},
+        diff("7000", "0.39", "0", "BUY"),
+    ]
+    p = tmp_path / "2025-09-30-14.jsonl"
+    p.write_text("\n".join(
+        json.dumps({"timestamp": "t", "message_type": "feed_message",
+                    "content": json.dumps([m])}) for m in msgs) + "\n")
+    got = _spark_rows(replay(spark, [str(p)], in_log_order=True,
+                             ticks_only=False, split_at_snapshots=True,
+                             snapshots_per_segment=1))
+    assert got == naive_replay([p]) and len(got) > 0
 
 
 def test_split_at_snapshots_hot_asset(spark, tmp_path):
