@@ -574,3 +574,34 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result vs the exact one, in Spark.
+
+    ``exact``/``approx`` are top-k result frames shaped like
+    :func:`cosine_topk` output. Returns ONE row ``(k, n_queries,
+    recall)`` where ``recall = |approx ∩ exact| / |exact|`` over
+    ``(query, neighbor)`` pairs — the driver-checkable form of the ANN
+    quality probes: the whole measurement runs distributed (two tiny
+    top-k relations, one join, one aggregate — nothing touches the
+    corpus again), and because the ratio is a division of two small
+    exact integers it is bit-reproducible across engines.
+    """
+    e = exact.select(query_id_col, id_col)
+    a = approx.select(query_id_col, id_col).withColumn("__hit", F.lit(1))
+    flagged = e.join(a, [query_id_col, id_col], "left")
+    return flagged.agg(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.countDistinct(query_id_col).cast("long").alias("n_queries"),
+        (
+            F.count("__hit").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )

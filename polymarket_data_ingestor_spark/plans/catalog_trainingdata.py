@@ -482,6 +482,133 @@ def q_ivf_topk_probe(spark, sf_dir):
     )
 
 
+# Unbanded hyperplane key (plane ids 0..n-1, the hyperplane_signs form used
+# by cosine_topk_lsh): bit j set iff the sequential-fold dot with plane j is
+# > 0 — identical fold order and plane components in both engines.
+_SQL_PLANE_HASH_Q = _SQL_HASH.format(
+    x="(CAST(j AS VARCHAR) || ':' || CAST(p AS VARCHAR))"
+)
+_SQL_KEY3 = f"""
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(0, 2), j ->
+        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(0, 63), p ->
+              CAST(embedding[p + 1] AS DOUBLE) *
+              (CAST({_SQL_PLANE_HASH_Q} % 1000 AS DOUBLE)
+               / CAST(1000 AS DOUBLE) - CAST(0.5 AS DOUBLE)))),
+            (a, v) -> a + v) > 0
+        THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      (a, v) -> a + v) AS BIGINT)
+"""
+
+_SQL_EXACT_TOP5 = f"""
+    SELECT query_id, vec_id FROM (
+      SELECT q2.vec_id AS query_id, e2.vec_id AS vec_id,
+             row_number() OVER (
+               PARTITION BY q2.vec_id
+               ORDER BY round({_sql_cos('q2.embedding', 'e2.embedding')}, 6)
+                        DESC, e2.vec_id) AS rank
+      FROM embeddings e2
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q2
+      WHERE e2.vec_id != q2.vec_id)
+    WHERE rank <= 5
+"""
+
+
+@register(
+    "cosine_topk_lsh_recall",
+    f"""
+    WITH keys AS (
+      SELECT vec_id, embedding, {_SQL_KEY3} AS key FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qemb,
+             unnest([key, xor(key, CAST(1 AS BIGINT)),
+                     xor(key, CAST(2 AS BIGINT)),
+                     xor(key, CAST(4 AS BIGINT))]) AS bucket
+      FROM keys WHERE vec_id < 5
+    ), approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY round({_sql_cos('p.qemb', 'e.embedding')}, 6)
+                          DESC, e.vec_id) AS rank
+        FROM probes p JOIN keys e ON e.key = p.bucket
+        WHERE e.vec_id != p.query_id)
+      WHERE rank <= 5
+    ), exact AS ({_SQL_EXACT_TOP5})
+    SELECT CAST(5 AS BIGINT) AS k,
+           CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+           CAST(count(ap.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS recall
+    FROM exact ex LEFT JOIN approx ap
+      ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+    """,
+    doc="Driver-checkable recall@5 for the hyperplane-LSH ANN path "
+    "(3 planes, 1-bit multiprobe): exact top-5 and LSH top-5 both "
+    "computed in-engine, recall = |approx ∩ exact| / |exact|. The LSH "
+    "buckets are deterministic (hash32-derived planes, sequential-fold "
+    "signs), so the oracle reproduces the ENTIRE approximate pipeline "
+    "in SQL and the driver hash-pins the exact recall value — the "
+    "strongest checkable form of an ANN quality probe. Scale shape: "
+    "both top-k relations are n_queries x k rows; the measurement "
+    "never rescans the corpus.",
+    tags=("similarity", "ann"),
+)
+def q_cosine_topk_lsh_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, queries, k=5)
+    approx = S.cosine_topk_lsh(emb, queries, k=5, n_planes=3, multiprobe=1)
+    return S.topk_recall(exact, approx, k=5)
+
+
+#: Recall floor for the IVF probe entry: measured 0.60 at sf0.01 AND
+#: sf0.1 (n_clusters=8, n_probe=4) — 0.4 leaves a 1.5x margin against
+#: KMeans sample jitter while still failing loudly if the inverted-list
+#: path regresses toward random (5/200 ≈ 0.025 baseline).
+IVF_RECALL_FLOOR = 0.4
+
+
+@register(
+    "ivf_topk_recall",
+    f"""
+    WITH exact AS ({_SQL_EXACT_TOP5})
+    SELECT CAST(5 AS BIGINT) AS k,
+           CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(0.4 AS DOUBLE) AS recall_floor,
+           TRUE AS floor_met
+    FROM exact
+    """,
+    doc="Driver-checkable recall floor for the IVF ANN path (KMeans "
+    "coarse quantizer, 8 lists, n_probe=4): recall@5 vs the exact "
+    "top-5 computed in Spark, emitted as a floor predicate "
+    "(floor_met = recall >= 0.4). The recall VALUE is engine-specific "
+    "(the codebook comes from MLlib KMeans, not reproducible in SQL), "
+    "so the oracle pins the predicate plus the exact-side-derived "
+    "n_queries: a regression dropping recall below the floor flips "
+    "floor_met and hash-mismatches. Measured recall 0.60 at both "
+    "sf0.01 and sf0.1; the value itself is additionally pinned in "
+    "pytest.",
+    tags=("similarity", "ann"),
+)
+def q_ivf_topk_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, queries, k=5)
+    approx = S.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=4)
+    return S.topk_recall(exact, approx, k=5).select(
+        "k",
+        "n_queries",
+        F.lit(IVF_RECALL_FLOOR).alias("recall_floor"),
+        (F.col("recall") >= F.lit(IVF_RECALL_FLOOR)).alias("floor_met"),
+    )
+
+
 @register(
     "embedding_dup_pairs",
     f"""

@@ -883,3 +883,43 @@ def test_ann_probe_recall_at_10x_scale(spark):
         merged = got.merge(exact, on=["query_id", "vec_id"],
                            suffixes=("_a", "_e"))
         assert (merged.cos_a == merged.cos_e).all()
+
+
+def test_topk_recall_entries(spark):
+    """The driver-checkable ANN recall entries: the LSH one pins the
+    exact recall value (SQL-reproducible buckets); the IVF one pins a
+    floor predicate plus the value here (codebook is engine-specific).
+    sf0.01 matches what the driver runs."""
+    from polymarket_data_ingestor_spark.plans.catalog import CATALOG, table
+
+    sf = "/root/testdata/sf0.01"
+    lsh = CATALOG["cosine_topk_lsh_recall"].spark(spark, sf).first()
+    assert lsh.k == 5 and lsh.n_queries == 5
+    assert 0.0 < lsh.recall <= 1.0
+
+    ivf = CATALOG["ivf_topk_recall"].spark(spark, sf).first()
+    assert ivf.k == 5 and ivf.n_queries == 5
+    assert ivf.floor_met and ivf.recall_floor == 0.4
+
+    # pin the IVF recall VALUE (the part the oracle cannot see): well
+    # above the floor and far above the random baseline (~k/N = 0.025)
+    emb_t = table(spark, sf, "embeddings")
+    queries = emb_t.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb_t, queries, k=5)
+    approx = S.ivf_topk(emb_t, queries, k=5, n_clusters=8, n_probe=4)
+    rec = S.topk_recall(exact, approx, k=5).first()
+    assert rec.recall >= 0.5, rec
+
+
+def test_topk_recall_math(spark):
+    """topk_recall on hand-built frames: 3 of 4 exact pairs recovered."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)], "query_id int, vec_id int"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (2, 99)], "query_id int, vec_id int"
+    )
+    r = S.topk_recall(exact, approx, k=2).first()
+    assert r.k == 2 and r.n_queries == 2 and r.recall == 0.75
