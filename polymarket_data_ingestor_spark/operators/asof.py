@@ -75,6 +75,14 @@ def asof_join(
     for c in value_cols:
         if c in probe_cols:
             raise ValueError(f"value column {c!r} collides with probe column")
+        if c.startswith("__"):
+            # "__o" (and any future internal field) is reserved inside the
+            # matched-row struct; a value column named "__o" would yield a
+            # duplicate struct field and silently wrong extraction.
+            raise ValueError(
+                f"value column {c!r} collides with internal '__'-prefixed "
+                "names; rename it before the as-of join"
+            )
 
     # The whole matched reference row travels as ONE struct so the window
     # pick is atomic: ``last(__ref, ignorenulls)`` skips probe rows (their

@@ -629,12 +629,21 @@ def dup_components(
     # Materialize the edge list ONCE: `pairs` usually carries a whole
     # detector subplan (LSH band join, substring gram shuffle, Hamming
     # blocks) and every CC round joins against `edges` — without the
-    # checkpoint each round would re-run the full detector (measured
+    # materialization each round would re-run the full detector (measured
     # ~2x the materializer's cost at 2-3 rounds; unbounded at scale).
-    # Storage is O(pairs), far below corpus size.
+    # Storage is O(pairs), far below corpus size. persist + count (NOT
+    # localCheckpoint): both run the detector exactly once, but persist
+    # keeps the lineage, so a lost executor / dynamic-allocation
+    # scale-down mid-CC recomputes the lost blocks instead of failing
+    # the job (localCheckpoint'd blocks have no recovery path). The
+    # per-round label checkpoint below is a different trade: there the
+    # POINT is truncating the iterative lineage.
+    from pyspark import StorageLevel
+
     edges = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     if nodes is None:
         nodes = edges.select(F.col("u").alias(id_col)).distinct()
     labels = nodes.select(
@@ -655,6 +664,9 @@ def dup_components(
             converged = True
             break
         prev_sum = s
+    # The returned labels are eagerly checkpointed, so the edge blocks
+    # are no longer referenced — release executor storage now.
+    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"dup_components did not reach a fixed point in {max_iter} "

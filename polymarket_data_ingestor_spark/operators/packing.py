@@ -23,6 +23,27 @@ from pyspark.sql import functions as F
 from polymarket_data_ingestor_spark.operators.text import tokens
 
 
+def _precomputed_counts(n_tok_col: str, op: str) -> F.Column:
+    """Precomputed token counts with a loud NULL guard.
+
+    A NULL in a precomputed count column means the upstream tokenizer
+    did not cover that row; silently clamping it (greatest() ignores
+    NULLs) would pack/chunk with a fabricated width of 1 — fail the job
+    instead, naming the column.
+    """
+    return F.when(
+        F.col(n_tok_col).isNotNull(), F.col(n_tok_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op}: NULL in n_tok_col '{n_tok_col}' — precomputed "
+                "token counts must cover every row (filter or fill "
+                "upstream)"
+            )
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 128,
@@ -40,12 +61,14 @@ def pack_sequences(
 
     Token counts default to whitespace tokens of ``text_col``; pass
     ``n_tok_col`` to consume a PRECOMPUTED per-doc token count instead
-    (the tokenizer hook: run the real tokenizer upstream — e.g. a
-    ``mapInPandas`` over the text — persist its counts, and pack from
+    (the tokenizer hook — e.g. ``text.with_token_counts``, the greedy
+    longest-match WordPiece counter: persist its counts and pack from
     those without re-reading the text; ``text_col`` is then ignored and
     never scanned). Counts are clamped to >= 1 so every document
     occupies the layout (empty docs would otherwise produce zero-width
-    spans and ambiguous boundaries).
+    spans and ambiguous boundaries); a NULL in ``n_tok_col`` raises —
+    a partially-populated count column would otherwise pack with
+    fabricated widths.
 
     The two-level prefix sum keeps every stage wide: per-shard window
     (shard = ``id_col div shard_size``), then a #shards-row cumulative
@@ -54,7 +77,7 @@ def pack_sequences(
     from pyspark.sql import Window
 
     n_tok = (
-        F.col(n_tok_col).cast("long")
+        _precomputed_counts(n_tok_col, "pack_sequences")
         if n_tok_col is not None
         else F.size(tokens(text_col)).cast("long")
     )
@@ -139,7 +162,8 @@ def chunk_documents(
     ``overlap`` tokens (except before a shorter final chunk). Token
     counts default to whitespace tokens of ``text_col``; pass
     ``n_tok_col`` for precomputed tokenizer counts (the same hook as
-    :func:`pack_sequences`; ``text_col`` is then never scanned).
+    :func:`pack_sequences`; ``text_col`` is then never scanned, and a
+    NULL count raises rather than chunking a fabricated width).
 
     Scale shape: pure per-row integer math + one ``explode`` — zero
     shuffles, zero joins, fully pipelined with the scan; the chunk
@@ -153,7 +177,7 @@ def chunk_documents(
         )
     stride = max_tokens - overlap
     n_tok = (
-        F.col(n_tok_col).cast("long")
+        _precomputed_counts(n_tok_col, "chunk_documents")
         if n_tok_col is not None
         else F.size(tokens(text_col)).cast("long")
     )

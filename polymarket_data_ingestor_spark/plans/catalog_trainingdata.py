@@ -781,6 +781,108 @@ def q_pack_sequences_pretokenized(spark, sf_dir):
     )
 
 
+# Greedy longest-match (WordPiece / MaxMatch) token counting, SQL twin of
+# text.with_token_counts: the recursive CTE walks each distinct word,
+# taking the longest vocab piece at each position (a fixed-length prefix is
+# unique, so no tiebreak is needed); a position with no match collapses the
+# word to one [UNK]. Counting over DISTINCT words then joining back keeps
+# the recursion linear in vocabulary-of-the-corpus, not corpus size —
+# the same memoization the Spark kernel uses per batch.
+_SQL_WP_VOCAB = ", ".join(f"'{p}'" for p in T.DEFAULT_WORDPIECE_VOCAB)
+_SQL_WP_CTES = f"""
+    vocab(piece) AS (SELECT unnest([{_SQL_WP_VOCAB}])),
+    wp_words AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents)
+    ),
+    wp_dw AS (SELECT DISTINCT word FROM wp_words),
+    wp_step AS (
+      SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n,
+             FALSE AS unk
+      FROM wp_dw
+      UNION ALL
+      SELECT s.word, s.pos + coalesce(len(m.piece), 0), s.n + 1,
+             m.piece IS NULL
+      FROM wp_step s LEFT JOIN LATERAL (
+        SELECT piece FROM vocab v
+        WHERE substr(s.word, CAST(s.pos AS INTEGER), len(v.piece)) = v.piece
+        ORDER BY len(v.piece) DESC LIMIT 1
+      ) m ON TRUE
+      WHERE NOT s.unk AND s.pos <= len(s.word)
+    ),
+    wp_wc AS (
+      SELECT word, CASE WHEN unk THEN 1 ELSE n END AS n_tok
+      FROM wp_step WHERE unk OR pos > len(word)
+    ),
+    wp_counts AS (
+      SELECT d.doc_id, CAST(coalesce(s.tot, 0) AS BIGINT) AS n_tok
+      FROM documents d LEFT JOIN (
+        SELECT w.doc_id, sum(c.n_tok) AS tot
+        FROM wp_words w JOIN wp_wc c ON c.word = w.word
+        GROUP BY w.doc_id) s ON s.doc_id = d.doc_id
+    )
+"""
+
+
+@register(
+    "wordpiece_counts",
+    f"""
+    WITH RECURSIVE {_SQL_WP_CTES}
+    SELECT doc_id, n_tok FROM wp_counts
+    """,
+    doc="Real-tokenizer token counts: greedy longest-match (WordPiece / "
+    "MaxMatch) against a broadcast vocabulary (full a-z alphabet + "
+    "multi-char merges), one Arrow-batched pass, zero shuffle, word "
+    "memo per batch. The value the n_tok_col hooks of pack_sequences / "
+    "chunk_documents were built to consume. Oracle reproduces the "
+    "greedy walk with a recursive CTE over distinct words.",
+    tags=("text", "trainmix"),
+)
+def q_wordpiece_counts(spark, sf_dir):
+    return T.with_token_counts(table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tok"
+    )
+
+
+@register(
+    "pack_sequences_wordpiece",
+    f"""
+    WITH RECURSIVE {_SQL_WP_CTES},
+    laid AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS "end"
+      FROM (SELECT doc_id, greatest(n_tok, 1) AS n_tok FROM wp_counts)
+    ), spanned AS (
+      SELECT doc_id, "end" - n_tok AS "start", "end",
+             unnest(generate_series(("end" - n_tok) // 128,
+                                    ("end" - 1) // 128)) AS seq_id
+      FROM laid
+    )
+    SELECT seq_id, doc_id,
+           greatest("start", seq_id * 128) - "start" AS doc_start,
+           least("end", (seq_id + 1) * 128)
+             - greatest("start", seq_id * 128) AS n_tok
+    FROM spanned
+    """,
+    doc="Sequence packing fed by the REAL tokenizer: "
+    "with_token_counts (greedy longest-match, broadcast vocab) "
+    "produces the per-doc counts in the same job, and pack_sequences "
+    "consumes them through its n_tok_col hook — text is scanned once "
+    "by the tokenizer pass and never again by the packer. Same "
+    "two-level prefix sum as pack_sequences.",
+    tags=("trainmix",),
+)
+def q_pack_sequences_wordpiece(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = T.with_token_counts(table(spark, sf_dir, "documents"))
+    return pack_sequences(d, seq_len=128, shard_size=100, n_tok_col="n_tok")
+
+
 @register(
     "chunk_documents",
     f"""

@@ -318,3 +318,14 @@ def test_asof_null_values_match_pandas_merge_asof(spark):
         gm = {(r.k, r.t): None if pd.isna(r.v) else r.v
               for r in got.itertuples()}
         assert gm == wm, direction
+
+
+def test_asof_rejects_internal_value_col_names(spark):
+    """A value column named '__o' (or any '__'-name) would collide with
+    the matched-row struct's internal order field — must raise."""
+    import pytest
+
+    probe = spark.createDataFrame([(1, 10)], "k int, t int")
+    ref = spark.createDataFrame([(1, 9, 5)], "k int, t int, __o int")
+    with pytest.raises(ValueError, match="internal"):
+        asof_join(probe, ref, by=["k"], order_col="t", value_cols=["__o"])

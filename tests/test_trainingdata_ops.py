@@ -923,3 +923,67 @@ def test_topk_recall_math(spark):
     )
     r = S.topk_recall(exact, approx, k=2).first()
     assert r.k == 2 and r.n_queries == 2 and r.recall == 0.75
+
+
+def test_with_token_counts_greedy_semantics(spark):
+    """Hand-computed greedy longest-match counts on a fixed tiny vocab,
+    including the [UNK] collapse and the empty/whitespace-only edges."""
+    vocab = ("a", "b", "ab", "abc", "x")
+    df = spark.createDataFrame(
+        [
+            (1, "ab"),          # 'ab' one piece (longest wins over a+b)
+            (2, "abc"),         # 'abc' one piece
+            (3, "abca"),        # abc + a = 2
+            (4, "ba"),          # b + a = 2
+            (5, "aq"),          # 'q' unmatched -> whole word = 1 UNK
+            (6, "ab ba  abc"),  # 1 + 2 + 1 = 4 (run of spaces)
+            (7, ""),            # empty -> 0
+            (8, "   "),         # whitespace only -> 0
+            (9, None),          # NULL -> 0
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r.n_tok
+        for r in T.with_token_counts(df, vocab=vocab).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 4, 7: 0, 8: 0, 9: 0}
+
+
+def test_with_token_counts_feeds_chunking(spark):
+    """chunk_documents consuming wordpiece counts through n_tok_col:
+    counts drive the window math, text never rescanned by the chunker."""
+    from polymarket_data_ingestor_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    vocab = ("a", "ab")
+    df = spark.createDataFrame(
+        [(1, " ".join(["ab"] * 10)), (2, "a a a")],
+        "doc_id int, text string",
+    )
+    d = T.with_token_counts(df, vocab=vocab)  # counts: 10 and 3
+    out = chunk_documents(d, max_tokens=4, overlap=1, n_tok_col="n_tok")
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_start, r.n_tok)
+        for r in out.collect()
+    )
+    # doc 1: 10 toks, stride 3 -> chunks [0,4) [3,7) [6,10): the third
+    # window already reaches the end, so no shorter tail chunk follows
+    # doc 2: 3 toks -> one chunk len 3
+    assert rows == [
+        (1, 0, 0, 4), (1, 1, 3, 4), (1, 2, 6, 4),
+        (2, 0, 0, 3),
+    ]
+
+
+def test_with_token_counts_plan_zero_shuffle(spark):
+    """The tokenizer pass must be a pure map stage: no exchange in the
+    plan, one ArrowEvalPython over the scan."""
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "'ab ba abc' AS text"
+    )
+    out = T.with_token_counts(df, vocab=("a", "b", "ab", "abc"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan

@@ -269,3 +269,26 @@ def test_chunk_documents_invariants_and_model(spark):
     plan = (chunk_documents(df, max_tokens=64, overlap=16, n_tok_col="n")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_precomputed_counts_null_raises(spark):
+    """A partially-populated n_tok_col must FAIL loudly, not pack/chunk
+    with fabricated widths (greatest() would silently treat NULL as 1)."""
+    import pytest
+    from polymarket_data_ingestor_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b", 2), (2, "c d", None)],
+        "doc_id int, text string, my_n int",
+    )
+    with pytest.raises(Exception, match="NULL in n_tok_col"):
+        pack_sequences(df, seq_len=4, n_tok_col="my_n").collect()
+    with pytest.raises(Exception, match="NULL in n_tok_col"):
+        chunk_documents(df, max_tokens=4, n_tok_col="my_n").collect()
+    # fully-populated counts still work
+    assert pack_sequences(
+        df.fillna(3, subset=["my_n"]), seq_len=4, n_tok_col="my_n"
+    ).count() > 0
