@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "benchmark_decontaminate",
     "mixture_sample",
     "cosine_topk",
+    "wordpiece_counts",
+    "pack_sequences_wordpiece",
     "simhash_docs",
     "simhash64_docs",
     "hamming_dup_pairs",
@@ -132,6 +134,47 @@ def _ensure_skewed_fixture(sf_dir: str, cache_root: Path) -> list[str]:
     return sorted(str(p) for p in out.glob("*.jsonl"))
 
 
+def _calibrate(spark) -> dict[str, float]:
+    """Fixed fixture-independent calibration pair, run at session start
+    and end.
+
+    Cross-round wall-clock deltas on this VM are dominated by ambient
+    drift (page cache, CPU contention, Python-worker aging), which moves
+    JVM stages and Arrow stages by DIFFERENT factors. Timing the same
+    two synthetic workloads every round lets a reader normalize each
+    query's delta by the matching calibration ratio instead of guessing:
+
+    * ``jvm`` — a codegen groupBy/agg over ``spark.range`` (no Python).
+    * ``arrow`` — a pandas_udf pass over the same rows (Arrow transfer +
+      Python worker throughput, the part that ages within a session).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def jvm() -> None:
+        (
+            spark.range(30_000_000)
+            .selectExpr("id % 997 AS k", "id AS v")
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .count()
+        )
+
+    @pandas_udf("double")
+    def _work(s):
+        return (s * 1.0000001 + 3.0) / 7.0
+
+    def arrow() -> None:
+        (
+            spark.range(3_000_000)
+            .select(_work(F.col("id").cast("double")).alias("x"))
+            .selectExpr("sum(x)")
+            .collect()
+        )
+
+    return {"jvm": _min_of_2(jvm), "arrow": _min_of_2(arrow)}
+
+
 def _min_of_2(fn) -> float:
     """Run twice, report the faster run.
 
@@ -157,6 +200,8 @@ def main() -> None:
 
     # Warm the JVM/session on a trivial action so q1 isn't charged for init.
     spark.range(1000).count()
+    calibration: dict[str, dict[str, float]] = {}
+    calibration["replay_session_start"] = _calibrate(spark)
 
     # End-to-end replay FIRST, in the fresh session: reused Python workers
     # accumulate heap after many pandas-heavy queries and can slow later
@@ -225,6 +270,7 @@ def main() -> None:
     spark.stop()
     spark = get_spark(app_name="pdi-spark-bench-sweep")
     spark.range(1000).count()
+    calibration["sweep_session_start"] = _calibrate(spark)
 
     for name in BENCH_QUERIES:
         q = CATALOG[name]
@@ -232,6 +278,8 @@ def main() -> None:
         # materialization of the result set (the sink cost is what we'd
         # tune separately).
         timings[name] = _min_of_2(lambda: q.spark(spark, sf_dir).count())
+
+    calibration["sweep_session_end"] = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -241,6 +289,7 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_of(sf_dir),
         "replay_ticks": n_ticks,
+        "calibration": calibration,
     }))
 
 
