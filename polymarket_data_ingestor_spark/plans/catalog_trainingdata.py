@@ -2144,72 +2144,83 @@ def q_funnel_user_paths_multipass(spark, sf_dir):
 # Registration-order epilogue: the driver records correctness rows for only
 # the first 50 catalog entries per round, so window composition rotates each
 # round to maximize the set of entries with at least one first-party driver
-# row.  Round-6 rotation: promote (a) the 10 entries that have NEVER held a
-# driver row — the 9 round-5 tail additions (asof forward/nearest, interval
-# overlap, bigram LM, substring dedup pair + materializer, multipass funnel,
-# the 2 rows-only ANN probes) plus this round's pack_sequences_pretokenized
-# — and (b) the 14 entries whose newest driver row is round 3 (the filter /
-# set-op / scalar / window families), which would otherwise go 3 rounds
-# stale.  Keep 26 anchors: the flagship star join, the notebook tick
-# queries, the L-tier dedup/ANN/text/sampling/multimodal flagships, and —
-# mandatory — every entry whose operator code changed THIS round (asof_join,
-# asof_join_tolerance: struct-pick NULL parity; cosine_topk: query-side
-# cap; pack_sequences: n_tok_col hook), so each gets a fresh driver row
-# against the new code.  Demote 24 entries holding a green r5 row (1 round
-# stale, family-covered in-window); the 8 entries whose newest row is r4
-# (summary_stats .. embedding_dup_pairs) stay tail-parked at 2 rounds stale
-# and MUST rotate in next round — ROUND6.md carries the entry -> latest
-# driver-green-round table.
+# row.  Round-7 rotation (staleness contract: every entry <= 2 rounds
+# stale): promote (a) the 4 NEW entries (the ANN recall pair replacing the
+# rows-only probes' evidence gap, and the wordpiece tokenizer pair), (b)
+# the 9 entries whose newest driver row is round 4 plus chunk_documents
+# (never windowed — landed round 6 at tail position 51), (c) every entry
+# whose operator code changed THIS round: the packing entries (NULL-count
+# guard in the n_tok_col path), the four asof entries (value-column name
+# validation), and the CC pair (edge materialization localCheckpoint →
+# persist+count), and (d) ALL 22 remaining r5-green tail entries, which
+# would otherwise hit the 2-round staleness limit next round.  That totals
+# 43; the last 7 slots keep continuity anchors (flagship star join, exact
+# ANN anchor for the new recall entries, the dedup/text/pipeline
+# flagships).  Demoted to the tail: the rest of the r6 window — all
+# r6-green, 1 round stale after this round, head of the r8 promotion list.
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 
-#: Window positions 1-24: first-party-evidence gaps. 10 never-windowed
-#: (cosine_topk_lsh_probe / ivf_topk_probe are rows-only by design —
-#: recall pinned in pytest; the rest oracle-checked bit-exact locally via
-#: tools/check.py before this rotation), then the 14 r3-stale families.
+#: Window positions 1-13: new entries + the r4-stale tail + chunk_documents
+#: (all oracle-checked bit-exact locally via tools/check.py at sf0.01
+#: before this rotation).
 _PROMOTED = (
+    "cosine_topk_lsh_recall", "ivf_topk_recall",
+    "wordpiece_counts", "pack_sequences_wordpiece",
+    "chunk_documents",
+    "summary_stats", "running_total", "revenue_rollup",
+    "doc_fingerprint", "ngram_jaccard_pairs", "minhash_signatures",
+    "simhash_docs", "embedding_dup_pairs",
+)
+#: Window positions 14-21: operator code changed this round — fresh
+#: driver rows against the new code are mandatory.
+_CODE_CHANGED = (
+    "pack_sequences", "pack_sequences_pretokenized",
+    "asof_join", "asof_join_tolerance", "asof_join_forward",
+    "asof_join_nearest",
+    "dup_components", "dedup_transitive_materialize",
+)
+#: Window positions 22-43: the r5-green tail entries (2 rounds stale
+#: after this round if not rotated now).
+_R5_STALE = (
+    "range_join_count", "filter_project", "first_event_per_user",
+    "hourly_volume_salted", "rank_sample", "count_distinct_users",
+    "approx_distinct_users", "approx_value_quantiles", "multires_rollup",
+    "variant_props_agg", "variant_nested_paths",
+    "dedup_near_materialize", "benchmark_decontaminate",
+    "redact_pii", "line_dedup_clean", "dedup_incremental",
+    "vocab_stats", "vocab_coverage", "doc_repetition",
+    "cube_lineitem", "pivot_status_year", "user_event_deltas",
+)
+#: Window positions 44-50: continuity anchors (all r6-green).
+_ANCHORS = (
+    "region_revenue", "cosine_topk", "dedup_exact", "minhash_lsh_pairs",
+    "text_stats", "curation_pipeline", "sessionize",
+)
+#: Demoted past the window: every entry here holds a green r6 driver row
+#: (1 round stale after this round) and is the head of the r8 promotion
+#: list; the two rows-only ANN probes are additionally superseded by the
+#: oracle-backed recall entries now in-window.
+_TAIL = (
     "funnel_user_paths_multipass", "doc_bigram_lm", "substring_dup_pairs",
-    "substring_dedup_materialize", "asof_join_forward", "asof_join_nearest",
-    "interval_overlap_join", "cosine_topk_lsh_probe", "ivf_topk_probe",
-    "pack_sequences_pretokenized",
+    "substring_dedup_materialize", "interval_overlap_join",
+    "cosine_topk_lsh_probe", "ivf_topk_probe",
     "isin_filter", "substring_filter", "case_dispatch",
     "anti_join", "semi_join", "distinct_pairs", "union_dedup",
     "token_explode", "scalar_suite", "multiformat_timestamp",
     "hour_sequence", "topk_per_group", "throughput_15s",
     "pivot_event_counts",
-)
-#: Window positions 25-50: continuity anchors (all r5-green; the four
-#: code-changed entries listed first).
-_ANCHORS = (
-    "asof_join", "asof_join_tolerance", "cosine_topk", "pack_sequences",
-    "region_revenue", "outcome_lookup", "minute_last_bars", "hourly_volume",
-    "dedup_exact", "minhash_lsh_pairs", "embedding_dup_pairs_lsh",
-    "hamming_dup_pairs", "simhash64_docs",
-    "text_stats", "doc_quality", "doc_lang_id", "doc_tfidf_topk",
+    "outcome_lookup", "minute_last_bars", "hourly_volume",
+    "embedding_dup_pairs_lsh", "hamming_dup_pairs", "simhash64_docs",
+    "doc_quality", "doc_lang_id", "doc_tfidf_topk",
     "stratified_sample", "mixture_sample",
-    "curation_pipeline", "multimodal_features", "frame_sample",
-    "variant_schema_profile",
-    "funnel_conversion", "cohort_retention", "sessionize",
-)
-#: Demoted past the window: every entry here has a green r5 driver row
-#: (1 round stale) and an in-window sibling covering its operator family;
-#: the final 8 (summary_stats onward) are 2 rounds stale (r4) and are the
-#: head of next round's promotion list.
-_TAIL = (
-    "range_join_count", "filter_project", "first_event_per_user",
-    "hourly_volume_salted", "rank_sample", "count_distinct_users",
-    "approx_distinct_users", "approx_value_quantiles", "multires_rollup",
-    "variant_props_agg", "variant_nested_paths",
-    "dedup_near_materialize", "dup_components",
-    "dedup_transitive_materialize", "benchmark_decontaminate",
-    "redact_pii", "line_dedup_clean", "dedup_incremental",
-    "vocab_stats", "vocab_coverage", "doc_repetition",
-    "cube_lineitem", "pivot_status_year", "user_event_deltas",
-    "summary_stats", "running_total", "revenue_rollup",
-    "doc_fingerprint", "ngram_jaccard_pairs", "minhash_signatures",
-    "simhash_docs", "embedding_dup_pairs",
+    "multimodal_features", "frame_sample", "variant_schema_profile",
+    "funnel_conversion", "cohort_retention",
 )
 
-_order = list(_PROMOTED) + list(_ANCHORS)
+_order = (
+    list(_PROMOTED) + list(_CODE_CHANGED) + list(_R5_STALE) + list(_ANCHORS)
+)
+assert len(_order) == 50, len(_order)  # exactly the driver window
 _order += [n for n in _CATALOG if n not in _order and n not in _TAIL]
 _order += list(_TAIL)
 assert len(_order) == len(set(_order)) == len(_CATALOG), (
