@@ -200,3 +200,50 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def trailing_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+    trailing_seconds: int = 600,
+) -> DataFrame:
+    """Trailing time-window aggregates per key: for every event, the
+    sum/count/max of ``value_col`` over the preceding ``trailing_seconds``
+    (inclusive of the current row) within the same key.
+
+    The rolling-feature primitive (trailing volume, request rate, moving
+    exposure) the cumulative ``running_total`` form can't express: the
+    frame is a TIME range, not a row count, so gaps and bursts weigh
+    correctly.
+
+    Implementation: a RANGE window frame over integer microsecond epoch —
+    ``rangeBetween`` needs a single numeric order key, and integer µs
+    keeps both engines' frame-boundary comparisons exact (a float-seconds
+    order key would make inclusion at the boundary ulp-dependent). Sums
+    run in decimal (inputs are ≤2 dp money-like doubles): a RANGE frame
+    is evaluated by one ordered sweep per key partition, but decimal
+    keeps the result independent of how the engine internally
+    re-associates the adds.
+
+    Scale shape: ONE shuffle on the key columns, then a per-partition
+    sort — the same cost as any per-key window. Hot keys serialize their
+    own sweep; if one key dominates, bucket the input on the key first
+    (same playbook as ``hourly_volume_salted``).
+    """
+    from pyspark.sql import Window
+
+    us = trailing_seconds * 1_000_000
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-us, 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    return events.select(
+        *events.columns,
+        F.sum(dec).over(w).cast("double").alias("trail_sum"),
+        F.count(F.col(value_col)).over(w).alias("trail_n"),
+        F.max(F.col(value_col)).over(w).alias("trail_max"),
+    )

@@ -81,6 +81,52 @@ def volume_bars(
     )
 
 
+def ohlc_bars(
+    ticks: DataFrame,
+    every: str = "1 minute",
+    by: tuple[str, ...] = ("asset",),
+) -> DataFrame:
+    """OHLCV candles per time bucket (beyond-notebook; the standard
+    market-data rollup the reference's pandas users build from the tick
+    parquet with ``resample().ohlc()``).
+
+    open/close are the order-extreme observations via ``min_by``/``max_by``
+    with the explicit total order key (exact log order when the replay
+    columns are present) — deterministic under any shuffle, unlike
+    ``first``/``last``. high/low are plain min/max; volume sums in decimal
+    for run-to-run bit stability.
+
+    Scale shape: one partial-aggregated groupBy — every agg here has a
+    map-side combiner, so the shuffle carries one row per (bucket, *by*)
+    per map task regardless of tick volume.
+    """
+    key = _order_key(ticks)
+    return (
+        ticks.filter(F.col("kind") == "TRADE")
+        .groupBy(F.window("event_time", every).alias("window"), *by)
+        .agg(
+            F.min_by("price", key).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", key).alias("close"),
+            F.sum(F.col("size").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.col("window.start").alias("bar_time"),
+            *by,
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )
+
+
 def trade_summary(ticks: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic ``describe()`` over trades (A5, ``bbo.ipynb`` cell 3).
 

@@ -637,6 +637,82 @@ def q_running_total(spark, sf_dir):
 
 
 @register(
+    "ohlc_candles",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           arg_min(value, event_id) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           arg_max(value, event_id) AS close_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="OHLCV candles — the standard market-data rollup "
+    "(operators/bars.py::ohlc_bars over tick tables; here over events so "
+    "DuckDB can verify). open/close are order-extreme observations via "
+    "min_by/max_by with an explicit scalar order key — deterministic "
+    "under any shuffle, unlike first()/last(). All six aggregates have "
+    "map-side combiners, so the single shuffle carries one row per "
+    "(hour, type) per map task regardless of input volume.",
+    tags=("agg", "bars"),
+)
+def q_ohlc_candles(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.min_by("value", "event_id").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "event_id").alias("close_v"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "trailing_window_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS trail_sum,
+           COUNT(value) OVER w AS trail_n,
+           MAX(value) OVER w AS trail_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing 10-minute per-user rolling aggregates "
+    "(operators/analytics.py::trailing_window_stats) — a TIME-range "
+    "frame, not a row frame, so bursts and gaps weigh correctly; the "
+    "rolling-feature primitive running_total's cumulative frame can't "
+    "express. Order key is integer microsecond epoch: rangeBetween "
+    "needs one numeric key, and integer µs keeps frame-boundary "
+    "inclusion exact in both engines (float seconds would make the "
+    "boundary ulp-dependent). One shuffle on user_id + per-partition "
+    "sort — same cost class as any per-key window; skewed keys take "
+    "the hourly_volume_salted playbook.",
+    tags=("window", "stateful"),
+)
+def q_trailing_window_sum(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        trailing_window_stats,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return trailing_window_stats(
+        e, ts_col="ts", key_cols=("user_id",), value_col="value",
+        trailing_seconds=600,
+    ).select("event_id", "user_id", "trail_sum", "trail_n", "trail_max")
+
+
+@register(
     "revenue_rollup",
     """
     SELECT coalesce(r.r_name, 'ALL') AS region,

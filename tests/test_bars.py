@@ -8,6 +8,7 @@ import pytest
 from polymarket_data_ingestor_spark.operators.bars import (
     bbo_bars,
     label_outcomes,
+    ohlc_bars,
     top_of_book,
     trade_summary,
     volume_bars,
@@ -62,6 +63,24 @@ def test_volume_bars(ticks_env):
               .agg(volume=("size", "sum"), n_trades=("size", "count")))
     got = got.sort_values(["bar_time", "asset"]).reset_index(drop=True)
     want = want.sort_values(["bar_time", "asset"]).reset_index(drop=True)
+    assert got["n_trades"].tolist() == want["n_trades"].tolist()
+    assert got["volume"].tolist() == pytest.approx(want["volume"].tolist())
+
+
+def test_ohlc_bars(ticks_env):
+    _, _, ticks, oracle = ticks_env
+    got = ohlc_bars(ticks, "1 minute").toPandas()
+    tr = oracle[oracle["kind"] == "TRADE"].copy()
+    tr["bar_time"] = tr["event_time"].dt.floor("1min")
+    # naive_replay output is in strict log order → first/last are correct
+    want = (tr.groupby(["bar_time", "asset"], as_index=False)
+              .agg(open=("price", "first"), high=("price", "max"),
+                   low=("price", "min"), close=("price", "last"),
+                   volume=("size", "sum"), n_trades=("size", "count")))
+    got = got.sort_values(["bar_time", "asset"]).reset_index(drop=True)
+    want = want.sort_values(["bar_time", "asset"]).reset_index(drop=True)
+    for c in ("open", "high", "low", "close"):
+        assert got[c].tolist() == want[c].tolist(), c
     assert got["n_trades"].tolist() == want["n_trades"].tolist()
     assert got["volume"].tolist() == pytest.approx(want["volume"].tolist())
 

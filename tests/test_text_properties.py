@@ -113,3 +113,55 @@ def test_bigram_lm_matches_naive_model(spark, docs):
         # 1e-9 per term at half-boundaries, which the 9-dp pre-round
         # bounds at ~1e-9 on the average
         assert got[i][1] == pytest.approx(avg, abs=5e-9)
+
+
+# --- WordPiece counter vs naive greedy model -------------------------------
+
+_WP_VOCAB = ("a", "b", "ab", "abc", "bca", "cab", "aaaa")
+_wp_words = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=8),
+    min_size=0,
+    max_size=6,
+)
+_wp_docs = st.lists(_wp_words, min_size=1, max_size=5)
+
+
+def _naive_wordpiece_count(text: str, vocab: tuple[str, ...]) -> int:
+    """Independent greedy longest-match model (no memo, no maxlen cap)."""
+    total = 0
+    for w in text.split():
+        pos, n = 0, 0
+        while pos < len(w):
+            piece = next(
+                (
+                    w[pos : pos + plen]
+                    for plen in range(len(w) - pos, 0, -1)
+                    if w[pos : pos + plen] in vocab
+                ),
+                None,
+            )
+            if piece is None:
+                n = 1  # whole word collapses to [UNK]
+                break
+            n += 1
+            pos += len(piece)
+        total += n
+    return total
+
+
+@given(_wp_docs)
+@settings(max_examples=5, deadline=None)
+def test_wordpiece_counts_match_naive_model(spark, docs):
+    from polymarket_data_ingestor_spark.operators.text import with_token_counts
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    got = {
+        r["doc_id"]: r["n_tok"]
+        for r in with_token_counts(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            vocab=_WP_VOCAB,
+        ).collect()
+    }
+    assert got == {
+        i: _naive_wordpiece_count(t, _WP_VOCAB) for i, t in rows
+    }

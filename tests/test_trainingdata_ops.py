@@ -987,3 +987,42 @@ def test_with_token_counts_plan_zero_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_trailing_window_stats_matches_naive(spark):
+    """Trailing 600s range-frame aggregates vs a naive O(n^2) Python
+    model, with an event exactly 600s earlier (boundary is inclusive)
+    and a cross-user collision at the same timestamp."""
+    import datetime as dt
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        trailing_window_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # (event_id, user, seconds offset, value)
+        (1, 1, 0.0, 10.0),
+        (2, 1, 599.999999, 5.0),   # inside the frame of e3
+        (3, 1, 600.0, 2.0),        # e1 exactly 600s earlier: included
+        (4, 1, 1200.000001, 7.0),  # e3 is 600.000001s earlier: excluded
+        (5, 2, 600.0, 100.0),      # same ts as e3, other user
+        (6, 2, 600.5, 1.0),
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, u, base + dt.timedelta(seconds=s), v)
+            for eid, u, s, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: (r["trail_sum"], r["trail_n"], r["trail_max"])
+        for r in trailing_window_stats(df).collect()
+    }
+    for eid, u, s, _ in rows:
+        inside = [
+            v2 for _, u2, s2, v2 in rows
+            if u2 == u and s - 600.0 <= s2 <= s
+        ]
+        assert got[eid] == (sum(inside), len(inside), max(inside)), eid
