@@ -127,6 +127,66 @@ def ohlc_bars(
     )
 
 
+def twap_bars(
+    ticks: DataFrame,
+    every: str = "1 hour",
+    by: tuple[str, ...] = ("asset", "side"),
+) -> DataFrame:
+    """Time-weighted average BBO price per bucket (TWAP).
+
+    Each observation holds from its event time until the NEXT observation
+    of the same key, clipped to the bucket end; the bucket's last
+    observation extends to the bucket end. No carry-in: a bucket with no
+    observations produces no row, and the first observation's weight
+    starts at its own timestamp, not the bucket start (carry-in requires
+    gap-filling across buckets — compose with a calendar spine if that
+    semantics is needed).
+
+    Unlike the plain mean, TWAP weighs a quote by how LONG it stood, so
+    a flurry of flickering quotes doesn't dominate a stable one.
+
+    Implementation: one ``lead`` over (key) ordered by event time + the
+    replay order key (ties broken totally, so the weighting is
+    deterministic), durations in integer microseconds, weighted sums in
+    decimal. Scale shape: ONE exchange — the window's hash partitioning
+    on the key columns is a subset of the bucket-grouping keys, so
+    Catalyst reuses it for the final aggregate without a second shuffle
+    (plan-gated in tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    key = _order_key(ticks)
+    bkt = F.window("event_time", every)
+    t_us = F.unix_micros("event_time")
+    w = Window.partitionBy(*by).orderBy(t_us, key)
+    obs = (
+        ticks.filter(F.col("kind") == "BBO")
+        .withColumn("__t", t_us)
+        .withColumn("__end", F.unix_micros(bkt["end"]))
+        .withColumn("__bkt", bkt["start"])
+        .withColumn("__next", F.lead("__t").over(w))
+        .withColumn(
+            "__dur",
+            F.least(F.coalesce(F.col("__next"), F.col("__end")), F.col("__end"))
+            - F.col("__t"),
+        )
+    )
+    pd_ = F.col("price").cast("decimal(18,10)") * F.col("__dur").cast(
+        "decimal(12,0)"
+    )
+    return (
+        obs.groupBy("__bkt", *by)
+        .agg(
+            (
+                F.sum(pd_).cast("double")
+                / F.sum("__dur").cast("double")
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(F.col("__bkt").alias("bar_time"), *by, "twap", "n_obs")
+    )
+
+
 def trade_summary(ticks: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic ``describe()`` over trades (A5, ``bbo.ipynb`` cell 3).
 

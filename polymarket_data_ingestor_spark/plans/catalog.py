@@ -713,6 +713,70 @@ def q_trailing_window_sum(spark, sf_dir):
 
 
 @register(
+    "twap_hourly",
+    """
+    WITH obs AS (
+      SELECT event_type, value, event_id,
+             date_trunc('hour', ts) AS hour,
+             epoch_us(ts) AS t,
+             epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS end_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    )
+    SELECT hour, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(least(coalesce(nxt, end_us), end_us) - t
+                           AS DECIMAL(12,0))) AS DOUBLE)
+             / CAST(SUM(least(coalesce(nxt, end_us), end_us) - t) AS DOUBLE)
+             AS twap,
+           count(*) AS n_obs
+    FROM obs
+    GROUP BY 1, 2
+    """,
+    doc="Hourly time-weighted average (TWAP) per event_type "
+    "(operators/bars.py::twap_bars over tick tables; here over events so "
+    "DuckDB can verify). Each observation holds until the next one of "
+    "the same key, clipped to the hour end — a value is weighted by how "
+    "LONG it stood, so flickering updates don't dominate stable ones. "
+    "Durations are integer microseconds and the weighted sum runs in "
+    "decimal: both engines agree bit-exactly, with ONE double division "
+    "at the edge. Ties in the lead order are broken by event_id (total "
+    "order → deterministic weights). Scale shape: the window's hash "
+    "partitioning on the key is a subset of the grouping keys, so the "
+    "final aggregate reuses it — one exchange total (plan-gated). The "
+    "key here (event_type) is low-cardinality by test-table design; "
+    "real TWAP keys (asset) are high-cardinality, same plan.",
+    tags=("window", "bars"),
+)
+def q_twap_hourly(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    end_us = F.unix_micros(
+        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+    )
+    w = Window.partitionBy("event_type").orderBy(t, "event_id")
+    obs = (
+        e.withColumn("hour", F.date_trunc("hour", "ts"))
+        .withColumn("__t", t)
+        .withColumn("__end", end_us)
+        .withColumn("__nxt", F.lead(t).over(w))
+    )
+    dur = F.least(
+        F.coalesce(F.col("__nxt"), F.col("__end")), F.col("__end")
+    ) - F.col("__t")
+    return obs.groupBy("hour", "event_type").agg(
+        (
+            F.sum(
+                F.col("value").cast("decimal(18,2)") * dur.cast("decimal(12,0)")
+            ).cast("double")
+            / F.sum(dur).cast("double")
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@register(
     "revenue_rollup",
     """
     SELECT coalesce(r.r_name, 'ALL') AS region,

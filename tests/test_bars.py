@@ -11,6 +11,7 @@ from polymarket_data_ingestor_spark.operators.bars import (
     ohlc_bars,
     top_of_book,
     trade_summary,
+    twap_bars,
     volume_bars,
 )
 from polymarket_data_ingestor_spark.operators.replay import replay, with_event_time
@@ -83,6 +84,33 @@ def test_ohlc_bars(ticks_env):
         assert got[c].tolist() == want[c].tolist(), c
     assert got["n_trades"].tolist() == want["n_trades"].tolist()
     assert got["volume"].tolist() == pytest.approx(want["volume"].tolist())
+
+
+def test_twap_bars(ticks_env):
+    _, _, ticks, oracle = ticks_env
+    got = twap_bars(ticks, "1 hour").toPandas()
+    bbo = oracle[oracle["kind"] == "BBO"].copy().reset_index(drop=True)
+    bbo["t"] = bbo["event_time"].astype("int64") // 1000  # µs
+    bbo["bar_time"] = bbo["event_time"].dt.floor("1h")
+    bbo["end"] = (bbo["bar_time"] + pd.Timedelta(hours=1)).astype("int64") // 1000
+    # TWAP orders observations by exchange TIME (ties broken by log
+    # order) — the feed's exchange timestamps are not monotone in log
+    # order, so sort before the groupby-shift (mergesort = stable, log
+    # order preserved within equal timestamps)
+    bbo = bbo.sort_values("t", kind="mergesort").reset_index(drop=True)
+    bbo["nxt"] = bbo.groupby(["asset", "side"])["t"].shift(-1)
+    bbo["dur"] = bbo[["nxt", "end"]].min(axis=1).fillna(bbo["end"]) - bbo["t"]
+    want = (
+        bbo.assign(pd_=bbo["price"] * bbo["dur"])
+        .groupby(["bar_time", "asset", "side"], as_index=False)
+        .agg(pd_=("pd_", "sum"), d=("dur", "sum"), n_obs=("dur", "count"))
+    )
+    want["twap"] = want["pd_"] / want["d"]
+    keys = ["bar_time", "asset", "side"]
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert got["n_obs"].tolist() == want["n_obs"].tolist()
+    assert got["twap"].tolist() == pytest.approx(want["twap"].tolist())
 
 
 def test_trade_summary(ticks_env):

@@ -53,6 +53,30 @@ def test_bars_partial_aggregation(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_ohlc_candles_partial_aggregation(spark):
+    plan = plan_of(spark, "ohlc_candles")
+    # all six aggs map-side combine → one row per (hour, type) per map task
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_trailing_window_single_exchange(spark):
+    plan = plan_of(spark, "trailing_window_sum")
+    # one shuffle on the key, one per-partition sort, no SinglePartition
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_twap_single_exchange(spark):
+    plan = plan_of(spark, "twap_hourly")
+    # the window's hash partitioning (event_type) is a subset of the
+    # grouping keys (hour, event_type) → the aggregate reuses it; one
+    # exchange in the whole plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_semi_and_anti_join_shapes(spark):
     for name, kind in (("semi_join", "LeftSemi"), ("anti_join", "LeftAnti")):
         plan = plan_of(spark, name)
