@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "substring_dedup_materialize",
     "funnel_user_paths_multipass",
     "chunk_documents",
+    "ohlc_candles",
+    "trailing_window_sum",
+    "twap_hourly",
 ]
 
 

@@ -131,10 +131,19 @@ def main() -> None:
         bigram_lm_score,
     )
 
+    from polymarket_data_ingestor_spark.operators.text import (
+        with_token_counts,
+    )
+
     for op, fn in (
         ("doc_bigram_lm", bigram_lm_score),
         ("substring_dup_pairs",
          lambda d: substring_dup_pairs(d, k=8, min_shared=2)),
+        # zero-shuffle Arrow scan: the slope should track raw row count
+        # (a super-linear slope means the word memo or broadcast vocab
+        # stopped amortizing)
+        ("wordpiece_counts",
+         lambda d: with_token_counts(d).agg(F.sum("n_tok")).count()),
     ):
         for scale, d in ((1, docs1), (10, docs10)):
             sec = _time2(lambda: fn(d).count())
