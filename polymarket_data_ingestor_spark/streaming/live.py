@@ -366,6 +366,51 @@ def live_bbo_bars(
     )
 
 
+def live_ohlc_bars(
+    ticks_stream: DataFrame,
+    every: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming OHLCV candles with a watermark — the live twin of
+    ``operators/bars.py::ohlc_bars``.
+
+    Same windowed-aggregate shape as :func:`live_bbo_bars` (watermark
+    bounds state; append mode emits a window once the watermark passes
+    its end), over TRADE ticks: open/close via ``min_by``/``max_by`` on
+    event time, decimal-exact volume. Ties at the same event-time
+    millisecond break arbitrarily (the durable tick table carries no
+    replay order key) — batch ``ohlc_bars`` over the replay output is
+    the deterministic form; this is the monitoring view.
+
+    Topology: feed from a tick-stream source (``readStream`` over the
+    durable tick table), not chained onto the stateful tick generator —
+    same watermark-propagation constraint as :func:`live_bbo_bars`.
+    """
+    typed = ticks_stream.withColumn(
+        "event_time", F.timestamp_millis(F.col("timestamp").cast("long"))
+    )
+    t = F.col("event_time")
+    return (
+        typed.filter(F.col("kind") == "TRADE")
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", every).alias("w"), "asset")
+        .agg(
+            F.min_by("price", t).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", t).alias("close"),
+            F.sum(F.col("size").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.col("w.start").alias("bar_time"), "asset",
+            "open", "high", "low", "close", "volume", "n_trades",
+        )
+    )
+
+
 def live_ticks(
     frames_stream: DataFrame, state_api: str = "apply"
 ) -> DataFrame:

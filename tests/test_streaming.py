@@ -283,6 +283,72 @@ def test_live_bbo_bars_with_watermark(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_live_ohlc_bars_match_batch(spark, tmp_path):
+    """Streaming candles vs the same aggregation run in batch over the
+    same durable tick table: emitted (finalized) windows must agree
+    exactly on high/low/volume/n_trades; open/close must be A price
+    observed at the extreme event time (ties at the same ms break
+    arbitrarily in both engines, so equality is asserted as set
+    membership)."""
+    from polymarket_data_ingestor_spark.schemas import TICK_SCHEMA
+    from polymarket_data_ingestor_spark.streaming.live import live_ohlc_bars
+
+    src = tmp_path / "frames"
+    write_fixture_files(src, n_hours=2, msgs_per_hour=120, seed=34)
+    ticks_dir = tmp_path / "ticks"
+    out = tmp_path / "candles_out"
+
+    q1 = (
+        live_ticks(read_frames_stream(spark, str(src) + "/*.jsonl"))
+        .writeStream.format("parquet")
+        .option("path", str(ticks_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(300)
+
+    tick_stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ticks_dir))
+    )
+    q2 = (
+        live_ohlc_bars(tick_stream, "1 minute", "30 seconds")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    got = pd.read_parquet(out)
+    assert len(got) > 0
+    assert not got.duplicated(["bar_time", "asset"]).any()
+
+    ticks = pd.read_parquet(ticks_dir)
+    tr = ticks[ticks["kind"] == "TRADE"].copy()
+    tr["event_time"] = pd.to_datetime(tr["timestamp"].astype("int64"), unit="ms")
+    tr["bar_time"] = tr["event_time"].dt.floor("1min")
+    want = (
+        tr.groupby(["bar_time", "asset"], as_index=False)
+        .agg(high=("price", "max"), low=("price", "min"),
+             volume=("size", "sum"), n_trades=("size", "count"))
+    )
+    m = got.merge(want, on=["bar_time", "asset"], suffixes=("", "_w"))
+    assert len(m) == len(got)  # every emitted window exists in batch
+    assert m["high"].tolist() == m["high_w"].tolist()
+    assert m["low"].tolist() == m["low_w"].tolist()
+    assert m["n_trades"].tolist() == m["n_trades_w"].tolist()
+    assert m["volume"].tolist() == pytest.approx(m["volume_w"].tolist())
+    # open/close: any price observed at the extreme event time qualifies
+    for _, r in got.iterrows():
+        g = tr[(tr["bar_time"] == r["bar_time"]) & (tr["asset"] == r["asset"])]
+        assert r["open"] in set(g[g["event_time"] == g["event_time"].min()]["price"])
+        assert r["close"] in set(g[g["event_time"] == g["event_time"].max()]["price"])
+
+
+@pytest.mark.slow
 def test_book_stateful_processor_adapter_offline():
     """BookStatefulProcessor (the transformWithStateInPandas adapter)
     drives the shared kernel correctly through the handle/ValueState
