@@ -277,10 +277,19 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         q = CATALOG[name]
-        # count() forces full execution without driver-side
-        # materialization of the result set (the sink cost is what we'd
-        # tune separately).
-        timings[name] = _min_of_2(lambda: q.spark(spark, sf_dir).count())
+        # noop-format write: full execution of EVERY output column with
+        # no sink cost. count() (used through round 6) lets Catalyst
+        # prune output columns nothing downstream consumes — for entries
+        # whose expensive work lives in a projected column (the
+        # wordpiece tokenizer's ArrowEvalPython, the simhash kernels) it
+        # timed a bare scan. Round-7 baseline reset; deltas vs r6 are
+        # expected to be positive for the formerly-pruned entries.
+        timings[name] = _min_of_2(
+            lambda: q.spark(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
 
     calibration["sweep_session_end"] = _calibrate(spark)
 

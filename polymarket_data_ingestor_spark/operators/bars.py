@@ -171,8 +171,10 @@ def twap_bars(
             - F.col("__t"),
         )
     )
+    # decimal(18,0) durations: covers buckets up to ~31.7 kyears of µs —
+    # decimal(12,0) would overflow (NULL terms) past ~11.6-day buckets
     pd_ = F.col("price").cast("decimal(18,10)") * F.col("__dur").cast(
-        "decimal(12,0)"
+        "decimal(18,0)"
     )
     return (
         obs.groupBy("__bkt", *by)

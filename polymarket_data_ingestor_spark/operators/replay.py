@@ -381,17 +381,38 @@ def replay_feed_messages(
             # manifest gate) — don't pay a second gate pass here.
             any_hot = True
         else:
-            gate_counts = packed.groupBy("asset_id", "file_hour").agg(
-                F.sum(
-                    F.when(F.col("kind_code") == KIND_BOOK, 1).otherwise(0)
-                ).alias("__n_books")
-            )
-            any_hot = (
-                gate_counts.filter(F.col("__n_books") >= F.lit(k))
-                .limit(1)
-                .count()
-                > 0
-            )
+            # The gate is an eager Spark job at plan-BUILD time (the
+            # hot/cold decision picks which plan to build). Memoize it
+            # per (analyzed-plan semantic hash, k) so repeated
+            # constructions over the same source (retry loops, timing
+            # harnesses, notebooks) pay it once — the same
+            # immutable-log contract the path-keyed cache in replay()
+            # relies on. If the semantic hash is unavailable, fall
+            # back to computing the gate each call.
+            try:
+                gkey = (
+                    packed._jdf.queryExecution().analyzed().semanticHash(),
+                    k,
+                )
+            except Exception:  # pragma: no cover - py4j API drift
+                gkey = None
+            any_hot = _FEED_GATE_CACHE.get(gkey) if gkey is not None else None
+            if any_hot is None:
+                gate_counts = packed.groupBy("asset_id", "file_hour").agg(
+                    F.sum(
+                        F.when(F.col("kind_code") == KIND_BOOK, 1).otherwise(0)
+                    ).alias("__n_books")
+                )
+                any_hot = (
+                    gate_counts.filter(F.col("__n_books") >= F.lit(k))
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+                if gkey is not None:
+                    if len(_FEED_GATE_CACHE) >= _GATE_STATS_CACHE_MAX:
+                        _FEED_GATE_CACHE.clear()
+                    _FEED_GATE_CACHE[gkey] = any_hot
     if split_at_snapshots and any_hot:
         # The ordinal window partitions on (asset_id, file_hour), NOT
         # asset_id alone: a per-asset global window would serialize a
@@ -520,6 +541,9 @@ def replay_feed_messages(
 #: invalidates its entry. Bounded to keep long-lived drivers flat.
 _GATE_STATS_CACHE: dict[tuple, int] = {}
 _GATE_STATS_CACHE_MAX = 256
+#: Parse-based gate results for replay_feed_messages, keyed by
+#: (analyzed-plan semantic hash, snapshots_per_segment).
+_FEED_GATE_CACHE: dict[tuple, bool] = {}
 
 #: Matches an ``asset_id`` key/value inside a frame line. The frame's
 #: ``content`` field is a double-encoded JSON string, so the inner quotes
@@ -560,7 +584,7 @@ def _max_snapshot_cell(spark, paths: Sequence[str]) -> int:
     cand = spark.read.text(list(paths)).filter(F.col("value").contains("book"))
     cells = cand.select(
         F.regexp_extract(
-            F.input_file_name(), _FILE_HOUR_RE_FOR_GATE, 1
+            F.input_file_name(), _file_hour_re(), 1
         ).alias("file_hour"),
         F.explode(
             F.regexp_extract_all("value", F.lit(_ASSET_ID_RE), 1)
@@ -579,9 +603,14 @@ def _max_snapshot_cell(spark, paths: Sequence[str]) -> int:
     return max_cell
 
 
-#: Same hour-bucket regex as sources.frames._FILE_HOUR_RE (kept local so the
-#: gate has no import-order dependence on the sources package).
-_FILE_HOUR_RE_FOR_GATE = r"(\d{4}-\d{2}-\d{2}-\d{2})\.jsonl(\.zst|\.gz)?$"
+def _file_hour_re() -> str:
+    """The canonical hour-bucket regex, imported from sources.frames at
+    call time (same function-local import pattern replay() already uses)
+    — a drifting copy here would silently merge unmatched files into one
+    '' gate cell and force the hot path forever."""
+    from polymarket_data_ingestor_spark.sources.frames import _FILE_HOUR_RE
+
+    return _FILE_HOUR_RE
 
 
 def replay(

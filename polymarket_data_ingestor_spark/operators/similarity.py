@@ -594,8 +594,16 @@ def topk_recall(
     corpus again), and because the ratio is a division of two small
     exact integers it is bit-reproducible across engines.
     """
-    e = exact.select(query_id_col, id_col)
-    a = approx.select(query_id_col, id_col).withColumn("__hit", F.lit(1))
+    # dropDuplicates on both sides: a generator that emits the same
+    # (query, neighbor) twice (multiprobe union, banded self-join) must
+    # not fan the left join out — duplicate matches would inflate BOTH
+    # counts and recall would stop meaning |approx ∩ exact| / |exact|.
+    e = exact.select(query_id_col, id_col).dropDuplicates()
+    a = (
+        approx.select(query_id_col, id_col)
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
+    )
     flagged = e.join(a, [query_id_col, id_col], "left")
     return flagged.agg(
         F.lit(int(k)).cast("long").alias("k"),

@@ -468,6 +468,10 @@ DEFAULT_WORDPIECE_VOCAB: tuple[str, ...] = tuple(
     "oup", "fil", "ter",
 )
 
+#: Broadcast handle cache for :func:`with_token_counts`, keyed by
+#: (applicationId, vocab) — see the leak note in that function.
+_VOCAB_BROADCASTS: dict = {}
+
 
 def with_token_counts(
     docs: DataFrame,
@@ -507,7 +511,16 @@ def with_token_counts(
         raise ValueError("with_token_counts: vocab must be non-empty")
     maxlen = max(len(p) for p in pieces)
     sc = docs.sparkSession.sparkContext
-    bvocab = sc.broadcast(frozenset(pieces))
+    # One broadcast per (application, vocab) — a long-lived driver calling
+    # this repeatedly (bench sweeps, notebooks) must not leak one executor
+    # broadcast per call; a real WordPiece vocab is tens of MB.
+    bkey = (sc.applicationId, pieces)
+    bvocab = _VOCAB_BROADCASTS.get(bkey)
+    if bvocab is None:
+        for stale in [k for k in _VOCAB_BROADCASTS if k[0] != sc.applicationId]:
+            del _VOCAB_BROADCASTS[stale]  # dead contexts' handles
+        bvocab = sc.broadcast(frozenset(pieces))
+        _VOCAB_BROADCASTS[bkey] = bvocab
     split_ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf("long")
@@ -532,10 +545,13 @@ def with_token_counts(
             memo[w] = n
             return n
 
+        # NOTE no str.strip(): it is Unicode-aware and would eat leading
+        # non-ASCII whitespace (U+00A0 etc.) that the ASCII \s+ split —
+        # and the DuckDB oracle's ASCII trim — keep as part of a word.
+        # Empty fragments from leading/trailing ASCII whitespace are
+        # dropped by the `if w` filter instead.
         out = [
-            0
-            if t is None
-            else sum(wc(w) for w in split_ws.split(t.strip()) if w)
+            0 if t is None else sum(wc(w) for w in split_ws.split(t) if w)
             for t in texts
         ]
         return pd.Series(out, dtype="int64")

@@ -727,7 +727,7 @@ def q_trailing_window_sum(spark, sf_dir):
     SELECT hour, event_type,
            CAST(SUM(CAST(value AS DECIMAL(18,2))
                     * CAST(least(coalesce(nxt, end_us), end_us) - t
-                           AS DECIMAL(12,0))) AS DOUBLE)
+                           AS DECIMAL(18,0))) AS DOUBLE)
              / CAST(SUM(least(coalesce(nxt, end_us), end_us) - t) AS DOUBLE)
              AS twap,
            count(*) AS n_obs
@@ -768,7 +768,7 @@ def q_twap_hourly(spark, sf_dir):
     return obs.groupBy("hour", "event_type").agg(
         (
             F.sum(
-                F.col("value").cast("decimal(18,2)") * dur.cast("decimal(12,0)")
+                F.col("value").cast("decimal(18,2)") * dur.cast("decimal(18,0)")
             ).cast("double")
             / F.sum(dur).cast("double")
         ).alias("twap"),

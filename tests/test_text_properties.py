@@ -118,8 +118,12 @@ def test_bigram_lm_matches_naive_model(spark, docs):
 # --- WordPiece counter vs naive greedy model -------------------------------
 
 _WP_VOCAB = ("a", "b", "ab", "abc", "bca", "cab", "aaaa")
+#   (NBSP) is NOT a separator for the ASCII-\s tokenizer — a word
+# containing it has no matching piece at that position and collapses to
+# [UNK]; the Unicode-aware str.strip()/str.split() would instead treat
+# it as whitespace, which is exactly the divergence this alphabet pins
 _wp_words = st.lists(
-    st.text(alphabet="abc", min_size=0, max_size=8),
+    st.text(alphabet="abc ", min_size=0, max_size=8),
     min_size=0,
     max_size=6,
 )
@@ -127,9 +131,17 @@ _wp_docs = st.lists(_wp_words, min_size=1, max_size=5)
 
 
 def _naive_wordpiece_count(text: str, vocab: tuple[str, ...]) -> int:
-    """Independent greedy longest-match model (no memo, no maxlen cap)."""
+    """Independent greedy longest-match model (no memo, no maxlen cap).
+
+    Splits on ASCII whitespace only — Java/RE2-common semantics, matching
+    the operator's contract and the DuckDB oracle's ASCII trim.
+    """
+    import re
+
     total = 0
-    for w in text.split():
+    for w in re.split(r"\s+", text, flags=re.ASCII):
+        if not w:
+            continue
         pos, n = 0, 0
         while pos < len(w):
             piece = next(

@@ -925,6 +925,20 @@ def test_topk_recall_math(spark):
     assert r.k == 2 and r.n_queries == 2 and r.recall == 0.75
 
 
+def test_topk_recall_dedups_inputs(spark):
+    """Duplicate (query, neighbor) pairs from a multiprobe/banded
+    generator must not fan the join out: recall stays
+    |approx ∩ exact| / |exact| over DISTINCT pairs."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id int, vec_id int"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10)], "query_id int, vec_id int"
+    )
+    r = S.topk_recall(exact, approx, k=2).first()
+    assert r.recall == 0.5, r  # fan-out would report 3/4
+
+
 def test_with_token_counts_greedy_semantics(spark):
     """Hand-computed greedy longest-match counts on a fixed tiny vocab,
     including the [UNK] collapse and the empty/whitespace-only edges."""

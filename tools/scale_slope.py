@@ -86,8 +86,14 @@ def main() -> None:
             # stages (per-(asset,file) ordinal window + per-file totals)
             # are all width-preserving, so a super-linear slope here
             # means a serial stage crept back into segment assignment.
+            # snapshots_per_segment=50 keeps the gate HOT at both
+            # scales (1x ≈ 91 book events per (asset,file) cell, 10x ≈
+            # 910) — with the default stride the safe-by-default gate
+            # would take the plain path at 1x and the split path at
+            # 10x, and the "slope" would compare two different plans.
             sec = _time2(lambda: replay(
-                spark, paths, split_at_snapshots=True).count())
+                spark, paths, split_at_snapshots=True,
+                snapshots_per_segment=50).count())
             results.append({"op": "replay_split", "scale": scale,
                             "rows": n, "sec": sec})
             print(json.dumps(results[-1]), flush=True)
@@ -141,9 +147,10 @@ def main() -> None:
          lambda d: substring_dup_pairs(d, k=8, min_shared=2)),
         # zero-shuffle Arrow scan: the slope should track raw row count
         # (a super-linear slope means the word memo or broadcast vocab
-        # stopped amortizing)
+        # stopped amortizing). The filter consumes n_tok so count()
+        # cannot prune the tokenizer UDF out of the timed plan.
         ("wordpiece_counts",
-         lambda d: with_token_counts(d).agg(F.sum("n_tok")).count()),
+         lambda d: with_token_counts(d).filter(F.col("n_tok") >= 0)),
     ):
         for scale, d in ((1, docs1), (10, docs10)):
             sec = _time2(lambda: fn(d).count())
