@@ -202,6 +202,124 @@ def cohort_retention(
     )
 
 
+def gap_fill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    bucket: str = "hour",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Regular calendar spine per key with last-observation-carried-forward.
+
+    Time-series consumers (model features, charts, as-of comparisons)
+    need one row per (key, bucket) even when nothing happened in a
+    bucket. For each key this emits every bucket from the key's first to
+    its last observation, carrying the most recent observed value across
+    the gaps (classic LOCF / ``gap-fill`` from time-series databases).
+    ``is_observed`` marks real buckets; the leading bucket is always
+    observed by construction, so ``value_filled`` is never NULL.
+
+    Within a bucket the LAST observation wins, by the total order
+    (``ts``, ``order_col``) — deterministic under any shuffle.
+
+    Scale shape: the naive formulation (build a spine, left-join the
+    observations, forward-fill with a window) costs three exchanges and
+    a join. This instead makes each observed bucket emit ITSELF plus its
+    gap-buckets — ``lead(bucket)`` per key, then ``sequence()`` up to
+    (next bucket − 1) carrying the observed value — so LOCF holds by
+    construction: per-bucket ``max_by`` rollup (one shuffle, map-side
+    combined) + one ``lead`` window per key, NO join, no
+    ``last(ignorenulls)`` sweep, and the spine rows are generated
+    distributed (no driver calendar, no cross join). A key pays rows
+    proportional to its own span only. A key whose span is pathological
+    (one tick in 1990, one today) still emits its full spine — bound it
+    upstream with a time filter if that's not wanted.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    bkt = F.date_trunc(bucket, F.col(ts_col))
+    order_key = F.struct(F.col(ts_col), F.col(order_col))
+    observed = events.groupBy(*keys, bkt.alias("bucket_ts")).agg(
+        F.max_by(F.col(value_col), order_key).alias("__obs")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("bucket_ts")
+    step = F.expr(f"INTERVAL 1 {bucket}")
+    fill_to = F.coalesce(
+        F.lead("bucket_ts").over(w) - step, F.col("bucket_ts")
+    )
+    return (
+        observed.withColumn("__to", fill_to)
+        .select(
+            *key_cols,
+            "__obs",
+            F.posexplode(
+                F.sequence(F.col("bucket_ts"), F.col("__to"), step)
+            ).alias("__pos", "bucket_ts"),
+        )
+        .select(
+            *key_cols,
+            "bucket_ts",
+            F.col("__obs").alias("value_filled"),
+            (F.col("__pos") == 0).alias("is_observed"),
+        )
+    )
+
+
+def delta_volatility(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    bucket: str = "hour",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-(key, bucket) realized variability of consecutive value moves.
+
+    The market-analytics "realized volatility" rollup, decimal-exact up
+    to the last step so any engine agrees bit-for-bit: consecutive
+    deltas ``d_i = v_i - v_{i-1}`` within a key (2-dp decimal), then per
+    bucket the sample variance over the textbook identity
+    ``(n·Σd² − (Σd)²) / (n·(n−1))``. Σd and Σd² are decimal sums —
+    order-independent, so no float accumulation order can leak in — and
+    only the final identity is evaluated in double (a fixed 4-flop
+    expression over exact inputs, IEEE-identical everywhere; keeping the
+    identity itself in decimal would hit the two engines' different
+    precision-cap rules for products of wide decimals). Buckets with
+    fewer than 2 deltas report NULL variance, not 0 — "no information"
+    and "no movement" are different answers.
+
+    A delta belongs to the bucket of its LATER observation (the move is
+    only known then). The lag order is the total order (``ts``,
+    ``order_col``) so ties are deterministic.
+
+    Scale shape: one window shuffle on the key, and the bucket aggregate
+    reuses the window's hash partitioning (key ⊆ grouping keys) — one
+    exchange total, same plan family as ``twap_bars``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    v = F.col(value_col).cast("decimal(18,2)")
+    d = (v - F.lag(v).over(w)).alias("__d")
+    obs = events.select(
+        *key_cols, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"), d
+    ).filter(F.col("__d").isNotNull())
+    n = F.count(F.lit(1))
+    nd = n.cast("double")
+    s1 = F.sum(F.col("__d")).cast("double")
+    s2 = F.sum(F.col("__d") * F.col("__d")).cast("double")
+    var = F.when(n >= 2, (nd * s2 - s1 * s1) / (nd * (nd - F.lit(1.0))))
+    return obs.groupBy(*key_cols, "bucket_ts").agg(
+        n.alias("n_moves"),
+        s1.alias("net_move"),
+        var.alias("move_var"),
+    )
+
+
 def trailing_window_stats(
     events: DataFrame,
     ts_col: str = "ts",

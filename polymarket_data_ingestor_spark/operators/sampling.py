@@ -85,6 +85,47 @@ def rank_sample(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — every training pipeline's
+    first partitioning decision, made a pure function of (seed, id).
+
+    ``splits`` maps split name → fraction; fractions must sum to 1 (to
+    permyriad resolution). Each row lands in exactly one split via
+    ``hash32(seed:id) % 10000`` against the cumulative thresholds of the
+    names in sorted order: the same document goes to the same split on
+    any engine, any partitioning, any day — and (crucially for
+    leakage-free evals) adding MORE data later never moves an existing
+    document between splits, because the assignment never looks at other
+    rows.
+
+    Scale shape: zero shuffle — a per-row CASE over the portable hash,
+    evaluated inside the scan's whole-stage codegen. Splitting 100 TB is
+    exactly as parallel as reading it.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) * RATE_DENOM >= 1:
+        raise ValueError(
+            f"hash_split: fractions must sum to 1, got {total}"
+        )
+    bucket = _sample_hash(id_col, seed)
+    cum = 0
+    expr: Column | None = None
+    names = sorted(splits.items())
+    for name, frac in names[:-1]:
+        cum += int(frac * RATE_DENOM)
+        e = F.when(bucket < cum, F.lit(name))
+        expr = e if expr is None else expr.when(bucket < cum, F.lit(name))
+    last = F.lit(names[-1][0])
+    label = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, label)
+
+
 def mixture_sample(
     df: DataFrame,
     budgets: Mapping[str, int],

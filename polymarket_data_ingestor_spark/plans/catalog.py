@@ -777,6 +777,96 @@ def q_twap_hourly(spark, sf_dir):
 
 
 @register(
+    "gap_fill_hourly",
+    """
+    WITH obs AS (
+      SELECT event_type, bucket_ts, value AS obs_v FROM (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+               row_number() OVER (
+                 PARTITION BY event_type, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM (SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+            FROM obs GROUP BY 1)
+    )
+    SELECT s.event_type, s.bucket_ts,
+           last_value(o.obs_v IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_ts
+             ROWS UNBOUNDED PRECEDING) AS value_filled,
+           o.obs_v IS NOT NULL AS is_observed
+    FROM spine s
+    LEFT JOIN obs o ON s.event_type = o.event_type
+                   AND s.bucket_ts = o.bucket_ts
+    """,
+    doc="Regular hourly spine per key with last-observation-carried-"
+    "forward (operators/analytics.py::gap_fill) — the time-series "
+    "gap-fill/LOCF primitive: one row per (key, hour) across each key's "
+    "span even when nothing happened, carrying the latest observed "
+    "value over gaps. Within an hour the LAST observation wins by the "
+    "total order (ts, event_id). The spine comes from sequence()+"
+    "explode per key — generated distributed, no driver calendar, no "
+    "cross join; each key pays rows proportional to its own span.",
+    tags=("window", "timeseries"),
+)
+def q_gap_fill_hourly(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import gap_fill
+
+    return gap_fill(
+        table(spark, sf_dir, "events"),
+        ts_col="ts", key_cols=("event_type",), value_col="value",
+        bucket="hour", order_col="event_id",
+    )
+
+
+@register(
+    "delta_volatility",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(value AS DECIMAL(18,2))
+               - lag(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS dd
+      FROM events
+    )
+    SELECT event_type, bucket_ts,
+           count(*) AS n_moves,
+           CAST(SUM(dd) AS DOUBLE) AS net_move,
+           CASE WHEN count(*) >= 2 THEN
+             (CAST(count(*) AS DOUBLE) * CAST(SUM(dd * dd) AS DOUBLE)
+              - CAST(SUM(dd) AS DOUBLE) * CAST(SUM(dd) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE)
+                * (CAST(count(*) AS DOUBLE) - 1.0))
+           END AS move_var
+    FROM d WHERE dd IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Per-(key, hour) realized variability of consecutive value "
+    "moves (operators/analytics.py::delta_volatility). Deltas are 2-dp "
+    "decimal lags in (ts, event_id) total order, assigned to the bucket "
+    "of the LATER observation; variance uses the one-pass identity "
+    "(n*S2 - S1^2)/(n*(n-1)) over exact decimal sums with only the "
+    "final 4-flop identity in double — order-independent, bit-exact "
+    "across engines. <2 deltas reports NULL, not 0. One exchange: the "
+    "lag window's key partitioning is a subset of the grouping keys.",
+    tags=("window", "agg", "bars"),
+)
+def q_delta_volatility(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        delta_volatility,
+    )
+
+    return delta_volatility(
+        table(spark, sf_dir, "events"),
+        ts_col="ts", key_cols=("event_type",), value_col="value",
+        bucket="hour", order_col="event_id",
+    )
+
+
+@register(
     "revenue_rollup",
     """
     SELECT coalesce(r.r_name, 'ALL') AS region,

@@ -973,6 +973,38 @@ def q_rank_sample(spark, sf_dir):
 
 
 @register(
+    "hash_split_docs",
+    f"""
+    SELECT doc_id, lang, source,
+           CASE
+             WHEN ({sql_hash32("CAST(doc_id AS VARCHAR)", seed=7)}
+                   % 10000) < 500 THEN 'test'
+             WHEN ({sql_hash32("CAST(doc_id AS VARCHAR)", seed=7)}
+                   % 10000) < 9500 THEN 'train'
+             ELSE 'val'
+           END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test assignment (90/5/5) keyed on "
+    "hash32(seed:doc_id) — every training pipeline's first partitioning "
+    "decision, made a pure function of (seed, id) so the same document "
+    "lands in the same split on any engine, any day, and adding more "
+    "data later never moves an existing document across splits "
+    "(leakage-free evals). Zero shuffle: a per-row CASE inside the "
+    "scan's codegen.",
+    tags=("trainmix",),
+)
+def q_hash_split_docs(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.sampling import hash_split
+
+    return hash_split(
+        table(spark, sf_dir, "documents"),
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+        seed=7,
+    ).select("doc_id", "lang", "source", "split")
+
+
+@register(
     "vocab_stats",
     f"""
     WITH toks AS (

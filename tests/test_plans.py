@@ -418,3 +418,33 @@ def test_substring_dup_single_gram_extraction(spark):
     )
     assert final.count("ArrowEvalPython") == 1
     assert "CartesianProduct" not in final
+
+
+def test_gap_fill_no_join_two_exchanges(spark):
+    """gap_fill's scale shape: gap rows are GENERATED per observed
+    bucket (lead + sequence), not joined against a spine — the naive
+    spine+join+fill form costs a third exchange and a join. Plan: the
+    (key, bucket) rollup exchange + the per-key lead window exchange,
+    nothing else; no join operator of any kind."""
+    plan = plan_of(spark, "gap_fill_hourly")
+    assert plan.count("Exchange") == 2, plan
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_delta_volatility_single_exchange(spark):
+    """The lag window partitions on the key — a subset of the grouping
+    keys (key, bucket) — so the bucket aggregate must reuse the window's
+    hash layout: ONE exchange in the whole plan, with a partial_count
+    map-side combine absent (the input is already co-located)."""
+    plan = plan_of(spark, "delta_volatility")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_hash_split_zero_exchange_pushdown(spark):
+    """hash_split is a per-row CASE over the portable hash: zero
+    exchanges, zero joins — splitting N TB is exactly as parallel as
+    reading it."""
+    plan = plan_of(spark, "hash_split_docs")
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -1040,3 +1040,84 @@ def test_trailing_window_stats_matches_naive(spark):
             if u2 == u and s - 600.0 <= s2 <= s
         ]
         assert got[eid] == (sum(inside), len(inside), max(inside)), eid
+
+
+def test_gap_fill_spine_and_locf(spark):
+    """Hourly gap-fill: complete per-key spine, LOCF across gaps,
+    last-in-bucket by (ts, event_id) with an id-vs-ts disagreement,
+    and no bleed between keys."""
+    import datetime as dt
+
+    from polymarket_data_ingestor_spark.operators.analytics import gap_fill
+
+    h = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def at(hour, minute=0):
+        return h + dt.timedelta(hours=hour, minutes=minute)
+
+    rows = [
+        # key A: hours 0, 3 observed -> hours 1, 2 filled with hour-0 value
+        (1, "A", at(0, 10), 10.0),
+        # hour 0 tie: event 2 is EARLIER by ts but later by id — ts wins
+        (2, "A", at(0, 5), 99.0),
+        (3, "A", at(3, 0), 30.0),
+        # key B: single hour — spine is exactly one row
+        (4, "B", at(2, 0), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {
+        (r.event_type, r.bucket_ts.hour): (r.value_filled, r.is_observed)
+        for r in gap_fill(df).collect()
+    }
+    assert out == {
+        ("A", 0): (10.0, True),   # event 1 (latest ts) wins the bucket
+        ("A", 1): (10.0, False),
+        ("A", 2): (10.0, False),
+        ("A", 3): (30.0, True),
+        ("B", 2): (7.0, True),
+    }, out
+
+
+def test_delta_volatility_matches_naive(spark):
+    """Per-(key, hour) delta variance vs a naive model: deltas in
+    (ts, event_id) order, bucket of the LATER observation, ddof=1
+    variance, NULL (not 0) for single-delta buckets, key isolation."""
+    import datetime as dt
+    import statistics
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        delta_volatility,
+    )
+
+    h = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def at(hour, minute):
+        return h + dt.timedelta(hours=hour, minutes=minute)
+
+    rows = [
+        # key A hour 0: values 1, 3, 2 -> deltas +2, -1
+        (1, "A", at(0, 0), 1.0),
+        (2, "A", at(0, 20), 3.0),
+        (3, "A", at(0, 40), 2.0),
+        # key A hour 1: one obs -> ONE delta (from hour 0's last) in hour 1
+        (4, "A", at(1, 30), 5.0),
+        # key B: same timestamps, must not mix with A
+        (5, "B", at(0, 10), 100.0),
+        (6, "B", at(0, 50), 90.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r.event_type, r.bucket_ts.hour): (r.n_moves, r.net_move, r.move_var)
+        for r in delta_volatility(df).collect()
+    }
+    assert set(got) == {("A", 0), ("A", 1), ("B", 0)}
+    n, net, var = got[("A", 0)]
+    assert (n, net) == (2, 1.0)
+    assert var == pytest.approx(statistics.variance([2.0, -1.0]))
+    # single-delta buckets: variance is NULL, not 0
+    assert got[("A", 1)] == (1, 3.0, None)
+    assert got[("B", 0)] == (1, -10.0, None)

@@ -292,3 +292,38 @@ def test_precomputed_counts_null_raises(spark):
     assert pack_sequences(
         df.fillna(3, subset=["my_n"]), seq_len=4, n_tok_col="my_n"
     ).count() > 0
+
+
+def test_hash_split_partition_and_determinism(spark, docs):
+    """hash_split: every row gets exactly one split, proportions land in
+    loose binomial windows, assignment is a pure function of (seed, id)
+    — stable under subsetting — and bad fractions fail loudly."""
+    import pytest
+    from polymarket_data_ingestor_spark.operators.sampling import hash_split
+
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    n = docs.count()
+    sizes = {r.split: r.n for r in
+             out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == n  # exhaustive + disjoint (one col)
+    assert 0.7 * n < sizes["train"] < 0.9 * n
+    for s in ("val", "test"):
+        assert 0.03 * n < sizes[s] < 0.2 * n
+    # subset-stability: assigning HALF the corpus gives the same labels
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_labels = {r.doc_id: r.split for r in
+                   out.select("doc_id", "split").collect()}
+    half_labels = {r.doc_id: r.split for r in
+                   hash_split(half, {"train": 0.8, "val": 0.1, "test": 0.1},
+                              seed=3).select("doc_id", "split").collect()}
+    assert all(full_labels[d] == s for d, s in half_labels.items())
+    # a different seed shuffles the assignment
+    other = {r.doc_id: r.split for r in
+             hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                        seed=4).select("doc_id", "split").collect()}
+    assert other != full_labels
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"train": 0.8, "val": 0.1})
+    # degenerate single split: everything lands there, no CASE needed
+    assert hash_split(docs, {"all": 1.0}).groupBy("split").count() \
+        .collect()[0].split == "all"
