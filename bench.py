@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "ohlc_candles",
     "trailing_window_sum",
     "twap_hourly",
+    "gap_fill_hourly",
+    "delta_volatility",
+    "hash_split_docs",
 ]
 
 

@@ -576,6 +576,54 @@ def embedding_dup_pairs(
     )
 
 
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact per-label centroid of an embedding column, order-independent.
+
+    The building block for class prototypes, IVF-style codebook seeding,
+    and embedding-space drift monitoring: one ``array<double>`` mean
+    vector per label, plus ``n_vecs``. Each component is fixed to 12
+    fractional digits by ``floor(v * 1e12)`` — one IEEE multiply + floor,
+    bit-identical on every engine (decimal ROUNDING here is NOT: engines
+    disagree half-up vs half-even on ties) — and summed as an exact
+    integer decimal, so the total is independent of row order and
+    partitioning (double sums would drift with the reduction tree).
+    ONE double division chain per component at the edge.
+
+    Scale shape: ``posexplode`` fans each vector into (label, dim, v)
+    rows, but the groupBy's map-side partial aggregation collapses them
+    to at most #labels x dim rows per map task before the shuffle — the
+    exchange carries centroids-in-progress, never the corpus. The final
+    per-label array assembly sorts a dim-length list, trivial. Adding
+    10x more vectors changes per-task work, not shuffle volume.
+    """
+    ex = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    )
+    scaled = F.floor(F.col("__v").cast("double") * F.lit(1.0e12))
+    per_dim = ex.groupBy(label_col, "dim").agg(
+        F.sum(scaled.cast("decimal(38,0)")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mean = (
+        F.col("__s").cast("double") / F.col("__n") / F.lit(1.0e12)
+    ).alias("__m")
+    return (
+        per_dim.select(label_col, "dim", "__n", mean)
+        .groupBy(label_col)
+        .agg(
+            F.max("__n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "__m"))),
+                lambda s: s["__m"],
+            ).alias("centroid"),
+        )
+    )
+
+
 def topk_recall(
     exact: DataFrame,
     approx: DataFrame,

@@ -89,6 +89,45 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_percentile_filter(
+    df: DataFrame,
+    q: float = 0.5,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents at or above the ``q``-th quality percentile of
+    their stratum — the relative quality cut (FineWeb/DCLM-style "keep
+    the best X% per language") that an absolute score threshold can't
+    express: a cutoff tuned for English silently empties or floods other
+    languages, while a percentile adapts to each stratum's own score
+    distribution.
+
+    Rank position is ``percent_rank()`` over ``(quality, id)`` — the id
+    tie-break makes the order total, so the kept set is deterministic on
+    any engine even when many documents share a score. Rows with
+    ``percent_rank >= q`` survive (ascending order: higher rank = better
+    quality), so ``q=0.5`` keeps the top half. Note the boundary
+    convention: a single-document stratum has percent_rank 0 and is only
+    kept when ``q == 0``.
+
+    Scale shape: one shuffle on the stratum + a per-partition sort (the
+    same cost class as any per-key window); the quality features are
+    pure Catalyst expressions computed in the scan's stage. Strata are
+    languages — few and fat — so a dominant language serializes its own
+    sort; at extreme skew pre-bucket on the stratum (the
+    ``hourly_volume_salted`` playbook).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy("quality", id_col)
+    return (
+        quality_score(df, text_col)
+        .withColumn("q_rank", F.percent_rank().over(w))
+        .filter(F.col("q_rank") >= q)
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", n: int = 2
 ) -> DataFrame:

@@ -83,6 +83,87 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+@register(
+    "quality_percentile_filter",
+    f"""
+    SELECT doc_id, lang, quality, q_rank FROM (
+      SELECT doc_id, lang, quality,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY quality, doc_id) AS q_rank
+      FROM (
+        SELECT doc_id, lang,
+               round(least(n_tok / 64.0, 1.0) * 0.25
+                     + (n_uniq / n_tok) * 0.5
+                     + (1.0 - (n_chars - n_alnum) / n_chars) * 0.25, 6)
+                 AS quality
+        FROM (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS DOUBLE) AS n_tok,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                      AS DOUBLE) AS n_alnum
+          FROM (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks
+                FROM documents))))
+    WHERE q_rank >= 0.5
+    """,
+    doc="Relative quality cut: keep documents at or above the median "
+    "quality of their OWN language (operators/text.py::"
+    "quality_percentile_filter) — the FineWeb/DCLM-style per-stratum "
+    "percentile filter an absolute threshold can't express. percent_rank "
+    "over the total order (quality, doc_id) makes the kept set "
+    "deterministic under score ties; one shuffle on the stratum.",
+    tags=("text", "trainmix"),
+)
+def q_quality_percentile_filter(spark, sf_dir):
+    return T.quality_percentile_filter(
+        table(spark, sf_dir, "documents"), q=0.5
+    ).select("doc_id", "lang", "quality", "q_rank")
+
+
+@register(
+    "label_centroids",
+    """
+    WITH ex AS (
+      SELECT label, t.range AS dim,
+             CAST(FLOOR(CAST(e.embedding[t.range + 1] AS DOUBLE) * 1.0e12)
+                  AS DECIMAL(38,0)) AS v
+      FROM embeddings e, range(0, 64) t
+    ),
+    agg AS (
+      SELECT label, dim, SUM(v) AS s, count(*) AS n
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT label, n AS n_vecs, dim,
+           CAST(s AS DOUBLE) / n / 1.0e12 AS centroid_v
+    FROM agg
+    """,
+    doc="Exact per-label embedding centroids "
+    "(operators/similarity.py::label_centroids), unpacked to one row "
+    "per (label, dim) so the value hash pins every component. "
+    "Components are fixed to 12 fractional digits by floor(v*1e12) — "
+    "one IEEE multiply + floor, bit-identical on every engine, where "
+    "decimal ROUNDING is not (half-up vs half-even ties) — then summed "
+    "as exact integer decimals: order-independent, bit-reproducible "
+    "across engines and partitionings, one double division chain at "
+    "the edge. The posexplode fan-out collapses map-side to #labels x "
+    "dims rows per task before the shuffle: the exchange carries "
+    "centroids-in-progress, never the corpus.",
+    tags=("embedding", "agg"),
+)
+def q_label_centroids(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return label_centroids(emb).select(
+        "label",
+        "n_vecs",
+        F.posexplode("centroid").alias("dim", "centroid_v"),
+    )
+
+
 def _sql_lang_hits(lang: str) -> str:
     markers = T.LANG_MARKERS[lang]
     return " + ".join(

@@ -448,3 +448,23 @@ def test_hash_split_zero_exchange_pushdown(spark):
     plan = plan_of(spark, "hash_split_docs")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_label_centroids_partial_agg_before_shuffle(spark):
+    """The posexplode fan-out must collapse map-side: a partial_ hash
+    aggregate sits under the (label, dim) exchange, so the shuffle
+    carries centroids-in-progress, never corpus rows. Two exchanges
+    total ((label, dim) rollup + per-label assembly), no join."""
+    plan = plan_of(spark, "label_centroids")
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_sum" in plan or "partial_" in plan, plan
+    assert "Join" not in plan
+
+
+def test_quality_percentile_single_stratum_shuffle(spark):
+    """The percentile cut is one per-stratum window: exactly one
+    exchange (hash on lang), quality features computed in the scan
+    stage, no join."""
+    plan = plan_of(spark, "quality_percentile_filter")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan

@@ -1121,3 +1121,78 @@ def test_delta_volatility_matches_naive(spark):
     # single-delta buckets: variance is NULL, not 0
     assert got[("A", 1)] == (1, 3.0, None)
     assert got[("B", 0)] == (1, -10.0, None)
+
+
+def test_label_centroids_exact_and_partition_independent(spark):
+    """Centroids match the naive per-label mean, and the exact integer
+    summation makes the result IDENTICAL (not just close) under any
+    partitioning of the input."""
+    import numpy as np
+
+    from polymarket_data_ingestor_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    labels = [int(i % 3) for i in range(40)]
+    df = spark.createDataFrame(
+        [(labels[i], [float(x) for x in vecs[i]]) for i in range(40)],
+        "label int, embedding array<float>",
+    )
+    got = {r.label: (r.n_vecs, r.centroid)
+           for r in label_centroids(df).collect()}
+    for lbl in set(labels):
+        member = vecs[[i for i in range(40) if labels[i] == lbl]]
+        assert got[lbl][0] == len(member)
+        assert len(got[lbl][1]) == 8
+        naive = member.astype("float64").mean(axis=0)
+        assert np.allclose(got[lbl][1], naive, atol=1e-9), lbl
+    # bit-identical under repartitioning: floor-scaled integer sums
+    # cannot drift with the reduction tree the way double sums do
+    a = sorted(map(tuple, label_centroids(df.repartition(7)).collect()))
+    b = sorted(map(tuple, label_centroids(df.coalesce(1)).collect()))
+    assert a == b
+
+
+def test_quality_percentile_filter_keeps_top_half(spark):
+    """Per-stratum percentile cut vs a naive model: the kept set is the
+    top half of each language by (quality, doc_id), single-doc strata
+    drop at q>0, and q=0 keeps everything."""
+    from polymarket_data_ingestor_spark.operators.text import (
+        quality_percentile_filter,
+        quality_score,
+    )
+
+    rows = [
+        # lang en: 4 docs of visibly different quality
+        (1, "en", "a a a a a a a a"),                    # repetitive
+        (2, "en", "the quick brown fox jumps high"),
+        (3, "en", "!!! ??? ... ###"),                    # punct soup
+        (4, "en", "one two three four five six seven"),
+        # lang de: 2 docs
+        (5, "de", "ein zwei drei vier"),
+        (6, "de", "ja ja ja ja"),
+        # lang fr: single doc -> percent_rank 0 -> dropped at q=0.5
+        (7, "fr", "bonjour le monde"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = {r.doc_id for r in quality_percentile_filter(df, q=0.5).collect()}
+    scores = {
+        r.doc_id: (r.lang, r.quality)
+        for r in quality_score(df).select("doc_id", "lang", "quality")
+        .collect()
+    }
+    want = set()
+    for lang in ("en", "de", "fr"):
+        members = sorted(
+            (q, d) for d, (lg, q) in scores.items() if lg == lang
+        )
+        n = len(members)
+        for rank, (_, d) in enumerate(members):
+            if n > 1 and rank / (n - 1) >= 0.5:
+                want.add(d)
+    assert kept == want, (kept, want)
+    assert 7 not in kept  # single-doc stratum at q=0.5
+    assert {r.doc_id for r in quality_percentile_filter(df, q=0.0)
+            .collect()} == set(scores)
