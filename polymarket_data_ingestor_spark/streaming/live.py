@@ -411,6 +411,52 @@ def live_ohlc_bars(
     )
 
 
+def live_sessions(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the live twin of the batch
+    ``sessionize`` catalog entry, on Spark's native ``session_window``
+    (merging session state, watermark-bounded; no custom stateful UDF).
+
+    Emits one row per finalized session: ``(user, session_start,
+    session_last, n_events)`` where ``session_start``/``session_last``
+    are the first/last event times (NOT the window end — Spark pads the
+    window end by ``gap`` past the last event; we report observed
+    times so the columns line up with the batch form's min/max).
+
+    Boundary convention differs from batch by one instant: the batch
+    form starts a new session when the inter-event gap is STRICTLY
+    greater than ``gap`` (lag-compare ``>``), while ``session_window``
+    merges an event only while it lands strictly inside the padded
+    window — an event exactly ``gap`` after its predecessor starts a
+    new session here but continues the session in batch. Continuous
+    event times never hit the boundary; document-aligned consumers
+    should pick one form, not mix them.
+
+    Scale shape: session aggregation state is per (user, open-session)
+    and bounded by the watermark; the shuffle is hash(user) like any
+    per-key agg. Append mode emits a session once the watermark passes
+    ``session_last + gap``.
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("__w"),
+            F.col(user_col),
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(user_col, "session_start", "session_last", "n_events")
+    )
+
+
 def live_ticks(
     frames_stream: DataFrame, state_api: str = "apply"
 ) -> DataFrame:

@@ -541,3 +541,56 @@ def test_live_ticks_matches_batch_replay(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.slow
+def test_live_sessions_match_naive_model(spark, tmp_path):
+    """Streaming session_window sessionization vs a naive per-user gap
+    model over the same events: finalized sessions must agree on
+    (start, last, n_events). Model uses >= gap as the new-session rule
+    (session_window's convention; see the docstring boundary note)."""
+    from polymarket_data_ingestor_spark.streaming.live import live_sessions
+
+    ev_dir = tmp_path / "events"
+    out = tmp_path / "sessions_out"
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.select("user_id", "ts").write.parquet(str(ev_dir))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ev_dir))
+    )
+    q = (
+        live_sessions(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = pd.read_parquet(out)
+    assert len(got) > 0
+    # naive model: sort per user by ts, split where diff >= 30 min
+    df = events.select("user_id", "ts").toPandas()
+    df = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    gap = pd.Timedelta(minutes=30)
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        ts = list(g["ts"])
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last >= gap:
+                want[(uid, start)] = (last, n)
+                start, n = t, 0
+            last = t
+            n += 1
+        want[(uid, start)] = (last, n)
+    # every EMITTED (finalized) session must match the model exactly;
+    # sessions still open at end-of-stream are legitimately unemitted
+    for r in got.itertuples(index=False):
+        key = (r.user_id, r.session_start)
+        assert key in want, key
+        assert want[key] == (r.session_last, r.n_events), (key, want[key], r)

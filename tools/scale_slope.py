@@ -195,6 +195,58 @@ def main() -> None:
                         "band_bits": bits})
         print(json.dumps(results[-1]), flush=True)
 
+    # ---- label centroids on the same 1x/10x embeddings ----
+    # (labels unchanged across copies: shuffle volume is #labels x dims
+    # per map task at EVERY scale — the slope isolates scan/fan-out cost)
+    from polymarket_data_ingestor_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    for scale, e in ((1, emb), (10, emb10)):
+        # emb10 carries no label column; derive one with FIXED
+        # cardinality at both scales so the shuffle volume claim
+        # (#labels x dims per map task) is what the slope measures
+        labeled = e.withColumn(
+            "label", (F.col("vec_id") % 10).cast("int")
+        )
+        sec = _time2(lambda: label_centroids(labeled).count())
+        results.append({"op": "label_centroids", "scale": scale,
+                        "rows": n_emb * scale, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
+    # ---- events 10x: gap_fill + delta_volatility ----
+    # copies keep ts/event_type and shift event_id: bucket/key structure
+    # (and so gap_fill's spine size) is IDENTICAL at both scales, so the
+    # slope measures the rollup/window sweep, not output growth.
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        delta_volatility,
+        gap_fill,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_ev = ev.count()
+    ev10_path = str(TMP / "events_x10.parquet")
+    if not Path(ev10_path).exists():
+        ev10 = ev
+        for i in range(1, 10):
+            ev10 = ev10.unionByName(
+                ev.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+                )
+            )
+        ev10.write.parquet(ev10_path)
+    ev10 = spark.read.parquet(ev10_path)
+
+    for op, fn in (
+        ("gap_fill", lambda d: gap_fill(d).count()),
+        ("delta_volatility", lambda d: delta_volatility(d).count()),
+    ):
+        for scale, d in ((1, ev), (10, ev10)):
+            sec = _time2(lambda: fn(d))
+            results.append({"op": op, "scale": scale,
+                            "rows": n_ev * scale, "sec": sec})
+            print(json.dumps(results[-1]), flush=True)
+
     # slope summary
     by_op: dict[str, dict[int, float]] = {}
     for r in results:
