@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "gap_fill_hourly",
     "delta_volatility",
     "hash_split_docs",
+    "hashed_embedding_docs",
+    "skew_profile",
 ]
 
 

@@ -320,6 +320,44 @@ def delta_volatility(
     )
 
 
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle key: the ``top_k``
+    heaviest key values with their row counts and share of the total —
+    the diagnostic you run BEFORE choosing a partition/join key at
+    100 TB, where one hot key turns a shuffle into a single straggler
+    task. Feeds the salting decision (``hourly_volume_salted`` playbook)
+    with numbers instead of guesses.
+
+    Deterministic: ties on the count break by the key values, so the
+    top-k SET (and every share) is a pure function of the data.
+
+    Scale shape: one count aggregate (map-side combined), then the
+    top-k is ``orderBy(...).limit(k)`` — Spark executes that as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k-row
+    lists), NOT a global sort shuffle; the grand total rides in as a
+    broadcast 1-row aggregate (the catalog's 1-row crossJoin pattern),
+    so nothing ever materializes the full key distribution in one
+    place.
+    """
+    keys = [F.col(k) for k in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n",
+            (F.col("n").cast("double") / F.col("__total")).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), *keys)
+        .limit(top_k)
+    )
+
+
 def trailing_window_stats(
     events: DataFrame,
     ts_col: str = "ts",

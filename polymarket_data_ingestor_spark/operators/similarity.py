@@ -576,6 +576,76 @@ def embedding_dup_pairs(
     )
 
 
+def hashed_embedding(
+    docs: DataFrame,
+    n_dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dense: bool = True,
+) -> DataFrame:
+    """Deterministic hashing-trick document vectors (feature hashing /
+    signed bag-of-words): every token votes ``±1`` into dimension
+    ``hash32(token) % n_dims``, sign from the hash's next modulus class
+    (``+1`` iff ``hash % 2*n_dims >= n_dims`` — pure integer modulo, so
+    both the dimension and the sign are engine-exact; no float, no
+    model). The classic cheap text embedding: good enough to feed the
+    cosine / centroid / LSH machinery for near-dup and clustering work
+    without any trained encoder, and reproducible forever.
+
+    ``dense=True`` returns ``(id, embedding array<double>)`` ready for
+    :func:`cosine_topk` / :func:`label_centroids`; ``dense=False``
+    returns the sparse ``(id, dim, w)`` rows (zero weights dropped).
+    Docs with NULL text vanish (no tokens to vote); empty text yields
+    the single empty-string token, matching ``text.tokens`` everywhere
+    else.
+
+    Scale shape: explode → one groupBy(id, dim) with map-side combine —
+    the shuffle carries at most ``n_dims`` cells per doc, not tokens;
+    the dense assembly is a per-id map build, no extra exchange beyond
+    the id rollup. Integer weights: exact, order-independent, no
+    decimal needed.
+    """
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+    from polymarket_data_ingestor_spark.operators.text import tokens
+
+    ex = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    h = hash32(F.col("__tok"))
+    pairs = ex.select(
+        F.col(id_col),
+        (h % n_dims).alias("dim"),
+        F.when(h % (2 * n_dims) >= n_dims, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("__sign"),
+    )
+    sparse = (
+        pairs.groupBy(id_col, "dim")
+        .agg(F.sum("__sign").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    if not dense:
+        return sparse
+    return (
+        sparse.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("dim", "w"))
+            ).alias("__m")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_dims - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i), F.lit(0)
+                ).cast("double"),
+            ).alias("embedding"),
+        )
+    )
+
+
 def label_centroids(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -867,6 +867,37 @@ def q_delta_volatility(spark, sf_dir):
 
 
 @register(
+    "skew_profile",
+    """
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT user_id, n, CAST(n AS DOUBLE) / t AS share
+    FROM counts, tot
+    ORDER BY n DESC, user_id
+    LIMIT 20
+    """,
+    doc="Heavy-hitter profile of a prospective shuffle key "
+    "(operators/analytics.py::key_skew_profile): the 20 heaviest "
+    "user_ids with counts and share of total — the pre-shuffle "
+    "diagnostic that turns the salting decision into numbers. "
+    "Deterministic top-k ((n DESC, key) total order); executed as "
+    "TakeOrderedAndProject over a map-side-combined count, grand total "
+    "broadcast as a 1-row aggregate — the full key distribution never "
+    "materializes in one place.",
+    tags=("agg", "diagnostics"),
+)
+def q_skew_profile(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(
+        table(spark, sf_dir, "events"), key_cols=("user_id",), top_k=20
+    )
+
+
+@register(
     "revenue_rollup",
     """
     SELECT coalesce(r.r_name, 'ALL') AS region,

@@ -84,6 +84,39 @@ def q_doc_quality(spark, sf_dir):
 
 
 @register(
+    "hashed_embedding_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+    )
+    SELECT doc_id, h % 64 AS dim,
+           CAST(SUM(CASE WHEN h % 128 >= 64 THEN 1 ELSE -1 END)
+                AS BIGINT) AS w
+    FROM h GROUP BY 1, 2
+    HAVING SUM(CASE WHEN h % 128 >= 64 THEN 1 ELSE -1 END) != 0
+    """,
+    doc="Deterministic hashing-trick document vectors "
+    "(operators/similarity.py::hashed_embedding, sparse form): each "
+    "token votes +/-1 into dimension hash32(token) % 64, sign from the "
+    "next modulus class — pure integer modulo, engine-exact, no model. "
+    "The cheap reproducible embedding that feeds the cosine/centroid/"
+    "LSH machinery without a trained encoder. Shuffle carries at most "
+    "n_dims cells per doc (map-side combined), never the token stream.",
+    tags=("embedding", "text"),
+)
+def q_hashed_embedding_docs(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.similarity import (
+        hashed_embedding,
+    )
+
+    return hashed_embedding(
+        table(spark, sf_dir, "documents"), n_dims=64, dense=False
+    )
+
+
+@register(
     "quality_percentile_filter",
     f"""
     SELECT doc_id, lang, quality, q_rank FROM (

@@ -468,3 +468,22 @@ def test_quality_percentile_single_stratum_shuffle(spark):
     plan = plan_of(spark, "quality_percentile_filter")
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def test_hashed_embedding_single_exchange_partial_agg(spark):
+    """The token explode collapses map-side: one exchange on (id, dim)
+    with a partial aggregate under it — the shuffle carries at most
+    n_dims cells per doc, never the token stream. No join."""
+    plan = plan_of(spark, "hashed_embedding_docs")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_" in plan, plan
+    assert "Join" not in plan
+
+
+def test_skew_profile_takeordered_no_global_sort(spark):
+    """The top-k must run as TakeOrderedAndProject (per-partition heaps
+    + driver merge of k rows), not a global Sort shuffle; the grand
+    total arrives broadcast."""
+    plan = plan_of(spark, "skew_profile")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

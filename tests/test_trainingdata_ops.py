@@ -1196,3 +1196,61 @@ def test_quality_percentile_filter_keeps_top_half(spark):
     assert 7 not in kept  # single-doc stratum at q=0.5
     assert {r.doc_id for r in quality_percentile_filter(df, q=0.0)
             .collect()} == set(scores)
+
+
+def test_hashed_embedding_matches_naive_and_dense_sparse_agree(spark):
+    """Hashing-trick vectors vs an independent Python model (md5-based
+    hash32, +/-1 votes), dense/sparse consistency, and the NULL/empty
+    text edges."""
+    import hashlib
+
+    rows = [(1, "apple banana apple"), (2, "x"), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_dims = 8
+
+    def h32(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    want = {}
+    for did, text in rows:
+        if text is None:
+            continue  # no tokens -> doc vanishes
+        vec = [0] * n_dims
+        toks = __import__("re").split(r"\s+", text.strip(), flags=0) or [""]
+        for tok in toks:
+            h = h32(tok)
+            vec[h % n_dims] += 1 if h % (2 * n_dims) >= n_dims else -1
+        want[did] = [float(v) for v in vec]
+
+    got = {r.doc_id: r.embedding for r in
+           S.hashed_embedding(df, n_dims=n_dims).collect()}
+    assert got == want, (got, want)
+    # sparse form reconstructs the dense one exactly
+    sp = S.hashed_embedding(df, n_dims=n_dims, dense=False).collect()
+    rebuilt = {d: [0.0] * n_dims for d in got}
+    for r in sp:
+        assert r.w != 0  # zeros are dropped
+        rebuilt[r.doc_id][r.dim] = float(r.w)
+    assert rebuilt == got
+    # the dense output feeds the cosine machinery directly
+    assert S.cosine_topk(
+        S.hashed_embedding(df, n_dims=n_dims).withColumnRenamed(
+            "doc_id", "vec_id"),
+        queries=S.hashed_embedding(df.limit(1), n_dims=n_dims)
+        .withColumnRenamed("doc_id", "query_id"),
+        k=2,
+    ).count() > 0
+
+
+def test_key_skew_profile_counts_and_ties(spark):
+    """Top-k heavy hitters: exact counts, shares over the TRUE total
+    (not just the top-k's), and deterministic tie order by key."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        key_skew_profile,
+    )
+
+    rows = [(1,)] * 5 + [(2,)] * 3 + [(3,)] * 3 + [(4,)] * 1
+    df = spark.createDataFrame(rows, "user_id long")
+    got = key_skew_profile(df, ("user_id",), top_k=3).collect()
+    assert [(r.user_id, r.n) for r in got] == [(1, 5), (2, 3), (3, 3)]
+    assert got[0].share == pytest.approx(5 / 12)  # denominator: ALL rows
