@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "hash_split_docs",
     "hashed_embedding_docs",
     "skew_profile",
+    "arrival_latency",
 ]
 
 

@@ -320,6 +320,53 @@ def delta_volatility(
     )
 
 
+def inter_arrival_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    order_col: str = "event_id",
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-key inter-arrival-time distribution: n/min/max plus exact
+    quantiles of the gaps (integer µs) between consecutive events — the
+    feed-health and burstiness profile (is this key ticking steadily or
+    in bursts?) that mean arrival rate hides.
+
+    Gaps are integer microseconds in the total order (``ts``,
+    ``order_col``); quantiles are EXACT (``percentile``), linearly
+    interpolated over the sorted gaps — Spark and DuckDB
+    (``quantile_cont``) interpolate identically over identical integer
+    inputs, so even the interpolated values are bit-reproducible.
+
+    Scale shape: one lag window + the aggregate reusing its key
+    partitioning (one exchange, same family as ``delta_volatility``) —
+    but exact percentile BUFFERS each group's gaps on the reducer, so
+    this is the forensic tool for bounded key cardinality. For
+    unbounded keys or whole-corpus sweeps use the KLL sketch path
+    (``approx_value_quantiles``): bounded state, rank-error-pinned.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = (t - F.lag(t).over(w)).alias("__d")
+    gaps = events.select(*key_cols, d).filter(F.col("__d").isNotNull())
+    qs = [
+        F.expr(f"percentile(__d, {q})").alias(
+            f"p{str(q)[2:].ljust(2, '0')}"
+        )
+        for q in quantiles
+    ]
+    return gaps.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("__d").alias("min_us"),
+        *qs,
+        F.max("__d").alias("max_us"),
+    )
+
+
 def key_skew_profile(
     df: DataFrame,
     key_cols: tuple[str, ...] = ("user_id",),

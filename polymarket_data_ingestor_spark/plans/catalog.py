@@ -867,6 +867,47 @@ def q_delta_volatility(spark, sf_dir):
 
 
 @register(
+    "arrival_latency",
+    """
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS dd
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           min(dd) AS min_us,
+           quantile_cont(dd, 0.5) AS p50,
+           quantile_cont(dd, 0.95) AS p95,
+           max(dd) AS max_us
+    FROM d WHERE dd IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Per-key inter-arrival-time distribution "
+    "(operators/analytics.py::inter_arrival_stats): n/min/max + EXACT "
+    "p50/p95 of the µs gaps between consecutive events in (ts, "
+    "event_id) total order — the burstiness profile mean rate hides. "
+    "Spark percentile() and DuckDB quantile_cont interpolate "
+    "identically over identical integer gaps (verified bit-exact). "
+    "One exchange (lag window partitioning reused by the aggregate); "
+    "exact percentile buffers per-group gaps, so this is the "
+    "bounded-key forensic form — unbounded keys take the KLL path "
+    "(approx_value_quantiles).",
+    tags=("window", "agg", "diagnostics"),
+)
+def q_arrival_latency(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        inter_arrival_stats,
+    )
+
+    return inter_arrival_stats(
+        table(spark, sf_dir, "events"),
+        ts_col="ts", key_cols=("event_type",), order_col="event_id",
+    )
+
+
+@register(
     "skew_profile",
     """
     WITH counts AS (

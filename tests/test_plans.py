@@ -487,3 +487,10 @@ def test_skew_profile_takeordered_no_global_sort(spark):
     plan = plan_of(spark, "skew_profile")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_arrival_latency_single_exchange(spark):
+    """The lag window's key partitioning must be reused by the exact-
+    percentile aggregate: one exchange total."""
+    plan = plan_of(spark, "arrival_latency")
+    assert plan.count("Exchange") == 1, plan

@@ -1254,3 +1254,35 @@ def test_key_skew_profile_counts_and_ties(spark):
     got = key_skew_profile(df, ("user_id",), top_k=3).collect()
     assert [(r.user_id, r.n) for r in got] == [(1, 5), (2, 3), (3, 3)]
     assert got[0].share == pytest.approx(5 / 12)  # denominator: ALL rows
+
+
+def test_inter_arrival_stats_matches_numpy(spark):
+    """Exact inter-arrival quantiles vs numpy's linear interpolation on
+    the same gaps, with a tie broken by event_id and key isolation."""
+    import datetime as dt
+
+    import numpy as np
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        inter_arrival_stats,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (1, "A", base + dt.timedelta(seconds=0)),
+        (2, "A", base + dt.timedelta(seconds=1)),
+        (3, "A", base + dt.timedelta(seconds=4)),
+        (5, "A", base + dt.timedelta(seconds=10)),  # id 5 before id 4...
+        (4, "A", base + dt.timedelta(seconds=10)),  # ...same ts: id orders
+        (6, "B", base + dt.timedelta(seconds=2)),
+        (7, "B", base + dt.timedelta(seconds=3)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = {r.event_type: r for r in inter_arrival_stats(df).collect()}
+    # A in (ts, id) order: ids 1,2,3,4,5 -> gaps 1s, 3s, 6s, 0s
+    gaps_a = np.array([1e6, 3e6, 6e6, 0.0])
+    assert got["A"].n_gaps == 4 and got["A"].min_us == 0
+    assert got["A"].max_us == 6_000_000
+    assert got["A"].p50 == np.percentile(gaps_a, 50)
+    assert got["A"].p95 == np.percentile(gaps_a, 95)
+    assert got["B"].n_gaps == 1 and got["B"].p50 == 1e6
