@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "hashed_embedding_docs",
     "skew_profile",
     "arrival_latency",
+    "snapshot_diff",
 ]
 
 

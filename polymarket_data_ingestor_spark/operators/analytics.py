@@ -320,6 +320,76 @@ def delta_volatility(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+    compare_cols: tuple[str, ...] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Typed diff between two snapshots of the same keyed table — the
+    change-data-capture primitive (what changed between yesterday's
+    crawl/market cache and today's?) that generalizes the plain
+    anti/semi cache-diff: every key is classified ``added`` /
+    ``removed`` / ``changed`` (/ ``unchanged``), with the old and new
+    values of each compared column side by side.
+
+    ``compare_cols`` defaults to every shared non-key column.
+    Comparison is null-safe (``<=>``): a NULL→value transition is a
+    real change, NULL→NULL is not. ``unchanged`` rows are dropped
+    unless asked for — the diff of two mostly-identical 100 TB
+    snapshots should be small output, not a third copy.
+
+    Scale shape: ONE full outer join on the keys — both sides shuffle
+    on the same key layout, the classification is a per-row CASE, and
+    the (default) unchanged-filter prunes the overwhelming majority of
+    rows before anything downstream. No window, no second pass.
+    """
+    if compare_cols is None:
+        compare_cols = tuple(
+            c
+            for c in old.columns
+            if c in set(new.columns) and c not in set(key_cols)
+        )
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    joined = o.join(n, list(key_cols), "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(
+            F.col(f"new_{c}")
+        )
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *key_cols,
+        change.alias("change"),
+        *[
+            c
+            for pair in (
+                (F.col(f"old_{cc}"), F.col(f"new_{cc}"))
+                for cc in compare_cols
+            )
+            for c in pair
+        ],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
 def inter_arrival_stats(
     events: DataFrame,
     ts_col: str = "ts",

@@ -867,6 +867,54 @@ def q_delta_volatility(spark, sf_dir):
 
 
 @register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT event_id, value FROM events WHERE event_id % 7 != 0
+    ), new AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END
+               AS value
+      FROM events WHERE event_id % 11 != 0
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.value IS DISTINCT FROM n.value THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           o.value AS old_value, n.value AS new_value
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE NOT (o.event_id IS NOT NULL AND n.event_id IS NOT NULL
+               AND o.value IS NOT DISTINCT FROM n.value)
+    """,
+    doc="Typed snapshot diff / change-data-capture "
+    "(operators/analytics.py::snapshot_diff): classify every key as "
+    "added/removed/changed between two snapshots, null-safe value "
+    "compare, unchanged rows pruned — the generalization of the "
+    "reference's anti/semi cache-diff (SURVEY J3) to a full typed "
+    "delta. ONE full outer join on the key; the fixture derives both "
+    "snapshots from events (drop %7 ids on the old side, drop %11 and "
+    "perturb %5 values on the new side) so the oracle sees identical "
+    "inputs.",
+    tags=("join", "diagnostics"),
+)
+def q_snapshot_diff(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        snapshot_diff,
+    )
+
+    e = table(spark, sf_dir, "events")
+    old = e.filter(F.col("event_id") % 7 != 0).select("event_id", "value")
+    new = e.filter(F.col("event_id") % 11 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return snapshot_diff(old, new, key_cols=("event_id",))
+
+
+@register(
     "arrival_latency",
     """
     WITH d AS (

@@ -494,3 +494,11 @@ def test_arrival_latency_single_exchange(spark):
     percentile aggregate: one exchange total."""
     plan = plan_of(spark, "arrival_latency")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_snapshot_diff_single_join_no_window(spark):
+    """The typed diff is ONE full outer join on the key plus per-row
+    classification — no window, no second join pass."""
+    plan = plan_of(spark, "snapshot_diff")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
+    assert "Window" not in plan

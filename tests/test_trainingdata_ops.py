@@ -1286,3 +1286,30 @@ def test_inter_arrival_stats_matches_numpy(spark):
     assert got["A"].p50 == np.percentile(gaps_a, 50)
     assert got["A"].p95 == np.percentile(gaps_a, 95)
     assert got["B"].n_gaps == 1 and got["B"].p50 == 1e6
+
+
+def test_snapshot_diff_classification(spark):
+    """Every change class on a hand fixture: added, removed, changed,
+    NULL->value (a change), NULL->NULL (not a change), unchanged
+    dropped by default and kept on request."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, None), (5, 50.0)],
+        "k long, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, 21.0), (3, 30.0), (4, None), (5, 50.0), (6, 60.0)],
+        "k long, v double",
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, ("k",)).collect()}
+    assert got == {1: "removed", 2: "changed", 3: "changed", 6: "added"}
+    full = {r.k: r.change
+            for r in snapshot_diff(old, new, ("k",),
+                                   include_unchanged=True).collect()}
+    assert full[4] == "unchanged" and full[5] == "unchanged"
+    # old/new values ride along
+    row2 = {r.k: r for r in snapshot_diff(old, new, ("k",)).collect()}[2]
+    assert (row2.old_v, row2.new_v) == (20.0, 21.0)
