@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "skew_profile",
     "arrival_latency",
     "snapshot_diff",
+    "dedup_histogram",
 ]
 
 

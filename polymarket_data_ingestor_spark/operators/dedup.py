@@ -125,6 +125,45 @@ def drop_exact_dupes(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def dup_size_histogram(
+    df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplication profile of a corpus: how many content groups exist at
+    each duplication level, and how many documents they hold — the
+    one-page answer to "how duplicated is this crawl?" that drives the
+    dedup-strategy decision (a long tail of pairs wants MinHash; a few
+    megaclusters want the boilerplate path).
+
+    Output: ``(n_dupes, n_groups, n_docs, doc_share)`` — one row per
+    group size, ``n_docs = n_dupes * n_groups``, ``doc_share`` of the
+    corpus. ``n_dupes = 1`` is the unique mass.
+
+    Scale shape: the digest rollup (one shuffle of 16-byte digests,
+    map-side combined) followed by a tiny second aggregate over group
+    SIZES (cardinality = distinct duplication levels, dozens at any
+    corpus size) and a broadcast 1-row total for the share.
+    """
+    groups = exact_dedup_groups(df, key_col, id_col).select("n_dupes")
+    hist = groups.groupBy("n_dupes").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    total = hist.agg(
+        F.sum(F.col("n_dupes") * F.col("n_groups")).alias("__total")
+    )
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "n_dupes",
+            "n_groups",
+            (F.col("n_dupes") * F.col("n_groups")).alias("n_docs"),
+            (
+                (F.col("n_dupes") * F.col("n_groups")).cast("double")
+                / F.col("__total")
+            ).alias("doc_share"),
+        )
+    )
+
+
 def word_ngrams(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column (array<string>).
 

@@ -269,6 +269,43 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @register(
+    "dedup_histogram",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ), groups AS (
+      SELECT count(*) AS n_dupes FROM corpus GROUP BY md5(text)
+    ), hist AS (
+      SELECT n_dupes, count(*) AS n_groups FROM groups GROUP BY 1
+    ), tot AS (SELECT SUM(n_dupes * n_groups) AS t FROM hist)
+    SELECT n_dupes, n_groups, n_dupes * n_groups AS n_docs,
+           CAST(n_dupes * n_groups AS DOUBLE) / t AS doc_share
+    FROM hist, tot
+    """,
+    doc="Corpus duplication profile "
+    "(operators/dedup.py::dup_size_histogram): groups per duplication "
+    "level + document mass and share — the one-page 'how duplicated is "
+    "this crawl?' answer that picks the dedup strategy (pair tail -> "
+    "MinHash; megaclusters -> boilerplate path). Digest rollup shuffles "
+    "16-byte digests map-side combined; the histogram aggregate is over "
+    "group SIZES (dozens of rows at any corpus size); share via "
+    "broadcast 1-row total. Fixture plants every %10 doc as an exact "
+    "copy so the histogram has real mass at n_dupes=2.",
+    tags=("dedup", "diagnostics"),
+)
+def q_dedup_histogram(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return D.dup_size_histogram(corpus)
+
+
+@register(
     "ngram_jaccard_pairs",
     f"""
     WITH g AS (

@@ -1313,3 +1313,20 @@ def test_snapshot_diff_classification(spark):
     # old/new values ride along
     row2 = {r.k: r for r in snapshot_diff(old, new, ("k",)).collect()}[2]
     assert (row2.old_v, row2.new_v) == (20.0, 21.0)
+
+
+def test_dup_size_histogram(spark):
+    """Histogram identities on a planted fixture: sizes, group counts,
+    doc mass, and shares summing to 1."""
+    rows = (
+        [(i, f"unique text {i}") for i in range(6)]        # 6 singletons
+        + [(10 + i, "pair text") for i in range(2)]        # one pair
+        + [(20 + i, "triple text") for i in range(3)]      # one triple
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.n_dupes: (r.n_groups, r.n_docs, r.doc_share)
+           for r in D.dup_size_histogram(df).collect()}
+    assert got == {
+        1: (6, 6, 6 / 11), 2: (1, 2, 2 / 11), 3: (1, 3, 3 / 11)
+    }, got
+    assert sum(s for _, _, s in got.values()) == pytest.approx(1.0)
