@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "arrival_latency",
     "snapshot_diff",
     "dedup_histogram",
+    "cross_key_correlation",
 ]
 
 

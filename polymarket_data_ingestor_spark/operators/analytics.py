@@ -320,6 +320,76 @@ def delta_volatility(
     )
 
 
+def cross_key_correlation(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Pairwise Pearson correlation between keys' bucketed mean values —
+    the cross-asset correlation matrix (which markets move together?),
+    engine-exact by construction: per-(key, bucket) means are fixed to
+    6 fractional digits with ``floor(mean * 1e6)`` (one IEEE multiply +
+    floor — bit-identical everywhere, unlike decimal rounding of ties),
+    the five correlation sums (n, Σa, Σb, Σab, Σa², Σb²) accumulate as
+    exact integer decimals, and the Pearson identity runs once at the
+    edge in double (IEEE multiply/subtract/sqrt are correctly rounded,
+    so even the final value hashes identically).
+
+    Output: one row per unordered key pair (``key_a < key_b``) with
+    ``n_buckets`` co-observed buckets and ``corr`` (NULL when a side is
+    constant — zero variance has no defined correlation).
+
+    Scale shape: the bucket rollup is one map-side-combined shuffle;
+    the pair join is on the BUCKET (equi-join), so its fan-out is
+    #keys² per bucket — the right shape for the dozens-to-hundreds of
+    keys a correlation matrix is readable at; pre-filter the key set
+    for more. No window, no driver loop.
+    """
+    bkt = F.date_trunc(bucket, F.col(ts_col))
+    means = (
+        events.groupBy(F.col(key_col).alias("k"), bkt.alias("b"))
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("__mean")
+        )
+        .select(
+            "k",
+            "b",
+            F.floor(F.col("__mean") * F.lit(1.0e6)).alias("m"),
+        )
+    )
+    a, b_ = means.alias("a"), means.alias("b")
+    pairs = a.join(b_, on=[F.col("a.b") == F.col("b.b"),
+                           F.col("a.k") < F.col("b.k")]).select(
+        F.col("a.k").alias("key_a"),
+        F.col("b.k").alias("key_b"),
+        F.col("a.m").cast("decimal(18,0)").alias("ma"),
+        F.col("b.m").cast("decimal(18,0)").alias("mb"),
+    )
+    n = F.count(F.lit(1))
+    nd = n.cast("double")
+    sa = F.sum("ma").cast("double")
+    sb = F.sum("mb").cast("double")
+    sab = F.sum(F.col("ma") * F.col("mb")).cast("double")
+    saa = F.sum(F.col("ma") * F.col("ma")).cast("double")
+    sbb = F.sum(F.col("mb") * F.col("mb")).cast("double")
+    cov = nd * sab - sa * sb
+    va = nd * saa - sa * sa
+    vb = nd * sbb - sb * sb
+    return pairs.groupBy("key_a", "key_b").agg(
+        n.alias("n_buckets"),
+        F.when(
+            (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
+        ).alias("corr"),
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

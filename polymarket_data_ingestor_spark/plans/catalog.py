@@ -867,6 +867,53 @@ def q_delta_volatility(spark, sf_dir):
 
 
 @register(
+    "cross_key_correlation",
+    """
+    WITH m AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS b,
+             FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*)) * 1.0e6) AS mv
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.k AS key_a, b2.k AS key_b,
+             CAST(a.mv AS DECIMAL(18,0)) AS ma,
+             CAST(b2.mv AS DECIMAL(18,0)) AS mb
+      FROM m a JOIN m b2 ON a.b = b2.b AND a.k < b2.k
+    )
+    SELECT key_a, key_b, n AS n_buckets,
+           CASE WHEN va > 0 AND vb > 0
+                THEN cov / sqrt(va * vb) END AS corr
+    FROM (
+      SELECT key_a, key_b, count(*) AS n,
+             CAST(count(*) AS DOUBLE) * CAST(SUM(ma * mb) AS DOUBLE)
+               - CAST(SUM(ma) AS DOUBLE) * CAST(SUM(mb) AS DOUBLE) AS cov,
+             CAST(count(*) AS DOUBLE) * CAST(SUM(ma * ma) AS DOUBLE)
+               - CAST(SUM(ma) AS DOUBLE) * CAST(SUM(ma) AS DOUBLE) AS va,
+             CAST(count(*) AS DOUBLE) * CAST(SUM(mb * mb) AS DOUBLE)
+               - CAST(SUM(mb) AS DOUBLE) * CAST(SUM(mb) AS DOUBLE) AS vb
+      FROM p GROUP BY 1, 2)
+    """,
+    doc="Pairwise Pearson correlation between keys' hourly mean values "
+    "(operators/analytics.py::cross_key_correlation) — the cross-asset "
+    "'which markets move together' matrix. Engine-exact: means fixed "
+    "via floor(mean*1e6) (IEEE multiply+floor — the label_centroids "
+    "lesson: decimal ROUNDING ties diverge across engines, floor does "
+    "not), five correlation sums as exact integer decimals, Pearson "
+    "identity once at the edge in double (mul/sub/sqrt are correctly "
+    "rounded). Bucket-equi pair join: #keys^2 fan-out per bucket — the "
+    "readable-matrix regime; pre-filter keys beyond that. NULL corr on "
+    "zero variance.",
+    tags=("join", "agg", "bars"),
+)
+def q_cross_key_correlation(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        cross_key_correlation,
+    )
+
+    return cross_key_correlation(table(spark, sf_dir, "events"))
+
+
+@register(
     "snapshot_diff",
     """
     WITH old AS (

@@ -1330,3 +1330,40 @@ def test_dup_size_histogram(spark):
         1: (6, 6, 6 / 11), 2: (1, 2, 2 / 11), 3: (1, 3, 3 / 11)
     }, got
     assert sum(s for _, _, s in got.values()) == pytest.approx(1.0)
+
+
+def test_cross_key_correlation_matches_numpy(spark):
+    """Pairwise correlation of hourly means vs numpy.corrcoef over the
+    same floor-quantized means; perfectly anti-correlated pair pins the
+    sign, a constant key yields NULL."""
+    import datetime as dt
+
+    import numpy as np
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        cross_key_correlation,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # A rises 1,2,3,4 ; B falls 4,3,2,1 (perfect -1) ; C constant
+    for h, (va, vb) in enumerate([(1, 4), (2, 3), (3, 2), (4, 1)]):
+        for k, v in (("A", va), ("B", vb), ("C", 7)):
+            eid += 1
+            rows.append((eid, k, base + dt.timedelta(hours=h), float(v)))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {(r.key_a, r.key_b): (r.n_buckets, r.corr)
+           for r in cross_key_correlation(df).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    n, corr = got[("A", "B")]
+    assert n == 4 and corr == pytest.approx(-1.0)
+    # constant side -> zero variance -> NULL, not NaN/0
+    assert got[("A", "C")] == (4, None)
+    assert got[("B", "C")] == (4, None)
+    # against numpy on a non-trivial pair
+    a = np.floor(np.array([1, 2, 3, 4], dtype="float64") * 1e6)
+    b = np.floor(np.array([4, 3, 2, 1], dtype="float64") * 1e6)
+    assert got[("A", "B")][1] == pytest.approx(np.corrcoef(a, b)[0, 1])
