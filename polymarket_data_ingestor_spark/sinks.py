@@ -1,0 +1,72 @@
+"""Partitioned lake writer: the storage-layout half of the 100 TB story.
+
+The reference's durable outputs are a flat tick parquet and hourly JSONL
+logs (``cli/src/main.rs`` replay sink; the collector's hourly rotation).
+At cluster scale, the LAYOUT of the lake decides every later query's
+cost: partition directories give free partition pruning (a time-range
+query opens only its days), and file sizing decides task granularity
+(10⁶ tiny files kill the driver; 10 GB files kill parallel retries).
+This module packages those two decisions:
+
+* hive-style ``partitionBy`` directories on a derived date (or any
+  low-cardinality columns) — Spark's reader turns ``WHERE dt = ...``
+  into directory pruning, checked by the ``PartitionFilters`` plan gate
+  in ``tests/test_sinks.py``;
+* ``maxRecordsPerFile`` caps file size without an extra repartition
+  job, and an optional pre-shuffle on the partition columns collapses
+  the files-per-directory count to ~1 per in-flight task writing into
+  it (otherwise EVERY upstream task writes a sliver into every
+  directory it touches: tasks x partitions small files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_date_partition(
+    df: DataFrame, ts_col: str = "ts", col_name: str = "dt"
+) -> DataFrame:
+    """Derive the standard daily partition column (DATE, not string —
+    the reader prunes on typed comparisons without casts)."""
+    return df.withColumn(
+        col_name, F.to_date(F.col(ts_col).cast("timestamp"))
+    )
+
+
+def write_partitioned_lake(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("dt",),
+    max_records_per_file: int = 5_000_000,
+    coalesce_partitions: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a hive-partitioned parquet lake.
+
+    ``max_records_per_file`` bounds file size (Spark splits a task's
+    output stream when it passes the cap — no extra job). With
+    ``coalesce_partitions`` (default) the data is shuffled on the
+    partition columns first, so each output directory is written by the
+    tasks that OWN that key range — files per directory ≈ data volume /
+    cap, not (upstream tasks × directories). Disable it when the input
+    is already clustered by the partition columns (e.g. a streaming
+    micro-batch of one hour) and the shuffle would be pure cost.
+
+    Partition columns must be low-cardinality (days, sources, hours —
+    not doc ids): every distinct tuple is a directory, and object
+    listings beyond ~10⁵ directories hurt every reader. That guidance
+    mirrors the reference's own hourly-file rotation
+    (``collector`` hourly logs), which is exactly a time-partitioned
+    layout by hand.
+    """
+    out = df
+    if coalesce_partitions:
+        out = out.repartition(*[F.col(c) for c in partition_cols])
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

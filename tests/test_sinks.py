@@ -1,0 +1,70 @@
+"""Partitioned-lake writer: layout, pruning, and file-count behavior."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.sinks import (
+    with_date_partition,
+    write_partitioned_lake,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_lake_prunes_and_coalesces(spark, tmp_path):
+    events = with_date_partition(
+        spark.read.parquet(f"{SF}/events.parquet")
+    )
+    out = str(tmp_path / "lake")
+    write_partitioned_lake(events, out, ("dt",))
+
+    # hive layout: one directory per day
+    days = sorted(
+        p.name for p in Path(out).iterdir() if p.name.startswith("dt=")
+    )
+    n_days = events.select("dt").distinct().count()
+    assert len(days) == n_days and n_days > 1
+
+    # the data round-trips (partition column included)
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert "dt" in back.columns
+
+    # a day-filter reaches the scan as a PARTITION filter (directory
+    # pruning), not a data filter
+    one_day = days[0].split("=", 1)[1]
+    q = back.filter(F.col("dt") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert f"isnotnull(dt" in plan or "dt#" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # and it actually reads only that day's rows
+    want = events.filter(F.col("dt") == one_day).count()
+    assert q.count() == want > 0
+
+    # coalesced write: each directory holds a bounded file count (the
+    # repartition collapses task-x-directory slivers), far below the
+    # shuffle partition count
+    for d in days:
+        n_files = len(list((Path(out) / d).glob("*.parquet")))
+        assert 1 <= n_files <= 4, (d, n_files)
+
+
+def test_partitioned_lake_respects_file_record_cap(spark, tmp_path):
+    df = with_date_partition(
+        spark.read.parquet(f"{SF}/events.parquet")
+    )
+    out = str(tmp_path / "capped")
+    write_partitioned_lake(df, out, ("dt",), max_records_per_file=100)
+    import duckdb
+
+    con = duckdb.connect()
+    per_file = con.execute(
+        "SELECT filename, count(*) FROM read_parquet('%s/*/*.parquet', "
+        "filename=true) GROUP BY 1" % out
+    ).fetchall()
+    assert per_file and all(n <= 100 for _, n in per_file)
