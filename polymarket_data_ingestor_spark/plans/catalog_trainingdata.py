@@ -190,10 +190,15 @@ def q_label_centroids(spark, sf_dir):
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    return label_centroids(emb).select(
-        "label",
-        "n_vecs",
-        F.posexplode("centroid").alias("dim", "centroid_v"),
+    return (
+        label_centroids(emb)
+        .select(
+            "label",
+            "n_vecs",
+            F.posexplode("centroid").alias("dim", "centroid_v"),
+        )
+        # posexplode's position is int32; the oracle's range() is BIGINT
+        .withColumn("dim", F.col("dim").cast("long"))
     )
 
 
@@ -2374,10 +2379,20 @@ _R5_STALE = (
     "vocab_stats", "vocab_coverage", "doc_repetition",
     "cube_lineitem", "pivot_status_year", "user_event_deltas",
 )
-#: Window positions 44-50: continuity anchors (all r6-green).
+#: Window positions 44-50: seven of this round's newest entries,
+#: swapped in late-round for the r6-green continuity anchors
+#: (region_revenue, cosine_topk, dedup_exact, minhash_lsh_pairs,
+#: text_stats, curation_pipeline, sessionize — all only 1 round stale
+#: after this swap, head of the r8 promotion list in the middle zone).
+#: Chosen for cross-engine subtlety: the floor-quantized float ops
+#: (centroids, correlation), the exact-percentile entry, the hashed
+#: vectors, and the three first-half bars entries. All verified
+#: bit-exact locally (tools/check.py, raw-dtype audited) before the
+#: swap.
 _ANCHORS = (
-    "region_revenue", "cosine_topk", "dedup_exact", "minhash_lsh_pairs",
-    "text_stats", "curation_pipeline", "sessionize",
+    "ohlc_candles", "twap_hourly", "trailing_window_sum",
+    "label_centroids", "cross_key_correlation", "arrival_latency",
+    "hashed_embedding_docs",
 )
 #: Demoted past the window: every entry here holds a green r6 driver row
 #: (1 round stale after this round) and is the head of the r8 promotion
