@@ -70,3 +70,37 @@ def write_partitioned_lake(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def overwrite_lake_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("dt",),
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Backfill/correct a lake in place: replace ONLY the partitions
+    present in ``df``, leaving every other directory byte-untouched.
+
+    The late-data answer for an append-mostly time-partitioned lake: a
+    corrected day (re-replayed hour, revised labels) is rewritten as a
+    whole partition — idempotent, no read-modify-write of row groups,
+    no touch of the other 10⁵ days. Uses Spark's dynamic partition
+    overwrite (``partitionOverwriteMode=dynamic``), set per-write via
+    ``DataFrameWriter.option`` so the session default stays untouched
+    for concurrent jobs.
+
+    The unit of replacement is the PARTITION: ``df`` must carry every
+    row the touched partitions should end with (replay the whole day,
+    not the delta) — rows previously in a touched partition but absent
+    from ``df`` are gone afterwards. That is the semantics a
+    deterministic replay pipeline wants: re-derive the day from the
+    immutable logs and swap it in.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

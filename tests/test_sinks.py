@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pytest
 from pyspark.sql import functions as F
 
 from polymarket_data_ingestor_spark.sinks import (
@@ -68,3 +69,55 @@ def test_partitioned_lake_respects_file_record_cap(spark, tmp_path):
         "filename=true) GROUP BY 1" % out
     ).fetchall()
     assert per_file and all(n <= 100 for _, n in per_file)
+
+
+def test_overwrite_lake_partitions_touches_only_named_days(spark, tmp_path):
+    """Dynamic partition overwrite: the corrected day is replaced
+    wholesale, every other day's files are byte-identical (same names,
+    same content), and appended-then-corrected rows don't duplicate."""
+    import os
+
+    from polymarket_data_ingestor_spark.sinks import (
+        overwrite_lake_partitions,
+    )
+
+    events = with_date_partition(
+        spark.read.parquet(f"{SF}/events.parquet")
+    )
+    out = str(tmp_path / "lake")
+    write_partitioned_lake(events, out, ("dt",))
+    days = sorted(
+        p.name for p in Path(out).iterdir() if p.name.startswith("dt=")
+    )
+    target, others = days[0], days[1:]
+    before = {
+        d: sorted(
+            (f.name, os.path.getsize(Path(out) / d / f.name))
+            for f in (Path(out) / d).glob("*.parquet")
+        )
+        for d in days
+    }
+
+    # corrected day: same rows, values doubled
+    day_val = target.split("=", 1)[1]
+    corrected = events.filter(F.col("dt") == day_val).withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_lake_partitions(corrected, out, ("dt",))
+
+    # untouched days: identical file lists and sizes
+    for d in others:
+        after = sorted(
+            (f.name, os.path.getsize(Path(out) / d / f.name))
+            for f in (Path(out) / d).glob("*.parquet")
+        )
+        assert after == before[d], d
+    # corrected day: fully replaced, no duplication, new values
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    got = back.filter(F.col("dt") == day_val).agg(
+        F.sum("value")
+    ).first()[0]
+    want = corrected.agg(F.sum("value")).first()[0]
+    assert got == pytest.approx(want)
+
