@@ -106,3 +106,58 @@ def parse_feed_messages(frames: DataFrame) -> DataFrame:
         F.posexplode_outer("msgs").alias("msg_idx", "msg"),
     ).filter(F.col("msg").isNotNull())
     return exploded.select("file_hour", "line_id", "msg_idx", "msg.*")
+
+
+def frames_quality_report(
+    spark: SparkSession, paths: Sequence[str] | str
+) -> DataFrame:
+    """Per-file ingest quality report: line counts, malformed-line
+    counts, and frame-type mix — the observable reject rate the silent
+    PERMISSIVE drop in :func:`read_frames` hides.
+
+    A line is ``malformed`` when it is not a JSON object carrying at
+    least one of the frame's identifying fields (``from_json`` returns
+    NULL for non-JSON; a JSON object with neither ``timestamp`` nor
+    ``message_type`` is junk in a frame log even if it parses). Blank
+    lines are counted separately — log rotation can legitimately leave
+    a trailing newline and that's not corruption.
+
+    Implemented over a raw text scan + ``from_json`` so no
+    corrupt-record column is involved (Spark restricts aggregates that
+    reference only the internal corrupt column; this path has no such
+    trap and needs no cache()). One scan, one tiny groupBy on the
+    file bucket — run it on the same pass cadence as ingestion
+    monitoring, it costs a single read of the logs.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    parsed = spark.read.text(list(paths)).select(
+        F.regexp_extract(
+            F.input_file_name(), _FILE_HOUR_RE, 1
+        ).alias("file_hour"),
+        F.col("value"),
+        F.from_json("value", FRAME_SCHEMA).alias("__f"),
+    )
+    blank = F.length(F.trim(F.col("value"))) == 0
+    malformed = (
+        ~blank
+        & (
+            F.col("__f").isNull()
+            | (
+                F.col("__f.timestamp").isNull()
+                & F.col("__f.message_type").isNull()
+            )
+        )
+    )
+    is_pong = F.col("__f.content") == "PONG"
+    is_feed = (F.col("__f.message_type") == "feed_message") & ~is_pong
+    n_lines = F.count(F.lit(1))
+    n_malformed = F.sum(malformed.cast("long"))
+    return parsed.groupBy("file_hour").agg(
+        n_lines.alias("n_lines"),
+        F.sum(blank.cast("long")).alias("n_blank"),
+        n_malformed.alias("n_malformed"),
+        F.sum(is_feed.cast("long")).alias("n_feed"),
+        F.sum(is_pong.cast("long")).alias("n_pong"),
+        (n_malformed.cast("double") / n_lines).alias("malformed_share"),
+    )

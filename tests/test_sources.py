@@ -143,3 +143,39 @@ def test_hour_range_and_discover_files():
     assert got == ["/d/2025-09-30-13.jsonl.zst", "/d/2025-09-30-14.jsonl"]
     # No bounds → everything valid, sorted.
     assert discover_files(paths[::-1]) == paths[:3]
+
+
+def test_frames_quality_report(spark, tmp_path):
+    """Malformed/blank/PONG/feed accounting per file, with junk lines
+    that PERMISSIVE parsing would silently drop."""
+    import json
+
+    from polymarket_data_ingestor_spark.sources.frames import (
+        frames_quality_report,
+    )
+
+    good = json.dumps({
+        "timestamp": "2025-01-01T00:00:00+00:00",
+        "message_type": "feed_message",
+        "content": json.dumps([{"event_type": "book"}]),
+    })
+    pong = json.dumps({
+        "timestamp": "2025-01-01T00:00:01+00:00",
+        "message_type": "feed_message",
+        "content": "PONG",
+    })
+    lines = [good, "{ not json at all", pong, "", good, '{"other": 1}']
+    p = tmp_path / "2025-01-01-00.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    p2 = tmp_path / "2025-01-01-01.jsonl"
+    p2.write_text(good + "\n")
+
+    rep = {r.file_hour: r for r in
+           frames_quality_report(spark, [str(p), str(p2)]).collect()}
+    r0 = rep["2025-01-01-00"]
+    # 6 lines: 2 feed, 1 pong, 1 blank, 2 malformed (non-JSON + alien JSON)
+    assert (r0.n_lines, r0.n_blank, r0.n_malformed, r0.n_feed, r0.n_pong) \
+        == (6, 1, 2, 2, 1)
+    assert r0.malformed_share == pytest.approx(2 / 6)
+    r1 = rep["2025-01-01-01"]
+    assert (r1.n_lines, r1.n_malformed, r1.n_feed) == (1, 0, 1)
