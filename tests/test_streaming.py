@@ -594,3 +594,53 @@ def test_live_sessions_match_naive_model(spark, tmp_path):
         key = (r.user_id, r.session_start)
         assert key in want, key
         assert want[key] == (r.session_last, r.n_events), (key, want[key], r)
+
+
+@pytest.mark.slow
+def test_label_outcomes_works_on_streams(spark, tmp_path):
+    """Stream-static enrichment: the BATCH label_outcomes operator runs
+    unchanged on a streaming tick frame (Spark's stream-static join) —
+    one API, both planes. Every streamed tick gets its outcome label."""
+    from polymarket_data_ingestor_spark.operators.bars import label_outcomes
+    from polymarket_data_ingestor_spark.schemas import TICK_SCHEMA
+
+    src = tmp_path / "frames"
+    write_fixture_files(src, n_hours=1, msgs_per_hour=80, seed=77)
+    ticks_dir = tmp_path / "ticks"
+    q1 = (
+        live_ticks(read_frames_stream(spark, str(src) + "/*.jsonl"))
+        .writeStream.format("parquet")
+        .option("path", str(ticks_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(300)
+
+    # static dim: every asset in the fixture -> alternating YES/NO
+    assets = [
+        r.asset
+        for r in spark.read.parquet(str(ticks_dir))
+        .select("asset").distinct().collect()
+    ]
+    dim = spark.createDataFrame(
+        [(a, "YES" if i % 2 == 0 else "NO") for i, a in enumerate(assets)],
+        "token_id string, outcome string",
+    )
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(str(ticks_dir))
+    out = tmp_path / "labeled"
+    q2 = (
+        label_outcomes(stream, dim)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    labeled = pd.read_parquet(out)
+    assert len(labeled) == spark.read.parquet(str(ticks_dir)).count()
+    assert labeled["outcome"].notna().all()
+    want = {a: ("YES" if i % 2 == 0 else "NO") for i, a in enumerate(assets)}
+    assert all(want[a] == o for a, o in
+               zip(labeled["asset"], labeled["outcome"]))
