@@ -241,8 +241,14 @@ def gap_fill(
     keys = [F.col(k) for k in key_cols]
     bkt = F.date_trunc(bucket, F.col(ts_col))
     order_key = F.struct(F.col(ts_col), F.col(order_col))
-    observed = events.groupBy(*keys, bkt.alias("bucket_ts")).agg(
-        F.max_by(F.col(value_col), order_key).alias("__obs")
+    # A NULL value is NOT an observation: a bucket whose rows are all
+    # NULL-valued counts as a gap (LOCF carries the previous real value
+    # over it), keeping the "value_filled is never NULL" contract. This
+    # is also what the DuckDB oracle computes.
+    observed = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, bkt.alias("bucket_ts"))
+        .agg(F.max_by(F.col(value_col), order_key).alias("__obs"))
     )
     w = Window.partitionBy(*key_cols).orderBy("bucket_ts")
     step = F.expr(f"INTERVAL 1 {bucket}")
@@ -493,9 +499,12 @@ def inter_arrival_stats(
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     d = (t - F.lag(t).over(w)).alias("__d")
     gaps = events.select(*key_cols, d).filter(F.col("__d").isNotNull())
+    # column names: p50, p95, p100, p99_9 — format(q*100, 'g') keeps
+    # every distinct quantile distinct (str(q)[2:] named 1.0 'p00' and
+    # collided with 0.0)
     qs = [
         F.expr(f"percentile(__d, {q})").alias(
-            f"p{str(q)[2:].ljust(2, '0')}"
+            "p" + format(q * 100, "g").replace(".", "_")
         )
         for q in quantiles
     ]

@@ -118,7 +118,9 @@ def hash_split(
     expr: Column | None = None
     names = sorted(splits.items())
     for name, frac in names[:-1]:
-        cum += int(frac * RATE_DENOM)
+        # round, not int(): 0.3 * 10000 is 2999.999... in binary floats
+        # and truncation would shift the boundary a full permyriad
+        cum += round(frac * RATE_DENOM)
         e = F.when(bucket < cum, F.lit(name))
         expr = e if expr is None else expr.when(bucket < cum, F.lit(name))
     last = F.lit(names[-1][0])

@@ -508,8 +508,12 @@ DEFAULT_WORDPIECE_VOCAB: tuple[str, ...] = tuple(
 )
 
 #: Broadcast handle cache for :func:`with_token_counts`, keyed by
-#: (applicationId, vocab) — see the leak note in that function.
+#: (applicationId, md5-of-vocab) — the digest keeps the cache key a few
+#: bytes instead of a second copy of a tens-of-MB vocab. Bounded:
+#: evicted handles are unpersist()ed (executors re-fetch from the
+#: driver if a still-running query references one).
 _VOCAB_BROADCASTS: dict = {}
+_VOCAB_BROADCASTS_MAX = 16
 
 
 def with_token_counts(
@@ -553,11 +557,23 @@ def with_token_counts(
     # One broadcast per (application, vocab) — a long-lived driver calling
     # this repeatedly (bench sweeps, notebooks) must not leak one executor
     # broadcast per call; a real WordPiece vocab is tens of MB.
-    bkey = (sc.applicationId, pieces)
+    import hashlib
+
+    digest = hashlib.md5(
+        "\x00".join(sorted(pieces)).encode("utf-8")
+    ).hexdigest()
+    bkey = (sc.applicationId, digest)
     bvocab = _VOCAB_BROADCASTS.get(bkey)
     if bvocab is None:
         for stale in [k for k in _VOCAB_BROADCASTS if k[0] != sc.applicationId]:
             del _VOCAB_BROADCASTS[stale]  # dead contexts' handles
+        if len(_VOCAB_BROADCASTS) >= _VOCAB_BROADCASTS_MAX:
+            for old in list(_VOCAB_BROADCASTS.values()):
+                try:
+                    old.unpersist()
+                except Exception:  # pragma: no cover - dead context
+                    pass
+            _VOCAB_BROADCASTS.clear()
         bvocab = sc.broadcast(frozenset(pieces))
         _VOCAB_BROADCASTS[bkey] = bvocab
     split_ws = re.compile(r"\s+", re.ASCII)

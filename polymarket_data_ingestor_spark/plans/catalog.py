@@ -785,7 +785,7 @@ def q_twap_hourly(spark, sf_dir):
                row_number() OVER (
                  PARTITION BY event_type, date_trunc('hour', ts)
                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events) WHERE rn = 1
+        FROM events WHERE value IS NOT NULL) WHERE rn = 1
     ),
     spine AS (
       SELECT event_type,

@@ -87,8 +87,7 @@ def q_doc_quality(spark, sf_dir):
     "hashed_embedding_docs",
     f"""
     WITH h AS (
-      SELECT doc_id,
-             (('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h
+      SELECT doc_id, {sql_hash32("tok")} AS h
       FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
     )
     SELECT doc_id, h % 64 AS dim,

@@ -131,9 +131,13 @@ def frames_quality_report(
     """
     if isinstance(paths, str):
         paths = [paths]
+    hour = F.regexp_extract(F.input_file_name(), _FILE_HOUR_RE, 1)
     parsed = spark.read.text(list(paths)).select(
-        F.regexp_extract(
-            F.input_file_name(), _FILE_HOUR_RE, 1
+        # files not named by the hour convention keep their own row
+        # (keyed by full path) instead of all merging into one '' group
+        # — the same ''-merge trap the replay gate regex note calls out
+        F.coalesce(
+            F.nullif(hour, F.lit("")), F.input_file_name()
         ).alias("file_hour"),
         F.col("value"),
         F.from_json("value", FRAME_SCHEMA).alias("__f"),

@@ -179,3 +179,27 @@ def test_frames_quality_report(spark, tmp_path):
     assert r0.malformed_share == pytest.approx(2 / 6)
     r1 = rep["2025-01-01-01"]
     assert (r1.n_lines, r1.n_malformed, r1.n_feed) == (1, 0, 1)
+
+
+def test_frames_quality_report_nonconforming_names_stay_separate(
+    spark, tmp_path
+):
+    """Files outside the hour-naming convention must not all merge into
+    one '' group — each keeps its own row, keyed by path."""
+    import json
+
+    from polymarket_data_ingestor_spark.sources.frames import (
+        frames_quality_report,
+    )
+
+    good = json.dumps({"timestamp": "t", "message_type": "feed_message",
+                       "content": json.dumps([{"event_type": "book"}])})
+    (tmp_path / "a.jsonl").write_text(good + "\n")
+    (tmp_path / "b.jsonl").write_text("junk\n")
+    rep = frames_quality_report(
+        spark, [str(tmp_path / "a.jsonl"), str(tmp_path / "b.jsonl")]
+    ).collect()
+    assert len(rep) == 2
+    by_name = {r.file_hour.rsplit("/", 1)[-1]: r for r in rep}
+    assert by_name["a.jsonl"].n_malformed == 0
+    assert by_name["b.jsonl"].n_malformed == 1

@@ -1367,3 +1367,46 @@ def test_cross_key_correlation_matches_numpy(spark):
     a = np.floor(np.array([1, 2, 3, 4], dtype="float64") * 1e6)
     b = np.floor(np.array([4, 3, 2, 1], dtype="float64") * 1e6)
     assert got[("A", "B")][1] == pytest.approx(np.corrcoef(a, b)[0, 1])
+
+
+def test_gap_fill_null_values_are_not_observations(spark):
+    """A bucket whose rows are all NULL-valued is a GAP: LOCF carries
+    the previous real value over it and value_filled is never NULL."""
+    import datetime as dt
+
+    from polymarket_data_ingestor_spark.operators.analytics import gap_fill
+
+    h = dt.datetime(2024, 3, 2)
+    df = spark.createDataFrame(
+        [(1, "A", h, 5.0),
+         (2, "A", h + dt.timedelta(hours=1), None),   # NULL-only bucket
+         (3, "A", h + dt.timedelta(hours=2), 9.0),
+         # NULL beats a real value in-bucket by (ts, id)? No: NULLs are
+         # filtered BEFORE the rollup, so the real value wins
+         (4, "A", h + dt.timedelta(hours=2, minutes=30), None)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    out = {r.bucket_ts.hour: (r.value_filled, r.is_observed)
+           for r in gap_fill(df).collect()}
+    assert out == {0: (5.0, True), 1: (5.0, False), 2: (9.0, True)}, out
+
+
+def test_inter_arrival_quantile_column_names(spark):
+    """q=0.0/1.0 and fractional-percent quantiles get distinct, readable
+    column names (the old str(q)[2:] named 1.0 'p00')."""
+    import datetime as dt
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        inter_arrival_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", dt.datetime(2024, 1, 1, 0, 0, 0)),
+         (2, "A", dt.datetime(2024, 1, 1, 0, 0, 1)),
+         (3, "A", dt.datetime(2024, 1, 1, 0, 0, 3))],
+        "event_id long, event_type string, ts timestamp")
+    out = inter_arrival_stats(df, quantiles=(0.0, 0.5, 0.999, 1.0))
+    assert [c for c in out.columns if c.startswith("p")] == \
+        ["p0", "p50", "p99_9", "p100"]
+    r = out.first()
+    assert (r.p0, r.p100) == (1e6, 2e6)

@@ -327,3 +327,21 @@ def test_hash_split_partition_and_determinism(spark, docs):
     # degenerate single split: everything lands there, no CASE needed
     assert hash_split(docs, {"all": 1.0}).groupBy("split").count() \
         .collect()[0].split == "all"
+
+
+def test_hash_split_rounds_permyriad_thresholds(spark, docs):
+    """int() truncation of 0.3*10000 (= 2999.999...) would shift the
+    boundary a permyriad; the thresholds must round. Pinned by exact
+    agreement with an independently-computed bucket rule."""
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+    from polymarket_data_ingestor_spark.operators.sampling import hash_split
+
+    got = {r.doc_id: r.split for r in
+           hash_split(docs, {"a": 0.3, "b": 0.7}, seed=5)
+           .select("doc_id", "split").collect()}
+    buckets = {r.doc_id: r.b for r in docs.select(
+        "doc_id",
+        (hash32(F.col("doc_id").cast("string"), seed=5) % 10000).alias("b"),
+    ).collect()}
+    for d, b in buckets.items():
+        assert got[d] == ("a" if b < 3000 else "b"), (d, b, got[d])
