@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "dedup_histogram",
     "cross_key_correlation",
+    "containment_pairs",
 ]
 
 

@@ -280,6 +280,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by ASYMMETRIC n-gram containment:
+    ``containment(A in B) = |A∩B| / |A|`` — the quote/subset modality
+    Jaccard misses. A short document fully embedded in a long one
+    (quoted post, boilerplate-wrapped article, excerpt) has tiny
+    Jaccard (the union is dominated by the long side) but containment
+    ≈ 1 from the short side. Dedup pipelines drop the CONTAINED doc
+    and keep the superset.
+
+    Output: one row per ordered detection ``(id_small, id_big,
+    containment, n_grams_small, n_grams_big)`` where ``id_small``'s
+    grams are ≥ ``threshold`` covered by ``id_big``'s. Both directions
+    are tested per pair; a near-exact duplicate appears once with the
+    smaller gram set (ties by id) as ``id_small``.
+
+    Scale shape: same blocked self-join as :func:`ngram_jaccard_pairs`
+    — equal blocking keys (post-LSH candidates or a cheap prefilter)
+    keep it off the all-pairs cliff; the intersection is
+    ``array_intersect`` on distinct shingles, JVM-side. Unblocked use
+    is for small corpora / verification stages only.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.col(block_col) if block_col else F.lit(1).alias("__b"),
+        word_ngrams_vectorized(text_col, n).alias("grams"),
+    )
+    bcol = block_col if block_col else "__b"
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    na = F.size(F.col("a.grams"))
+    nb = F.size(F.col("b.grams"))
+    # the smaller gram set (ties by id) is the candidate contained side
+    a_small = (na < nb) | ((na == nb) & (F.col(f"a.{id_col}")
+                                         < F.col(f"b.{id_col}")))
+    small_id = F.when(a_small, F.col(f"a.{id_col}")).otherwise(
+        F.col(f"b.{id_col}")
+    )
+    big_id = F.when(a_small, F.col(f"b.{id_col}")).otherwise(
+        F.col(f"a.{id_col}")
+    )
+    n_small = F.least(na, nb)
+    n_big = F.greatest(na, nb)
+    cont = inter.cast("double") / n_small.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{bcol}") == F.col(f"b.{bcol}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            small_id.alias("id_small"),
+            big_id.alias("id_big"),
+            F.round(cont, 6).alias("containment"),
+            n_small.alias("n_grams_small"),
+            n_big.alias("n_grams_big"),
+        )
+        .filter(
+            (F.col("containment") >= threshold)
+            & (F.col("n_grams_small") > 0)
+        )
+    )
+
+
 def _minhash_wide(
     df: DataFrame,
     text_col: str,

@@ -273,6 +273,68 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @register(
+    "containment_pairs",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 500, lang,
+             list_aggregate(({_SQL_TOKS})[1:12], 'string_agg', ' ')
+      FROM documents WHERE doc_id < 50
+    ), g AS (
+      SELECT doc_id, lang, {_SQL_GRAMS3} AS grams
+      FROM (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM corpus)
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.grams, b.grams)) AS i,
+             len(a.grams) AS na, len(b.grams) AS nb
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+                THEN id_a ELSE id_b END AS id_small,
+           CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+                THEN id_b ELSE id_a END AS id_big,
+           round(CAST(i AS DOUBLE) / least(na, nb), 6) AS containment,
+           CAST(least(na, nb) AS BIGINT) AS n_grams_small,
+           CAST(greatest(na, nb) AS BIGINT) AS n_grams_big
+    FROM p
+    WHERE round(CAST(i AS DOUBLE) / least(na, nb), 6) >= 0.8
+      AND least(na, nb) > 0
+    """,
+    doc="Asymmetric n-gram containment pairs "
+    "(operators/dedup.py::containment_pairs): |A∩B| / |A-side| from the "
+    "smaller gram set — the quote/subset duplication modality Jaccard "
+    "misses (a doc fully embedded in a longer one has tiny Jaccard but "
+    "containment ~1; the pipeline drops the contained doc). The fixture "
+    "plants a 12-token excerpt of every doc_id<50 document (new id "
+    "+500) — each is fully contained in its parent, so the entry pins "
+    "the detection itself, not an empty result (natural max containment "
+    "in this corpus is 0.125). Same blocked-self-join scale shape as "
+    "ngram_jaccard_pairs: lang-blocked here, post-LSH candidates at "
+    "corpus scale.",
+    tags=("dedup",),
+)
+def q_containment_pairs(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 150).select("doc_id", "lang", "text")
+    excerpts = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        "lang",
+        F.array_join(F.slice(tokens("text"), 1, 12), " ").alias("text"),
+    )
+    out = D.containment_pairs(
+        base.unionByName(excerpts), threshold=0.8, block_col="lang"
+    )
+    return out.select(
+        "id_small", "id_big", "containment",
+        F.col("n_grams_small").cast("long").alias("n_grams_small"),
+        F.col("n_grams_big").cast("long").alias("n_grams_big"),
+    )
+
+
+@register(
     "dedup_histogram",
     """
     WITH corpus AS (

@@ -1410,3 +1410,26 @@ def test_inter_arrival_quantile_column_names(spark):
         ["p0", "p50", "p99_9", "p100"]
     r = out.first()
     assert (r.p0, r.p100) == (1e6, 2e6)
+
+
+def test_containment_pairs_subset_detection(spark):
+    """A short doc embedded verbatim in a long one: Jaccard is tiny but
+    containment is 1.0; direction is (small -> big); unrelated docs
+    don't pair; blocking keeps cross-block pairs out."""
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10, 18))  # verbatim slice
+    rows = [
+        (1, "en", long_text),
+        (2, "en", short_text),
+        (3, "en", " ".join(f"z{i}" for i in range(20))),   # unrelated
+        (4, "de", short_text),                              # other block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {(r.id_small, r.id_big): r.containment
+           for r in D.containment_pairs(df, threshold=0.8,
+                                        block_col="lang").collect()}
+    assert got == {(2, 1): 1.0}, got
+    # the same pair is far below any useful Jaccard threshold
+    jac = D.ngram_jaccard_pairs(df, threshold=0.0, block_col="lang")
+    j = {(r.id_a, r.id_b): r.jaccard for r in jac.collect()}[(1, 2)]
+    assert j < 0.2
