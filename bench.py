@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "dedup_histogram",
     "cross_key_correlation",
     "containment_pairs",
+    "bpe_pair_counts",
+    "length_bucket_batches",
 ]
 
 

@@ -89,6 +89,102 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts — the inner step of
+    BPE tokenizer TRAINING (the merge rule is argmax of exactly this
+    table), distributed: every occurrence of an adjacent character pair
+    inside a word counts, weighted by the word's corpus frequency.
+    Output: the ``top_k`` pairs by ``(n DESC, pair)`` — a total order,
+    so the selected set is deterministic.
+
+    This is the first merge round (symbols = characters). Subsequent
+    rounds re-run it over re-segmented words with the merges applied —
+    the per-round shape is identical, so this operator IS the scale
+    unit of BPE training.
+
+    Scale shape: the word-frequency rollup collapses the token stream
+    to DISTINCT words before any pair is generated (map-side combined —
+    the whole corpus shrinks to its vocabulary), pairs explode from
+    distinct words only, and the pair rollup is again map-side
+    combined; the top-k is TakeOrderedAndProject. Integer counts
+    throughout — engine-exact.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("__w"))
+        .filter(F.length("__w") >= 2)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+    )
+    idx = F.sequence(F.lit(1), F.length("__w") - 1)
+    pairs = words.select(
+        "__freq",
+        F.explode(
+            F.transform(idx, lambda i: F.col("__w").substr(i, F.lit(2)))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("__freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(top_k)
+    )
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Length-bucketed batch assignment: group documents of similar
+    token length into fixed-size batches so per-batch padding waste
+    (pad-to-longest) stays small — the batching step between data
+    curation and the training loop.
+
+    Buckets are power-of-two length classes via ``length(bin(n_tok))``
+    (the binary digit count = floor(log2)+1 as EXACT integer string
+    length — a float ``log2`` could land on either side of an integer
+    boundary depending on the engine's libm). Within a bucket, docs are
+    sharded by the portable hash and batched in ``(n_tok, id)`` order
+    INSIDE each shard: ``(bucket, shard, batch_id)`` is a pure function
+    of the data, no cross-shard coupling, so assignment parallelizes
+    like the two-level ``pack_sequences`` layout. The cost is one
+    partial tail batch per (bucket, shard) — bounded by
+    ``n_buckets * n_shards`` regardless of corpus size.
+
+    Output: one row per doc with ``(id, n_tok, bucket, shard,
+    batch_id)``. Scale shape: ONE shuffle on (bucket, shard) for the
+    row_number window; no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+
+    base = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(tokens(text_col)), F.lit(1))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    bucket = F.length(F.bin(F.col("n_tok"))).cast("long")
+    shard = hash32(F.col(id_col).cast("string")) % n_shards
+    w = Window.partitionBy("bucket", "shard").orderBy("n_tok", id_col)
+    return (
+        base.select(
+            id_col, "n_tok", bucket.alias("bucket"), shard.alias("shard")
+        )
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+        )
+    )
+
+
 def quality_percentile_filter(
     df: DataFrame,
     q: float = 0.5,

@@ -273,6 +273,70 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @register(
+    "bpe_pair_counts",
+    f"""
+    WITH words AS (
+      SELECT tok AS w, count(*) AS freq
+      FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+      WHERE length(tok) >= 2
+      GROUP BY 1
+    ), pairs AS (
+      SELECT w[i:i+1] AS pair, freq
+      FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50
+    """,
+    doc="Corpus-weighted adjacent-character pair counts — the inner "
+    "step of BPE tokenizer training (operators/text.py::"
+    "bpe_pair_counts): the merge rule is argmax of this table; "
+    "subsequent rounds re-run the same shape over re-segmented words. "
+    "The word-frequency rollup collapses the corpus to its DISTINCT "
+    "vocabulary before any pair explodes (map-side combined), top-k is "
+    "TakeOrderedAndProject over a (n DESC, pair) total order. Integer "
+    "counts, engine-exact.",
+    tags=("text", "trainmix"),
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    return T.bpe_pair_counts(table(spark, sf_dir, "documents"), top_k=50)
+
+
+@register(
+    "length_bucket_batches",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(greatest(len({_SQL_TOKS}), 1) AS BIGINT) AS n_tok
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, n_tok,
+             CAST(length(bin(n_tok)) AS BIGINT) AS bucket,
+             ({sql_hash32("CAST(doc_id AS VARCHAR)")} % 32) AS shard
+      FROM base
+    )
+    SELECT doc_id, n_tok, bucket, shard,
+           CAST((row_number() OVER (PARTITION BY bucket, shard
+                                    ORDER BY n_tok, doc_id) - 1) // 8
+                AS BIGINT) AS batch_id
+    FROM keyed
+    """,
+    doc="Length-bucketed batch assignment (operators/text.py::"
+    "length_bucket_batches): power-of-two length classes via "
+    "length(bin(n_tok)) — the binary digit count is an EXACT integer "
+    "where a float log2 could land on either side of a boundary "
+    "depending on libm — then fixed-size batches in (n_tok, id) order "
+    "inside each (bucket, portable-hash shard): no cross-shard "
+    "coupling, one shuffle, assignment a pure function of the data. "
+    "Tail waste bounded by buckets x shards partial batches.",
+    tags=("trainmix", "chunking"),
+)
+def q_length_bucket_batches(spark, sf_dir):
+    return T.length_bucket_batches(
+        table(spark, sf_dir, "documents"), batch_size=8, n_shards=32
+    )
+
+
+@register(
     "containment_pairs",
     f"""
     WITH corpus AS (

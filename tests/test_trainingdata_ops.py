@@ -1433,3 +1433,46 @@ def test_containment_pairs_subset_detection(spark):
     jac = D.ngram_jaccard_pairs(df, threshold=0.0, block_col="lang")
     j = {(r.id_a, r.id_b): r.jaccard for r in jac.collect()}[(1, 2)]
     assert j < 0.2
+
+
+def test_bpe_pair_counts_matches_naive(spark):
+    """Weighted adjacent-pair counts vs a naive model: per-occurrence
+    counting inside words, word-frequency weighting, single-char words
+    contribute nothing, (n DESC, pair) total order."""
+    from collections import Counter
+
+    rows = [(1, "abab cd x"), (2, "abab abab"), (3, "cd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = Counter()
+    for _, t in rows:
+        for w in t.split():
+            if len(w) >= 2:
+                words[w] += 1
+    want = Counter()
+    for w, f in words.items():
+        for i in range(len(w) - 1):
+            want[w[i:i + 2]] += f
+    got = [(r.pair, r.n) for r in T.bpe_pair_counts(df, top_k=10).collect()]
+    assert got == sorted(
+        want.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    # 'abab' x3 -> ab:6, ba:3; 'cd' x2 -> cd:2; 'x' excluded
+    assert got[0] == ("ab", 6)
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Every batch: <= batch_size docs, single (bucket, shard), and the
+    bucket is the binary digit count of n_tok; assignment deterministic."""
+    import math
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    out = T.length_bucket_batches(docs, batch_size=4, n_shards=8).collect()
+    by_batch = {}
+    for r in out:
+        assert r.bucket == math.floor(math.log2(r.n_tok)) + 1, r
+        by_batch.setdefault((r.bucket, r.shard, r.batch_id), []).append(r)
+    assert all(len(v) <= 4 for v in by_batch.values())
+    again = T.length_bucket_batches(docs, batch_size=4, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
