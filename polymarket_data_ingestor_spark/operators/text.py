@@ -134,6 +134,118 @@ def bpe_pair_counts(
     )
 
 
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str, str, int]]:
+    """Train ``n_merges`` BPE merge rules on the corpus — the full
+    iterative tokenizer-training loop, distributed: each round counts
+    corpus-weighted adjacent symbol pairs over the current segmentation
+    (:func:`bpe_pair_counts` is round 0's shape), picks the argmax by
+    the ``(n DESC, left, right)`` total order (deterministic under
+    ties), and re-segments every word by the greedy left-to-right merge
+    walk. Returns the merge table ``[(left, right, merged, n), ...]``
+    in training order — with the corpus fixed, a pure function of the
+    data, reproducible anywhere.
+
+    The merge walk is a pure Spark ``aggregate`` fold over the symbol
+    array (pending-symbol accumulator, finish flushes it) — no UDF, so
+    re-segmentation stays whole-stage-codegen eligible.
+
+    Scale shape: the corpus collapses ONCE to its distinct-word
+    frequency table (the only pass that sees every document); all
+    ``n_merges`` rounds run against that vocabulary-sized table,
+    persisted and re-persisted as it evolves. Per round: one map-side-
+    combined pair rollup + a 1-row argmax collect (the merge rule IS
+    driver state, same pattern as ``dup_components``' convergence
+    scalar) + one narrow re-segmentation map. Driver memory holds the
+    merge list only.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("__w"))
+        .filter(F.length("__w") >= 2)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .select(
+            F.split(F.col("__w"), "").alias("syms"), F.col("__freq")
+        )
+    )
+    words = words.persist()
+    words.count()
+    merges: list[tuple[str, str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            idx = F.sequence(F.lit(0), F.size("syms") - 2)
+            pair = words.filter(F.size("syms") >= 2).select(
+                "__freq",
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i + 1).alias("l"),
+                            F.element_at("syms", i + 2).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pair.groupBy("p")
+                .agg(F.sum("__freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("p.l"), F.col("p.r"))
+                .limit(1)
+                .first()
+            )
+            if top is None or top["n"] <= 0:
+                break
+            left, right = top["p"]["l"], top["p"]["r"]
+            merged = left + right
+            merges.append((left, right, merged, top["n"]))
+            # greedy left-to-right merge walk as a pure fold:
+            # pending holds the previous unemitted symbol; (left, right)
+            # adjacency emits the merged symbol and clears pending.
+            walk = F.aggregate(
+                F.col("syms"),
+                F.struct(
+                    F.array().cast("array<string>").alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+                lambda acc, s: F.when(
+                    acc["pend"].isNull(),
+                    F.struct(acc["out"].alias("out"), s.alias("pend")),
+                )
+                .when(
+                    (acc["pend"] == left) & (s == right),
+                    F.struct(
+                        F.concat(
+                            acc["out"], F.array(F.lit(merged))
+                        ).alias("out"),
+                        F.lit(None).cast("string").alias("pend"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(acc["out"], F.array(acc["pend"])).alias(
+                            "out"
+                        ),
+                        s.alias("pend"),
+                    )
+                ),
+                lambda acc: F.when(
+                    acc["pend"].isNull(), acc["out"]
+                ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+            )
+            nxt = words.select(
+                walk.alias("syms"), F.col("__freq")
+            ).persist()
+            nxt.count()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
 def length_bucket_batches(
     docs: DataFrame,
     batch_size: int = 8,

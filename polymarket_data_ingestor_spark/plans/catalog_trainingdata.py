@@ -302,6 +302,28 @@ def q_bpe_pair_counts(spark, sf_dir):
 
 
 @register(
+    "bpe_train_merges",
+    None,  # iterative training loop — not expressible in one SQL query
+    doc="Full iterative BPE training (operators/text.py::train_bpe): 8 "
+    "merge rounds over the corpus's distinct-word frequency table, "
+    "each round = map-side-combined pair rollup + 1-row argmax + pure "
+    "Spark aggregate-fold re-segmentation (no UDF). The merge table is "
+    "a DETERMINISTIC pure function of the corpus ((n DESC, left, "
+    "right) tie order), but the loop's driver-held state puts it "
+    "beyond a single SQL oracle — same category as dup_components' "
+    "iteration; pytest pins the whole table against an independent "
+    "Python trainer including merged-symbol rounds.",
+    tags=("text", "trainmix"),
+)
+def q_bpe_train_merges(spark, sf_dir):
+    merges = T.train_bpe(table(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i,) + m for i, m in enumerate(merges)],
+        "rank long, left string, right string, merged string, n long",
+    )
+
+
+@register(
     "length_bucket_batches",
     f"""
     WITH base AS (

@@ -1476,3 +1476,55 @@ def test_length_bucket_batches_invariants(spark):
     assert all(len(v) <= 4 for v in by_batch.values())
     again = T.length_bucket_batches(docs, batch_size=4, n_shards=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def _naive_bpe(texts, n_merges):
+    """Independent reference BPE trainer (greedy, (n DESC, pair) ties)."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            if len(w) >= 2:
+                words[w] += 1
+    segs = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, f in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (left, right), n = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        merges.append((left, right, left + right, n))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_train_bpe_matches_naive_trainer(spark):
+    """Full iterative BPE training vs an independent Python trainer:
+    identical merge tables (order, symbols, counts) on a corpus with
+    repeated morphemes, overlapping merges, and a merged-symbol pair
+    ('ab'+'ab' -> 'abab') that only exists after round 2."""
+    texts = ["ababab ababab low lower", "low low lowest", "ababab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = T.train_bpe(df, n_merges=6)
+    want = _naive_bpe(texts, 6)
+    assert got == want, (got, want)
+    # sanity: later rounds merge MERGED symbols, not just characters
+    assert any(len(left) > 1 or len(right) > 1 for left, right, _, _ in got)
