@@ -8,6 +8,8 @@ whole-stage codegen and scale linearly with no shuffle.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -244,6 +246,69 @@ def train_bpe(
     finally:
         words.unpersist()
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tok",
+) -> DataFrame:
+    """Tokenize with a trained BPE model: apply :func:`train_bpe`'s
+    merge table (standard rank-order application — repeatedly merge the
+    LOWEST-rank pair present in the word, which reproduces training
+    segmentation exactly) and append the per-document token count,
+    ready for ``pack_sequences(..., n_tok_col=...)`` /
+    ``chunk_documents``. Together with :func:`train_bpe` this closes
+    the loop: train the tokenizer on the cluster, tokenize the corpus
+    with it, pack it — one engine end to end.
+
+    NULL text counts 0 tokens (matching :func:`with_token_counts`);
+    ASCII-``\\s`` word splitting, same contract as every tokenizer here.
+
+    Scale shape: one zero-shuffle Arrow pass; the merge ranks ride the
+    closure (a trained merge table is small — even 50k merges is ~1 MB)
+    and a per-batch word memo amortizes repeated words, the same
+    pattern as the WordPiece counter.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    split_ws = re.compile(r"\s+", re.ASCII)
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def n_toks(w: str) -> int:
+            n = memo.get(w)
+            if n is not None:
+                return n
+            syms = list(w)
+            while len(syms) >= 2:
+                best, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, best_i = r, i
+                if best is None:
+                    break
+                syms[best_i:best_i + 2] = [
+                    syms[best_i] + syms[best_i + 1]
+                ]
+            n = len(syms)
+            memo[w] = n
+            return n
+
+        out = [
+            0 if t is None else sum(
+                n_toks(w) for w in split_ws.split(t) if w
+            )
+            for t in texts
+        ]
+        return pd.Series(out, dtype="int64")
+
+    return docs.withColumn(out_col, _count(F.col(text_col)))
 
 
 def length_bucket_batches(

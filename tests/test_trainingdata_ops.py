@@ -1528,3 +1528,46 @@ def test_train_bpe_matches_naive_trainer(spark):
     assert got == want, (got, want)
     # sanity: later rounds merge MERGED symbols, not just characters
     assert any(len(left) > 1 or len(right) > 1 for left, right, _, _ in got)
+
+
+def test_bpe_encode_roundtrip_with_trainer(spark):
+    """Train on a corpus, encode the same corpus: counts match a naive
+    rank-order BPE encoder, training words segment exactly as the
+    trainer left them, and unseen words fall back to finer pieces."""
+    texts = ["ababab ababab low lower", "low low lowest", "ababab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = T.train_bpe(df, n_merges=6)
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    def naive_count(text):
+        total = 0
+        for w in text.split():
+            syms = list(w)
+            while len(syms) >= 2:
+                cands = [(ranks[(syms[i], syms[i + 1])], i)
+                         for i in range(len(syms) - 1)
+                         if (syms[i], syms[i + 1]) in ranks]
+                if not cands:
+                    break
+                _, i = min(cands)
+                syms[i:i + 2] = [syms[i] + syms[i + 1]]
+            total += len(syms)
+        return total
+
+    extra = spark.createDataFrame(
+        [(99, "ababx lowly unseen")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_bpe_tok for r in
+           T.bpe_encode(df.unionByName(extra), merges).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == naive_count(t), (i, t)
+    assert got[99] == naive_count("ababx lowly unseen")
+    # a fully-merged training word costs 1 token
+    one = T.bpe_encode(
+        spark.createDataFrame([(0, "ababab")], "doc_id long, text string"),
+        merges,
+    ).first()
+    want_one = naive_count("ababab")
+    assert one.n_bpe_tok == want_one
