@@ -2562,6 +2562,16 @@ _TAIL = (
     "funnel_conversion", "cohort_retention",
 )
 
+#: r8 PROMOTION QUEUE (head first): the middle-zone entries that have
+#: never had a driver row — gap_fill_hourly, delta_volatility,
+#: quality_percentile_filter, hash_split_docs, skew_profile,
+#: snapshot_diff, dedup_histogram, cross_key_correlation (in-window r7),
+#: containment_pairs, bpe_pair_counts, length_bucket_batches,
+#: bpe_train_merges (rows-only), hashed_embedding_docs (in-window r7) —
+#: then the seven displaced r6-green anchors (region_revenue,
+#: cosine_topk, dedup_exact, minhash_lsh_pairs, text_stats,
+#: curation_pipeline, sessionize), then the r6-green _TAIL per the
+#: 2-round staleness contract.
 _order = (
     list(_PROMOTED) + list(_CODE_CHANGED) + list(_R5_STALE) + list(_ANCHORS)
 )
