@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "bpe_pair_counts",
     "length_bucket_batches",
+    "quantize_embeddings",
     # bpe_train_merges intentionally NOT benched: 8 iterative rounds
     # (~10 s at sf0.1) would dominate the sweep; bpe_pair_counts times
     # the per-round scale unit instead.

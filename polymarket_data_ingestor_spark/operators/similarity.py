@@ -576,6 +576,73 @@ def embedding_dup_pairs(
     )
 
 
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the 4x
+    storage/IO cut that makes a 100 TB embedding lake scannable: per
+    vector ``scale = max|v| / 127`` and ``q_i = floor(v_i / scale)``
+    (so ``q ∈ [-127, 127]``; an all-zero vector quantizes to zeros with
+    scale 0). Dequantization ``q_i * scale`` reconstructs within one
+    quantization step (``|v - q*s| < s``).
+
+    floor, not round: both the division and the floor are single IEEE
+    operations, bit-identical on every engine — round-half ties are
+    exactly the cross-engine trap ``label_centroids`` documented. The
+    result is clamped to [-127, 127]: the max-magnitude NEGATIVE
+    component divides to -127 ± 1 ulp, and when the ulp lands below,
+    floor would yield -128 — the clamp is itself deterministic, so
+    cross-engine exactness survives.
+
+    Pure Catalyst array transforms — zero shuffle, zero UDF; the
+    aggregate fold for ``max|v|`` is order-independent (max).
+    """
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = (absmax / F.lit(127.0)).alias(scale_col)
+    q = F.when(
+        F.col(scale_col) == 0.0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / F.col(scale_col)),
+                ),
+            ).cast("int"),
+        )
+    )
+    return emb.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def dequantize_embeddings(
+    emb: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``v_i ≈ q_i * scale`` as
+    ``array<float>``, shaped to feed the cosine/centroid/LSH machinery
+    directly. Reconstruction error per component is < one quantization
+    step (``scale``)."""
+    return emb.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col),
+            lambda q: (q.cast("double") * F.col(scale_col)).cast("float"),
+        ),
+    )
+
+
 def hashed_embedding(
     docs: DataFrame,
     n_dims: int = 64,

@@ -116,6 +116,47 @@ def q_hashed_embedding_docs(spark, sf_dir):
 
 
 @register(
+    "quantize_embeddings",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_aggregate(
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               'max') / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale, CAST(t.range AS BIGINT) AS dim,
+           CASE WHEN scale = 0 THEN 0
+                ELSE CAST(greatest(-127.0, least(127.0,
+                       FLOOR(CAST(embedding[t.range + 1] AS DOUBLE)
+                             / scale))) AS INTEGER) END AS q
+    FROM s, range(0, 64) t
+    """,
+    doc="Symmetric int8 embedding quantization "
+    "(operators/similarity.py::quantize_embeddings), unpacked to one "
+    "row per (vec, dim) so the hash pins every quantized component and "
+    "every scale. floor(v/scale) — single IEEE division + floor, "
+    "bit-identical across engines where round-half ties are not (the "
+    "label_centroids lesson). The 4x storage/IO cut for an embedding "
+    "lake; zero shuffle, zero UDF, pure array transforms.",
+    tags=("embedding",),
+)
+def q_quantize_embeddings(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    return (
+        quantize_embeddings(table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id", "scale",
+            F.posexplode("qvec").alias("dim", "q"),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+    )
+
+
+@register(
     "quality_percentile_filter",
     f"""
     SELECT doc_id, lang, quality, q_rank FROM (

