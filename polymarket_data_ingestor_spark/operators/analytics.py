@@ -500,13 +500,26 @@ def inter_arrival_stats(
     d = (t - F.lag(t).over(w)).alias("__d")
     gaps = events.select(*key_cols, d).filter(F.col("__d").isNotNull())
     # column names: p50, p95, p100, p99_9 — format(q*100, 'g') keeps
-    # every distinct quantile distinct (str(q)[2:] named 1.0 'p00' and
-    # collided with 0.0)
-    qs = [
-        F.expr(f"percentile(__d, {q})").alias(
-            "p" + format(q * 100, "g").replace(".", "_")
-        )
+    # the common quantiles distinct (str(q)[2:] named 1.0 'p00' and
+    # collided with 0.0); scientific-notation characters are mapped and
+    # any residual collision (e.g. 0.9999995 vs 1.0 at 6 significant
+    # digits) fails loudly instead of producing duplicate columns
+    names = [
+        "p"
+        + format(q * 100, "g")
+        .replace(".", "_")
+        .replace("-", "m")
+        .replace("+", "")
         for q in quantiles
+    ]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"inter_arrival_stats: quantiles {quantiles} collide after "
+            f"name formatting ({names}); space them out or rename"
+        )
+    qs = [
+        F.expr(f"percentile(__d, {q})").alias(name)
+        for q, name in zip(quantiles, names)
     ]
     return gaps.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n_gaps"),

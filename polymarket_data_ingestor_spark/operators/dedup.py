@@ -240,6 +240,38 @@ def gram_hashes_vectorized(
     return gram_hashes(c)
 
 
+def _blocked_gram_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    block_col: str | None,
+):
+    """Shared scaffold for the gram-overlap pair operators: per-doc
+    distinct shingles with the sentinel ``""`` gram REMOVED (blank/NULL
+    text shingles to ``[""]`` — keeping it would make every pair of
+    blank docs a 100%-overlap 'duplicate', a quadratic junk explosion
+    on exactly the degenerate input blocking is meant to contain), then
+    the block-equal ``id <`` self-join. Returns (joined, block column
+    name) with sides aliased ``a``/``b``."""
+    grams = df.select(
+        F.col(id_col),
+        F.col(block_col) if block_col else F.lit(1).alias("__b"),
+        F.array_remove(
+            word_ngrams_vectorized(text_col, n), ""
+        ).alias("grams"),
+    )
+    bcol = block_col if block_col else "__b"
+    a = grams.alias("a")
+    b = grams.alias("b")
+    joined = a.join(
+        b,
+        (F.col(f"a.{bcol}") == F.col(f"b.{bcol}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return joined
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -251,27 +283,22 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by word-n-gram Jaccard similarity.
 
     Jaccard = |A∩B| / |A∪B| over distinct shingles, computed with
-    ``array_intersect``/``array_union`` (JVM, no UDF). ``block_col``
-    restricts the self-join to equal blocking keys — without it this is
-    all-pairs O(N²) and only usable on small corpora or post-LSH candidates.
+    ``array_intersect``/``array_union`` (JVM, no UDF). Blank/NULL-text
+    docs have no shingles and never pair (see
+    :func:`_blocked_gram_self_join`). ``block_col`` restricts the
+    self-join to equal blocking keys — without it this is all-pairs
+    O(N²) and only usable on small corpora or post-LSH candidates.
     """
-    grams = df.select(
-        F.col(id_col), F.col(block_col) if block_col else F.lit(1).alias("__b"),
-        word_ngrams_vectorized(text_col, n).alias("grams"),
-    )
-    bcol = block_col if block_col else "__b"
-    a = grams.alias("a")
-    b = grams.alias("b")
+    joined = _blocked_gram_self_join(df, text_col, id_col, n, block_col)
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    jac = inter.cast("double") / union.cast("double")
+    # blank-doc pairs have union 0 — guard the division (ANSI mode
+    # throws DIVIDE_BY_ZERO before the threshold filter could prune)
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.{bcol}") == F.col(f"b.{bcol}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+        joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(jac, 6).alias("jaccard"),
@@ -303,19 +330,12 @@ def containment_pairs(
     smaller gram set (ties by id) as ``id_small``.
 
     Scale shape: same blocked self-join as :func:`ngram_jaccard_pairs`
-    — equal blocking keys (post-LSH candidates or a cheap prefilter)
-    keep it off the all-pairs cliff; the intersection is
+    (shared scaffold — the sentinel ``""`` gram is removed, so
+    blank/NULL-text docs never pair); the intersection is
     ``array_intersect`` on distinct shingles, JVM-side. Unblocked use
     is for small corpora / verification stages only.
     """
-    grams = df.select(
-        F.col(id_col),
-        F.col(block_col) if block_col else F.lit(1).alias("__b"),
-        word_ngrams_vectorized(text_col, n).alias("grams"),
-    )
-    bcol = block_col if block_col else "__b"
-    a = grams.alias("a")
-    b = grams.alias("b")
+    joined = _blocked_gram_self_join(df, text_col, id_col, n, block_col)
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     na = F.size(F.col("a.grams"))
     nb = F.size(F.col("b.grams"))
@@ -330,20 +350,21 @@ def containment_pairs(
     )
     n_small = F.least(na, nb)
     n_big = F.greatest(na, nb)
-    cont = inter.cast("double") / n_small.cast("double")
+    # n_small can be 0 for blank docs — ANSI mode would throw on the
+    # division before the output filter prunes those pairs
+    cont = F.when(
+        n_small > 0, inter.cast("double") / n_small.cast("double")
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.{bcol}") == F.col(f"b.{bcol}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+        joined.select(
             small_id.alias("id_small"),
             big_id.alias("id_big"),
             F.round(cont, 6).alias("containment"),
             n_small.alias("n_grams_small"),
             n_big.alias("n_grams_big"),
         )
+        # n_grams_small > 0 is live now: blank/NULL docs have EMPTY gram
+        # sets after the sentinel removal and must not divide (or pair)
         .filter(
             (F.col("containment") >= threshold)
             & (F.col("n_grams_small") > 0)

@@ -606,17 +606,27 @@ def quantize_embeddings(
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
     scale = (absmax / F.lit(127.0)).alias(scale_col)
+    # NULL element -> NULL q (and back to NULL on dequantize): Spark's
+    # least/greatest SKIP NULLs, so an unguarded clamp would silently
+    # quantize a missing component to +127 — max-magnitude garbage
+    # injected into every downstream cosine/centroid.
     q = F.when(
         F.col(scale_col) == 0.0,
-        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("int")),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.when(x.isNotNull(), F.lit(0)).cast("int"),
+        ),
     ).otherwise(
         F.transform(
             F.col(vec_col),
-            lambda x: F.greatest(
-                F.lit(-127),
-                F.least(
-                    F.lit(127),
-                    F.floor(x.cast("double") / F.col(scale_col)),
+            lambda x: F.when(
+                x.isNotNull(),
+                F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.floor(x.cast("double") / F.col(scale_col)),
+                    ),
                 ),
             ).cast("int"),
         )

@@ -8,6 +8,7 @@ whole-stage codegen and scale linearly with no shuffle.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import pandas as pd
@@ -818,8 +819,6 @@ def with_token_counts(
     forms. Non-ASCII whitespace is not treated as a separator (Java
     ``\\s`` is ASCII-only).
     """
-    import re
-
     from pyspark.sql.functions import pandas_udf
 
     pieces = tuple(DEFAULT_WORDPIECE_VOCAB if vocab is None else vocab)
@@ -830,8 +829,6 @@ def with_token_counts(
     # One broadcast per (application, vocab) — a long-lived driver calling
     # this repeatedly (bench sweeps, notebooks) must not leak one executor
     # broadcast per call; a real WordPiece vocab is tens of MB.
-    import hashlib
-
     digest = hashlib.md5(
         "\x00".join(sorted(pieces)).encode("utf-8")
     ).hexdigest()
@@ -841,12 +838,13 @@ def with_token_counts(
         for stale in [k for k in _VOCAB_BROADCASTS if k[0] != sc.applicationId]:
             del _VOCAB_BROADCASTS[stale]  # dead contexts' handles
         if len(_VOCAB_BROADCASTS) >= _VOCAB_BROADCASTS_MAX:
-            for old in list(_VOCAB_BROADCASTS.values()):
-                try:
-                    old.unpersist()
-                except Exception:  # pragma: no cover - dead context
-                    pass
-            _VOCAB_BROADCASTS.clear()
+            # evict ONE entry (insertion-order FIFO) — wiping the whole
+            # cache would re-broadcast every live vocab after the cap
+            oldest = next(iter(_VOCAB_BROADCASTS))
+            try:
+                _VOCAB_BROADCASTS.pop(oldest).unpersist()
+            except Exception:  # pragma: no cover - dead context
+                pass
         bvocab = sc.broadcast(frozenset(pieces))
         _VOCAB_BROADCASTS[bkey] = bvocab
     split_ws = re.compile(r"\s+", re.ASCII)

@@ -123,10 +123,11 @@ def q_hashed_embedding_docs(spark, sf_dir):
              list_aggregate(
                list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
                'max') / 127.0 AS scale
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT vec_id, scale, CAST(t.range AS BIGINT) AS dim,
-           CASE WHEN scale = 0 THEN 0
+           CASE WHEN embedding[t.range + 1] IS NULL THEN NULL
+                WHEN scale = 0 THEN 0
                 ELSE CAST(greatest(-127.0, least(127.0,
                        FLOOR(CAST(embedding[t.range + 1] AS DOUBLE)
                              / scale))) AS INTEGER) END AS q
@@ -409,7 +410,8 @@ def q_length_bucket_batches(spark, sf_dir):
              list_aggregate(({_SQL_TOKS})[1:12], 'string_agg', ' ')
       FROM documents WHERE doc_id < 50
     ), g AS (
-      SELECT doc_id, lang, {_SQL_GRAMS3} AS grams
+      SELECT doc_id, lang,
+             list_filter({_SQL_GRAMS3}, gr -> gr != '') AS grams
       FROM (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM corpus)
     ), p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -502,7 +504,8 @@ def q_dedup_histogram(spark, sf_dir):
     "ngram_jaccard_pairs",
     f"""
     WITH g AS (
-      SELECT doc_id, lang, {_SQL_GRAMS3} AS grams
+      SELECT doc_id, lang,
+             list_filter({_SQL_GRAMS3}, gr -> gr != '') AS grams
       FROM (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents
             WHERE doc_id < 150)
     )

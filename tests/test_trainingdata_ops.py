@@ -1602,3 +1602,32 @@ def test_quantize_dequantize_roundtrip(spark, emb):
         # ulp and floors a full step low, and the dequantized output is
         # itself float32-rounded (ulp32(~0.3) ~ 3e-8 ~ 1e-5 * scale)
         assert (err <= r.scale * (1 + 1e-4)).all(), r.vec_id
+
+
+def test_quantize_null_component_propagates(spark):
+    """A NULL embedding component quantizes to NULL (least/greatest
+    skip NULLs — an unguarded clamp fabricated +127) and dequantizes
+    back to NULL, never to the vector's absmax."""
+    df = spark.createDataFrame(
+        [(1, [0.5, None, -0.25])], "vec_id long, embedding array<float>"
+    )
+    q = S.quantize_embeddings(df).first()
+    assert q.qvec == [127, None, -64], q.qvec
+    back = S.dequantize_embeddings(
+        S.quantize_embeddings(df).drop("embedding")
+    ).first()
+    assert back.embedding[1] is None
+
+
+def test_containment_blank_docs_never_pair(spark):
+    """Blank/NULL/whitespace-only docs have EMPTY gram sets after the
+    '' sentinel removal: no containment pairs, no jaccard pairs, no
+    division by zero — the quadratic blank-doc junk explosion is dead."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real text here")],
+        "doc_id long, text string",
+    )
+    assert D.containment_pairs(df, threshold=0.0).count() == 0
+    # blank-blank pairs vanish (NULL jaccard); a blank-vs-real pair is
+    # a legitimate 0.0 and only survives a degenerate 0.0 threshold
+    assert D.ngram_jaccard_pairs(df, threshold=0.001).count() == 0
