@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "length_bucket_batches",
     "quantize_embeddings",
+    "rolling_zscore_flags",
+    "dq_profile_orders",
+    "vwap_monthly",
+    "inverted_index",
     # bpe_train_merges intentionally NOT benched: 8 iterative rounds
     # (~10 s at sf0.1) would dominate the sweep; bpe_pair_counts times
     # the per-round scale unit instead.

@@ -612,3 +612,136 @@ def trailing_window_stats(
         F.count(F.col(value_col)).over(w).alias("trail_n"),
         F.max(F.col(value_col)).over(w).alias("trail_max"),
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    bucket: str = "hour",
+    trailing_buckets: int = 24,
+    threshold: int = 3,
+    min_baseline: int = 4,
+) -> DataFrame:
+    """Trailing z-score anomaly flags over per-(key, bucket) event counts.
+
+    The monitoring primitive: bucket the stream per key, then compare
+    each bucket's count against the mean/stddev of the previous
+    ``trailing_buckets`` OBSERVED buckets of the same key (row frame, not
+    calendar — compose with ``gap_fill`` upstream when empty buckets
+    should count as zeros). Buckets with fewer than ``min_baseline``
+    predecessors report NULL z and never flag (no information ≠ normal).
+
+    Engine-exact by construction: counts are integers, so with baseline
+    sums S = Σx, SS = Σx² over m buckets, the z-score identity
+
+        z = (x·m − S) / sqrt(m·SS − S²)
+
+    needs one IEEE divide + sqrt at the edge (both correctly rounded →
+    bit-identical everywhere), and the FLAG avoids even that: it is the
+    pure integer predicate  (x·m − S)² > t²·(m·SS − S²),  so threshold
+    comparison can never go ulp-dependent at the boundary. A constant
+    baseline (zero variance) flags ANY deviation and reports NULL z —
+    infinite surprise, no finite score.
+
+    Scale shape: two exchanges, BOTH carrying bucket-granularity rows —
+    the rollup's shuffle moves map-side-combined partial counts (one row
+    per (key, bucket) per map task, input-volume-independent), and the
+    window's re-shuffle on the key alone moves the finished bucket rows
+    (#keys × #buckets, tiny at any scale). Collapsing to one exchange
+    would mean repartitioning RAW events by key before the rollup —
+    strictly worse at 100 TB. The window sweep itself is over buckets,
+    never events.
+    """
+    from pyspark.sql import Window
+
+    counts = events.groupBy(
+        *key_cols, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(-trailing_buckets, -1)
+    )
+    x = F.col("n_events")
+    m = F.count(F.lit(1)).over(w)
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    num = x * m - s          # integer: x·m − S
+    var_n = m * ss - s * s   # integer: m·SS − S² (= m²·population-var)
+    ok = m >= F.lit(min_baseline)
+    return counts.select(
+        *key_cols,
+        "bucket_ts",
+        "n_events",
+        F.when(ok, m).otherwise(F.lit(None)).alias("baseline_n"),
+        F.when(
+            ok & (var_n > 0),
+            num.cast("double") / F.sqrt(var_n.cast("double")),
+        ).alias("zscore"),
+        F.when(
+            ok, num * num > F.lit(threshold * threshold) * var_n
+        ).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def dq_profile(
+    df: DataFrame,
+    columns: tuple[str, ...] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Data-quality profile: per-column completeness / distinctness report.
+
+    The Deequ-style constraint-report primitive a lake ingest job runs
+    before publishing a partition: one row per profiled column with
+    ``n_rows``, ``n_nulls``, ``n_distinct`` (NULL excluded),
+    ``completeness_permyriad`` (⌊non-null·10000/n⌋ — integer, so no
+    float formatting can differ across engines) and ``is_unique``
+    (every non-null value distinct). All-integer output → hash-exact.
+
+    Scale shape: ONE pass over the input. With ``exact_distinct`` the
+    multi-column count-distinct plans as Spark's Expand (input ×
+    (k+1 profiled columns) into the partial aggregate) — exact but the
+    shuffle volume scales with k; that is the honest cost of exact
+    distinct counts. At 100 TB set ``exact_distinct=False``: HLL
+    sketches (``approx_count_distinct``) profile every column in one
+    combined map-side pass with constant-size state per column (±2.3%
+    default error; the oracle pairs only the exact form). The final
+    unpivot (``stack``) runs on a single 1-row aggregate — free.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    distinct = (
+        F.count_distinct if exact_distinct else F.approx_count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}")
+        )
+        aggs.append(distinct(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}" for c in cols
+    )
+    return (
+        one.select(
+            F.col("__n"),
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+            ),
+        )
+        .select(
+            F.col("col_name"),
+            F.col("__n").alias("n_rows"),
+            "n_nulls",
+            "n_distinct",
+            # guarded: an empty input profiles to NULL completeness
+            # rather than tripping ANSI DIVIDE_BY_ZERO
+            F.expr(
+                "CASE WHEN __n > 0 THEN (__n - n_nulls) * 10000 DIV __n END"
+            ).alias("completeness_permyriad"),
+            (F.col("n_distinct") == F.col("__n") - F.col("n_nulls")).alias(
+                "is_unique"
+            ),
+        )
+    )

@@ -239,3 +239,40 @@ def top_of_book(ticks: DataFrame) -> DataFrame:
             F.max_by("timestamp", key).alias("as_of"),
         )
     )
+
+
+def vwap_bars(
+    ticks: DataFrame,
+    every: str = "1 hour",
+    by: tuple[str, ...] = ("asset",),
+) -> DataFrame:
+    """Volume-weighted average trade price per bucket (VWAP).
+
+    The execution-quality benchmark: each trade weighted by its SIZE
+    (``twap_bars`` weights by standing TIME; the pair brackets the two
+    standard averaging regimes). ``Σ(price·size) / Σ(size)`` with both
+    sums in exact decimal — feed prices carry ≤6 dp (sub-cent ticks)
+    and sizes ≤8 dp, so decimal(15,6)×decimal(15,8) holds every feed
+    value exactly — and ONE double division at the edge:
+    order-independent, so any shuffle layout produces the bit-identical
+    answer.
+
+    Scale shape: a single map-side-combined aggregate — no window at
+    all (unlike TWAP, VWAP needs no neighbor), so the one shuffle
+    carries one row per (bucket, key) per map task. The cheapest bar
+    in the module; skew-immune for the same reason.
+    """
+    trades = ticks.filter(F.col("kind") == "TRADE")
+    bkt = F.window("event_time", every)
+    p = F.col("price").cast("decimal(15,6)")
+    s = F.col("size").cast("decimal(15,8)")
+    return (
+        trades.groupBy(bkt["start"].alias("bar_time"), *by)
+        .agg(
+            (
+                F.sum(p * s).cast("double") / F.sum(s).cast("double")
+            ).alias("vwap"),
+            F.sum(s).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )

@@ -883,3 +883,54 @@ def with_token_counts(
         return pd.Series(out, dtype="int64")
 
     return docs.withColumn(out_col, _counts(F.col(text_col)))
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Inverted index: per term, its document frequency, total term
+    frequency, and a sorted (ascending, truncated) posting list of doc
+    ids — the retrieval/search primitive over a curated corpus.
+
+    One explode + ONE term-keyed aggregate: ``collect_set`` partially
+    merges map-side, so a stopword's postings accumulate across map
+    tasks without re-shuffling raw token rows twice (the
+    per-(term, doc) pre-rollup formulation costs a second exchange
+    because hash(term, doc) does not co-locate a term). ``df``/``tf``
+    are exact integers computed on the FULL set; only the emitted
+    posting array is truncated to ``max_postings`` after an explicit
+    ``sort_array`` (deterministic — set order is not).
+
+    Scale caveat, by design: a term's full posting set must fit in one
+    aggregation buffer, and web-scale stopwords do not. ``max_postings``
+    bounds only the OUTPUT, not the buffer — at 100 TB, first drop
+    ultra-high-df terms (a ``vocabulary`` pass + broadcast stoplist
+    anti-join), or keep the flat (term, doc_id, tf) posting TABLE
+    (skew-free: it is just the exploded rollup, no arrays) and reserve
+    the array form for the post-filter vocabulary. The flat form is
+    ``doc_tfidf_topk``'s first stage; this operator is the array-packed
+    final index.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.collect_set(id_col).alias("__docs"),
+        )
+        .select(
+            "term",
+            "tf",
+            F.size("__docs").cast("long").alias("df"),
+            F.slice(
+                F.sort_array("__docs"), 1, max_postings
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -1430,6 +1430,137 @@ def q_variant_props_agg(spark, sf_dir):
     )
 
 
+@register(
+    "rolling_zscore_flags",
+    """
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, bucket_ts, n_events,
+             count(*) OVER w AS m,
+             sum(n_events) OVER w AS s,
+             sum(n_events * n_events) OVER w AS ss
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_ts, n_events,
+           CASE WHEN m >= 4 THEN m END AS baseline_n,
+           CASE WHEN m >= 4 AND m * ss - s * s > 0
+                THEN CAST(n_events * m - s AS DOUBLE)
+                     / sqrt(CAST(m * ss - s * s AS DOUBLE)) END AS zscore,
+           CASE WHEN m >= 4
+                THEN (n_events * m - s) * (n_events * m - s)
+                     > 9 * (m * ss - s * s)
+                ELSE FALSE END AS is_anomaly
+    FROM win
+    """,
+    doc="Trailing z-score anomaly flags over hourly per-type event "
+    "counts (operators/analytics.py::rolling_zscore). Engine-exact: "
+    "counts are integers, z = (x·m − S)/sqrt(m·SS − S²) is one IEEE "
+    "divide + sqrt over exact integer sums, and the FLAG is a pure "
+    "integer predicate (x·m − S)² > t²·(m·SS − S²) — threshold "
+    "comparison can never go ulp-dependent. Fewer than 4 baseline "
+    "buckets → NULL z, no flag; constant baseline → any deviation "
+    "flags with NULL z. Scale shape: two exchanges, both carrying "
+    "bucket-granularity rows — map-side-combined partial counts into "
+    "the rollup, then finished (#keys × #hours) bucket rows into the "
+    "key-partitioned window; raw events never shuffle.",
+    tags=("window", "monitoring"),
+)
+def q_rolling_zscore_flags(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        rolling_zscore,
+    )
+
+    return rolling_zscore(
+        table(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_cols=("event_type",),
+        bucket="hour",
+        trailing_buckets=24,
+        threshold=3,
+        min_baseline=4,
+    )
+
+
+_DQ_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+_DQ_SQL = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           count({c}) * 10000 // count(*) AS completeness_permyriad,
+           count(DISTINCT {c}) = count({c}) AS is_unique
+    FROM orders"""
+    for c in _DQ_COLS
+)
+
+
+@register(
+    "dq_profile_orders",
+    _DQ_SQL,
+    doc="Deequ-style data-quality profile of every orders column "
+    "(operators/analytics.py::dq_profile): n_rows / n_nulls / exact "
+    "n_distinct / integer-permyriad completeness / is_unique — "
+    "all-integer output, hash-exact. Spark side is ONE pass: a single "
+    "aggregate with per-column null-sums and count_distincts (planned "
+    "via Expand: input × (k+1) into the partial agg — the honest cost "
+    "of exact distincts; exact_distinct=False swaps in HLL sketches "
+    "for a constant-state one-pass profile at 100 TB) followed by a "
+    "stack() unpivot on the 1-row result. The oracle's UNION ALL of "
+    "per-column scans is the semantic twin, not the plan twin.",
+    tags=("agg", "monitoring"),
+)
+def q_dq_profile_orders(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import dq_profile
+
+    return dq_profile(table(spark, sf_dir, "orders"), _DQ_COLS)
+
+
+@register(
+    "vwap_monthly",
+    """
+    SELECT l_returnflag,
+           date_trunc('month', l_shipdate) AS month,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                    * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+             AS vwap,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+             AS volume,
+           count(*) AS n_trades
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="Monthly volume-weighted average price per return flag "
+    "(operators/bars.py::vwap_bars over tick tables; here over "
+    "lineitem — price=l_extendedprice, size=l_quantity — so DuckDB "
+    "can verify). Σ(price·size)/Σ(size) with both sums in exact "
+    "decimal and ONE double division at the edge: order-independent, "
+    "bit-exact under any shuffle. Scale shape: a single map-side-"
+    "combined aggregate, no window (VWAP needs no neighbor, unlike "
+    "TWAP) — the cheapest bar, skew-immune.",
+    tags=("agg", "bars"),
+)
+def q_vwap_monthly(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(15,2)")
+    s = F.col("l_quantity").cast("decimal(15,2)")
+    return li.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(
+        (F.sum(p * s).cast("double") / F.sum(s).cast("double")).alias("vwap"),
+        F.sum(s).cast("double").alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
 # Training-data operator entries register themselves on import (placed at
 # module end: they import `register`/`table` from this partially-initialized
 # module, which works because those are defined above).

@@ -1378,6 +1378,37 @@ def q_vocab_stats(spark, sf_dir):
 
 
 @register(
+    "inverted_index",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    )
+    SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,
+           list_slice(list_sort(list(DISTINCT doc_id)), 1, 1000)
+             AS postings
+    FROM toks WHERE term != ''
+    GROUP BY term HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc="Inverted index — per-term df / tf / sorted truncated posting "
+    "list (operators/text.py::inverted_index), the retrieval primitive "
+    "over a curated corpus. One explode + ONE term-keyed aggregate: "
+    "collect_set merges map-side, so stopword postings accumulate "
+    "across map tasks in one exchange (a per-(term,doc) pre-rollup "
+    "would cost two — hash(term,doc) does not co-locate a term). "
+    "Postings are sort_array'd before the truncation (deterministic; "
+    "set order is not); df/tf stay exact on the full set. At 100 TB "
+    "drop ultra-high-df terms first via a vocabulary pass + broadcast "
+    "stoplist, or keep the flat skew-free (term, doc_id, tf) posting "
+    "table — the array form is for the post-filter vocabulary.",
+    tags=("text", "search"),
+)
+def q_inverted_index(spark, sf_dir):
+    return T.inverted_index(
+        table(spark, sf_dir, "documents"), min_df=2, max_postings=1000
+    )
+
+
+@register(
     "doc_tfidf_topk",
     f"""
     WITH toks AS (

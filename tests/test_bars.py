@@ -13,6 +13,7 @@ from polymarket_data_ingestor_spark.operators.bars import (
     trade_summary,
     twap_bars,
     volume_bars,
+    vwap_bars,
 )
 from polymarket_data_ingestor_spark.operators.replay import replay, with_event_time
 from polymarket_data_ingestor_spark.sources.frames import read_frames
@@ -111,6 +112,26 @@ def test_twap_bars(ticks_env):
     want = want.sort_values(keys).reset_index(drop=True)
     assert got["n_obs"].tolist() == want["n_obs"].tolist()
     assert got["twap"].tolist() == pytest.approx(want["twap"].tolist())
+
+
+def test_vwap_bars(ticks_env):
+    _, _, ticks, oracle = ticks_env
+    got = vwap_bars(ticks, "1 hour", by=("asset",)).toPandas()
+    tr = oracle[oracle["kind"] == "TRADE"].copy()
+    tr["bar_time"] = tr["event_time"].dt.floor("1h")
+    want = (
+        tr.assign(ps=tr["price"] * tr["size"])
+        .groupby(["bar_time", "asset"], as_index=False)
+        .agg(ps=("ps", "sum"), volume=("size", "sum"), n_trades=("size", "count"))
+    )
+    want["vwap"] = want["ps"] / want["volume"]
+    keys = ["bar_time", "asset"]
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert got[keys].values.tolist() == want[keys].values.tolist()
+    assert got["n_trades"].tolist() == want["n_trades"].tolist()
+    assert got["vwap"].tolist() == pytest.approx(want["vwap"].tolist())
+    assert got["volume"].tolist() == pytest.approx(want["volume"].tolist())
 
 
 def test_trade_summary(ticks_env):

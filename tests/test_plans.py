@@ -502,3 +502,44 @@ def test_snapshot_diff_single_join_no_window(spark):
     plan = plan_of(spark, "snapshot_diff")
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
     assert "Window" not in plan
+
+
+def test_rolling_zscore_bucket_granularity_shuffles(spark):
+    """Both exchanges carry bucket-granularity rows: the rollup ships
+    map-side-combined partial counts (partial_count under the first
+    exchange), the window re-shuffle ships finished bucket rows. Raw
+    events never cross the wire; collapsing to one exchange would mean
+    repartitioning raw events — strictly worse at scale."""
+    plan = plan_of(spark, "rolling_zscore_flags")
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan
+
+
+def test_dq_profile_expand_single_pass(spark):
+    """Exact multi-column distincts plan via Expand over ONE scan of the
+    input — the honest cost of exactness (input × k+1 into the partial
+    aggregate); no join, no per-column re-scan."""
+    plan = plan_of(spark, "dq_profile_orders")
+    assert "Expand" in plan, plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_vwap_single_exchange_partial_agg(spark):
+    """VWAP needs no neighbor (unlike TWAP): a single map-side-combined
+    aggregate — one exchange, no window, no join."""
+    plan = plan_of(spark, "vwap_monthly")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_" in plan, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_inverted_index_single_term_exchange(spark):
+    """The posting sets merge map-side (partial collect_set): one
+    term-keyed exchange after the explode, never a second per-(term,doc)
+    pre-rollup exchange."""
+    plan = plan_of(spark, "inverted_index")
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" in plan, plan
+    assert "Join" not in plan

@@ -1,0 +1,144 @@
+"""Tests for the monitoring/profiling operators: rolling_zscore,
+dq_profile, inverted_index — each against a naive Python model over
+crafted inputs that hit the documented edge semantics (constant
+baselines, short baselines, NULL columns, posting truncation)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from polymarket_data_ingestor_spark.operators.analytics import (
+    dq_profile,
+    rolling_zscore,
+)
+from polymarket_data_ingestor_spark.operators.text import inverted_index
+
+BASE = dt.datetime(2024, 4, 1)
+
+
+def _count_events(counts_per_key: dict[str, list[int]]):
+    """Rows (event_id, ts, key): bucket i of a key gets counts[i] events."""
+    rows, eid = [], 0
+    for key, counts in counts_per_key.items():
+        for i, c in enumerate(counts):
+            for j in range(c):
+                eid += 1
+                rows.append(
+                    (eid, BASE + dt.timedelta(hours=i, seconds=j), key)
+                )
+    return rows
+
+
+def _naive_zscore(counts, trailing, threshold, min_baseline):
+    """Per ordered bucket: (n, baseline_n, z, flag) over the row frame."""
+    out = []
+    for i, x in enumerate(counts):
+        base = counts[max(0, i - trailing): i]
+        m = len(base)
+        if m < min_baseline:
+            out.append((x, None, None, False))
+            continue
+        s, ss = sum(base), sum(v * v for v in base)
+        num, var_n = x * m - s, m * ss - s * s
+        z = num / math.sqrt(var_n) if var_n > 0 else None
+        flag = num * num > threshold * threshold * var_n
+        out.append((x, m, z, flag))
+    return out
+
+
+def test_rolling_zscore_matches_naive_model(spark):
+    # A: burst over a constant baseline (zero variance -> NULL z, flag);
+    # B: burst over a varying baseline; C: dead-flat (never flags);
+    # B also exercises the short-baseline NULL region (first 4 buckets).
+    data = {
+        "A": [5, 5, 5, 5, 9, 5],
+        "B": [1, 2, 3, 4, 10, 2],
+        "C": [2, 2, 2, 2, 2],
+    }
+    df = spark.createDataFrame(
+        _count_events(data), ["event_id", "ts", "event_type"]
+    )
+    got = (
+        rolling_zscore(
+            df, key_cols=("event_type",), trailing_buckets=4,
+            threshold=3, min_baseline=4,
+        )
+        .toPandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for key, counts in data.items():
+        sub = got[got["event_type"] == key].reset_index(drop=True)
+        want = _naive_zscore(counts, 4, 3, 4)
+        assert sub["n_events"].tolist() == [w[0] for w in want]
+        assert [
+            None if v != v else int(v) for v in sub["baseline_n"]
+        ] == [w[1] for w in want]
+        for gz, (_, _, wz, _) in zip(sub["zscore"], want):
+            if wz is None:
+                assert gz != gz  # NaN <- NULL
+            else:
+                assert gz == wz  # exact: integer sums + one IEEE div/sqrt
+        assert sub["is_anomaly"].tolist() == [w[3] for w in want]
+    # the A burst flags with NULL z (infinite surprise, no finite score)
+    a_burst = got[(got["event_type"] == "A") & (got["n_events"] == 9)]
+    assert bool(a_burst["is_anomaly"].iloc[0])
+    assert a_burst["zscore"].isna().all()
+
+
+def test_dq_profile_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", 1.0), (3, None, 2.0), (4, "y", 2.0)],
+        ["id", "s", "v"],
+    )
+    got = {
+        r["col_name"]: r.asDict() for r in dq_profile(df).collect()
+    }
+    assert got["id"] == {
+        "col_name": "id", "n_rows": 4, "n_nulls": 0, "n_distinct": 4,
+        "completeness_permyriad": 10000, "is_unique": True,
+    }
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["completeness_permyriad"] == 7500
+    assert got["s"]["is_unique"] is False
+    assert got["v"]["n_distinct"] == 2 and got["v"]["is_unique"] is False
+
+
+def test_dq_profile_empty_and_approx(spark):
+    df = spark.createDataFrame([], "id bigint, s string")
+    got = dq_profile(df).collect()
+    assert len(got) == 2
+    for r in got:
+        # empty input: NULL completeness (not a divide-by-zero), trivially unique
+        assert r["n_rows"] == 0 and r["completeness_permyriad"] is None
+    approx = dq_profile(
+        spark.createDataFrame([(1, "a")], "id bigint, s string"),
+        exact_distinct=False,
+    ).collect()
+    assert {r["col_name"] for r in approx} == {"id", "s"}
+    assert all(r["n_distinct"] == 1 for r in approx)
+
+
+def test_inverted_index_matches_naive_model(spark):
+    docs = [(1, "a b a"), (2, "b c"), (3, " b  a ")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["term"]: r.asDict()
+        for r in inverted_index(df, min_df=1).collect()
+    }
+    assert got["a"] == {
+        "term": "a", "tf": 3, "df": 2, "postings": [1, 3]
+    }
+    assert got["b"]["df"] == 3 and got["b"]["postings"] == [1, 2, 3]
+    assert got["c"] == {
+        "term": "c", "tf": 1, "df": 1, "postings": [2]
+    }
+    # min_df prunes; df stays exact while postings truncate to the
+    # smallest doc ids (sorted before the slice)
+    pruned = {
+        r["term"]: r.asDict()
+        for r in inverted_index(df, min_df=2, max_postings=2).collect()
+    }
+    assert set(pruned) == {"a", "b"}
+    assert pruned["b"]["df"] == 3 and pruned["b"]["postings"] == [1, 2]
