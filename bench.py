@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "dq_profile_orders",
     "vwap_monthly",
     "inverted_index",
+    "bm25_search",
+    "spend_quartiles",
     # bpe_train_merges intentionally NOT benched: 8 iterative rounds
     # (~10 s at sf0.1) would dominate the sweep; bpe_pair_counts times
     # the per-round scale unit instead.

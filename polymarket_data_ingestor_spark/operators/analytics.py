@@ -745,3 +745,48 @@ def dq_profile(
             ),
         )
     )
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign every row its quantile bucket of ``value_col`` (1-based:
+    bucket 1 = lowest). The feature-engineering primitive behind "spend
+    quartile" / "latency decile" columns.
+
+    NOT ``ntile``: a global ntile forces the whole relation through ONE
+    partition (a global sort with a single window partition — the
+    textbook scale chokepoint). Instead the n−1 boundaries come from
+    one exact-``percentile`` 1-row aggregate, broadcast, and assignment
+    is a per-row comparison chain — the big table never re-shuffles and
+    never sorts. Semantics differ from ntile only on ties/exact-boundary
+    values (threshold rule: value ≤ q_i → bucket i; ntile balances
+    counts), which is usually what a feature column wants anyway.
+
+    Determinism: feed an INTEGER column (scale fixed-dp values first —
+    e.g. money to cents) so both the exact percentile interpolation and
+    the boundary comparisons are engine-exact (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` bit-for-bit on integer inputs, the
+    ``arrival_latency`` precedent).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    v = F.col(value_col)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = F.broadcast(
+        df.agg(
+            *[
+                F.percentile(v, F.lit(p)).alias(f"__q{i}")
+                for i, p in enumerate(probs)
+            ]
+        )
+    )
+    bucket = F.lit(1)
+    for i in range(len(probs)):
+        bucket = bucket + (v > F.col(f"__q{i}")).cast("int")
+    return df.crossJoin(bounds).select(
+        *df.columns, bucket.cast("long").alias(bucket_col)
+    )

@@ -934,3 +934,82 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 50,
+) -> DataFrame:
+    """BM25-ranked retrieval: score every document against a bag of
+    query terms and return the top ``top_n`` — the classic lexical
+    search scorer (Robertson/Okapi), completing the retrieval tier
+    started by :func:`inverted_index`.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Determinism: tf/df/dl/N are exact integers; avgdl is one double
+    division over exact sums. The emitted score is rounded to 6 dp and
+    the ranking order is (rounded score desc, id) — a total order, so
+    the same top-n set falls out of any engine whose ``ln`` agrees to
+    6 dp (the same convention the tf-idf entries use).
+
+    Scale shape: ONE corpus scan. Doc length dl is computed per row
+    inside the scan (no shuffle); non-query tokens are dropped BEFORE
+    the explode's output is aggregated, so the (id, term) rollup — the
+    only corpus-sized shuffle input — carries just matching tokens
+    (#query_terms × matching docs rows after map-side combine). Term
+    dfs and N/avgdl ride as broadcast 1-row/`|q|`-row aggregates; the
+    final top-n is a TakeOrderedAndProject (per-partition heaps, no
+    global sort and no single-partition window, plan-gated). Scoring
+    100 TB costs the scan plus shuffles proportional to the MATCH set,
+    not the corpus.
+    """
+    terms = [t for t in query_terms]
+    toks_arr = F.filter(tokens(text_col), lambda t: t != "")
+    rows = df.select(
+        F.col(id_col),
+        F.size(toks_arr).alias("__dl"),
+        F.explode(
+            F.filter(toks_arr, lambda t: t.isin(*terms))
+        ).alias("term"),
+    )
+    tf = rows.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("__dl").alias("__dl")
+    )
+    corpus = F.broadcast(
+        df.agg(
+            F.countDistinct(id_col).alias("__n"),
+            F.sum(F.size(toks_arr)).alias("__dl_sum"),
+        )
+    )
+    dfs = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    )
+    avgdl = F.col("__dl_sum").cast("double") / F.col("__n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / avgdl
+    )
+    scored = (
+        tf.join(dfs, "term")
+        .crossJoin(corpus)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(idf * tf_d * F.lit(k1 + 1.0) / norm), 6
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)

@@ -1561,6 +1561,61 @@ def q_vwap_monthly(spark, sf_dir):
     )
 
 
+@register(
+    "spend_quartiles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), q AS (
+      SELECT quantile_cont(cents, 0.25) AS q0,
+             quantile_cont(cents, 0.5) AS q1,
+             quantile_cont(cents, 0.75) AS q2
+      FROM spend
+    )
+    SELECT o_custkey, spend,
+           CAST(1 + CAST(cents > q0 AS INT) + CAST(cents > q1 AS INT)
+                  + CAST(cents > q2 AS INT) AS BIGINT) AS spend_quartile
+    FROM spend, q
+    """,
+    doc="Per-customer spend quartile assignment "
+    "(operators/analytics.py::quantile_bucket) — the feature-"
+    "engineering bucketing primitive done scale-correctly: NOT ntile "
+    "(a global ntile funnels the whole relation through one sorted "
+    "partition), but n−1 exact-percentile boundaries from a broadcast "
+    "1-row aggregate + a per-row comparison chain — the big table "
+    "never re-shuffles, never sorts. Engine-exact because the "
+    "percentile runs on integer CENTS (decimal-exact spend × 100): "
+    "Spark percentile ≡ DuckDB quantile_cont bit-for-bit on integer "
+    "inputs (the arrival_latency precedent).",
+    tags=("agg", "trainmix"),
+)
+def q_spend_quartiles(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        quantile_bucket,
+    )
+
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__d")
+        )
+        .select(
+            "o_custkey",
+            F.col("__d").cast("double").alias("spend"),
+            (F.col("__d") * 100).cast("long").alias("__cents"),
+        )
+    )
+    return quantile_bucket(spend, "__cents", 4, "spend_quartile").select(
+        "o_custkey", "spend", "spend_quartile"
+    )
+
+
 # Training-data operator entries register themselves on import (placed at
 # module end: they import `register`/`table` from this partially-initialized
 # module, which works because those are defined above).

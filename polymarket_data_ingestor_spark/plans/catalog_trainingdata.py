@@ -1409,6 +1409,58 @@ def q_inverted_index(spark, sf_dir):
 
 
 @register(
+    "bm25_search",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter({_SQL_TOKS}, t -> t != '') AS arr
+      FROM documents
+    ), meta AS (
+      SELECT count(DISTINCT doc_id) AS n, sum(len(arr)) AS dl_sum FROM tk
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM (
+        SELECT doc_id, unnest(arr) AS term, len(arr) AS dl FROM tk
+      ) WHERE term IN ('query', 'window', 'scan')
+      GROUP BY doc_id, term
+    ), dfs AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (meta.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                 / (CAST(meta.dl_sum AS DOUBLE) / meta.n)))
+             ), 6) AS score,
+             count(*) AS n_matched_terms
+      FROM tf, dfs, meta WHERE tf.term = dfs.term
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, n_matched_terms FROM scored
+    QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 50
+    """,
+    doc="BM25 ranked retrieval (operators/text.py::bm25_scores): top-50 "
+    "documents for a 3-term query, the classic Okapi scorer completing "
+    "the inverted_index retrieval tier. tf/df/dl/N are exact integers; "
+    "avgdl is one double division; scores round to 6 dp and rank by "
+    "(score desc, doc_id) — a total order, same ln-to-6dp convention "
+    "as the tf-idf entries. Scale shape: one corpus scan with dl "
+    "computed in-scan and non-query tokens dropped before aggregation, "
+    "so the only corpus-sized shuffle input is the MATCH set; df/N/"
+    "avgdl ride as broadcast aggregates; top-n is "
+    "TakeOrderedAndProject (plan-gated — no global sort, no single-"
+    "partition window).",
+    tags=("text", "search"),
+)
+def q_bm25_search(spark, sf_dir):
+    return T.bm25_scores(
+        table(spark, sf_dir, "documents"),
+        ("query", "window", "scan"),
+        top_n=50,
+    )
+
+
+@register(
     "doc_tfidf_topk",
     f"""
     WITH toks AS (

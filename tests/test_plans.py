@@ -543,3 +543,22 @@ def test_inverted_index_single_term_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Generate" in plan, plan
     assert "Join" not in plan
+
+
+def test_bm25_takeordered_no_window(spark):
+    """The top-n must be TakeOrderedAndProject (per-partition heaps),
+    never a single-partition row_number window or a global Sort over
+    the match set; df/N/avgdl arrive broadcast."""
+    plan = plan_of(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_spend_quartiles_no_sort_no_window(spark):
+    """Quantile bucketing must NOT plan as ntile (single-partition
+    window over a global sort): boundaries arrive as a broadcast 1-row
+    aggregate, assignment is a per-row comparison in the scan stage."""
+    plan = plan_of(spark, "spend_quartiles")
+    assert "Window" not in plan, plan
+    assert "Sort " not in plan and "SortExec" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

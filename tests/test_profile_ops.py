@@ -142,3 +142,88 @@ def test_inverted_index_matches_naive_model(spark):
     }
     assert set(pruned) == {"a", "b"}
     assert pruned["b"]["df"] == 3 and pruned["b"]["postings"] == [1, 2]
+
+
+def _naive_bm25(docs, query, k1=1.2, b=0.75):
+    """Independent BM25 model: dict-based, no Spark."""
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {
+        q: sum(1 for t in toks.values() if q in t) for q in query
+    }
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        matched = 0
+        for q in query:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+        if matched:
+            out[d] = (round(s, 6), matched)
+    return out
+
+
+def test_bm25_matches_naive_model(spark):
+    from polymarket_data_ingestor_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "spark shuffle join shuffle"),
+        (2, "join the window please"),
+        (3, "completely unrelated text here"),
+        (4, "shuffle"),
+        (5, "window window window shuffle join window"),
+    ]
+    query = ("shuffle", "window")
+    got = bm25_scores(
+        spark.createDataFrame(docs, ["doc_id", "text"]), query, top_n=10
+    ).collect()
+    want = _naive_bm25(docs, query)
+    assert {r["doc_id"] for r in got} == set(want)  # doc 3 absent
+    for r in got:
+        w_score, w_matched = want[r["doc_id"]]
+        assert r["score"] == w_score, (r, want)
+        assert r["n_matched_terms"] == w_matched
+    # rows arrive ranked: (score desc, doc_id) total order
+    keys = [(-r["score"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
+    # top_n truncates the ranked list deterministically
+    top2 = bm25_scores(
+        spark.createDataFrame(docs, ["doc_id", "text"]), query, top_n=2
+    ).collect()
+    assert [r["doc_id"] for r in top2] == [r["doc_id"] for r in got[:2]]
+
+
+def test_quantile_bucket_matches_numpy(spark):
+    import numpy as np
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        quantile_bucket,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    got = {
+        r["id"]: r["b"] for r in quantile_bucket(df, "v", 4, "b").collect()
+    }
+    qs = np.percentile(vals, [25, 50, 75], method="linear")
+    for i, v in enumerate(vals):
+        want = 1 + sum(v > q for q in qs)
+        assert got[i] == want, (i, v, got[i], want, qs)
+    # median split
+    got2 = {
+        r["id"]: r["b"] for r in quantile_bucket(df, "v", 2, "b").collect()
+    }
+    med = np.percentile(vals, 50, method="linear")
+    assert all(got2[i] == (2 if v > med else 1) for i, v in enumerate(vals))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_bucket(df, "v", 1)
