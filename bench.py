@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "inverted_index",
     "bm25_search",
     "spend_quartiles",
+    "event_transitions",
+    "price_histogram",
     # bpe_train_merges intentionally NOT benched: 8 iterative rounds
     # (~10 s at sf0.1) would dominate the sweep; bpe_pair_counts times
     # the per-round scale unit instead.

@@ -790,3 +790,112 @@ def quantile_bucket(
     return df.crossJoin(bounds).select(
         *df.columns, bucket.cast("long").alias(bucket_col)
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-key event sequences:
+    one row per observed (from_type, to_type) with the transition count
+    and its permyriad share of all transitions leaving ``from_type`` —
+    the "what do users do next" matrix behind session-flow analysis and
+    next-event baselines.
+
+    Integer-exact: counts are exact, and the share is integer permyriad
+    (``⌊n·10000 / n_from⌋``) so no float formatting or division order
+    can differ across engines. The sequence order is the total order
+    (``ts``, ``order_col``) — deterministic under any shuffle.
+
+    Scale shape: one ``lag`` window shuffle on the key (the only pass
+    that sees event-granularity rows), then a map-side-combined rollup
+    to the #types² matrix; the per-from totals come from a window OVER
+    THE MATRIX (#types² rows — free), not a second pass over events.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    pairs = (
+        events.select(
+            F.col(key_col),
+            F.col(type_col).alias("to_type"),
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 10000").cast("long").alias("__scaled"),
+        F.sum("n").over(w_from).alias("__n_from"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("__scaled DIV __n_from").alias("share_permyriad"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of an integer-scaled value column: one row
+    per non-empty bin with its [bin_lo, bin_hi) bounds and count, plus
+    underflow/overflow bins (-1 / ``n_bins``) so no row is silently
+    dropped — the distribution companion to :func:`dq_profile`.
+
+    All-integer by construction: callers scale fixed-dp values first
+    (money → cents), bin assignment is one integer multiply + DIV —
+    ``(v − lo)·n_bins DIV (hi − lo)`` — so bin edges are exact in any
+    engine (a float ``width = (hi−lo)/n_bins`` division puts boundary
+    values on whichever side the engine's rounding lands them).
+
+    Scale shape: a single map-side-combined aggregate on the bin id —
+    the shuffle carries ≤ n_bins+2 rows per map task at any input size.
+    """
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v = F.col(value_col)
+    span = hi - lo
+    bin_ = F.when(v < F.lit(lo), F.lit(-1).cast("long")).otherwise(
+        F.least(
+            F.expr(f"(({value_col} - {lo}) * {n_bins}) DIV {span}").cast(
+                "long"
+            ),
+            F.lit(n_bins).cast("long"),
+        )
+    )
+    # bin b covers exactly the integers [lo + ceil(b·span/n), lo +
+    # ceil((b+1)·span/n)) — the true integer edges of the DIV predicate
+    # (a float `width` would misstate them when span % n_bins != 0)
+    in_range = (F.col("bin") >= 0) & (F.col("bin") < n_bins)
+    edge = (
+        lambda b: F.lit(lo)
+        + F.expr(f"({b} * {span} + {n_bins} - 1) DIV {n_bins}")
+    )
+    return (
+        df.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.when(in_range, edge("bin")).cast("long").alias("bin_lo"),
+            F.when(in_range, edge("(bin + 1)")).cast("long").alias("bin_hi"),
+            "n",
+        )
+    )

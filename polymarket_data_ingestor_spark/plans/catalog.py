@@ -1616,6 +1616,89 @@ def q_spend_quartiles(spark, sf_dir):
     )
 
 
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events
+    ), counts AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           (n * 10000) // CAST(sum(n) OVER (PARTITION BY from_type)
+                              AS BIGINT) AS share_permyriad
+    FROM counts
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (operators/analytics.py::transition_matrix) — the "
+    "'what do users do next' rollup. Integer-exact: counts plus an "
+    "integer-permyriad share of transitions leaving each from_type. "
+    "Sequence order is the total (ts, event_id) order. Scale shape: "
+    "one lag-window shuffle on the user key is the only pass at event "
+    "granularity; the rollup is map-side combined and the per-from "
+    "share window runs over the #types² matrix, not over events.",
+    tags=("window", "analytics"),
+)
+def q_event_transitions(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        transition_matrix,
+    )
+
+    return transition_matrix(table(spark, sf_dir, "events"))
+
+
+@register(
+    "price_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ), b AS (
+      SELECT CASE WHEN cents < 100000 THEN CAST(-1 AS BIGINT)
+                  ELSE least((cents - 100000) * 18 // 9900000,
+                             CAST(18 AS BIGINT)) END AS bin,
+             count(*) AS n
+      FROM c GROUP BY 1
+    )
+    SELECT bin,
+           CASE WHEN bin >= 0 AND bin < 18
+                THEN 100000 + (bin * 9900000 + 17) // 18 END AS bin_lo,
+           CASE WHEN bin >= 0 AND bin < 18
+                THEN 100000 + ((bin + 1) * 9900000 + 17) // 18 END AS bin_hi,
+           n
+    FROM b
+    """,
+    doc="Fixed-width histogram of lineitem price in integer cents "
+    "(operators/analytics.py::value_histogram), the distribution "
+    "companion to dq_profile — with explicit underflow (-1) and "
+    "overflow (n_bins) bins so no row silently drops. All-integer: "
+    "bin assignment is (v−lo)·n DIV span and the reported bounds are "
+    "the TRUE integer edges of that predicate (ceil arithmetic), not "
+    "a float width that misplaces boundary values when span isn't "
+    "divisible by n_bins. Scale shape: one map-side-combined "
+    "aggregate — the shuffle carries ≤ n_bins+2 rows per map task at "
+    "any input size.",
+    tags=("agg", "monitoring"),
+)
+def q_price_histogram(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        value_histogram,
+    )
+
+    cents = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    return value_histogram(cents, "cents", lo=100_000, hi=10_000_000,
+                           n_bins=18)
+
+
 # Training-data operator entries register themselves on import (placed at
 # module end: they import `register`/`table` from this partially-initialized
 # module, which works because those are defined above).

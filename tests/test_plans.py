@@ -562,3 +562,22 @@ def test_spend_quartiles_no_sort_no_window(spark):
     assert "Window" not in plan, plan
     assert "Sort " not in plan and "SortExec" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_event_transitions_one_event_granularity_pass(spark):
+    """Only the lag window sees event-granularity rows (one exchange on
+    the user key); the rollup ships map-side-combined matrix partials
+    and the share window runs over the #types² matrix. No join."""
+    plan = plan_of(spark, "event_transitions")
+    assert plan.count("Exchange") == 3, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan
+
+
+def test_price_histogram_single_bounded_shuffle(spark):
+    """One map-side-combined aggregate on the bin id: the shuffle
+    carries at most n_bins+2 rows per map task regardless of input."""
+    plan = plan_of(spark, "price_histogram")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan and "Window" not in plan

@@ -227,3 +227,67 @@ def test_quantile_bucket_matches_numpy(spark):
 
     with _pytest.raises(ValueError):
         quantile_bucket(df, "v", 1)
+
+
+def test_transition_matrix_matches_naive_model(spark):
+    from collections import Counter, defaultdict
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        transition_matrix,
+    )
+
+    # two users; u2 has a same-ts tie broken by event_id
+    rows = [
+        (1, "u1", BASE, "a"),
+        (2, "u1", BASE + dt.timedelta(minutes=1), "b"),
+        (3, "u1", BASE + dt.timedelta(minutes=2), "a"),
+        (4, "u2", BASE, "b"),
+        (5, "u2", BASE + dt.timedelta(minutes=1), "b"),
+        (6, "u2", BASE + dt.timedelta(minutes=1), "c"),  # tie: after 5
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["share_permyriad"])
+        for r in transition_matrix(df, key_col="user_id").collect()
+    }
+    seqs = defaultdict(list)
+    for eid, u, ts, t in sorted(rows, key=lambda r: (r[2], r[0])):
+        seqs[u].append(t)
+    want = Counter()
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            want[(a, b)] += 1
+    outdeg = Counter()
+    for (a, _), n in want.items():
+        outdeg[a] += n
+    assert set(got) == set(want)
+    for k, n in want.items():
+        assert got[k] == (n, n * 10000 // outdeg[k[0]]), (k, got[k])
+    # shares leaving a state sum to <= 10000 (floor division)
+    for a in outdeg:
+        assert sum(s for (f, _), (_, s) in got.items() if f == a) <= 10000
+
+
+def test_value_histogram_edges_and_overflow(spark):
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        value_histogram,
+    )
+
+    # span=10 over 3 bins: DIV edges are ceil(b*10/3) = 0,4,7,10 —
+    # a float width (3.33) would misplace v=4 and v=7
+    vals = [-2, 0, 3, 4, 6, 7, 9, 10, 15]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r["bin"]: r.asDict() for r in
+           value_histogram(df, "v", lo=0, hi=10, n_bins=3).collect()}
+    assert got[-1]["n"] == 1 and got[-1]["bin_lo"] is None
+    assert got[0] == {"bin": 0, "bin_lo": 0, "bin_hi": 4, "n": 2}   # 0,3
+    assert got[1] == {"bin": 1, "bin_lo": 4, "bin_hi": 7, "n": 2}   # 4,6
+    assert got[2] == {"bin": 2, "bin_lo": 7, "bin_hi": 10, "n": 2}  # 7,9
+    assert got[3]["n"] == 2 and got[3]["bin_lo"] is None            # 10,15
+    assert sum(r["n"] for r in got.values()) == len(vals)
+    with _pytest.raises(ValueError):
+        value_histogram(df, "v", lo=5, hi=5)
+    with _pytest.raises(ValueError):
+        value_histogram(df, "v", lo=0, hi=10, n_bins=0)
