@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "spend_quartiles",
     "event_transitions",
     "price_histogram",
+    "temperature_sample_docs",
+    "source_token_drift",
     # bpe_train_merges intentionally NOT benched: 8 iterative rounds
     # (~10 s at sf0.1) would dominate the sweep; bpe_pair_counts times
     # the per-round scale unit instead.

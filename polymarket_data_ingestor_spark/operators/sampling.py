@@ -182,3 +182,77 @@ def mixture_sample(
         .filter(cum - F.col("n_tok") < budget)
         .select(id_col, source_col, "n_tok", cum.alias("cum_tokens"))
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    temperature: float,
+    target_fraction: float,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R "alpha
+    sampling" trick): resample so each stratum's share of the output is
+    ∝ n_s^(1/τ) — τ=1 preserves natural proportions, τ→∞ equalizes
+    strata, τ<1 sharpens toward the big ones. The standard fix for
+    head-language/head-source domination in multilingual or multi-source
+    training mixes, as a deterministic engine operator.
+
+    Per-stratum keep probability  p_s = min(1, K·n_s^(1/τ−1))  with
+    K = target_fraction·N / Σ_s n_s^(1/τ), resolved to integer
+    permyriad, then the same ``hash32(seed:id) % 10000 < rate`` rule as
+    :func:`stratified_sample` — the selected set is a pure function of
+    (data, τ, fraction, seed). The cap at 1 means a tiny stratum that
+    temperature wants to OVERsample is kept whole instead (sampling
+    without replacement can't exceed 1); the realized total then
+    undershoots ``target_fraction`` slightly — the standard practical
+    semantics.
+
+    Determinism note: each ``pow`` is floor-quantized to 1e-6 before
+    the cross-strata sum (order-independent exact integer sum — the
+    EXACTNESS.md floor recipe); the residual risk is a pow ulp landing
+    exactly on a permyriad floor boundary, the same accepted class as
+    the round-6 ln entries.
+
+    Scale shape: the stratum-count rollup is a map-side-combined
+    aggregate over #strata rows; rates come back via ONE broadcast
+    join; the corpus itself never shuffles — sampling 100 TB is as
+    parallel as scanning it.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not (0 < target_fraction <= 1):
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    inv = 1.0 / temperature
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_d = F.col("__n").cast("double")
+    tot = counts.agg(
+        F.sum("__n").alias("__grand"),
+        # floor-quantized weights -> exact integer sum, order-free
+        F.sum(
+            F.floor(F.pow(n_d, F.lit(inv)) * F.lit(1e6)).cast(
+                "decimal(28,0)"
+            )
+        ).alias("__Wm"),
+    )
+    rate = F.least(
+        F.lit(RATE_DENOM).cast("bigint"),
+        F.floor(
+            F.lit(target_fraction)
+            * F.col("__grand").cast("double")
+            / (F.col("__Wm").cast("double") / F.lit(1e6))
+            * F.pow(n_d, F.lit(inv - 1.0))
+            * F.lit(RATE_DENOM)
+        ),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(stratum_col), rate.cast("int").alias("__rate")
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(_sample_hash(id_col, seed) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -1013,3 +1013,69 @@ def bm25_scores(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
+
+
+def source_token_drift(
+    df: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum token-distribution drift vs the whole corpus:
+    KL(stratum ‖ corpus) over unigram distributions, plus token/term
+    counts — the curation dashboard number that says WHICH source is
+    lexically unlike the rest (contamination, format drift, a scraper
+    gone wrong) before any model sees it.
+
+    KL = Σ_t p_t·ln(p_t/q_t) with p the stratum's unigram distribution
+    and q the corpus's; q_t > 0 wherever p_t > 0 (the corpus contains
+    the stratum), so no smoothing is needed and Gibbs' inequality makes
+    every output ≥ 0.
+
+    Exactness: all counts are exact integers; each term's contribution
+    is two IEEE divides + one ln + one multiply, then floor-quantized
+    to 1e-12 and summed as exact integer decimals (order-independent —
+    a raw double sum would expose engine re-association), with ONE
+    rescale + round(6) at the edge per the ln-to-6dp convention.
+
+    Scale shape: the token stream is exploded EXACTLY ONCE (plan-gated
+    Generate == 1): the corpus marginal c_t and the stratum total n_s
+    are WINDOW sums over the (stratum, term) rollup — vocabulary-
+    granularity exchanges, never a self-join that would re-derive the
+    explode subtree (the join formulation physically re-scans the
+    corpus once per derivation). The grand total N comes from a
+    doc-level ``size()`` scan — no explode at all — broadcast as one
+    row. Final per-stratum sum is #strata rows, reusing the stratum
+    window's partitioning.
+    """
+    from pyspark.sql import Window
+
+    toks_arr = F.filter(tokens(text_col), lambda t: t != "")
+    st = (
+        df.select(
+            F.col(stratum_col), F.explode(toks_arr).alias("term")
+        )
+        .groupBy(stratum_col, "term")
+        .agg(F.count(F.lit(1)).alias("__c_st"))
+    )
+    c_t = F.sum("__c_st").over(Window.partitionBy("term"))
+    n_s = F.sum("__c_st").over(Window.partitionBy(stratum_col))
+    grand = F.broadcast(
+        df.agg(F.sum(F.size(toks_arr)).alias("__grand"))
+    )
+    enriched = st.withColumn("__c_t", c_t).withColumn("__n_s", n_s)
+    p = F.col("__c_st").cast("double") / F.col("__n_s").cast("double")
+    ratio = (
+        F.col("__c_st").cast("double") * F.col("__grand").cast("double")
+    ) / (F.col("__n_s").cast("double") * F.col("__c_t").cast("double"))
+    term_kl = F.floor(p * F.log(ratio) * F.lit(1e12)).cast("decimal(28,0)")
+    return (
+        enriched.crossJoin(grand)
+        .groupBy(stratum_col)
+        .agg(
+            F.round(
+                F.sum(term_kl).cast("double") / F.lit(1e12), 6
+            ).alias("kl_vs_corpus"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.min("__n_s").alias("n_tokens"),
+        )
+    )

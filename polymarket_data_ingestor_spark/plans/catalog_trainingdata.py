@@ -1461,6 +1461,97 @@ def q_bm25_search(spark, sf_dir):
 
 
 @register(
+    "temperature_sample_docs",
+    f"""
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS grand,
+             CAST(sum(CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1e6)
+                           AS BIGINT)) AS BIGINT) AS wm
+      FROM c
+    ), r AS (
+      SELECT source,
+             CAST(least(10000, floor(
+               0.5 * grand / (CAST(wm AS DOUBLE) / 1e6)
+               * pow(CAST(n AS DOUBLE), -0.5) * 10000)) AS INT) AS rate
+      FROM c, t
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE {sql_hash32('d.doc_id', seed=3)} % 10000 < r.rate
+    """,
+    doc="Temperature (alpha) mixture sampling, τ=2, 50% target "
+    "(operators/sampling.py::temperature_sample) — the mT5/XLM-R "
+    "head-source rebalancing trick as a deterministic operator: keep "
+    "probability per source ∝ n_s^(1/τ−1), resolved to integer "
+    "permyriad and applied via the portable hash32 rule, so the "
+    "selected set is a pure function of (data, τ, fraction, seed). "
+    "Each pow is floor-quantized to 1e-6 before the cross-strata sum "
+    "(order-independent exact integer sum). Scale shape: a #strata-row "
+    "rollup + ONE broadcast join; the corpus never shuffles.",
+    tags=("trainmix",),
+)
+def q_temperature_sample_docs(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    return temperature_sample(
+        table(spark, sf_dir, "documents"),
+        temperature=2.0,
+        target_fraction=0.5,
+        stratum_col="source",
+        seed=3,
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "source_token_drift",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_SQL_TOKS}) AS term FROM documents
+    ), st AS (
+      SELECT source, term, count(*) AS c_st
+      FROM toks WHERE term != '' GROUP BY 1, 2
+    ), corpus AS (
+      SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1
+    ), totals AS (
+      SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1
+    ), grand AS (
+      SELECT CAST(sum(c_t) AS BIGINT) AS N FROM corpus
+    )
+    SELECT st.source,
+           round(CAST(sum(CAST(floor(
+             (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+             * ln((CAST(c_st AS DOUBLE) * CAST(N AS DOUBLE))
+                  / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE)))
+             * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS kl_vs_corpus,
+           count(*) AS n_terms,
+           min(n_s) AS n_tokens
+    FROM st JOIN corpus USING (term) JOIN totals USING (source), grand
+    GROUP BY st.source
+    """,
+    doc="Per-source unigram KL divergence vs the whole corpus "
+    "(operators/text.py::source_token_drift) — the curation dashboard "
+    "number that flags WHICH source is lexically unlike the rest "
+    "before training. No smoothing needed (corpus ⊇ source → q>0 "
+    "wherever p>0; Gibbs ⇒ KL ≥ 0). Each term's p·ln(p/q) is floor-"
+    "quantized to 1e-12 and summed as exact integer decimals (order-"
+    "independent; a raw double sum would expose engine "
+    "re-association), one rescale+round(6) at the edge. Scale shape: "
+    "the token stream explodes EXACTLY ONCE (plan-gated): c_t and n_s "
+    "are window sums over the (stratum, term) rollup — vocabulary-"
+    "granularity exchanges, no self-join re-deriving the explode — and "
+    "the grand total is a doc-level size() scan broadcast as one row; "
+    "#strata-row final sum.",
+    tags=("text", "trainmix", "monitoring"),
+)
+def q_source_token_drift(spark, sf_dir):
+    return T.source_token_drift(table(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_tfidf_topk",
     f"""
     WITH toks AS (

@@ -581,3 +581,22 @@ def test_price_histogram_single_bounded_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan, plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_temperature_sample_broadcast_only(spark):
+    """The corpus never shuffles: per-stratum rates arrive via
+    broadcast joins (the #strata rollup + 1-row totals), never a
+    sort-merge join on the corpus."""
+    plan = plan_of(spark, "temperature_sample_docs")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_token_drift_single_explode(spark):
+    """The corpus marginal derives from the stratum rollup — exactly
+    ONE Generate (explode) in the plan; a second would mean the token
+    stream is read twice. No cartesian product (the grand total is a
+    broadcast 1-row aggregate)."""
+    plan = plan_of(spark, "source_token_drift")
+    assert plan.count("Generate") == 1, plan
+    assert "CartesianProduct" not in plan, plan

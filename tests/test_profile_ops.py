@@ -291,3 +291,110 @@ def test_value_histogram_edges_and_overflow(spark):
         value_histogram(df, "v", lo=5, hi=5)
     with _pytest.raises(ValueError):
         value_histogram(df, "v", lo=0, hi=10, n_bins=0)
+
+
+def _hash_permyriad(doc_id, seed):
+    import hashlib
+
+    return int(
+        hashlib.md5(f"s{seed}:{doc_id}".encode()).hexdigest()[:8], 16
+    ) % 10000
+
+
+def test_temperature_sample_matches_naive_model(spark):
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = (
+        [(i, "A") for i in range(100)]
+        + [(1000 + i, "B") for i in range(10)]
+        + [(2000, "C")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        r["doc_id"]
+        for r in temperature_sample(
+            df, temperature=2.0, target_fraction=0.5, seed=7
+        ).collect()
+    }
+    # naive model replicating the exact arithmetic
+    counts = {"A": 100, "B": 10, "C": 1}
+    wm = sum(math.floor((n ** 0.5) * 1e6) for n in counts.values())
+    grand = sum(counts.values())
+    rates = {
+        s: min(
+            10000,
+            math.floor(0.5 * grand / (wm / 1e6) * (n ** -0.5) * 10000),
+        )
+        for s, n in counts.items()
+    }
+    # temperature=2 oversamples the tail: B and C hit the cap (kept whole)
+    assert rates["B"] == 10000 and rates["C"] == 10000
+    assert rates["A"] < 5000
+    want = {
+        d for d, s in rows if _hash_permyriad(d, 7) < rates[s]
+    }
+    assert got == want
+    # tau=1 degenerates to plain Bernoulli at the target fraction
+    got1 = {
+        r["doc_id"]
+        for r in temperature_sample(
+            df, temperature=1.0, target_fraction=0.5, seed=7
+        ).collect()
+    }
+    assert got1 == {d for d, _ in rows if _hash_permyriad(d, 7) < 5000}
+    with _pytest.raises(ValueError):
+        temperature_sample(df, temperature=0, target_fraction=0.5)
+    with _pytest.raises(ValueError):
+        temperature_sample(df, temperature=2.0, target_fraction=1.5)
+
+
+def test_source_token_drift_matches_naive_model(spark):
+    from collections import Counter
+
+    from polymarket_data_ingestor_spark.operators.text import (
+        source_token_drift,
+    )
+
+    docs = [
+        (1, "a a b", "s1"),
+        (2, "a b b c", "s1"),
+        (3, "c c c d", "s2"),
+        (4, "a d", "s2"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    got = {
+        r["source"]: r.asDict()
+        for r in source_token_drift(df).collect()
+    }
+    per_source = {}
+    for _, text, s in docs:
+        per_source.setdefault(s, Counter()).update(text.split())
+    corpus = Counter()
+    for c in per_source.values():
+        corpus.update(c)
+    big_n = sum(corpus.values())
+    for s, c in per_source.items():
+        n_s = sum(c.values())
+        scaled = sum(
+            math.floor(
+                (cst / n_s)
+                * math.log((cst * big_n) / (n_s * corpus[t]))
+                * 1e12
+            )
+            for t, cst in c.items()
+        )
+        want_kl = round(scaled / 1e12, 6)
+        assert got[s]["kl_vs_corpus"] == want_kl, (s, got[s], want_kl)
+        assert got[s]["n_terms"] == len(c)
+        assert got[s]["n_tokens"] == n_s
+        assert got[s]["kl_vs_corpus"] >= 0  # Gibbs
+    # single-source corpus: p == q exactly -> KL exactly 0
+    solo = source_token_drift(
+        spark.createDataFrame([(1, "x y x", "only")],
+                              ["doc_id", "text", "source"])
+    ).collect()
+    assert solo[0]["kl_vs_corpus"] == 0.0

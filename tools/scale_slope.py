@@ -138,6 +138,8 @@ def main() -> None:
     )
 
     from polymarket_data_ingestor_spark.operators.text import (
+        bm25_scores as _bm25,
+        inverted_index as _inverted_index,
         with_token_counts,
     )
 
@@ -151,6 +153,13 @@ def main() -> None:
         # cannot prune the tokenizer UDF out of the timed plan.
         ("wordpiece_counts",
          lambda d: with_token_counts(d).filter(F.col("n_tok") >= 0)),
+        # one term-keyed exchange; postings are part of the aggregate so
+        # count() cannot prune the collect_set out of the timed plan
+        ("inverted_index", lambda d: _inverted_index(d, min_df=2)),
+        # only the match set shuffles: the slope should track the scan,
+        # with the top-50 TakeOrdered constant
+        ("bm25_search",
+         lambda d: _bm25(d, ("query", "window", "scan"))),
     ):
         for scale, d in ((1, docs1), (10, docs10)):
             sec = _time2(lambda: fn(d).count())
@@ -237,9 +246,16 @@ def main() -> None:
         ev10.write.parquet(ev10_path)
     ev10 = spark.read.parquet(ev10_path)
 
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        transition_matrix,
+    )
+
     for op, fn in (
         ("gap_fill", lambda d: gap_fill(d).count()),
         ("delta_volatility", lambda d: delta_volatility(d).count()),
+        # per-user sequences are 10x denser at 10x: the slope measures
+        # the lag-window sweep (the only event-granularity pass)
+        ("event_transitions", lambda d: transition_matrix(d).count()),
     ):
         for scale, d in ((1, ev), (10, ev10)):
             sec = _time2(lambda: fn(d))
