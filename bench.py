@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "price_histogram",
     "temperature_sample_docs",
     "source_token_drift",
+    "term_pmi_pairs",
     # bpe_train_merges intentionally NOT benched: 8 iterative rounds
     # (~10 s at sf0.1) would dominate the sweep; bpe_pair_counts times
     # the per-round scale unit instead.

@@ -1079,3 +1079,81 @@ def source_token_drift(
             F.min("__n_s").alias("n_tokens"),
         )
     )
+
+
+def term_pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Document-level pointwise mutual information between term pairs —
+    the collocation/association primitive ("which terms co-occur more
+    than chance"): for unordered pairs (a < b) co-occurring in at least
+    ``min_pair_docs`` documents,
+
+        pmi = ln(N · n_ab / (n_a · n_b))
+
+    over DOCUMENT counts (presence, not token frequency), returning the
+    ``top_k`` by (rounded pmi desc, a, b) — a total order under the
+    ln-to-6dp convention.
+
+    Scale shape: TWO corpus scans, inherently — PMI needs joint counts
+    AND marginals, and marginals are not derivable from a capped pair
+    table. Scan 1 is the vocabulary pass (per-doc distinct terms →
+    doc-frequency rollup, broadcast back). Scan 2 generates each doc's
+    sorted-distinct pair set IN THE SCAN (nested ``transform`` over the
+    array — no self-join on doc_id, which would shuffle the token
+    stream twice and explode skewed docs quadratically ACROSS the
+    join); the pair rollup is map-side combined and the top-k is
+    TakeOrderedAndProject. Cost is Σ k_d² over per-doc distinct counts
+    k_d — at web scale, restrict the vocabulary first (stoplist /
+    min_df filter on the scan-1 output) exactly as every co-occurrence
+    pipeline does; the broadcast vocab join is the natural hook.
+    """
+    toks_arr = F.filter(tokens(text_col), lambda t: t != "")
+    arr = F.sort_array(F.array_distinct(toks_arr))
+    doc_terms = df.select(
+        F.col(id_col), F.explode(arr).alias("term")
+    )
+    n_docs = F.broadcast(
+        df.agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    )
+    term_docs = doc_terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__n_t")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("ta"), y.alias("tb")),
+            ),
+        )
+    )
+    pairs = (
+        df.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_docs)
+    )
+    ca = F.broadcast(term_docs.select(F.col("term").alias("ta"),
+                                      F.col("__n_t").alias("__n_a")))
+    cb = F.broadcast(term_docs.select(F.col("term").alias("tb"),
+                                      F.col("__n_t").alias("__n_b")))
+    ratio = (
+        F.col("__nd").cast("double") * F.col("n_ab").cast("double")
+    ) / (F.col("__n_a").cast("double") * F.col("__n_b").cast("double"))
+    scored = (
+        pairs.join(ca, "ta")
+        .join(cb, "tb")
+        .crossJoin(n_docs)
+        .select(
+            "ta", "tb", "n_ab", F.round(F.log(ratio), 6).alias("pmi")
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "ta", "tb"
+    ).limit(top_k)

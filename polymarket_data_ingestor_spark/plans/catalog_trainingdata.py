@@ -1552,6 +1552,51 @@ def q_source_token_drift(spark, sf_dir):
 
 
 @register(
+    "term_pmi_pairs",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+      ) WHERE term != ''
+    ), tc AS (
+      SELECT term, count(*) AS n_t FROM dt GROUP BY 1
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), pairs AS (
+      SELECT a.term AS ta, b.term AS tb, count(*) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT ta, tb, n_ab,
+           round(ln((CAST(n_docs AS DOUBLE) * CAST(n_ab AS DOUBLE))
+                    / (CAST(ca.n_t AS DOUBLE) * CAST(cb.n_t AS DOUBLE))),
+                 6) AS pmi
+    FROM pairs JOIN tc ca ON pairs.ta = ca.term
+               JOIN tc cb ON pairs.tb = cb.term, nd
+    QUALIFY row_number() OVER (ORDER BY pmi DESC, ta, tb) <= 100
+    """,
+    doc="Document-level PMI between term pairs "
+    "(operators/text.py::term_pmi_pairs) — the collocation/association "
+    "primitive: ln(N·n_ab/(n_a·n_b)) over document-presence counts, "
+    "top-100 by (round-6 pmi desc, a, b). Scale shape: two corpus "
+    "scans by necessity (marginals aren't derivable from a capped pair "
+    "table): a vocabulary pass broadcast back, and a pair pass that "
+    "generates each doc's sorted-distinct pairs IN THE SCAN via nested "
+    "array transform — no doc_id self-join (which would shuffle tokens "
+    "twice and explode skewed docs quadratically across a join); "
+    "map-side-combined pair rollup, TakeOrderedAndProject top-k. The "
+    "oracle's dt-self-join is the semantic twin, not the plan twin. "
+    "At web scale, restrict the vocabulary first (the broadcast vocab "
+    "join is the hook), as every co-occurrence pipeline does.",
+    tags=("text", "search"),
+)
+def q_term_pmi_pairs(spark, sf_dir):
+    return T.term_pmi_pairs(
+        table(spark, sf_dir, "documents"), min_pair_docs=5, top_k=100
+    )
+
+
+@register(
     "doc_tfidf_topk",
     f"""
     WITH toks AS (

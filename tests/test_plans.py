@@ -600,3 +600,14 @@ def test_source_token_drift_single_explode(spark):
     plan = plan_of(spark, "source_token_drift")
     assert plan.count("Generate") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_term_pmi_no_docid_self_join(spark):
+    """Pairs are generated INSIDE the scan via nested array transform —
+    the plan must contain no join on doc_id (the self-join formulation
+    shuffles the token stream twice and squares skewed docs across a
+    join); marginals arrive broadcast; top-k is TakeOrderedAndProject."""
+    plan = plan_of(spark, "term_pmi_pairs")
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -398,3 +398,49 @@ def test_source_token_drift_matches_naive_model(spark):
                               ["doc_id", "text", "source"])
     ).collect()
     assert solo[0]["kl_vs_corpus"] == 0.0
+
+
+def test_term_pmi_pairs_matches_naive_model(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from polymarket_data_ingestor_spark.operators.text import term_pmi_pairs
+
+    docs = [
+        (1, "new york city"),
+        (2, "new york times"),
+        (3, "new york new york"),  # duplicates collapse: presence counts
+        (4, "city times"),
+        (5, "unrelated words here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = term_pmi_pairs(df, min_pair_docs=2, top_k=50).collect()
+    n = len(docs)
+    term_docs = Counter()
+    pair_docs = Counter()
+    for _, text in docs:
+        terms = sorted(set(text.split()))
+        term_docs.update(terms)
+        pair_docs.update(combinations(terms, 2))
+    want = {}
+    for (a, b), nab in pair_docs.items():
+        if nab >= 2:
+            want[(a, b)] = (
+                nab,
+                round(
+                    math.log(
+                        (n * nab) / (term_docs[a] * term_docs[b])
+                    ),
+                    6,
+                ),
+            )
+    assert {(r["ta"], r["tb"]) for r in got} == set(want)
+    for r in got:
+        nab, pmi = want[(r["ta"], r["tb"])]
+        assert r["n_ab"] == nab and r["pmi"] == pmi, (r, want)
+    # ("new","york") co-occur always: highest association
+    ranked = [(r["ta"], r["tb"]) for r in got]
+    assert ranked[0] == ("new", "york")
+    # output arrives in (pmi desc, ta, tb) order
+    keys = [(-r["pmi"], r["ta"], r["tb"]) for r in got]
+    assert keys == sorted(keys)
