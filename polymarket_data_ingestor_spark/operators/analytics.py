@@ -663,18 +663,26 @@ def rolling_zscore(
         .orderBy("bucket_ts")
         .rowsBetween(-trailing_buckets, -1)
     )
-    x = F.col("n_events")
-    m = F.count(F.lit(1)).over(w)
-    s = F.sum(x).over(w)
-    ss = F.sum(x * x).over(w)
-    num = x * m - s          # integer: x·m − S
-    var_n = m * ss - s * s   # integer: m·SS − S² (= m²·population-var)
+    # decimal(38,0) for the flag arithmetic: num² and t²·var_n square
+    # the counts, and int64 would overflow past ~1.2e8 events per
+    # bucket — real at 100 TB. Scale-0 decimals stay exact.
+    x = F.col("n_events").cast("decimal(19,0)")
+    m = F.count(F.lit(1)).over(w).cast("decimal(19,0)")
+    s = F.sum(F.col("n_events")).over(w).cast("decimal(19,0)")
+    ss = F.sum(
+        F.col("n_events").cast("decimal(19,0)")
+        * F.col("n_events").cast("decimal(19,0)")
+    ).over(w)
+    num = x * m - s          # exact: x·m − S
+    var_n = m * ss - s * s   # exact: m·SS − S² (= m²·population-var)
     ok = m >= F.lit(min_baseline)
     return counts.select(
         *key_cols,
         "bucket_ts",
         "n_events",
-        F.when(ok, m).otherwise(F.lit(None)).alias("baseline_n"),
+        F.when(ok, m).otherwise(F.lit(None)).cast("long").alias(
+            "baseline_n"
+        ),
         F.when(
             ok & (var_n > 0),
             num.cast("double") / F.sqrt(var_n.cast("double")),
@@ -770,7 +778,8 @@ def quantile_bucket(
     e.g. money to cents) so both the exact percentile interpolation and
     the boundary comparisons are engine-exact (Spark ``percentile`` ≡
     DuckDB ``quantile_cont`` bit-for-bit on integer inputs, the
-    ``arrival_latency`` precedent).
+    ``arrival_latency`` precedent). NULL values get a NULL bucket (the
+    percentile ignores them; the comparisons propagate the NULL).
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
@@ -856,7 +865,8 @@ def value_histogram(
     """Fixed-width histogram of an integer-scaled value column: one row
     per non-empty bin with its [bin_lo, bin_hi) bounds and count, plus
     underflow/overflow bins (-1 / ``n_bins``) so no row is silently
-    dropped — the distribution companion to :func:`dq_profile`.
+    dropped — the distribution companion to :func:`dq_profile`. NULL
+    values surface as a NULL-bin row, never vanish.
 
     All-integer by construction: callers scale fixed-dp values first
     (money → cents), bin assignment is one integer multiply + DIV —

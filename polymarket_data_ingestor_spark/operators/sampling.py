@@ -218,7 +218,9 @@ def temperature_sample(
     Scale shape: the stratum-count rollup is a map-side-combined
     aggregate over #strata rows; rates come back via ONE broadcast
     join; the corpus itself never shuffles — sampling 100 TB is as
-    parallel as scanning it.
+    parallel as scanning it. Rows with a NULL stratum are dropped by
+    the inner rate join (NULL never equals NULL) — coalesce to a
+    sentinel upstream if they should participate.
     """
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")

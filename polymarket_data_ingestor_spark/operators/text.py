@@ -971,6 +971,8 @@ def bm25_scores(
     not the corpus.
     """
     terms = [t for t in query_terms]
+    if not terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
     toks_arr = F.filter(tokens(text_col), lambda t: t != "")
     rows = df.select(
         F.col(id_col),
