@@ -2830,7 +2830,12 @@ _TAIL = (
 #: quality_percentile_filter, hash_split_docs, skew_profile,
 #: snapshot_diff, dedup_histogram, cross_key_correlation (in-window r7),
 #: containment_pairs, bpe_pair_counts, length_bucket_batches,
-#: bpe_train_merges (rows-only), hashed_embedding_docs (in-window r7) —
+#: bpe_train_merges (rows-only), hashed_embedding_docs (in-window r7),
+#: plus the late-round-7 monitoring/retrieval batch
+#: (rolling_zscore_flags, dq_profile_orders, vwap_monthly,
+#: inverted_index, bm25_search, spend_quartiles, event_transitions,
+#: price_histogram, temperature_sample_docs, source_token_drift,
+#: term_pmi_pairs, quantize_embeddings) —
 #: then the seven displaced r6-green anchors (region_revenue,
 #: cosine_topk, dedup_exact, minhash_lsh_pairs, text_stats,
 #: curation_pipeline, sessionize), then the r6-green _TAIL per the
