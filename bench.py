@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "temperature_sample_docs",
     "source_token_drift",
     "term_pmi_pairs",
+    "doc_shards",
+    "price_outliers",
+    # part_supplier_pagerank intentionally NOT benched: 8 iterative
+    # join+persist rounds (minutes at sf0.1) would dominate the sweep,
+    # same reasoning as bpe_train_merges.
     # bpe_train_merges intentionally NOT benched: 8 iterative rounds
     # (~10 s at sf0.1) would dominate the sweep; bpe_pair_counts times
     # the per-round scale unit instead.

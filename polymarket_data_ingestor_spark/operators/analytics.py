@@ -909,3 +909,143 @@ def value_histogram(
             "n",
         )
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    k_tenths: int = 15,
+) -> DataFrame:
+    """Per-stratum Tukey-fence outlier flags: a value is an outlier in
+    its stratum when it falls outside
+    ``[q1 − k·IQR, q3 + k·IQR]`` (k = ``k_tenths``/10, default the
+    classic 1.5) — the robust per-group companion to the global
+    :func:`rolling_zscore` (no normality assumption, immune to the
+    outliers it hunts).
+
+    Engine-exact by the integer-percentile rule: feed an INTEGER column
+    (scale fixed-dp values upstream). The fences multiply by the
+    integer ``k_tenths`` and compare as
+    ``10·v < 10·q1 − k_tenths·(q3 − q1)`` — quantile interpolation is
+    bit-identical on integer inputs in both engines, and keeping the
+    fence arithmetic in (exactly representable) sums of interpolated
+    halves avoids a float k·IQR product landing on either side of a
+    comparison by one ulp.
+
+    Scale shape: one map-side-combined percentile rollup to #strata
+    rows, broadcast back; the flag is a per-row comparison in the scan
+    stage — the big table never re-shuffles.
+    """
+    v = F.col(value_col)
+    qs = F.broadcast(
+        df.groupBy(stratum_col).agg(
+            F.percentile(v, F.lit(0.25)).alias("__q1"),
+            F.percentile(v, F.lit(0.75)).alias("__q3"),
+        )
+    )
+    # quantiles of integers are k/2 halves: ×10 keeps everything an
+    # exactly-representable double, so the comparisons are exact
+    lo = F.lit(10.0) * F.col("__q1") - F.lit(float(k_tenths)) * (
+        F.col("__q3") - F.col("__q1")
+    )
+    hi = F.lit(10.0) * F.col("__q3") + F.lit(float(k_tenths)) * (
+        F.col("__q3") - F.col("__q1")
+    )
+    v10 = v.cast("double") * F.lit(10.0)
+    return (
+        df.join(qs, stratum_col)
+        .select(
+            *df.columns,
+            ((v10 < lo) | (v10 > hi)).alias("is_outlier"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: str = "0.85",
+    n_iter: int = 8,
+) -> DataFrame:
+    """Deterministic PageRank over an undirected edge list — the
+    influence/centrality score ("which node does the graph keep
+    pointing at"), the second iterative-algorithm showcase next to
+    ``dedup.dup_components``: rank flows along edges for ``n_iter``
+    rounds of  r ← (1−d)/N + d·Σ_in r_u/deg_u.
+
+    Edges are symmetrized and deduplicated; isolated nodes (absent
+    from the edge list) are out of scope by construction. Rank
+    arithmetic is DECIMAL(38,18) end to end — decimal division and
+    order-independent decimal sums — so the result is bit-identical
+    under any partitioning (pinned in pytest: repartition(7) ==
+    coalesce(1) exactly). A float formulation would drift with shuffle
+    layout. ``damping`` is a decimal STRING for the same reason.
+    Ranks sum to ~1 (per-division rounding at the 18th place is the
+    only loss).
+
+    Scale shape: per iteration, one join of the edge list against the
+    #nodes-row rank table (broadcast-eligible while ranks fit, else a
+    shuffle join co-partitioned on the node) + one map-side-combined
+    sum — the classic Pregel-on-DataFrames loop. Like the CC
+    materializer, each round persists its rank table and unpersists
+    the previous one so lineage stays flat; N is a driver scalar (the
+    same convergence-scalar pattern as ``dup_components``).
+    """
+    from decimal import Decimal
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    d = Decimal(damping)
+    if not (0 < d < 1):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(
+        F.col(src_col).cast("string").alias("u"),
+        F.col(dst_col).cast("string").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    sym = sym.persist()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    if n == 0:
+        return deg.select(
+            F.col("u").alias("node"),
+            F.lit(None).cast("decimal(38,18)").alias("rank"),
+        )
+    init = (Decimal(1) / Decimal(n)).quantize(Decimal("1e-18"))
+    base = ((Decimal(1) - d) / Decimal(n)).quantize(Decimal("1e-18"))
+    ranks = deg.select(
+        "u", "deg", F.lit(init).cast("decimal(38,18)").alias("rank")
+    ).persist()
+    ranks.count()
+    for _ in range(n_iter):
+        contribs = sym.join(ranks, "u").select(
+            F.col("v").alias("u"),
+            (F.col("rank") / F.col("deg")).cast("decimal(38,18)").alias(
+                "__c"
+            ),
+        )
+        nxt = (
+            contribs.groupBy("u")
+            .agg(F.sum("__c").alias("__s"))
+            .join(deg, "u")
+            .select(
+                "u",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.lit(d).cast("decimal(20,18)") * F.col("__s")
+                )
+                .cast("decimal(38,18)")
+                .alias("rank"),
+            )
+            .persist()
+        )
+        nxt.count()
+        ranks.unpersist()
+        ranks = nxt
+    sym.unpersist()
+    return ranks.select(F.col("u").alias("node"), "rank")

@@ -258,3 +258,41 @@ def temperature_sample(
         .filter(_sample_hash(id_col, seed) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def shard_and_order(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic corpus shuffle for training: assign every row a
+    shard and a position within it, both pure functions of (seed, id) —
+    the "global shuffle before sharding" step every pretraining run
+    needs, reproducible on any engine, any partitioning, any day.
+
+    Shard = ``hash32(seed:id) % n_shards``; order within a shard is
+    (hash, id) — the id tie-break makes the position total even when
+    two ids collide in the 32-bit hash. Re-running with more data
+    changes positions (ranks shift) but never the shard of an existing
+    row — shard assignment is row-local, like :func:`hash_split`.
+
+    Scale shape: ONE exchange on the shard id + a per-shard sort (the
+    row_number window) — the distributed analogue of shuffling a file
+    list and sorting each shard, with no global total order anywhere
+    (a corpus-wide position would force a single-partition window or a
+    range-partitioned global sort; shard-local positions are what
+    loaders consume anyway).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = hash32(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .drop("__h")
+    )

@@ -1597,6 +1597,115 @@ def q_term_pmi_pairs(spark, sf_dir):
 
 
 @register(
+    "doc_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id, {sql_hash32('doc_id', seed=2)} AS hh FROM documents
+    )
+    SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+           row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1
+             AS pos
+    FROM h
+    """,
+    doc="Deterministic corpus shuffle for training "
+    "(operators/sampling.py::shard_and_order): every row gets a shard "
+    "(hash32 % n) and a position within it ordered by (hash, id) — the "
+    "global-shuffle-before-sharding step every pretraining run needs, "
+    "reproducible on any engine/partitioning/day; shard assignment is "
+    "row-local (adding data never moves a row's shard, like "
+    "hash_split). Scale shape: one exchange on the shard id + a "
+    "per-shard sort; deliberately NO corpus-wide position (that would "
+    "force a single-partition window or a global range sort — loaders "
+    "consume shard-local order anyway).",
+    tags=("trainmix",),
+)
+def q_doc_shards(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        shard_and_order,
+    )
+
+    return shard_and_order(
+        table(spark, sf_dir, "documents"), n_shards=8, seed=2
+    ).select("doc_id", "shard", "pos")
+
+
+@register(
+    "price_outliers",
+    """
+    WITH c AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ), q AS (
+      SELECT l_returnflag, quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+      FROM c GROUP BY 1
+    )
+    SELECT c.l_orderkey, c.l_linenumber, c.l_returnflag, c.cents,
+           (10 * c.cents < 10 * q1 - 5 * (q3 - q1))
+           OR (10 * c.cents > 10 * q3 + 5 * (q3 - q1)) AS is_outlier
+    FROM c JOIN q USING (l_returnflag)
+    """,
+    doc="Per-returnflag Tukey-fence outlier flags on integer "
+    "price cents (operators/analytics.py::iqr_outliers) — the robust "
+    "per-group companion to rolling_zscore. Engine-exact: quantiles of "
+    "integers interpolate to exact binary quarters in both engines, "
+    "and the fence arithmetic (×10, integer k_tenths) stays in exactly-"
+    "representable doubles, so the boundary comparison can never flip "
+    "by an ulp. Scale shape: one map-side-combined percentile rollup "
+    "to #strata rows broadcast back; the flag is a per-row comparison "
+    "in the scan stage — the big table never re-shuffles. The entry "
+    "uses k=0.5 (not the classic 1.5 default) so the oracle pins REAL "
+    "detections on the near-uniform synthetic prices, where a 1.5 "
+    "fence flags nothing; pytest covers the default on planted "
+    "outliers.",
+    tags=("agg", "monitoring"),
+)
+def q_price_outliers(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        iqr_outliers,
+    )
+
+    c = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return iqr_outliers(c, "cents", "l_returnflag", k_tenths=5)
+
+
+@register(
+    "part_supplier_pagerank",
+    None,  # iterative fixpoint loop — same category as dup_components
+    doc="Deterministic PageRank (operators/analytics.py::pagerank) "
+    "over the bipartite part↔supplier graph from lineitem (nodes "
+    "prefixed 'p:'/'s:'), 8 rounds at damping 0.85. Rank arithmetic "
+    "is decimal(38,18) end to end — decimal division + order-"
+    "independent decimal sums — so the result is bit-identical under "
+    "any partitioning (pinned in pytest: repartition(7) == "
+    "coalesce(1) exactly, plus float-model parity on a hand graph). "
+    "The per-iteration join+sum is the Pregel-on-DataFrames loop with "
+    "persist/unpersist lineage flattening; driver state is one scalar "
+    "N, like dup_components' convergence check. Rows-only by the same "
+    "argument as bpe_train_merges: the loop's driver-held state is "
+    "beyond a single SQL oracle.",
+    tags=("graph",),
+)
+def q_part_supplier_pagerank(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import pagerank
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank(li, n_iter=8)
+
+
+@register(
     "doc_tfidf_topk",
     f"""
     WITH toks AS (

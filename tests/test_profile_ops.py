@@ -444,3 +444,109 @@ def test_term_pmi_pairs_matches_naive_model(spark):
     # output arrives in (pmi desc, ta, tb) order
     keys = [(-r["pmi"], r["ta"], r["tb"]) for r in got]
     assert keys == sorted(keys)
+
+
+def test_shard_and_order_matches_naive_model(spark):
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        shard_and_order,
+    )
+
+    docs = [(i, f"t{i}") for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_and_order(df, n_shards=4, seed=9).collect()
+    }
+    by_shard = {}
+    for d, _ in docs:
+        h = int(
+            __import__("hashlib")
+            .md5(f"s9:{d}".encode())
+            .hexdigest()[:8],
+            16,
+        )
+        by_shard.setdefault(h % 4, []).append((h, d))
+    want = {}
+    for sh, members in by_shard.items():
+        for pos, (_, d) in enumerate(sorted(members)):
+            want[d] = (sh, pos)
+    assert got == want
+    # shard assignment is row-local: a half corpus keeps every shard
+    half = {
+        r["doc_id"]: r["shard"]
+        for r in shard_and_order(
+            spark.createDataFrame(docs[:20], ["doc_id", "text"]),
+            n_shards=4, seed=9,
+        ).collect()
+    }
+    assert all(half[d] == got[d][0] for d in half)
+    with _pytest.raises(ValueError):
+        shard_and_order(df, n_shards=0)
+
+
+def test_iqr_outliers_matches_naive_model(spark):
+    import numpy as np
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        iqr_outliers,
+    )
+
+    rows = (
+        [(i, "A", v) for i, v in enumerate([10, 12, 11, 13, 12, 11, 99])]
+        + [(100 + i, "B", v) for i, v in enumerate([5, 500, 6, 7, 5, -400])]
+    )
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    got = {r["id"]: r["is_outlier"] for r in
+           iqr_outliers(df, "v", "grp").collect()}
+    for grp in ("A", "B"):
+        vals = [v for _, g, v in rows if g == grp]
+        q1, q3 = np.percentile(vals, [25, 75], method="linear")
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        for i, g, v in rows:
+            if g == grp:
+                assert got[i] == (v < lo or v > hi), (i, v, lo, hi)
+    assert got[6] and got[101] and got[105]  # the planted outliers
+
+
+def test_pagerank_deterministic_and_matches_float_model(spark):
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import pagerank
+
+    # star a-{b,c,d} plus chain d-e; self-loop and duplicate edge ignored
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("d", "e"),
+             ("b", "a"), ("e", "e")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: float(r["rank"])
+           for r in pagerank(df, n_iter=8).collect()}
+    # independent float power iteration
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    n = len(adj)
+    r = {u: 1 / n for u in adj}
+    for _ in range(8):
+        nxt = {}
+        for u in adj:
+            s = sum(r[w] / len(adj[w]) for w in adj[u])
+            nxt[u] = 0.15 / n + 0.85 * s
+        r = nxt
+    assert set(got) == set(r)
+    for u in r:
+        assert got[u] == _pytest.approx(r[u], abs=1e-12)
+    assert sum(got.values()) == _pytest.approx(1.0, abs=1e-9)
+    assert got["a"] == max(got.values())  # hub dominates
+    # the real guarantee: bit-identical under any partitioning
+    a = pagerank(df.repartition(7), n_iter=3).collect()
+    b = pagerank(df.coalesce(1), n_iter=3).collect()
+    assert {(x["node"], x["rank"]) for x in a} == {
+        (x["node"], x["rank"]) for x in b
+    }
+    with _pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
+    with _pytest.raises(ValueError):
+        pagerank(df, damping="1.5")
