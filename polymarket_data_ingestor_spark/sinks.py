@@ -104,3 +104,94 @@ def overwrite_lake_partitions(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def delete_from_lake(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+    partition_cols: tuple[str, ...] = ("dt",),
+    max_records_per_file: int = 5_000_000,
+) -> int:
+    """Targeted row deletion from a partitioned lake — the
+    right-to-be-forgotten / takedown primitive: rewrite ONLY the
+    partitions that contain a target id (anti-join keeps the rest of
+    their rows), leave every other directory byte-untouched, and
+    return how many partitions were rewritten.
+
+    Plain parquet has no row deletes, so the unit of rewrite is the
+    partition — the same unit as :func:`overwrite_lake_partitions` —
+    and the cost is proportional to the TOUCHED data, never the lake:
+    a broadcast semi-join finds the touched partition values, a
+    broadcast anti-join drops the target rows, dynamic partition
+    overwrite swaps the directories.
+
+    Reading and overwriting the same path in one plan is illegal in
+    Spark (and rightly — tasks would delete their own input), so the
+    kept rows are materialized with ``localCheckpoint`` BEFORE the
+    write. That is safe here even under executor loss: the checkpoint
+    blocks exist before any file is touched, and dynamic overwrite
+    deletes directories only at COMMIT — a failure anywhere before
+    that leaves the lake intact and the job simply re-runs. (The
+    general lineage caveat on executor-held checkpoint blocks —
+    see ``dedup.dup_components`` — trades against a staging-directory
+    double write; for a maintenance job with job-level retry the
+    checkpoint is the cheaper correct choice.)
+    """
+    lake = spark.read.parquet(path)
+    targets = F.broadcast(ids.select(id_col).distinct())
+    touched = (
+        lake.join(targets, id_col, "semi")
+        .select(*partition_cols)
+        .distinct()
+    )
+    keep = (
+        lake.join(F.broadcast(touched), list(partition_cols), "semi")
+        .join(targets, id_col, "anti")
+        .localCheckpoint(eager=True)
+    )
+    n_touched = touched.count()
+    if n_touched == 0:
+        return 0
+    overwrite_lake_partitions(
+        keep, path, partition_cols, max_records_per_file
+    )
+    return n_touched
+
+
+def compact_lake_partitions(
+    spark,
+    path: str,
+    partition_cols: tuple[str, ...] = ("dt",),
+    max_records_per_file: int = 5_000_000,
+    partition_filter: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite the named partitions (or, with no
+    filter, the whole lake) so each directory holds ~rows/cap files
+    instead of the task×directory slivers that accumulate from
+    streaming micro-batches and incremental appends — the maintenance
+    job that keeps listing and task-scheduling overhead flat as a lake
+    ages. Returns the number of partitions rewritten.
+
+    ``partition_filter`` is a SQL predicate over the partition columns
+    (e.g. ``"dt < '2024-05-01'"``): it prunes at the DIRECTORY level
+    (plan-gated in tests via PartitionFilters), so compacting last
+    month never lists — let alone reads — the rest of the lake. Rows
+    are byte-identical before and after; only the file layout changes.
+    Same localCheckpoint-then-dynamic-overwrite mechanics (and the
+    same commit-time safety argument) as :func:`delete_from_lake`.
+    """
+    lake = spark.read.parquet(path)
+    if partition_filter is not None:
+        lake = lake.filter(partition_filter)
+    rewritten = lake.localCheckpoint(eager=True)
+    n_touched = (
+        rewritten.select(*partition_cols).distinct().count()
+    )
+    if n_touched == 0:
+        return 0
+    overwrite_lake_partitions(
+        rewritten, path, partition_cols, max_records_per_file
+    )
+    return n_touched

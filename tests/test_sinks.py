@@ -121,3 +121,105 @@ def test_overwrite_lake_partitions_touches_only_named_days(spark, tmp_path):
     want = corrected.agg(F.sum("value")).first()[0]
     assert got == pytest.approx(want)
 
+
+
+def _file_state(root: Path) -> dict[str, tuple[str, ...]]:
+    """Per-partition tuple of (name, size, mtime_ns) — byte-identity proxy."""
+    out = {}
+    for d in root.iterdir():
+        if d.name.startswith("dt="):
+            out[d.name] = tuple(
+                (p.name, p.stat().st_size, p.stat().st_mtime_ns)
+                for p in sorted(d.glob("*.parquet"))
+            )
+    return out
+
+
+def test_delete_from_lake_touches_only_target_partitions(spark, tmp_path):
+    from polymarket_data_ingestor_spark.sinks import delete_from_lake
+
+    events = with_date_partition(
+        spark.read.parquet(f"{SF}/events.parquet")
+    )
+    out = str(tmp_path / "lake")
+    write_partitioned_lake(events, out, ("dt",))
+    before = _file_state(Path(out))
+    total = events.count()
+
+    # pick 5 target ids from the FIRST day only
+    day0 = events.select("dt").distinct().orderBy("dt").first()["dt"]
+    victims = [
+        r["event_id"]
+        for r in events.filter(F.col("dt") == day0).limit(5).collect()
+    ]
+    ids = spark.createDataFrame([(v,) for v in victims], ["event_id"])
+    n = delete_from_lake(spark, out, ids, "event_id", ("dt",))
+    assert n == 1  # only day0 contains victims
+
+    back = spark.read.parquet(out)
+    assert back.count() == total - 5
+    assert back.filter(F.col("event_id").isin(victims)).count() == 0
+    # the other rows of day0 survived
+    want_day0 = events.filter(
+        (F.col("dt") == day0) & ~F.col("event_id").isin(victims)
+    ).count()
+    assert back.filter(F.col("dt") == day0).count() == want_day0
+    # every OTHER day's files are byte-untouched
+    after = _file_state(Path(out))
+    for d, state in before.items():
+        if d != f"dt={day0}":
+            assert after[d] == state, d
+    # deleting ids that exist nowhere is a no-op
+    ghost = spark.createDataFrame([(10**12,)], ["event_id"])
+    assert delete_from_lake(spark, out, ghost, "event_id", ("dt",)) == 0
+    assert _file_state(Path(out)) == after
+
+
+def test_compact_lake_partitions_collapses_files(spark, tmp_path):
+    from polymarket_data_ingestor_spark.sinks import (
+        compact_lake_partitions,
+    )
+
+    events = with_date_partition(
+        spark.read.parquet(f"{SF}/events.parquet")
+    )
+    out = str(tmp_path / "lake")
+    # deliberately fragmented: tiny record cap -> many files per day
+    write_partitioned_lake(
+        events, out, ("dt",), max_records_per_file=5
+    )
+    frag = _file_state(Path(out))
+    days = sorted(frag, key=lambda d: -len(frag[d]))
+    assert len(frag[days[0]]) > 3  # the biggest day is fragmented
+    total = events.count()
+    rows_before = {
+        r["dt"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("dt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    day0 = days[0].split("=", 1)[1]  # compact the most fragmented day
+    n = compact_lake_partitions(
+        spark, out, ("dt",), partition_filter=f"dt = '{day0}'"
+    )
+    assert n == 1
+    after = _file_state(Path(out))
+    # the compacted day collapsed to a handful of files
+    assert len(after[days[0]]) < len(frag[days[0]])
+    assert len(after[days[0]]) <= 4
+    # every other day untouched; no rows lost anywhere
+    for d in days[1:]:
+        assert after[d] == frag[d], d
+    back = spark.read.parquet(out)
+    assert back.count() == total
+    rows_after = {
+        r["dt"]: r["n"]
+        for r in back.groupBy("dt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rows_after == rows_before
+    # directory-level pruning: the filter must reach PartitionFilters
+    plan = (
+        spark.read.parquet(out).filter(f"dt = '{day0}'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
