@@ -501,3 +501,60 @@ def live_ticks(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def live_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    left_ts: str = "ts",
+    right_ts: str = "quote_ts",
+    tolerance_seconds: int = 600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: every left event pairs with every
+    right event of the same key whose time lies in
+    ``[left_ts − tolerance, left_ts]`` — the live "which quotes stood
+    near this trade" enrichment, Spark's canonical two-stream join
+    shape (equi-key + event-time band, watermarks on BOTH sides so the
+    join state is provably bounded).
+
+    Emits ALL in-band matches, not the single latest one: a streaming
+    "as-of" pick needs custom ordered state (``transformWithState``) —
+    the standard pipeline does this interval join live and the exact
+    :func:`~polymarket_data_ingestor_spark.operators.asof.asof_join`
+    in the batch layer. ``right_ts`` must differ from ``left_ts``
+    (both survive into the output).
+
+    Scale shape: both streams shuffle on the key; per-key state holds
+    only rows inside watermark + tolerance (Spark derives the state
+    eviction bound from the band predicate — without the band, state
+    would grow forever and the query is rightly rejected in append
+    mode). Late rows beyond the watermark drop, same contract as every
+    watermarked op.
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must differ (both are emitted); "
+            f"got {left_ts!r} twice"
+        )
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    band = (
+        F.col(f"r.{right_ts}")
+        >= F.col(f"l.{left_ts}") - F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+        )
+    ) & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    joined = l_.join(r_, cond & band, "inner")
+    keep_r = [
+        c for c in right.columns if c not in key_cols
+    ]
+    return joined.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in keep_r],
+    )

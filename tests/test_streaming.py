@@ -644,3 +644,75 @@ def test_label_outcomes_works_on_streams(spark, tmp_path):
     want = {a: ("YES" if i % 2 == 0 else "NO") for i, a in enumerate(assets)}
     assert all(want[a] == o for a, o in
                zip(labeled["asset"], labeled["outcome"]))
+
+
+def test_live_interval_join_matches_batch_join(spark, tmp_path):
+    """Stream-stream interval join (single micro-batch so the watermark
+    can't drop matches) must equal the plain batch join under the same
+    band predicate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.streaming.live import (
+        live_interval_join,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    trades = events.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("trade_id")
+    )
+    quotes = events.filter("event_type = 'view'").select(
+        "user_id",
+        F.col("ts").alias("quote_ts"),
+        F.col("event_id").alias("quote_id"),
+    )
+    t_dir, q_dir = tmp_path / "t", tmp_path / "q"
+    trades.coalesce(1).write.parquet(str(t_dir))
+    quotes.coalesce(1).write.parquet(str(q_dir))
+
+    t_stream = spark.readStream.schema(
+        "user_id long, ts timestamp, trade_id long"
+    ).parquet(str(t_dir))
+    q_stream = spark.readStream.schema(
+        "user_id long, quote_ts timestamp, quote_id long"
+    ).parquet(str(q_dir))
+    out = tmp_path / "joined"
+    q = (
+        live_interval_join(
+            t_stream, q_stream, ("user_id",),
+            left_ts="ts", right_ts="quote_ts",
+            tolerance_seconds=1800,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = pd.read_parquet(out)
+
+    want = (
+        trades.join(quotes, "user_id")
+        .filter(
+            (F.col("quote_ts") >= F.col("ts") - F.expr("INTERVAL 1800 SECONDS"))
+            & (F.col("quote_ts") <= F.col("ts"))
+        )
+        .select("trade_id", "quote_id")
+        .toPandas()
+    )
+    assert len(want) > 0
+    assert (
+        set(map(tuple, got[["trade_id", "quote_id"]].values.tolist()))
+        == set(map(tuple, want.values.tolist()))
+    )
+    # schema: all left columns + non-key right columns
+    assert list(got.columns) == [
+        "user_id", "ts", "trade_id", "quote_ts", "quote_id"
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        live_interval_join(t_stream, q_stream, ("user_id",),
+                           left_ts="ts", right_ts="ts")
