@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "term_pmi_pairs",
     "doc_shards",
     "price_outliers",
+    "morton_codes",
     # part_supplier_pagerank intentionally NOT benched: 8 iterative
     # join+persist rounds (minutes at sf0.1) would dominate the sweep,
     # same reasoning as bpe_train_merges.

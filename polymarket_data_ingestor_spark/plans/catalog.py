@@ -1699,6 +1699,37 @@ def q_price_histogram(spark, sf_dir):
                            n_bins=18)
 
 
+from polymarket_data_ingestor_spark.functions.zorder import (  # noqa: E402
+    sql_morton_code as _sql_morton,
+)
+
+
+@register(
+    "morton_codes",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {_sql_morton('l_partkey', 'l_suppkey')} AS z
+    FROM lineitem
+    """,
+    doc="Z-order (Morton) interleave of (l_partkey, l_suppkey) "
+    "(functions/zorder.py::morton_code) — the data-skipping sort key "
+    "behind sinks.write_zordered: one key that keeps BOTH columns' "
+    "min/max file statistics narrow. Pure Catalyst bitwise "
+    "shift-and-mask pipeline, bit-exact in any engine (the oracle runs "
+    "the identical pipeline in DuckDB); 31-bit clamp keeps the code a "
+    "positive int64 so the sort order can never flip on the sign bit.",
+    tags=("scalar", "storage"),
+)
+def q_morton_codes(spark, sf_dir):
+    from polymarket_data_ingestor_spark.functions.zorder import morton_code
+
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_code("l_partkey", "l_suppkey").alias("z"),
+    )
+
+
 # Training-data operator entries register themselves on import (placed at
 # module end: they import `register`/`table` from this partially-initialized
 # module, which works because those are defined above).

@@ -195,3 +195,42 @@ def compact_lake_partitions(
         rewritten, path, partition_cols, max_records_per_file
     )
     return n_touched
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: tuple[str, str],
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order (Morton) interleave of two
+    integer columns, so EVERY output file covers a narrow range of BOTH
+    — the data-skipping layout (Delta/Iceberg Z-ORDER) for lakes
+    queried on two independent dimensions: parquet readers prune files
+    and row groups on min/max stats, and a single-column sort leaves
+    the other column's stats useless.
+
+    Mechanics: ``repartitionByRange`` on the Morton code (a sampled
+    range partitioner — each output file owns one Z-range) + a
+    within-partition sort, so row groups INSIDE a file are clustered
+    too. The code is a pure Catalyst expression
+    (:func:`~polymarket_data_ingestor_spark.functions.zorder.morton_code`)
+    — no extra column survives into the files. The test gate measures
+    the real thing: per-file min/max spans of both columns from
+    parquet metadata collapse vs an unclustered write.
+
+    Cost: one range shuffle + per-partition sort — the same price as
+    any global sort; pay it on cold, query-heavy data. Inputs must be
+    non-negative and ≤31 bits (rank/bucket upstream otherwise; see the
+    zorder module docstring).
+    """
+    from polymarket_data_ingestor_spark.functions.zorder import morton_code
+
+    z = morton_code(*zorder_cols)
+    (
+        df.repartitionByRange(n_files, z)
+        .sortWithinPartitions(z)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -223,3 +223,70 @@ def test_compact_lake_partitions_collapses_files(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [" in plan
+
+
+def _py_morton(a: int, b: int) -> int:
+    """Independent bit-by-bit reference (no shift-mask pipeline)."""
+    out = 0
+    for i in range(31):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_code_matches_reference(spark):
+    from polymarket_data_ingestor_spark.functions.zorder import morton_code
+
+    pairs = [
+        (0, 0), (1, 0), (0, 1), (3, 5), (2**31 - 1, 0),
+        (0, 2**31 - 1), (2**31 - 1, 2**31 - 1), (123456789, 987654321),
+    ]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", morton_code("a", "b").alias("z"))
+        .collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == _py_morton(a, b), (a, b)
+    # hand values: interleaving puts a at even bits, b at odd
+    assert got[(1, 0)] == 1 and got[(0, 1)] == 2 and got[(3, 5)] == 39
+    # always a positive int64 (31-bit clamp)
+    assert all(0 <= z < 2**62 for z in got.values())
+
+
+def test_write_zordered_narrows_file_stats(spark, tmp_path):
+    import duckdb
+
+    from polymarket_data_ingestor_spark.sinks import write_zordered
+
+    # comparable-range dimensions, per the zorder-module contract
+    # (bucket/rank upstream): raw l_suppkey spans ~10 values while
+    # l_partkey spans thousands, and interleaving wildly unbalanced
+    # bit-widths degenerates to a single-column sort
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        (F.col("l_partkey") % 64).alias("pk_bucket"),
+        (F.col("l_orderkey") % 64).alias("ok_bucket"),
+        "l_quantity",
+    )
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    # baseline: same file count, hash-scattered layout
+    li.repartition(16).write.parquet(plain)
+    write_zordered(li, zord, ("pk_bucket", "ok_bucket"), n_files=16)
+
+    def spans(path, col):
+        rows = duckdb.sql(
+            f"SELECT file_name, min(CAST(stats_min_value AS BIGINT)),"
+            f" max(CAST(stats_max_value AS BIGINT))"
+            f" FROM parquet_metadata('{path}/*.parquet')"
+            f" WHERE path_in_schema = '{col}' GROUP BY 1"
+        ).fetchall()
+        return sum(hi - lo for _, lo, hi in rows)
+
+    back = spark.read.parquet(zord)
+    assert back.count() == li.count()
+    for col in ("pk_bucket", "ok_bucket"):
+        s_plain, s_z = spans(plain, col), spans(zord, col)
+        # the point of the layout: per-file min/max spans collapse on
+        # BOTH dimensions at once, so stats-based skipping works
+        assert s_z < 0.6 * s_plain, (col, s_z, s_plain)
