@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "doc_shards",
     "price_outliers",
     "morton_codes",
+    "doc_canonical",
     # part_supplier_pagerank intentionally NOT benched: 8 iterative
     # join+persist rounds (minutes at sf0.1) would dominate the sweep,
     # same reasoning as bpe_train_merges.

@@ -1159,3 +1159,28 @@ def term_pmi_pairs(
     return scored.orderBy(
         F.col("pmi").desc(), "ta", "tb"
     ).limit(top_k)
+
+
+def canonicalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "canonical",
+) -> DataFrame:
+    """Canonical text normalization — the standard pre-dedup transform
+    that makes "Hello, World!" and "hello world" the same document:
+    lowercase, strip everything but [a-z0-9] and whitespace, collapse
+    whitespace runs, trim. Feed the result to ``dedup.exact_dedup``
+    (or hash it) to catch near-dups that differ only in case,
+    punctuation, or spacing — a modality MinHash wastes shingles on.
+
+    ASCII-deliberate (like the WordPiece counter): the character class
+    is [a-z0-9\\s], so accented letters strip rather than fold —
+    Unicode case folding differs between engines and ICU versions, and
+    a canonical form must above all be STABLE. Zero shuffle; pure
+    Catalyst regex inside the scan's codegen.
+    """
+    c = F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^a-z0-9\s]+", ""
+    )
+    c = F.regexp_replace(F.trim(c), r"\s+", " ")
+    return df.withColumn(out_col, c)

@@ -1706,6 +1706,39 @@ def q_part_supplier_pagerank(spark, sf_dir):
 
 
 @register(
+    "doc_canonical",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(
+                 trim(regexp_replace(lower(text), '[^a-z0-9\s]+', '', 'g')),
+                 '\s+', ' ', 'g')) AS canon_md5,
+           length(regexp_replace(
+                 trim(regexp_replace(lower(text), '[^a-z0-9\s]+', '', 'g')),
+                 '\s+', ' ', 'g')) AS canon_len
+    FROM documents
+    """,
+    doc="Canonical text normalization (operators/text.py::canonicalize) "
+    "— the standard pre-dedup transform (lowercase, strip to "
+    "[a-z0-9]+space, collapse whitespace) whose output feeds "
+    "exact_dedup to catch case/punctuation/spacing near-dups. The "
+    "oracle pins the md5 of every canonical form: one divergent CHAR "
+    "of normalization in either engine flips the hash, so this entry "
+    "is a character-level parity gate on the whole regex pipeline "
+    "(ASCII-deliberate — Unicode case folding is engine/ICU-version "
+    "dependent, and a canonical form must above all be stable). Zero "
+    "shuffle; pure Catalyst regex in the scan's codegen.",
+    tags=("text", "dedup"),
+)
+def q_doc_canonical(spark, sf_dir):
+    c = T.canonicalize(table(spark, sf_dir, "documents"))
+    return c.select(
+        "doc_id",
+        F.md5("canonical").alias("canon_md5"),
+        F.length("canonical").cast("long").alias("canon_len"),
+    )
+
+
+@register(
     "doc_tfidf_topk",
     f"""
     WITH toks AS (

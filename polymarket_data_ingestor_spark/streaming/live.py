@@ -558,3 +558,63 @@ def live_interval_join(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}") for c in keep_r],
     )
+
+
+def live_active_users(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    exact: bool = False,
+) -> DataFrame:
+    """Windowed distinct-user counts on a live stream — the realtime
+    "hourly active users" panel: tumbling event-time windows with a
+    watermark, emitting one finalized row per window in append mode.
+
+    Default is ``approx_count_distinct`` (HLL): constant aggregation
+    state per window regardless of user cardinality — the only shape
+    that survives unbounded key spaces on a stream (Spark rejects a
+    streaming ``count_distinct`` outright). ``exact=True`` instead
+    CHAINS two streaming aggregations — per-(window, user) event
+    counts, then a per-window rollup (multiple stateful operators in
+    append mode, a Spark 3.4+/4.x capability) — exact counts at the
+    cost of state per distinct user in each open window; fine for
+    bounded populations, and the batch ``count_distinct_users`` entry
+    is the exact reference the sketch mode is accuracy-pinned against
+    in EXACTNESS tier 3.
+
+    Scale shape: hash(window) shuffle of map-side partially-merged
+    sketches (approx) or hash(window, user) then hash(window) (exact);
+    the watermark bounds state to open windows either way.
+    """
+    wm = events_stream.withWatermark(ts_col, watermark)
+    w = F.window(F.col(ts_col), window).alias("__w")
+    if exact:
+        per_user = wm.groupBy(w, F.col(user_col)).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        return (
+            per_user.groupBy("__w")
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("__n").alias("n_events"),
+            )
+            .select(
+                F.col("__w.start").alias("window_start"),
+                "n_users",
+                "n_events",
+            )
+        )
+    return (
+        wm.groupBy(w)
+        .agg(
+            F.approx_count_distinct(F.col(user_col)).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )

@@ -550,3 +550,35 @@ def test_pagerank_deterministic_and_matches_float_model(spark):
         pagerank(df, n_iter=0)
     with _pytest.raises(ValueError):
         pagerank(df, damping="1.5")
+
+
+def test_canonicalize_matches_naive_model(spark):
+    import re
+
+    from polymarket_data_ingestor_spark.operators.text import canonicalize
+
+    docs = [
+        (1, "Hello,   World!"),
+        (2, "hello world"),
+        (3, "  HELLO-WORLD  "),
+        (4, "Café déjà-vu 42"),   # accents strip (ASCII-deliberate)
+        (5, ""),
+        (6, "a\tb\nc"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["canonical"] for r in canonicalize(df).collect()
+    }
+
+    def naive(t):
+        t = re.sub(r"[^a-z0-9\s]+", "", t.lower())
+        return re.sub(r"\s+", " ", t.strip())
+
+    for d, t in docs:
+        assert got[d] == naive(t), (d, t, got[d])
+    # the near-dup modality: case/punct/spacing variants collapse —
+    # but a HYPHEN strips to a joined word, not a space (3 differs)
+    assert got[1] == got[2] == "hello world"
+    assert got[3] == "helloworld"
+    assert got[4] == "caf djvu 42"
+    assert got[5] == "" and got[6] == "a b c"

@@ -716,3 +716,57 @@ def test_live_interval_join_matches_batch_join(spark, tmp_path):
     with _pytest.raises(ValueError):
         live_interval_join(t_stream, q_stream, ("user_id",),
                            left_ts="ts", right_ts="ts")
+
+
+def test_live_active_users_matches_batch(spark, tmp_path):
+    """Windowed distinct users on a stream (single micro-batch) must
+    equal the batch rollup — exact mode equal on counts, approx mode
+    within HLL tolerance on the same windows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.streaming.live import (
+        live_active_users,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "ev"
+    events.select("user_id", "ts").coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        str(src)
+    )
+    want = {
+        r["w"]: (r["nu"], r["ne"])
+        for r in events.groupBy(
+            F.window("ts", "1 hour")["start"].alias("w")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("nu"),
+            F.count(F.lit(1)).alias("ne"),
+        )
+        .collect()
+    }
+    for exact in (True, False):
+        out = tmp_path / f"au_{exact}"
+        q = (
+            live_active_users(stream, "1 hour", exact=exact)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / f"ck_{exact}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = pd.read_parquet(out)
+        # append semantics: windows not yet passed by the final
+        # watermark stay open and unemitted (the chained exact form
+        # lags one more watermark step) — everything emitted must
+        # match, and only a small trailing tail may be open
+        assert len(want) - len(got) <= 2 and len(got) > 0
+        for _, r in got.iterrows():
+            nu, ne = want[r["window_start"].to_pydatetime()]
+            assert r["n_events"] == ne
+            if exact:
+                assert r["n_users"] == nu
+            else:
+                assert abs(r["n_users"] - nu) <= max(3, 0.1 * nu)
