@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "price_outliers",
     "morton_codes",
     "doc_canonical",
+    "user_state_scd2",
     # part_supplier_pagerank intentionally NOT benched: 8 iterative
     # join+persist rounds (minutes at sf0.1) would dominate the sweep,
     # same reasoning as bpe_train_merges.

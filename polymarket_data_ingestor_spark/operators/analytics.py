@@ -1049,3 +1049,64 @@ def pagerank(
         ranks = nxt
     sym.unpersist()
     return ranks.select(F.col("u").alias("node"), "rank")
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log: one
+    row per (key, version) with ``valid_from_ms`` / ``valid_to_ms``
+    half-open validity intervals, a 1-based ``version``, and
+    ``is_current`` on the open row — the classic warehouse pattern that
+    turns "what is X now" tables into "what was X at time t" tables
+    (compose with ``asof_join``/``interval_overlap_join`` downstream
+    for point-in-time enrichment).
+
+    With ``collapse_unchanged`` (default), a log row whose attribute
+    equals the key's previous value opens no version (null-safe
+    compare, so NULL→NULL is unchanged but NULL→value is a change) —
+    the standard no-op-change suppression. Epoch-ms integers keep the
+    interval arithmetic engine-exact; the change order is the total
+    (``ts``, ``order_col``).
+
+    Scale shape: ONE shuffle on the key — the lag (change detection),
+    the lead (interval close), and the row_number (version) all ride
+    the same key-partitioned sort, and Catalyst plans them in a single
+    Window stage. The output is version-granularity: collapsed logs
+    shrink drastically before anything downstream touches them.
+    """
+    from pyspark.sql import Window
+
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(order_col))
+    rows = changes.select(
+        *key_cols,
+        F.col(attr_col).alias("state"),
+        ms.alias("__ms"),
+        F.col(ts_col),
+        F.col(order_col),
+    )
+    if collapse_unchanged:
+        prev = F.lag(F.col("state")).over(w)
+        # first row per key: prev is NULL -> eqNullSafe(NULL, state)
+        # is only true when state is NULL too; a leading NULL state
+        # still opens version 1 because lag's NULL here means "no
+        # previous row", so guard on row_number instead
+        rn = F.row_number().over(w)
+        rows = rows.withColumn("__prev", prev).withColumn("__rn", rn).filter(
+            (F.col("__rn") == 1) | ~F.col("state").eqNullSafe(F.col("__prev"))
+        )
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(order_col))
+    out = rows.select(
+        *key_cols,
+        "state",
+        F.col("__ms").alias("valid_from_ms"),
+        F.lead(F.col("__ms")).over(w2).alias("valid_to_ms"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+    return out.withColumn("is_current", F.col("valid_to_ms").isNull())

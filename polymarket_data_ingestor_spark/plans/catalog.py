@@ -1730,6 +1730,49 @@ def q_morton_codes(spark, sf_dir):
     )
 
 
+@register(
+    "user_state_scd2",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_attr,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT * FROM ordered
+      WHERE rn = 1 OR prev_attr IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type AS state,
+           epoch_ms(ts) AS valid_from_ms,
+           lead(epoch_ms(ts)) OVER w2 AS valid_to_ms,
+           row_number() OVER w2 AS version,
+           lead(epoch_ms(ts)) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Type-2 slowly-changing dimension built from the event log "
+    "(operators/analytics.py::scd2_build): per user, versioned "
+    "half-open validity intervals of their latest event_type 'state', "
+    "with no-op changes collapsed (null-safe compare) — the classic "
+    "warehouse pattern turning a change log into a point-in-time "
+    "dimension (compose with asof_join / interval_overlap_join for "
+    "as-at enrichment). Epoch-ms integers keep intervals engine-exact. "
+    "Scale shape: ONE shuffle on the key — change-detection lag, "
+    "interval-closing lead, and the version row_number all ride the "
+    "same key-partitioned sort.",
+    tags=("window", "warehouse"),
+)
+def q_user_state_scd2(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import scd2_build
+
+    return scd2_build(
+        table(spark, sf_dir, "events"),
+        key_cols=("user_id",),
+        attr_col="event_type",
+    )
+
+
 # Training-data operator entries register themselves on import (placed at
 # module end: they import `register`/`table` from this partially-initialized
 # module, which works because those are defined above).

@@ -611,3 +611,12 @@ def test_term_pmi_no_docid_self_join(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_single_key_shuffle(spark):
+    """Change-detection lag, interval-closing lead, and the version
+    row_number must all ride one key-partitioned sort: exactly one
+    exchange, no join."""
+    plan = plan_of(spark, "user_state_scd2")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan

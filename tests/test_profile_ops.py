@@ -582,3 +582,45 @@ def test_canonicalize_matches_naive_model(spark):
     assert got[3] == "helloworld"
     assert got[4] == "caf djvu 42"
     assert got[5] == "" and got[6] == "a b c"
+
+
+def test_scd2_build_matches_naive_model(spark):
+    from polymarket_data_ingestor_spark.operators.analytics import scd2_build
+
+    rows = [
+        # u1: a -> a (collapse) -> b -> b (collapse) -> a
+        (1, "u1", BASE, "a"),
+        (2, "u1", BASE + dt.timedelta(minutes=1), "a"),
+        (3, "u1", BASE + dt.timedelta(minutes=2), "b"),
+        (4, "u1", BASE + dt.timedelta(minutes=3), "b"),
+        (5, "u1", BASE + dt.timedelta(minutes=4), "a"),
+        # u2: leading NULL state still opens version 1; NULL->x changes
+        (6, "u2", BASE, None),
+        (7, "u2", BASE + dt.timedelta(minutes=1), "x"),
+        # u3: same-ts tie broken by event_id (9 after 8)
+        (8, "u3", BASE, "p"),
+        (9, "u3", BASE, "q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    got = {
+        (r["user_id"], r["version"]): r.asDict()
+        for r in scd2_build(df, key_cols=("user_id",)).collect()
+    }
+
+    def ms(minutes):
+        return int((BASE + dt.timedelta(minutes=minutes)).timestamp() * 1000)
+
+    assert len(got) == 7
+    u1 = [got[("u1", v)] for v in (1, 2, 3)]
+    assert [r["state"] for r in u1] == ["a", "b", "a"]
+    assert [r["valid_from_ms"] for r in u1] == [ms(0), ms(2), ms(4)]
+    assert [r["valid_to_ms"] for r in u1] == [ms(2), ms(4), None]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    assert got[("u2", 1)]["state"] is None
+    assert got[("u2", 2)]["state"] == "x" and got[("u2", 2)]["is_current"]
+    assert got[("u3", 1)]["state"] == "p" and got[("u3", 2)]["state"] == "q"
+    # no collapse: every log row opens a version
+    raw = scd2_build(df, key_cols=("user_id",), collapse_unchanged=False)
+    assert raw.count() == len(rows)
