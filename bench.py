@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "morton_codes",
     "doc_canonical",
     "user_state_scd2",
+    "winsorized_prices",
+    "next_event_examples",
     # part_supplier_pagerank intentionally NOT benched: 8 iterative
     # join+persist rounds (minutes at sf0.1) would dominate the sweep,
     # same reasoning as bpe_train_merges.

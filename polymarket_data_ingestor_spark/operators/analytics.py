@@ -1110,3 +1110,89 @@ def scd2_build(
         F.row_number().over(w2).cast("long").alias("version"),
     )
     return out.withColumn("is_current", F.col("valid_to_ms").isNull())
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize a value column: clip to its [p_lo, p_hi] exact
+    percentiles — the robust-features step that stops a handful of
+    fat-finger rows from dominating scaled features or losses, without
+    dropping the rows the way an outlier FILTER would.
+
+    Engine-exact on integer inputs (the quantile-interpolation rule):
+    the two bounds come from one broadcast 1-row exact-percentile
+    aggregate, and the clip is ``least(greatest(v, lo), hi)`` — every
+    comparison between an integer value and an exactly-interpolated
+    bound is ulp-proof. Output is DOUBLE (a clipped row takes the
+    interpolated bound itself).
+
+    Scale shape: same family as :func:`quantile_bucket` — one
+    percentile rollup broadcast back, clip in the scan stage, the big
+    table never re-shuffles.
+    """
+    if not (0 <= p_lo < p_hi <= 1):
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    v = F.col(value_col)
+    bounds = F.broadcast(
+        df.agg(
+            F.percentile(v, F.lit(p_lo)).alias("__lo"),
+            F.percentile(v, F.lit(p_hi)).alias("__hi"),
+        )
+    )
+    name = out_col or f"{value_col}_winsorized"
+    return df.crossJoin(bounds).select(
+        *df.columns,
+        F.least(
+            F.greatest(v.cast("double"), F.col("__lo")), F.col("__hi")
+        ).alias(name),
+    )
+
+
+def next_event_examples(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sliding-context training examples from an event stream: for every
+    event whose user has at least ``k`` predecessors, emit the previous
+    ``k`` event types (in order) as ``context`` and the current type as
+    ``label`` — the next-event-prediction dataset constructor
+    (recommendation / session models), built where the data lives
+    instead of in a driver loop.
+
+    The context array's order is the window frame's total order
+    (``ts``, ``order_col``): a ``collect_list`` over an ORDERED frame
+    follows the sort, unlike the unordered groupBy form — this is what
+    makes the array deterministic and oracle-comparable. Short
+    prefixes (fewer than k predecessors) emit nothing: fixed-width
+    contexts, no padding decisions smuggled into the engine.
+
+    Scale shape: ONE shuffle on the user key + the per-partition sort
+    every per-key window pays; the frame holds k strings per row, so
+    state is O(k), never the user's whole history.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(order_col))
+        .rowsBetween(-k, -1)
+    )
+    return (
+        events.select(
+            F.col(user_col),
+            F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+            F.col(order_col),
+            F.collect_list(F.col(type_col)).over(w).alias("context"),
+            F.col(type_col).alias("label"),
+        )
+        .filter(F.size("context") == k)
+    )

@@ -1773,6 +1773,79 @@ def q_user_state_scd2(spark, sf_dir):
     )
 
 
+@register(
+    "winsorized_prices",
+    """
+    WITH c AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ), b AS (
+      SELECT quantile_cont(cents, 0.05) AS lo,
+             quantile_cont(cents, 0.95) AS hi
+      FROM c
+    )
+    SELECT l_orderkey, l_linenumber, cents,
+           least(greatest(CAST(cents AS DOUBLE), lo), hi)
+             AS cents_winsorized
+    FROM c, b
+    """,
+    doc="Winsorized prices: clip integer cents to exact [p05, p95] "
+    "(operators/analytics.py::winsorize) — the robust-features step "
+    "that bounds fat tails without dropping rows. Engine-exact by the "
+    "integer-quantile rule; clip comparisons between integers and "
+    "exactly-interpolated bounds are ulp-proof. Scale shape: one "
+    "broadcast percentile aggregate + a per-row clip in the scan "
+    "stage; the big table never re-shuffles (quantile_bucket's plan "
+    "family).",
+    tags=("agg", "trainmix"),
+)
+def q_winsorized_prices(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import winsorize
+
+    c = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return winsorize(c, "cents", 0.05, 0.95)
+
+
+@register(
+    "next_event_examples",
+    """
+    SELECT user_id, ts_ms, event_id, context, label FROM (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+             list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+             event_type AS label
+      FROM events
+    ) WHERE len(context) = 3
+    """,
+    doc="Next-event-prediction training examples "
+    "(operators/analytics.py::next_event_examples): per event with ≥3 "
+    "predecessors, the previous 3 event types IN ORDER as context and "
+    "the current type as label — the session-model dataset constructed "
+    "in-engine. The context array is deterministic because collect_list "
+    "runs over an ORDERED window frame with a total (ts, event_id) "
+    "order (the unordered groupBy form would not be); the oracle "
+    "compares the arrays element-for-element. One key shuffle + "
+    "per-partition sort; O(k) window state, never a user's whole "
+    "history.",
+    tags=("window", "trainmix"),
+)
+def q_next_event_examples(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        next_event_examples,
+    )
+
+    return next_event_examples(table(spark, sf_dir, "events"), k=3)
+
+
 # Training-data operator entries register themselves on import (placed at
 # module end: they import `register`/`table` from this partially-initialized
 # module, which works because those are defined above).

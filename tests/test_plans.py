@@ -620,3 +620,11 @@ def test_scd2_single_key_shuffle(spark):
     plan = plan_of(spark, "user_state_scd2")
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def test_next_event_examples_single_key_shuffle(spark):
+    """The sliding context is one ordered window per user: one exchange,
+    no join, no second pass."""
+    plan = plan_of(spark, "next_event_examples")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan

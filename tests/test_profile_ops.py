@@ -624,3 +624,49 @@ def test_scd2_build_matches_naive_model(spark):
     # no collapse: every log row opens a version
     raw = scd2_build(df, key_cols=("user_id",), collapse_unchanged=False)
     assert raw.count() == len(rows)
+
+
+def test_winsorize_matches_numpy(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import winsorize
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000, -500]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "v"])
+    got = {r["id"]: r["v_winsorized"]
+           for r in winsorize(df, "v", 0.1, 0.9).collect()}
+    lo, hi = np.percentile(vals, [10, 90], method="linear")
+    for i, v in enumerate(vals):
+        assert got[i] == min(max(float(v), lo), hi), (i, v, lo, hi)
+    assert got[9] == hi and got[10] == lo  # the planted tails clip
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
+
+
+def test_next_event_examples_matches_naive_model(spark):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        next_event_examples,
+    )
+
+    rows = [
+        (1, "u1", BASE, "a"),
+        (2, "u1", BASE + dt.timedelta(minutes=1), "b"),
+        (3, "u1", BASE + dt.timedelta(minutes=2), "c"),
+        (4, "u1", BASE + dt.timedelta(minutes=3), "d"),
+        (5, "u1", BASE + dt.timedelta(minutes=3), "e"),  # tie by id
+        (6, "u2", BASE, "x"),
+        (7, "u2", BASE + dt.timedelta(minutes=1), "y"),  # too short
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_id"]: (r["context"], r["label"])
+        for r in next_event_examples(df, k=2).collect()
+    }
+    # u1: examples start at the 3rd event; context preserves order
+    assert set(got) == {3, 4, 5}
+    assert got[3] == (["a", "b"], "c")
+    assert got[4] == (["b", "c"], "d")
+    assert got[5] == (["c", "d"], "e")  # same-ts tie broken by event_id
