@@ -1008,7 +1008,9 @@ def pagerank(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     sym = sym.persist()
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # persisted: every iteration joins against deg — recomputing it
+    # n_iter times (even from the cached edge list) is pure waste
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()
     if n == 0:
         return deg.select(
@@ -1048,6 +1050,7 @@ def pagerank(
         ranks.unpersist()
         ranks = nxt
     sym.unpersist()
+    deg.unpersist()
     return ranks.select(F.col("u").alias("node"), "rank")
 
 

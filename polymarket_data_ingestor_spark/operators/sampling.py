@@ -228,29 +228,32 @@ def temperature_sample(
         raise ValueError(
             f"target_fraction must be in (0, 1], got {target_fraction}"
         )
+    from pyspark.sql import Window
+
     inv = 1.0 / temperature
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
     n_d = F.col("__n").cast("double")
-    tot = counts.agg(
-        F.sum("__n").alias("__grand"),
-        # floor-quantized weights -> exact integer sum, order-free
-        F.sum(
-            F.floor(F.pow(n_d, F.lit(inv)) * F.lit(1e6)).cast(
-                "decimal(28,0)"
-            )
-        ).alias("__Wm"),
-    )
+    # cross-strata totals as WINDOW sums over the #strata-row rollup —
+    # the agg-then-join formulation physically re-derives the corpus
+    # rollup subtree (one extra full scan); a single-partition window
+    # over #strata rows is free
+    w_all = Window.partitionBy()
+    grand = F.sum("__n").over(w_all)
+    # floor-quantized weights -> exact integer sum, order-free
+    wm = F.sum(
+        F.floor(F.pow(n_d, F.lit(inv)) * F.lit(1e6)).cast("decimal(28,0)")
+    ).over(w_all)
     rate = F.least(
         F.lit(RATE_DENOM).cast("bigint"),
         F.floor(
             F.lit(target_fraction)
-            * F.col("__grand").cast("double")
-            / (F.col("__Wm").cast("double") / F.lit(1e6))
+            * grand.cast("double")
+            / (wm.cast("double") / F.lit(1e6))
             * F.pow(n_d, F.lit(inv - 1.0))
             * F.lit(RATE_DENOM)
         ),
     )
-    rates = counts.crossJoin(F.broadcast(tot)).select(
+    rates = counts.select(
         F.col(stratum_col), rate.cast("int").alias("__rate")
     )
     return (

@@ -959,17 +959,21 @@ def bm25_scores(
     the same top-n set falls out of any engine whose ``ln`` agrees to
     6 dp (the same convention the tf-idf entries use).
 
-    Scale shape: ONE corpus scan. Doc length dl is computed per row
-    inside the scan (no shuffle); non-query tokens are dropped BEFORE
-    the explode's output is aggregated, so the (id, term) rollup — the
-    only corpus-sized shuffle input — carries just matching tokens
-    (#query_terms × matching docs rows after map-side combine). Term
-    dfs and N/avgdl ride as broadcast 1-row/`|q|`-row aggregates; the
-    final top-n is a TakeOrderedAndProject (per-partition heaps, no
-    global sort and no single-partition window, plan-gated). Scoring
-    100 TB costs the scan plus shuffles proportional to the MATCH set,
-    not the corpus.
+    Scale shape: ONE corpus-explode scan plus one cheap doc-level
+    column scan (N and Σdl via ``size()`` — no explode). Doc length dl
+    is computed per row inside the scan (no shuffle); non-query tokens
+    are dropped BEFORE the explode's output is aggregated, so the
+    (id, term) rollup — the only corpus-sized shuffle input — carries
+    just matching tokens (#query_terms × matching docs rows after
+    map-side combine). Term dfs are a WINDOW count over the rollup —
+    a broadcast-join formulation would physically re-derive the whole
+    explode subtree (the ``source_token_drift`` lesson) — and the final
+    top-n is a TakeOrderedAndProject (per-partition heaps, no global
+    sort, plan-gated). Scoring 100 TB costs the scan plus shuffles
+    proportional to the MATCH set, not the corpus.
     """
+    from pyspark.sql import Window
+
     terms = [t for t in query_terms]
     if not terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
@@ -990,8 +994,8 @@ def bm25_scores(
             F.sum(F.size(toks_arr)).alias("__dl_sum"),
         )
     )
-    dfs = F.broadcast(
-        tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    tf = tf.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
     avgdl = F.col("__dl_sum").cast("double") / F.col("__n").cast("double")
     idf = F.log(
@@ -1004,8 +1008,7 @@ def bm25_scores(
         F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / avgdl
     )
     scored = (
-        tf.join(dfs, "term")
-        .crossJoin(corpus)
+        tf.crossJoin(corpus)
         .groupBy(id_col)
         .agg(
             F.round(

@@ -538,6 +538,12 @@ def live_interval_join(
             "left_ts and right_ts must differ (both are emitted); "
             f"got {left_ts!r} twice"
         )
+    clash = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if clash:
+        raise ValueError(
+            "non-key columns shared by both streams would emit "
+            f"duplicate names: {sorted(clash)} — rename one side"
+        )
     l_ = left.withWatermark(left_ts, watermark).alias("l")
     r_ = right.withWatermark(right_ts, watermark).alias("r")
     cond = None

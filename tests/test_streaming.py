@@ -770,3 +770,20 @@ def test_live_active_users_matches_batch(spark, tmp_path):
                 assert r["n_users"] == nu
             else:
                 assert abs(r["n_users"] - nu) <= max(3, 0.1 * nu)
+
+
+def test_live_interval_join_rejects_column_clash(spark, tmp_path):
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.streaming.live import (
+        live_interval_join,
+    )
+
+    a = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS ts", "value AS v"
+    )
+    b = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS quote_ts", "value AS v"
+    )
+    with _pytest.raises(ValueError, match="duplicate names"):
+        live_interval_join(a, b, ("user_id",))
