@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "user_state_scd2",
     "winsorized_prices",
     "next_event_examples",
+    "robust_price_stats",
     # part_supplier_pagerank intentionally NOT benched: 8 iterative
     # join+persist rounds (minutes at sf0.1) would dominate the sweep,
     # same reasoning as bpe_train_merges.

@@ -1199,3 +1199,45 @@ def next_event_examples(
         )
         .filter(F.size("context") == k)
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Per-stratum robust location/scale: exact median and MAD (median
+    absolute deviation) — the outlier-immune (μ, σ) replacement that
+    robust feature scaling and drift monitors want; one wild row moves
+    a mean arbitrarily but moves these not at all.
+
+    Engine-exact on integer inputs by a doubling trick: a median of
+    integers interpolates to an exact HALF, so ``2·median`` is an exact
+    integer, ``|2x − 2·median|`` is pure integer arithmetic, and the
+    second median (of those integers) is again an exact half —
+    ``mad = median(|2x − 2m|)/2`` with one final exact-by-construction
+    division (the doubled deviations carry a factor of 2). No ulp
+    anywhere; DuckDB's quantile_cont agrees bit-for-bit.
+
+    Scale shape: two grouped percentile rollups (MAD is inherently a
+    second pass — deviations need the median first), with the #strata-
+    row median table broadcast between them; the big table shuffles on
+    the stratum key twice, never globally sorts. Output: one row per
+    stratum (median, mad, n).
+    """
+    v = F.col(value_col)
+    med = F.broadcast(
+        df.groupBy(stratum_col).agg(
+            (F.percentile(v, F.lit(0.5)) * 2).alias("__m2")
+        )
+    )
+    dev = df.join(med, stratum_col).select(
+        F.col(stratum_col),
+        F.abs(v.cast("double") * 2 - F.col("__m2")).alias("__d2"),
+        F.col("__m2"),
+    )
+    return dev.groupBy(stratum_col).agg(
+        (F.min("__m2") / 2).alias("median"),
+        (F.percentile(F.col("__d2"), F.lit(0.5)) / 2).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )

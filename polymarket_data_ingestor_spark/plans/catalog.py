@@ -1846,6 +1846,51 @@ def q_next_event_examples(spark, sf_dir):
     return next_event_examples(table(spark, sf_dir, "events"), k=3)
 
 
+@register(
+    "robust_price_stats",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag, quantile_cont(cents, 0.5) * 2 AS m2
+      FROM c GROUP BY 1
+    )
+    SELECT c.l_returnflag,
+           min(m2) / 2 AS median,
+           quantile_cont(abs(CAST(cents AS DOUBLE) * 2 - m2), 0.5) / 2
+             AS mad,
+           count(*) AS n
+    FROM c JOIN m USING (l_returnflag)
+    GROUP BY c.l_returnflag
+    """,
+    doc="Per-returnflag exact median + MAD of price cents "
+    "(operators/analytics.py::robust_stats) — the outlier-immune "
+    "(μ, σ) replacement. Engine-exact via the doubling trick: a "
+    "median of integers is an exact HALF, so 2·median is an exact "
+    "integer, |2x − 2m| is integer arithmetic, and the second median "
+    "is again exact — one exact-by-construction /2 at the edge, no "
+    "ulp anywhere. Scale shape: two grouped percentile rollups with "
+    "the #strata-row median table broadcast between them (MAD "
+    "inherently needs the median first); no global sort.",
+    tags=("agg", "monitoring"),
+)
+def q_robust_price_stats(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        robust_stats,
+    )
+
+    c = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return robust_stats(c, "cents", "l_returnflag")
+
+
 # Training-data operator entries register themselves on import (placed at
 # module end: they import `register`/`table` from this partially-initialized
 # module, which works because those are defined above).

@@ -634,3 +634,11 @@ def test_next_event_examples_single_key_shuffle(spark):
     plan = plan_of(spark, "next_event_examples")
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def test_robust_stats_broadcast_median_no_sort(spark):
+    """The median table joins back broadcast (#strata rows); no global
+    Sort, no window — two grouped percentile rollups only."""
+    plan = plan_of(spark, "robust_price_stats")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan

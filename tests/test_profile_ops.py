@@ -670,3 +670,29 @@ def test_next_event_examples_matches_naive_model(spark):
     assert got[3] == (["a", "b"], "c")
     assert got[4] == (["b", "c"], "d")
     assert got[5] == (["c", "d"], "e")  # same-ts tie broken by event_id
+
+
+def test_robust_stats_matches_numpy(spark):
+    import numpy as np
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        robust_stats,
+    )
+
+    data = {
+        "A": [1, 2, 3, 4, 100],          # odd n, wild outlier
+        "B": [10, 20, 30, 40],           # even n: interpolated halves
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    got = {r["grp"]: r.asDict() for r in
+           robust_stats(df, "v", "grp").collect()}
+    for g, vs in data.items():
+        med = float(np.median(vs))
+        mad = float(np.median(np.abs(np.array(vs, dtype=float) - med)))
+        assert got[g]["median"] == med, (g, got[g], med)
+        assert got[g]["mad"] == mad, (g, got[g], mad)
+        assert got[g]["n"] == len(vs)
+    # the outlier barely moves the robust stats: A's median is 3, mad 1
+    assert got["A"]["median"] == 3.0 and got["A"]["mad"] == 1.0
+    assert got["B"]["median"] == 25.0 and got["B"]["mad"] == 10.0
