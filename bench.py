@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "winsorized_prices",
     "next_event_examples",
     "robust_price_stats",
+    "grouping_sets_revenue",
     # part_supplier_pagerank intentionally NOT benched: 8 iterative
     # join+persist rounds (minutes at sf0.1) would dominate the sweep,
     # same reasoning as bpe_train_merges.

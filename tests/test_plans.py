@@ -642,3 +642,14 @@ def test_robust_stats_broadcast_median_no_sort(spark):
     plan = plan_of(spark, "robust_price_stats")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def test_grouping_sets_single_scan_single_shuffle(spark):
+    """All three aggregation levels come from ONE Expand into one
+    map-side-combined aggregate — one scan, one shuffle; three
+    separate rollup jobs would pay three scans."""
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan, plan

@@ -696,3 +696,31 @@ def test_robust_stats_matches_numpy(spark):
     # the outlier barely moves the robust stats: A's median is 3, mad 1
     assert got["A"]["median"] == 3.0 and got["A"]["mad"] == 1.0
     assert got["B"]["median"] == 25.0 and got["B"]["mad"] == 10.0
+
+
+def test_grouping_sets_levels(spark):
+    import pytest
+
+    from polymarket_data_ingestor_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["grouping_sets_revenue"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_level = {"both": [], "flag": [], "grand": []}
+    for r in rows:
+        if r["l_returnflag"] is None:
+            by_level["grand"].append(r)
+        elif r["l_linestatus"] is None:
+            by_level["flag"].append(r)
+        else:
+            by_level["both"].append(r)
+    assert len(by_level["grand"]) == 1
+    assert len(by_level["flag"]) >= 2
+    assert len(by_level["both"]) >= len(by_level["flag"])
+    # levels are internally consistent: flag rows sum to the grand total
+    grand = by_level["grand"][0]
+    assert sum(r["n"] for r in by_level["flag"]) == grand["n"]
+    assert sum(r["n"] for r in by_level["both"]) == grand["n"]
+    assert sum(r["revenue"] for r in by_level["flag"]) == pytest.approx(
+        grand["revenue"]
+    )
