@@ -883,12 +883,19 @@ def value_histogram(
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     v = F.col(value_col)
     span = hi - lo
-    bin_ = F.when(v < F.lit(lo), F.lit(-1).cast("long")).otherwise(
-        F.least(
-            F.expr(f"(({value_col} - {lo}) * {n_bins}) DIV {span}").cast(
-                "long"
-            ),
-            F.lit(n_bins).cast("long"),
+    # NULL guard FIRST: F.least skips NULL arguments, so without it a
+    # NULL value makes the DIV expression NULL and least(NULL, n_bins)
+    # silently lands in the overflow bin instead of the NULL bin.
+    bin_ = (
+        F.when(v.isNull(), F.lit(None).cast("long"))
+        .when(v < F.lit(lo), F.lit(-1).cast("long"))
+        .otherwise(
+            F.least(
+                F.expr(
+                    f"(({value_col} - {lo}) * {n_bins}) DIV {span}"
+                ).cast("long"),
+                F.lit(n_bins).cast("long"),
+            )
         )
     )
     # bin b covers exactly the integers [lo + ceil(b·span/n), lo +
@@ -1013,10 +1020,16 @@ def pagerank(
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()
     if n == 0:
-        return deg.select(
+        # empty graph: release the (empty but registered) cached blocks
+        # before returning — they'd otherwise pin storage-memory
+        # bookkeeping for the session lifetime
+        out = deg.select(
             F.col("u").alias("node"),
             F.lit(None).cast("decimal(38,18)").alias("rank"),
-        )
+        ).localCheckpoint(eager=True)
+        sym.unpersist()
+        deg.unpersist()
+        return out
     init = (Decimal(1) / Decimal(n)).quantize(Decimal("1e-18"))
     base = ((Decimal(1) - d) / Decimal(n)).quantize(Decimal("1e-18"))
     ranks = deg.select(

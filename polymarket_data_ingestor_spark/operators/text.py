@@ -1181,9 +1181,15 @@ def canonicalize(
     Unicode case folding differs between engines and ICU versions, and
     a canonical form must above all be STABLE. Zero shuffle; pure
     Catalyst regex inside the scan's codegen.
+
+    Order matters: collapse ``\\s+`` FIRST, then trim. ``F.trim``
+    strips only ASCII spaces, so trimming first leaves a residual
+    edge space when the edge whitespace run contains a tab or newline
+    ('a b\\t' → 'a b ') — which would silently fail to dedup against
+    'a b', defeating the operator's purpose.
     """
     c = F.regexp_replace(
         F.lower(F.col(text_col)), r"[^a-z0-9\s]+", ""
     )
-    c = F.regexp_replace(F.trim(c), r"\s+", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col, c)

@@ -1659,7 +1659,8 @@ def q_event_transitions(spark, sf_dir):
                AS cents
       FROM lineitem
     ), b AS (
-      SELECT CASE WHEN cents < 100000 THEN CAST(-1 AS BIGINT)
+      SELECT CASE WHEN cents IS NULL THEN CAST(NULL AS BIGINT)
+                  WHEN cents < 100000 THEN CAST(-1 AS BIGINT)
                   ELSE least((cents - 100000) * 18 // 9900000,
                              CAST(18 AS BIGINT)) END AS bin,
              count(*) AS n

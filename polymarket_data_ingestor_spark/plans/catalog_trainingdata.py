@@ -1709,12 +1709,12 @@ def q_part_supplier_pagerank(spark, sf_dir):
     "doc_canonical",
     r"""
     SELECT doc_id,
-           md5(regexp_replace(
-                 trim(regexp_replace(lower(text), '[^a-z0-9\s]+', '', 'g')),
-                 '\s+', ' ', 'g')) AS canon_md5,
-           length(regexp_replace(
-                 trim(regexp_replace(lower(text), '[^a-z0-9\s]+', '', 'g')),
-                 '\s+', ' ', 'g')) AS canon_len
+           md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9\s]+', '', 'g'),
+                 '\s+', ' ', 'g'))) AS canon_md5,
+           length(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9\s]+', '', 'g'),
+                 '\s+', ' ', 'g'))) AS canon_len
     FROM documents
     """,
     doc="Canonical text normalization (operators/text.py::canonicalize) "

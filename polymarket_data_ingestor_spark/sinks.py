@@ -138,6 +138,15 @@ def delete_from_lake(
     see ``dedup.dup_components`` — trades against a staging-directory
     double write; for a maintenance job with job-level retry the
     checkpoint is the cheaper correct choice.)
+
+    Fully-emptied partitions (every row matched a target id) need
+    explicit handling: dynamic partition overwrite rewrites only
+    partitions PRESENT in the written DataFrame, so a partition with
+    zero surviving rows would be left byte-untouched on disk — the
+    exact rows a takedown was supposed to remove. Those directories
+    are deleted through the Hadoop FileSystem API after the rewrite
+    commits, and the delete is verified (a failed delete raises rather
+    than silently reporting the partition as handled).
     """
     lake = spark.read.parquet(path)
     targets = F.broadcast(ids.select(id_col).distinct())
@@ -151,13 +160,53 @@ def delete_from_lake(
         .join(targets, id_col, "anti")
         .localCheckpoint(eager=True)
     )
-    n_touched = touched.count()
-    if n_touched == 0:
+    touched_rows = touched.collect()  # partition values only: tiny
+    if not touched_rows:
         return 0
-    overwrite_lake_partitions(
-        keep, path, partition_cols, max_records_per_file
+    # Partitions where NO row survived: dynamic overwrite cannot see
+    # them (keep carries no row with their partition value), so their
+    # directories must be removed explicitly.
+    emptied = (
+        touched.join(
+            keep.select(*partition_cols).distinct(),
+            list(partition_cols),
+            "anti",
+        ).collect()
     )
-    return n_touched
+    if keep.limit(1).count() > 0:
+        overwrite_lake_partitions(
+            keep, path, partition_cols, max_records_per_file
+        )
+    if emptied:
+        _delete_partition_dirs(spark, path, partition_cols, emptied)
+    return len(touched_rows)
+
+
+def _delete_partition_dirs(spark, path, partition_cols, rows) -> None:
+    """Remove hive-style partition directories for the given partition
+    value rows via the Hadoop FileSystem API (works on HDFS/S3A/local
+    alike). Raises if a directory exists but cannot be deleted — a
+    takedown that silently leaves data behind is worse than a loud
+    failure."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    for row in rows:
+        parts = []
+        for c in partition_cols:
+            v = row[c]
+            sval = (
+                "__HIVE_DEFAULT_PARTITION__"
+                if v is None
+                else esc.escapePathName(str(v))
+            )
+            parts.append(f"{c}={sval}")
+        p = jvm.org.apache.hadoop.fs.Path(root, "/".join(parts))
+        if fs.exists(p) and not fs.delete(p, True):
+            raise IOError(f"failed to delete emptied partition {p}")
 
 
 def compact_lake_partitions(

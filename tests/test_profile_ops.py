@@ -276,11 +276,15 @@ def test_value_histogram_edges_and_overflow(spark):
     )
 
     # span=10 over 3 bins: DIV edges are ceil(b*10/3) = 0,4,7,10 —
-    # a float width (3.33) would misplace v=4 and v=7
-    vals = [-2, 0, 3, 4, 6, 7, 9, 10, 15]
-    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    # a float width (3.33) would misplace v=4 and v=7; the two NULLs
+    # must land in a NULL bin, NOT the overflow bin (F.least skips
+    # NULL arguments, so an unguarded least(NULL, n) returns n)
+    vals = [-2, 0, 3, 4, 6, 7, 9, 10, 15, None, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
     got = {r["bin"]: r.asDict() for r in
            value_histogram(df, "v", lo=0, hi=10, n_bins=3).collect()}
+    assert got[None] == {"bin": None, "bin_lo": None,
+                         "bin_hi": None, "n": 2}
     assert got[-1]["n"] == 1 and got[-1]["bin_lo"] is None
     assert got[0] == {"bin": 0, "bin_lo": 0, "bin_hi": 4, "n": 2}   # 0,3
     assert got[1] == {"bin": 1, "bin_lo": 4, "bin_hi": 7, "n": 2}   # 4,6
@@ -564,6 +568,11 @@ def test_canonicalize_matches_naive_model(spark):
         (4, "Café déjà-vu 42"),   # accents strip (ASCII-deliberate)
         (5, ""),
         (6, "a\tb\nc"),
+        # edge whitespace runs containing tab/newline: F.trim strips
+        # only ASCII spaces, so collapse-then-trim order is load-bearing
+        # ('a b\t' must equal 'a b', not 'a b ')
+        (7, "a b\t"),
+        (8, "\n\t a b \t\n"),
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {
@@ -572,10 +581,11 @@ def test_canonicalize_matches_naive_model(spark):
 
     def naive(t):
         t = re.sub(r"[^a-z0-9\s]+", "", t.lower())
-        return re.sub(r"\s+", " ", t.strip())
+        return re.sub(r"\s+", " ", t).strip()
 
     for d, t in docs:
         assert got[d] == naive(t), (d, t, got[d])
+    assert got[7] == got[8] == "a b"
     # the near-dup modality: case/punct/spacing variants collapse —
     # but a HYPHEN strips to a joined word, not a space (3 differs)
     assert got[1] == got[2] == "hello world"

@@ -175,6 +175,48 @@ def test_delete_from_lake_touches_only_target_partitions(spark, tmp_path):
     assert _file_state(Path(out)) == after
 
 
+def test_delete_from_lake_removes_fully_emptied_partition(spark, tmp_path):
+    """Every row of a partition matches a target id → dynamic overwrite
+    never sees that partition (keep has no row carrying its value), so
+    the directory must be removed explicitly — otherwise the takedown
+    reports success while the data survives on disk."""
+    from polymarket_data_ingestor_spark.sinks import delete_from_lake
+
+    events = with_date_partition(
+        spark.read.parquet(f"{SF}/events.parquet")
+    )
+    out = str(tmp_path / "lake")
+    write_partitioned_lake(events, out, ("dt",))
+    days = [r["dt"] for r in events.select("dt").distinct().orderBy("dt").collect()]
+    assert len(days) >= 2
+    day0, day1 = days[0], days[1]
+    # victims: EVERY row of day0 plus 3 rows of day1
+    all_day0 = events.filter(F.col("dt") == day0).select("event_id")
+    some_day1 = events.filter(F.col("dt") == day1).select("event_id").limit(3)
+    ids = all_day0.union(some_day1)
+    n_day0 = all_day0.count()
+    total = events.count()
+
+    n = delete_from_lake(spark, out, ids, "event_id", ("dt",))
+    assert n == 2  # both partitions contained victims
+
+    # the emptied directory is GONE, not byte-untouched
+    assert not (Path(out) / f"dt={day0}").exists()
+    back = spark.read.parquet(out)
+    assert back.count() == total - n_day0 - 3
+    assert back.filter(F.col("dt") == day0).count() == 0
+    # the partially-hit partition was rewritten, not dropped
+    assert back.filter(F.col("dt") == day1).count() == (
+        events.filter(F.col("dt") == day1).count() - 3
+    )
+
+    # emptying the WHOLE lake: every partition dropped, no write issued
+    rest = spark.read.parquet(out).select("event_id")
+    n_parts = spark.read.parquet(out).select("dt").distinct().count()
+    assert delete_from_lake(spark, out, rest, "event_id", ("dt",)) == n_parts
+    assert not any(p.name.startswith("dt=") for p in Path(out).iterdir())
+
+
 def test_compact_lake_partitions_collapses_files(spark, tmp_path):
     from polymarket_data_ingestor_spark.sinks import (
         compact_lake_partitions,
