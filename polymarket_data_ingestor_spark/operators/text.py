@@ -1092,6 +1092,8 @@ def term_pmi_pairs(
     id_col: str = "doc_id",
     min_pair_docs: int = 5,
     top_k: int = 100,
+    min_df: int | None = None,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Document-level pointwise mutual information between term pairs —
     the collocation/association primitive ("which terms co-occur more
@@ -1113,10 +1115,36 @@ def term_pmi_pairs(
     stream twice and explode skewed docs quadratically ACROSS the
     join); the pair rollup is map-side combined and the top-k is
     TakeOrderedAndProject. Cost is Σ k_d² over per-doc distinct counts
-    k_d — at web scale, restrict the vocabulary first (stoplist /
-    min_df filter on the scan-1 output) exactly as every co-occurrence
-    pipeline does; the broadcast vocab join is the natural hook.
+    k_d — the quadratic that kills a web-scale run unless the
+    vocabulary is restricted FIRST, so restriction is a first-class,
+    ON-BY-DEFAULT argument, not a docstring suggestion:
+
+    * ``min_df`` (default ``min_pair_docs``) drops terms appearing in
+      fewer than ``min_df`` documents from ``arr`` BEFORE pair
+      generation. Because ``n_ab ≤ min(n_a, n_b)``, every pair that
+      survives ``n_ab ≥ min_pair_docs`` has both marginals
+      ``≥ min_pair_docs`` — so any ``min_df ≤ min_pair_docs`` is a
+      PURE fan-out optimization: bit-identical output, and the long
+      tail of hapax terms (the bulk of Σ k_d² in Zipfian text) never
+      enters the quadratic. Values above ``min_pair_docs`` restrict
+      the result and are the caller's explicit semantic choice.
+    * ``max_vocab`` (default None) additionally keeps only the
+      ``max_vocab`` most-document-frequent terms (ties broken by term
+      asc — deterministic), bounding BOTH the quadratic and the
+      marginals broadcast on corpora whose post-``min_df`` vocabulary
+      is still too large to broadcast.
+
+    The kept vocabulary rides to the scan as a single sorted-array row
+    (a broadcast crossJoin, same mechanics as the ``n_docs`` scalar);
+    ``array_intersect(arr, vocab)`` preserves ``arr``'s sorted-distinct
+    order, so pair generation is unchanged downstream.
     """
+    if min_df is None:
+        min_df = min_pair_docs
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if max_vocab is not None and max_vocab < 1:
+        raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
     toks_arr = F.filter(tokens(text_col), lambda t: t != "")
     arr = F.sort_array(F.array_distinct(toks_arr))
     doc_terms = df.select(
@@ -1128,6 +1156,18 @@ def term_pmi_pairs(
     term_docs = doc_terms.groupBy("term").agg(
         F.count(F.lit(1)).alias("__n_t")
     )
+    kept = term_docs.filter(F.col("__n_t") >= F.lit(min_df))
+    if max_vocab is not None:
+        # deterministic top-k by (df desc, term asc): TakeOrdered, no
+        # global sort materialization
+        kept = kept.orderBy(
+            F.col("__n_t").desc(), F.col("term")
+        ).limit(max_vocab)
+    vocab = F.broadcast(
+        kept.agg(F.sort_array(F.collect_list("term")).alias("__vocab"))
+    )
+    df = df.crossJoin(vocab)
+    arr = F.array_intersect(arr, F.col("__vocab"))
     pair_structs = F.flatten(
         F.transform(
             arr,

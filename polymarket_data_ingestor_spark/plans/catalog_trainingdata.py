@@ -1586,8 +1586,15 @@ def q_source_token_drift(spark, sf_dir):
     "twice and explode skewed docs quadratically across a join); "
     "map-side-combined pair rollup, TakeOrderedAndProject top-k. The "
     "oracle's dt-self-join is the semantic twin, not the plan twin. "
-    "At web scale, restrict the vocabulary first (the broadcast vocab "
-    "join is the hook), as every co-occurrence pipeline does.",
+    "Vocabulary restriction is on by default: min_df=min_pair_docs "
+    "drops sub-threshold terms from the array BEFORE pair generation "
+    "— provably output-identical (n_ab <= min(n_a, n_b), so every "
+    "surviving pair's marginals already clear min_pair_docs) while "
+    "the Zipfian hapax tail never enters the Σk_d² quadratic; "
+    "max_vocab bounds the quadratic and the marginals broadcast "
+    "when even the restricted vocabulary is web-scale. The oracle "
+    "needs no restriction clause BECAUSE the default is the "
+    "identity-preserving one (pinned by test).",
     tags=("text", "search"),
 )
 def q_term_pmi_pairs(spark, sf_dir):

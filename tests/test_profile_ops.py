@@ -450,6 +450,56 @@ def test_term_pmi_pairs_matches_naive_model(spark):
     assert keys == sorted(keys)
 
 
+def test_term_pmi_vocab_restriction_never_changes_survivor_scores(spark):
+    """min_df <= min_pair_docs is a pure fan-out optimization (bit-
+    identical output: n_ab <= min(n_a, n_b), so surviving pairs'
+    marginals already clear the threshold); any restriction (higher
+    min_df, max_vocab) may only REMOVE pairs — a survivor's
+    (n_ab, pmi) must be byte-identical to the unrestricted run,
+    because marginals are computed before the vocabulary filter."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.text import term_pmi_pairs
+
+    docs = [
+        (1, "new york city rare1"),
+        (2, "new york times rare2"),
+        (3, "new york new york"),
+        (4, "city times rare3"),
+        (5, "unrelated words here"),
+        (6, "new city words"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def as_map(rows):
+        return {(r["ta"], r["tb"]): (r["n_ab"], r["pmi"]) for r in rows}
+
+    unrestricted = as_map(
+        term_pmi_pairs(df, min_pair_docs=2, top_k=50, min_df=1).collect()
+    )
+    # default min_df (= min_pair_docs) is identity-preserving
+    default = as_map(term_pmi_pairs(df, min_pair_docs=2, top_k=50).collect())
+    assert default == unrestricted
+    # a HIGHER min_df only drops pairs; survivors keep exact scores
+    strict = as_map(
+        term_pmi_pairs(df, min_pair_docs=2, top_k=50, min_df=3).collect()
+    )
+    assert set(strict) < set(unrestricted) or strict == unrestricted
+    for k, v in strict.items():
+        assert unrestricted[k] == v, (k, v, unrestricted[k])
+    # max_vocab likewise: subset with unchanged survivor scores
+    capped = as_map(
+        term_pmi_pairs(df, min_pair_docs=2, top_k=50, max_vocab=3).collect()
+    )
+    assert set(capped) <= set(unrestricted)
+    for k, v in capped.items():
+        assert unrestricted[k] == v, (k, v, unrestricted[k])
+    with _pytest.raises(ValueError):
+        term_pmi_pairs(df, min_df=0)
+    with _pytest.raises(ValueError):
+        term_pmi_pairs(df, max_vocab=0)
+
+
 def test_shard_and_order_matches_naive_model(spark):
     import pytest as _pytest
 
