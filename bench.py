@@ -103,6 +103,12 @@ BENCH_QUERIES = [
     "next_event_examples",
     "robust_price_stats",
     "grouping_sets_revenue",
+    # GK-sketch twins of the exact-percentile heavies: the 100 TB path
+    # (constant aggregation memory), benched alongside the exact forms
+    # so the exact-vs-sketch cost gap stays measured
+    "winsorized_prices_approx",
+    "price_outliers_approx",
+    "robust_price_stats_approx",
     # part_supplier_pagerank intentionally NOT benched: 8 iterative
     # join+persist rounds (minutes at sf0.1) would dominate the sweep,
     # same reasoning as bpe_train_merges.

@@ -923,6 +923,7 @@ def iqr_outliers(
     value_col: str,
     stratum_col: str,
     k_tenths: int = 15,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Per-stratum Tukey-fence outlier flags: a value is an outlier in
     its stratum when it falls outside
@@ -943,12 +944,33 @@ def iqr_outliers(
     Scale shape: one map-side-combined percentile rollup to #strata
     rows, broadcast back; the flag is a per-row comparison in the scan
     stage — the big table never re-shuffles.
+
+    ``approx_accuracy``: the 100 TB hatch. The EXACT percentile
+    aggregate materializes each group's full value list in the
+    aggregation buffer — the honest cost of exactness that a
+    petabyte-scale stratum cannot pay. Setting ``approx_accuracy``
+    swaps the bounds to the Greenwald-Khanna sketch
+    (``percentile_approx``, constant memory, mergeable, rank error
+    ≤ n/accuracy): a flag can then differ from the exact run only for
+    values inside the fence's rank-error band (pinned in pytest),
+    which is exactly the trade an outlier MONITOR wants. Tier 3 per
+    EXACTNESS.md — sketch interpolation is engine-specific, so the
+    approx form carries no SQL oracle.
     """
     v = F.col(value_col)
+    if approx_accuracy is not None:
+        q1 = F.percentile_approx(
+            v, F.lit(0.25), F.lit(approx_accuracy)
+        ).cast("double")
+        q3 = F.percentile_approx(
+            v, F.lit(0.75), F.lit(approx_accuracy)
+        ).cast("double")
+    else:
+        q1 = F.percentile(v, F.lit(0.25))
+        q3 = F.percentile(v, F.lit(0.75))
     qs = F.broadcast(
         df.groupBy(stratum_col).agg(
-            F.percentile(v, F.lit(0.25)).alias("__q1"),
-            F.percentile(v, F.lit(0.75)).alias("__q3"),
+            q1.alias("__q1"), q3.alias("__q3")
         )
     )
     # quantiles of integers are k/2 halves: ×10 keeps everything an
@@ -1134,6 +1156,7 @@ def winsorize(
     p_lo: float = 0.01,
     p_hi: float = 0.99,
     out_col: str | None = None,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Winsorize a value column: clip to its [p_lo, p_hi] exact
     percentiles — the robust-features step that stops a handful of
@@ -1150,16 +1173,39 @@ def winsorize(
     Scale shape: same family as :func:`quantile_bucket` — one
     percentile rollup broadcast back, clip in the scan stage, the big
     table never re-shuffles.
+
+    ``approx_accuracy``: the 100 TB hatch. The exact GLOBAL percentile
+    gathers every value into one aggregation buffer — fine per-group,
+    unpayable over a whole petabyte table. With ``approx_accuracy``
+    set, bounds come from the Greenwald-Khanna sketch
+    (``percentile_approx``: constant memory, mergeable partials, rank
+    error ≤ n/accuracy) — the clip bound is then a REAL data value at
+    a rank within n/accuracy of the target instead of an interpolated
+    exact one, so at most ~2·n/accuracy edge rows clip differently
+    (pinned in pytest). Tier 3 per EXACTNESS.md — no SQL oracle for
+    the approx form (sketch behavior is engine-specific).
     """
     if not (0 <= p_lo < p_hi <= 1):
         raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
     v = F.col(value_col)
-    bounds = F.broadcast(
-        df.agg(
-            F.percentile(v, F.lit(p_lo)).alias("__lo"),
-            F.percentile(v, F.lit(p_hi)).alias("__hi"),
+    if approx_accuracy is not None:
+        bounds = F.broadcast(
+            df.agg(
+                F.percentile_approx(
+                    v, F.lit(p_lo), F.lit(approx_accuracy)
+                ).cast("double").alias("__lo"),
+                F.percentile_approx(
+                    v, F.lit(p_hi), F.lit(approx_accuracy)
+                ).cast("double").alias("__hi"),
+            )
         )
-    )
+    else:
+        bounds = F.broadcast(
+            df.agg(
+                F.percentile(v, F.lit(p_lo)).alias("__lo"),
+                F.percentile(v, F.lit(p_hi)).alias("__hi"),
+            )
+        )
     name = out_col or f"{value_col}_winsorized"
     return df.crossJoin(bounds).select(
         *df.columns,
@@ -1218,6 +1264,7 @@ def robust_stats(
     df: DataFrame,
     value_col: str,
     stratum_col: str,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Per-stratum robust location/scale: exact median and MAD (median
     absolute deviation) — the outlier-immune (μ, σ) replacement that
@@ -1237,13 +1284,41 @@ def robust_stats(
     row median table broadcast between them; the big table shuffles on
     the stratum key twice, never globally sorts. Output: one row per
     stratum (median, mad, n).
+
+    ``approx_accuracy``: the 100 TB hatch — both medians via the
+    Greenwald-Khanna sketch (constant memory, mergeable, rank error
+    ≤ n/accuracy) instead of the exact aggregate's full per-group
+    value buffer. The doubling trick is moot (a sketch median is a
+    real data value, not an interpolated half), but the two-pass
+    shape and output schema are identical; value error is bounded by
+    the local density around the true median (rank-error pinned in
+    pytest). Tier 3 per EXACTNESS.md — no SQL oracle.
     """
     v = F.col(value_col)
-    med = F.broadcast(
-        df.groupBy(stratum_col).agg(
-            (F.percentile(v, F.lit(0.5)) * 2).alias("__m2")
+    if approx_accuracy is not None:
+        med = F.broadcast(
+            df.groupBy(stratum_col).agg(
+                (
+                    F.percentile_approx(
+                        v, F.lit(0.5), F.lit(approx_accuracy)
+                    ).cast("double") * 2
+                ).alias("__m2")
+            )
         )
-    )
+        mad_agg = (
+            F.percentile_approx(
+                F.col("__d2"), F.lit(0.5), F.lit(approx_accuracy)
+            ).cast("double") / 2
+        ).alias("mad")
+    else:
+        med = F.broadcast(
+            df.groupBy(stratum_col).agg(
+                (F.percentile(v, F.lit(0.5)) * 2).alias("__m2")
+            )
+        )
+        mad_agg = (
+            F.percentile(F.col("__d2"), F.lit(0.5)) / 2
+        ).alias("mad")
     dev = df.join(med, stratum_col).select(
         F.col(stratum_col),
         F.abs(v.cast("double") * 2 - F.col("__m2")).alias("__d2"),
@@ -1251,6 +1326,6 @@ def robust_stats(
     )
     return dev.groupBy(stratum_col).agg(
         (F.min("__m2") / 2).alias("median"),
-        (F.percentile(F.col("__d2"), F.lit(0.5)) / 2).alias("mad"),
+        mad_agg,
         F.count(F.lit(1)).alias("n"),
     )

@@ -1685,6 +1685,82 @@ def q_price_outliers(spark, sf_dir):
     return iqr_outliers(c, "cents", "l_returnflag", k_tenths=5)
 
 
+def _price_cents(spark, sf_dir, *extra):
+    return table(spark, sf_dir, "lineitem").select(
+        *extra,
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+@register(
+    "winsorized_prices_approx",
+    None,  # GK-sketch bound selection is engine-specific → rows-only
+    doc="Sketch twin of winsorized_prices: clip bounds from the "
+    "Greenwald-Khanna sketch (percentile_approx, accuracy 10000) "
+    "instead of the exact global percentile "
+    "(operators/analytics.py::winsorize approx_accuracy path) — the "
+    "100 TB form, where the exact aggregate's full value buffer is "
+    "unpayable but a constant-memory mergeable sketch is one cheap "
+    "pass. At most ~2·n/accuracy edge rows clip differently from the "
+    "exact run; pytest pins the bounds within rank error and the "
+    "mismatch-row count under that cap. EXACTNESS tier 3.",
+    tags=("agg", "sketch", "trainmix"),
+)
+def q_winsorized_prices_approx(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import winsorize
+
+    c = _price_cents(spark, sf_dir, "l_orderkey", "l_linenumber")
+    return winsorize(c, "cents", 0.05, 0.95, approx_accuracy=10000)
+
+
+@register(
+    "price_outliers_approx",
+    None,  # GK-sketch fence quantiles are engine-specific → rows-only
+    doc="Sketch twin of price_outliers: Tukey fences from "
+    "percentile_approx (accuracy 10000) per stratum "
+    "(operators/analytics.py::iqr_outliers approx_accuracy path). A "
+    "flag can differ from the exact run only for values inside the "
+    "fences' rank-error band — pytest pins flag agreement outside it. "
+    "Same broadcast-rollup + scan-stage-comparison plan as the exact "
+    "form; the sketch makes the rollup constant-memory. EXACTNESS "
+    "tier 3.",
+    tags=("agg", "sketch", "monitoring"),
+)
+def q_price_outliers_approx(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        iqr_outliers,
+    )
+
+    c = _price_cents(spark, sf_dir, "l_orderkey", "l_linenumber")
+    return iqr_outliers(
+        c, "cents", "l_returnflag", k_tenths=5, approx_accuracy=10000
+    )
+
+
+@register(
+    "robust_price_stats_approx",
+    None,  # GK-sketch medians are engine-specific → rows-only
+    doc="Sketch twin of robust_price_stats: per-stratum median and MAD "
+    "via percentile_approx (accuracy 10000) "
+    "(operators/analytics.py::robust_stats approx_accuracy path) — "
+    "same two-pass broadcast shape, constant aggregation memory. A "
+    "sketch median is a real data value at a rank within n/accuracy "
+    "of the true median; pytest pins both estimates inside the rank-"
+    "error band of their exact twins. EXACTNESS tier 3.",
+    tags=("agg", "sketch", "monitoring"),
+)
+def q_robust_price_stats_approx(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        robust_stats,
+    )
+
+    c = _price_cents(spark, sf_dir)
+    return robust_stats(c, "cents", "l_returnflag", approx_accuracy=10000)
+
+
 @register(
     "part_supplier_pagerank",
     None,  # iterative fixpoint loop — same category as dup_components

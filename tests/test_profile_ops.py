@@ -8,6 +8,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+from pyspark.sql import functions as F
+
 from polymarket_data_ingestor_spark.operators.analytics import (
     dq_profile,
     rolling_zscore,
@@ -702,6 +704,104 @@ def test_winsorize_matches_numpy(spark):
     assert got[9] == hi and got[10] == lo  # the planted tails clip
     with _pytest.raises(ValueError):
         winsorize(df, "v", 0.9, 0.1)
+
+
+def test_approx_percentile_twins_within_rank_error(spark):
+    """The three GK-sketch twins (winsorize / iqr_outliers /
+    robust_stats with approx_accuracy) must land within the sketch's
+    rank-error bound of their exact counterparts: bounds at ranks
+    within n/accuracy of target, and row-level disagreements confined
+    to values BETWEEN the exact and approx bounds."""
+    import numpy as np
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        iqr_outliers,
+        robust_stats,
+        winsorize,
+    )
+
+    # deterministic, dense, non-uniform: 10k values, ~quadratic ramp
+    n, acc = 10_000, 100
+    vals = sorted(((i * i) // 997) % 50_000 for i in range(n))
+    df = spark.createDataFrame(
+        [(i, v, "g") for i, v in enumerate(vals)], ["id", "v", "grp"]
+    )
+    arr = np.array(vals, dtype=float)
+    rank_err = n / acc  # GK guarantee: |rank(est) - target_rank| <= n/acc
+
+    def rank_of(x):
+        return np.searchsorted(arr, x, side="left")
+
+    # --- winsorize: approx bounds sit within rank error of p05/p95
+    wa = winsorize(df, "v", 0.05, 0.95, approx_accuracy=acc)
+    we = winsorize(df, "v", 0.05, 0.95)
+    lo_a = wa.agg(F.min("v_winsorized")).first()[0]
+    hi_a = wa.agg(F.max("v_winsorized")).first()[0]
+    assert abs(rank_of(lo_a) - 0.05 * n) <= rank_err + 1, (lo_a,)
+    assert abs(rank_of(hi_a) - 0.95 * n) <= rank_err + 1, (hi_a,)
+    # a clipped row's output differs exactly by the bound gap, and
+    # UNCLIPPED-by-both rows must be identical: disagreements are
+    # confined to the tails, with magnitude <= the bound gap (itself
+    # bounded by the value-space width of the rank-error band)
+    lo_e, hi_e = np.percentile(arr, [5, 95], method="linear")
+    diffs = (
+        wa.select("id", "v", F.col("v_winsorized").alias("a"))
+        .join(we.select("id", F.col("v_winsorized").alias("e")), "id")
+        .filter("a <> e")
+        .collect()
+    )
+    gap = max(abs(lo_a - lo_e), abs(hi_a - hi_e))
+    for r in diffs:
+        assert r["v"] <= max(lo_a, lo_e) or r["v"] >= min(hi_a, hi_e), r
+        assert abs(r["a"] - r["e"]) <= gap + 1e-9, r
+    # and the bound gap spans at most the rank-error band in value space
+    lo_band = arr[int(max(0.05 * n - rank_err - 1, 0)):
+                  int(min(0.05 * n + rank_err + 2, n))]
+    hi_band = arr[int(max(0.95 * n - rank_err - 1, 0)):
+                  int(min(0.95 * n + rank_err + 2, n))]
+    assert abs(lo_a - lo_e) <= (lo_band.max() - lo_band.min()) + 1e-9
+    assert abs(hi_a - hi_e) <= (hi_band.max() - hi_band.min()) + 1e-9
+
+    # --- iqr_outliers: flags may differ only between the two fences
+    oa = iqr_outliers(df, "v", "grp", approx_accuracy=acc)
+    oe = iqr_outliers(df, "v", "grp")
+    diff = (
+        oa.select("id", "v", F.col("is_outlier").alias("a"))
+        .join(oe.select("id", F.col("is_outlier").alias("e")), "id")
+        .filter("a <> e")
+        .collect()
+    )
+    if diff:
+        q1e, q3e = np.percentile(arr, [25, 75], method="linear")
+        # approx fences from the sketch values
+        q1a = float(arr[min(max(int(0.25 * n), 0), n - 1)])
+        q3a = float(arr[min(max(int(0.75 * n), 0), n - 1)])
+        k = 1.5
+        fences = sorted([
+            q1e - k * (q3e - q1e), q1a - k * (q3a - q1a),
+            q3e + k * (q3e - q1e), q3a + k * (q3a - q1a),
+        ])
+        for r in diff:
+            assert fences[0] <= r["v"] <= fences[-1], r
+
+    # --- robust_stats: approx median/mad within rank error of exact.
+    # Tie-robust: a value occupies the rank interval [left, right);
+    # the GK guarantee is that SOME rank in that interval is within
+    # n/acc of the target.
+    def rank_interval_hits(sorted_arr, x, target):
+        left = np.searchsorted(sorted_arr, x, side="left")
+        right = np.searchsorted(sorted_arr, x, side="right")
+        return left - (rank_err + 2) <= target <= right + (rank_err + 2)
+
+    ra = {r["grp"]: r.asDict()
+          for r in robust_stats(df, "v", "grp",
+                                approx_accuracy=acc).collect()}["g"]
+    assert rank_interval_hits(arr, ra["median"], 0.5 * n), ra
+    # mad = sketch_median(|2x − 2m|)/2, so the sketch value in the
+    # UN-doubled deviation array is mad itself, at rank ~n/2
+    dev = np.sort(np.abs(arr - ra["median"]))
+    assert rank_interval_hits(dev, ra["mad"], 0.5 * n), ra
+    assert ra["n"] == n
 
 
 def test_next_event_examples_matches_naive_model(spark):
