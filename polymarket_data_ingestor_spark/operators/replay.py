@@ -545,35 +545,46 @@ _GATE_STATS_CACHE_MAX = 256
 #: (analyzed-plan semantic hash, snapshots_per_segment).
 _FEED_GATE_CACHE: dict[tuple, bool] = {}
 
-#: Matches an ``asset_id`` key/value inside a frame line. The frame's
-#: ``content`` field is a double-encoded JSON string, so the inner quotes
-#: arrive escaped (``\"asset_id\": \"123...\"``) — the ``\\?`` prefixes
-#: accept both the escaped (inner) and bare (hypothetical single-encoded)
-#: forms.
-_ASSET_ID_RE = r'\\?"asset_id\\?"\s*:\s*\\?"(\d+)'
+#: Matches an ``asset_id`` key/value inside a frame line — canonical
+#: definition in ``polymarket_data_ingestor_spark.manifest`` (shared with
+#: the ingest-time sidecar writer so the two can never drift).
+from polymarket_data_ingestor_spark.manifest import (  # noqa: E402
+    ASSET_ID_RE as _ASSET_ID_RE,
+    read_manifest_max,
+    write_manifest,
+)
 
 
 def _max_snapshot_cell(spark, paths: Sequence[str]) -> int:
-    """Upper bound on any (asset, file)'s book-event count via a raw scan.
+    """Upper bound on any (asset, file)'s book-event count.
 
-    Reads the files as plain text (no JSON tokenization of non-book
-    lines), keeps only lines containing the substring ``book`` — any JSON
-    encoding of ``"event_type": "book"`` contains it, so no book event is
-    missed — extracts every ``asset_id`` mentioned on those lines, and
-    counts per (asset_id, file). Every valid snapshot of asset A in file f
-    lies on such a line and mentions A, so the returned max is >= the
-    valid-snapshot count of every cell: if it is below the segment stride,
-    the split machinery provably has nothing to split and the plain
-    per-asset plan is byte-identical. Over-counting (an asset's non-book
-    message sharing a multi-message frame with a book event, or the
-    validity-agnostic count) only ever errs toward running the machinery —
-    never toward missing skew.
+    Sidecar-first: a file whose ``<file>.manifest.json`` is present and
+    size-consistent (written at rotation by ``FrameWriter``, or
+    backfilled by :func:`write_gate_manifests`) contributes its recorded
+    ``max_book_count`` with a driver-side read — no Spark job at all.
+    On a warm lake every file has one and the gate costs a handful of
+    tiny file reads. Files without a valid sidecar fall back to the raw
+    scan below, restricted to exactly those files.
+
+    The scan reads the files as plain text (no JSON tokenization of
+    non-book lines), keeps only lines containing the substring ``book``
+    — any JSON encoding of ``"event_type": "book"`` contains it, so no
+    book event is missed — extracts every ``asset_id`` mentioned on
+    those lines, and counts per (asset_id, file). Every valid snapshot
+    of asset A in file f lies on such a line and mentions A, so the
+    returned max is >= the valid-snapshot count of every cell: if it is
+    below the segment stride, the split machinery provably has nothing
+    to split and the plain per-asset plan is byte-identical.
+    Over-counting (an asset's non-book message sharing a multi-message
+    frame with a book event, or the validity-agnostic count) only ever
+    errs toward running the machinery — never toward missing skew. The
+    sidecar counts use the same semantics, so the two sources agree.
     """
+    import os
+
     key_parts = []
     for p in sorted(str(x) for x in paths):
         try:
-            import os
-
             st = os.stat(p)
             key_parts.append((p, st.st_size, int(st.st_mtime)))
         except OSError:  # remote/glob paths: immutable-log contract applies
@@ -581,26 +592,87 @@ def _max_snapshot_cell(spark, paths: Sequence[str]) -> int:
     key = tuple(key_parts)
     if key in _GATE_STATS_CACHE:
         return _GATE_STATS_CACHE[key]
-    cand = spark.read.text(list(paths)).filter(F.col("value").contains("book"))
-    cells = cand.select(
-        F.regexp_extract(
-            F.input_file_name(), _file_hour_re(), 1
-        ).alias("file_hour"),
-        F.explode(
-            F.regexp_extract_all("value", F.lit(_ASSET_ID_RE), 1)
-        ).alias("asset_id"),
-    )
-    row = (
-        cells.groupBy("asset_id", "file_hour")
-        .count()
-        .agg(F.max("count"))
-        .first()
-    )
-    max_cell = int(row[0]) if row and row[0] is not None else 0
+    max_cell = 0
+    scan_paths: list[str] = []
+    for p in (str(x) for x in paths):
+        from_manifest = read_manifest_max(p)
+        if from_manifest is None:
+            scan_paths.append(p)
+        elif from_manifest > max_cell:
+            max_cell = from_manifest
+    if scan_paths:
+        cand = spark.read.text(scan_paths).filter(
+            F.col("value").contains("book")
+        )
+        cells = cand.select(
+            F.regexp_extract(
+                F.input_file_name(), _file_hour_re(), 1
+            ).alias("file_hour"),
+            F.explode(
+                F.regexp_extract_all("value", F.lit(_ASSET_ID_RE), 1)
+            ).alias("asset_id"),
+        )
+        row = (
+            cells.groupBy("asset_id", "file_hour")
+            .count()
+            .agg(F.max("count"))
+            .first()
+        )
+        if row and row[0] is not None:
+            max_cell = max(max_cell, int(row[0]))
     if len(_GATE_STATS_CACHE) >= _GATE_STATS_CACHE_MAX:
         _GATE_STATS_CACHE.clear()
     _GATE_STATS_CACHE[key] = max_cell
     return max_cell
+
+
+def write_gate_manifests(spark, paths: Sequence[str]) -> int:
+    """Backfill gate sidecars for an existing (warm) frame lake: one raw
+    scan computes every file's per-asset book-line counts, then a
+    ``<file>.manifest.json`` is written next to each LOCAL file. Returns
+    the number of sidecars written.
+
+    This is the maintenance-job form of what ``FrameWriter`` does at
+    rotation — run it once over a lake that predates manifests and every
+    later ``replay(split_at_snapshots=True)`` gate is a sidecar read.
+    The collected rows are (file, asset, count) aggregates — bounded by
+    files × active assets, not by data volume; for an object-store lake,
+    swap the ``Path.write_text`` for the Hadoop FileSystem API (the
+    sinks module's ``_delete_partition_dirs`` shows the pattern).
+    """
+    from collections import defaultdict
+    from pathlib import Path
+    from urllib.parse import unquote, urlparse
+
+    cand = spark.read.text(list(paths)).filter(
+        F.col("value").contains("book")
+    )
+    rows = (
+        cand.select(
+            F.input_file_name().alias("file"),
+            F.explode(
+                F.regexp_extract_all("value", F.lit(_ASSET_ID_RE), 1)
+            ).alias("asset_id"),
+        )
+        .groupBy("file", "asset_id")
+        .count()
+        .collect()
+    )
+    per_file: dict[str, dict[str, int]] = defaultdict(dict)
+    for r in rows:
+        local = unquote(urlparse(r["file"]).path)
+        per_file[local][r["asset_id"]] = int(r["count"])
+    # files with zero book lines still deserve a sidecar (max=0 lets the
+    # gate skip them without a scan): inputFiles() lists them from the
+    # scan relation's metadata, no second data pass
+    for f in spark.read.text(list(paths)).inputFiles():
+        per_file.setdefault(unquote(urlparse(f).path), {})
+    n = 0
+    for local, counts in per_file.items():
+        if Path(local).is_file():
+            write_manifest(local, counts)
+            n += 1
+    return n
 
 
 def _file_hour_re() -> str:

@@ -33,6 +33,8 @@ from datetime import datetime, timezone
 from pathlib import Path
 from typing import Any, Callable, Sequence
 
+from polymarket_data_ingestor_spark import manifest as _manifest
+
 #: Max assets per WebSocket connection (``collector/src/client/mod.rs:9``).
 MAX_ASSETS_PER_CONNECTION = 25
 #: Flush cadence in messages (``collector/src/main.rs:199-202``).
@@ -99,7 +101,12 @@ class FrameWriter:
       renamed to ``YYYY-MM-DD-HH.jsonl[.gz]`` at rotation;
     * after every rotation (and at startup) the market snapshot is re-logged
       as the file's first frame (``main.rs:176-179,346-347``);
-    * flush every ``FLUSH_EVERY`` messages (T7).
+    * flush every ``FLUSH_EVERY`` messages (T7);
+    * every rotation also emits a ``<file>.manifest.json`` sidecar with
+      the per-asset book-line counts accumulated while writing — the
+      ingest-time form of the replay skew gate's statistic, so a warm
+      lake's gate is a sidecar read instead of a raw-text scan of the
+      whole file set (see ``polymarket_data_ingestor_spark.manifest``).
 
     gzip stands in for the reference's zstd (no Python zstd writer in this
     environment; the format contract is 'a compression codec Spark reads
@@ -122,6 +129,7 @@ class FrameWriter:
         self._fh: io.TextIOBase | None = None
         self._msg_count = 0
         self._current_hour: datetime | None = None
+        self._book_counts: dict[str, int] = {}
 
     # -- internals ---------------------------------------------------------
 
@@ -148,7 +156,11 @@ class FrameWriter:
             "message_type": message_type,
             "content": content,
         }
-        self._fh.write(json.dumps(frame) + "\n")
+        line = json.dumps(frame)
+        # gate statistic, accumulated on the SERIALIZED line so the
+        # sidecar agrees byte-for-byte with a raw-text scan of the file
+        _manifest.count_book_assets(line, self._book_counts)
+        self._fh.write(line + "\n")
         self._msg_count += 1
         if self._msg_count % FLUSH_EVERY == 0:
             self._fh.flush()
@@ -166,6 +178,9 @@ class FrameWriter:
         name = self._current_hour.strftime("%Y-%m-%d-%H") + self._ext()
         target = self.out_dir / name
         self._current_path().rename(target)
+        # the file is immutable from here: persist its gate statistic
+        _manifest.write_manifest(target, self._book_counts)
+        self._book_counts = {}
         return target
 
     # -- public API --------------------------------------------------------

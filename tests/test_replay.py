@@ -591,3 +591,94 @@ def test_split_randomized_vs_oracle(spark, tmp_path, seed, k):
                              split_at_snapshots=True,
                              snapshots_per_segment=k))
     assert got == naive_replay(paths) and len(got) > 0
+
+
+# --- gate manifests (ingest-time sidecar stats) ----------------------------
+
+def test_gate_manifest_matches_raw_scan_and_skips_spark(spark, fixture_paths):
+    """Sidecar-first gate: write_gate_manifests must record exactly what
+    the raw scan computes, and once every file has a sidecar the gate
+    needs NO Spark job at all (proved by passing spark=None)."""
+    from polymarket_data_ingestor_spark.operators.replay import (
+        _GATE_STATS_CACHE,
+        _max_snapshot_cell,
+        write_gate_manifests,
+    )
+    from polymarket_data_ingestor_spark.manifest import manifest_path
+
+    paths = [str(p) for p in fixture_paths]
+    for p in paths:  # start clean
+        manifest_path(p).unlink(missing_ok=True)
+    _GATE_STATS_CACHE.clear()
+    scanned = _max_snapshot_cell(spark, paths)
+    assert scanned > 0
+
+    n = write_gate_manifests(spark, paths)
+    assert n == len(paths)
+    _GATE_STATS_CACHE.clear()
+    # spark=None: if any file fell back to the raw scan this would raise
+    from_sidecars = _max_snapshot_cell(None, paths)
+    assert from_sidecars == scanned
+    # memoized: second call is a dict hit
+    assert _max_snapshot_cell(None, paths) == scanned
+
+    # staleness: rewriting a file invalidates its sidecar (size check),
+    # so the gate must fall back to scanning THAT file
+    victim = fixture_paths[0]
+    victim.write_text(victim.read_text() + "\n")
+    _GATE_STATS_CACHE.clear()
+    with pytest.raises(Exception):
+        _max_snapshot_cell(None, paths)  # needs spark for the stale file
+    _GATE_STATS_CACHE.clear()
+    assert _max_snapshot_cell(spark, paths) == scanned
+    # restore: re-backfill so later module tests see consistent sidecars
+    write_gate_manifests(spark, paths)
+    _GATE_STATS_CACHE.clear()
+
+
+def test_frame_writer_emits_gate_manifest(tmp_path):
+    """Every rotation (and the shutdown rotation) writes a sidecar whose
+    counts equal a line-level recount of the rotated file."""
+    import re as _re
+    from datetime import datetime, timedelta, timezone
+
+    from polymarket_data_ingestor_spark.manifest import (
+        ASSET_ID_RE,
+        manifest_path,
+        read_manifest_max,
+    )
+    from polymarket_data_ingestor_spark.streaming.collector import FrameWriter
+
+    clock = {"now": datetime(2025, 9, 30, 14, 59, 50, tzinfo=timezone.utc)}
+    w = FrameWriter(tmp_path, markets=[], now=lambda: clock["now"])
+    a1, a2 = "1" * 8, "2" * 8
+    for asset, n in ((a1, 3), (a2, 1)):
+        for _ in range(n):
+            w.handle_message(json.dumps([{
+                "event_type": "book", "timestamp": "1000",
+                "market": "0xm", "asset_id": asset,
+                "bids": [], "asks": []}]))
+    w.handle_message(json.dumps([{  # non-book: must not count
+        "event_type": "price_change", "timestamp": "1500",
+        "market": "0xm", "asset_id": a1, "changes": []}]))
+    clock["now"] += timedelta(seconds=20)  # crosses the hour
+    w.handle_message(json.dumps([{
+        "event_type": "book", "timestamp": "2000",
+        "market": "0xm", "asset_id": a2, "bids": [], "asks": []}]))
+    final = w.shutdown()
+
+    first = tmp_path / "2025-09-30-14.jsonl"
+    assert manifest_path(first).is_file() and manifest_path(final).is_file()
+    assert read_manifest_max(first) == 3
+    assert read_manifest_max(final) == 1
+    # sidecar counts == recount of the physical file (byte parity with
+    # what the Spark raw scan would compute)
+    doc = json.loads(manifest_path(first).read_text())
+    recount: dict[str, int] = {}
+    pat = _re.compile(ASSET_ID_RE)
+    for line in first.read_text().splitlines():
+        if "book" in line:
+            for a in pat.findall(line):
+                recount[a] = recount.get(a, 0) + 1
+    assert doc["book_counts"] == recount == {a1: 3, a2: 1}
+    assert doc["file_size"] == first.stat().st_size
