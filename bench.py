@@ -339,7 +339,14 @@ def main() -> None:
     calibration["sweep_session_end"] = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Output contract (round 8): the driver captures only the LAST ~2000
+    # chars of stdout and parses the final JSON line. The full per-query
+    # map (80+ entries, ~5 KB) outgrew that in round 7 and the official
+    # record came back parsed:null — so the final stdout line is now a
+    # COMPACT summary guaranteed to fit (headline replay entries + the
+    # two skew ratios + calibration + total), and the complete map goes
+    # to BENCH_LOCAL.json at the repo root, committed with the round.
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -347,7 +354,38 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "replay_ticks": n_ticks,
         "calibration": calibration,
-    }))
+    }
+    Path(_REPO, "BENCH_LOCAL.json").write_text(
+        json.dumps(full, indent=1) + "\n"
+    )
+    headline_keys = [
+        "replay_e2e", "replay_e2e_segmented",
+        "replay_e2e_skewed", "replay_e2e_skewed_split",
+        "tick_lake_roundtrip",
+    ]
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in headline_keys if k in timings},
+        "sf": _sf_of(sf_dir),
+        "replay_ticks": n_ticks,
+        "n_queries": len(timings),
+        "segmented_over_default": round(
+            timings["replay_e2e_segmented"] / timings["replay_e2e"], 3
+        ),
+        "skew_split_over_default": round(
+            timings["replay_e2e_skewed_split"]
+            / timings["replay_e2e_skewed"], 3
+        ),
+        "calibration": calibration,
+        "full_map": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # belt-and-braces: drop the bulkiest field
+        compact.pop("calibration")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -2966,111 +2966,79 @@ def q_funnel_user_paths_multipass(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Registration-order epilogue: the driver records correctness rows for only
 # the first 50 catalog entries per round, so window composition rotates each
-# round to maximize the set of entries with at least one first-party driver
-# row.  Round-7 rotation (staleness contract: every entry <= 2 rounds
-# stale): promote (a) the 4 NEW entries (the ANN recall pair replacing the
-# rows-only probes' evidence gap, and the wordpiece tokenizer pair), (b)
-# the 9 entries whose newest driver row is round 4 plus chunk_documents
-# (never windowed — landed round 6 at tail position 51), (c) every entry
-# whose operator code changed THIS round: the packing entries (NULL-count
-# guard in the n_tok_col path), the four asof entries (value-column name
-# validation), and the CC pair (edge materialization localCheckpoint →
-# persist+count), and (d) ALL 22 remaining r5-green tail entries, which
-# would otherwise hit the 2-round staleness limit next round.  That totals
-# 43; the last 7 slots keep continuity anchors (flagship star join, exact
-# ANN anchor for the new recall entries, the dedup/text/pipeline
-# flagships).  Demoted to the tail: the rest of the r6 window — all
-# r6-green, 1 round stale after this round, head of the r8 promotion list.
+# round to maximize first-party driver coverage under the staleness
+# contract (every oracle-paired entry should hold a driver row <= 2 rounds
+# old).  Round-8 rotation:
+#
+# (a) positions 1-31 — every oracle-paired entry that has NEVER had a
+#     driver row (the round-7 §10-§18 additions; the r7 verdict verified
+#     all 31 bit-exact locally but first-party rows are mandatory). This
+#     set also contains every entry whose operator code changed THIS
+#     round: doc_canonical (canonicalize collapse-then-trim fix),
+#     price_histogram (NULL-bin guard), term_pmi_pairs (default min_df
+#     vocabulary restriction).
+# (b) positions 32-38 — the seven r6-green continuity anchors displaced
+#     by the r7 late-round swap (region_revenue, cosine_topk, dedup_exact,
+#     minhash_lsh_pairs, text_stats, curation_pipeline, sessionize): 2
+#     rounds stale after this round without a fresh row.
+# (c) positions 39-50 — twelve r6-green tail entries (also 2 rounds stale
+#     after r8), chosen across operator families so every family keeps a
+#     recent anchor; the rest of the r6-green tail rotates in r9.
+#
+# Rows-only (no-oracle) entries are pinned PAST position 50 — a window
+# slot spent on a tier-3 entry can only ever produce an `err` row (r7
+# lesson: approx_distinct_users/approx_value_quantiles burned two slots).
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 
-#: Window positions 1-13: new entries + the r4-stale tail + chunk_documents
-#: (all oracle-checked bit-exact locally via tools/check.py at sf0.01
-#: before this rotation).
-_PROMOTED = (
-    "cosine_topk_lsh_recall", "ivf_topk_recall",
-    "wordpiece_counts", "pack_sequences_wordpiece",
-    "chunk_documents",
-    "summary_stats", "running_total", "revenue_rollup",
-    "doc_fingerprint", "ngram_jaccard_pairs", "minhash_signatures",
-    "simhash_docs", "embedding_dup_pairs",
+#: (a) first driver rows: the 31 never-windowed oracle-paired entries.
+_FIRST_TIMERS = (
+    "doc_canonical", "price_histogram", "term_pmi_pairs",  # code changed r8
+    "gap_fill_hourly", "delta_volatility", "snapshot_diff",
+    "skew_profile", "rolling_zscore_flags", "dq_profile_orders",
+    "vwap_monthly", "spend_quartiles", "event_transitions",
+    "morton_codes", "user_state_scd2", "winsorized_prices",
+    "next_event_examples", "robust_price_stats", "grouping_sets_revenue",
+    "quantize_embeddings", "quality_percentile_filter", "bpe_pair_counts",
+    "length_bucket_batches", "containment_pairs", "dedup_histogram",
+    "hash_split_docs", "inverted_index", "bm25_search",
+    "temperature_sample_docs", "source_token_drift", "doc_shards",
+    "price_outliers",
 )
-#: Window positions 14-21: operator code changed this round — fresh
-#: driver rows against the new code are mandatory.
-_CODE_CHANGED = (
-    "pack_sequences", "pack_sequences_pretokenized",
-    "asof_join", "asof_join_tolerance", "asof_join_forward",
-    "asof_join_nearest",
-    "dup_components", "dedup_transitive_materialize",
+#: (b) the displaced r6-green continuity anchors.
+_ANCHORS_R6 = (
+    "region_revenue", "cosine_topk", "dedup_exact", "minhash_lsh_pairs",
+    "text_stats", "curation_pipeline", "sessionize",
 )
-#: Window positions 22-43: the r5-green tail entries (2 rounds stale
-#: after this round if not rotated now).
-_R5_STALE = (
-    "range_join_count", "filter_project", "first_event_per_user",
-    "hourly_volume_salted", "rank_sample", "count_distinct_users",
-    "approx_distinct_users", "approx_value_quantiles", "multires_rollup",
-    "variant_props_agg", "variant_nested_paths",
-    "dedup_near_materialize", "benchmark_decontaminate",
-    "redact_pii", "line_dedup_clean", "dedup_incremental",
-    "vocab_stats", "vocab_coverage", "doc_repetition",
-    "cube_lineitem", "pivot_status_year", "user_event_deltas",
+#: (c) twelve r6-green tail entries, one-per-family coverage: joins
+#: (anti/semi), filters (isin/substring/case), set ops (distinct/union),
+#: scalars, window top-k, bars, sampling, multimodal.
+_TAIL_ROTATED = (
+    "anti_join", "semi_join", "isin_filter", "substring_filter",
+    "case_dispatch", "distinct_pairs", "union_dedup", "scalar_suite",
+    "topk_per_group", "minute_last_bars", "stratified_sample",
+    "multimodal_features",
 )
-#: Window positions 44-50: seven of this round's newest entries,
-#: swapped in late-round for the r6-green continuity anchors
-#: (region_revenue, cosine_topk, dedup_exact, minhash_lsh_pairs,
-#: text_stats, curation_pipeline, sessionize — all only 1 round stale
-#: after this swap, head of the r8 promotion list in the middle zone).
-#: Chosen for cross-engine subtlety: the floor-quantized float ops
-#: (centroids, correlation), the exact-percentile entry, the hashed
-#: vectors, and the three first-half bars entries. All verified
-#: bit-exact locally (tools/check.py, raw-dtype audited) before the
-#: swap.
-_ANCHORS = (
-    "ohlc_candles", "twap_hourly", "trailing_window_sum",
-    "label_centroids", "cross_key_correlation", "arrival_latency",
-    "hashed_embedding_docs",
-)
-#: Demoted past the window: every entry here holds a green r6 driver row
-#: (1 round stale after this round) and is the head of the r8 promotion
-#: list; the two rows-only ANN probes are additionally superseded by the
-#: oracle-backed recall entries now in-window.
-_TAIL = (
-    "funnel_user_paths_multipass", "doc_bigram_lm", "substring_dup_pairs",
-    "substring_dedup_materialize", "interval_overlap_join",
-    "cosine_topk_lsh_probe", "ivf_topk_probe",
-    "isin_filter", "substring_filter", "case_dispatch",
-    "anti_join", "semi_join", "distinct_pairs", "union_dedup",
-    "token_explode", "scalar_suite", "multiformat_timestamp",
-    "hour_sequence", "topk_per_group", "throughput_15s",
-    "pivot_event_counts",
-    "outcome_lookup", "minute_last_bars", "hourly_volume",
-    "embedding_dup_pairs_lsh", "hamming_dup_pairs", "simhash64_docs",
-    "doc_quality", "doc_lang_id", "doc_tfidf_topk",
-    "stratified_sample", "mixture_sample",
-    "multimodal_features", "frame_sample", "variant_schema_profile",
-    "funnel_conversion", "cohort_retention",
+#: Demoted past the window: everything else — r7-green entries (1 round
+#: stale after r8, head of the r9 promotion list), the remaining
+#: r6-green tail (r9 must rotate these), and ALL rows-only entries
+#: (approx_distinct_users, approx_value_quantiles, bpe_train_merges,
+#: cosine_topk_lsh_probe, ivf_topk_probe, part_supplier_pagerank, and
+#: the three new GK-sketch twins winsorized_prices_approx /
+#: price_outliers_approx / robust_price_stats_approx).
+_ROWS_ONLY = (
+    "approx_distinct_users", "approx_value_quantiles", "bpe_train_merges",
+    "cosine_topk_lsh_probe", "ivf_topk_probe", "part_supplier_pagerank",
+    "winsorized_prices_approx", "price_outliers_approx",
+    "robust_price_stats_approx",
 )
 
-#: r8 PROMOTION QUEUE (head first): the middle-zone entries that have
-#: never had a driver row — gap_fill_hourly, delta_volatility,
-#: quality_percentile_filter, hash_split_docs, skew_profile,
-#: snapshot_diff, dedup_histogram, cross_key_correlation (in-window r7),
-#: containment_pairs, bpe_pair_counts, length_bucket_batches,
-#: bpe_train_merges (rows-only), hashed_embedding_docs (in-window r7),
-#: plus the late-round-7 monitoring/retrieval batch
-#: (rolling_zscore_flags, dq_profile_orders, vwap_monthly,
-#: inverted_index, bm25_search, spend_quartiles, event_transitions,
-#: price_histogram, temperature_sample_docs, source_token_drift,
-#: term_pmi_pairs, quantize_embeddings) —
-#: then the seven displaced r6-green anchors (region_revenue,
-#: cosine_topk, dedup_exact, minhash_lsh_pairs, text_stats,
-#: curation_pipeline, sessionize), then the r6-green _TAIL per the
-#: 2-round staleness contract.
-_order = (
-    list(_PROMOTED) + list(_CODE_CHANGED) + list(_R5_STALE) + list(_ANCHORS)
-)
+_order = list(_FIRST_TIMERS) + list(_ANCHORS_R6) + list(_TAIL_ROTATED)
 assert len(_order) == 50, len(_order)  # exactly the driver window
-_order += [n for n in _CATALOG if n not in _order and n not in _TAIL]
-_order += list(_TAIL)
+assert not set(_order) & set(_ROWS_ONLY)
+_order += [
+    n for n in _CATALOG if n not in _order and n not in _ROWS_ONLY
+]
+_order += list(_ROWS_ONLY)
 assert len(_order) == len(set(_order)) == len(_CATALOG), (
     len(_order), len(_CATALOG)
 )
