@@ -1134,10 +1134,18 @@ def term_pmi_pairs(
       marginals broadcast on corpora whose post-``min_df`` vocabulary
       is still too large to broadcast.
 
-    The kept vocabulary rides to the scan as a single sorted-array row
-    (a broadcast crossJoin, same mechanics as the ``n_docs`` scalar);
-    ``array_intersect(arr, vocab)`` preserves ``arr``'s sorted-distinct
-    order, so pair generation is unchanged downstream.
+    Restriction mechanics: the kept-term table is broadcast and the
+    per-doc term stream is SEMI-JOINED against it, then re-grouped to a
+    sorted per-doc array pair generation runs on — per-token O(1) hash
+    probes against a build side constructed once per task. The tempting
+    one-liner — crossJoin a collected vocab array and
+    ``array_intersect(arr, vocab)`` — is O(rows × |vocab|): Catalyst
+    rebuilds the intersect's hash set PER ROW, which measured as a hang
+    (minutes, not seconds) at |vocab| ≈ 150 k on 5 k docs. The regroup
+    costs one doc-keyed shuffle of the distinct-token stream — linear,
+    the same volume scan 1 already aggregates — and only runs when a
+    restriction is actually in force: ``min_df <= 1`` with no
+    ``max_vocab`` takes the original zero-extra-shuffle in-scan path.
     """
     if min_df is None:
         min_df = min_pair_docs
@@ -1156,18 +1164,22 @@ def term_pmi_pairs(
     term_docs = doc_terms.groupBy("term").agg(
         F.count(F.lit(1)).alias("__n_t")
     )
-    kept = term_docs.filter(F.col("__n_t") >= F.lit(min_df))
-    if max_vocab is not None:
-        # deterministic top-k by (df desc, term asc): TakeOrdered, no
-        # global sort materialization
-        kept = kept.orderBy(
-            F.col("__n_t").desc(), F.col("term")
-        ).limit(max_vocab)
-    vocab = F.broadcast(
-        kept.agg(F.sort_array(F.collect_list("term")).alias("__vocab"))
-    )
-    df = df.crossJoin(vocab)
-    arr = F.array_intersect(arr, F.col("__vocab"))
+    if min_df > 1 or max_vocab is not None:
+        kept = term_docs.filter(F.col("__n_t") >= F.lit(min_df))
+        if max_vocab is not None:
+            # deterministic top-k by (df desc, term asc): TakeOrdered,
+            # no global sort materialization
+            kept = kept.orderBy(
+                F.col("__n_t").desc(), F.col("term")
+            ).limit(max_vocab)
+        df = (
+            doc_terms.join(
+                F.broadcast(kept.select("term")), "term", "semi"
+            )
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("term")).alias("__arr"))
+        )
+        arr = F.col("__arr")
     pair_structs = F.flatten(
         F.transform(
             arr,
