@@ -209,6 +209,70 @@ def _delete_partition_dirs(spark, path, partition_cols, rows) -> None:
             raise IOError(f"failed to delete emptied partition {p}")
 
 
+def upsert_lake_partitions(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...] = ("dt",),
+    max_records_per_file: int = 5_000_000,
+) -> int:
+    """MERGE (upsert) a batch of keyed rows into a partitioned lake —
+    the CDC companion to :func:`delete_from_lake`: rows in ``updates``
+    REPLACE lake rows with the same key, other rows of the touched
+    partitions survive, brand-new keys (including whole new partitions)
+    are inserted, and every untouched directory stays byte-identical.
+    Returns the number of partitions written.
+
+    Plain parquet has no row updates, so — like the delete — the unit
+    of rewrite is the partition: the touched partitions' surviving rows
+    (anti-join on the key) are unioned with the update batch,
+    materialized via ``localCheckpoint`` (same read-then-overwrite
+    legality and commit-time safety argument as
+    :func:`delete_from_lake`), and swapped in with dynamic partition
+    overwrite; partitions only present in ``updates`` are created by
+    the same write. Cost is proportional to the TOUCHED partitions +
+    the batch, never the lake.
+
+    Contract: ``updates`` must carry the partition columns (derive them
+    upstream exactly as the lake writer did) with the SAME partition
+    value the key already lives under — a key that "moves" partitions
+    would leave its old row alive in an untouched directory (this
+    function cannot see it without scanning the whole lake). Callers
+    migrating keys across partitions must ``delete_from_lake`` first.
+    Keys are expected unique per batch; if a key repeats in ``updates``
+    both rows land (this is a row replacement, not a last-writer-wins
+    aggregation — dedup the batch upstream, e.g. ``snapshot_diff``'s
+    typed-CDC output is already unique per key).
+
+    First load (no lake at ``path`` yet) degrades to a plain
+    partitioned write of the batch.
+    """
+    try:
+        lake = spark.read.parquet(path)
+    except Exception:  # first load: nothing to merge with
+        write_partitioned_lake(
+            updates, path, partition_cols,
+            max_records_per_file=max_records_per_file,
+        )
+        return updates.select(*partition_cols).distinct().count()
+    touched = updates.select(*partition_cols).distinct()
+    survivors = (
+        lake.join(F.broadcast(touched), list(partition_cols), "semi")
+        .join(updates.select(*key_cols).distinct(), list(key_cols), "anti")
+    )
+    merged = survivors.unionByName(
+        updates.select(*lake.columns)
+    ).localCheckpoint(eager=True)
+    n_touched = touched.count()
+    if n_touched == 0:
+        return 0
+    overwrite_lake_partitions(
+        merged, path, partition_cols, max_records_per_file
+    )
+    return n_touched
+
+
 def compact_lake_partitions(
     spark,
     path: str,

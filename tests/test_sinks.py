@@ -332,3 +332,72 @@ def test_write_zordered_narrows_file_stats(spark, tmp_path):
         # the point of the layout: per-file min/max spans collapse on
         # BOTH dimensions at once, so stats-based skipping works
         assert s_z < 0.6 * s_plain, (col, s_z, s_plain)
+
+
+def test_upsert_lake_partitions_merge_semantics(spark, tmp_path):
+    """MERGE contract: same-key rows replaced, other rows of touched
+    partitions survive, new keys and whole new partitions inserted,
+    untouched directories byte-identical, idempotent re-run."""
+    import datetime as dt_mod
+
+    from polymarket_data_ingestor_spark.sinks import upsert_lake_partitions
+
+    events = with_date_partition(
+        spark.read.parquet(f"{SF}/events.parquet")
+    )
+    out = str(tmp_path / "lake")
+
+    # first load: no lake yet → plain partitioned write
+    n0 = upsert_lake_partitions(
+        spark, out, events, ("event_id",), ("dt",)
+    )
+    assert n0 == events.select("dt").distinct().count()
+    total = events.count()
+    before = _file_state(Path(out))
+
+    days = sorted(r["dt"] for r in events.select("dt").distinct().collect())
+    day0, day1 = days[0], days[1]
+    # batch: update 3 existing day0 rows (value bumped), insert 2 new
+    # keys into day0, and 2 rows into a brand-new partition
+    upd_rows = [
+        r.asDict() for r in
+        events.filter(F.col("dt") == day0).limit(3).collect()
+    ]
+    for r in upd_rows:
+        r["value"] = float(r["value"]) + 1000.0
+    new_day = day0 + dt_mod.timedelta(days=400)
+    fresh = []
+    for i, d in [(1, day0), (2, day0), (3, new_day), (4, new_day)]:
+        r = dict(upd_rows[0])
+        r["event_id"] = 10**12 + i
+        r["dt"] = d
+        fresh.append(r)
+    updates = spark.createDataFrame(upd_rows + fresh, schema=events.schema)
+
+    n = upsert_lake_partitions(spark, out, updates, ("event_id",), ("dt",))
+    assert n == 2  # day0 + the new day
+
+    back = spark.read.parquet(out)
+    assert back.count() == total + 4  # 3 replaced in place, 4 inserted
+    # replaced rows carry the new value
+    got_vals = {
+        r["event_id"]: r["value"] for r in back.filter(
+            F.col("event_id").isin([r["event_id"] for r in upd_rows])
+        ).collect()
+    }
+    for r in upd_rows:
+        assert got_vals[r["event_id"]] == r["value"]
+    # new partition exists with exactly its rows
+    assert back.filter(F.col("dt") == new_day).count() == 2
+    # day1 (and every other untouched day) byte-identical
+    after = _file_state(Path(out))
+    for d, state in before.items():
+        if d != f"dt={day0}":
+            assert after[d] == state, d
+    # idempotent: re-applying the same batch changes no row (materialize
+    # the before-state — the rewrite replaces the files a live plan
+    # would read)
+    before_rows = sorted(map(tuple, back.collect()))
+    upsert_lake_partitions(spark, out, updates, ("event_id",), ("dt",))
+    again = spark.read.parquet(out)
+    assert sorted(map(tuple, again.collect())) == before_rows
