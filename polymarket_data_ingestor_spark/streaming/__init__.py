@@ -4,6 +4,7 @@ from polymarket_data_ingestor_spark.streaming.collector import (
     take_chunk,
 )
 from polymarket_data_ingestor_spark.streaming.live import (
+    apply_cdc_stream,
     live_ticks,
     read_frames_stream,
     write_frames_stream,
@@ -16,4 +17,5 @@ __all__ = [
     "read_frames_stream",
     "write_frames_stream",
     "live_ticks",
+    "apply_cdc_stream",
 ]

@@ -682,3 +682,38 @@ def test_frame_writer_emits_gate_manifest(tmp_path):
                 recount[a] = recount.get(a, 0) + 1
     assert doc["book_counts"] == recount == {a1: 3, a2: 1}
     assert doc["file_size"] == first.stat().st_size
+
+
+def test_frame_writer_manifest_compressed(spark, tmp_path):
+    """Compressed rotation (.jsonl.gz): the sidecar counts the logical
+    lines (accumulated pre-compression), its size check records the
+    COMPRESSED file, and the sidecar-first gate agrees with the raw
+    scan of the gzip file."""
+    from datetime import datetime, timezone
+
+    from polymarket_data_ingestor_spark.manifest import (
+        manifest_path,
+        read_manifest_max,
+    )
+    from polymarket_data_ingestor_spark.operators.replay import (
+        _GATE_STATS_CACHE,
+        _max_snapshot_cell,
+    )
+    from polymarket_data_ingestor_spark.streaming.collector import FrameWriter
+
+    now = datetime(2025, 9, 30, 14, 0, 1, tzinfo=timezone.utc)
+    w = FrameWriter(tmp_path, markets=[], compress=True, now=lambda: now)
+    asset = "4" * 8
+    for i in range(5):
+        w.handle_message(json.dumps([{
+            "event_type": "book", "timestamp": str(1000 + i),
+            "market": "0xm", "asset_id": asset, "bids": [], "asks": []}]))
+    final = w.shutdown()
+    assert final.name.endswith(".jsonl.gz")
+    assert read_manifest_max(final) == 5
+    # gate: sidecar-only (no spark), and parity with the gz raw scan
+    _GATE_STATS_CACHE.clear()
+    assert _max_snapshot_cell(None, [str(final)]) == 5
+    manifest_path(final).unlink()
+    _GATE_STATS_CACHE.clear()
+    assert _max_snapshot_cell(spark, [str(final)]) == 5

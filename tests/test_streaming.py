@@ -787,3 +787,66 @@ def test_live_interval_join_rejects_column_clash(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="duplicate names"):
         live_interval_join(a, b, ("user_id",))
+
+
+@pytest.mark.slow
+def test_apply_cdc_stream_merges_into_lake(spark, tmp_path):
+    """Streaming CDC apply: micro-batches MERGE into the partitioned
+    lake (replace by key / insert new keys / create new partitions),
+    untouched partitions stay byte-identical, and a second availableNow
+    run against the same checkpoint picks up only the new files."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.streaming import apply_cdc_stream
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    lake = str(tmp_path / "cdc_lake")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k long, dt date, v double"
+
+    def emit(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    def run():
+        q = apply_cdc_stream(
+            spark.readStream.schema(schema).json(str(src)),
+            lake, ckpt, ("k",), ("dt",), available_now=True,
+        )
+        q.awaitTermination(300)
+
+    # batch 1: two partitions
+    emit("b1.json", [
+        {"k": 1, "dt": "2024-05-01", "v": 1.0},
+        {"k": 2, "dt": "2024-05-01", "v": 2.0},
+        {"k": 3, "dt": "2024-05-02", "v": 3.0},
+    ])
+    run()
+    back = {r["k"]: r.asDict() for r in spark.read.parquet(lake).collect()}
+    assert len(back) == 3 and back[2]["v"] == 2.0
+
+    day2_state = sorted(
+        (p.name, p.stat().st_size, p.stat().st_mtime_ns)
+        for p in (Path(lake) / "dt=2024-05-02").glob("*.parquet")
+    )
+
+    # batch 2 (new file, same checkpoint): update k=2, insert k=4 into
+    # day1 and k=5 into a brand-new day; day2 must stay byte-untouched
+    emit("b2.json", [
+        {"k": 2, "dt": "2024-05-01", "v": 20.0},
+        {"k": 4, "dt": "2024-05-01", "v": 4.0},
+        {"k": 5, "dt": "2024-05-03", "v": 5.0},
+    ])
+    run()
+    back = {r["k"]: r.asDict() for r in spark.read.parquet(lake).collect()}
+    assert len(back) == 5
+    assert back[2]["v"] == 20.0            # replaced, not duplicated
+    assert back[1]["v"] == 1.0             # sibling row survived
+    assert back[5]["dt"].isoformat() == "2024-05-03"  # new partition
+    after = sorted(
+        (p.name, p.stat().st_size, p.stat().st_mtime_ns)
+        for p in (Path(lake) / "dt=2024-05-02").glob("*.parquet")
+    )
+    assert after == day2_state             # untouched partition
