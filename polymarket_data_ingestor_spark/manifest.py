@@ -90,10 +90,15 @@ def write_manifest(
     return out
 
 
-def read_manifest_max(file_path: str | Path) -> int | None:
-    """Return the file's max per-asset book count from its sidecar, or
-    None when the sidecar is absent, unreadable, a different version,
-    or stale (recorded size != file size — the file was rewritten)."""
+def read_manifest_counts(file_path: str | Path) -> dict[str, int] | None:
+    """Return the file's full per-asset book counts from its sidecar,
+    or None when the sidecar is absent, unreadable, a different
+    version, or stale (recorded size != file size — the file was
+    rewritten). The full map (not just the max) matters to the gate:
+    the replay grouping keys on the hour TOKEN from the file name, so
+    counts from multiple files sharing an hour token must be SUMMED
+    per asset before taking the max — a per-file max would
+    under-approximate exactly the multi-directory skew case."""
     p = Path(file_path)
     mp = manifest_path(p)
     try:
@@ -104,6 +109,16 @@ def read_manifest_max(file_path: str | Path) -> int | None:
             return None
         if doc.get("file_size") != os.stat(p).st_size:
             return None
-        return int(doc["max_book_count"])
+        return {str(k): int(v) for k, v in doc["book_counts"].items()}
     except (OSError, ValueError, TypeError, KeyError):
         return None
+
+
+def read_manifest_max(file_path: str | Path) -> int | None:
+    """Max per-asset book count from the sidecar (None = invalid/stale),
+    for single-file consumers; multi-file gates need
+    :func:`read_manifest_counts` (see its docstring)."""
+    counts = read_manifest_counts(file_path)
+    if counts is None:
+        return None
+    return max(counts.values(), default=0)

@@ -550,7 +550,7 @@ _FEED_GATE_CACHE: dict[tuple, bool] = {}
 #: the ingest-time sidecar writer so the two can never drift).
 from polymarket_data_ingestor_spark.manifest import (  # noqa: E402
     ASSET_ID_RE as _ASSET_ID_RE,
-    read_manifest_max,
+    read_manifest_counts,
     write_manifest,
 )
 
@@ -579,8 +579,18 @@ def _max_snapshot_cell(spark, paths: Sequence[str]) -> int:
     frame with a book event, or the validity-agnostic count) only ever
     errs toward running the machinery — never toward missing skew. The
     sidecar counts use the same semantics, so the two sources agree.
+
+    Aggregation unit: the replay grouping keys on the hour TOKEN from
+    the file NAME, so two files named ``2024-01-01-00.jsonl`` in
+    different directories land in the SAME cell — per-(asset, hour)
+    counts must therefore be SUMMED across files (sidecar + sidecar,
+    scan + scan, and sidecar + scan alike) before taking the max. A
+    per-file max here would under-approximate exactly the
+    multi-directory skew case and break the errs-toward-splitting
+    invariant.
     """
     import os
+    import re as _re
 
     key_parts = []
     for p in sorted(str(x) for x in paths):
@@ -592,34 +602,49 @@ def _max_snapshot_cell(spark, paths: Sequence[str]) -> int:
     key = tuple(key_parts)
     if key in _GATE_STATS_CACHE:
         return _GATE_STATS_CACHE[key]
-    max_cell = 0
+    hour_re = _re.compile(_file_hour_re())
+    side_cells: dict[tuple[str, str], int] = {}
     scan_paths: list[str] = []
     for p in (str(x) for x in paths):
-        from_manifest = read_manifest_max(p)
-        if from_manifest is None:
+        counts = read_manifest_counts(p)
+        if counts is None:
             scan_paths.append(p)
-        elif from_manifest > max_cell:
-            max_cell = from_manifest
+            continue
+        m = hour_re.search(p)
+        hour = m.group(1) if m else ""  # '' mirrors regexp_extract miss
+        for asset, n in counts.items():
+            side_cells[(hour, asset)] = side_cells.get((hour, asset), 0) + n
     if scan_paths:
         cand = spark.read.text(scan_paths).filter(
             F.col("value").contains("book")
         )
-        cells = cand.select(
-            F.regexp_extract(
-                F.input_file_name(), _file_hour_re(), 1
-            ).alias("file_hour"),
-            F.explode(
-                F.regexp_extract_all("value", F.lit(_ASSET_ID_RE), 1)
-            ).alias("asset_id"),
-        )
-        row = (
-            cells.groupBy("asset_id", "file_hour")
+        cells = (
+            cand.select(
+                F.regexp_extract(
+                    F.input_file_name(), _file_hour_re(), 1
+                ).alias("file_hour"),
+                F.explode(
+                    F.regexp_extract_all("value", F.lit(_ASSET_ID_RE), 1)
+                ).alias("asset_id"),
+            )
+            .groupBy("file_hour", "asset_id")
             .count()
-            .agg(F.max("count"))
+        )
+        if side_cells:
+            side_df = spark.createDataFrame(
+                [(h, a, n) for (h, a), n in side_cells.items()],
+                "file_hour string, asset_id string, count long",
+            )
+            cells = cells.unionByName(side_df)
+        row = (
+            cells.groupBy("file_hour", "asset_id")
+            .agg(F.sum("count").alias("n"))
+            .agg(F.max("n"))
             .first()
         )
-        if row and row[0] is not None:
-            max_cell = max(max_cell, int(row[0]))
+        max_cell = int(row[0]) if row and row[0] is not None else 0
+    else:
+        max_cell = max(side_cells.values(), default=0)
     if len(_GATE_STATS_CACHE) >= _GATE_STATS_CACHE_MAX:
         _GATE_STATS_CACHE.clear()
     _GATE_STATS_CACHE[key] = max_cell

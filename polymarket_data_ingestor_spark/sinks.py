@@ -147,39 +147,71 @@ def delete_from_lake(
     are deleted through the Hadoop FileSystem API after the rewrite
     commits, and the delete is verified (a failed delete raises rather
     than silently reporting the partition as handled).
+
+    Partition membership is evaluated NULL-SAFELY (``<=>`` against the
+    collected touched values): a plain equi-join can never match a
+    NULL partition value, which would route the entire
+    ``__HIVE_DEFAULT_PARTITION__`` directory into the emptied-delete
+    path while its surviving rows still exist — active data loss.
+    Collecting the touched partition list once (it is a partition list,
+    inherently small) also keeps the lake-scan count at two (touched +
+    keep) rather than re-running the touched subplan per consumer.
     """
     lake = spark.read.parquet(path)
     targets = F.broadcast(ids.select(id_col).distinct())
-    touched = (
+    touched_rows = (
         lake.join(targets, id_col, "semi")
         .select(*partition_cols)
         .distinct()
-    )
+        .collect()
+    )  # partition values only: tiny
+    if not touched_rows:
+        return 0
     keep = (
-        lake.join(F.broadcast(touched), list(partition_cols), "semi")
+        lake.filter(
+            _partition_predicate(lake, partition_cols, touched_rows)
+        )
         .join(targets, id_col, "anti")
         .localCheckpoint(eager=True)
     )
-    touched_rows = touched.collect()  # partition values only: tiny
-    if not touched_rows:
-        return 0
     # Partitions where NO row survived: dynamic overwrite cannot see
     # them (keep carries no row with their partition value), so their
-    # directories must be removed explicitly.
-    emptied = (
-        touched.join(
-            keep.select(*partition_cols).distinct(),
-            list(partition_cols),
-            "anti",
-        ).collect()
-    )
-    if keep.limit(1).count() > 0:
+    # directories must be removed explicitly. Derived in Python from
+    # the (cheap, checkpointed) keep side — no third lake scan, and no
+    # null-unsafe anti-join.
+    keep_parts = {
+        tuple(r[c] for c in partition_cols)
+        for r in keep.select(*partition_cols).distinct().collect()
+    }
+    emptied = [
+        row for row in touched_rows
+        if tuple(row[c] for c in partition_cols) not in keep_parts
+    ]
+    if keep_parts:
         overwrite_lake_partitions(
             keep, path, partition_cols, max_records_per_file
         )
     if emptied:
         _delete_partition_dirs(spark, path, partition_cols, emptied)
     return len(touched_rows)
+
+
+def _partition_predicate(df, partition_cols, rows):
+    """OR-of-AND null-safe membership predicate over collected partition
+    value rows: ``(c1 <=> v1 AND c2 <=> v2) OR ...``. Literal NULLs are
+    cast to the column's type so ``<=>`` compares typed values. Row
+    count is a partition list — small by the lake layout contract — so
+    the expression stays well inside plan-size limits."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    pred = F.lit(False)
+    for row in rows:
+        clause = F.lit(True)
+        for c in partition_cols:
+            clause = clause & F.col(c).eqNullSafe(
+                F.lit(row[c]).cast(types[c])
+            )
+        pred = pred | clause
+    return pred
 
 
 def _delete_partition_dirs(spark, path, partition_cols, rows) -> None:
@@ -246,31 +278,45 @@ def upsert_lake_partitions(
     typed-CDC output is already unique per key).
 
     First load (no lake at ``path`` yet) degrades to a plain
-    partitioned write of the batch.
+    partitioned write of the batch — detected by an explicit Hadoop
+    ``FileSystem.exists`` probe, NEVER by catching the read's
+    exception: a transient read failure (S3 hiccup, one corrupt
+    footer) misread as "first load" would static-overwrite the entire
+    existing lake with just the batch. A genuinely failing read on an
+    existing lake raises to the caller, which is the only safe answer.
+
+    Touched-partition membership is evaluated null-safely (``<=>``
+    against the collected batch partition values): a plain semi-join
+    can never match NULL partition values, so the existing
+    ``__HIVE_DEFAULT_PARTITION__`` rows would silently vanish from the
+    survivors whenever the batch touches that partition.
     """
-    try:
-        lake = spark.read.parquet(path)
-    except Exception:  # first load: nothing to merge with
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):  # first load: nothing to merge with
         write_partitioned_lake(
             updates, path, partition_cols,
             max_records_per_file=max_records_per_file,
         )
         return updates.select(*partition_cols).distinct().count()
-    touched = updates.select(*partition_cols).distinct()
+    touched_rows = updates.select(*partition_cols).distinct().collect()
+    if not touched_rows:
+        return 0
+    lake = spark.read.parquet(path)
     survivors = (
-        lake.join(F.broadcast(touched), list(partition_cols), "semi")
+        lake.filter(
+            _partition_predicate(lake, partition_cols, touched_rows)
+        )
         .join(updates.select(*key_cols).distinct(), list(key_cols), "anti")
     )
     merged = survivors.unionByName(
         updates.select(*lake.columns)
     ).localCheckpoint(eager=True)
-    n_touched = touched.count()
-    if n_touched == 0:
-        return 0
     overwrite_lake_partitions(
         merged, path, partition_cols, max_records_per_file
     )
-    return n_touched
+    return len(touched_rows)
 
 
 def compact_lake_partitions(

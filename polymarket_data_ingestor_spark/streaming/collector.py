@@ -130,6 +130,7 @@ class FrameWriter:
         self._msg_count = 0
         self._current_hour: datetime | None = None
         self._book_counts: dict[str, int] = {}
+        self._manifest_ok = True
 
     # -- internals ---------------------------------------------------------
 
@@ -141,6 +142,29 @@ class FrameWriter:
 
     def _open(self) -> None:
         p = self._current_path()
+        # Crash recovery: an unclean shutdown leaves a non-empty
+        # current/ file we are about to APPEND to. Its existing lines
+        # were never counted into _book_counts, so count them now —
+        # otherwise the rotation manifest would record only the
+        # post-restart lines while its file_size check matches the full
+        # file, making the under-count permanently undetectable (the
+        # gate would trust a wrong sidecar forever). If the leftover
+        # can't be read back (e.g. a truncated gzip member), suppress
+        # the manifest for THIS file instead: no sidecar → the gate
+        # falls back to the raw scan, which is the honest answer.
+        try:
+            if p.exists() and p.stat().st_size > 0:
+                opener = gzip.open if self.compress else open
+                with opener(p, "rt", encoding="utf-8") as fh:
+                    for line in fh:
+                        _manifest.count_book_assets(
+                            line.rstrip("\n"), self._book_counts
+                        )
+        except (OSError, EOFError, UnicodeDecodeError):
+            # BadGzipFile is OSError; a truncated gzip tail raises
+            # EOFError mid-iteration
+            self._manifest_ok = False
+            self._book_counts = {}
         if self.compress:
             self._fh = gzip.open(p, "at", encoding="utf-8")
         else:
@@ -179,8 +203,12 @@ class FrameWriter:
         target = self.out_dir / name
         self._current_path().rename(target)
         # the file is immutable from here: persist its gate statistic
-        _manifest.write_manifest(target, self._book_counts)
+        # (unless crash recovery could not reconstruct the leftover
+        # lines' counts — then no sidecar, and the gate scans)
+        if self._manifest_ok:
+            _manifest.write_manifest(target, self._book_counts)
         self._book_counts = {}
+        self._manifest_ok = True
         return target
 
     # -- public API --------------------------------------------------------

@@ -717,3 +717,90 @@ def test_frame_writer_manifest_compressed(spark, tmp_path):
     manifest_path(final).unlink()
     _GATE_STATS_CACHE.clear()
     assert _max_snapshot_cell(spark, [str(final)]) == 5
+
+
+def test_gate_sums_same_hour_files_across_directories(spark, tmp_path):
+    """The replay grouping keys on the hour token from the file NAME, so
+    two files named 2024-01-01-00.jsonl in different directories land in
+    the same cell — the gate must SUM their counts (sidecar+sidecar,
+    scan+scan, and MIXED sidecar+scan), never take a per-file max, or a
+    hot asset split across collector shards gates as cold."""
+    from polymarket_data_ingestor_spark.manifest import manifest_path
+    from polymarket_data_ingestor_spark.operators.replay import (
+        _GATE_STATS_CACHE,
+        _max_snapshot_cell,
+        write_gate_manifests,
+    )
+
+    asset = "9" * 8
+
+    def write_log(d, n_books):
+        d.mkdir(parents=True, exist_ok=True)
+        p = d / "2024-01-01-00.jsonl"
+        p.write_text("\n".join(json.dumps(
+            {"timestamp": "t", "message_type": "feed_message",
+             "content": json.dumps([{"event_type": "book",
+                                     "timestamp": str(1000 + i),
+                                     "market": "0xm", "asset_id": asset,
+                                     "bids": [], "asks": []}])})
+            for i in range(n_books)) + "\n")
+        return str(p)
+
+    p1 = write_log(tmp_path / "shard1", 300)
+    p2 = write_log(tmp_path / "shard2", 300)
+
+    # scan+scan (no sidecars): summed across files
+    _GATE_STATS_CACHE.clear()
+    assert _max_snapshot_cell(spark, [p1, p2]) == 600
+
+    # sidecar+sidecar: same answer, no spark needed
+    write_gate_manifests(spark, [p1, p2])
+    _GATE_STATS_CACHE.clear()
+    assert _max_snapshot_cell(None, [p1, p2]) == 600
+
+    # MIXED: one sidecar + one scan must still sum to 600
+    manifest_path(p2).unlink()
+    _GATE_STATS_CACHE.clear()
+    assert _max_snapshot_cell(spark, [p1, p2]) == 600
+
+
+def test_frame_writer_crash_recovery_counts_leftover_lines(tmp_path):
+    """Restarting on a leftover current/log.jsonl (unclean shutdown)
+    must fold the existing lines into the manifest counts — the sidecar
+    records the WHOLE rotated file, whose size check would otherwise
+    pass while the counts silently missed the pre-crash lines."""
+    from datetime import datetime, timezone
+
+    from polymarket_data_ingestor_spark.manifest import read_manifest_max
+    from polymarket_data_ingestor_spark.streaming.collector import FrameWriter
+
+    asset = "5" * 8
+
+    def book(i):
+        return json.dumps([{"event_type": "book", "timestamp": str(1000 + i),
+                            "market": "0xm", "asset_id": asset,
+                            "bids": [], "asks": []}])
+
+    now = datetime(2025, 9, 30, 14, 0, 1, tzinfo=timezone.utc)
+    w1 = FrameWriter(tmp_path, markets=[], now=lambda: now)
+    for i in range(3):
+        w1.handle_message(book(i))
+    w1._fh.flush()  # crash: no shutdown(), no rotation
+
+    w2 = FrameWriter(tmp_path, markets=[], now=lambda: now)
+    for i in range(2):
+        w2.handle_message(book(10 + i))
+    final = w2.shutdown()
+    # 3 pre-crash + 2 post-restart book lines, all in the sidecar
+    assert read_manifest_max(final) == 5
+    # and the sidecar equals a recount of the physical file (the
+    # file_size staleness check alone could never catch an under-count)
+    from polymarket_data_ingestor_spark.manifest import (
+        count_book_assets,
+        manifest_path,
+    )
+    recount: dict[str, int] = {}
+    for line in final.read_text().splitlines():
+        count_book_assets(line, recount)
+    doc = json.loads(manifest_path(final).read_text())
+    assert doc["book_counts"] == recount

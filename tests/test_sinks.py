@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from datetime import date as dt_date
 from pathlib import Path
 
 import pytest
@@ -401,3 +402,74 @@ def test_upsert_lake_partitions_merge_semantics(spark, tmp_path):
     upsert_lake_partitions(spark, out, updates, ("event_id",), ("dt",))
     again = spark.read.parquet(out)
     assert sorted(map(tuple, again.collect())) == before_rows
+
+
+def test_delete_and_upsert_null_partition_safety(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__) must behave
+    like any other partition: a takedown touching it rewrites it
+    (keeping non-target rows) rather than deleting the whole directory,
+    and an upsert touching it keeps its surviving rows. Both require
+    null-safe partition membership — a plain equi-join never matches
+    NULL and silently routes the directory to data loss."""
+    from polymarket_data_ingestor_spark.sinks import (
+        delete_from_lake,
+        upsert_lake_partitions,
+    )
+
+    rows = [
+        (1, dt_date(2024, 5, 1), 10.0),
+        (2, dt_date(2024, 5, 1), 20.0),
+        (3, None, 30.0),   # NULL-partition rows
+        (4, None, 40.0),
+        (5, None, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, dt date, v double")
+    out = str(tmp_path / "lake")
+    write_partitioned_lake(df, out, ("dt",))
+    null_dir = Path(out) / "dt=__HIVE_DEFAULT_PARTITION__"
+    assert null_dir.exists()
+
+    # delete ONE null-partition row: the other two must survive
+    ids = spark.createDataFrame([(3,)], ["event_id"])
+    assert delete_from_lake(spark, out, ids, "event_id", ("dt",)) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.filter(F.col("dt").isNull()).count() == 2
+    assert null_dir.exists()
+
+    # upsert into the null partition: update k=4, insert k=6; k=5 survives
+    batch = spark.createDataFrame(
+        [(4, None, 44.0), (6, None, 60.0)],
+        "event_id long, dt date, v double",
+    )
+    assert upsert_lake_partitions(
+        spark, out, batch, ("event_id",), ("dt",)
+    ) == 1
+    back = {r["event_id"]: r["v"] for r in
+            spark.read.parquet(out).filter(F.col("dt").isNull()).collect()}
+    assert back == {4: 44.0, 5: 50.0, 6: 60.0}
+
+    # delete EVERY remaining null-partition row: directory removed
+    ids = spark.createDataFrame([(4,), (5,), (6,)], ["event_id"])
+    assert delete_from_lake(spark, out, ids, "event_id", ("dt",)) == 1
+    assert not null_dir.exists()
+    assert spark.read.parquet(out).count() == 2  # the dated rows
+
+
+def test_upsert_lake_partitions_raises_on_unreadable_lake(spark, tmp_path):
+    """A lake that EXISTS but cannot be read must raise — never be
+    mistaken for a first load and static-overwritten away."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.sinks import upsert_lake_partitions
+
+    out = tmp_path / "lake"
+    (out / "dt=2024-05-01").mkdir(parents=True)
+    (out / "dt=2024-05-01" / "part-0.parquet").write_bytes(b"not parquet")
+    batch = spark.createDataFrame(
+        [(1, dt_date(2024, 5, 1), 1.0)], "event_id long, dt date, v double"
+    )
+    with _pytest.raises(Exception):
+        upsert_lake_partitions(spark, str(out), batch, ("event_id",), ("dt",))
+    # the corrupt-but-existing lake was NOT overwritten
+    assert (out / "dt=2024-05-01" / "part-0.parquet").read_bytes() == b"not parquet"
