@@ -14,6 +14,16 @@ Mirrors ``cli/src/main.rs``:
   — the reference's ``collector`` binary: live WebSocket collection into
   hourly framed JSONL logs (``collector/src/main.rs:300-407``).
 
+Beyond the reference CLI (maintenance surface for the partitioned lake
+and the frame logs — the jobs a production deployment schedules):
+
+* ``lake compact|delete|upsert <path> ...`` — small-file compaction,
+  targeted keyed deletion (right-to-be-forgotten), and partition-scoped
+  MERGE, wrapping the ``sinks`` module primitives.
+* ``manifests --data-dir d`` — backfill gate-manifest sidecars for a
+  frame lake that predates them, so replay's skew gate is a sidecar
+  read instead of a raw scan.
+
 Usage: ``python -m polymarket_data_ingestor_spark <command> ...``
 """
 
@@ -164,6 +174,65 @@ def cmd_collect(args: argparse.Namespace) -> int:
     return 0
 
 
+def _pcols(args: argparse.Namespace) -> tuple[str, ...]:
+    return tuple(c for c in args.partition_cols.split(",") if c)
+
+
+def cmd_lake_compact(args: argparse.Namespace) -> int:
+    from polymarket_data_ingestor_spark.sinks import compact_lake_partitions
+
+    spark = get_spark(app_name="pdi-lake-compact")
+    n = compact_lake_partitions(
+        spark, args.path, _pcols(args),
+        partition_filter=args.partition_filter,
+    )
+    print(f"compacted {n} partition(s) in {args.path}")
+    return 0
+
+
+def cmd_lake_delete(args: argparse.Namespace) -> int:
+    from polymarket_data_ingestor_spark.sinks import delete_from_lake
+
+    spark = get_spark(app_name="pdi-lake-delete")
+    ids = spark.read.parquet(args.ids_parquet)
+    n = delete_from_lake(spark, args.path, ids, args.id_col, _pcols(args))
+    print(f"rewrote {n} partition(s) in {args.path}")
+    return 0
+
+
+def cmd_lake_upsert(args: argparse.Namespace) -> int:
+    from polymarket_data_ingestor_spark.sinks import upsert_lake_partitions
+
+    spark = get_spark(app_name="pdi-lake-upsert")
+    updates = spark.read.parquet(args.updates_parquet)
+    n = upsert_lake_partitions(
+        spark, args.path, updates,
+        tuple(k for k in args.key_cols.split(",") if k),
+        _pcols(args),
+    )
+    print(f"merged into {n} partition(s) in {args.path}")
+    return 0
+
+
+def cmd_manifests(args: argparse.Namespace) -> int:
+    from polymarket_data_ingestor_spark.operators.replay import (
+        write_gate_manifests,
+    )
+
+    paths = [
+        p
+        for pat in ("*.jsonl", "*.jsonl.zst", "*.jsonl.gz")
+        for p in glob.glob(str(Path(args.data_dir) / pat))
+    ]
+    if not paths:
+        print("no log files found", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="pdi-manifests")
+    n = write_gate_manifests(spark, sorted(paths))
+    print(f"wrote {n} manifest sidecar(s) in {args.data_dir}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="polymarket_data_ingestor_spark",
@@ -209,6 +278,42 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--compress", action="store_true",
                    help="gzip the log files")
     c.set_defaults(fn=cmd_collect)
+
+    lk = sub.add_parser("lake", help="partitioned-lake maintenance")
+    lk_sub = lk.add_subparsers(dest="lake_command", required=True)
+    lk_common = argparse.ArgumentParser(add_help=False)
+    lk_common.add_argument("path", help="lake root directory")
+    lk_common.add_argument("--partition-cols", default="dt",
+                           help="comma-separated partition columns")
+
+    lc = lk_sub.add_parser("compact", parents=[lk_common],
+                           help="collapse small files per partition")
+    lc.add_argument("--partition-filter", default=None,
+                    help="SQL predicate over partition cols "
+                         "(directory-level pruning)")
+    lc.set_defaults(fn=cmd_lake_compact)
+
+    ld = lk_sub.add_parser("delete", parents=[lk_common],
+                           help="delete rows by key (takedown)")
+    ld.add_argument("--ids-parquet", required=True,
+                    help="parquet file/dir of target ids")
+    ld.add_argument("--id-col", required=True)
+    ld.set_defaults(fn=cmd_lake_delete)
+
+    lu = lk_sub.add_parser("upsert", parents=[lk_common],
+                           help="MERGE a keyed batch into the lake")
+    lu.add_argument("--updates-parquet", required=True,
+                    help="parquet file/dir of update rows "
+                         "(must carry the partition columns)")
+    lu.add_argument("--key-cols", required=True,
+                    help="comma-separated key columns")
+    lu.set_defaults(fn=cmd_lake_upsert)
+
+    mf = sub.add_parser("manifests",
+                        help="backfill gate-manifest sidecars for "
+                             "existing frame logs")
+    mf.add_argument("--data-dir", default="data/raw")
+    mf.set_defaults(fn=cmd_manifests)
     return p
 
 

@@ -105,3 +105,76 @@ def test_resolve_paths_prunes_and_sorts(tmp_path):
     all_ = _resolve_paths(str(tmp_path), None, None, None)
     assert len(all_) == 3
     assert all_ == sorted(all_)
+
+
+def test_parser_lake_and_manifests():
+    from polymarket_data_ingestor_spark.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["lake", "compact", "/tmp/x",
+                      "--partition-filter", "dt < '2024-01-01'"])
+    assert a.lake_command == "compact" and a.path == "/tmp/x"
+    a = p.parse_args(["lake", "delete", "/tmp/x",
+                      "--ids-parquet", "ids.parquet", "--id-col", "k"])
+    assert a.id_col == "k"
+    a = p.parse_args(["lake", "upsert", "/tmp/x",
+                      "--updates-parquet", "u.parquet",
+                      "--key-cols", "k1,k2",
+                      "--partition-cols", "dt,src"])
+    assert a.key_cols == "k1,k2" and a.partition_cols == "dt,src"
+    a = p.parse_args(["manifests", "--data-dir", "/tmp/raw"])
+    assert a.data_dir == "/tmp/raw"
+
+
+def test_cmd_lake_roundtrip(spark, tmp_path, monkeypatch):
+    """Drive delete + upsert + compact + manifests through main()."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark import cli
+    from polymarket_data_ingestor_spark.sinks import (
+        with_date_partition,
+        write_partitioned_lake,
+    )
+
+    # main() calls get_spark(); reuse the test session
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    from pyspark.sql import functions as F
+
+    events = with_date_partition(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    lake = str(tmp_path / "lake")
+    write_partitioned_lake(events, lake, ("dt",))
+    total = events.count()
+
+    # delete 3 rows via the CLI
+    victims = events.limit(3).select("event_id")
+    ids_p = str(tmp_path / "ids.parquet")
+    victims.write.parquet(ids_p)
+    assert cli.main(["lake", "delete", lake,
+                     "--ids-parquet", ids_p, "--id-col", "event_id"]) == 0
+    assert spark.read.parquet(lake).count() == total - 3
+
+    # upsert them back via the CLI
+    upd_p = str(tmp_path / "upd.parquet")
+    events.join(victims, "event_id", "semi").write.parquet(upd_p)
+    assert cli.main(["lake", "upsert", lake,
+                     "--updates-parquet", upd_p,
+                     "--key-cols", "event_id"]) == 0
+    assert spark.read.parquet(lake).count() == total
+
+    # compact via the CLI
+    assert cli.main(["lake", "compact", lake]) == 0
+    assert spark.read.parquet(lake).count() == total
+
+    # manifests backfill over a small frame-log dir
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "2024-01-01-00.jsonl").write_text(_json.dumps(
+        {"timestamp": "t", "message_type": "feed_message",
+         "content": _json.dumps([{"event_type": "book", "timestamp": "1",
+                                  "market": "m", "asset_id": "11111111",
+                                  "bids": [], "asks": []}])}) + "\n")
+    assert cli.main(["manifests", "--data-dir", str(raw)]) == 0
+    from polymarket_data_ingestor_spark.manifest import read_manifest_max
+    assert read_manifest_max(raw / "2024-01-01-00.jsonl") == 1
