@@ -653,3 +653,22 @@ def test_grouping_sets_single_scan_single_shuffle(spark):
     assert plan.count("FileScan") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_sum" in plan, plan
+
+
+@pytest.mark.parametrize("name,exact_twin", [
+    ("winsorized_prices_approx", "winsorized_prices"),
+    ("price_outliers_approx", "price_outliers"),
+    ("robust_price_stats_approx", "robust_price_stats"),
+])
+def test_sketch_twins_use_gk_not_exact_percentile(spark, name, exact_twin):
+    """The GK-sketch twins must plan percentile_approx (constant-memory
+    mergeable sketch) and NEVER the exact percentile aggregate (whose
+    buffer holds every group value — the cost the twin exists to avoid);
+    the exact twin keeps the exact aggregate. Both share the broadcast-
+    rollup-back shape: no sort-merge join, big table never re-shuffles."""
+    plan = plan_of(spark, name)
+    assert "percentile_approx" in plan, plan
+    assert "percentile(" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    exact_plan = plan_of(spark, exact_twin)
+    assert "percentile_approx" not in exact_plan, exact_plan
