@@ -1329,3 +1329,68 @@ def robust_stats(
         mad_agg,
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def ewma(
+    events: DataFrame,
+    alpha: float = 0.5,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (adjust=False
+    recursion): ``e_1 = v_1``, ``e_t = α·v_t + (1−α)·e_{t−1}`` over the
+    key's (ts, order) total order — the smoothing/trend primitive for
+    per-entity time series that a plain window average can't express
+    (the recursion gives every past value geometrically decaying
+    weight, with O(1) state instead of a frame).
+
+    An EWMA is INHERENTLY serial per key — e_t depends on e_{t−1} — so
+    this is one of the few operators that genuinely needs a grouped-map
+    kernel (``applyInPandas``, same justification as the order-book
+    replay kernel): one shuffle on the key, a per-partition sort, then
+    an O(n)/O(1)-state scan per key. Corpus scale costs the shuffle
+    only; the serial bound is the single longest key series, never the
+    table.
+
+    Cross-engine determinism: IEEE-754 doubles make any float program
+    bit-deterministic as long as both engines execute the SAME
+    operation sequence — so the kernel and the DuckDB oracle both
+    compute literally ``α·v`` then ``(1−α)·e`` then the sum (two
+    correctly-rounded multiplies + one add, no FMA contraction in
+    either engine), with both constants serialized via ``repr`` so they
+    parse to identical doubles. Pinned bit-exact by the catalog oracle
+    (a per-key recursive CTE) and against pandas ``ewm(adjust=False)``
+    in pytest.
+    """
+    if not (0 < alpha <= 1):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    import pandas as pd
+
+    a = float(alpha)
+    om = 1.0 - a
+    out_schema = (
+        f"{key_col} long, ts_ms long, {order_col} long, "
+        f"{value_col} double, ewma double"
+    )
+
+    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_ms", order_col], kind="mergesort")
+        vals = pdf[value_col].to_list()
+        out = []
+        prev = 0.0
+        for i, x in enumerate(vals):
+            prev = x if i == 0 else a * x + om * prev
+            out.append(prev)
+        pdf = pdf.copy()
+        pdf["ewma"] = out
+        return pdf
+
+    prepared = events.select(
+        F.col(key_col),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+        F.col(order_col),
+        F.col(value_col).cast("double"),
+    )
+    return prepared.groupBy(key_col).applyInPandas(_group, out_schema)

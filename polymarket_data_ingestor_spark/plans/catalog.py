@@ -1431,6 +1431,45 @@ def q_variant_props_agg(spark, sf_dir):
 
 
 @register(
+    "ewma_smoothed",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+             CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, ts_ms, event_id, value, rn, value AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts_ms, s.event_id, s.value, s.rn,
+             CAST(0.25 AS DOUBLE) * s.value
+               + CAST(0.75 AS DOUBLE) * r.ewma
+      FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, ts_ms, event_id, value, ewma FROM r
+    """,
+    doc="Per-user EWMA (adjust=False recursion, alpha=0.25) over the "
+    "event stream (operators/analytics.py::ewma) — the smoothing/trend "
+    "primitive a frame-window average can't express. Inherently serial "
+    "per key (e_t depends on e_{t-1}), so it is the second genuine "
+    "grouped-map kernel next to the order-book replay: one key "
+    "shuffle, O(1) state per key, serial bound = longest single "
+    "series, never the corpus. Engine-exact WITHOUT quantization: both "
+    "sides execute literally a*v then (1-a)*e then one add — IEEE "
+    "doubles make an identical op sequence bit-deterministic, and the "
+    "oracle is a per-key recursive CTE running the same three ops. "
+    "Pinned vs pandas ewm(adjust=False) in pytest.",
+    tags=("stateful", "analytics"),
+)
+def q_ewma_smoothed(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import ewma
+
+    return ewma(table(spark, sf_dir, "events"), alpha=0.25)
+
+
+@register(
     "rolling_zscore_flags",
     """
     WITH counts AS (

@@ -672,3 +672,13 @@ def test_sketch_twins_use_gk_not_exact_percentile(spark, name, exact_twin):
     assert "SortMergeJoin" not in plan, plan
     exact_plan = plan_of(spark, exact_twin)
     assert "percentile_approx" not in exact_plan, exact_plan
+
+
+def test_ewma_single_key_shuffle_grouped_map(spark):
+    """EWMA is the second genuine grouped-map kernel: exactly one
+    exchange (the key shuffle feeding FlatMapGroupsInPandas), no join,
+    no window."""
+    plan = plan_of(spark, "ewma_smoothed")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

@@ -884,3 +884,36 @@ def test_grouping_sets_levels(spark):
     assert sum(r["revenue"] for r in by_level["flag"]) == pytest.approx(
         grand["revenue"]
     )
+
+
+def test_ewma_matches_pandas_and_validates(spark):
+    """ewma == pandas ewm(adjust=False).mean() per key over the
+    (ts, event_id) total order, including same-timestamp tie-breaks."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import ewma
+
+    rows = [
+        (1, 10, BASE, 4.0),
+        (2, 10, BASE + dt.timedelta(minutes=1), 8.0),
+        (3, 10, BASE + dt.timedelta(minutes=1), 2.0),  # tie → event_id
+        (4, 10, BASE + dt.timedelta(minutes=2), 6.0),
+        (5, 20, BASE, 100.0),                          # singleton key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r["ewma"]
+           for r in ewma(df, alpha=0.3).collect()}
+    for uid in (10, 20):
+        sub = sorted([r for r in rows if r[1] == uid],
+                     key=lambda r: (r[2], r[0]))
+        want = pd.Series([r[3] for r in sub]).ewm(
+            alpha=0.3, adjust=False).mean()
+        for (eid, *_), w in zip(sub, want):
+            assert got[eid] == _pytest.approx(w, abs=1e-12), (eid, w)
+    # first value is the seed exactly
+    assert got[1] == 4.0 and got[5] == 100.0
+    with _pytest.raises(ValueError):
+        ewma(df, alpha=0.0)
