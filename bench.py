@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     "winsorized_prices_approx",
     "price_outliers_approx",
     "robust_price_stats_approx",
+    # pq_topk_recall intentionally NOT benched: the 8-subspace MLlib
+    # KMeans codebook fit (a training job, run once per corpus version
+    # in production) would dominate the search being measured;
+    # cosine_topk times the scan-shaped exact path instead.
     # part_supplier_pagerank intentionally NOT benched: 8 iterative
     # join+persist rounds (minutes at sf0.1) would dominate the sweep,
     # same reasoning as bpe_train_merges.

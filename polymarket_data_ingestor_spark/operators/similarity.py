@@ -808,3 +808,244 @@ def topk_recall(
             / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+def fit_pq_codebooks(
+    emb: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.25,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector dimensions are
+    split into ``n_subspaces`` contiguous subvectors and an independent
+    ``n_centroids``-centroid KMeans codebook is fit per subspace (on the
+    same deterministic-sample policy as :func:`fit_ivf_codebook`). A
+    vector then compresses to ``n_subspaces`` small integers —
+    ``n_subspaces·log2(n_centroids)`` bits instead of 32 bits per
+    dimension (64-dim float32 → 4 bytes at 8×16: 64× compression) —
+    which is what lets a 100 TB embedding corpus live in cluster MEMORY
+    for search, the regime where IVF/LSH still stream from disk.
+
+    Returns ``codebooks[m][c] = centroid`` (plain lists: cheap on the
+    driver, broadcast as a closure constant, reusable across encode and
+    search calls — fit once per corpus version).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"dim {dim} not divisible by n_subspaces {n_subspaces}"
+        )
+    w = dim // n_subspaces
+    fit_df = (
+        emb
+        if fit_fraction >= 1.0
+        else emb.sample(fraction=fit_fraction, seed=seed)
+    )
+    out: list[list[list[float]]] = []
+    for m in range(n_subspaces):
+        sub = fit_df.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), m * w + 1, w)
+            ).alias("__features")
+        )
+        model = KMeans(
+            k=n_centroids, seed=seed + m, featuresCol="__features",
+            predictionCol="__cluster",
+        ).fit(sub)
+        out.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return out
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Compress each vector to its per-subspace nearest-centroid codes —
+    one zero-shuffle Arrow pass with the codebooks as a broadcast
+    closure (same BLAS argmin identity as :func:`ivf_topk`'s assigner,
+    run once per subspace). Output keeps the input columns plus
+    ``out_col: array<int>`` of length ``n_subspaces``."""
+    Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    c2s = [(C * C).sum(axis=1) for C in Cs]
+    w = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        cols = []
+        for m, (C, c2) in enumerate(zip(Cs, c2s)):
+            S = V[:, m * w:(m + 1) * w]
+            d = -2.0 * (S @ C.T) + c2[None, :]
+            cols.append(d.argmin(axis=1).astype(np.int32))
+        M = np.stack(cols, axis=1)
+        return pd.Series(list(M))
+
+    return emb.withColumn(out_col, codes(F.col(vec_col)))
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: list[list[list[float]]] | None = None,
+    fit_fraction: float = 0.25,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    product-quantized codes, with exact re-ranking: each query
+    precomputes a ``n_subspaces × n_centroids`` lookup table of partial
+    dot products against the codebooks, and a corpus vector's ADC score
+    is then ``n_subspaces`` table lookups + adds — no float vector is
+    touched during the scan, which streams only the 64×-compressed
+    codes column (cosine vs the RECONSTRUCTION: ``dot(q, v̂)`` from the
+    LUTs, ``|v̂|²`` from a centroid-norm table). The ADC pass keeps
+    ``k·refine`` candidates per query; a final exact pass re-scores
+    ONLY those (the standard PQ refinement step — quantization decides
+    what to look at, never the reported score), so returned cosines are
+    identical to :func:`cosine_topk`'s for the pairs both produce, and
+    recall is the candidate coverage.
+
+    Scale shape: the ADC scan is the :func:`cosine_topk` two-level
+    pattern (per-partition k·refine-best in one ``mapInPandas`` pass —
+    bounded state, zero shuffle — then a rank-window merge over
+    P × n_queries × k·refine rows), and the refinement joins the
+    nq×k·refine candidate set (broadcast) back to the corpus — the
+    expensive float vectors are read for thousands of rows, not the
+    corpus. Recall-gated against the exact anchor in pytest.
+    """
+    from pyspark.sql import Window
+
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            emb, n_subspaces, n_centroids, vec_col,
+            fit_fraction=fit_fraction,
+        )
+    n_subspaces = len(codebooks)
+    Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    cn2 = np.stack([(C * C).sum(axis=1) for C in Cs])  # (m, k_c)
+    w = Cs[0].shape[1]
+
+    cap = COSINE_TOPK_MAX_QUERY_ROWS
+    probe = queries.select(query_id_col, vec_col).limit(cap + 1).collect()
+    if len(probe) > cap:
+        raise ValueError(
+            f"pq_topk collects the query side to the driver; got more "
+            f"than {cap} query rows — batch the queries."
+        )
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    id_t = emb.schema[id_col].dataType.simpleString()
+    mid_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, __score double"
+    if not probe:
+        return (
+            emb.sparkSession.createDataFrame([], mid_schema)
+            .select(
+                query_id_col, id_col,
+                F.col("__score").alias("score"),
+                F.lit(0).cast("long").alias("rank"),
+            )
+            .limit(0)
+        )
+    qids = np.array([r[0] for r in probe])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in probe])
+    nq = len(qids)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    # LUT[j, m, c] = dot(q_j subvector m, codebook m centroid c)
+    lut = np.stack(
+        [Q[:, m * w:(m + 1) * w] @ Cs[m].T for m in range(n_subspaces)],
+        axis=1,
+    )
+
+    encoded = pq_encode(emb, codebooks, id_col, vec_col)
+
+    kk = k * refine
+
+    def _partition_topk(batches):
+        c_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        c_sc = [np.empty(0) for _ in range(nq)]
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            ids = pdf[id_col].to_numpy()
+            codes = np.stack(pdf["pq_codes"].to_numpy())  # (n, m)
+            rows = np.arange(n_subspaces)[None, :]
+            # dot(q, v̂) = Σ_m LUT[j, m, code_m]; |v̂|² = Σ_m |c|²
+            dots = lut[:, rows, codes].sum(axis=2)  # (nq, n)
+            vn = np.sqrt(cn2[rows, codes].sum(axis=1))  # (n,)
+            score = dots / (qn[:, None] * vn[None, :])
+            for j in range(nq):
+                mask = ids != qids[j]
+                all_ids = np.concatenate([c_ids[j], ids[mask]])
+                all_sc = np.concatenate([c_sc[j], score[j, mask]])
+                order = np.lexsort((all_ids, -np.round(all_sc, 6)))[:kk]
+                c_ids[j], c_sc[j] = all_ids[order], all_sc[order]
+        if any_rows:
+            n_out = sum(len(c) for c in c_ids)
+            if n_out:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.repeat(
+                            qids, [len(c) for c in c_ids]
+                        ),
+                        id_col: np.concatenate(c_ids),
+                        "__score": np.concatenate(c_sc),
+                    }
+                )
+
+    part = encoded.select(id_col, "pq_codes").mapInPandas(
+        _partition_topk, schema=mid_schema
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.round("__score", 6).desc(), F.col(id_col)
+    )
+    cand = (
+        part.withColumn("__adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("__adc_rank") <= kk)
+        .select(query_id_col, id_col)
+    )
+    # exact refinement: re-score ONLY the nq × k·refine candidates with
+    # the true vectors — quantization chose what to look at, the exact
+    # cosine decides the reported score and final rank
+    qdf = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(r[0], [float(x) for x in r[1]]) for r in probe],
+            f"{query_id_col} {qid_t}, __qvec array<double>",
+        )
+    )
+    scored = (
+        emb.join(F.broadcast(cand), id_col)
+        .join(qdf, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine(F.col("__qvec"), F.col(vec_col)), 6
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -956,6 +956,51 @@ def q_ivf_topk_recall(spark, sf_dir):
     )
 
 
+PQ_RECALL_FLOOR = 0.4
+
+
+@register(
+    "pq_topk_recall",
+    f"""
+    WITH exact AS ({_SQL_EXACT_TOP5})
+    SELECT CAST(5 AS BIGINT) AS k,
+           CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(0.4 AS DOUBLE) AS recall_floor,
+           TRUE AS floor_met
+    FROM exact
+    """,
+    doc="Driver-checkable recall floor for the product-quantization ANN "
+    "path (operators/similarity.py::pq_topk: 8 subspaces x 16 "
+    "centroids = 4-byte codes, 64x compression; ADC lookup-table scan "
+    "over the codes column keeps k*refine candidates, exact cosine "
+    "re-ranks only those — quantization chooses what to look at, "
+    "never the reported score). Same oracle convention as "
+    "ivf_topk_recall: the recall VALUE is engine-specific (MLlib "
+    "KMeans codebooks), so the oracle pins the floor predicate plus "
+    "the exact-side-derived n_queries; the value and the "
+    "scores-equal-exact refinement contract are pinned in pytest.",
+    tags=("similarity", "ann"),
+)
+def q_pq_topk_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, queries, k=5)
+    cbs = S.fit_pq_codebooks(
+        emb, n_subspaces=8, n_centroids=16, fit_fraction=0.5
+    )
+    approx = S.pq_topk(
+        emb, queries, k=5, codebooks=cbs, refine=8
+    ).withColumnRenamed("score", "cos")
+    return S.topk_recall(exact, approx, k=5).select(
+        "k",
+        "n_queries",
+        F.lit(PQ_RECALL_FLOOR).alias("recall_floor"),
+        (F.col("recall") >= F.lit(PQ_RECALL_FLOOR)).alias("floor_met"),
+    )
+
+
 @register(
     "embedding_dup_pairs",
     f"""

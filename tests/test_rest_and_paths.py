@@ -158,3 +158,62 @@ def test_ivf_topk_recall_beats_lsh_style_subset(spark):
     # default path (no codebook passed) fits its own sampled codebook
     ivf2 = S.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=3).toPandas()
     assert len(ivf2) == len(ivf)
+
+
+def test_pq_topk_recall_and_compression(spark):
+    """Product quantization: codes are n_subspaces small ints (the 64x
+    compression story), ADC top-k recalls well over half the exact
+    neighbors at 8x16, recall rises with finer codebooks, and encoding
+    is deterministic for a fixed seed."""
+    import numpy as np
+
+    from polymarket_data_ingestor_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, queries, k=10).toPandas()
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+
+    cbs = S.fit_pq_codebooks(emb, n_subspaces=8, n_centroids=16,
+                             fit_fraction=0.5)
+    assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
+    assert len(cbs[0][0]) == 64 // 8  # subvector width
+
+    # encode: every vector -> 8 codes in [0, 16)
+    enc = S.pq_encode(emb, cbs).select("vec_id", "pq_codes").toPandas()
+    codes = np.stack(enc["pq_codes"].to_numpy())
+    assert codes.shape == (len(enc), 8)
+    assert codes.min() >= 0 and codes.max() < 16
+    # deterministic: refit with the same seed -> identical codes
+    enc2 = S.pq_encode(
+        emb, S.fit_pq_codebooks(emb, 8, 16, fit_fraction=0.5)
+    ).select("vec_id", "pq_codes").toPandas()
+    m = enc.merge(enc2, on="vec_id")
+    assert all((a == b).all() for a, b in
+               zip(m["pq_codes_x"], m["pq_codes_y"]))
+
+    pq = S.pq_topk(emb, queries, k=10, codebooks=cbs).toPandas()
+    a = set(map(tuple, pq[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    # refinement contract: quantization only chooses candidates — every
+    # reported score is the EXACT cosine (equal to the anchor's)
+    merged = pq.merge(exact, on=["query_id", "vec_id"],
+                      suffixes=("_a", "_e"))
+    assert (merged.score == merged.cos).all()
+
+    # a finer quantizer (more centroids per subspace) must not recall
+    # materially worse — quantization error is the only error source
+    cbs_fine = S.fit_pq_codebooks(emb, n_subspaces=8, n_centroids=64,
+                                  fit_fraction=1.0)
+    pq_f = S.pq_topk(emb, queries, k=10, codebooks=cbs_fine).toPandas()
+    af = set(map(tuple, pq_f[["query_id", "vec_id"]].itertuples(index=False)))
+    recall_f = len(e & af) / len(e)
+    assert recall_f >= recall - 0.05, (recall, recall_f)
+
+    # output contract: ranked (score desc, id) per query, k rows max
+    for qid, grp in pq.groupby("query_id"):
+        keys = [(-s, i) for s, i in zip(grp["score"], grp["vec_id"])]
+        assert keys == sorted(keys) and len(grp) <= 10
