@@ -219,16 +219,12 @@ def cmd_manifests(args: argparse.Namespace) -> int:
         write_gate_manifests,
     )
 
-    paths = [
-        p
-        for pat in ("*.jsonl", "*.jsonl.zst", "*.jsonl.gz")
-        for p in glob.glob(str(Path(args.data_dir) / pat))
-    ]
+    paths = _resolve_paths(args.data_dir, None, None, None)
     if not paths:
         print("no log files found", file=sys.stderr)
         return 1
     spark = get_spark(app_name="pdi-manifests")
-    n = write_gate_manifests(spark, sorted(paths))
+    n = write_gate_manifests(spark, paths)
     print(f"wrote {n} manifest sidecar(s) in {args.data_dir}")
     return 0
 

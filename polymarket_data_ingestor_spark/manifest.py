@@ -110,7 +110,9 @@ def read_manifest_counts(file_path: str | Path) -> dict[str, int] | None:
         if doc.get("file_size") != os.stat(p).st_size:
             return None
         return {str(k): int(v) for k, v in doc["book_counts"].items()}
-    except (OSError, ValueError, TypeError, KeyError):
+    except (OSError, ValueError, TypeError, KeyError, AttributeError):
+        # AttributeError: book_counts present but not a dict (corrupt /
+        # hand-edited sidecar) — same answer as any unreadable sidecar
         return None
 
 

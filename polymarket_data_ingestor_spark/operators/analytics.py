@@ -1370,13 +1370,22 @@ def ewma(
 
     a = float(alpha)
     om = 1.0 - a
+    # schema derives from the input — key and order columns keep their
+    # real types (string asset ids are as natural a key as long user
+    # ids); the ordering epoch is MICROsecond so the kernel's sort sees
+    # the same full-precision (ts, order) total order the oracle's
+    # ORDER BY ts does (a ms truncation would let sub-ms neighbors fall
+    # back to the order column while the oracle still splits them by
+    # time — divergent recursion order, divergent values)
+    key_t = events.schema[key_col].dataType.simpleString()
+    order_t = events.schema[order_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, ts_ms long, {order_col} long, "
+        f"{key_col} {key_t}, ts_us long, {order_col} {order_t}, "
         f"{value_col} double, ewma double"
     )
 
     def _group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_ms", order_col], kind="mergesort")
+        pdf = pdf.sort_values(["ts_us", order_col], kind="mergesort")
         vals = pdf[value_col].to_list()
         out = []
         prev = 0.0
@@ -1389,7 +1398,7 @@ def ewma(
 
     prepared = events.select(
         F.col(key_col),
-        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
         F.col(order_col),
         F.col(value_col).cast("double"),
     )

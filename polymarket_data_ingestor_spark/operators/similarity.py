@@ -55,6 +55,24 @@ def cosine(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _collect_query_probe(queries, query_id_col, vec_col, caller):
+    """Collect a BOUNDED query batch to the driver (the codebook-style
+    side every top-k path broadcasts as a closure). Fail loudly instead
+    of silently collecting a huge side: ``limit(cap+1)`` bounds the
+    probe itself, so even a billion-row query side costs one cheap scan,
+    not a driver OOM. Shared by :func:`cosine_topk` and :func:`pq_topk`
+    so the guard can never drift between them."""
+    cap = COSINE_TOPK_MAX_QUERY_ROWS
+    probe = queries.select(query_id_col, vec_col).limit(cap + 1).collect()
+    if len(probe) > cap:
+        raise ValueError(
+            f"{caller} collects the query side to the driver; got more "
+            f"than {cap} query rows. For an unbounded query side use "
+            f"cosine_topk_lsh or ivf_topk instead."
+        )
+    return probe
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -95,20 +113,8 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
-    # The query batch rides the driver (like ivf_topk's codebook) — fine
-    # for a bounded batch, an OOM for an unbounded one. Fail loudly
-    # instead of silently collecting a huge side: limit(cap+1) bounds
-    # the probe itself, so even a billion-row query side costs one
-    # cheap scan, not a driver OOM.
-    cap = COSINE_TOPK_MAX_QUERY_ROWS
-    probe = queries.select(query_id_col, vec_col).limit(cap + 1).collect()
-    if len(probe) > cap:
-        raise ValueError(
-            f"cosine_topk collects the query side to the driver; got "
-            f"more than {cap} query rows. For an unbounded query side "
-            f"use cosine_topk_lsh or ivf_topk instead."
-        )
-    rows = probe
+    rows = _collect_query_probe(queries, query_id_col, vec_col,
+                                "cosine_topk")
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     id_t = emb.schema[id_col].dataType.simpleString()
     mid_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, __cos double"
@@ -835,29 +841,41 @@ def fit_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(emb.select(vec_col).first()[0])
-    if dim % n_subspaces != 0:
-        raise ValueError(
-            f"dim {dim} not divisible by n_subspaces {n_subspaces}"
-        )
-    w = dim // n_subspaces
     fit_df = (
-        emb
+        emb.select(vec_col)
         if fit_fraction >= 1.0
-        else emb.sample(fraction=fit_fraction, seed=seed)
+        else emb.select(vec_col).sample(fraction=fit_fraction, seed=seed)
     )
-    out: list[list[list[float]]] = []
-    for m in range(n_subspaces):
-        sub = fit_df.select(
-            array_to_vector(
-                F.slice(F.col(vec_col), m * w + 1, w)
-            ).alias("__features")
-        )
-        model = KMeans(
-            k=n_centroids, seed=seed + m, featuresCol="__features",
-            predictionCol="__cluster",
-        ).fit(sub)
-        out.append([[float(x) for x in c] for c in model.clusterCenters()])
+    # one materialization: the n_subspaces sequential KMeans fits (and
+    # the dimension probe) otherwise EACH re-run the sampled corpus
+    # scan — n_subspaces redundant 100 TB passes in the training job
+    fit_df = fit_df.persist()
+    try:
+        first = fit_df.first()
+        if first is None:
+            raise ValueError("cannot fit PQ codebooks on an empty corpus")
+        dim = len(first[0])
+        if dim % n_subspaces != 0:
+            raise ValueError(
+                f"dim {dim} not divisible by n_subspaces {n_subspaces}"
+            )
+        w = dim // n_subspaces
+        out: list[list[list[float]]] = []
+        for m in range(n_subspaces):
+            sub = fit_df.select(
+                array_to_vector(
+                    F.slice(F.col(vec_col), m * w + 1, w)
+                ).alias("__features")
+            )
+            model = KMeans(
+                k=n_centroids, seed=seed + m, featuresCol="__features",
+                predictionCol="__cluster",
+            ).fit(sub)
+            out.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+    finally:
+        fit_df.unpersist()
     return out
 
 
@@ -943,13 +961,7 @@ def pq_topk(
     cn2 = np.stack([(C * C).sum(axis=1) for C in Cs])  # (m, k_c)
     w = Cs[0].shape[1]
 
-    cap = COSINE_TOPK_MAX_QUERY_ROWS
-    probe = queries.select(query_id_col, vec_col).limit(cap + 1).collect()
-    if len(probe) > cap:
-        raise ValueError(
-            f"pq_topk collects the query side to the driver; got more "
-            f"than {cap} query rows — batch the queries."
-        )
+    probe = _collect_query_probe(queries, query_id_col, vec_col, "pq_topk")
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     id_t = emb.schema[id_col].dataType.simpleString()
     mid_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, __score double"

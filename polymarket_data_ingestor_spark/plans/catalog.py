@@ -1434,21 +1434,21 @@ def q_variant_props_agg(spark, sf_dir):
     "ewma_smoothed",
     """
     WITH RECURSIVE seq AS (
-      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              CAST(value AS DOUBLE) AS value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
       FROM events
     ), r AS (
-      SELECT user_id, ts_ms, event_id, value, rn, value AS ewma
+      SELECT user_id, ts_us, event_id, value, rn, value AS ewma
       FROM seq WHERE rn = 1
       UNION ALL
-      SELECT s.user_id, s.ts_ms, s.event_id, s.value, s.rn,
+      SELECT s.user_id, s.ts_us, s.event_id, s.value, s.rn,
              CAST(0.25 AS DOUBLE) * s.value
                + CAST(0.75 AS DOUBLE) * r.ewma
       FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
     )
-    SELECT user_id, ts_ms, event_id, value, ewma FROM r
+    SELECT user_id, ts_us, event_id, value, ewma FROM r
     """,
     doc="Per-user EWMA (adjust=False recursion, alpha=0.25) over the "
     "event stream (operators/analytics.py::ewma) — the smoothing/trend "

@@ -196,6 +196,28 @@ def delete_from_lake(
     return len(touched_rows)
 
 
+def _lake_has_data_files(spark, path: str) -> bool:
+    """True iff ``path`` exists AND contains at least one non-hidden
+    data file (recursive). Distinguishes the two safe first-load cases
+    — no directory, or a pre-created / fully-emptied one holding only
+    markers like ``_SUCCESS`` — from a real lake, WITHOUT catching read
+    exceptions (a transient read failure must raise, never be mistaken
+    for 'first load' and trigger a full overwrite). The remote iterator
+    stops at the first data file, so a populated lake answers in one
+    listing step."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return False
+    it = fs.listFiles(root, True)  # recursive
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def _partition_predicate(df, partition_cols, rows):
     """OR-of-AND null-safe membership predicate over collected partition
     value rows: ``(c1 <=> v1 AND c2 <=> v2) OR ...``. Literal NULLs are
@@ -291,10 +313,9 @@ def upsert_lake_partitions(
     ``__HIVE_DEFAULT_PARTITION__`` rows would silently vanish from the
     survivors whenever the batch touches that partition.
     """
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):  # first load: nothing to merge with
+    if not _lake_has_data_files(spark, path):
+        # first load: no lake, or a pre-created / fully-emptied
+        # directory holding no data files — nothing to merge with
         write_partitioned_lake(
             updates, path, partition_cols,
             max_records_per_file=max_records_per_file,

@@ -29,6 +29,7 @@ import gzip
 import io
 import json
 import time
+import zlib
 from datetime import datetime, timezone
 from pathlib import Path
 from typing import Any, Callable, Sequence
@@ -160,9 +161,10 @@ class FrameWriter:
                         _manifest.count_book_assets(
                             line.rstrip("\n"), self._book_counts
                         )
-        except (OSError, EOFError, UnicodeDecodeError):
+        except (OSError, EOFError, UnicodeDecodeError, zlib.error):
             # BadGzipFile is OSError; a truncated gzip tail raises
-            # EOFError mid-iteration
+            # EOFError mid-iteration; a bit-flipped deflate stream
+            # raises zlib.error (none of these subclass each other)
             self._manifest_ok = False
             self._book_counts = {}
         if self.compress:

@@ -917,3 +917,33 @@ def test_ewma_matches_pandas_and_validates(spark):
     assert got[1] == 4.0 and got[5] == 100.0
     with _pytest.raises(ValueError):
         ewma(df, alpha=0.0)
+
+
+def test_ewma_typed_keys_and_submillisecond_order(spark):
+    """Schema derives from the input (string keys work), and ordering
+    uses FULL timestamp precision: two events 500µs apart in the same
+    millisecond must recurse in time order, not order-column order."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import ewma
+
+    t0 = BASE
+    rows = [
+        # event_id order (7 then 3) OPPOSES sub-ms time order
+        (7, "assetA", t0 + dt.timedelta(microseconds=400), 10.0),
+        (3, "assetA", t0 + dt.timedelta(microseconds=900), 20.0),
+        (9, "assetB", t0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, asset string, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r.asDict()
+           for r in ewma(df, alpha=0.5, key_col="asset").collect()}
+    # time order: 7 seeds, 3 follows — an ms-truncated sort would have
+    # let event_id decide and seed with 3 instead
+    assert got[7]["ewma"] == 10.0
+    assert got[3]["ewma"] == _pytest.approx(0.5 * 20.0 + 0.5 * 10.0)
+    assert got[9]["ewma"] == 5.0
+    # string key survives with its real type; ts_us carries full µs
+    assert got[7]["asset"] == "assetA"
+    assert got[3]["ts_us"] - got[7]["ts_us"] == 500

@@ -804,3 +804,68 @@ def test_frame_writer_crash_recovery_counts_leftover_lines(tmp_path):
         count_book_assets(line, recount)
     doc = json.loads(manifest_path(final).read_text())
     assert doc["book_counts"] == recount
+
+
+def test_frame_writer_recovery_suppresses_manifest_on_corrupt_gzip(tmp_path):
+    """A bit-flipped gzip leftover must not crash the restarted
+    collector: the recovery recount fails (zlib.error), the manifest is
+    suppressed for that file (gate falls back to the scan), and writing
+    continues."""
+    from datetime import datetime, timezone
+
+    from polymarket_data_ingestor_spark.manifest import manifest_path
+    from polymarket_data_ingestor_spark.streaming.collector import FrameWriter
+
+    now = datetime(2025, 9, 30, 14, 0, 1, tzinfo=timezone.utc)
+    w1 = FrameWriter(tmp_path, markets=[], compress=True,
+                     now=lambda: now)
+    for i in range(5):
+        w1.handle_message(json.dumps([{
+            "event_type": "book", "timestamp": str(1000 + i),
+            "market": "m", "asset_id": "66666666",
+            "bids": [], "asks": []}]))
+    w1._fh.flush()  # crash, no rotation
+    cur = tmp_path / "current" / "log.jsonl.gz"
+    raw = bytearray(cur.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF  # corrupt the deflate stream
+    cur.write_bytes(bytes(raw))
+
+    w2 = FrameWriter(tmp_path, markets=[], compress=True,
+                     now=lambda: now)
+    w2.handle_message(json.dumps([{
+        "event_type": "book", "timestamp": "2000",
+        "market": "m", "asset_id": "66666666",
+        "bids": [], "asks": []}]))
+    final = w2.shutdown()
+    # rotation succeeded, but NO sidecar: the gate must scan this file
+    assert final is not None
+    assert not manifest_path(final).exists()
+    # the writer is healthy again for the next hour: a fresh file gets
+    # its manifest as usual
+    w3 = FrameWriter(tmp_path / "fresh", markets=[], now=lambda: now)
+    w3.handle_message(json.dumps([{
+        "event_type": "book", "timestamp": "3000",
+        "market": "m", "asset_id": "66666666",
+        "bids": [], "asks": []}]))
+    f3 = w3.shutdown()
+    assert manifest_path(f3).exists()
+
+
+def test_read_manifest_counts_rejects_non_dict_book_counts(tmp_path):
+    """A corrupt sidecar whose book_counts is a list/string must read as
+    None (gate falls back to the scan), never raise."""
+    from polymarket_data_ingestor_spark.manifest import (
+        manifest_path,
+        read_manifest_counts,
+        read_manifest_max,
+    )
+
+    f = tmp_path / "2024-01-01-00.jsonl"
+    f.write_text("x\n")
+    for bad in ([1, 2], "nope", None, {"a": "not-an-int-x"}):
+        manifest_path(f).write_text(json.dumps({
+            "version": 1, "file_size": f.stat().st_size,
+            "max_book_count": 1, "book_counts": bad,
+        }))
+        assert read_manifest_counts(f) is None, bad
+        assert read_manifest_max(f) is None, bad

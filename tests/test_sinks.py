@@ -473,3 +473,35 @@ def test_upsert_lake_partitions_raises_on_unreadable_lake(spark, tmp_path):
         upsert_lake_partitions(spark, str(out), batch, ("event_id",), ("dt",))
     # the corrupt-but-existing lake was NOT overwritten
     assert (out / "dt=2024-05-01" / "part-0.parquet").read_bytes() == b"not parquet"
+
+
+def test_upsert_into_empty_but_existing_lake_dir(spark, tmp_path):
+    """A pre-created (or fully-emptied) lake directory with no data
+    files is a FIRST LOAD, not an error — but only genuinely-empty
+    directories qualify (marker files like _SUCCESS don't count as
+    data)."""
+    from polymarket_data_ingestor_spark.sinks import (
+        delete_from_lake,
+        upsert_lake_partitions,
+    )
+
+    out = tmp_path / "lake"
+    out.mkdir()
+    (out / "_SUCCESS").write_text("")  # marker only — still first load
+    batch = spark.createDataFrame(
+        [(1, dt_date(2024, 5, 1), 1.0), (2, dt_date(2024, 5, 2), 2.0)],
+        "event_id long, dt date, v double",
+    )
+    assert upsert_lake_partitions(
+        spark, str(out), batch, ("event_id",), ("dt",)
+    ) == 2
+    assert spark.read.parquet(str(out)).count() == 2
+
+    # empty the WHOLE lake, then upsert again: the emptied directory
+    # must behave as a first load, not raise on the schema-less read
+    everything = spark.createDataFrame([(1,), (2,)], ["event_id"])
+    delete_from_lake(spark, str(out), everything, "event_id", ("dt",))
+    assert upsert_lake_partitions(
+        spark, str(out), batch, ("event_id",), ("dt",)
+    ) == 2
+    assert spark.read.parquet(str(out)).count() == 2
