@@ -560,6 +560,79 @@ def live_ticks(
     )
 
 
+def live_ewma(
+    events_stream: DataFrame,
+    alpha: float = 0.5,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``analytics.ewma`` — the recursion
+    ``e_t = α·v_t + (1−α)·e_{t−1}`` is the textbook stateful streaming
+    operator: per-key state is ONE double (the running ``e_{t−1}``),
+    carried across micro-batches (and across restarts, via the
+    checkpoint) by ``applyInPandasWithState``. Every arriving event
+    emits its smoothed value immediately; state never grows with
+    history.
+
+    Ordering contract (live mode, same as ``live_ticks``): rows are
+    sorted by (ts, order) WITHIN each micro-batch, and batches apply in
+    arrival order — equal to the batch operator's full (ts, order)
+    total order whenever the stream delivers in order (an
+    ``availableNow`` drain of hourly logs, or the collector's
+    monotone-timestamp feed). A late row landing in a later batch
+    smooths forward from the state at its arrival, not its timestamp —
+    retro-insertion needs the batch operator over the durable table.
+
+    The per-event float ops are literally the batch kernel's
+    (``α·v`` then ``(1−α)·e`` then one add), so an in-order drain is
+    bit-identical to ``analytics.ewma`` (pinned in pytest, including a
+    cross-restart continuation through the checkpoint).
+    """
+    if not (0 < alpha <= 1):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a = float(alpha)
+    om = 1.0 - a
+    key_t = events_stream.schema[key_col].dataType.simpleString()
+    order_t = events_stream.schema[order_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_t}, ts_us long, {order_col} {order_t}, "
+        f"{value_col} double, ewma double"
+    )
+
+    def _kernel(key, pdfs, state):
+        prev = state.get[0] if state.exists else None
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["ts_us", order_col], kind="mergesort"
+        )
+        out = []
+        for x in pdf[value_col].to_list():
+            prev = x if prev is None else a * x + om * prev
+            out.append(prev)
+        pdf = pdf.copy()
+        pdf["ewma"] = out
+        state.update((prev,))
+        yield pdf
+
+    prepared = events_stream.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(order_col),
+        F.col(value_col).cast("double"),
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        _kernel,
+        outputStructType=out_schema,
+        stateStructType="prev double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def live_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -850,3 +850,61 @@ def test_apply_cdc_stream_merges_into_lake(spark, tmp_path):
         for p in (Path(lake) / "dt=2024-05-02").glob("*.parquet")
     )
     assert after == day2_state             # untouched partition
+
+
+@pytest.mark.slow
+def test_live_ewma_matches_batch_across_restart(spark, tmp_path):
+    """Streaming EWMA over an in-order availableNow drain must be
+    bit-identical to the batch operator — INCLUDING when the stream is
+    split across two runs sharing a checkpoint (per-key state, one
+    double, survives the restart)."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.operators.analytics import ewma
+    from polymarket_data_ingestor_spark.streaming.live import live_ewma
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def emit(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    def run():
+        q = (
+            live_ewma(
+                spark.readStream.schema(schema).json(str(src)), alpha=0.25
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: first half of each user's series (in order)
+    all_rows = [
+        {"event_id": i, "user_id": 100 + (i % 3),
+         "ts": f"2024-04-01T00:{i:02d}:00", "value": float((i * 7) % 50)}
+        for i in range(20)
+    ]
+    emit("b1.json", all_rows[:12])
+    run()
+    emit("b2.json", all_rows[12:])  # restart continues from state
+    run()
+
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["user_id"],
+          datetime.fromisoformat(r["ts"]), r["value"])
+         for r in all_rows], schema
+    )
+    want = {r["event_id"]: r["ewma"]
+            for r in ewma(batch_df, alpha=0.25).collect()}
+    assert got == want and len(got) == 20  # bit-identical, incl. restart
