@@ -1377,13 +1377,6 @@ def ewma(
     # ORDER BY ts does (a ms truncation would let sub-ms neighbors fall
     # back to the order column while the oracle still splits them by
     # time — divergent recursion order, divergent values)
-    key_t = events.schema[key_col].dataType.simpleString()
-    order_t = events.schema[order_col].dataType.simpleString()
-    out_schema = (
-        f"{key_col} {key_t}, ts_us long, {order_col} {order_t}, "
-        f"{value_col} double, ewma double"
-    )
-
     def _group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_us", order_col], kind="mergesort")
         vals = pdf[value_col].to_list()
@@ -1396,10 +1389,35 @@ def ewma(
         pdf["ewma"] = out
         return pdf
 
+    prepared, out_schema = ewma_prepare(
+        events, value_col, key_col, ts_col, order_col
+    )
+    return prepared.groupBy(key_col).applyInPandas(_group, out_schema)
+
+
+def ewma_prepare(
+    events: DataFrame,
+    value_col: str,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+):
+    """Shared input normalization + output schema for the batch
+    :func:`ewma` and its streaming twin
+    (``streaming.live.live_ewma``): full-precision µs ordering epoch,
+    key/order types derived from the input, value cast to double. One
+    definition, so the two forms' documented bit-parity can never drift
+    on schema or timestamp precision."""
+    key_t = events.schema[key_col].dataType.simpleString()
+    order_t = events.schema[order_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_t}, ts_us long, {order_col} {order_t}, "
+        f"{value_col} double, ewma double"
+    )
     prepared = events.select(
         F.col(key_col),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
         F.col(order_col),
         F.col(value_col).cast("double"),
     )
-    return prepared.groupBy(key_col).applyInPandas(_group, out_schema)
+    return prepared, out_schema

@@ -567,6 +567,7 @@ def live_ewma(
     key_col: str = "user_id",
     ts_col: str = "ts",
     order_col: str = "event_id",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``analytics.ewma`` — the recursion
     ``e_t = α·v_t + (1−α)·e_{t−1}`` is the textbook stateful streaming
@@ -589,19 +590,34 @@ def live_ewma(
     (``α·v`` then ``(1−α)·e`` then one add), so an in-order drain is
     bit-identical to ``analytics.ewma`` (pinned in pytest, including a
     cross-restart continuation through the checkpoint).
+
+    State growth: one row per DISTINCT key ever seen. For a bounded key
+    universe (assets, instruments) that is genuinely flat; for an
+    unbounded one (users arriving and churning forever) set
+    ``state_ttl_ms`` — keys idle longer than the TTL are evicted on a
+    processing-time timeout, and a returning key's next event re-seeds
+    the recursion (``e = v``). The semantic loss is negligible by
+    construction: an event older than a sensible TTL contributes weight
+    ``(1−α)^n`` ≈ 0 to the current smoothed value. TTL is for
+    CONTINUOUS deployments only: under ``Trigger.AvailableNow`` a
+    pending processing-time timer holds the query open past its data,
+    so batch-style drains should leave it unset.
     """
     if not (0 < alpha <= 1):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    a = float(alpha)
-    om = 1.0 - a
-    key_t = events_stream.schema[key_col].dataType.simpleString()
-    order_t = events_stream.schema[order_col].dataType.simpleString()
-    out_schema = (
-        f"{key_col} {key_t}, ts_us long, {order_col} {order_t}, "
-        f"{value_col} double, ewma double"
+    if state_ttl_ms is not None and state_ttl_ms <= 0:
+        raise ValueError(f"state_ttl_ms must be > 0, got {state_ttl_ms}")
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        ewma_prepare,
     )
 
+    a = float(alpha)
+    om = 1.0 - a
+
     def _kernel(key, pdfs, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # idle key evicted; next event re-seeds
+            return
         prev = state.get[0] if state.exists else None
         parts = [pdf for pdf in pdfs if len(pdf)]
         if not parts:
@@ -613,23 +629,25 @@ def live_ewma(
         for x in pdf[value_col].to_list():
             prev = x if prev is None else a * x + om * prev
             out.append(prev)
-        pdf = pdf.copy()
         pdf["ewma"] = out
         state.update((prev,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pdf
 
-    prepared = events_stream.select(
-        F.col(key_col),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
-        F.col(order_col),
-        F.col(value_col).cast("double"),
+    prepared, out_schema = ewma_prepare(
+        events_stream, value_col, key_col, ts_col, order_col
     )
     return prepared.groupBy(key_col).applyInPandasWithState(
         _kernel,
         outputStructType=out_schema,
         stateStructType="prev double",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

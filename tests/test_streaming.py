@@ -883,7 +883,13 @@ def test_live_ewma_matches_batch_across_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        try:
+            # awaitTermination returns False on timeout (no exception);
+            # failing loudly here beats the second run() hitting a
+            # checkpoint still held by a live query
+            assert q.awaitTermination(300), "drain timed out"
+        finally:
+            q.stop()
 
     # batch 1: first half of each user's series (in order)
     all_rows = [
@@ -908,3 +914,22 @@ def test_live_ewma_matches_batch_across_restart(spark, tmp_path):
     want = {r["event_id"]: r["ewma"]
             for r in ewma(batch_df, alpha=0.25).collect()}
     assert got == want and len(got) == 20  # bit-identical, incl. restart
+
+    # TTL wiring: state_ttl_ms switches the plan to ProcessingTimeTimeout
+    # (an e2e drain can't cover it — a pending processing-time timer
+    # holds an availableNow query open past its data, so TTL belongs to
+    # continuous deployments; the plan-level switch is what we can pin)
+    ttl_df = live_ewma(
+        spark.readStream.schema(schema).json(str(src)),
+        alpha=0.25, state_ttl_ms=3_600_000,
+    )
+    plan = ttl_df._jdf.queryExecution().analyzed().toString()
+    assert "ProcessingTimeTimeout" in plan, plan
+    no_ttl_plan = (
+        live_ewma(spark.readStream.schema(schema).json(str(src)))
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "NoTimeout" in no_ttl_plan, no_ttl_plan
+    with pytest.raises(ValueError):
+        live_ewma(spark.readStream.schema(schema).json(str(src)),
+                  state_ttl_ms=0)
