@@ -1857,7 +1857,8 @@ def q_winsorized_prices(spark, sf_dir):
 @register(
     "next_event_examples",
     """
-    SELECT user_id, ts_ms, event_id, context, label FROM (
+    SELECT user_id, ts_ms, event_id,
+           array_to_string(context, '|') AS context, label FROM (
       SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
              list(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
@@ -1875,7 +1876,10 @@ def q_winsorized_prices(spark, sf_dir):
     "order (the unordered groupBy form would not be); the oracle "
     "compares the arrays element-for-element. One key shuffle + "
     "per-partition sort; O(k) window state, never a user's whole "
-    "history.",
+    "history. Catalog convention: the driver's canonicalizer cannot "
+    "hash complex-typed columns, so the WRAPPER serializes the context "
+    "array to a '|'-joined string (order-preserving, so still "
+    "element-exact); the operator API stays array-native.",
     tags=("window", "trainmix"),
 )
 def q_next_event_examples(spark, sf_dir):
@@ -1883,7 +1887,8 @@ def q_next_event_examples(spark, sf_dir):
         next_event_examples,
     )
 
-    return next_event_examples(table(spark, sf_dir, "events"), k=3)
+    out = next_event_examples(table(spark, sf_dir, "events"), k=3)
+    return out.withColumn("context", F.concat_ws("|", "context"))
 
 
 @register(

@@ -1429,7 +1429,8 @@ def q_vocab_stats(spark, sf_dir):
       SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
     )
     SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,
-           list_slice(list_sort(list(DISTINCT doc_id)), 1, 1000)
+           array_to_string(
+             list_slice(list_sort(list(DISTINCT doc_id)), 1, 1000), '|')
              AS postings
     FROM toks WHERE term != ''
     GROUP BY term HAVING count(DISTINCT doc_id) >= 2
@@ -1444,12 +1445,22 @@ def q_vocab_stats(spark, sf_dir):
     "set order is not); df/tf stay exact on the full set. At 100 TB "
     "drop ultra-high-df terms first via a vocabulary pass + broadcast "
     "stoplist, or keep the flat skew-free (term, doc_id, tf) posting "
-    "table — the array form is for the post-filter vocabulary.",
+    "table — the array form is for the post-filter vocabulary. "
+    "Catalog convention: the driver's canonicalizer cannot hash "
+    "complex-typed columns, so the WRAPPER serializes the sorted "
+    "posting array to a '|'-joined string (order-preserving, so still "
+    "element-exact); the operator API stays array-native.",
     tags=("text", "search"),
 )
 def q_inverted_index(spark, sf_dir):
-    return T.inverted_index(
+    out = T.inverted_index(
         table(spark, sf_dir, "documents"), min_df=2, max_postings=1000
+    )
+    return out.withColumn(
+        "postings",
+        F.concat_ws(
+            "|", F.transform("postings", lambda x: x.cast("string"))
+        ),
     )
 
 

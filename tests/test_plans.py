@@ -682,3 +682,24 @@ def test_ewma_single_key_shuffle_grouped_map(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_no_catalog_entry_emits_complex_typed_columns(spark):
+    """Driver-canonicalizability gate: the correctness driver hashes
+    results by pandas sort_values over every column, which CRASHES on
+    list/dict cells (`TypeError: unhashable type: 'list'`) — in round 8
+    `next_event_examples` and `inverted_index` burned their window
+    slots as `err` rows this way despite being bit-exact. Catalog
+    convention (enforced here for every entry, forever): wrappers
+    serialize arrays to deterministic strings or explode to long
+    format; array/map/struct outputs never leave the operator API
+    boundary. Schema inspection only — no entry is executed."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, q in CATALOG.items():
+        df = q.spark(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

@@ -50,6 +50,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
+            # The REAL driver's canonicalizer sort_values over object
+            # columns crashes on list/dict cells (unhashable) — r8 lost
+            # two window slots to exactly this while astype(str) here
+            # masked it. Fail the same way the driver would.
+            head = df[c].dropna().head(50)
+            if any(isinstance(v, (list, dict, np.ndarray)) for v in head):
+                raise TypeError(
+                    f"column {c!r} holds complex-typed cells — the "
+                    "driver cannot canonicalize these; serialize in the "
+                    "catalog wrapper (see test_no_catalog_entry_emits_"
+                    "complex_typed_columns)"
+                )
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
