@@ -25,9 +25,11 @@ same convention as ``_SUCCESS`` markers) —
     {"version": 1, "file_size": <bytes of the data file>,
      "max_book_count": N, "book_counts": {"<asset_id>": n, ...}}
 
-``file_size`` is the staleness check: a manifest whose recorded size
-differs from the file on disk is ignored (the file was rewritten), and
-the gate falls back to scanning that file. The counts use the gate's
+``file_size`` + ``file_mtime_ns`` are the staleness check: a manifest
+whose recorded size OR mtime differs from the file on disk is ignored
+(the file was rewritten — mtime catches the same-byte-length rewrite
+that size alone cannot), and the gate falls back to scanning that
+file. Pre-r9 sidecars lack the mtime field and validate size-only. The counts use the gate's
 exact over-approximation semantics — every LINE containing the
 substring ``book`` contributes one count to every asset_id it mentions
 — so sidecar and scan agree byte-for-byte and over-counting only ever
@@ -78,9 +80,11 @@ def write_manifest(
     """Write the sidecar for a (just-rotated, now-immutable) data file."""
     p = Path(file_path)
     out = manifest_path(p)
+    st = p.stat()
     doc = {
         "version": MANIFEST_VERSION,
-        "file_size": p.stat().st_size,
+        "file_size": st.st_size,
+        "file_mtime_ns": st.st_mtime_ns,
         "max_book_count": max(book_counts.values(), default=0),
         "book_counts": dict(sorted(book_counts.items())),
     }
@@ -107,7 +111,17 @@ def read_manifest_counts(file_path: str | Path) -> dict[str, int] | None:
         doc = json.loads(mp.read_text())
         if doc.get("version") != MANIFEST_VERSION:
             return None
-        if doc.get("file_size") != os.stat(p).st_size:
+        st = os.stat(p)
+        if doc.get("file_size") != st.st_size:
+            return None
+        # size alone misses a rewrite to the exact same byte length;
+        # mtime_ns catches it. Recorded by every writer since r9 —
+        # absent in pre-r9 sidecars, which keep the size-only check
+        # (their files were written under the immutable-log contract;
+        # re-running the backfill CLI upgrades them). A copy that did
+        # not preserve mtime merely falls back to the scan: slower,
+        # never wrong.
+        if "file_mtime_ns" in doc and doc["file_mtime_ns"] != st.st_mtime_ns:
             return None
         return {str(k): int(v) for k, v in doc["book_counts"].items()}
     except (OSError, ValueError, TypeError, KeyError, AttributeError):

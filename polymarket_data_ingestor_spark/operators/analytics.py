@@ -1362,7 +1362,13 @@ def ewma(
     either engine), with both constants serialized via ``repr`` so they
     parse to identical doubles. Pinned bit-exact by the catalog oracle
     (a per-key recursive CTE) and against pandas ``ewm(adjust=False)``
-    in pytest.
+    in pytest. The per-key scan runs at C rate via pandas' ewm kernel
+    whenever that is provably the identical op sequence — see
+    :func:`ewma_series` for the argument and the loop fallback.
+
+    NO NULLS precondition: a null/NaN value would poison every later
+    smoothed value for its key; the kernel raises loudly instead
+    (:func:`ewma_series`) — filter or impute upstream.
     """
     if not (0 < alpha <= 1):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -1379,20 +1385,96 @@ def ewma(
     # time — divergent recursion order, divergent values)
     def _group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_us", order_col], kind="mergesort")
-        vals = pdf[value_col].to_list()
-        out = []
-        prev = 0.0
-        for i, x in enumerate(vals):
-            prev = x if i == 0 else a * x + om * prev
-            out.append(prev)
         pdf = pdf.copy()
-        pdf["ewma"] = out
+        pdf["ewma"] = ewma_series(pdf[value_col].to_numpy(), a)
         return pdf
 
     prepared, out_schema = ewma_prepare(
         events, value_col, key_col, ts_col, order_col
     )
     return prepared.groupBy(key_col).applyInPandas(_group, out_schema)
+
+
+def ewma_series(values, alpha: float, prev: float | None = None):
+    """Bit-exact adjust=False EWMA of one already-ordered float series,
+    optionally seeded at ``prev`` (None → the first value seeds) —
+    the single kernel shared by the batch :func:`ewma` and the
+    streaming ``live_ewma`` twin, so their documented bit-parity can
+    never drift on arithmetic.
+
+    Vectorization without losing the bit-exactness claim: pandas'
+    C-rate ``ewm(adjust=False)`` kernel computes per step literally
+    ``(1−α')·e + α'·v`` then a divide by ``((1−α')+α')`` — where
+    ``α'`` is alpha ROUND-TRIPPED through pandas' internal
+    center-of-mass form (``α' = 1/(1 + (1/α − 1))``; e.g. 0.9 comes
+    back as 0.8999999999999999 and the whole series shifts ulps).
+    IEEE-754 addition commutes bit-exactly, so the C path executes the
+    identical correctly-rounded op sequence as the documented
+    recursion ``α·v + (1−α)·e`` (and the DuckDB oracle's recursive
+    CTE) exactly when BOTH (a) ``α`` survives the com round-trip
+    bit-for-bit and (b) ``(1−α)+α`` is exactly ``1.0`` so the divide
+    is the identity — both checked here, both true for every
+    "human" alpha (0.25, 0.5, 0.3, 0.125, …; 0.9 is the measured
+    counterexample, verified property-style in pytest). Any α failing
+    either check keeps the Python loop — correctness chooses the
+    path, never speed. Seeding rides the same C kernel by prepending
+    ``prev`` as a synthetic first element and dropping its output row
+    (the second output is then ``(1−α)·prev + α·v₁`` — the
+    continuation step, bit-identical).
+
+    NO NULLS: a NaN value would silently poison every later smoothed
+    value for the key under the recursion while pandas ``ewm`` would
+    skip it — two silent wrong answers. Callers must pre-filter;
+    this kernel raises loudly instead of choosing either.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = float(alpha)
+    if not (0 < a <= 1):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    om = 1.0 - a
+    arr = np.asarray(values, dtype="float64")
+    if np.isnan(arr).any():
+        raise ValueError(
+            "ewma: null/NaN value in input — the recursion would "
+            "silently poison every subsequent smoothed value for this "
+            "key; filter nulls (or impute) before smoothing"
+        )
+    if arr.size == 0:
+        return arr
+    # Below ~512 rows the pandas call's fixed overhead (~0.1 ms) costs
+    # more than the whole loop (~60 ns/row on Python floats) — per-key
+    # kernels see MANY tiny series, so the cutoff matters as much as
+    # the C rate. Both paths are bit-identical, so this is purely a
+    # cost choice.
+    com_roundtrip = 1.0 / (1.0 + (1.0 / a - 1.0))
+    if arr.size >= 512 and om + a == 1.0 and com_roundtrip == a:
+        seeded = arr if prev is None else np.concatenate(([prev], arr))
+        out = pd.Series(seeded).ewm(alpha=a, adjust=False).mean().to_numpy()
+        # pandas' one intentional deviation from the recursion: when the
+        # running value EQUALS the incoming value it skips the update
+        # ("avoid numerical errors on constant series") and keeps e,
+        # where the recursion computes α·v + (1−α)·e — which for ~10 %
+        # of doubles lands one ulp off v (measured). Detect exactly the
+        # positions the skip fired with a real difference; any hit →
+        # the documented recursion wins, take the loop. (Upstream of
+        # the FIRST hit the two paths agree, so the mask's upstream
+        # values are trustworthy; one hit taints everything after it.)
+        before = out[:-1]  # running value entering each non-seed step
+        cur = seeded[1:]
+        skip = before == cur
+        if not skip.any():
+            return out if prev is None else out[1:]
+        diverged = skip & (a * cur + om * before != before)
+        if not diverged.any():
+            return out if prev is None else out[1:]
+    out = []
+    p = prev
+    for x in arr.tolist():  # Python floats: ~3x faster than np scalars
+        p = x if p is None else a * x + om * p
+        out.append(p)
+    return np.asarray(out, dtype="float64")
 
 
 def ewma_prepare(

@@ -3024,79 +3024,83 @@ def q_funnel_user_paths_multipass(spark, sf_dir):
 # the first 50 catalog entries per round, so window composition rotates each
 # round to maximize first-party driver coverage under the staleness
 # contract (every oracle-paired entry should hold a driver row <= 2 rounds
-# old).  Round-8 rotation:
+# old).
 #
-# (a) positions 1-31 — every oracle-paired entry that has NEVER had a
-#     driver row (the round-7 §10-§18 additions; the r7 verdict verified
-#     all 31 bit-exact locally but first-party rows are mandatory). This
-#     set also contains every entry whose operator code changed THIS
-#     round: doc_canonical (canonicalize collapse-then-trim fix),
-#     price_histogram (NULL-bin guard), term_pmi_pairs (default min_df
-#     vocabulary restriction).
-# (b) positions 32-38 — the seven r6-green continuity anchors displaced
-#     by the r7 late-round swap (region_revenue, cosine_topk, dedup_exact,
-#     minhash_lsh_pairs, text_stats, curation_pipeline, sessionize): 2
-#     rounds stale after this round without a fresh row.
-# (c) positions 39-50 — twelve r6-green tail entries (also 2 rounds stale
-#     after r8), chosen across operator families so every family keeps a
-#     recent anchor; the rest of the r6-green tail rotates in r9.
+# Round 9 on: the ordering is COMPUTED, not hand-listed. The repo already
+# carries the full driver history (CORRECTNESS_r0*.json at the repo root),
+# so the window is a staleness-priority queue derived from it:
 #
-# Rows-only (no-oracle) entries are pinned PAST position 50 — a window
-# slot spent on a tier-3 entry can only ever produce an `err` row (r7
-# lesson: approx_distinct_users/approx_value_quantiles burned two slots).
+#   1. entries whose operator/wrapper code changed this round (the one
+#      fact the history cannot know — a short hand list per round);
+#   2. everything else by ascending last-driver-green round — never-green
+#      entries sort first (round 0), then the stalest greens — with
+#      registration order as the deterministic tie-break.
+#
+# Rows-only (no-oracle, ``sql is None``) entries are pinned PAST position
+# 50 programmatically — a window slot spent on a tier-3 entry can only
+# ever produce an `err` row (r7 lesson: approx_distinct_users /
+# approx_value_quantiles burned two slots). If the history files are
+# missing (package vendored without the repo root), the queue degrades to
+# registration order with rows-only still pinned last — never an import
+# error.
+import json as _json
+import re as _re
+from pathlib import Path as _Path
+
 from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 
-#: (a) first driver rows: the 31 never-windowed oracle-paired entries.
-_FIRST_TIMERS = (
-    "doc_canonical", "price_histogram", "term_pmi_pairs",  # code changed r8
-    "gap_fill_hourly", "delta_volatility", "snapshot_diff",
-    "skew_profile", "rolling_zscore_flags", "dq_profile_orders",
-    "vwap_monthly", "spend_quartiles", "event_transitions",
-    "morton_codes", "user_state_scd2", "winsorized_prices",
-    "next_event_examples", "robust_price_stats", "grouping_sets_revenue",
-    "quantize_embeddings", "quality_percentile_filter", "bpe_pair_counts",
-    "length_bucket_batches", "containment_pairs", "dedup_histogram",
-    "hash_split_docs", "inverted_index", "bm25_search",
-    "temperature_sample_docs", "source_token_drift", "doc_shards",
-    "price_outliers",
-)
-#: (b) the displaced r6-green continuity anchors.
-_ANCHORS_R6 = (
-    "region_revenue", "cosine_topk", "dedup_exact", "minhash_lsh_pairs",
-    "text_stats", "curation_pipeline", "sessionize",
-)
-#: (c) twelve r6-green tail entries, one-per-family coverage: joins
-#: (anti/semi), filters (isin/substring/case), set ops (distinct/union),
-#: scalars, window top-k, bars, sampling, multimodal.
-_TAIL_ROTATED = (
-    "anti_join", "semi_join", "isin_filter", "substring_filter",
-    "case_dispatch", "distinct_pairs", "union_dedup", "scalar_suite",
-    "topk_per_group", "minute_last_bars", "stratified_sample",
-    "multimodal_features",
-)
-#: Demoted past the window: everything else — r7-green entries (1 round
-#: stale after r8, head of the r9 promotion list), the remaining
-#: r6-green tail (r9 must rotate these), and ALL rows-only entries
-#: (approx_distinct_users, approx_value_quantiles, bpe_train_merges,
-#: cosine_topk_lsh_probe, ivf_topk_probe, part_supplier_pagerank, and
-#: the three new GK-sketch twins winsorized_prices_approx /
-#: price_outliers_approx / robust_price_stats_approx).
-_ROWS_ONLY = (
-    "approx_distinct_users", "approx_value_quantiles", "bpe_train_merges",
-    "cosine_topk_lsh_probe", "ivf_topk_probe", "part_supplier_pagerank",
-    "winsorized_prices_approx", "price_outliers_approx",
-    "robust_price_stats_approx",
+#: Entries whose Spark-side code (operator or catalog wrapper) changed in
+#: the CURRENT round — the only hand-maintained input to the queue; they
+#: take the head of the window regardless of staleness so every change
+#: gets a first-party driver row in its own round.
+_CODE_CHANGED_THIS_ROUND = (
+    "next_event_examples",  # r9: wrapper serializes context array
+    "inverted_index",       # r9: wrapper serializes postings array
+    "ewma_smoothed",        # r9: vectorized kernel (pandas ewm C path)
 )
 
-_order = list(_FIRST_TIMERS) + list(_ANCHORS_R6) + list(_TAIL_ROTATED)
-assert len(_order) == 50, len(_order)  # exactly the driver window
-assert not set(_order) & set(_ROWS_ONLY)
-_order += [
-    n for n in _CATALOG if n not in _order and n not in _ROWS_ONLY
-]
-_order += list(_ROWS_ONLY)
+
+def _driver_green_history() -> dict[str, int]:
+    """name -> latest round with a green driver row (hash_match true).
+
+    Reads every CORRECTNESS_r*.json the driver has committed at the repo
+    root; `err` and hash-mismatch rows do NOT count as green (that is
+    the point — r8's two err rows left their entries at round 0 and the
+    queue promotes them first)."""
+    last: dict[str, int] = {}
+    root = _Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", p.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            doc = _json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(doc, dict):
+            continue
+        for name, row in doc.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_reg_order = {n: i for i, n in enumerate(_CATALOG)}
+_oracle = [n for n, q in _CATALOG.items() if q.sql is not None]
+_rows_only = [n for n, q in _CATALOG.items() if q.sql is None]
+_last_green = _driver_green_history()
+_order = sorted(
+    _oracle,
+    key=lambda n: (
+        0 if n in _CODE_CHANGED_THIS_ROUND else 1,
+        _last_green.get(n, 0),
+        _reg_order[n],
+    ),
+) + _rows_only
 assert len(_order) == len(set(_order)) == len(_CATALOG), (
     len(_order), len(_CATALOG)
 )
+assert len(_oracle) >= 50, len(_oracle)  # window is all oracle-paired
 for _n in _order:
     _CATALOG[_n] = _CATALOG.pop(_n)

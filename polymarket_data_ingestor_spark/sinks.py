@@ -239,27 +239,48 @@ def _partition_predicate(df, partition_cols, rows):
 def _delete_partition_dirs(spark, path, partition_cols, rows) -> None:
     """Remove hive-style partition directories for the given partition
     value rows via the Hadoop FileSystem API (works on HDFS/S3A/local
-    alike). Raises if a directory exists but cannot be deleted — a
-    takedown that silently leaves data behind is worse than a loud
-    failure."""
+    alike). Loud-failure contract, both directions: raises if a
+    directory cannot be deleted, AND raises if it does not exist —
+    every row here was just observed in the lake scan, so a missing
+    directory means the rendered path diverged from what Spark wrote
+    (a silently-skipped takedown target is active data retention).
+
+    Rendering goes through Spark's OWN cast-to-string on a driver-local
+    DataFrame (a handful of partition rows, no lake scan) rather than
+    Python ``str()``: Python renders ``True``/``datetime`` where
+    Spark's partition paths use ``true`` / ``2024-01-01 00:00:00`` —
+    exact by construction beats per-type mimicry."""
     jvm = spark._jvm
     jsc = spark._jsc
     conf = jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(conf)
     esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    for row in rows:
+    part_schema = (
+        spark.read.parquet(path).select(*partition_cols).schema
+    )
+    rendered = spark.createDataFrame(rows, schema=part_schema).select(
+        [F.col(c).cast("string").alias(c) for c in partition_cols]
+    ).collect()
+    for row in rendered:
         parts = []
         for c in partition_cols:
             v = row[c]
             sval = (
                 "__HIVE_DEFAULT_PARTITION__"
                 if v is None
-                else esc.escapePathName(str(v))
+                else esc.escapePathName(v)
             )
             parts.append(f"{c}={sval}")
         p = jvm.org.apache.hadoop.fs.Path(root, "/".join(parts))
-        if fs.exists(p) and not fs.delete(p, True):
+        if not fs.exists(p):
+            raise IOError(
+                f"emptied partition {p} not found on disk — it was "
+                "observed in the lake scan moments ago, so the rendered "
+                "path diverged from Spark's partition layout; refusing "
+                "to silently skip a takedown target"
+            )
+        if not fs.delete(p, True):
             raise IOError(f"failed to delete emptied partition {p}")
 
 

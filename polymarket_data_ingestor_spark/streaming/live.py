@@ -609,10 +609,10 @@ def live_ewma(
         raise ValueError(f"state_ttl_ms must be > 0, got {state_ttl_ms}")
     from polymarket_data_ingestor_spark.operators.analytics import (
         ewma_prepare,
+        ewma_series,
     )
 
     a = float(alpha)
-    om = 1.0 - a
 
     def _kernel(key, pdfs, state):
         if state_ttl_ms is not None and state.hasTimedOut:
@@ -625,12 +625,12 @@ def live_ewma(
         pdf = pd.concat(parts, ignore_index=True).sort_values(
             ["ts_us", order_col], kind="mergesort"
         )
-        out = []
-        for x in pdf[value_col].to_list():
-            prev = x if prev is None else a * x + om * prev
-            out.append(prev)
+        # shared bit-exact kernel (C-rate when provably identical op
+        # sequence, loop otherwise; raises on null values) — seeded at
+        # the checkpointed prev so a restart continues the recursion
+        out = ewma_series(pdf[value_col].to_numpy(), a, prev)
         pdf["ewma"] = out
-        state.update((prev,))
+        state.update((float(out[-1]),))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         yield pdf

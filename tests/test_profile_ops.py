@@ -947,3 +947,90 @@ def test_ewma_typed_keys_and_submillisecond_order(spark):
     # string key survives with its real type; ts_us carries full µs
     assert got[7]["asset"] == "assetA"
     assert got[3]["ts_us"] - got[7]["ts_us"] == 500
+
+
+def test_ewma_series_c_path_bit_identical_to_loop_and_seeding():
+    """The vectorized (pandas C ewm) path must be BIT-identical to the
+    documented recursion loop — including seeded continuation — for
+    every alpha whose (1-a)+a is exactly 1.0 (the guard that selects
+    the path). Property-style over random series."""
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        ewma_series,
+    )
+
+    rng = random.Random(20260814)
+    # 0.9 is the measured counterexample alphas: it survives (1-a)+a==1
+    # but NOT pandas' com round-trip (1/(1+(1/a-1)) -> 0.8999999...),
+    # so it must take the loop path — included here to pin that the
+    # result still equals the recursion regardless of path
+    for alpha in (0.25, 0.5, 0.3, 0.125, 0.7, 0.9):
+        a = float(alpha)
+        om = 1.0 - a
+        for t in range(40):
+            # alternate tiny (loop-path) and >=512 (C-path) series so
+            # BOTH sides of the size cutoff are exercised per alpha
+            n = rng.randint(1, 60) if t % 2 else rng.randint(513, 650)
+            vals = [rng.uniform(-1e6, 1e6) for _ in range(n)]
+            prev = rng.choice([None, rng.uniform(-1e6, 1e6)])
+            # the documented recursion, literally
+            want, p = [], prev
+            for i, x in enumerate(vals):
+                p = x if p is None else a * x + om * p
+                want.append(p)
+            got = ewma_series(np.array(vals), a, prev)
+            assert got.tolist() == want, (alpha, prev)
+    # constant runs: pandas' ewm SKIPS the update when the running value
+    # equals the incoming value, but the documented recursion computes
+    # a*v + (1-a)*v which lands one ulp off v for ~10% of doubles — the
+    # hazard detector must hand those series to the loop. Hunt real
+    # counterexample values and pin the recursion wins.
+    a, om = 0.3, 0.7
+    hits = 0
+    for _ in range(4000):
+        v = rng.uniform(-1e9, 1e9)
+        if a * v + om * v != v:
+            hits += 1
+            # 600 constant values: long enough for the C path (the
+            # tiny-series cutoff routes <512 rows to the loop anyway),
+            # and the skip hazard fires at step 2
+            series = [v] * 600
+            want, p = [], None
+            for x in series:
+                p = x if p is None else a * x + om * p
+                want.append(p)
+            got = ewma_series(np.array(series), a)
+            assert got.tolist() == want
+            # seeded hazard: prev == first value
+            got_s = ewma_series(np.array(series), a, prev=v)
+            want_s, p = [], v
+            for x in series:
+                p = a * x + om * p
+                want_s.append(p)
+            assert got_s.tolist() == want_s
+            if hits >= 10:
+                break
+    assert hits >= 10  # the hazard is common enough to be a real test
+    # empty input stays empty; NaN raises loudly (no silent poisoning)
+    assert ewma_series(np.array([]), 0.5).size == 0
+    with _pytest.raises(ValueError, match="null/NaN"):
+        ewma_series(np.array([1.0, float("nan")]), 0.5)
+
+
+def test_ewma_null_value_raises_loudly(spark):
+    """A NULL value must not silently poison the key's recursion (nor
+    silently be skipped, pandas-style): the kernel raises."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import ewma
+
+    df = spark.createDataFrame(
+        [(1, 10, BASE, 4.0), (2, 10, BASE + dt.timedelta(minutes=1), None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    with _pytest.raises(Exception, match="null/NaN"):
+        ewma(df, alpha=0.5).collect()

@@ -869,3 +869,38 @@ def test_read_manifest_counts_rejects_non_dict_book_counts(tmp_path):
         }))
         assert read_manifest_counts(f) is None, bad
         assert read_manifest_max(f) is None, bad
+
+
+def test_manifest_same_size_rewrite_detected_via_mtime(tmp_path):
+    """A data file rewritten to the EXACT same byte length must
+    invalidate its sidecar: size alone cannot see the rewrite, mtime_ns
+    can. Pre-r9 sidecars (no mtime field) keep the size-only check."""
+    import os
+    import time
+
+    from polymarket_data_ingestor_spark.manifest import (
+        manifest_path,
+        read_manifest_counts,
+        write_manifest,
+    )
+
+    f = tmp_path / "2024-01-01-00.jsonl"
+    f.write_text('{"x": "book asset_id 1"}\n')
+    write_manifest(f, {"1": 3})
+    assert read_manifest_counts(f) == {"1": 3}
+
+    # same-length rewrite, different content; force a different mtime
+    # even on coarse-resolution filesystems
+    f.write_text('{"y": "book asset_id 2"}\n')
+    os.utime(f, ns=(time.time_ns(), time.time_ns() + 5_000_000))
+    assert f.stat().st_size == json.loads(
+        manifest_path(f).read_text()
+    )["file_size"]
+    assert read_manifest_counts(f) is None  # stale, gate re-scans
+
+    # legacy sidecar without the field: size-only validation still holds
+    doc = json.loads(manifest_path(f).read_text())
+    del doc["file_mtime_ns"]
+    doc["file_size"] = f.stat().st_size
+    manifest_path(f).write_text(json.dumps(doc))
+    assert read_manifest_counts(f) == {"1": 3}

@@ -505,3 +505,39 @@ def test_upsert_into_empty_but_existing_lake_dir(spark, tmp_path):
         spark, str(out), batch, ("event_id",), ("dt",)
     ) == 2
     assert spark.read.parquet(str(out)).count() == 2
+
+
+def test_delete_emptied_partition_bool_rendering_and_loud_miss(
+    spark, tmp_path
+):
+    """Two halves of the loud-failure contract for emptied-partition
+    removal: (a) partition values render via SPARK's cast-to-string
+    (boolean True → dir 'flag=true'; Python str() would look for
+    'flag=True' and miss), (b) a directory that is genuinely absent
+    raises instead of silently skipping a takedown target."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.sinks import (
+        _delete_partition_dirs,
+        delete_from_lake,
+    )
+
+    df = spark.createDataFrame(
+        [(1, True, "a"), (2, True, "b"), (3, False, "c")],
+        "event_id long, flag boolean, payload string",
+    )
+    out = str(tmp_path / "lake")
+    df.write.partitionBy("flag").parquet(out)
+    assert (Path(out) / "flag=true").exists()  # Spark's rendering
+
+    ids = spark.createDataFrame([(1,), (2,)], "event_id long")
+    n = delete_from_lake(spark, out, ids, "event_id", ("flag",))
+    assert n == 1
+    assert not (Path(out) / "flag=true").exists()
+    back = spark.read.parquet(out)
+    assert [r["event_id"] for r in back.collect()] == [3]
+
+    # a missing directory is loud, never a silent no-op
+    ghost = spark.createDataFrame([(True,)], "flag boolean").collect()
+    with _pytest.raises(IOError, match="not found on disk"):
+        _delete_partition_dirs(spark, out, ("flag",), ghost)
