@@ -703,3 +703,83 @@ def test_no_catalog_entry_emits_complex_typed_columns(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_tick_lake_join_gets_dynamic_partition_pruning(spark, tmp_path):
+    """Joining the hour-partitioned tick lake to a FILTERED hour dim
+    must inject dynamic partition pruning — the runtime analogue of
+    the reference's filename-range pruning (sources/paths.py does it
+    statically; DPP covers the join-derived case where the hour set is
+    only known from another table). At 100 TB this is the difference
+    between scanning 12 partitions and scanning all of them. The dim
+    must come from a SOURCE with a selective predicate — a local
+    relation never qualifies, which is itself part of the contract
+    worth pinning."""
+    import pyspark.sql.functions as F
+
+    from polymarket_data_ingestor_spark.operators.replay import (
+        write_tick_lake,
+    )
+
+    hours = [f"2024-01-01-{h:02d}" for h in range(12)]
+    ticks = spark.createDataFrame(
+        [(h, "trade", "m", "a", "", float(i), 1.0, h)
+         for i, h in enumerate(hours) for _ in range(50)],
+        "timestamp string, kind string, market string, asset string, "
+        "side string, price double, size double, file_hour string",
+    )
+    write_tick_lake(ticks, str(tmp_path / "lake"))
+    spark.createDataFrame(
+        [(h, "night" if h < hours[2] else "day") for h in hours],
+        "file_hour string, session string",
+    ).write.parquet(str(tmp_path / "dim"))
+
+    lake = spark.read.parquet(str(tmp_path / "lake"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("session") == "night"
+    )
+    j = lake.join(dim, "file_hour")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert j.count() == 100  # 2 night hours x 50 rows
+
+
+def test_selective_shuffle_join_gets_runtime_bloom_filter(spark):
+    """Spark's runtime bloom-filter injection (the shuffle-join
+    counterpart of DPP: the big side pre-filters on a bloom built from
+    the small side's join keys, cutting shuffle write before the
+    exchange): verify the engine version + our session settings keep
+    the rule ALIVE for the lake's canonical big-fact-to-filtered-dim
+    shape. Local datasets sit below the production size thresholds, so
+    the test pins the mechanism with thresholds lowered; the defaults
+    (10 MB creation / 10 GB application side) take over at scale."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        big = spark.read.parquet(f"{SF}/lineitem.parquet")
+        small = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey")
+        )
+        j = big.join(small, big.l_orderkey == small.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
