@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "robust_price_stats",
     "grouping_sets_revenue",
     "ewma_smoothed",
+    "holt_smoothed",
     # GK-sketch twins of the exact-percentile heavies: the 100 TB path
     # (constant aggregation memory), benched alongside the exact forms
     # so the exact-vs-sketch cost gap stays measured

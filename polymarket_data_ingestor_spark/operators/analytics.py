@@ -1503,3 +1503,90 @@ def ewma_prepare(
         F.col(value_col).cast("double"),
     )
     return prepared, out_schema
+
+
+def holt_linear(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-key Holt linear (double-exponential) smoothing: the
+    trend-aware extension of :func:`ewma` for drifting series, where a
+    plain EWMA systematically lags a trending signal::
+
+        l_1 = v_1                                  b_1 = 0
+        l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Emits per row the smoothed ``level``, the ``trend`` estimate, and
+    ``forecast = level + trend`` (the one-step-ahead prediction — the
+    quantity a monitoring/labeling pipeline actually thresholds).
+
+    Like the EWMA this is INHERENTLY serial per key — two coupled
+    recursions — so it is the third genuine grouped-map kernel (order-
+    book replay, ewma, holt): one key shuffle, per-partition sort,
+    O(1) state per key; the serial bound is the longest single series,
+    never the table. No C shortcut exists here (pandas has no coupled-
+    recursion kernel), so the scan is an honest Python loop over
+    Python floats.
+
+    Cross-engine determinism, same argument as :func:`ewma`: both this
+    kernel and the DuckDB oracle (a recursive CTE carrying ``(l, b)``
+    state columns) execute the IDENTICAL op sequence per step —
+    ``s = l+b``, ``(1−α)·s``, ``α·v``, add; then ``d = l−l_prev``,
+    ``β·d``, ``(1−β)·b``, add — all correctly-rounded IEEE doubles, no
+    FMA, constants parsed from identical literals ⇒ bit-exact. NO
+    NULLS precondition as in :func:`ewma`: a null value raises loudly.
+    """
+    if not (0 < alpha <= 1):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0 <= beta <= 1):
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    import math
+
+    import pandas as pd
+
+    a = float(alpha)
+    oa = 1.0 - a
+    bt = float(beta)
+    ob = 1.0 - bt
+
+    prepared, base_schema = ewma_prepare(
+        events, value_col, key_col, ts_col, order_col
+    )
+    out_schema = base_schema.replace(
+        ", ewma double", ", level double, trend double, forecast double"
+    )
+
+    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", order_col], kind="mergesort")
+        pdf = pdf.copy()
+        levels, trends, fcs = [], [], []
+        lv = b = None
+        for v in pdf[value_col].to_list():
+            if v is None or math.isnan(v):
+                raise ValueError(
+                    "holt_linear: null/NaN value in input — the coupled "
+                    "recursions would silently poison every subsequent "
+                    "level/trend for this key; filter or impute upstream"
+                )
+            if lv is None:
+                lv, b = v, 0.0
+            else:
+                prev = lv
+                s = lv + b
+                lv = a * v + oa * s
+                b = bt * (lv - prev) + ob * b
+            levels.append(lv)
+            trends.append(b)
+            fcs.append(lv + b)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["forecast"] = fcs
+        return pdf
+
+    return prepared.groupBy(key_col).applyInPandas(_group, out_schema)

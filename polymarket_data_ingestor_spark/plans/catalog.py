@@ -1470,6 +1470,57 @@ def q_ewma_smoothed(spark, sf_dir):
 
 
 @register(
+    "holt_smoothed",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, ts_us, event_id, value, rn,
+             value AS level, CAST(0 AS DOUBLE) AS trend
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts_us, s.event_id, s.value, s.rn,
+             CAST(0.25 AS DOUBLE) * s.value
+               + CAST(0.75 AS DOUBLE) * (r.level + r.trend),
+             CAST(0.5 AS DOUBLE)
+               * ((CAST(0.25 AS DOUBLE) * s.value
+                   + CAST(0.75 AS DOUBLE) * (r.level + r.trend))
+                  - r.level)
+               + CAST(0.5 AS DOUBLE) * r.trend
+      FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, ts_us, event_id, value, level, trend,
+           level + trend AS forecast
+    FROM r
+    """,
+    doc="Per-user Holt linear (level+trend) smoothing, alpha=0.25 "
+    "beta=0.5 (operators/analytics.py::holt_linear) — the trend-aware "
+    "extension of ewma_smoothed for drifting series, emitting the "
+    "one-step forecast a monitoring pipeline thresholds. Third genuine "
+    "grouped-map kernel (two COUPLED recursions, inherently serial per "
+    "key): one key shuffle, O(1) state. Bit-exact by the identical-op-"
+    "sequence argument: the oracle's recursive CTE repeats the level "
+    "expression inside the trend term (same double computation both "
+    "times — SQL cannot reference a same-SELECT alias) so both engines "
+    "run literally s=l+b, (1-a)*s, a*v, add; then b*(l'-l), (1-b)*b, "
+    "add.",
+    tags=("stateful", "analytics"),
+)
+def q_holt_smoothed(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        holt_linear,
+    )
+
+    return holt_linear(
+        table(spark, sf_dir, "events"), alpha=0.25, beta=0.5
+    )
+
+
+@register(
     "rolling_zscore_flags",
     """
     WITH counts AS (

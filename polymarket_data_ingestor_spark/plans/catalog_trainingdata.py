@@ -3057,6 +3057,7 @@ _CODE_CHANGED_THIS_ROUND = (
     "next_event_examples",  # r9: wrapper serializes context array
     "inverted_index",       # r9: wrapper serializes postings array
     "ewma_smoothed",        # r9: vectorized kernel (pandas ewm C path)
+    "holt_smoothed",        # r9: new operator (level+trend kernel)
 )
 
 

@@ -783,3 +783,12 @@ def test_selective_shuffle_join_gets_runtime_bloom_filter(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_holt_single_key_shuffle_grouped_map(spark):
+    """Holt shares ewma's plan contract: exactly one exchange feeding
+    FlatMapGroupsInPandas, no join, no window."""
+    plan = plan_of(spark, "holt_smoothed")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

@@ -1034,3 +1034,66 @@ def test_ewma_null_value_raises_loudly(spark):
     )
     with _pytest.raises(Exception, match="null/NaN"):
         ewma(df, alpha=0.5).collect()
+
+
+def test_holt_linear_matches_naive_model_and_reduces_to_ewma(spark):
+    """holt_linear == the literal coupled recursion per key over the
+    (ts, event_id) total order; with beta=0 the trend stays 0 and the
+    level recursion IS the ewma recursion — pinned bitwise."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        ewma,
+        holt_linear,
+    )
+
+    rows = [
+        (1, 10, BASE, 4.0),
+        (2, 10, BASE + dt.timedelta(minutes=1), 8.0),
+        (3, 10, BASE + dt.timedelta(minutes=1), 2.0),  # tie → event_id
+        (4, 10, BASE + dt.timedelta(minutes=2), 6.0),
+        (5, 20, BASE, 100.0),                          # singleton key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    a, b = 0.3, 0.4
+    got = {r["event_id"]: r.asDict()
+           for r in holt_linear(df, alpha=a, beta=b).collect()}
+    for uid in (10, 20):
+        sub = sorted([r for r in rows if r[1] == uid],
+                     key=lambda r: (r[2], r[0]))
+        lv = tr = None
+        for eid, *_rest, v in [(r[0], r[1], r[2], r[3]) for r in sub]:
+            if lv is None:
+                lv, tr = v, 0.0
+            else:
+                prev = lv
+                s = lv + tr
+                lv = a * v + (1.0 - a) * s
+                tr = b * (lv - prev) + (1.0 - b) * tr
+            assert got[eid]["level"] == lv, eid
+            assert got[eid]["trend"] == tr, eid
+            assert got[eid]["forecast"] == lv + tr, eid
+    # seeds: level = first value exactly, trend = 0
+    assert got[1]["level"] == 4.0 and got[1]["trend"] == 0.0
+    assert got[5]["forecast"] == 100.0
+
+    # beta=0 degenerates to the EWMA recursion, bit-for-bit
+    lv_by_id = {r["event_id"]: r["level"]
+                for r in holt_linear(df, alpha=a, beta=0.0).collect()}
+    ew_by_id = {r["event_id"]: r["ewma"]
+                for r in ewma(df, alpha=a).collect()}
+    assert lv_by_id == ew_by_id
+
+    with _pytest.raises(ValueError):
+        holt_linear(df, alpha=0.0)
+    with _pytest.raises(ValueError):
+        holt_linear(df, beta=1.5)
+    # null value raises loudly (same contract as ewma)
+    dfn = spark.createDataFrame(
+        [(1, 10, BASE, 4.0), (2, 10, BASE + dt.timedelta(minutes=1), None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    with _pytest.raises(Exception, match="null/NaN"):
+        holt_linear(dfn).collect()
