@@ -1542,51 +1542,80 @@ def holt_linear(
     FMA, constants parsed from identical literals ⇒ bit-exact. NO
     NULLS precondition as in :func:`ewma`: a null value raises loudly.
     """
-    if not (0 < alpha <= 1):
-        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    if not (0 <= beta <= 1):
-        raise ValueError(f"beta must be in [0, 1], got {beta}")
-    import math
-
+    _validate_holt(alpha, beta)
     import pandas as pd
 
-    a = float(alpha)
-    oa = 1.0 - a
-    bt = float(beta)
-    ob = 1.0 - bt
-
-    prepared, base_schema = ewma_prepare(
+    prepared, out_schema = holt_prepare(
         events, value_col, key_col, ts_col, order_col
-    )
-    out_schema = base_schema.replace(
-        ", ewma double", ", level double, trend double, forecast double"
     )
 
     def _group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_us", order_col], kind="mergesort")
         pdf = pdf.copy()
-        levels, trends, fcs = [], [], []
-        lv = b = None
-        for v in pdf[value_col].to_list():
-            if v is None or math.isnan(v):
-                raise ValueError(
-                    "holt_linear: null/NaN value in input — the coupled "
-                    "recursions would silently poison every subsequent "
-                    "level/trend for this key; filter or impute upstream"
-                )
-            if lv is None:
-                lv, b = v, 0.0
-            else:
-                prev = lv
-                s = lv + b
-                lv = a * v + oa * s
-                b = bt * (lv - prev) + ob * b
-            levels.append(lv)
-            trends.append(b)
-            fcs.append(lv + b)
+        levels, trends, fcs = holt_series(
+            pdf[value_col].to_list(), alpha, beta
+        )
         pdf["level"] = levels
         pdf["trend"] = trends
         pdf["forecast"] = fcs
         return pdf
 
     return prepared.groupBy(key_col).applyInPandas(_group, out_schema)
+
+
+def _validate_holt(alpha: float, beta: float) -> None:
+    if not (0 < alpha <= 1):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0 <= beta <= 1):
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+
+
+def holt_prepare(events, value_col, key_col, ts_col, order_col):
+    """:func:`ewma_prepare` with the Holt output columns — shared by
+    the batch :func:`holt_linear` and the streaming ``live_holt`` twin
+    so their schemas can never drift."""
+    prepared, base_schema = ewma_prepare(
+        events, value_col, key_col, ts_col, order_col
+    )
+    out_schema = base_schema.replace(
+        ", ewma double", ", level double, trend double, forecast double"
+    )
+    return prepared, out_schema
+
+
+def holt_series(values, alpha: float, beta: float, seed=None):
+    """One key's Holt recursion over already-ordered values — the
+    single scalar kernel shared by :func:`holt_linear` and the
+    streaming ``live_holt`` (same bit-parity-by-construction policy as
+    :func:`ewma_series`). ``seed`` is a checkpointed ``(level, trend)``
+    pair (None → the first value seeds, trend 0). Returns
+    ``(levels, trends, forecasts)`` lists. Raises on null/NaN values —
+    the coupled recursions would silently poison every later
+    level/trend for the key."""
+    _validate_holt(alpha, beta)
+    a = float(alpha)
+    oa = 1.0 - a
+    bt = float(beta)
+    ob = 1.0 - bt
+    lv, b = (None, None) if seed is None else seed
+    levels: list[float] = []
+    trends: list[float] = []
+    fcs: list[float] = []
+    for v in values:
+        if v is None or v != v:
+            raise ValueError(
+                "holt: null/NaN value in input — the coupled "
+                "recursions would silently poison every subsequent "
+                "level/trend for this key; filter or impute upstream"
+            )
+        if lv is None:
+            lv, b = v, 0.0
+        else:
+            prev = lv
+            s = lv + b
+            lv = a * v + oa * s
+            b = bt * (lv - prev) + ob * b
+        levels.append(lv)
+        trends.append(b)
+        fcs.append(lv + b)
+    return levels, trends, fcs

@@ -651,6 +651,76 @@ def live_ewma(
     )
 
 
+def live_holt(
+    events_stream: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``analytics.holt_linear`` — per-key state is
+    the ``(level, trend)`` double pair, carried across micro-batches
+    and restarts by ``applyInPandasWithState``; every arriving event
+    emits its level/trend/one-step forecast immediately.
+
+    Same ordering contract, TTL semantics, and bit-parity policy as
+    :func:`live_ewma` (the float steps come from the SHARED
+    ``analytics.holt_series`` kernel, so an in-order drain is
+    bit-identical to the batch operator by construction — pinned in
+    pytest including a cross-restart continuation). An evicted or new
+    key re-seeds ``level = v, trend = 0``.
+    """
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        _validate_holt,
+        holt_prepare,
+        holt_series,
+    )
+
+    _validate_holt(alpha, beta)
+    if state_ttl_ms is not None and state_ttl_ms <= 0:
+        raise ValueError(f"state_ttl_ms must be > 0, got {state_ttl_ms}")
+
+    def _kernel(key, pdfs, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # idle key evicted; next event re-seeds
+            return
+        seed = tuple(state.get) if state.exists else None
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["ts_us", order_col], kind="mergesort"
+        )
+        levels, trends, fcs = holt_series(
+            pdf[value_col].to_list(), alpha, beta, seed
+        )
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["forecast"] = fcs
+        state.update((levels[-1], trends[-1]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pdf
+
+    prepared, out_schema = holt_prepare(
+        events_stream, value_col, key_col, ts_col, order_col
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        _kernel,
+        outputStructType=out_schema,
+        stateStructType="level double, trend double",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def live_interval_join(
     left: DataFrame,
     right: DataFrame,

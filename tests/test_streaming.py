@@ -933,3 +933,81 @@ def test_live_ewma_matches_batch_across_restart(spark, tmp_path):
     with pytest.raises(ValueError):
         live_ewma(spark.readStream.schema(schema).json(str(src)),
                   state_ttl_ms=0)
+
+
+def test_live_holt_matches_batch_across_restart(spark, tmp_path):
+    """Streaming Holt over an in-order availableNow drain must be
+    bit-identical to the batch operator — including when the stream is
+    split across two runs sharing a checkpoint (per-key state, the
+    (level, trend) pair, survives the restart)."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        holt_linear,
+    )
+    from polymarket_data_ingestor_spark.streaming.live import live_holt
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def emit(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    def run():
+        q = (
+            live_holt(
+                spark.readStream.schema(schema).json(str(src)),
+                alpha=0.25, beta=0.5,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300), "drain timed out"
+        finally:
+            q.stop()
+
+    all_rows = [
+        {"event_id": i, "user_id": 100 + (i % 3),
+         "ts": f"2024-04-01T00:{i:02d}:00", "value": float((i * 7) % 50)}
+        for i in range(20)
+    ]
+    emit("b1.json", all_rows[:12])
+    run()
+    emit("b2.json", all_rows[12:])  # restart continues from (level, trend)
+    run()
+
+    got = {
+        r["event_id"]: (r["level"], r["trend"], r["forecast"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["user_id"],
+          datetime.fromisoformat(r["ts"]), r["value"])
+         for r in all_rows], schema
+    )
+    want = {
+        r["event_id"]: (r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(batch_df, alpha=0.25, beta=0.5).collect()
+    }
+    assert got == want and len(got) == 20  # bit-identical, incl. restart
+
+    # TTL plan switch + validation, same contract as live_ewma
+    ttl_plan = (
+        live_holt(spark.readStream.schema(schema).json(str(src)),
+                  state_ttl_ms=3_600_000)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ProcessingTimeTimeout" in ttl_plan, ttl_plan
+    with pytest.raises(ValueError):
+        live_holt(spark.readStream.schema(schema).json(str(src)),
+                  state_ttl_ms=0)
+    with pytest.raises(ValueError):
+        live_holt(spark.readStream.schema(schema).json(str(src)),
+                  beta=-0.1)
