@@ -398,6 +398,70 @@ def compact_lake_partitions(
     return n_touched
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...] = ("asset_id",),
+    n_buckets: int = 64,
+    sort_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally per-bucket-sorted)
+    table: the pay-the-shuffle-once layout for join/groupBy-heavy keys.
+
+    At 100 TB the dominant recurring cost of a tick lake is the
+    re-shuffle every equi-join and aggregation on the hot key
+    (``asset_id``) performs. Hive-style bucketing moves that exchange
+    to WRITE time: rows are hash-partitioned into ``n_buckets`` files
+    per partition, and Spark's scan reports the hash distribution to
+    the planner, so
+
+    * a join of two tables bucketed on the same key with the same
+      bucket count runs with ZERO Exchange on either side;
+    * ``groupBy`` on the bucket key aggregates in place (no exchange);
+    * a point predicate on the bucket key prunes to 1/``n_buckets`` of
+      the files (``SelectedBucketsCount`` in the scan node) — note the
+      planner auto-disables bucketed scans for filter-only queries
+      (no join/agg wants the distribution, and a bucketed scan forbids
+      file splitting); point-lookup-heavy workloads set
+      ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``.
+
+    All three are machine-checked in ``tests/test_sinks.py``. This is
+    the batch-lake analogue of the reference's market→connection
+    sharding (``collector/src/client/mod.rs``: each asset's stream is
+    pinned to one connection — here each asset's rows are pinned to
+    one bucket file).
+
+    Mechanics worth knowing at scale:
+
+    * The input is pre-shuffled on ``bucket_cols`` into exactly
+      ``n_buckets`` tasks so each bucket is ONE file. Without that,
+      every upstream task writes a sliver into every bucket it touches
+      (tasks × buckets files), and >1 file per bucket makes Spark
+      re-sort below a sort-merge join even when ``sort_cols`` match.
+    * ``n_buckets`` is a long-lived contract: both join sides must
+      agree (or be a multiple, with
+      ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``). Size it
+      so one bucket of the LARGEST future partition fits an executor
+      core's working set, not to today's data.
+    * Bucketing requires the table catalog (``saveAsTable``) — plain
+      ``.parquet(path)`` silently drops bucket metadata. Pass ``path``
+      to keep the data external to the warehouse.
+    """
+    if sort_cols is None:
+        sort_cols = bucket_cols
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

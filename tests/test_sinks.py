@@ -541,3 +541,85 @@ def test_delete_emptied_partition_bool_rendering_and_loud_miss(
     ghost = spark.createDataFrame([(True,)], "flag boolean").collect()
     with _pytest.raises(IOError, match="not found on disk"):
         _delete_partition_dirs(spark, out, ("flag",), ghost)
+
+
+def test_write_bucketed_table_joins_and_prunes_without_exchange(
+    spark, tmp_path
+):
+    """Bucketing's three scale claims, machine-checked on real plans:
+    same-key/same-count join with zero Exchange, groupBy on the bucket
+    key with zero Exchange, and bucket pruning on a point predicate."""
+    from polymarket_data_ingestor_spark.sinks import write_bucketed_table
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    write_bucketed_table(
+        orders, "b_orders", ("o_custkey",), 8,
+        sort_cols=("o_custkey",), path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed_table(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_cust", ("o_custkey",), 8,
+        sort_cols=("o_custkey",), path=str(tmp_path / "b_cust"),
+    )
+    try:
+        # one file per bucket: the pre-shuffle collapsed task slivers,
+        # which is also the precondition for scan-reported sort order
+        files = [
+            p for p in (tmp_path / "b_orders").iterdir()
+            if p.name.endswith(".parquet")
+        ]
+        assert len(files) == 8, len(files)
+
+        bo = spark.table("b_orders")
+        bc = spark.table("b_cust")
+
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bo.join(bc, "o_custkey")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "SortMergeJoin" in plan
+            # correctness of the exchange-free join
+            want = orders.join(
+                cust, orders.o_custkey == cust.c_custkey
+            ).count()
+            assert j.count() == want > 0
+
+            g = bo.groupBy("o_custkey").agg(
+                F.sum("o_totalprice").alias("rev")
+            )
+            gplan = g._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in gplan, gplan
+            assert g.count() == orders.select("o_custkey").distinct().count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", old_thresh
+            )
+
+        # bucket pruning: a point predicate on the bucket key selects
+        # 1 of 8 buckets at the scan. Non-obvious: a filter-only query
+        # has no join/agg that wants the hash distribution, so the
+        # planner auto-disables the bucketed scan (which would forbid
+        # file splitting) and with it the pruning — the knob below is
+        # the documented trade-off for point-lookup-heavy workloads.
+        auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        key = orders.limit(1).collect()[0]["o_custkey"]
+        spark.conf.set(auto, "false")
+        try:
+            p = bo.filter(F.col("o_custkey") == key)
+            pplan = p._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 1 out of 8" in pplan, pplan
+        finally:
+            spark.conf.set(auto, "true")
+        assert p.count() == orders.filter(
+            F.col("o_custkey") == key
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")

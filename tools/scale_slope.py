@@ -36,15 +36,18 @@ SF_DIR = "/root/testdata/sf0.1"
 TMP = Path("/tmp/pdi_scale")
 
 
+REPEATS = 2
+
+
 def _time2(fn) -> float:
+    """Min-of-REPEATS after one warm-up run (default 2; --repeats N)."""
     fn()  # warm page cache / JIT
-    t0 = time.perf_counter()
-    fn()
-    a = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fn()
-    b = time.perf_counter() - t0
-    return round(min(a, b), 3)
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def replay_fixture(msgs_per_hour: int, tag: str) -> list[str]:
@@ -67,7 +70,11 @@ def replay_fixture(msgs_per_hour: int, tag: str) -> list[str]:
 
 
 def main() -> None:
+    global REPEATS
     skip_replay = "--skip-replay" in sys.argv
+    only_replay = "--only-replay" in sys.argv
+    if "--repeats" in sys.argv:
+        REPEATS = int(sys.argv[sys.argv.index("--repeats") + 1])
     spark = get_spark(app_name="scale-slope")
     spark.range(1000).count()
     results = []
@@ -97,6 +104,16 @@ def main() -> None:
             results.append({"op": "replay_split", "scale": scale,
                             "rows": n, "sec": sec})
             print(json.dumps(results[-1]), flush=True)
+
+    if only_replay:
+        by_op = {}
+        for r in results:
+            by_op.setdefault(r["op"], {})[r["scale"]] = r["sec"]
+        print(json.dumps({"slope_10x_over_1x": {
+            op: round(v[10] / v[1], 2)
+            for op, v in by_op.items() if 1 in v and 10 in v
+        }, "repeats": REPEATS}))
+        return
 
     # ---- documents 10x (text perturbed per copy) ----
     from polymarket_data_ingestor_spark.operators.dedup import (
