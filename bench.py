@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "grouping_sets_revenue",
     "ewma_smoothed",
     "holt_smoothed",
+    "incremental_rollup",
     # GK-sketch twins of the exact-percentile heavies: the 100 TB path
     # (constant aggregation memory), benched alongside the exact forms
     # so the exact-vs-sketch cost gap stays measured
@@ -368,6 +369,43 @@ def main() -> None:
         lambda: pq_topk(emb, pq_queries, k=5, codebooks=cbs, refine=8)
         .write.format("noop").mode("overwrite").save()
     )
+
+    # Bucketed-layout join: quantify the pay-the-shuffle-once claim
+    # (sinks.write_bucketed_table). Build untimed — a once-per-corpus
+    # layout job, like the PQ fit above. Timed: the same asset-keyed
+    # join over the plain lake (SMJ, both sides exchange) vs the
+    # bucketed tables (SMJ, zero Exchange). Broadcast is disabled for
+    # the pair: at 100 TB the per-asset dim outgrows the broadcast
+    # range, so SMJ is the honest comparison.
+    from polymarket_data_ingestor_spark.sinks import write_bucketed_table
+
+    ticks_flat = spark.read.parquet(lake)
+    asset_dim = ticks_flat.groupBy("asset").agg(
+        F.avg("price").alias("avg_price"), F.count("*").alias("n")
+    )
+    broot = Path("/tmp/pdi_bench/bucketed")
+    write_bucketed_table(ticks_flat, "bench_ticks_b", ("asset",), 16,
+                         path=str(broot / "ticks"))
+    write_bucketed_table(asset_dim, "bench_assets_b", ("asset",), 16,
+                         path=str(broot / "assets"))
+    dim_flat_path = str(broot / "assets_flat")
+    asset_dim.write.mode("overwrite").parquet(dim_flat_path)
+    dim_flat = spark.read.parquet(dim_flat_path)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        timings["asset_join_shuffled"] = _min_of_2(
+            lambda: ticks_flat.join(dim_flat, "asset")
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["asset_join_bucketed"] = _min_of_2(
+            lambda: spark.table("bench_ticks_b")
+            .join(spark.table("bench_assets_b"), "asset")
+            .write.format("noop").mode("overwrite").save()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bench_ticks_b")
+        spark.sql("DROP TABLE IF EXISTS bench_assets_b")
 
     calibration["sweep_session_end"] = _calibrate(spark)
 

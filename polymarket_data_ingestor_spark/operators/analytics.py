@@ -1619,3 +1619,67 @@ def holt_series(values, alpha: float, beta: float, seed=None):
         trends.append(b)
         fcs.append(lv + b)
     return levels, trends, fcs
+
+
+def rollup_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str = "value",
+) -> DataFrame:
+    """Aggregate ``df`` into MERGEABLE per-key state — the building
+    block of incremental rollup maintenance (see :func:`merge_rollup`).
+
+    State columns are each their own merge monoid: ``n`` (count),
+    ``sum_v`` (decimal(18,2) sum — exact, so merge order can never
+    change a digit), ``min_v`` / ``max_v``. Everything downstream
+    (avg, completeness ratios) derives from these at read time
+    (:func:`finalize_rollup`); nothing non-decomposable (median,
+    exact distinct) belongs in this shape — use the KLL/HLL sketches
+    for those, which are mergeable by construction.
+    """
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.col(value_col)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_v"),
+        F.min(F.col(value_col)).alias("min_v"),
+        F.max(F.col(value_col)).alias("max_v"),
+    )
+
+
+def merge_rollup(*states: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Merge rollup-state tables (:func:`rollup_state` shape) into one —
+    incremental view maintenance for the 100 TB lake.
+
+    The pattern this enables: a daily/hourly rollup table is updated by
+    aggregating ONLY the new partition and merging it into the stored
+    state — cost ∝ the delta plus the (tiny) state table, never the
+    history. A naive "recompute the rollup" job re-scans the full lake
+    every cycle; at 100 TB that is the difference between a minute and
+    a day. Merging is exact because every state column is a monoid
+    (counts and decimal sums add; min/max compose) — pinned against a
+    full recompute in the catalog oracle.
+
+    The union is aggregate-sized (each input is already one row per
+    key), so the merge's shuffle moves rows ∝ distinct keys — at any
+    corpus size.
+    """
+    if not states:
+        raise ValueError("merge_rollup needs at least one state table")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_rollup(state: DataFrame) -> DataFrame:
+    """Derive the presentation columns from rollup state: ``avg_v`` as
+    the IEEE division of the exact decimal sum by the exact count —
+    both operands are bit-identical however the state was merged, so
+    the double is too."""
+    return state.withColumn(
+        "avg_v", F.col("sum_v").cast("double") / F.col("n")
+    )

@@ -1521,6 +1521,53 @@ def q_holt_smoothed(spark, sf_dir):
 
 
 @register(
+    "incremental_rollup",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           min(value) AS min_v,
+           max(value) AS max_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(value) AS avg_v
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Incremental aggregate maintenance (operators/analytics.py::"
+    "rollup_state/merge_rollup/finalize_rollup): the daily rollup is "
+    "built as MERGEABLE per-key state (count, exact decimal sum, "
+    "min, max — each its own monoid), here aggregated separately over "
+    "a 70/30 split of events and MERGED, with avg derived at finalize. "
+    "The oracle is the full single-pass recompute — equality proves "
+    "the merge is exact, which is the whole point: at 100 TB the "
+    "stored rollup is updated by aggregating only the new partition "
+    "and merging (cost ∝ delta + state-table keys), never by "
+    "re-scanning history. The decimal sum makes merge order unable to "
+    "change a digit; the presentation sum/avg cast to double AFTER "
+    "the exact arithmetic (delta_volatility convention).",
+    tags=("agg", "incremental"),
+)
+def q_incremental_rollup(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_rollup,
+        merge_rollup,
+        rollup_state,
+    )
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    keys = ("event_type", "day")
+    hist = rollup_state(ev.filter(F.col("event_id") % 10 < 7), keys)
+    delta = rollup_state(ev.filter(F.col("event_id") % 10 >= 7), keys)
+    merged = finalize_rollup(merge_rollup(hist, delta, keys=keys))
+    return merged.select(
+        "event_type", "day", "n",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        "min_v", "max_v", "avg_v",
+    )
+
+
+@register(
     "rolling_zscore_flags",
     """
     WITH counts AS (

@@ -3058,6 +3058,7 @@ _CODE_CHANGED_THIS_ROUND = (
     "inverted_index",       # r9: wrapper serializes postings array
     "ewma_smoothed",        # r9: vectorized kernel (pandas ewm C path)
     "holt_smoothed",        # r9: new operator (level+trend kernel)
+    "incremental_rollup",   # r9: new operator (mergeable rollup state)
 )
 
 

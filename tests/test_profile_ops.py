@@ -1097,3 +1097,67 @@ def test_holt_linear_matches_naive_model_and_reduces_to_ewma(spark):
     )
     with _pytest.raises(Exception, match="null/NaN"):
         holt_linear(dfn).collect()
+
+
+def test_rollup_state_merge_equals_full_recompute(spark):
+    """The incremental-maintenance contract: merging per-split rollup
+    states — any split, any merge arity/order — equals the one-pass
+    rollup over everything, bit for bit (decimal sums are exact, so
+    merge order cannot change a digit)."""
+    from decimal import Decimal
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_rollup,
+        merge_rollup,
+        rollup_state,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "event_type", "value")
+    keys = ("event_type",)
+    full = {
+        r["event_type"]: r
+        for r in finalize_rollup(rollup_state(ev, keys)).collect()
+    }
+
+    # 3-way split by an arbitrary predicate, merged in one call
+    parts = [
+        rollup_state(ev.filter(F.col("event_id") % 3 == i), keys)
+        for i in range(3)
+    ]
+    merged3 = {
+        r["event_type"]: r
+        for r in finalize_rollup(
+            merge_rollup(*parts, keys=keys)
+        ).collect()
+    }
+    assert set(merged3) == set(full)
+    for k, want in full.items():
+        got = merged3[k]
+        assert got["n"] == want["n"]
+        assert got["sum_v"] == want["sum_v"], k
+        assert got["min_v"] == want["min_v"]
+        assert got["max_v"] == want["max_v"]
+        assert got["avg_v"] == want["avg_v"]  # IEEE-identical division
+
+    # re-merging a merged state with an empty delta is the identity
+    empty = rollup_state(ev.filter(F.lit(False)), keys)
+    again = {
+        r["event_type"]: r
+        for r in finalize_rollup(
+            merge_rollup(merge_rollup(*parts, keys=keys), empty,
+                         keys=keys)
+        ).collect()
+    }
+    for k, want in full.items():
+        assert again[k]["sum_v"] == want["sum_v"]
+        assert again[k]["n"] == want["n"]
+
+    # the state columns really are exact decimals, not floats
+    assert isinstance(next(iter(full.values()))["sum_v"], Decimal)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_rollup(keys=keys)
