@@ -5,7 +5,9 @@ from polymarket_data_ingestor_spark.streaming.collector import (
 )
 from polymarket_data_ingestor_spark.streaming.live import (
     apply_cdc_stream,
+    live_rollup,
     live_ticks,
+    read_rollup_state,
     read_frames_stream,
     write_frames_stream,
 )
@@ -18,4 +20,6 @@ __all__ = [
     "write_frames_stream",
     "live_ticks",
     "apply_cdc_stream",
+    "live_rollup",
+    "read_rollup_state",
 ]

@@ -1011,3 +1011,89 @@ def test_live_holt_matches_batch_across_restart(spark, tmp_path):
     with pytest.raises(ValueError):
         live_holt(spark.readStream.schema(schema).json(str(src)),
                   beta=-0.1)
+
+
+def test_live_rollup_exactly_once_across_restart_and_replay(
+    spark, tmp_path
+):
+    """Streaming rollup maintenance: micro-batches merge into MVCC
+    state versions; a second availableNow run extends the state; a
+    simulated crash-replay of a committed batch (checkpoint lost
+    after the state write) overwrites its version with identical
+    content instead of double-counting — the exactly-once claim."""
+    import json as _json
+    from decimal import Decimal
+
+    from polymarket_data_ingestor_spark.streaming import (
+        live_rollup,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    state = str(tmp_path / "roll_state")
+    ckpt = str(tmp_path / "roll_ckpt")
+    schema = "k string, value double"
+
+    def emit(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    def run(checkpoint):
+        q = live_rollup(
+            spark.readStream.schema(schema).json(str(src)),
+            state, checkpoint, ("k",), available_now=True,
+        )
+        q.awaitTermination(300)
+
+    emit("b1.json", [{"k": "a", "value": 1.5}, {"k": "b", "value": 2.0}])
+    run(ckpt)
+    s1 = {r["k"]: r.asDict() for r in
+          read_rollup_state(spark, state).collect()}
+    assert s1["a"]["n"] == 1 and s1["a"]["sum_v"] == Decimal("1.50")
+
+    # second trigger, same checkpoint: merged, not recomputed
+    emit("b2.json", [{"k": "a", "value": 2.5}, {"k": "c", "value": 9.0}])
+    run(ckpt)
+    s2 = {r["k"]: r.asDict() for r in
+          read_rollup_state(spark, state).collect()}
+    assert s2["a"]["n"] == 2 and s2["a"]["sum_v"] == Decimal("4.00")
+    assert s2["a"]["min_v"] == 1.5 and s2["a"]["max_v"] == 2.5
+    assert s2["b"]["n"] == 1 and s2["c"]["sum_v"] == Decimal("9.00")
+
+    # genuine crash-replay: drop the checkpoint's LAST commit marker —
+    # exactly the crash window between the state write and the
+    # checkpoint commit. The next run re-delivers batch 1 (same
+    # offsets); _apply must read the predecessor strictly below its
+    # batch id (v=0, retained by the >=1 retention floor) and
+    # overwrite v=1 with identical content — NOT read its own output
+    # and double-count.
+    commits = sorted((Path(ckpt) / "commits").glob("[0-9]*"))
+    assert len(commits) == 2, commits
+    commits[-1].unlink()
+    crc = Path(ckpt) / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run(ckpt)
+    s3 = {r["k"]: r.asDict() for r in
+          read_rollup_state(spark, state).collect()}
+    assert s3["a"]["n"] == 2 and s3["a"]["sum_v"] == Decimal("4.00"), s3
+    assert s3["c"]["n"] == 1
+
+    # and a FRESH checkpoint (total re-delivery as one batch 0 over an
+    # existing state dir) converges to the same totals via the
+    # latest-committed-version read
+    run(str(tmp_path / "roll_ckpt2"))
+    s4 = {r["k"]: r.asDict() for r in
+          read_rollup_state(spark, state).collect()}
+    assert s4["a"]["n"] == 2 and s4["a"]["sum_v"] == Decimal("4.00"), s4
+
+    # retention contract is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retain_versions"):
+        live_rollup(
+            spark.readStream.schema(schema).json(str(src)),
+            state, ckpt, ("k",), retain_versions=0,
+        )
