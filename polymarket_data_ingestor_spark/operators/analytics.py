@@ -1630,16 +1630,20 @@ def rollup_state(
     block of incremental rollup maintenance (see :func:`merge_rollup`).
 
     State columns are each their own merge monoid: ``n`` (count),
-    ``sum_v`` (decimal(18,2) sum — exact, so merge order can never
-    change a digit), ``min_v`` / ``max_v``. Everything downstream
-    (avg, completeness ratios) derives from these at read time
-    (:func:`finalize_rollup`); nothing non-decomposable (median,
-    exact distinct) belongs in this shape — use the KLL/HLL sketches
-    for those, which are mergeable by construction.
+    ``sum_v`` / ``sum_sq`` (decimal sums of the 2-dp value and its
+    square — exact, so merge order can never change a digit; the pair
+    is the textbook mergeable-variance state), ``min_v`` / ``max_v``.
+    Everything downstream (avg, variance, completeness ratios) derives
+    from these at read time (:func:`finalize_rollup`); nothing
+    non-decomposable (median, exact distinct) belongs in this shape —
+    use the KLL/HLL sketches for those, which are mergeable by
+    construction (:func:`distinct_rollup_state`).
     """
+    v = F.col(value_col).cast("decimal(18,2)")
     return df.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.col(value_col)).alias("n"),
-        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_v"),
+        F.sum(v).alias("sum_v"),
+        F.sum(v * v).alias("sum_sq"),
         F.min(F.col(value_col)).alias("min_v"),
         F.max(F.col(value_col)).alias("max_v"),
     )
@@ -1670,6 +1674,7 @@ def merge_rollup(*states: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     return out.groupBy(*[F.col(k) for k in keys]).agg(
         F.sum("n").alias("n"),
         F.sum("sum_v").alias("sum_v"),
+        F.sum("sum_sq").alias("sum_sq"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
@@ -1677,9 +1682,67 @@ def merge_rollup(*states: DataFrame, keys: tuple[str, ...]) -> DataFrame:
 
 def finalize_rollup(state: DataFrame) -> DataFrame:
     """Derive the presentation columns from rollup state: ``avg_v`` as
-    the IEEE division of the exact decimal sum by the exact count —
-    both operands are bit-identical however the state was merged, so
-    the double is too."""
+    the IEEE division of the exact decimal sum by the exact count, and
+    ``var_v`` via the one-pass identity ``(n·Σv² − (Σv)²)/(n·(n−1))``
+    with only the final 4-flop identity in double (the
+    ``delta_volatility`` convention) — every operand is bit-identical
+    however the state was merged, so the doubles are too. <2 values
+    reports NULL variance, not 0."""
+    n = F.col("n").cast("double")
+    s1 = F.col("sum_v").cast("double")
+    s2 = F.col("sum_sq").cast("double")
     return state.withColumn(
         "avg_v", F.col("sum_v").cast("double") / F.col("n")
+    ).withColumn(
+        "var_v",
+        F.when(
+            F.col("n") >= 2, (n * s2 - s1 * s1) / (n * (n - 1.0))
+        ),
+    )
+
+
+def distinct_rollup_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count state: a Datasketches HLL sketch per
+    key — the sketch companion to :func:`rollup_state` for the one
+    common statistic that has no exact monoid (``COUNT(DISTINCT)``
+    state is the value set itself; at 100 TB that IS the data).
+
+    The sketch column merges losslessly under union
+    (:func:`merge_distinct_rollup`): merging per-split sketches yields
+    the IDENTICAL sketch state — and therefore the identical estimate
+    — as one pass over everything, pinned in pytest. ``lgk`` fixes
+    the accuracy/size trade (2^lgk buckets, ~1.6%/√(2^lgk/4096) rel.
+    error, 4–8 KB at 12) and is a long-lived contract like a bucket
+    count: sketches built with different lgk still union, at the
+    coarser accuracy.
+    """
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("hll"),
+    )
+
+
+def merge_distinct_rollup(
+    *states: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Union per-split HLL states (:func:`distinct_rollup_state`
+    shape); shuffle ∝ distinct keys × sketch size, never the data."""
+    if not states:
+        raise ValueError("merge_distinct_rollup needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*[F.col(k) for k in keys]).agg(
+        F.hll_union_agg(F.col("hll")).alias("hll"),
+    )
+
+
+def finalize_distinct_rollup(state: DataFrame) -> DataFrame:
+    """Read the estimate off the sketch state."""
+    return state.withColumn(
+        "n_distinct", F.hll_sketch_estimate(F.col("hll"))
     )

@@ -1523,20 +1523,32 @@ def q_holt_smoothed(spark, sf_dir):
 @register(
     "incremental_rollup",
     """
-    SELECT event_type, date_trunc('day', ts) AS day,
-           count(value) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
-           min(value) AS min_v,
-           max(value) AS max_v,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-             / count(value) AS avg_v
-    FROM events GROUP BY 1, 2
+    WITH s AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq,
+             min(value) AS min_v,
+             max(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n, sum_v, sum_sq, min_v, max_v,
+           sum_v / n AS avg_v,
+           CASE WHEN n >= 2 THEN
+             (CAST(n AS DOUBLE) * sum_sq - sum_v * sum_v)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+           END AS var_v
+    FROM s
     """,
     doc="Incremental aggregate maintenance (operators/analytics.py::"
     "rollup_state/merge_rollup/finalize_rollup): the daily rollup is "
-    "built as MERGEABLE per-key state (count, exact decimal sum, "
-    "min, max — each its own monoid), here aggregated separately over "
-    "a 70/30 split of events and MERGED, with avg derived at finalize. "
+    "built as MERGEABLE per-key state (count, exact decimal sums of "
+    "value and value² — the textbook mergeable-variance pair — min, "
+    "max; each its own monoid), here aggregated separately over "
+    "a 70/30 split of events and MERGED, with avg and variance "
+    "(one-pass identity, final 4 flops in double — the "
+    "delta_volatility convention) derived at finalize. "
     "The oracle is the full single-pass recompute — equality proves "
     "the merge is exact, which is the whole point: at 100 TB the "
     "stored rollup is updated by aggregating only the new partition "
@@ -1563,7 +1575,8 @@ def q_incremental_rollup(spark, sf_dir):
     return merged.select(
         "event_type", "day", "n",
         F.col("sum_v").cast("double").alias("sum_v"),
-        "min_v", "max_v", "avg_v",
+        F.col("sum_sq").cast("double").alias("sum_sq"),
+        "min_v", "max_v", "avg_v", "var_v",
     )
 
 

@@ -1137,9 +1137,11 @@ def test_rollup_state_merge_equals_full_recompute(spark):
         got = merged3[k]
         assert got["n"] == want["n"]
         assert got["sum_v"] == want["sum_v"], k
+        assert got["sum_sq"] == want["sum_sq"], k
         assert got["min_v"] == want["min_v"]
         assert got["max_v"] == want["max_v"]
         assert got["avg_v"] == want["avg_v"]  # IEEE-identical division
+        assert got["var_v"] == want["var_v"]  # identity over exact sums
 
     # re-merging a merged state with an empty delta is the identity
     empty = rollup_state(ev.filter(F.lit(False)), keys)
@@ -1161,3 +1163,52 @@ def test_rollup_state_merge_equals_full_recompute(spark):
 
     with _pytest.raises(ValueError):
         merge_rollup(keys=keys)
+
+
+def test_distinct_rollup_merge_identical_to_full_sketch(spark):
+    """HLL distinct-count state merges losslessly: per-split sketches
+    unioned give the identical estimate as one pass; and at small
+    cardinality the estimate equals the exact distinct count, so the
+    pin is exact equality, not a tolerance."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        distinct_rollup_state,
+        finalize_distinct_rollup,
+        merge_distinct_rollup,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "event_type", "user_id")
+    keys = ("event_type",)
+    full = {
+        r["event_type"]: r["n_distinct"]
+        for r in finalize_distinct_rollup(
+            distinct_rollup_state(ev, keys, "user_id")
+        ).collect()
+    }
+    parts = [
+        distinct_rollup_state(
+            ev.filter(F.col("event_id") % 3 == i), keys, "user_id"
+        )
+        for i in range(3)
+    ]
+    merged = {
+        r["event_type"]: r["n_distinct"]
+        for r in finalize_distinct_rollup(
+            merge_distinct_rollup(*parts, keys=keys)
+        ).collect()
+    }
+    assert merged == full
+
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert full == exact  # sparse-mode HLL is exact at this cardinality
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_distinct_rollup(keys=keys)
