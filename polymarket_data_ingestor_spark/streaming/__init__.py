@@ -5,6 +5,8 @@ from polymarket_data_ingestor_spark.streaming.collector import (
 )
 from polymarket_data_ingestor_spark.streaming.live import (
     apply_cdc_stream,
+    live_distinct_rollup,
+    live_materialize,
     live_rollup,
     live_ticks,
     read_rollup_state,
@@ -21,5 +23,7 @@ __all__ = [
     "live_ticks",
     "apply_cdc_stream",
     "live_rollup",
+    "live_distinct_rollup",
+    "live_materialize",
     "read_rollup_state",
 ]

@@ -917,6 +917,77 @@ def live_rollup(
         rollup_state,
     )
 
+    return live_materialize(
+        events,
+        state_path,
+        checkpoint,
+        state_fn=lambda batch: rollup_state(batch, keys, value_col),
+        merge_fn=lambda prev, delta: merge_rollup(prev, delta, keys=keys),
+        available_now=available_now,
+        retain_versions=retain_versions,
+    )
+
+
+def live_distinct_rollup(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    col: str,
+    lgk: int = 12,
+    available_now: bool = False,
+    retain_versions: int = 2,
+):
+    """Continuously maintained per-key distinct counts — the streaming
+    twin of
+    :func:`~polymarket_data_ingestor_spark.operators.analytics.merge_distinct_rollup`.
+    Exact COUNT(DISTINCT) state is the value set itself (unbounded);
+    the HLL sketch state is constant-size per key and unions
+    losslessly, so the MVCC replay guarantee carries over unchanged:
+    a replayed batch re-unions the same two sketches into an identical
+    sketch. Same mechanism, different monoid — see
+    :func:`live_materialize`."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        distinct_rollup_state,
+        merge_distinct_rollup,
+    )
+
+    return live_materialize(
+        events,
+        state_path,
+        checkpoint,
+        state_fn=lambda b: distinct_rollup_state(b, keys, col, lgk),
+        merge_fn=lambda p, d: merge_distinct_rollup(p, d, keys=keys),
+        available_now=available_now,
+        retain_versions=retain_versions,
+    )
+
+
+def live_materialize(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    state_fn,
+    merge_fn,
+    available_now: bool = False,
+    retain_versions: int = 2,
+):
+    """The generic MVCC materializer behind :func:`live_rollup` and
+    :func:`live_distinct_rollup`: continuously maintain ANY mergeable
+    aggregate as a queryable table. ``state_fn(batch) -> state`` maps a
+    micro-batch to its aggregate state; ``merge_fn(prev, delta) ->
+    state`` combines two state tables. The pair must form a monoid on
+    the state shape (associative merge; the batch states commute) —
+    that is the caller's algebraic contract, and it is exactly what
+    makes the replay semantics exact: ``v=N`` is a pure function of
+    the latest committed version strictly below N plus batch N, so an
+    at-least-once re-delivery overwrites ``v=N`` with identical
+    content instead of double-applying. Readers
+    (:func:`read_rollup_state`) only see ``_SUCCESS``-committed
+    versions. Single writer per ``state_path`` (same contract as any
+    checkpointed stream); ``retain_versions >= 1`` or a crash-replay
+    would lose its predecessor.
+    """
     if retain_versions < 1:
         # v=N's replay safety depends on its predecessor surviving
         # until the checkpoint commits; GC-ing every prior would turn
@@ -927,12 +998,12 @@ def live_rollup(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        delta = rollup_state(batch, keys, value_col)
+        delta = state_fn(batch)
         prior = [v for v in _rollup_versions(spark, state_path)
                  if v < batch_id]
         if prior:
             prev = spark.read.parquet(f"{state_path}/v={prior[-1]}")
-            new = merge_rollup(prev, delta, keys=keys)
+            new = merge_fn(prev, delta)
         else:
             new = delta
         # state is keys-sized: one file is the right layout

@@ -1097,3 +1097,49 @@ def test_live_rollup_exactly_once_across_restart_and_replay(
             spark.readStream.schema(schema).json(str(src)),
             state, ckpt, ("k",), retain_versions=0,
         )
+
+
+def test_live_distinct_rollup_sketches_union_across_batches(
+    spark, tmp_path
+):
+    """The generic MVCC materializer with the sketch monoid: distinct
+    counts maintained across two triggers equal a one-pass exact
+    count (sparse-mode HLL exactness at test cardinality)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.streaming import (
+        live_distinct_rollup,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "d_src"
+    src.mkdir()
+    state = str(tmp_path / "d_state")
+    ckpt = str(tmp_path / "d_ckpt")
+    schema = "k string, u long"
+
+    def run():
+        q = live_distinct_rollup(
+            spark.readStream.schema(schema).json(str(src)),
+            state, ckpt, ("k",), "u", available_now=True,
+        )
+        q.awaitTermination(300)
+
+    (src / "b1.json").write_text("\n".join(
+        _json.dumps({"k": "a", "u": u}) for u in [1, 2, 3, 2]) + "\n")
+    run()
+    (src / "b2.json").write_text("\n".join(
+        _json.dumps(r) for r in [
+            {"k": "a", "u": 3}, {"k": "a", "u": 4}, {"k": "b", "u": 9},
+        ]) + "\n")
+    run()
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in read_rollup_state(spark, state).withColumn(
+            "n_distinct", F.hll_sketch_estimate(F.col("hll"))
+        ).collect()
+    }
+    # union across batches dedups u=3 seen in both
+    assert got == {"a": 4, "b": 1}, got
