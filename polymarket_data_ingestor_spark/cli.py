@@ -214,6 +214,19 @@ def cmd_lake_upsert(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lake_expire(args: argparse.Namespace) -> int:
+    from polymarket_data_ingestor_spark.sinks import expire_lake_partitions
+
+    spark = get_spark(app_name="pdi-lake-expire")
+    gone = expire_lake_partitions(
+        spark, args.path, args.older_than,
+        partition_col=_pcols(args)[0], dry_run=args.dry_run,
+    )
+    verb = "would expire" if args.dry_run else "expired"
+    print(f"{verb} {len(gone)} partition(s): {', '.join(gone) or '-'}")
+    return 0
+
+
 def cmd_manifests(args: argparse.Namespace) -> int:
     from polymarket_data_ingestor_spark.operators.replay import (
         write_gate_manifests,
@@ -304,6 +317,16 @@ def build_parser() -> argparse.ArgumentParser:
     lu.add_argument("--key-cols", required=True,
                     help="comma-separated key columns")
     lu.set_defaults(fn=cmd_lake_upsert)
+
+    le = lk_sub.add_parser("expire", parents=[lk_common],
+                           help="drop partitions older than a cutoff "
+                                "(retention; listing-only, no scan)")
+    le.add_argument("--older-than", required=True,
+                    help="cutoff value; partitions sorting strictly "
+                         "below it are removed (ISO dates/hours)")
+    le.add_argument("--dry-run", action="store_true",
+                    help="report what would be removed, delete nothing")
+    le.set_defaults(fn=cmd_lake_expire)
 
     mf = sub.add_parser("manifests",
                         help="backfill gate-manifest sidecars for "

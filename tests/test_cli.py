@@ -167,6 +167,21 @@ def test_cmd_lake_roundtrip(spark, tmp_path, monkeypatch):
     assert cli.main(["lake", "compact", lake]) == 0
     assert spark.read.parquet(lake).count() == total
 
+    # expire via the CLI: dry-run reports but deletes nothing, then the
+    # real run drops everything below the max day (strict boundary)
+    from pathlib import Path as _Path
+
+    days = sorted(p.name.split("=", 1)[1]
+                  for p in _Path(lake).iterdir() if p.name.startswith("dt="))
+    assert len(days) >= 2
+    assert cli.main(["lake", "expire", lake,
+                     "--older-than", days[-1], "--dry-run"]) == 0
+    assert (_Path(lake) / f"dt={days[0]}").exists()
+    assert cli.main(["lake", "expire", lake,
+                     "--older-than", days[-1]]) == 0
+    assert not (_Path(lake) / f"dt={days[0]}").exists()
+    assert (_Path(lake) / f"dt={days[-1]}").exists()
+
     # manifests backfill over a small frame-log dir
     raw = tmp_path / "raw"
     raw.mkdir()

@@ -623,3 +623,50 @@ def test_write_bucketed_table_joins_and_prunes_without_exchange(
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_expire_lake_partitions_age_out(spark, tmp_path):
+    """Retention: partitions strictly below the cutoff are removed via
+    directory listing alone; dry_run audits without deleting; NULL
+    partitions survive; survivors stay byte-identical."""
+    from polymarket_data_ingestor_spark.sinks import expire_lake_partitions
+
+    out = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, "2024-04-30"), (2, "2024-05-01"), (3, "2024-05-02"),
+         (4, None)],
+        "k long, dt string",
+    )
+    df.write.partitionBy("dt").parquet(out)
+
+    keep_state = sorted(
+        (p.name, p.stat().st_size)
+        for p in (Path(out) / "dt=2024-05-02").glob("*.parquet")
+    )
+
+    # audit first: reports, deletes nothing
+    would = expire_lake_partitions(
+        spark, out, older_than="2024-05-01", dry_run=True
+    )
+    assert would == ["2024-04-30"]
+    assert (Path(out) / "dt=2024-04-30").exists()
+
+    gone = expire_lake_partitions(spark, out, older_than="2024-05-01")
+    assert gone == ["2024-04-30"]
+    assert not (Path(out) / "dt=2024-04-30").exists()
+    # boundary is strict: the cutoff day itself survives
+    assert (Path(out) / "dt=2024-05-01").exists()
+    # NULL partition never ages out
+    assert (Path(out) / "dt=__HIVE_DEFAULT_PARTITION__").exists()
+    # survivors byte-identical
+    assert keep_state == sorted(
+        (p.name, p.stat().st_size)
+        for p in (Path(out) / "dt=2024-05-02").glob("*.parquet")
+    )
+    back = {r["k"] for r in spark.read.parquet(out).collect()}
+    assert back == {2, 3, 4}
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        expire_lake_partitions(spark, str(tmp_path / "ghost"), "2024-01-01")
