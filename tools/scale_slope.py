@@ -267,12 +267,33 @@ def main() -> None:
         transition_matrix,
     )
 
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_rollup,
+        merge_rollup,
+        rollup_state,
+    )
+
+    def _inc_rollup(d):
+        # the catalog entry's shape: 70/30 split, state + delta merged.
+        # Key count is FIXED across scales (event_type x day), so the
+        # merge stage is constant-size — the slope isolates the two
+        # state-building scans, which is the incremental-maintenance
+        # cost claim.
+        dd = d.withColumn("day", F.date_trunc("day", F.col("ts")))
+        keys = ("event_type", "day")
+        hist = rollup_state(dd.filter(F.col("event_id") % 10 < 7), keys)
+        delta = rollup_state(dd.filter(F.col("event_id") % 10 >= 7), keys)
+        return finalize_rollup(
+            merge_rollup(hist, delta, keys=keys)
+        ).count()
+
     for op, fn in (
         ("gap_fill", lambda d: gap_fill(d).count()),
         ("delta_volatility", lambda d: delta_volatility(d).count()),
         # per-user sequences are 10x denser at 10x: the slope measures
         # the lag-window sweep (the only event-granularity pass)
         ("event_transitions", lambda d: transition_matrix(d).count()),
+        ("incremental_rollup", _inc_rollup),
     ):
         for scale, d in ((1, ev), (10, ev10)):
             sec = _time2(lambda: fn(d))
