@@ -1017,10 +1017,18 @@ def pagerank(
     Scale shape: per iteration, one join of the edge list against the
     #nodes-row rank table (broadcast-eligible while ranks fit, else a
     shuffle join co-partitioned on the node) + one map-side-combined
-    sum — the classic Pregel-on-DataFrames loop. Like the CC
-    materializer, each round persists its rank table and unpersists
-    the previous one so lineage stays flat; N is a driver scalar (the
-    same convergence-scalar pattern as ``dup_components``).
+    sum — the classic Pregel-on-DataFrames loop. Each round's rank
+    table is eagerly ``localCheckpoint``-ed, the same trade
+    ``dedup.dup_components`` documents: persist/unpersist keeps the
+    recursive lineage alive, so the final plan re-expands to ~2^rounds
+    scan nodes (observed: 10 216 FileScans at 8 rounds before this
+    used checkpoints — a driver-side planning cost all its own) and an
+    evicted or lost block recomputes the whole chain; the checkpoint
+    truncates lineage per round at the price of no executor-loss
+    recovery for the round table. The edge list and degree table stay
+    persisted across rounds (genuinely re-read every iteration) and
+    are released before returning. N is a driver scalar (the same
+    convergence-scalar pattern as ``dup_components``).
     """
     from decimal import Decimal
 
@@ -1056,8 +1064,7 @@ def pagerank(
     base = ((Decimal(1) - d) / Decimal(n)).quantize(Decimal("1e-18"))
     ranks = deg.select(
         "u", "deg", F.lit(init).cast("decimal(38,18)").alias("rank")
-    ).persist()
-    ranks.count()
+    ).localCheckpoint(eager=True)
     for _ in range(n_iter):
         contribs = sym.join(ranks, "u").select(
             F.col("v").alias("u"),
@@ -1065,7 +1072,7 @@ def pagerank(
                 "__c"
             ),
         )
-        nxt = (
+        ranks = (
             contribs.groupBy("u")
             .agg(F.sum("__c").alias("__s"))
             .join(deg, "u")
@@ -1079,11 +1086,8 @@ def pagerank(
                 .cast("decimal(38,18)")
                 .alias("rank"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        nxt.count()
-        ranks.unpersist()
-        ranks = nxt
     sym.unpersist()
     deg.unpersist()
     return ranks.select(F.col("u").alias("node"), "rank")

@@ -792,3 +792,65 @@ def test_holt_single_key_shuffle_grouped_map(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+@pytest.mark.slow
+def test_catalog_scan_budget_no_silent_rederivation(spark):
+    """Catalog-wide re-scan audit: every entry's physical plan reads
+    each source table at most its DOCUMENTED number of times. Deriving
+    an aggregate from a DataFrame and joining it back silently re-runs
+    the parent subtree — the single worst plan regression this suite
+    has caught (a 4x corpus re-scan in an early doc_bigram_lm, and a
+    ~2^rounds lineage explosion in pagerank before per-round
+    checkpoints) — so the budget is pinned per entry and any new
+    double-scan must raise it here, with a reason, to ship.
+
+    A budget of 2 is the agg-then-join-back pattern (the SCAN is the
+    cheap half — column-pruned parquet; the point of the pattern is
+    that the BIG side never re-shuffles). Larger budgets are the
+    composition entries, where re-reading the pruned source per stage
+    is the documented trade against caching a corpus-sized
+    intermediate."""
+    import collections
+    import re
+
+    from polymarket_data_ingestor_spark.plans.catalog import CATALOG
+
+    budgets = {
+        # compositions: one pruned re-read per pipeline stage
+        "curation_pipeline": 12,
+        "funnel_user_paths_multipass": 7,
+        # corpus + marginals + broadcast vocab restriction
+        "term_pmi_pairs": 5,
+        # existing-corpus digests + bands + incoming batch
+        "dedup_incremental": 5,
+        # pair generation + per-side gram rollups / verify joins
+        "substring_dup_pairs": 4,
+        "hamming_dup_pairs": 4,
+        "embedding_dup_pairs_lsh": 4,
+        "doc_bigram_lm": 4,
+        "dedup_histogram": 4,
+        "containment_pairs": 4,
+        # recall gates: approximate path + exact reference top-k
+        "pq_topk_recall": 3,
+        "ivf_topk_recall": 3,
+        "cosine_topk_lsh_recall": 3,
+        "doc_tfidf_topk": 3,
+        "dedup_near_materialize": 3,
+    }
+    default_budget = 2
+
+    over = {}
+    for name, q in CATALOG.items():
+        plan = (
+            q.spark(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        locs = re.findall(r"Location: [^\[]*\[([^\]]*)", plan)
+        per_table = collections.Counter(loc.split(",")[0] for loc in locs)
+        worst = max(per_table.values(), default=0)
+        if worst > budgets.get(name, default_budget):
+            over[name] = dict(per_table)
+    assert not over, over
