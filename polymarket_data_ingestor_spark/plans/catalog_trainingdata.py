@@ -1970,7 +1970,10 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
     d = table(spark, sf_dir, "documents")
-    scored = T.quality_score(d).select("doc_id", "quality").join(d, "doc_id")
+    # quality_score APPENDS to the input columns — joining it back to d
+    # would be a self-join (an extra corpus scan + a doc_id exchange for
+    # nothing); the unused score components prune out of the scan
+    scored = T.quality_score(d)
     kept = scored.filter(F.col("quality") >= 0.5)
     deduped = drop_exact_dupes(kept)
     sampled = stratified_sample(

@@ -817,8 +817,9 @@ def test_catalog_scan_budget_no_silent_rederivation(spark):
     from polymarket_data_ingestor_spark.plans.catalog import CATALOG
 
     budgets = {
-        # compositions: one pruned re-read per pipeline stage
-        "curation_pipeline": 12,
+        # compositions: one pruned re-read per pipeline stage (was 12
+        # before the quality-score self-join was removed in r9)
+        "curation_pipeline": 6,
         "funnel_user_paths_multipass": 7,
         # corpus + marginals + broadcast vocab restriction
         "term_pmi_pairs": 5,
