@@ -513,6 +513,47 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def register_bucketed_table(
+    spark,
+    table: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Re-attach an EXISTING bucketed dataset to the session catalog
+    without rewriting a byte — the operational other half of
+    :func:`write_bucketed_table`.
+
+    Bucket metadata lives in the table catalog, not the parquet files:
+    with a persistent metastore (Hive/Glue) it survives on its own,
+    but the default in-memory catalog forgets it when the session
+    ends, and a plain ``spark.read.parquet(path)`` silently loses the
+    layout (every join shuffles again — the exact cost the write
+    prepaid). This issues the ``CREATE TABLE … USING parquet CLUSTERED
+    BY … INTO n BUCKETS LOCATION path`` DDL with the schema inferred
+    from the files, so a fresh session (or a different consumer)
+    recovers the exchange-free plans. The declared bucket spec must
+    match what was written — same cols, same count — which is the same
+    long-lived-contract discipline the bucket count itself demands;
+    declaring a wrong spec yields WRONG JOINS, not an error, so keep
+    the spec next to the path in whatever config names the table.
+    """
+    if sort_cols is None:
+        sort_cols = bucket_cols
+    schema = spark.read.parquet(path).schema
+    cols_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    bucket_ddl = ", ".join(f"`{c}`" for c in bucket_cols)
+    sort_ddl = ", ".join(f"`{c}`" for c in sort_cols)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols_ddl}) USING parquet "
+        f"CLUSTERED BY ({bucket_ddl}) SORTED BY ({sort_ddl}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

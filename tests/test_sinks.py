@@ -670,3 +670,47 @@ def test_expire_lake_partitions_age_out(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         expire_lake_partitions(spark, str(tmp_path / "ghost"), "2024-01-01")
+
+
+def test_register_bucketed_table_recovers_layout_without_rewrite(
+    spark, tmp_path
+):
+    """Dropping the (in-memory) catalog entry loses the bucket layout;
+    re-registering over the same files recovers the exchange-free join
+    with zero data movement."""
+    import os
+
+    from polymarket_data_ingestor_spark.sinks import (
+        register_bucketed_table,
+        write_bucketed_table,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    write_bucketed_table(orders, "rb_a", ("o_custkey",), 8, path=p1)
+    write_bucketed_table(orders, "rb_b", ("o_custkey",), 8, path=p2)
+    try:
+        spark.sql("DROP TABLE rb_a")  # external: files survive
+        before = sorted(
+            (f, os.path.getsize(Path(p1) / f)) for f in os.listdir(p1)
+        )
+        register_bucketed_table(spark, "rb_a", p1, ("o_custkey",), 8)
+        # zero rewrite
+        assert before == sorted(
+            (f, os.path.getsize(Path(p1) / f)) for f in os.listdir(p1)
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("rb_a").join(spark.table("rb_b"), "o_custkey")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            want = orders.count()
+            assert j.count() >= want > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rb_a")
+        spark.sql("DROP TABLE IF EXISTS rb_b")
