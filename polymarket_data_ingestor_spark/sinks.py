@@ -426,6 +426,12 @@ def expire_lake_partitions(
     — rows without a date cannot be proven old; handle them with the
     row-level delete if needed.
     """
+    if "=" in older_than:
+        # a 'dt=2024-01-01'-style cutoff would lexicographically sort
+        # above every bare value and silently expire nothing
+        raise ValueError(
+            f"older_than must be a bare partition VALUE, got {older_than!r}"
+        )
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -434,8 +440,11 @@ def expire_lake_partitions(
     esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     prefix = f"{partition_col}="
     expired = []
+    seen_prefixes = set()
     for st in fs.listStatus(root):
         name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            seen_prefixes.add(name.split("=", 1)[0])
         if not (st.isDirectory() and name.startswith(prefix)):
             continue
         raw = name[len(prefix):]
@@ -446,6 +455,13 @@ def expire_lake_partitions(
             expired.append(value)
             if not dry_run and not fs.delete(st.getPath(), True):
                 raise IOError(f"failed to delete expired partition {name}")
+    if partition_col not in seen_prefixes and seen_prefixes:
+        # a typo'd column name against a real hive layout would report
+        # "0 expired" forever — retention silently not happening
+        raise ValueError(
+            f"lake partitions {sorted(seen_prefixes)} do not include "
+            f"{partition_col!r}"
+        )
     return sorted(expired)
 
 

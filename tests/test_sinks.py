@@ -670,6 +670,13 @@ def test_expire_lake_partitions_age_out(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         expire_lake_partitions(spark, str(tmp_path / "ghost"), "2024-01-01")
+    # loud on the two silent-no-op footguns: a col=-prefixed cutoff and
+    # a typo'd partition column against a real hive layout
+    with _pytest.raises(ValueError, match="bare partition VALUE"):
+        expire_lake_partitions(spark, out, "dt=2024-05-01")
+    with _pytest.raises(ValueError, match="do not include"):
+        expire_lake_partitions(spark, out, "2024-05-01",
+                               partition_col="date")
 
 
 def test_register_bucketed_table_recovers_layout_without_rewrite(
