@@ -1023,3 +1023,82 @@ def live_materialize(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def live_dedup_stream(
+    docs: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = False,
+):
+    """Exactly-once streaming incremental dedup: each micro-batch keeps
+    only documents never seen before — within the batch OR in any prior
+    batch — completing the matrix next to the in-stream watermark dedup
+    (:func:`live_feed_dedup` family) and the batch cross-corpus
+    :func:`~polymarket_data_ingestor_spark.operators.dedup.dedup_against`.
+
+    Per micro-batch: (1) in-batch exact dedup (keep the min id per
+    digest — deterministic, not first-seen); (2) anti-join the batch's
+    md5 digests against the digest lake restricted to batches
+    **strictly below** this batch id; (3) survivors overwrite
+    ``out_path/b=<id>`` and their digests overwrite
+    ``state_path/b=<id>``.
+
+    The strictly-below read is the whole replay story, same principle
+    as :func:`live_materialize`: a naively-maintained digest set makes
+    an at-least-once replay suppress EVERY document of the replayed
+    batch as a "duplicate" of its own first delivery — silent data
+    loss in the exact component a dedup pipeline exists to protect.
+    Here a replayed batch re-reads the same predecessor digests (its
+    own ``b=N`` output is excluded by the filter) and overwrites both
+    directories with identical content. Per-batch directories also
+    make the output itself replay-idempotent.
+
+    Scale shape: only 16-byte digests are stored and joined (partition
+    pruning keeps the strictly-below read a directory-level filter);
+    the corpus text never re-shuffles. One honest cost to know: the
+    anti-join re-reads the accumulated digest lake each trigger — at
+    billions of corpus digests, front it with a bloom filter or
+    compact the digest lake periodically (``compact_lake_partitions``
+    works on it as-is). Near-dup banding composes the same way
+    (persist band keys per batch next to the digests) and is left to
+    the batch op by design.
+    """
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        dg = batch.withColumn("__digest", F.md5(F.col(text_col)))
+        keep = dg.groupBy("__digest").agg(
+            F.min(F.col(id_col)).alias(id_col)
+        )
+        dedup_in = dg.join(keep, ["__digest", id_col], "left_semi")
+        try:
+            seen = (
+                spark.read.parquet(state_path)
+                .filter(F.col("b") < batch_id)
+                .select("__digest")
+            )
+            fresh = dedup_in.join(seen, "__digest", "left_anti")
+        except Exception as e:  # first batch: no state lake yet
+            if "PATH_NOT_FOUND" not in str(e) and "Unable to infer" not in str(e):
+                raise
+            fresh = dedup_in
+        fresh.drop("__digest").write.mode("overwrite").parquet(
+            f"{out_path}/b={batch_id}"
+        )
+        fresh.select("__digest").write.mode("overwrite").parquet(
+            f"{state_path}/b={batch_id}"
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1143,3 +1143,57 @@ def test_live_distinct_rollup_sketches_union_across_batches(
     }
     # union across batches dedups u=3 seen in both
     assert got == {"a": 4, "b": 1}, got
+
+
+def test_live_dedup_stream_cross_batch_and_replay_safe(spark, tmp_path):
+    """Streaming incremental dedup: in-batch dups collapse to the min
+    id, cross-batch dups are suppressed by the digest lake, and a
+    genuine crash-replay does NOT suppress the replayed batch's own
+    documents (the strictly-below-batch-id read)."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.streaming import live_dedup_stream
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    out = str(tmp_path / "dd_out")
+    state = str(tmp_path / "dd_state")
+    ckpt = str(tmp_path / "dd_ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        q = live_dedup_stream(
+            spark.readStream.schema(schema).json(str(src)),
+            out, state, ckpt, available_now=True,
+        )
+        q.awaitTermination(300)
+
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+        {"doc_id": 7, "text": "alpha"},   # in-batch dup: min id 1 wins
+    ]) + "\n")
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}, got
+
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 3, "text": "gamma"},
+        {"doc_id": 9, "text": "alpha"},   # cross-batch dup of doc 1
+    ]) + "\n")
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3}, got
+
+    # crash-replay of batch 1: delete the last commit marker; the
+    # replay must NOT treat doc 3 as a duplicate of its own digest
+    commits = sorted((Path(ckpt) / "commits").glob("[0-9]*"))
+    commits[-1].unlink()
+    crc = Path(ckpt) / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run()
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")], got
