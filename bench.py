@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "simhash_docs",
     "simhash64_docs",
     "hamming_dup_pairs",
+    # grouped-map (applyInPandas) kernels belong in this Arrow-first
+    # block too — appended at the tail in r8/r9 they were charged the
+    # aged-worker penalty the block exists to avoid
+    "ewma_smoothed",
+    "holt_smoothed",
     "filter_project",
     "minute_last_bars",
     "hourly_volume",
@@ -103,8 +108,6 @@ BENCH_QUERIES = [
     "next_event_examples",
     "robust_price_stats",
     "grouping_sets_revenue",
-    "ewma_smoothed",
-    "holt_smoothed",
     "incremental_rollup",
     # GK-sketch twins of the exact-percentile heavies: the 100 TB path
     # (constant aggregation memory), benched alongside the exact forms
