@@ -865,7 +865,14 @@ def _rollup_versions(spark: SparkSession, state_path: str) -> list[int]:
 
 def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The current (latest committed) rollup state table — what a
-    dashboard or downstream join reads. Raises if no version exists."""
+    dashboard or downstream join reads. Raises if no version exists.
+
+    Reader/GC race to know about: the listing and the read are two
+    steps, and the writer GCs versions more than ``retain_versions``
+    behind — a reader that stalls longer than that many trigger
+    intervals between listing and reading can lose its chosen version.
+    Size ``retain_versions`` to the slowest reader's latency (the
+    same dial as any MVCC retention)."""
     versions = _rollup_versions(spark, state_path)
     if not versions:
         raise FileNotFoundError(f"no committed rollup state under {state_path}")
