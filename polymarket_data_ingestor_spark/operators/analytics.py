@@ -1722,8 +1722,11 @@ def distinct_rollup_state(
     — as one pass over everything, pinned in pytest. ``lgk`` fixes
     the accuracy/size trade (2^lgk buckets, ~1.6%/√(2^lgk/4096) rel.
     error, 4–8 KB at 12) and is a long-lived contract like a bucket
-    count: sketches built with different lgk still union, at the
-    coarser accuracy.
+    count: by default :func:`merge_distinct_rollup` REFUSES to union
+    sketches built with different lgk (Spark raises
+    ``HLL_UNION_DIFFERENT_LG_K``) — the loud-contract default; pass
+    ``allow_different_lgk=True`` there to union across an lgk
+    migration at the coarser accuracy.
     """
     return df.groupBy(*[F.col(k) for k in keys]).agg(
         F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("hll"),
@@ -1731,17 +1734,22 @@ def distinct_rollup_state(
 
 
 def merge_distinct_rollup(
-    *states: DataFrame, keys: tuple[str, ...]
+    *states: DataFrame,
+    keys: tuple[str, ...],
+    allow_different_lgk: bool = False,
 ) -> DataFrame:
     """Union per-split HLL states (:func:`distinct_rollup_state`
-    shape); shuffle ∝ distinct keys × sketch size, never the data."""
+    shape); shuffle ∝ distinct keys × sketch size, never the data.
+    Mixed-lgk inputs raise by default (see
+    :func:`distinct_rollup_state`); ``allow_different_lgk=True`` opts
+    into the coarser-accuracy union for an lgk migration."""
     if not states:
         raise ValueError("merge_distinct_rollup needs at least one state")
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)
     return out.groupBy(*[F.col(k) for k in keys]).agg(
-        F.hll_union_agg(F.col("hll")).alias("hll"),
+        F.hll_union_agg(F.col("hll"), allow_different_lgk).alias("hll"),
     )
 
 

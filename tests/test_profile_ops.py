@@ -1212,3 +1212,18 @@ def test_distinct_rollup_merge_identical_to_full_sketch(spark):
 
     with _pytest.raises(ValueError):
         merge_distinct_rollup(keys=keys)
+
+    # mixed-lgk union: loud by default, opt-in at coarser accuracy
+    s12 = distinct_rollup_state(ev, keys, "user_id", lgk=12)
+    s13 = distinct_rollup_state(ev, keys, "user_id", lgk=13)
+    with _pytest.raises(Exception, match="HLL_UNION_DIFFERENT_LG_K"):
+        merge_distinct_rollup(s12, s13, keys=keys).collect()
+    mixed = {
+        r["event_type"]: r["n_distinct"]
+        for r in finalize_distinct_rollup(
+            merge_distinct_rollup(
+                s12, s13, keys=keys, allow_different_lgk=True
+            )
+        ).collect()
+    }
+    assert mixed == full  # same values twice: union is still the set
