@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "quantize_embeddings",
     "rolling_zscore_flags",
     "dq_profile_orders",
+    "dq_violations_orders",
     "vwap_monthly",
     "inverted_index",
     "bm25_search",

@@ -1758,3 +1758,89 @@ def finalize_distinct_rollup(state: DataFrame) -> DataFrame:
     return state.withColumn(
         "n_distinct", F.hll_sketch_estimate(F.col("hll"))
     )
+
+
+class DQViolationError(ValueError):
+    """Raised by :func:`dq_check` when rules are violated and the
+    caller asked for the loud gate."""
+
+
+def dq_check(
+    df: DataFrame,
+    rules: dict[str, dict],
+    raise_on_violation: bool = False,
+) -> DataFrame:
+    """Data-quality VERIFICATION — the assertion half of the Deequ
+    pattern next to :func:`dq_profile`'s profiling half: evaluate
+    declarative per-column rules in ONE pass and report violation
+    counts, optionally raising so a pipeline refuses to publish a bad
+    partition.
+
+    ``rules`` maps column → checks. Supported checks (each becomes one
+    ``sum(when(...))`` in a single aggregate — adding rules widens the
+    map-side combine, never adds a scan):
+
+    * ``not_null: True`` — count NULLs;
+    * ``min: x`` / ``max: x`` — count non-null values outside the
+      bound (inclusive bounds pass);
+    * ``in_set: [..]`` — count non-null values outside the set;
+    * ``unique: True`` — count surplus rows (n_non_null − n_distinct;
+      exact, so this rule adds the count-distinct's state — the one
+      check that is not constant-memory, same honest cost as
+      :func:`dq_profile`'s exact mode).
+
+    NULL handling is deliberate: bound/set rules skip NULLs (a NULL is
+    a completeness problem — declare ``not_null`` to count it), so one
+    bad value is never double-reported.
+
+    Output: one row per (column, rule) with the violation count and
+    ``n_rows`` — long format, hash-exact integers. With
+    ``raise_on_violation`` the (rule-count-sized) report is collected
+    and a :class:`DQViolationError` names every violated rule — the
+    loud publish gate (same philosophy as the lake sinks' loud-failure
+    contracts).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    labels: list[tuple[str, str, str]] = []
+    for col, checks in rules.items():
+        c = F.col(col)
+        for rule, arg in checks.items():
+            alias = f"__v_{len(labels)}"
+            if rule == "not_null":
+                expr = F.sum(c.isNull().cast("bigint"))
+            elif rule == "min":
+                expr = F.sum((c < F.lit(arg)).cast("bigint"))
+            elif rule == "max":
+                expr = F.sum((c > F.lit(arg)).cast("bigint"))
+            elif rule == "in_set":
+                expr = F.sum((~c.isin(list(arg))).cast("bigint"))
+            elif rule == "unique":
+                expr = F.count(c) - F.count_distinct(c)
+            else:
+                raise ValueError(f"unknown dq rule {rule!r} for {col!r}")
+            aggs.append(F.coalesce(expr, F.lit(0)).alias(alias))
+            labels.append((col, rule, alias))
+    if not labels:
+        raise ValueError("dq_check needs at least one rule")
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', '{rule}', {alias}" for col, rule, alias in labels
+    )
+    report = one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(labels)}, {stack_args}) "
+            "AS (column_name, rule, violations)"
+        ),
+    ).select("column_name", "rule", "violations", "n_rows")
+    if raise_on_violation:
+        bad = [
+            f"{r['column_name']}.{r['rule']}={r['violations']}"
+            for r in report.collect()  # rule-count-sized, not data-sized
+            if r["violations"] > 0
+        ]
+        if bad:
+            raise DQViolationError(
+                "data-quality violations: " + ", ".join(sorted(bad))
+            )
+    return report

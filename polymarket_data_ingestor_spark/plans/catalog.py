@@ -1581,6 +1581,59 @@ def q_incremental_rollup(spark, sf_dir):
 
 
 @register(
+    "dq_violations_orders",
+    """
+    WITH a AS (
+      SELECT count(*) AS n,
+        COALESCE(SUM(CASE WHEN o_totalprice < 1000 THEN 1 ELSE 0 END), 0)
+          AS v_min,
+        COALESCE(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END), 0)
+          AS v_max,
+        COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+          AS v_null,
+        COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1
+                     ELSE 0 END), 0) AS v_set,
+        count(o_orderkey) - count(DISTINCT o_orderkey) AS v_uni
+      FROM orders
+    )
+    SELECT column_name, rule,
+           CAST(violations AS BIGINT) AS violations,
+           CAST(n AS BIGINT) AS n_rows
+    FROM a, LATERAL (VALUES
+      ('o_totalprice', 'min', v_min),
+      ('o_totalprice', 'max', v_max),
+      ('o_custkey', 'not_null', v_null),
+      ('o_orderstatus', 'in_set', v_set),
+      ('o_orderkey', 'unique', v_uni)
+    ) AS t(column_name, rule, violations)
+    """,
+    doc="Data-quality VERIFICATION (operators/analytics.py::dq_check) — "
+    "the assertion half of the Deequ pattern next to dq_profile: "
+    "declarative per-column rules (bounds, set membership, "
+    "completeness, uniqueness) evaluated in ONE aggregate pass; "
+    "adding rules widens the map-side combine, never adds a scan "
+    "(except `unique`, which pays exact count-distinct state — the "
+    "documented honest cost). Bound/set rules skip NULLs so a missing "
+    "value is reported once, by not_null, never twice. Long-format "
+    "integer output → hash-exact; raise_on_violation turns the same "
+    "plan into a loud publish gate (collect is rule-count-sized).",
+    tags=("agg", "quality"),
+)
+def q_dq_violations_orders(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import dq_check
+
+    return dq_check(
+        table(spark, sf_dir, "orders"),
+        {
+            "o_totalprice": {"min": 1000, "max": 400000},
+            "o_custkey": {"not_null": True},
+            "o_orderstatus": {"in_set": ("O", "F")},
+            "o_orderkey": {"unique": True},
+        },
+    )
+
+
+@register(
     "rolling_zscore_flags",
     """
     WITH counts AS (

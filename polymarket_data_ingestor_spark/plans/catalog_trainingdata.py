@@ -3062,6 +3062,7 @@ _CODE_CHANGED_THIS_ROUND = (
     "ewma_smoothed",        # r9: vectorized kernel (pandas ewm C path)
     "holt_smoothed",        # r9: new operator (level+trend kernel)
     "incremental_rollup",   # r9: new operator (mergeable rollup state)
+    "dq_violations_orders", # r9: new operator (dq_check verification)
 )
 
 

@@ -1227,3 +1227,51 @@ def test_distinct_rollup_merge_identical_to_full_sketch(spark):
         ).collect()
     }
     assert mixed == full  # same values twice: union is still the set
+
+
+def test_dq_check_rules_and_loud_gate(spark):
+    """One-pass rule evaluation: per-rule violation counts vs a naive
+    model; NULLs skip bound/set rules (reported once via not_null);
+    the loud gate raises naming every violated rule."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        DQViolationError,
+        dq_check,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "O"), (2, -1.0, "F"), (3, None, "X"),
+         (4, 99.0, "O"), (4, 7.0, None)],
+        "k long, v double, s string",
+    )
+    rules = {
+        "v": {"min": 0.0, "max": 50.0, "not_null": True},
+        "s": {"in_set": ("O", "F")},
+        "k": {"unique": True},
+    }
+    got = {
+        (r["column_name"], r["rule"]): (r["violations"], r["n_rows"])
+        for r in dq_check(df, rules).collect()
+    }
+    assert got == {
+        ("v", "min"): (1, 5),       # -1.0; NULL skipped
+        ("v", "max"): (1, 5),       # 99.0
+        ("v", "not_null"): (1, 5),  # the NULL, counted exactly once
+        ("s", "in_set"): (1, 5),    # "X"; NULL skipped
+        ("k", "unique"): (1, 5),    # k=4 twice -> one surplus row
+    }, got
+
+    with _pytest.raises(DQViolationError, match=r"v\.min=1"):
+        dq_check(df, rules, raise_on_violation=True)
+
+    # clean data passes the gate and reports zeros
+    clean = df.filter("v IS NOT NULL AND v BETWEEN 0 AND 50 "
+                      "AND s IN ('O','F') AND k <> 4")
+    rep = dq_check(clean, rules, raise_on_violation=True)
+    assert all(r["violations"] == 0 for r in rep.collect())
+
+    with _pytest.raises(ValueError, match="unknown dq rule"):
+        dq_check(df, {"v": {"median": 1}})
+    with _pytest.raises(ValueError, match="at least one rule"):
+        dq_check(df, {})
