@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     # aged-worker penalty the block exists to avoid
     "ewma_smoothed",
     "holt_smoothed",
+    "cusum_drift",
     "filter_project",
     "minute_last_bars",
     "hourly_volume",

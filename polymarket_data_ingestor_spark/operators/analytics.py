@@ -1844,3 +1844,91 @@ def dq_check(
                 "data-quality violations: " + ", ".join(sorted(bad))
             )
     return report
+
+
+def cusum_series(values, k_hi: float, k_lo: float, seed=None):
+    """One key's two-sided CUSUM recursion over already-ordered values
+    (same shared-kernel policy as :func:`ewma_series` /
+    :func:`holt_series`; ``seed`` is a checkpointed ``(s_hi, s_lo)``
+    pair). Returns ``(s_hi_list, s_lo_list)``.
+
+    Per step: ``s_hi = max(0, s_hi + (v − k_hi))``,
+    ``s_lo = max(0, s_lo + (k_lo − v))`` — one correctly-rounded
+    subtraction, one addition, one exact max each; the DuckDB oracle's
+    ``GREATEST(0.0, s + (v − k))`` runs the identical sequence, so the
+    statistic is bit-exact across engines with no quantization. NaN
+    raises loudly (same poisoning argument as ewma)."""
+    sh, sl = (0.0, 0.0) if seed is None else seed
+    his: list[float] = []
+    los: list[float] = []
+    for v in values:
+        if v is None or v != v:
+            raise ValueError(
+                "cusum: null/NaN value in input — the recursion would "
+                "silently poison every subsequent statistic for this "
+                "key; filter or impute upstream"
+            )
+        sh = sh + (v - k_hi)
+        if sh < 0.0:
+            sh = 0.0
+        sl = sl + (k_lo - v)
+        if sl < 0.0:
+            sl = 0.0
+        his.append(sh)
+        los.append(sl)
+    return his, los
+
+
+def cusum(
+    events: DataFrame,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-key two-sided CUSUM drift detection — the change-point
+    monitor next to :func:`ewma` (level) and :func:`holt_linear`
+    (trend): accumulate how far the series runs ABOVE
+    ``target + slack`` (``s_hi``) or BELOW ``target − slack``
+    (``s_lo``), resetting at zero; a sustained small shift grows the
+    statistic linearly where a z-score on single points never fires.
+    With ``threshold`` an ``alarm`` flag marks rows where either side
+    exceeds it (Page's test).
+
+    Fourth genuine grouped-map kernel (order-book replay, ewma, holt,
+    cusum): the max-reset makes the recursion inherently serial per
+    key — one key shuffle, O(1) state (two doubles), serial bound =
+    longest single series. Bit-exact cross-engine by the identical-op
+    argument: add, subtract, exact max — no multiplications at all, so
+    even the ewma C-path guard analysis is unnecessary. NO NULLS
+    precondition as in :func:`ewma`.
+    """
+    import pandas as pd
+
+    k_hi = target + slack
+    k_lo = target - slack
+    prepared, base_schema = ewma_prepare(
+        events, value_col, key_col, ts_col, order_col
+    )
+    out_schema = base_schema.replace(
+        ", ewma double", ", s_hi double, s_lo double"
+    )
+    if threshold is not None:
+        out_schema += ", alarm boolean"
+
+    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", order_col], kind="mergesort")
+        pdf = pdf.copy()
+        his, los = cusum_series(pdf[value_col].to_list(), k_hi, k_lo)
+        pdf["s_hi"] = his
+        pdf["s_lo"] = los
+        if threshold is not None:
+            pdf["alarm"] = [
+                h > threshold or l > threshold for h, l in zip(his, los)
+            ]
+        return pdf
+
+    return prepared.groupBy(key_col).applyInPandas(_group, out_schema)

@@ -1581,6 +1581,56 @@ def q_incremental_rollup(spark, sf_dir):
 
 
 @register(
+    "cusum_drift",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, ts_us, event_id, value, rn,
+             GREATEST(CAST(0 AS DOUBLE),
+                      value - CAST(50.5 AS DOUBLE)) AS s_hi,
+             GREATEST(CAST(0 AS DOUBLE),
+                      CAST(49.5 AS DOUBLE) - value) AS s_lo
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts_us, s.event_id, s.value, s.rn,
+             GREATEST(CAST(0 AS DOUBLE),
+                      r.s_hi + (s.value - CAST(50.5 AS DOUBLE))),
+             GREATEST(CAST(0 AS DOUBLE),
+                      r.s_lo + (CAST(49.5 AS DOUBLE) - s.value))
+      FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, ts_us, event_id, value, s_hi, s_lo,
+           (s_hi > CAST(500 AS DOUBLE) OR s_lo > CAST(500 AS DOUBLE))
+             AS alarm
+    FROM r
+    """,
+    doc="Per-user two-sided CUSUM drift statistic, target=50 slack=0.5 "
+    "threshold=500 (operators/analytics.py::cusum) — Page's test: a "
+    "sustained small shift accumulates linearly where a pointwise "
+    "z-score never fires; the change-point monitor next to "
+    "ewma_smoothed (level) and holt_smoothed (trend). Fourth genuine "
+    "grouped-map kernel (the max-reset makes the recursion inherently "
+    "serial per key): one key shuffle, O(1) state. Bit-exact by the "
+    "identical-op argument — add, subtract, exact max, NO "
+    "multiplications — with the oracle's GREATEST(0, s + (v − k)) "
+    "running the same correctly-rounded sequence.",
+    tags=("stateful", "analytics"),
+)
+def q_cusum_drift(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import cusum
+
+    return cusum(
+        table(spark, sf_dir, "events"),
+        target=50.0, slack=0.5, threshold=500.0,
+    )
+
+
+@register(
     "dq_violations_orders",
     """
     WITH a AS (

@@ -3063,6 +3063,7 @@ _CODE_CHANGED_THIS_ROUND = (
     "holt_smoothed",        # r9: new operator (level+trend kernel)
     "incremental_rollup",   # r9: new operator (mergeable rollup state)
     "dq_violations_orders", # r9: new operator (dq_check verification)
+    "cusum_drift",          # r9: new operator (fourth serial kernel)
 )
 
 

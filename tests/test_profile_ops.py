@@ -1275,3 +1275,54 @@ def test_dq_check_rules_and_loud_gate(spark):
         dq_check(df, {"v": {"median": 1}})
     with _pytest.raises(ValueError, match="at least one rule"):
         dq_check(df, {})
+
+
+def test_cusum_matches_naive_model_and_alarms(spark):
+    """CUSUM against a hand recursion: resets at zero, accumulates a
+    sustained shift, alarms past the threshold; seeding continues the
+    recursion bit-for-bit; NaN raises; no-threshold form omits alarm."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        cusum,
+        cusum_series,
+    )
+
+    BASE = dt.datetime(2024, 5, 1)
+    vals = [50.0, 53.0, 52.0, 47.0, 46.0, 55.0]
+    rows = [
+        (i, 10, BASE + dt.timedelta(minutes=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: (r["s_hi"], r["s_lo"], r["alarm"])
+        for r in cusum(df, target=50.0, slack=0.5, threshold=3.0).collect()
+    }
+    # hand model: k_hi=50.5, k_lo=49.5
+    sh = sl = 0.0
+    for i, v in enumerate(vals):
+        sh = max(0.0, sh + (v - 50.5))
+        sl = max(0.0, sl + (49.5 - v))
+        assert got[i] == (sh, sl, sh > 3.0 or sl > 3.0), (i, got[i])
+    # the sustained +shift alarmed on the high side mid-series (s_hi
+    # hits exactly 4.0 > 3.0 at step 2; a pointwise test on 52 never
+    # would), and the strict > boundary is pinned: 2.5 at step 1 stays
+    # quiet
+    assert got[2][2] is True and got[1][2] is False
+
+    # seeding continues bit-for-bit (streaming-restart contract)
+    h_all, l_all = cusum_series(vals, 50.5, 49.5)
+    h2, l2 = cusum_series(vals[3:], 50.5, 49.5,
+                          seed=(h_all[2], l_all[2]))
+    assert h2 == h_all[3:] and l2 == l_all[3:]
+
+    # no threshold → no alarm column
+    assert "alarm" not in cusum(df, target=50.0).columns
+
+    with _pytest.raises(ValueError, match="null/NaN"):
+        cusum_series([1.0, float("nan")], 50.5, 49.5)
