@@ -5,6 +5,7 @@ from polymarket_data_ingestor_spark.streaming.collector import (
 )
 from polymarket_data_ingestor_spark.streaming.live import (
     apply_cdc_stream,
+    live_cusum,
     live_dedup_stream,
     live_distinct_rollup,
     live_materialize,
@@ -23,6 +24,7 @@ __all__ = [
     "write_frames_stream",
     "live_ticks",
     "apply_cdc_stream",
+    "live_cusum",
     "live_dedup_stream",
     "live_rollup",
     "live_distinct_rollup",

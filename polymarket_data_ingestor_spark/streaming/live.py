@@ -1109,3 +1109,84 @@ def live_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def live_cusum(
+    events_stream: DataFrame,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``analytics.cusum`` — per-key state is the
+    ``(s_hi, s_lo)`` double pair carried across micro-batches and
+    restarts by ``applyInPandasWithState``; every arriving event emits
+    its drift statistics (and alarm, with ``threshold``) immediately —
+    the live change-point monitor next to :func:`live_ewma` and
+    :func:`live_holt`.
+
+    Same ordering contract, TTL semantics, and bit-parity policy as
+    those twins (the float steps come from the SHARED
+    ``analytics.cusum_series`` kernel, so an in-order drain is
+    bit-identical to the batch operator by construction). An evicted
+    or new key re-seeds at ``(0, 0)`` — which is also the batch
+    operator's start, so TTL eviction RESTARTS the test rather than
+    corrupting it (the documented CUSUM restart-after-decision
+    semantics).
+    """
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        cusum_series,
+        ewma_prepare,
+    )
+
+    if state_ttl_ms is not None and state_ttl_ms <= 0:
+        raise ValueError(f"state_ttl_ms must be > 0, got {state_ttl_ms}")
+    k_hi = target + slack
+    k_lo = target - slack
+
+    def _kernel(key, pdfs, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        seed = tuple(state.get) if state.exists else None
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["ts_us", order_col], kind="mergesort"
+        )
+        his, los = cusum_series(pdf[value_col].to_list(), k_hi, k_lo, seed)
+        pdf["s_hi"] = his
+        pdf["s_lo"] = los
+        if threshold is not None:
+            pdf["alarm"] = [
+                h > threshold or l > threshold for h, l in zip(his, los)
+            ]
+        state.update((his[-1], los[-1]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pdf
+
+    prepared, base_schema = ewma_prepare(
+        events_stream, value_col, key_col, ts_col, order_col
+    )
+    out_schema = base_schema.replace(
+        ", ewma double", ", s_hi double, s_lo double"
+    )
+    if threshold is not None:
+        out_schema += ", alarm boolean"
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        _kernel,
+        outputStructType=out_schema,
+        stateStructType="s_hi double, s_lo double",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

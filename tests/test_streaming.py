@@ -1197,3 +1197,70 @@ def test_live_dedup_stream_cross_batch_and_replay_safe(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")], got
+
+
+def test_live_cusum_matches_batch_across_restart(spark, tmp_path):
+    """Streaming CUSUM over an in-order availableNow drain must be
+    bit-identical to the batch operator — including when the stream is
+    split across two runs sharing a checkpoint (per-key state, two
+    doubles, survives the restart)."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.operators.analytics import cusum
+    from polymarket_data_ingestor_spark.streaming import live_cusum
+
+    src = tmp_path / "cs"
+    src.mkdir()
+    out = str(tmp_path / "cs_out")
+    ckpt = str(tmp_path / "cs_ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def emit(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    def run():
+        q = (
+            live_cusum(
+                spark.readStream.schema(schema).json(str(src)),
+                target=25.0, slack=0.5, threshold=30.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300), "drain timed out"
+        finally:
+            q.stop()
+
+    all_rows = [
+        {"event_id": i, "user_id": 100 + (i % 3),
+         "ts": f"2024-04-01T00:{i:02d}:00", "value": float((i * 7) % 50)}
+        for i in range(20)
+    ]
+    emit("b1.json", all_rows[:12])
+    run()
+    emit("b2.json", all_rows[12:])  # restart continues from state
+    run()
+
+    got = {
+        r["event_id"]: (r["s_hi"], r["s_lo"], r["alarm"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["user_id"],
+          datetime.fromisoformat(r["ts"]), r["value"])
+         for r in all_rows], schema
+    )
+    want = {
+        r["event_id"]: (r["s_hi"], r["s_lo"], r["alarm"])
+        for r in cusum(
+            batch_df, target=25.0, slack=0.5, threshold=30.0
+        ).collect()
+    }
+    assert got == want and len(got) == 20
+    assert any(a for _, _, a in got.values())  # the drift actually fired
