@@ -5,6 +5,7 @@ from polymarket_data_ingestor_spark.streaming.collector import (
 )
 from polymarket_data_ingestor_spark.streaming.live import (
     apply_cdc_stream,
+    bootstrap_dedup_state,
     live_cusum,
     live_dedup_stream,
     live_distinct_rollup,
@@ -24,6 +25,7 @@ __all__ = [
     "write_frames_stream",
     "live_ticks",
     "apply_cdc_stream",
+    "bootstrap_dedup_state",
     "live_cusum",
     "live_dedup_stream",
     "live_rollup",

@@ -1190,3 +1190,26 @@ def live_cusum(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def bootstrap_dedup_state(
+    corpus: DataFrame, state_path: str, text_col: str = "text"
+) -> int:
+    """Seed :func:`live_dedup_stream`'s digest lake from an EXISTING
+    corpus, so the stream dedups against history from its very first
+    micro-batch (the streaming bootstrap of
+    ``operators.dedup.dedup_against``'s persist-the-artifacts advice).
+
+    The digests are written as partition ``b=-1`` — strictly below
+    every stream batch id, so the replay-safety filter
+    (``b < batch_id``) includes the bootstrap for every batch without
+    any special case, and a batch-0 replay still excludes only its own
+    output. One corpus scan, 16-byte distinct digests out; returns the
+    digest count. Run BEFORE starting the stream (single-writer
+    contract on ``state_path``, as everywhere in this module).
+    """
+    digests = corpus.select(
+        F.md5(F.col(text_col)).alias("__digest")
+    ).distinct()
+    digests.write.mode("overwrite").parquet(f"{state_path}/b=-1")
+    return digests.sparkSession.read.parquet(f"{state_path}/b=-1").count()

@@ -1264,3 +1264,39 @@ def test_live_cusum_matches_batch_across_restart(spark, tmp_path):
     }
     assert got == want and len(got) == 20
     assert any(a for _, _, a in got.values())  # the drift actually fired
+
+
+def test_bootstrap_dedup_state_suppresses_historical_dupes(
+    spark, tmp_path
+):
+    """Seeding the digest lake from an existing corpus makes the very
+    first stream batch dedup against history; replay safety is
+    untouched (bootstrap sits at b=-1, strictly below batch 0)."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.streaming import (
+        bootstrap_dedup_state,
+        live_dedup_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha"), (101, "beta")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "bs_state")
+    n = bootstrap_dedup_state(corpus, state)
+    assert n == 2
+
+    src = tmp_path / "bs_src"
+    src.mkdir()
+    out = str(tmp_path / "bs_out")
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 1, "text": "alpha"},   # historical dup -> dropped
+        {"doc_id": 2, "text": "gamma"},   # new -> kept
+    ]) + "\n")
+    q = live_dedup_stream(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        out, state, str(tmp_path / "bs_ckpt"), available_now=True,
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {2}, got
