@@ -123,3 +123,42 @@ def test_delta_volatility_matches_naive(spark, events):
             assert gvar is None, key
         else:
             assert abs(gvar - wvar) < 1e-9, (key, gvar, wvar)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=60,
+    ),
+    st.floats(min_value=-100.0, max_value=100.0,
+              allow_nan=False, allow_infinity=False),
+    st.floats(min_value=0.0, max_value=10.0,
+              allow_nan=False, allow_infinity=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_series_matches_naive_recursion(values, target, slack):
+    """Pure-Python kernel property: cusum_series == the textbook
+    recursion bit-for-bit for arbitrary finite floats, and a mid-series
+    (s_hi, s_lo) seed continues identically (the streaming-restart
+    contract). No Spark session — hundreds of examples are cheap."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        cusum_series,
+    )
+
+    k_hi, k_lo = target + slack, target - slack
+    his, los = cusum_series(values, k_hi, k_lo)
+    sh = sl = 0.0
+    for i, v in enumerate(values):
+        sh = max(0.0, sh + (v - k_hi))
+        sl = max(0.0, sl + (k_lo - v))
+        assert his[i] == sh and los[i] == sl, i
+    # statistics are never negative and alarm monotonicity holds per step
+    assert all(h >= 0.0 for h in his) and all(l >= 0.0 for l in los)
+    # seeded continuation == suffix of the full run, bit-for-bit
+    cut = len(values) // 2
+    if cut:
+        h2, l2 = cusum_series(
+            values[cut:], k_hi, k_lo, seed=(his[cut - 1], los[cut - 1])
+        )
+        assert h2 == his[cut:] and l2 == los[cut:]

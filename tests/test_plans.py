@@ -855,3 +855,23 @@ def test_catalog_scan_budget_no_silent_rederivation(spark):
         if worst > budgets.get(name, default_budget):
             over[name] = dict(per_table)
     assert not over, over
+
+
+def test_cusum_single_key_shuffle_grouped_map(spark):
+    """CUSUM shares the serial-kernel plan contract (ewma, holt):
+    exactly one exchange feeding FlatMapGroupsInPandas, no join, no
+    window."""
+    plan = plan_of(spark, "cusum_drift")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_dq_check_single_aggregate_single_scan(spark):
+    """dq_check's cost claim: every rule folds into ONE aggregate over
+    ONE scan — adding rules can never add a pass. The unique rule's
+    count-distinct keeps the plan an aggregate (Expand allowed), still
+    zero joins and one scan."""
+    plan = plan_of(spark, "dq_violations_orders")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
