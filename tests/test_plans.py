@@ -875,3 +875,23 @@ def test_dq_check_single_aggregate_single_scan(spark):
     plan = plan_of(spark, "dq_violations_orders")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_iterative_entries_release_their_caches(spark):
+    """Cache-hygiene gate: operators that persist internally must leave
+    the cache manager empty after their job runs — pagerank leaked its
+    final rank table for eight rounds before this was caught (every
+    call pinned one relation for the session's lifetime). Covers the
+    iterative/persisting entries; cheap at sf0.001."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "part_supplier_pagerank",      # per-round localCheckpoint
+        "dedup_transitive_materialize",  # CC label propagation
+        "bpe_train_merges",            # vocab persist per merge round
+        "dedup_incremental",           # existing-side persist-once
+    ):
+        CATALOG[name].spark(spark, sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        assert cm.isEmpty(), f"{name} left persisted relations behind"
