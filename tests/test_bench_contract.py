@@ -59,3 +59,14 @@ def test_compact_line_oversize_drops_calibration_not_headlines():
     doc = json.loads(line)
     assert "calibration" not in doc
     assert set(doc["queries"]) == set(HEADLINE_KEYS)
+
+
+def test_bench_queries_all_exist_and_are_unique():
+    """A typo'd or stale name in BENCH_QUERIES crashes the driver's
+    official bench run — the exact failure mode that cost round 7 its
+    record. Every benched name must be a real catalog entry, once."""
+    from polymarket_data_ingestor_spark.plans.catalog import CATALOG
+
+    missing = [n for n in BENCH_QUERIES if n not in CATALOG]
+    assert not missing, missing
+    assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES))
