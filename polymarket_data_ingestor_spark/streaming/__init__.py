@@ -9,6 +9,7 @@ from polymarket_data_ingestor_spark.streaming.live import (
     live_cusum,
     live_dedup_stream,
     live_distinct_rollup,
+    live_dq_check,
     live_materialize,
     live_rollup,
     live_ticks,
@@ -30,6 +31,7 @@ __all__ = [
     "live_dedup_stream",
     "live_rollup",
     "live_distinct_rollup",
+    "live_dq_check",
     "live_materialize",
     "read_rollup_state",
 ]

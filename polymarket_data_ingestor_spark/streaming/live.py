@@ -1213,3 +1213,57 @@ def bootstrap_dedup_state(
     ).distinct()
     digests.write.mode("overwrite").parquet(f"{state_path}/b=-1")
     return digests.sparkSession.read.parquet(f"{state_path}/b=-1").count()
+
+
+def live_dq_check(
+    docs: DataFrame,
+    checkpoint: str,
+    rules: dict[str, dict],
+    report_path: str | None = None,
+    fail_on_violation: bool = True,
+    available_now: bool = False,
+):
+    """Streaming data-quality gate: run
+    :func:`~polymarket_data_ingestor_spark.operators.analytics.dq_check`
+    on every micro-batch — the ingest-time twin of the batch
+    refuse-to-publish gate, completing the DQ story's streaming side
+    the way live_ewma/live_holt/live_cusum complete the kernels'.
+
+    With ``fail_on_violation`` (default) a violating batch raises
+    inside ``foreachBatch``, which FAILS the streaming query before
+    the checkpoint commits — the batch is not marked consumed, so
+    fixing the upstream data (or the rules) and restarting re-processes
+    it: nothing bad is ever silently ingested past this point. With
+    ``report_path`` each batch's rule report (plus ``batch_id``) is
+    appended as the quality audit log — appending the tiny
+    rule-count-sized report is idempotent-enough for monitoring
+    (a replayed batch writes a duplicate report row, never wrong
+    counts; exactly-once on reports would need the MVCC pattern and is
+    not worth it for an audit log — documented trade).
+    """
+    from polymarket_data_ingestor_spark.operators.analytics import dq_check
+
+    if report_path is None and not fail_on_violation:
+        raise ValueError(
+            "live_dq_check with neither report_path nor "
+            "fail_on_violation would observe nothing"
+        )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        report = dq_check(batch, rules)
+        if report_path is not None:
+            report.withColumn("batch_id", F.lit(batch_id)).coalesce(
+                1
+            ).write.mode("append").parquet(report_path)
+        if fail_on_violation:
+            dq_check(batch, rules, raise_on_violation=True)
+
+    writer = (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

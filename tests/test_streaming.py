@@ -1300,3 +1300,56 @@ def test_bootstrap_dedup_state_suppresses_historical_dupes(
     q.awaitTermination(300)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {2}, got
+
+
+def test_live_dq_check_blocks_bad_batch_until_fixed(spark, tmp_path):
+    """Streaming DQ gate: a violating micro-batch fails the query
+    BEFORE its checkpoint commit, so nothing bad is marked consumed;
+    after upstream repair (here: relaxed rules) a restart re-processes
+    the same batch; reports append per batch."""
+    import json as _json
+
+    import pyspark.errors as _errs
+
+    from polymarket_data_ingestor_spark.streaming import live_dq_check
+
+    src = tmp_path / "dq_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "dq_ckpt")
+    rep = str(tmp_path / "dq_rep")
+    schema = "k long, v double"
+
+    def run(rules):
+        q = live_dq_check(
+            spark.readStream.schema(schema).json(str(src)),
+            ckpt, rules, report_path=rep, available_now=True,
+        )
+        q.awaitTermination(300)
+
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"k": 1, "v": 5.0}, {"k": 2, "v": -3.0},
+    ]) + "\n")
+    import pytest as _pytest
+
+    with _pytest.raises(
+        _errs.exceptions.captured.StreamingQueryException,
+        match=r"v\.min=1",
+    ):
+        run({"v": {"min": 0.0}})
+
+    # the failed batch was NOT consumed: a rules fix re-processes it
+    run({"v": {"min": -10.0}})
+    reports = spark.read.parquet(rep).collect()
+    # first (failed) attempt appended its report too — the audit trail
+    # shows the violation, then the clean re-run
+    by_attempt = sorted(
+        (r["violations"] for r in reports if r["rule"] == "min")
+    )
+    assert by_attempt == [0, 1], by_attempt
+
+    with _pytest.raises(ValueError, match="observe nothing"):
+        live_dq_check(
+            spark.readStream.schema(schema).json(str(src)),
+            ckpt, {"v": {"min": 0}}, report_path=None,
+            fail_on_violation=False,
+        )
