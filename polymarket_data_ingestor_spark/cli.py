@@ -217,10 +217,22 @@ def cmd_lake_upsert(args: argparse.Namespace) -> int:
 def cmd_lake_expire(args: argparse.Namespace) -> int:
     from polymarket_data_ingestor_spark.sinks import expire_lake_partitions
 
+    pcols = _pcols(args)
+    if not pcols:
+        print("lake-expire: --partition-cols must name the partition "
+              "column to expire on", file=sys.stderr)
+        return 2
+    if len(pcols) > 1:
+        # expiry compares only the FIRST (outermost) level; silently
+        # ignoring the rest would read as "expired on all of them"
+        print("lake-expire: expiry supports exactly one partition "
+              f"column, got {','.join(pcols)} — pass the outermost "
+              "level only", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="pdi-lake-expire")
     gone = expire_lake_partitions(
         spark, args.path, args.older_than,
-        partition_col=_pcols(args)[0], dry_run=args.dry_run,
+        partition_col=pcols[0], dry_run=args.dry_run,
     )
     verb = "would expire" if args.dry_run else "expired"
     print(f"{verb} {len(gone)} partition(s): {', '.join(gone) or '-'}")

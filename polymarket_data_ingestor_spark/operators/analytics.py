@@ -1025,10 +1025,17 @@ def pagerank(
     used checkpoints — a driver-side planning cost all its own) and an
     evicted or lost block recomputes the whole chain; the checkpoint
     truncates lineage per round at the price of no executor-loss
-    recovery for the round table. The edge list and degree table stay
-    persisted across rounds (genuinely re-read every iteration) and
-    are released before returning. N is a driver scalar (the same
-    convergence-scalar pattern as ``dup_components``).
+    recovery for the round table. A superseded round's checkpointed
+    blocks are freed by Spark's ContextCleaner once the rebound
+    ``ranks`` drops the last reference (the same GC-driven release
+    ``dup_components`` relies on for its per-round label checkpoints)
+    — peak executor storage can therefore briefly hold two round
+    tables (#nodes rows each — tiny next to the edge list) between a
+    rebind and the cleaner's pass; there is no public PySpark handle
+    to free a localCheckpoint's blocks eagerly. The edge list and
+    degree table stay persisted across rounds (genuinely re-read every
+    iteration) and are released before returning. N is a driver scalar
+    (the same convergence-scalar pattern as ``dup_components``).
     """
     from decimal import Decimal
 
@@ -1787,11 +1794,23 @@ def dq_check(
     * ``unique: True`` — count surplus rows (n_non_null − n_distinct;
       exact, so this rule adds the count-distinct's state — the one
       check that is not constant-memory, same honest cost as
-      :func:`dq_profile`'s exact mode).
+      :func:`dq_profile`'s exact mode);
+    * ``check: <Column or SQL string>`` — a CROSS-COLUMN predicate
+      (e.g. ``F.col("bid") <= F.col("ask")``): count rows where the
+      predicate is definitively FALSE. The dict key is the label the
+      report files the rule under, not a column the predicate is
+      restricted to.
 
     NULL handling is deliberate: bound/set rules skip NULLs (a NULL is
     a completeness problem — declare ``not_null`` to count it), so one
-    bad value is never double-reported.
+    bad value is never double-reported; a ``check`` predicate that
+    evaluates to NULL (some operand missing) is likewise skipped, not
+    counted as a violation.
+
+    Rule and column labels reach the report through ``F.lit`` bindings
+    (never interpolated into a SQL string), so a column named
+    ``o'brien`` — or anything else — can't break or inject into the
+    report plan.
 
     Output: one row per (column, rule) with the violation count and
     ``n_rows`` — long format, hash-exact integers. With
@@ -1816,6 +1835,14 @@ def dq_check(
                 expr = F.sum((~c.isin(list(arg))).cast("bigint"))
             elif rule == "unique":
                 expr = F.count(c) - F.count_distinct(c)
+            elif rule == "check":
+                cond = F.expr(arg) if isinstance(arg, str) else arg
+                # ~NULL is NULL → otherwise(0): an indeterminate
+                # predicate is skipped, matching the bound rules'
+                # NULL policy.
+                expr = F.sum(
+                    F.when(~cond, F.lit(1)).otherwise(F.lit(0))
+                ).cast("bigint")
             else:
                 raise ValueError(f"unknown dq rule {rule!r} for {col!r}")
             aggs.append(F.coalesce(expr, F.lit(0)).alias(alias))
@@ -1823,27 +1850,42 @@ def dq_check(
     if not labels:
         raise ValueError("dq_check needs at least one rule")
     one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', '{rule}', {alias}" for col, rule, alias in labels
-    )
+    # Long format via explode(array(struct(lit, lit, col))) — the labels
+    # ride as literal bindings, never as text inside a parsed SQL string
+    # (the earlier stack(...) f-string broke on quoted column names and
+    # let labels inject into the plan).
+    pairs = [
+        F.struct(
+            F.lit(col).alias("column_name"),
+            F.lit(rule).alias("rule"),
+            F.col(alias).alias("violations"),
+        )
+        for col, rule, alias in labels
+    ]
     report = one.select(
         F.col("__n").alias("n_rows"),
-        F.expr(
-            f"stack({len(labels)}, {stack_args}) "
-            "AS (column_name, rule, violations)"
-        ),
-    ).select("column_name", "rule", "violations", "n_rows")
+        F.explode(F.array(*pairs)).alias("__p"),
+    ).select("__p.column_name", "__p.rule", "__p.violations", "n_rows")
     if raise_on_violation:
-        bad = [
-            f"{r['column_name']}.{r['rule']}={r['violations']}"
-            for r in report.collect()  # rule-count-sized, not data-sized
-            if r["violations"] > 0
-        ]
+        bad = dq_failures(report.collect())  # rule-count-sized
         if bad:
             raise DQViolationError(
-                "data-quality violations: " + ", ".join(sorted(bad))
+                "data-quality violations: " + ", ".join(bad)
             )
     return report
+
+
+def dq_failures(rows) -> list[str]:
+    """Violated-rule labels from already-collected :func:`dq_check`
+    report rows — shared by the batch gate above and the streaming
+    ``live_dq_check`` so both decide from the SAME rows they report
+    (one aggregate scan, and the audit log can never disagree with the
+    gate)."""
+    return sorted(
+        f"{r['column_name']}.{r['rule']}={r['violations']}"
+        for r in rows
+        if r["violations"] > 0
+    )
 
 
 def cusum_series(values, k_hi: float, k_lo: float, seed=None):

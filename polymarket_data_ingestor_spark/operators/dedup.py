@@ -118,11 +118,25 @@ def exact_dedup_groups(
 def drop_exact_dupes(
     df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Materialized exact dedup: keep the min-id row per content digest."""
-    keep = exact_dedup_groups(df, key_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    """Materialized exact dedup: keep ONE min-id row per content digest.
+
+    The trailing ``dropDuplicates`` closes the physically-identical-row
+    gap: under at-least-once upstream redelivery a corpus can hold two
+    byte-identical rows (same id, same content) — a semi-join alone
+    keeps every left row that matches, i.e. BOTH copies. Rows that
+    agree on (id, digest) but differ in other columns collapse to one
+    arbitrary survivor (Spark ``dropDuplicates`` semantics — for the
+    redelivery case the copies are identical, so the pick is
+    deterministic). No extra exchange: the semi-join already
+    partitions by the same (digest, id) keys the dedup groups on.
+    """
+    dg = df.withColumn("__digest", F.md5(F.col(key_col)))
+    keep = dg.groupBy("__digest").agg(F.min(F.col(id_col)).alias(id_col))
+    return (
+        dg.join(keep, ["__digest", id_col], "left_semi")
+        .dropDuplicates(["__digest", id_col])
+        .drop("__digest")
     )
-    return df.join(keep, on=id_col, how="left_semi")
 
 
 def dup_size_histogram(

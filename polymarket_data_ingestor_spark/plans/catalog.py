@@ -1684,6 +1684,55 @@ def q_dq_violations_orders(spark, sf_dir):
 
 
 @register(
+    "dq_cross_column",
+    """
+    WITH a AS (
+      SELECT count(*) AS n,
+        COALESCE(SUM(CASE WHEN NOT (l_discount <= l_tax) THEN 1
+                     ELSE 0 END), 0) AS v_chk1,
+        COALESCE(SUM(CASE WHEN NOT (l_extendedprice >= l_quantity) THEN 1
+                     ELSE 0 END), 0) AS v_chk2,
+        COALESCE(SUM(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END), 0)
+          AS v_min
+      FROM lineitem
+    )
+    SELECT column_name, rule,
+           CAST(violations AS BIGINT) AS violations,
+           CAST(n AS BIGINT) AS n_rows
+    FROM a, LATERAL (VALUES
+      ('l_discount', 'check', v_chk1),
+      ('l_extendedprice', 'check', v_chk2),
+      ('l_quantity', 'min', v_min)
+    ) AS t(column_name, rule, violations)
+    """,
+    doc="Cross-column data-quality rules "
+    "(operators/analytics.py::dq_check, the `check` rule): arbitrary "
+    "row predicates spanning columns (discount vs tax, price vs "
+    "quantity) counted in the SAME single aggregate pass as the "
+    "per-column rules — the one common DQ shape a column→rule map "
+    "can't otherwise express. A predicate that evaluates to NULL "
+    "(missing operand) is skipped, not counted — the completeness "
+    "rules own missing values. Labels ride as literal bindings "
+    "(explode over lit-structs), never interpolated into parsed SQL, "
+    "so no column name can inject into the report plan.",
+    tags=("agg", "quality"),
+)
+def q_dq_cross_column(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import dq_check
+
+    return dq_check(
+        table(spark, sf_dir, "lineitem"),
+        {
+            "l_discount": {"check": "l_discount <= l_tax"},
+            "l_extendedprice": {
+                "check": F.col("l_extendedprice") >= F.col("l_quantity")
+            },
+            "l_quantity": {"min": 1},
+        },
+    )
+
+
+@register(
     "rolling_zscore_flags",
     """
     WITH counts AS (

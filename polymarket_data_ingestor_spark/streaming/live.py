@@ -1083,7 +1083,14 @@ def live_dedup_stream(
         keep = dg.groupBy("__digest").agg(
             F.min(F.col(id_col)).alias(id_col)
         )
-        dedup_in = dg.join(keep, ["__digest", id_col], "left_semi")
+        # dropDuplicates closes the identical-row gap: at-least-once
+        # redelivery can put two byte-identical rows in ONE micro-batch
+        # and a semi-join alone would land both in out_path/b=N (same
+        # fix as the batch drop_exact_dupes; no extra exchange — the
+        # semi-join already partitions on these keys).
+        dedup_in = dg.join(
+            keep, ["__digest", id_col], "left_semi"
+        ).dropDuplicates(["__digest", id_col])
         try:
             seen = (
                 spark.read.parquet(state_path)
@@ -1240,8 +1247,20 @@ def live_dq_check(
     (a replayed batch writes a duplicate report row, never wrong
     counts; exactly-once on reports would need the MVCC pattern and is
     not worth it for an audit log — documented trade).
+
+    The batch is aggregated ONCE per trigger: the rule-count-sized
+    report is collected, the audit write is rebuilt from those local
+    rows (``createDataFrame`` — no second scan), and the gate decides
+    from the same rows via ``dq_failures`` — so the persisted report
+    and the raise can never disagree, even over a nondeterministic
+    source (through round 9 the gated + audited configuration paid the
+    aggregate twice and could).
     """
-    from polymarket_data_ingestor_spark.operators.analytics import dq_check
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        DQViolationError,
+        dq_check,
+        dq_failures,
+    )
 
     if report_path is None and not fail_on_violation:
         raise ValueError(
@@ -1253,12 +1272,19 @@ def live_dq_check(
         if batch.isEmpty():
             return
         report = dq_check(batch, rules)
+        rows = report.collect()  # the ONE aggregate scan of the batch
         if report_path is not None:
-            report.withColumn("batch_id", F.lit(batch_id)).coalesce(
+            batch.sparkSession.createDataFrame(
+                rows, report.schema
+            ).withColumn("batch_id", F.lit(batch_id)).coalesce(
                 1
             ).write.mode("append").parquet(report_path)
         if fail_on_violation:
-            dq_check(batch, rules, raise_on_violation=True)
+            bad = dq_failures(rows)
+            if bad:
+                raise DQViolationError(
+                    "data-quality violations: " + ", ".join(bad)
+                )
 
     writer = (
         docs.writeStream.foreachBatch(_apply)

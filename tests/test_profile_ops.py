@@ -1277,6 +1277,55 @@ def test_dq_check_rules_and_loud_gate(spark):
         dq_check(df, {})
 
 
+def test_dq_check_cross_column_predicate_and_label_safety(spark):
+    """`check` rules: cross-column predicates (Column or SQL string)
+    count rows where the predicate is definitively FALSE — a NULL
+    operand is skipped (the completeness rules own missing values) —
+    and report labels are literal bindings, so a column name holding a
+    quote can't break or inject into the report plan (the pre-r10
+    stack() f-string did exactly that)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        DQViolationError,
+        dq_check,
+    )
+
+    df = spark.createDataFrame(
+        [(0.40, 0.41), (0.50, 0.45), (0.30, None), (0.20, 0.20)],
+        "bid double, ask double",
+    )
+    got = {
+        (r["column_name"], r["rule"]): r["violations"]
+        for r in dq_check(
+            df,
+            {
+                "bid": {"check": F.col("bid") <= F.col("ask")},
+                "ask": {"check": "ask >= 0", "not_null": True},
+            },
+        ).collect()
+    }
+    assert got == {
+        ("bid", "check"): 1,      # 0.50 > 0.45; NULL ask row skipped
+        ("ask", "check"): 0,
+        ("ask", "not_null"): 1,
+    }, got
+
+    with _pytest.raises(DQViolationError, match=r"bid\.check=1"):
+        dq_check(
+            df, {"bid": {"check": "bid <= ask"}}, raise_on_violation=True
+        )
+
+    # a column (and rule label) containing a single quote survives
+    quoted = df.withColumnRenamed("bid", "o'bid")
+    rep = dq_check(quoted, {"o'bid": {"not_null": True}}).collect()
+    assert [(r["column_name"], r["violations"]) for r in rep] == [
+        ("o'bid", 0)
+    ], rep
+
+
 def test_cusum_matches_naive_model_and_alarms(spark):
     """CUSUM against a hand recursion: resets at zero, accumulates a
     sustained shift, alarms past the threshold; seeding continues the

@@ -1171,11 +1171,14 @@ def test_live_dedup_stream_cross_batch_and_replay_safe(spark, tmp_path):
     (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
         {"doc_id": 1, "text": "alpha"},
         {"doc_id": 2, "text": "beta"},
+        {"doc_id": 2, "text": "beta"},    # byte-identical redelivery dup
         {"doc_id": 7, "text": "alpha"},   # in-batch dup: min id 1 wins
     ]) + "\n")
     run()
-    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
-    assert got == {1, 2}, got
+    rows = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}, rows
+    # the verbatim redelivered row collapsed to ONE physical copy
+    assert len(rows) == 2, rows
 
     (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in [
         {"doc_id": 3, "text": "gamma"},
@@ -1353,3 +1356,48 @@ def test_live_dq_check_blocks_bad_batch_until_fixed(spark, tmp_path):
             ckpt, {"v": {"min": 0}}, report_path=None,
             fail_on_violation=False,
         )
+
+
+def test_live_dq_check_single_aggregate_per_batch(
+    spark, tmp_path, monkeypatch
+):
+    """The gated + audited configuration aggregates each micro-batch
+    ONCE: the report is collected, the audit write is rebuilt from the
+    collected rows, and the gate decides from the same rows — through
+    round 9 this path called dq_check (a full aggregate scan) twice
+    per batch, and over a nondeterministic source the persisted report
+    and the raise could disagree."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.operators import analytics as A
+    from polymarket_data_ingestor_spark.streaming import live_dq_check
+
+    calls = []
+    real = A.dq_check
+
+    def counting(*args, **kwargs):
+        calls.append(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(A, "dq_check", counting)
+
+    src = tmp_path / "dq1_src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"k": 1, "v": 5.0}, {"k": 2, "v": 3.0},
+    ]) + "\n")
+    q = live_dq_check(
+        spark.readStream.schema("k long, v double").json(str(src)),
+        str(tmp_path / "dq1_ckpt"),
+        {"v": {"min": 0.0, "not_null": True}},
+        report_path=str(tmp_path / "dq1_rep"),
+        fail_on_violation=True,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    assert len(calls) == 1, calls  # one aggregate build for the batch
+    # never the raise_on_violation re-run (that was the second scan)
+    assert not any(k.get("raise_on_violation") for k in calls), calls
+    reports = spark.read.parquet(str(tmp_path / "dq1_rep")).collect()
+    assert {r["rule"] for r in reports} == {"min", "not_null"}
+    assert all(r["violations"] == 0 and r["n_rows"] == 2 for r in reports)

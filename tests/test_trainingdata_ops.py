@@ -45,6 +45,19 @@ def test_exact_dedup_drops_planted_dupes(spark, docs):
     assert deduped.filter(F.col("doc_id").between(100000, 199999)).count() == 0
 
 
+def test_exact_dedup_collapses_byte_identical_rows(spark, docs):
+    """At-least-once redelivery: a row duplicated VERBATIM (same id,
+    same text) must come out as ONE physical row — a semi-join alone
+    keeps every matching left row, i.e. both copies."""
+    one = docs.filter(F.col("doc_id") == 3)
+    assert one.count() == 1
+    redelivered = docs.unionByName(one).unionByName(one)
+    deduped = D.drop_exact_dupes(redelivered)
+    assert deduped.filter(F.col("doc_id") == 3).count() == 1
+    # and the rest of the corpus deduped exactly as before
+    assert deduped.count() == docs.count() - 30
+
+
 def test_minhash_lsh_finds_planted_near_dupes(spark, docs):
     pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8).toPandas()
     got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
