@@ -785,6 +785,65 @@ def test_selective_shuffle_join_gets_runtime_bloom_filter(spark):
             spark.conf.set(k, v)
 
 
+def test_skewed_shuffle_join_gets_aqe_skew_split(spark):
+    """AQE skew-join (session.py enables it; this pins that it actually
+    FIRES): a sort-merge join whose build of one partition dwarfs the
+    median must be split into sub-partitions at runtime — the last
+    session-config scale mechanism without an executed-plan gate (DPP
+    and the runtime bloom filter got theirs in round 9). Local data
+    sits below the production thresholds, so they are lowered for the
+    test the way the bloom gate does; the defaults (factor 5 / 256 MB)
+    take over at scale. Broadcast is disabled on BOTH the static and
+    adaptive paths or AQE would demote the join before skew handling
+    ever ran."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # coalescing would merge the tiny non-skewed partitions into
+        # the comparison median; keep the geometry raw for the test
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        )
+        # one hot key carries ~100% of the left side's bytes; the right
+        # side is uniform so only the left partition is skewed
+        pad = "x" * 64
+        big = spark.range(0, 120_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit(pad), F.col("id").cast("string")).alias("pay"),
+        )
+        small = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(small, "k")
+        # AQE decisions exist only on an EXECUTED plan — and on THIS
+        # DataFrame's own QueryExecution (count() would execute a
+        # derived aggregate plan and leave j's at isFinalPlan=false)
+        n = len(j.collect())
+        assert n == 120_000, n
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_holt_single_key_shuffle_grouped_map(spark):
     """Holt shares ewma's plan contract: exactly one exchange feeding
     FlatMapGroupsInPandas, no join, no window."""
