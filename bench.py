@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "ewma_smoothed",
     "holt_smoothed",
     "cusum_drift",
+    "quantile_rollup",
     "filter_project",
     "minute_last_bars",
     "hourly_volume",

@@ -1767,6 +1767,253 @@ def finalize_distinct_rollup(state: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (KLL/MRL-style, deterministic)
+#
+# Percentiles are the remaining common statistic with no exact merge monoid
+# (the exact state is the value multiset itself — at 100 TB that IS the
+# data), completing the rollup family next to the exact count/sum/min/max
+# monoids and the HLL distinct sketch. The sketch is the classic
+# multi-level sampler (Manku-Rajagopalan-Lindsay / KLL shape): level i
+# holds at most ``k`` values, each standing for 2^i originals; overflow
+# sorts the level and promotes every other value one level up. Unlike
+# textbook KLL the compaction coin is NOT random — each level alternates
+# its even/odd survivor phase via a flip bit — so the same input always
+# yields the same sketch (the repo-wide determinism contract), at the
+# cost of the randomized variant's distribution-free error proof. The
+# practical bound is the usual sampler one: rank error ≲ W / (2k) per
+# compacted level, i.e. ~log2(n/k)/(2k) relative — pinned empirically in
+# pytest at a compacted regime.
+#
+# Exactness contract: while a key's total weight stays ≤ k, NO compaction
+# happens anywhere (update or merge), the state is the value multiset,
+# and quantiles are EXACT — merged per-split sketches are identical (as
+# multisets) to one full pass. The catalog oracle verifies that regime
+# bit-exactly; past k the same code degrades to the documented
+# approximation. Merging is ORDER-INDEPENDENT by construction: the k-way
+# merge concatenates per-level multisets (commutative), XORs the flip
+# bits (commutative), and only then compacts sorted buffers — so any
+# shuffle arrival order yields the same state.
+# ---------------------------------------------------------------------------
+
+
+def _qsk_compact(levels: list, flips: list, k: int) -> None:
+    """Bottom-up overflow compaction, in place, deterministic."""
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) > k:
+            buf = sorted(levels[i])
+            rem: list[float] = []
+            if len(buf) % 2:  # odd: the largest stays to keep W exact
+                rem = [buf.pop()]
+            start = 1 if flips[i] else 0
+            promoted = buf[start::2]  # len(buf)/2 survivors at 2x weight
+            flips[i] = not flips[i]
+            levels[i] = rem
+            if i + 1 == len(levels):
+                levels.append([])
+                flips.append(False)
+            levels[i + 1].extend(promoted)
+        i += 1
+
+
+def _qsk_update(levels: list, flips: list, values, k: int) -> None:
+    levels[0].extend(values)
+    _qsk_compact(levels, flips, k)
+
+
+def _qsk_merge(states: list, k: int) -> tuple[list, list]:
+    """Canonical k-way merge: per-level multiset union + XORed flips,
+    then one compaction sweep — commutative inputs, sorted buffers, so
+    the result is independent of partial arrival order."""
+    depth = max(len(lv) for lv, _ in states)
+    levels: list = [[] for _ in range(depth)]
+    flips: list = [False] * depth
+    for lv, fl in states:
+        for i, buf in enumerate(lv):
+            levels[i].extend(buf)
+            flips[i] = flips[i] != bool(fl[i] if i < len(fl) else False)
+    _qsk_compact(levels, flips, k)
+    return levels, flips
+
+
+def _qsk_quantiles(levels: list, qs: tuple) -> list[float]:
+    """Weighted discrete percentile: the smallest value whose cumulative
+    weight reaches ceil(q*W) — integer ranks, so the exact regime
+    (all weights 1) reproduces SQL percentile_disc rank-for-rank."""
+    import math
+
+    items: list[tuple[float, int]] = []
+    for i, buf in enumerate(levels):
+        w = 1 << i
+        items.extend((v, w) for v in buf)
+    items.sort(key=lambda t: t[0])
+    total = sum(w for _, w in items)
+    out: list[float] = []
+    for q in qs:
+        target = max(1, math.ceil(q * total))
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                out.append(v)
+                break
+    return out
+
+
+def quantile_rollup_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str = "value",
+    k: int = 4096,
+) -> DataFrame:
+    """Mergeable per-key quantile state — the sketch companion to
+    :func:`rollup_state` / :func:`distinct_rollup_state` for the other
+    statistic with no exact monoid (see the module comment above for
+    the sketch, its determinism trade, and the ≤k exactness contract).
+
+    Scale shape (the whole point): stage 1 is ``mapInPandas`` — every
+    partition streams its rows into per-key sketches and emits ONE
+    state row per (partition, key), so the shuffle carries sketch
+    bytes (≤ k doubles per populated level, ≤ ~log2(n/k) levels),
+    never values; stage 2 merges partials per key with one grouped-map
+    pass. ``k`` is a long-lived accuracy contract like HLL's lgk —
+    it travels in the state (``q_k``) and :func:`merge_quantile_rollup`
+    REFUSES to union sketches built with different k. NULL values are
+    ignored (SQL percentile semantics); a key with no non-null values
+    emits no state row.
+    """
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key_list = list(keys)
+    fields = [df.schema[c] for c in key_list]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+    ) + ", q_levels array<array<double>>, q_flips array<boolean>, q_k int"
+
+    def build(batches):
+        sketches: dict = {}
+        for pdf in batches:
+            clean = pdf.dropna(subset=[value_col])
+            if not len(clean):
+                continue
+            for kv, grp in clean.groupby(key_list, sort=False,
+                                         dropna=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                st = sketches.get(kv)
+                if st is None:
+                    st = sketches[kv] = ([[]], [False])
+                _qsk_update(st[0], st[1],
+                            grp[value_col].astype(float).tolist(), k)
+        rows = {c: [] for c in key_list}
+        rows.update(q_levels=[], q_flips=[], q_k=[])
+        for kv, (lv, fl) in sketches.items():
+            for c, v in zip(key_list, kv):
+                rows[c].append(v)
+            rows["q_levels"].append([list(b) for b in lv])
+            rows["q_flips"].append(list(fl))
+            rows["q_k"].append(k)
+        yield pd.DataFrame(rows)
+
+    partials = df.select(*key_list, value_col).mapInPandas(
+        build, out_schema
+    )
+    return _merge_quantile_states(partials, keys)
+
+
+def _merge_quantile_states(
+    state: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    import pandas as pd
+
+    key_list = list(keys)
+    schema = state.schema
+
+    def merge(key, pdf):
+        ks = set(int(x) for x in pdf["q_k"])
+        if len(ks) > 1:
+            raise ValueError(
+                f"quantile states built with different k {sorted(ks)} "
+                "cannot merge — k is an accuracy contract (rebuild one "
+                "side at the other's k)"
+            )
+        k = ks.pop()
+        states = [
+            ([list(map(float, b)) for b in lv], [bool(x) for x in fl])
+            for lv, fl in zip(pdf["q_levels"], pdf["q_flips"])
+        ]
+        lv, fl = _qsk_merge(states, k)
+        row = {c: [v] for c, v in zip(key_list, key)}
+        row.update(
+            q_levels=[[list(b) for b in lv]], q_flips=[list(fl)],
+            q_k=[k],
+        )
+        return pd.DataFrame(row)
+
+    return state.groupBy(*key_list).applyInPandas(merge, schema)
+
+
+def merge_quantile_rollup(
+    *states: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Union per-split quantile states (:func:`quantile_rollup_state`
+    shape) into one state per key — shuffle ∝ distinct keys × sketch
+    size, never the data; arrival-order independent (canonical k-way
+    merge); mixed-k inputs raise (see :func:`quantile_rollup_state`)."""
+    if not states:
+        raise ValueError("merge_quantile_rollup needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return _merge_quantile_states(out, keys)
+
+
+def finalize_quantile_rollup(
+    state: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Read quantiles off the state: one ``p<NN>`` double per requested
+    quantile (0.5 → ``p50``, 0.99 → ``p99``), discrete-percentile rule
+    (the smallest value whose cumulative weight reaches ceil(q·W)) —
+    exact while the key's weight is ≤ k, sketch-approximate past it."""
+    import pandas as pd
+
+    for q in quantiles:
+        if not (0 < q <= 1):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    p_cols = [f"p{round(q * 100):d}" for q in quantiles]
+    if len(set(p_cols)) != len(p_cols):
+        raise ValueError(f"quantiles collide at integer percent: {p_cols}")
+    key_fields = [
+        f for f in state.schema.fields
+        if f.name not in ("q_levels", "q_flips", "q_k")
+    ]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields
+    ) + ", " + ", ".join(f"{c} double" for c in p_cols)
+    key_names = [f.name for f in key_fields]
+
+    def fin(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {c: pdf[c].tolist() for c in key_names}
+            per_q: list[list[float]] = [[] for _ in p_cols]
+            for lv in pdf["q_levels"]:
+                vals = _qsk_quantiles(
+                    [list(map(float, b)) for b in lv], tuple(quantiles)
+                )
+                for i, v in enumerate(vals):
+                    per_q[i].append(v)
+            for c, col in zip(p_cols, per_q):
+                out[c] = col
+            yield pd.DataFrame(out)
+
+    return state.mapInPandas(fin, out_schema)
+
+
 class DQViolationError(ValueError):
     """Raised by :func:`dq_check` when rules are violated and the
     caller asked for the loud gate."""

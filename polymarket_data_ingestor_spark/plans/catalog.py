@@ -1733,6 +1733,57 @@ def q_dq_cross_column(spark, sf_dir):
 
 
 @register(
+    "quantile_rollup",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+      MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+               THEN value END) AS p50,
+      MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+               THEN value END) AS p90,
+      MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+               THEN value END) AS p99
+    FROM r GROUP BY event_type
+    """,
+    doc="Mergeable quantile-sketch rollup "
+    "(operators/analytics.py::quantile_rollup_state/"
+    "merge_quantile_rollup/finalize_quantile_rollup): percentiles via "
+    "the deterministic KLL/MRL-style multi-level sampler — the sketch "
+    "companion completing the incremental-rollup family (exact "
+    "count/sum monoids + HLL distinct), since exact percentile state "
+    "is the value multiset itself. Stage 1 builds per-partition "
+    "per-key sketches in mapInPandas (zero shuffle of values — only "
+    "sketch bytes move); stage 2 merges partials per key, "
+    "arrival-order independent by construction. Below capacity k the "
+    "sketch is EXACT (no compaction: the state is the multiset and "
+    "the discrete-percentile rule reproduces SQL rank-for-rank) — the "
+    "regime this oracle verifies at sf0.01 (~2k rows/group vs "
+    "k=4096); past k the same code degrades to the documented "
+    "~log2(n/k)/(2k) rank error, pinned separately in pytest. The "
+    "incremental pattern at 100 TB: sketch ONLY the new partition, "
+    "merge into stored state — cost ∝ the delta, never the history.",
+    tags=("agg", "sketch"),
+)
+def q_quantile_rollup(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_quantile_rollup,
+        quantile_rollup_state,
+    )
+
+    st = quantile_rollup_state(
+        table(spark, sf_dir, "events"), ("event_type",), "value", k=4096
+    )
+    return finalize_quantile_rollup(st, (0.5, 0.9, 0.99))
+
+
+@register(
     "rolling_zscore_flags",
     """
     WITH counts AS (

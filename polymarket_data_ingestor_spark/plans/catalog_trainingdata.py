@@ -3057,13 +3057,11 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: take the head of the window regardless of staleness so every change
 #: gets a first-party driver row in its own round.
 _CODE_CHANGED_THIS_ROUND = (
-    "next_event_examples",  # r9: wrapper serializes context array
-    "inverted_index",       # r9: wrapper serializes postings array
-    "ewma_smoothed",        # r9: vectorized kernel (pandas ewm C path)
-    "holt_smoothed",        # r9: new operator (level+trend kernel)
-    "incremental_rollup",   # r9: new operator (mergeable rollup state)
-    "dq_violations_orders", # r9: new operator (dq_check verification)
-    "cusum_drift",          # r9: new operator (fourth serial kernel)
+    "quantile_rollup",      # r10: new operator (mergeable quantile sketch)
+    "dq_cross_column",      # r10: new entry (cross-column check rule)
+    "dq_violations_orders", # r10: dq_check long-format rebuilt (lit
+                            # bindings instead of stack() interpolation)
+    "curation_pipeline",    # r10: drop_exact_dupes identical-row collapse
 )
 
 

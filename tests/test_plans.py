@@ -853,6 +853,25 @@ def test_holt_single_key_shuffle_grouped_map(spark):
     assert "Join" not in plan, plan
 
 
+def test_quantile_rollup_shuffles_sketches_not_values(spark):
+    """The quantile sketch's scale claim, as a plan assertion: values
+    are sketched per partition BEFORE the exchange (MapInPandas under
+    the shuffle), so the single Exchange carries sketch rows, never
+    the value column; the scan reads only (key, value); no join, no
+    window, no second scan."""
+    plan = plan_of(spark, "quantile_rollup")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "struct<event_type:string,value:double>" in plan.split(
+        "ReadSchema: "
+    )[-1], plan
+    # partial-sketch build sits BELOW the exchange
+    below = plan.split("Exchange")[-1]
+    assert "MapInPandas build" in below, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
 @pytest.mark.slow
 def test_catalog_scan_budget_no_silent_rederivation(spark):
     """Catalog-wide re-scan audit: every entry's physical plan reads

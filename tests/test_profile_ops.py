@@ -1165,6 +1165,124 @@ def test_rollup_state_merge_equals_full_recompute(spark):
         merge_rollup(keys=keys)
 
 
+def test_quantile_rollup_exact_regime_identity_and_values(spark):
+    """The quantile sketch's ≤k exactness contract: while every key's
+    weight stays under capacity, (a) merged per-split states are
+    IDENTICAL (as sorted multisets) to the one-pass state, (b)
+    finalize reproduces the discrete percentile a naive numpy model
+    computes, and (c) mixed-k states refuse to merge."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_quantile_rollup,
+        merge_quantile_rollup,
+        quantile_rollup_state,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "event_type", "value")
+    keys = ("event_type",)
+    qs = (0.5, 0.9, 0.99)
+
+    def canon(state_df):
+        return {
+            r["event_type"]: (
+                sorted(x for lvl in r["q_levels"] for x in lvl),
+                r["q_k"],
+            )
+            for r in state_df.collect()
+        }
+
+    full_state = quantile_rollup_state(ev, keys, "value", k=4096)
+    parts = [
+        quantile_rollup_state(
+            ev.filter(F.col("event_id") % 3 == i), keys, "value", k=4096
+        )
+        for i in range(3)
+    ]
+    merged = merge_quantile_rollup(*parts, keys=keys)
+    assert canon(merged) == canon(full_state)  # multiset-identical
+
+    got = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in finalize_quantile_rollup(full_state, qs).collect()
+    }
+    pdf = ev.select("event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        vals = np.sort(grp["value"].to_numpy())
+        want = tuple(
+            float(vals[max(1, math.ceil(q * len(vals))) - 1]) for q in qs
+        )
+        assert got[etype] == want, (etype, got[etype], want)
+
+    with _pytest.raises(Exception, match="different k"):
+        merge_quantile_rollup(
+            parts[0],
+            quantile_rollup_state(ev, keys, "value", k=64),
+            keys=keys,
+        ).collect()
+    with _pytest.raises(ValueError, match="at least one state"):
+        merge_quantile_rollup(keys=keys)
+
+
+def test_quantile_sketch_compacted_regime_bounds_and_determinism():
+    """Past capacity the sketch approximates: pin (a) total weight is
+    preserved exactly through compactions and merges, (b) the reported
+    quantile's TRUE rank stays within the sampler's error bound (~2%
+    at k=64, n=10k with log2(n/k) ≈ 7 compacted levels), and (c) the
+    whole pipeline is deterministic — same input, same sketch — and
+    merge is arrival-order independent. Pure-kernel test: no Spark."""
+    import math
+    import random
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        _qsk_merge,
+        _qsk_quantiles,
+        _qsk_update,
+    )
+
+    rng = random.Random(7)
+    n, k = 10_000, 64
+    values = [rng.gauss(100.0, 25.0) for _ in range(n)]
+
+    def build(vals):
+        lv, fl = [[]], [False]
+        for i in range(0, len(vals), 333):  # arbitrary batch sizes
+            _qsk_update(lv, fl, vals[i:i + 333], k)
+        return lv, fl
+
+    lv1, fl1 = build(values)
+    lv2, fl2 = build(values)
+    assert lv1 == lv2 and fl1 == fl2  # deterministic bit-for-bit
+
+    weight = sum(len(b) << i for i, b in enumerate(lv1))
+    assert weight == n  # compaction never loses or invents weight
+
+    srt = sorted(values)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        (est,) = _qsk_quantiles(lv1, (q,))
+        true_rank = sum(v <= est for v in srt)
+        target = max(1, math.ceil(q * n))
+        assert abs(true_rank - target) <= 0.02 * n, (q, true_rank, target)
+
+    # merge: order-independent, weight-exact
+    thirds = [build(values[i::3]) for i in range(3)]
+    m_fwd = _qsk_merge(thirds, k)
+    m_rev = _qsk_merge(thirds[::-1], k)
+    assert ([sorted(b) for b in m_fwd[0]], m_fwd[1]) == (
+        [sorted(b) for b in m_rev[0]], m_rev[1]
+    )
+    assert sum(len(b) << i for i, b in enumerate(m_fwd[0])) == n
+    for q in (0.5, 0.9):
+        (est,) = _qsk_quantiles(m_fwd[0], (q,))
+        true_rank = sum(v <= est for v in srt)
+        assert abs(true_rank - math.ceil(q * n)) <= 0.02 * n
+
+
 def test_distinct_rollup_merge_identical_to_full_sketch(spark):
     """HLL distinct-count state merges losslessly: per-split sketches
     unioned give the identical estimate as one pass; and at small

@@ -282,6 +282,73 @@ def test_live_bbo_bars_with_watermark(spark, tmp_path):
     assert not bars.duplicated(["bar_time", "asset", "side"]).any()
 
 
+def test_live_bbo_bars_accounts_dropped_late_rows(spark, tmp_path):
+    """Late-data OBSERVABILITY: a row arriving behind the watermark is
+    (a) excluded from every emitted bar and (b) visible as an explicit
+    count in the query's progress metrics (numRowsDroppedByWatermark)
+    — at ingest scale silent late-row loss is an audit gap, so the
+    accounting itself is part of the contract, not just the window
+    values."""
+    import json as _json
+    import os
+
+    from polymarket_data_ingestor_spark.schemas import TICK_SCHEMA
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = 1_699_999_980_000  # ms epoch, minute-aligned
+
+    def row(off_ms, price):
+        return {"timestamp": str(base + off_ms), "kind": "BBO",
+                "market": "m", "asset": "a", "side": "ASK",
+                "price": price, "size": 1.0}
+
+    # batch 1: minute-0 and minute-1 rows -> watermark base+60s-30s
+    # batch 2: a minute-10 row -> watermark base+570s, past minute 0
+    # batch 3: a LATE minute-0 row (price 999) -> must be dropped
+    batches = [
+        [row(0, 1.0), row(30_000, 1.5), row(90_000, 2.0)],
+        [row(600_000, 3.0)],
+        [row(15_000, 999.0)],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+        # FileStreamSource orders by modification time: pin it so
+        # maxFilesPerTrigger=1 replays the batches in sequence
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    q = (
+        live_bbo_bars(
+            spark.readStream.schema(TICK_SCHEMA)
+            .option("maxFilesPerTrigger", 1).json(str(src)),
+            "1 minute", "30 seconds",
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "late_out"))
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, [p.get("stateOperators") for p in q.recentProgress]
+
+    bars = {
+        r["bar_time"].timestamp() * 1000 - base: r["price"]
+        for r in spark.read.parquet(str(tmp_path / "late_out")).collect()
+    }
+    # minute 0 finalized with the in-time last (1.5); the late 999 row
+    # neither mutated it nor resurrected the window
+    assert bars.get(0.0) == 1.5, bars
+    assert 999.0 not in bars.values(), bars
+
+
 @pytest.mark.slow
 def test_live_ohlc_bars_match_batch(spark, tmp_path):
     """Streaming candles vs the same aggregation run in batch over the
