@@ -11,6 +11,7 @@ from polymarket_data_ingestor_spark.streaming.live import (
     live_distinct_rollup,
     live_dq_check,
     live_materialize,
+    live_quantile_rollup,
     live_rollup,
     live_ticks,
     read_rollup_state,
@@ -31,6 +32,7 @@ __all__ = [
     "live_dedup_stream",
     "live_rollup",
     "live_distinct_rollup",
+    "live_quantile_rollup",
     "live_dq_check",
     "live_materialize",
     "read_rollup_state",

@@ -970,6 +970,52 @@ def live_distinct_rollup(
     )
 
 
+def live_quantile_rollup(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    value_col: str = "value",
+    k: int = 4096,
+    available_now: bool = False,
+    retain_versions: int = 2,
+):
+    """Continuously maintained per-key quantile sketches — the
+    streaming twin of
+    :func:`~polymarket_data_ingestor_spark.operators.analytics.merge_quantile_rollup`,
+    completing the :func:`live_materialize` monoid set (exact
+    count/sum/min/max, HLL distinct, now percentiles). Query the
+    maintained state with ``read_rollup_state`` →
+    ``finalize_quantile_rollup``.
+
+    Replay semantics: the pairwise merge is DETERMINISTIC given its
+    two state inputs (canonical k-way merge — sorted buffers, XORed
+    flips), so a replayed batch overwrites ``v=N`` with identical
+    content — the MVCC exactly-once guarantee holds unconditionally.
+    The stronger equals-one-batch-recompute identity holds while a
+    key's weight stays ≤ k (no compaction; the state IS the value
+    multiset); past k the maintained sketch is deterministic and
+    carries the same ~log2(n/k)/(2k) rank bound but is not required
+    to be byte-equal to a single-pass sketch over the union — the
+    standard trade of any incrementally-maintained sketch, same as
+    the batch operator's documented merge-vs-onepass contract.
+    """
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_quantile_rollup,
+        quantile_rollup_state,
+    )
+
+    return live_materialize(
+        events,
+        state_path,
+        checkpoint,
+        state_fn=lambda b: quantile_rollup_state(b, keys, value_col, k),
+        merge_fn=lambda p, d: merge_quantile_rollup(p, d, keys=keys),
+        available_now=available_now,
+        retain_versions=retain_versions,
+    )
+
+
 def live_materialize(
     events: DataFrame,
     state_path: str,

@@ -1166,6 +1166,78 @@ def test_live_rollup_exactly_once_across_restart_and_replay(
         )
 
 
+def test_live_quantile_rollup_exact_regime_and_crash_replay(
+    spark, tmp_path
+):
+    """The MVCC materializer with the quantile-sketch monoid: state
+    maintained across two triggers finalizes to the same percentiles
+    as a one-pass batch sketch over the union (exact regime: total
+    weight << k), and a genuine crash-replay (last commit marker
+    deleted) overwrites its version with identical content instead of
+    double-weighting the replayed batch."""
+    import json as _json
+    import math
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_quantile_rollup,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        live_quantile_rollup,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "q_src"
+    src.mkdir()
+    state = str(tmp_path / "q_state")
+    ckpt = str(tmp_path / "q_ckpt")
+    schema = "k string, value double"
+
+    def run():
+        q = live_quantile_rollup(
+            spark.readStream.schema(schema).json(str(src)),
+            state, ckpt, ("k",), available_now=True,
+        )
+        q.awaitTermination(300)
+
+    vals_b1 = [float(v) for v in (5, 1, 9, 3, 7)]
+    vals_b2 = [float(v) for v in (2, 8, 4, 6, 10)]
+    (src / "b1.json").write_text("\n".join(
+        _json.dumps({"k": "a", "value": v}) for v in vals_b1) + "\n")
+    run()
+    (src / "b2.json").write_text("\n".join(
+        _json.dumps({"k": "a", "value": v}) for v in vals_b2) + "\n")
+    run()
+
+    def got():
+        return finalize_quantile_rollup(
+            read_rollup_state(spark, state), (0.5, 0.9)
+        ).collect()[0]
+
+    # exact regime: discrete percentiles of the 10-value union
+    union = sorted(vals_b1 + vals_b2)
+    want = {
+        f"p{int(q * 100)}": union[max(1, math.ceil(q * len(union))) - 1]
+        for q in (0.5, 0.9)
+    }
+    r = got()
+    assert (r["p50"], r["p90"]) == (want["p50"], want["p90"]), r
+
+    # crash-replay: batch 1 re-delivered must not double-weight it
+    commits = sorted((Path(ckpt) / "commits").glob("[0-9]*"))
+    assert len(commits) == 2, commits
+    commits[-1].unlink()
+    crc = Path(ckpt) / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run()
+    r = got()
+    assert (r["p50"], r["p90"]) == (want["p50"], want["p90"]), r
+    # weight check: state total weight is exactly 10, not 15
+    st = read_rollup_state(spark, state).collect()[0]
+    weight = sum(len(b) << i for i, b in enumerate(st["q_levels"]))
+    assert weight == 10, st
+
+
 def test_live_distinct_rollup_sketches_union_across_batches(
     spark, tmp_path
 ):
