@@ -844,6 +844,37 @@ def test_skewed_shuffle_join_gets_aqe_skew_split(spark):
                 spark.conf.set(k, v)
 
 
+def test_small_shuffle_gets_aqe_partition_coalescing(spark):
+    """AQE partition coalescing (the third runtime mechanism in the
+    session config, after skew-join and the static enables): a shuffle
+    whose output is far smaller than shuffle.partitions × advisory
+    size must come back with its post-shuffle partitions merged — at
+    100 TB the same rule keeps reducer counts proportional to DATA,
+    not to a static partition number tuned for the largest stage.
+    Executed-plan gate like the skew one: the AQEShuffleRead node must
+    report coalesced, and the runtime partition count must be below
+    the static setting."""
+    import pyspark.sql.functions as F
+
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
+    df = (
+        spark.range(0, 10_000)
+        .groupBy((F.col("id") % 97).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = len(df.collect())  # execute THIS DataFrame's QueryExecution
+    assert n == 97, n
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "AQEShuffleRead coalesced" in plan, plan
+    assert df.rdd.getNumPartitions() < int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
 def test_holt_single_key_shuffle_grouped_map(spark):
     """Holt shares ewma's plan contract: exactly one exchange feeding
     FlatMapGroupsInPandas, no join, no window."""

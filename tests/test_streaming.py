@@ -1528,7 +1528,9 @@ def test_live_dq_check_single_aggregate_per_batch(
     q = live_dq_check(
         spark.readStream.schema("k long, v double").json(str(src)),
         str(tmp_path / "dq1_ckpt"),
-        {"v": {"min": 0.0, "not_null": True}},
+        # a cross-column `check` rule composes through the streaming
+        # gate unchanged (rules pass through to the batch dq_check)
+        {"v": {"min": 0.0, "not_null": True, "check": "v >= k"}},
         report_path=str(tmp_path / "dq1_rep"),
         fail_on_violation=True,
         available_now=True,
@@ -1538,5 +1540,5 @@ def test_live_dq_check_single_aggregate_per_batch(
     # never the raise_on_violation re-run (that was the second scan)
     assert not any(k.get("raise_on_violation") for k in calls), calls
     reports = spark.read.parquet(str(tmp_path / "dq1_rep")).collect()
-    assert {r["rule"] for r in reports} == {"min", "not_null"}
+    assert {r["rule"] for r in reports} == {"min", "not_null", "check"}
     assert all(r["violations"] == 0 and r["n_rows"] == 2 for r in reports)
