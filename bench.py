@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "holt_smoothed",
     "cusum_drift",
     "quantile_rollup",
+    "heavy_hitters",
+    "sample_rollup",
     "filter_project",
     "minute_last_bars",
     "hourly_volume",

@@ -2014,6 +2014,342 @@ def finalize_quantile_rollup(
     return state.mapInPandas(fin, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Heavy-hitters monoid (Misra-Gries, mergeable-summaries form)
+#
+# "Which items dominate each key" is the fourth maintained statistic the
+# rollup family needs (after count/sum/min/max, HLL distinct, and the
+# quantile sketch): exact per-item counts shuffle one row per (key, item)
+# — at 100 TB with a Zipfian item column that IS the data. The Misra-
+# Gries summary keeps at most k counters per key; a trim subtracts the
+# (k+1)-th largest count from every counter and drops the non-positive
+# ones — no item is ever *selected* for eviction, so the operation is a
+# pure function of the counter multiset and merging stays deterministic.
+# Guarantees (Agarwal et al., "Mergeable Summaries"): est_count ≤
+# true_count ≤ est_count + dec, where ``dec`` is the tracked total
+# trimmed per key (≤ W/(k+1)); any item with true count > dec is
+# guaranteed retained. EXACT regime: while every per-partition and
+# merged counter set for a key stays ≤ k items, no trim happens, dec is
+# 0 and the counts are exact — the regime the catalog oracle verifies.
+# The reduce stage is a canonical k-way merge (sum ALL partial maps —
+# commutative — then ONE trim), so the merged state is independent of
+# partial arrival order; within a partition, trims follow the scan's
+# deterministic batch order.
+# ---------------------------------------------------------------------------
+
+
+def _mg_trim(counts: dict, k: int) -> int:
+    """Trim a counter map to ≤ k items; returns the decrement applied."""
+    if len(counts) <= k:
+        return 0
+    cstar = sorted(counts.values(), reverse=True)[k]
+    for it in [it for it, c in counts.items() if c <= cstar]:
+        del counts[it]
+    for it in counts:
+        counts[it] -= cstar
+    return cstar
+
+
+def heavy_hitters_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    item_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """Mergeable per-key heavy-hitters state (see the module comment
+    above). Same two-stage shape as :func:`quantile_rollup_state`:
+    ``mapInPandas`` builds bounded per-partition summaries (each Arrow
+    batch is counted vectorized, then MG-merged into the running
+    summary), so the shuffle carries ≤ k counters per (partition, key),
+    never the item stream; one grouped-map pass merges partials
+    canonically. Items travel as strings (engine-portable); NULL items
+    are ignored. ``k`` is the accuracy contract and travels in the
+    state; mixed-k merges refuse."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key_list = list(keys)
+    fields = [df.schema[c] for c in key_list]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+    ) + (", hh_items array<string>, hh_counts array<bigint>, "
+         "hh_dec bigint, hh_k int")
+
+    def build(batches):
+        summaries: dict = {}
+        for pdf in batches:
+            clean = pdf.dropna(subset=[item_col])
+            if not len(clean):
+                continue
+            for kv, grp in clean.groupby(key_list, sort=False,
+                                         dropna=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                st = summaries.get(kv)
+                if st is None:
+                    st = summaries[kv] = [{}, 0]
+                counts, _ = st
+                vc = grp[item_col].astype(str).value_counts()
+                for it, c in vc.items():
+                    counts[it] = counts.get(it, 0) + int(c)
+                st[1] += _mg_trim(counts, k)
+        rows = {c: [] for c in key_list}
+        rows.update(hh_items=[], hh_counts=[], hh_dec=[], hh_k=[])
+        for kv, (counts, dec) in summaries.items():
+            items = sorted(counts)  # canonical item order
+            for c, v in zip(key_list, kv):
+                rows[c].append(v)
+            rows["hh_items"].append(items)
+            rows["hh_counts"].append([counts[i] for i in items])
+            rows["hh_dec"].append(dec)
+            rows["hh_k"].append(k)
+        yield pd.DataFrame(rows)
+
+    partials = df.select(*key_list, item_col).mapInPandas(
+        build, out_schema
+    )
+    return _merge_hh_states(partials, keys)
+
+
+def _merge_hh_states(state: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    import pandas as pd
+
+    key_list = list(keys)
+    schema = state.schema
+
+    def merge(key, pdf):
+        ks = set(int(x) for x in pdf["hh_k"])
+        if len(ks) > 1:
+            raise ValueError(
+                f"heavy-hitter states built with different k "
+                f"{sorted(ks)} cannot merge — k is an accuracy contract"
+            )
+        k = ks.pop()
+        counts: dict = {}
+        dec = 0
+        for items, cs, d in zip(pdf["hh_items"], pdf["hh_counts"],
+                                pdf["hh_dec"]):
+            for it, c in zip(items, cs):
+                counts[it] = counts.get(it, 0) + int(c)
+            dec += int(d)
+        dec += _mg_trim(counts, k)  # ONE trim after the commutative sum
+        items = sorted(counts)
+        row = {c: [v] for c, v in zip(key_list, key)}
+        row.update(
+            hh_items=[items], hh_counts=[[counts[i] for i in items]],
+            hh_dec=[dec], hh_k=[k],
+        )
+        return pd.DataFrame(row)
+
+    return state.groupBy(*key_list).applyInPandas(merge, schema)
+
+
+def merge_heavy_hitters(
+    *states: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Union per-split heavy-hitter states into one per key — shuffle ∝
+    distinct keys × k counters; arrival-order independent (canonical
+    sum-then-one-trim); mixed-k inputs raise."""
+    if not states:
+        raise ValueError("merge_heavy_hitters needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return _merge_hh_states(out, keys)
+
+
+def finalize_heavy_hitters(
+    state: DataFrame, min_count: int = 1
+) -> DataFrame:
+    """Explode the state to one row per retained (key, item):
+    ``est_count`` (≤ true count) and ``max_undercount`` (the key's
+    trimmed total: true ≤ est + max_undercount; 0 in the exact
+    regime). ``min_count`` filters the long tail of barely-surviving
+    counters."""
+    key_cols = [
+        f.name for f in state.schema.fields
+        if f.name not in ("hh_items", "hh_counts", "hh_dec", "hh_k")
+    ]
+    return (
+        state.select(
+            *key_cols,
+            F.col("hh_dec").alias("max_undercount"),
+            F.explode(
+                F.arrays_zip(
+                    F.col("hh_items").alias("item"),
+                    F.col("hh_counts").alias("est_count"),
+                )
+            ).alias("__e"),
+        )
+        .select(
+            *key_cols,
+            F.col("__e.item").alias("item"),
+            F.col("__e.est_count").alias("est_count"),
+            "max_undercount",
+        )
+        .filter(F.col("est_count") >= F.lit(min_count))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample monoid (KMV)
+#
+# A maintained UNIFORM per-key sample: keep the k distinct ids with the
+# smallest portable hash32(seed:id). Union-then-keep-bottom-k is a true
+# monoid — associative, commutative, idempotent on duplicates — so
+# unlike the quantile/heavy-hitter sketches there is NO approximation
+# regime at all: merged per-split states equal the one-pass state
+# bit-for-bit, always, and the selection is the same pure function of
+# (id, seed) that sampling.rank_sample computes with a window (this is
+# its mergeable-state twin; rank_sample uses the permyriad hash for
+# rate alignment, the monoid uses the full 32-bit hash so the k-th
+# smallest also serves as a KMV distinct-count estimator).
+# ---------------------------------------------------------------------------
+
+
+def sample_rollup_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    k: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """Mergeable bottom-k-by-hash sample state per key. The hash runs
+    JVM-side (``hash32`` = md5 prefix, engine-portable) BEFORE the
+    Arrow boundary; pandas only dedups and keeps the k smallest
+    (hash, id) pairs per partition — so the shuffle carries ≤ k pairs
+    per (partition, key). NULL ids are ignored. ``k``/``seed`` travel
+    in the state; mixed contracts refuse to merge."""
+    import pandas as pd
+
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key_list = list(keys)
+    fields = [df.schema[c] for c in key_list]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+    ) + (", s_hash array<bigint>, s_id array<string>, "
+         "s_k int, s_seed int")
+
+    hashed = df.select(
+        *key_list,
+        F.col(id_col).cast("string").alias("__sid"),
+        hash32(F.col(id_col).cast("string"), seed=seed).alias("__h"),
+    ).dropna(subset=["__sid"])
+
+    def build(batches):
+        best: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for kv, grp in pdf.groupby(key_list, sort=False,
+                                       dropna=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                pairs = best.setdefault(kv, [])
+                pairs.extend(
+                    zip(grp["__h"].astype(int), grp["__sid"])
+                )
+                if len(pairs) > 4 * k:  # periodic compaction
+                    pairs = sorted(set(pairs))[:k]
+                    best[kv] = pairs
+        rows = {c: [] for c in key_list}
+        rows.update(s_hash=[], s_id=[], s_k=[], s_seed=[])
+        for kv, pairs in best.items():
+            pairs = sorted(set(pairs))[:k]
+            for c, v in zip(key_list, kv):
+                rows[c].append(v)
+            rows["s_hash"].append([h for h, _ in pairs])
+            rows["s_id"].append([i for _, i in pairs])
+            rows["s_k"].append(k)
+            rows["s_seed"].append(seed)
+        yield pd.DataFrame(rows)
+
+    partials = hashed.mapInPandas(build, out_schema)
+    return _merge_sample_states(partials, keys)
+
+
+def _merge_sample_states(
+    state: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    import pandas as pd
+
+    key_list = list(keys)
+    schema = state.schema
+
+    def merge(key, pdf):
+        contracts = set(
+            (int(a), int(b)) for a, b in zip(pdf["s_k"], pdf["s_seed"])
+        )
+        if len(contracts) > 1:
+            raise ValueError(
+                f"sample states with different (k, seed) "
+                f"{sorted(contracts)} cannot merge"
+            )
+        k, seed = contracts.pop()
+        pairs = sorted({
+            (int(h), str(i))
+            for hs, ids in zip(pdf["s_hash"], pdf["s_id"])
+            for h, i in zip(hs, ids)
+        })[:k]
+        row = {c: [v] for c, v in zip(key_list, key)}
+        row.update(
+            s_hash=[[h for h, _ in pairs]], s_id=[[i for _, i in pairs]],
+            s_k=[k], s_seed=[seed],
+        )
+        return pd.DataFrame(row)
+
+    return state.groupBy(*key_list).applyInPandas(merge, schema)
+
+
+def merge_sample_rollup(
+    *states: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Union per-split bottom-k sample states — a TRUE monoid (set
+    union + keep bottom-k): merged splits equal the one-pass state
+    bit-for-bit, unconditionally; mixed (k, seed) contracts raise."""
+    if not states:
+        raise ValueError("merge_sample_rollup needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return _merge_sample_states(out, keys)
+
+
+def finalize_sample_rollup(state: DataFrame) -> DataFrame:
+    """Explode the maintained sample to one row per (key, sample_id)."""
+    key_cols = [
+        f.name for f in state.schema.fields
+        if f.name not in ("s_hash", "s_id", "s_k", "s_seed")
+    ]
+    return state.select(
+        *key_cols, F.explode(F.col("s_id")).alias("sample_id")
+    )
+
+
+def kmv_distinct_estimate(state: DataFrame) -> DataFrame:
+    """KMV cardinality estimate off the sample state: with fewer than
+    k retained hashes the count is exact; at capacity, the classic
+    (k−1)·2³²/h_k estimator over the k-th smallest of the 32-bit
+    hashes (relative error ~1/√(k−2), pinned in pytest)."""
+    key_cols = [
+        f.name for f in state.schema.fields
+        if f.name not in ("s_hash", "s_id", "s_k", "s_seed")
+    ]
+    n = F.size(F.col("s_hash"))
+    hk = F.get(F.col("s_hash"), F.col("s_k") - F.lit(1)).cast("double")
+    return state.select(
+        *key_cols,
+        F.when(n < F.col("s_k"), n.cast("double"))
+        .otherwise(
+            (F.col("s_k") - F.lit(1)).cast("double")
+            * F.lit(float(2 ** 32)) / hk
+        )
+        .alias("n_distinct_est"),
+    )
+
+
 class DQViolationError(ValueError):
     """Raised by :func:`dq_check` when rules are violated and the
     caller asked for the loud gate."""

@@ -27,6 +27,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from polymarket_data_ingestor_spark.functions.scalars import (
+    sql_hash32 as sql_hash32_catalog,
+)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table (TESTDATA.md layout).
@@ -1781,6 +1785,94 @@ def q_quantile_rollup(spark, sf_dir):
         table(spark, sf_dir, "events"), ("event_type",), "value", k=4096
     )
     return finalize_quantile_rollup(st, (0.5, 0.9, 0.99))
+
+
+@register(
+    "heavy_hitters",
+    """
+    SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+           CAST(count(*) AS BIGINT) AS est_count,
+           CAST(0 AS BIGINT) AS max_undercount
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Mergeable heavy-hitters rollup "
+    "(operators/analytics.py::heavy_hitters_state/merge_heavy_hitters/"
+    "finalize_heavy_hitters): Misra-Gries summaries, ≤ k counters per "
+    "key — 'which items dominate each key' without shuffling one row "
+    "per (key, item), which over a Zipfian item column at 100 TB IS "
+    "the data. Per-partition summaries build in mapInPandas "
+    "(vectorized batch counts MG-merged into bounded state); the one "
+    "exchange moves ≤ k counters per partial; the reduce is a "
+    "canonical sum-then-one-trim, so merged state is arrival-order "
+    "independent. A trim subtracts the (k+1)-th largest count from "
+    "every counter — items are never SELECTED for eviction, so the "
+    "summary is a pure function of the counted multiset. Guarantees: "
+    "est ≤ true ≤ est + max_undercount (the key's trimmed total, ≤ "
+    "W/(k+1)); anything with true count > max_undercount is retained. "
+    "EXACT while distinct items per key ≤ k — this entry's regime at "
+    "sf0.01 (~50 users/type vs k=1024), so green = bit-exact vs plain "
+    "GROUP BY counts; the lossy-regime bound is pinned in pytest.",
+    tags=("agg", "sketch"),
+)
+def q_heavy_hitters(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_heavy_hitters,
+        heavy_hitters_state,
+    )
+
+    st = heavy_hitters_state(
+        table(spark, sf_dir, "events"), ("event_type",), "user_id",
+        k=1024,
+    )
+    return finalize_heavy_hitters(st)
+
+
+@register(
+    "sample_rollup",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS sid
+      FROM events WHERE user_id IS NOT NULL
+    ), h AS (
+      SELECT event_type, sid, {sql_hash32_catalog("sid", 7)} AS h
+      FROM d
+    )
+    SELECT event_type, sid AS sample_id
+    FROM (
+      SELECT event_type, sid,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h, sid) AS rn
+      FROM h)
+    WHERE rn <= 20
+    """,
+    doc="Mergeable bottom-k uniform sample "
+    "(operators/analytics.py::sample_rollup_state/merge_sample_rollup/"
+    "finalize_sample_rollup): keep the k distinct ids with the "
+    "smallest portable hash32(seed:id) per key — the mergeable-state "
+    "twin of sampling.rank_sample's window form. Union-then-bottom-k "
+    "is a TRUE monoid (associative, commutative, duplicate-"
+    "idempotent): merged per-split states equal the one-pass state "
+    "bit-for-bit with NO approximation regime at all, so an "
+    "incrementally-maintained sample is always exactly the sample a "
+    "full recompute would select. Hashing runs JVM-side before the "
+    "Arrow boundary; pandas only dedups and keeps k pairs per "
+    "partition, so the exchange carries ≤ k (hash, id) pairs per "
+    "partial. The k-th smallest hash doubles as a KMV distinct-count "
+    "estimator (kmv_distinct_estimate, pinned in pytest).",
+    tags=("agg", "sampling"),
+)
+def q_sample_rollup(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_sample_rollup,
+        sample_rollup_state,
+    )
+
+    st = sample_rollup_state(
+        table(spark, sf_dir, "events"), ("event_type",), "user_id",
+        k=20, seed=7,
+    )
+    return finalize_sample_rollup(st)
 
 
 @register(

@@ -3058,6 +3058,8 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: gets a first-party driver row in its own round.
 _CODE_CHANGED_THIS_ROUND = (
     "quantile_rollup",      # r10: new operator (mergeable quantile sketch)
+    "heavy_hitters",        # r10: new operator (Misra-Gries monoid)
+    "sample_rollup",        # r10: new operator (bottom-k/KMV monoid)
     "dq_cross_column",      # r10: new entry (cross-column check rule)
     "dq_violations_orders", # r10: dq_check long-format rebuilt (lit
                             # bindings instead of stack() interpolation)

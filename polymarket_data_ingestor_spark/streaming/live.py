@@ -1016,6 +1016,73 @@ def live_quantile_rollup(
     )
 
 
+def live_heavy_hitters(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    item_col: str,
+    k: int = 1024,
+    available_now: bool = False,
+    retain_versions: int = 2,
+):
+    """Continuously maintained per-key heavy hitters — the Misra-Gries
+    monoid through the MVCC materializer (query with
+    ``read_rollup_state`` → ``finalize_heavy_hitters``). The merge is
+    a pure function of its two state inputs (commutative counter sum +
+    one trim), so replay overwrites ``v=N`` identically — exactly-once
+    unconditionally; counts are exact while distinct items per key
+    stay ≤ k, and carry the tracked ``hh_dec`` undercount bound past
+    it. The live answer to "which markets/tokens dominate the feed
+    RIGHT NOW" without ever materializing per-item counts."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        heavy_hitters_state,
+        merge_heavy_hitters,
+    )
+
+    return live_materialize(
+        events,
+        state_path,
+        checkpoint,
+        state_fn=lambda b: heavy_hitters_state(b, keys, item_col, k),
+        merge_fn=lambda p, d: merge_heavy_hitters(p, d, keys=keys),
+        available_now=available_now,
+        retain_versions=retain_versions,
+    )
+
+
+def live_sample_rollup(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    id_col: str,
+    k: int = 64,
+    seed: int = 1,
+    available_now: bool = False,
+    retain_versions: int = 2,
+):
+    """Continuously maintained per-key uniform sample — the bottom-k
+    monoid through the MVCC materializer. The strongest member of the
+    family: union-then-bottom-k is a TRUE monoid, so the maintained
+    sample equals a full recompute's sample bit-for-bit at every
+    commit, unconditionally — no exactness regime to reason about."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_sample_rollup,
+        sample_rollup_state,
+    )
+
+    return live_materialize(
+        events,
+        state_path,
+        checkpoint,
+        state_fn=lambda b: sample_rollup_state(b, keys, id_col, k, seed),
+        merge_fn=lambda p, d: merge_sample_rollup(p, d, keys=keys),
+        available_now=available_now,
+        retain_versions=retain_versions,
+    )
+
+
 def live_materialize(
     events: DataFrame,
     state_path: str,

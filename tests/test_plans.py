@@ -903,6 +903,22 @@ def test_quantile_rollup_shuffles_sketches_not_values(spark):
     assert "Join" not in plan and "Window" not in plan, plan
 
 
+@pytest.mark.parametrize("name", ["heavy_hitters", "sample_rollup"])
+def test_monoid_rollups_shuffle_state_not_rows(spark, name):
+    """heavy_hitters and sample_rollup share the quantile entry's plan
+    contract: bounded per-partition state built BELOW the single
+    exchange (mapInPandas), one scan, no join/window — the shuffle
+    carries ≤ k counters / (hash, id) pairs per partial, never the
+    item stream."""
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    below = plan.split("Exchange")[-1]
+    assert "MapInPandas build" in below, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
 @pytest.mark.slow
 def test_catalog_scan_budget_no_silent_rederivation(spark):
     """Catalog-wide re-scan audit: every entry's physical plan reads

@@ -1283,6 +1283,197 @@ def test_quantile_sketch_compacted_regime_bounds_and_determinism():
         assert abs(true_rank - math.ceil(q * n)) <= 0.02 * n
 
 
+def test_heavy_hitters_exact_regime_and_mg_bounds(spark):
+    """Misra-Gries rollup: in the exact regime (distinct ≤ k) the
+    summary IS the group-by counts; in the lossy regime the MG
+    guarantees hold (est ≤ true ≤ est + max_undercount; every item
+    with true count > max_undercount retained); per-split merge equals
+    the one-pass summary in the exact regime; mixed-k refusal."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_heavy_hitters,
+        heavy_hitters_state,
+        merge_heavy_hitters,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "event_type", "user_id")
+    keys = ("event_type",)
+
+    true = {
+        (r["event_type"], str(r["user_id"])): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    # exact regime: k far above the distinct-user count
+    full = heavy_hitters_state(ev, keys, "user_id", k=1024)
+    got = {
+        (r["event_type"], r["item"]): (r["est_count"],
+                                       r["max_undercount"])
+        for r in finalize_heavy_hitters(full).collect()
+    }
+    assert {k2: v[0] for k2, v in got.items()} == true
+    assert all(v[1] == 0 for v in got.values())  # no trim happened
+
+    # split/merge identity in the exact regime
+    parts = [
+        heavy_hitters_state(
+            ev.filter(F.col("event_id") % 3 == i), keys, "user_id",
+            k=1024,
+        )
+        for i in range(3)
+    ]
+    merged = {
+        (r["event_type"], r["item"]): r["est_count"]
+        for r in finalize_heavy_hitters(
+            merge_heavy_hitters(*parts, keys=keys)
+        ).collect()
+    }
+    assert merged == true
+
+    # lossy regime: k smaller than the distinct count per key
+    small = heavy_hitters_state(ev, keys, "user_id", k=5)
+    rows = finalize_heavy_hitters(small).collect()
+    assert rows, "lossy summary must retain something"
+    for r in rows:
+        t = true[(r["event_type"], r["item"])]
+        assert r["est_count"] <= t <= r["est_count"] + r["max_undercount"]
+    # every item whose true count exceeds the key's trimmed total
+    # must be retained
+    dec_by_key = {r["event_type"]: r["max_undercount"] for r in rows}
+    kept = {(r["event_type"], r["item"]) for r in rows}
+    for (et, item), t in true.items():
+        if t > dec_by_key.get(et, 0):
+            assert (et, item) in kept, (et, item, t, dec_by_key.get(et))
+
+    with _pytest.raises(Exception, match="different k"):
+        merge_heavy_hitters(
+            parts[0],
+            heavy_hitters_state(ev, keys, "user_id", k=64),
+            keys=keys,
+        ).collect()
+
+
+def test_mg_trim_kernel_deterministic_and_order_independent():
+    """Pure-kernel: the trim is a pure function of the counter map (no
+    item selection), so summing partials in ANY order then trimming
+    once yields the same summary."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        _mg_trim,
+    )
+
+    def merge_all(partials, k):
+        counts: dict = {}
+        dec = 0
+        for p, d in partials:
+            for it, c in p.items():
+                counts[it] = counts.get(it, 0) + c
+            dec += d
+        dec += _mg_trim(counts, k)
+        return counts, dec
+
+    partials = [
+        ({"a": 9, "b": 2, "c": 1}, 1),
+        ({"a": 4, "d": 7, "e": 2}, 0),
+        ({"b": 5, "f": 3}, 2),
+    ]
+    fwd = merge_all(partials, 3)
+    rev = merge_all(partials[::-1], 3)
+    assert fwd == rev
+    counts, dec = fwd
+    assert len(counts) <= 3
+    # weight accounting: retained + (what trims removed) covers total
+    total = sum(c for p, _ in partials for c in p.values())
+    assert sum(counts.values()) <= total
+    assert dec >= 1 + 2  # inherited decs are carried, never lost
+
+
+def test_sample_rollup_true_monoid_and_kmv(spark):
+    """Bottom-k sample: merged per-split states equal the one-pass
+    state BIT-FOR-BIT (true monoid, no approximation regime); the
+    selection equals the window-form computation over distinct ids;
+    KMV estimates land within ~3/sqrt(k) of the exact distinct count;
+    mixed-contract refusal."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_sample_rollup,
+        kmv_distinct_estimate,
+        merge_sample_rollup,
+        sample_rollup_state,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    keys = ("lang",)
+
+    full = sample_rollup_state(docs, keys, "doc_id", k=8, seed=3)
+    parts = [
+        sample_rollup_state(
+            docs.filter(F.col("doc_id") % 4 == i), keys, "doc_id",
+            k=8, seed=3,
+        )
+        for i in range(4)
+    ]
+    merged = merge_sample_rollup(*parts, keys=keys)
+
+    def canon(st):
+        return {
+            r["lang"]: (list(r["s_hash"]), list(r["s_id"]))
+            for r in st.collect()
+        }
+
+    assert canon(merged) == canon(full)  # bit-for-bit, unconditionally
+
+    # window-form cross-check: same bottom-8 per lang over distinct ids
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("__h", "__sid")
+    want = {
+        (r["lang"], r["__sid"])
+        for r in docs.select(
+            "lang", F.col("doc_id").cast("string").alias("__sid")
+        )
+        .distinct()
+        .withColumn("__h", hash32(F.col("__sid"), seed=3))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 8)
+        .collect()
+    }
+    got = {
+        (r["lang"], r["sample_id"])
+        for r in finalize_sample_rollup(full).collect()
+    }
+    assert got == want
+
+    # KMV: per-lang estimate within 3/sqrt(k-2) relative of exact
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.count_distinct("doc_id").alias("n")).collect()
+    }
+    k = 8
+    for r in kmv_distinct_estimate(full).collect():
+        n = exact[r["lang"]]
+        if n < k:
+            assert r["n_distinct_est"] == float(n), r
+        else:
+            rel = abs(r["n_distinct_est"] - n) / n
+            assert rel <= 3.0 / (k - 2) ** 0.5, (r, n)
+
+    with _pytest.raises(Exception, match="different \\(k, seed\\)"):
+        merge_sample_rollup(
+            parts[0],
+            sample_rollup_state(docs, keys, "doc_id", k=8, seed=4),
+            keys=keys,
+        ).collect()
+
+
 def test_distinct_rollup_merge_identical_to_full_sketch(spark):
     """HLL distinct-count state merges losslessly: per-split sketches
     unioned give the identical estimate as one pass; and at small

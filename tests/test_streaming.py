@@ -1238,6 +1238,111 @@ def test_live_quantile_rollup_exact_regime_and_crash_replay(
     assert weight == 10, st
 
 
+def test_live_heavy_hitters_and_sample_rollup_maintained(
+    spark, tmp_path
+):
+    """The two r10 monoids through the MVCC materializer: maintained
+    heavy-hitter counts equal batch group-by counts (exact regime),
+    the maintained sample is bit-identical to a one-pass batch sample
+    over the union, and a crash-replay changes neither (the sample
+    monoid's identity holds unconditionally)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_heavy_hitters,
+        finalize_sample_rollup,
+        sample_rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        live_heavy_hitters,
+        live_sample_rollup,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    rows1 = [{"k": "a", "item": f"u{i % 4}"} for i in range(10)]
+    rows2 = [{"k": "a", "item": f"u{i % 7}"} for i in range(14)]
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1) + "\n")
+
+    def run(fn, state, ckpt, **kw):
+        q = fn(
+            spark.readStream.schema("k string, item string")
+            .json(str(src)),
+            str(tmp_path / state), str(tmp_path / ckpt), ("k",),
+            "item", available_now=True, **kw,
+        )
+        q.awaitTermination(300)
+
+    run(live_heavy_hitters, "hh_state", "hh_ckpt", k=64)
+    run(live_sample_rollup, "s_state", "s_ckpt", k=3, seed=5)
+    (src / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows2) + "\n")
+    run(live_heavy_hitters, "hh_state", "hh_ckpt", k=64)
+    run(live_sample_rollup, "s_state", "s_ckpt", k=3, seed=5)
+
+    # heavy hitters == batch counts over the union (exact regime)
+    union = spark.createDataFrame(rows1 + rows2, "k string, item string")
+    want_counts = {
+        r["item"]: r["n"]
+        for r in union.groupBy("item").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r["item"]: (r["est_count"], r["max_undercount"])
+        for r in finalize_heavy_hitters(
+            read_rollup_state(spark, str(tmp_path / "hh_state"))
+        ).collect()
+    }
+    assert {i: c for i, (c, _) in got.items()} == want_counts
+    assert all(d == 0 for _, d in got.values())
+
+    # maintained sample == one-pass batch sample over the union
+    want_sample = {
+        r["sample_id"]
+        for r in finalize_sample_rollup(
+            sample_rollup_state(union, ("k",), "item", k=3, seed=5)
+        ).collect()
+    }
+    got_sample = {
+        r["sample_id"]
+        for r in finalize_sample_rollup(
+            read_rollup_state(spark, str(tmp_path / "s_state"))
+        ).collect()
+    }
+    assert got_sample == want_sample and len(got_sample) == 3
+
+    # crash-replay of the last batch: both states unchanged
+    for ckpt, state, fn, kw in (
+        ("hh_ckpt", "hh_state", live_heavy_hitters, {"k": 64}),
+        ("s_ckpt", "s_state", live_sample_rollup, {"k": 3, "seed": 5}),
+    ):
+        commits = sorted(
+            (tmp_path / ckpt / "commits").glob("[0-9]*"))
+        commits[-1].unlink()
+        crc = tmp_path / ckpt / "commits" / f".{commits[-1].name}.crc"
+        if crc.exists():
+            crc.unlink()
+        run(fn, state, ckpt, **kw)
+    got2 = {
+        r["item"]: r["est_count"]
+        for r in finalize_heavy_hitters(
+            read_rollup_state(spark, str(tmp_path / "hh_state"))
+        ).collect()
+    }
+    assert got2 == want_counts  # replay did not double-count
+    got_sample2 = {
+        r["sample_id"]
+        for r in finalize_sample_rollup(
+            read_rollup_state(spark, str(tmp_path / "s_state"))
+        ).collect()
+    }
+    assert got_sample2 == want_sample
+
+
 def test_live_distinct_rollup_sketches_union_across_batches(
     spark, tmp_path
 ):
