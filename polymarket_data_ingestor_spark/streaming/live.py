@@ -1145,6 +1145,104 @@ def live_materialize(
     return writer.start()
 
 
+# ---------------------------------------------------------------------------
+# Digest bloom front for the streaming dedup (the scale path the
+# live_dedup_stream docstring promises): the md5 digest IS already a
+# uniform hash, so four disjoint 8-hex-char slices give four independent
+# 32-bit hash functions for free — extracted JVM-side (conv/substring
+# inside codegen), with pandas doing only vectorized numpy bit ops.
+# The bloom state is CUMULATIVE per batch (bloom_N = bloom_<N | batch N's
+# fresh digests) — the same MVCC replay argument as live_materialize: a
+# replayed batch reads the latest bloom strictly below its id and
+# rewrites b=N identically — so a trigger reads ONE m_bits/8-byte row,
+# never the accumulated history. No false negatives ever: rows the bloom
+# rejects are DEFINITELY new and skip the digest-lake anti-join; false
+# positives (rate (1−e^(−4n/m))⁴ ≈ 2% at 8 bits/digest) are resolved by
+# the exact join over the candidate subset — exactness is unchanged, the
+# lake read is skipped entirely when a batch has zero candidates, and
+# the join's probe side shrinks to candidates otherwise.
+# ---------------------------------------------------------------------------
+
+#: 1-based (start, length) substrings of the 32-char md5 hex — four
+#: disjoint 32-bit hash values per digest.
+_BLOOM_SLICES = ((1, 8), (9, 8), (17, 8), (25, 8))
+_BLOOM_HCOLS = tuple(f"__bh{i}" for i in range(len(_BLOOM_SLICES)))
+
+
+def _bloom_hash_cols(digest_col: str = "__digest") -> list:
+    return [
+        F.conv(F.substring(F.col(digest_col), s, ln), 16, 10)
+        .cast("long").alias(name)
+        for name, (s, ln) in zip(_BLOOM_HCOLS, _BLOOM_SLICES)
+    ]
+
+
+def _bloom_from_digests(df: DataFrame, m_bits: int) -> bytes:
+    """Build the bloom bits for a batch's digest rows: per-partition
+    numpy partials via mapInPandas, OR-reduced on the driver (bounded:
+    ≤ n_partitions rows of m_bits/8 bytes — the batch-sized analogue
+    of the sinks' documented partition-value collects)."""
+    import numpy as np
+
+    def partial(batches):
+        bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            for c in _BLOOM_HCOLS:
+                pos = pdf[c].to_numpy(dtype=np.int64) % m_bits
+                np.bitwise_or.at(
+                    bloom, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                )
+        if seen:
+            yield pd.DataFrame({"bits": [bloom.tobytes()]})
+
+    rows = df.select(*_bloom_hash_cols()).mapInPandas(
+        partial, "bits binary"
+    ).collect()
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in rows:
+        acc |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def _bloom_might_contain(bloom_bytes: bytes, m_bits: int):
+    """Vectorized membership Column factory over the four hash cols."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    arr = np.frombuffer(bloom_bytes, dtype=np.uint8)
+
+    @pandas_udf("boolean")
+    def mc(h0: pd.Series, h1: pd.Series, h2: pd.Series,
+           h3: pd.Series) -> pd.Series:
+        out = np.ones(len(h0), dtype=bool)
+        for h in (h0, h1, h2, h3):
+            pos = h.to_numpy(dtype=np.int64) % m_bits
+            out &= ((arr[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+        return pd.Series(out)
+
+    return mc(*[F.col(c) for c in _BLOOM_HCOLS])
+
+
+def _latest_below(spark: SparkSession, path: str, below: int):
+    """Largest committed b=<id> partition strictly below ``below``, or
+    None — the strictly-below read shared by the digest lake and its
+    bloom front."""
+    from pathlib import Path as _P
+
+    ids = sorted(
+        int(p.name.split("=", 1)[1])
+        for p in _P(path).glob("b=*")
+        if p.name.split("=", 1)[1].lstrip("-").isdigit()
+    )
+    ids = [i for i in ids if i < below]
+    return ids[-1] if ids else None
+
+
 def live_dedup_stream(
     docs: DataFrame,
     out_path: str,
@@ -1153,6 +1251,7 @@ def live_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = False,
+    bloom_bits: int | None = None,
 ):
     """Exactly-once streaming incremental dedup: each micro-batch keeps
     only documents never seen before — within the batch OR in any prior
@@ -1179,14 +1278,28 @@ def live_dedup_stream(
 
     Scale shape: only 16-byte digests are stored and joined (partition
     pruning keeps the strictly-below read a directory-level filter);
-    the corpus text never re-shuffles. One honest cost to know: the
-    anti-join re-reads the accumulated digest lake each trigger — at
-    billions of corpus digests, front it with a bloom filter or
-    compact the digest lake periodically (``compact_lake_partitions``
-    works on it as-is). Near-dup banding composes the same way
-    (persist band keys per batch next to the digests) and is left to
-    the batch op by design.
+    the corpus text never re-shuffles. The anti-join re-reads the
+    accumulated digest lake each trigger — the honest cost at billions
+    of corpus digests — so ``bloom_bits`` (e.g. ``1 << 23`` = 1 MiB,
+    ~2% fpp per million digests) turns on the bloom front documented
+    above :func:`_bloom_hash_cols`: a trigger reads ONE cumulative
+    bloom row instead of the digest history, rows the bloom rejects
+    are definitely new and skip the lake entirely (a zero-candidate
+    batch never touches it), and only bloom-positive candidates pay
+    the exact anti-join — output is IDENTICAL to the bloom-off path
+    (no false negatives; positives resolved exactly), pinned in
+    pytest. The batch is persisted for its two bloom passes; the
+    geometry is a contract (mixed ``m_bits`` raises). Alternatively
+    compact the digest lake periodically
+    (``compact_lake_partitions`` works on it as-is). Near-dup banding
+    composes the same way (persist band keys per batch next to the
+    digests) and is left to the batch op by design.
     """
+    if bloom_bits is not None and (bloom_bits < 64 or bloom_bits % 8):
+        raise ValueError(
+            f"bloom_bits must be a multiple of 8 (>= 64), got {bloom_bits}"
+        )
+    bloom_path = f"{state_path}_bloom"
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1204,23 +1317,107 @@ def live_dedup_stream(
         dedup_in = dg.join(
             keep, ["__digest", id_col], "left_semi"
         ).dropDuplicates(["__digest", id_col])
-        try:
-            seen = (
+
+        def seen():
+            return (
                 spark.read.parquet(state_path)
                 .filter(F.col("b") < batch_id)
                 .select("__digest")
             )
-            fresh = dedup_in.join(seen, "__digest", "left_anti")
-        except Exception as e:  # first batch: no state lake yet
-            if "PATH_NOT_FOUND" not in str(e) and "Unable to infer" not in str(e):
-                raise
-            fresh = dedup_in
-        fresh.drop("__digest").write.mode("overwrite").parquet(
-            f"{out_path}/b={batch_id}"
-        )
-        fresh.select("__digest").write.mode("overwrite").parquet(
-            f"{state_path}/b={batch_id}"
-        )
+
+        cached = None
+        if bloom_bits is None:
+            try:
+                fresh = dedup_in.join(seen(), "__digest", "left_anti")
+            except Exception as e:  # first batch: no state lake yet
+                if ("PATH_NOT_FOUND" not in str(e)
+                        and "Unable to infer" not in str(e)):
+                    raise
+                fresh = dedup_in
+        else:
+            prev = _latest_below(spark, bloom_path, batch_id)
+            if prev is None:  # empty seen set: everything is new
+                fresh = dedup_in
+            else:
+                row = spark.read.parquet(
+                    f"{bloom_path}/b={prev}"
+                ).collect()[0]
+                if int(row["m_bits"]) != bloom_bits:
+                    raise ValueError(
+                        f"bloom lake built with m_bits={row['m_bits']}, "
+                        f"called with {bloom_bits} — the geometry is a "
+                        "contract (rebuild the bloom lake to change it)"
+                    )
+                cached = (
+                    dedup_in.select("*", *_bloom_hash_cols())
+                    .withColumn(
+                        "__maybe",
+                        _bloom_might_contain(bytes(row["bits"]),
+                                             bloom_bits),
+                    )
+                    .persist()
+                )
+                cand = cached.filter(F.col("__maybe")).drop(
+                    "__maybe", *_BLOOM_HCOLS
+                )
+                new = cached.filter(~F.col("__maybe")).drop(
+                    "__maybe", *_BLOOM_HCOLS
+                )
+                if cand.isEmpty():
+                    fresh = new  # digest lake never read this trigger
+                else:
+                    fresh = new.unionByName(
+                        cand.join(seen(), "__digest", "left_anti")
+                    )
+        try:
+            fresh.drop("__digest").write.mode("overwrite").parquet(
+                f"{out_path}/b={batch_id}"
+            )
+            fresh.select("__digest").write.mode("overwrite").parquet(
+                f"{state_path}/b={batch_id}"
+            )
+            if bloom_bits is not None:
+                import numpy as np
+
+                # cumulative bloom over the WRITTEN digest partition
+                # (reuse the artifact; don't recompute fresh's lineage)
+                bb = _bloom_from_digests(
+                    spark.read.parquet(f"{state_path}/b={batch_id}"),
+                    bloom_bits,
+                )
+                prev = _latest_below(spark, bloom_path, batch_id)
+                if prev is not None:
+                    prior = spark.read.parquet(
+                        f"{bloom_path}/b={prev}"
+                    ).collect()[0]
+                    bb = (
+                        np.frombuffer(bb, np.uint8)
+                        | np.frombuffer(bytes(prior["bits"]), np.uint8)
+                    ).tobytes()
+                spark.createDataFrame(
+                    [(bytearray(bb), bloom_bits)],
+                    "bits binary, m_bits int",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{bloom_path}/b={batch_id}"
+                )
+                # GC: replay safety needs only the predecessor; drop
+                # everything below it (same floor as live_materialize)
+                if prev is not None:
+                    from pathlib import Path as _P
+
+                    for p in _P(bloom_path).glob("b=*"):
+                        bid = p.name.split("=", 1)[1]
+                        if bid.lstrip("-").isdigit() and int(bid) < prev:
+                            jp = spark._jvm.org.apache.hadoop.fs.Path(
+                                str(p)
+                            )
+                            jfs = jp.getFileSystem(
+                                spark._jsc.hadoopConfiguration()
+                            )
+                            jfs.delete(jp, True)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
     writer = (
         docs.writeStream.foreachBatch(_apply)

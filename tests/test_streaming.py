@@ -1446,6 +1446,133 @@ def test_live_dedup_stream_cross_batch_and_replay_safe(spark, tmp_path):
     assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")], got
 
 
+def test_live_dedup_stream_bloom_front_identical_and_replay_safe(
+    spark, tmp_path
+):
+    """The bloom-fronted dedup path is OUTPUT-IDENTICAL to the exact
+    path (no false negatives by construction; positives resolved by
+    the exact anti-join over candidates only), survives the genuine
+    crash-replay, refuses a geometry change, and the bloom kernel
+    itself never false-negatives a planted member."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.streaming import (
+        live_dedup_stream,
+    )
+    from polymarket_data_ingestor_spark.streaming.live import (
+        _bloom_from_digests,
+        _bloom_hash_cols,
+        _bloom_might_contain,
+    )
+
+    # kernel: every inserted digest must test positive (no false negs)
+    digests = spark.range(0, 500).select(
+        F.md5(F.col("id").cast("string")).alias("__digest")
+    )
+    m = 1 << 13
+    bits = _bloom_from_digests(digests, m)
+    hit = digests.select(*_bloom_hash_cols()).withColumn(
+        "__maybe", _bloom_might_contain(bits, m)
+    )
+    assert hit.filter(~F.col("__maybe")).count() == 0
+    # and the filter genuinely rejects most non-members at this fill
+    miss = spark.range(10_000, 11_000).select(
+        F.md5(F.col("id").cast("string")).alias("__digest")
+    ).select(*_bloom_hash_cols()).withColumn(
+        "__maybe", _bloom_might_contain(bits, m)
+    )
+    assert miss.filter(F.col("__maybe")).count() < 500  # << all
+
+    src = tmp_path / "bl_src"
+    src.mkdir()
+    batches = [
+        [{"doc_id": 1, "text": "alpha"}, {"doc_id": 2, "text": "beta"},
+         {"doc_id": 7, "text": "alpha"}],
+        [{"doc_id": 3, "text": "gamma"}, {"doc_id": 9, "text": "alpha"},
+         {"doc_id": 4, "text": "delta"}],
+        [{"doc_id": 5, "text": "beta"}, {"doc_id": 6, "text": "epsilon"}],
+    ]
+
+    def run(tag, bloom_bits):
+        out = str(tmp_path / f"{tag}_out")
+        q = live_dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src)),
+            out, str(tmp_path / f"{tag}_state"),
+            str(tmp_path / f"{tag}_ckpt"),
+            available_now=True, bloom_bits=bloom_bits,
+        )
+        q.awaitTermination(300)
+        return out
+
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n")
+        out_e = run("exact", None)
+        out_b = run("bloom", 1 << 13)
+        got_e = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(out_e).collect()
+        )
+        got_b = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(out_b).collect()
+        )
+        assert got_b == got_e, (i, got_b, got_e)
+    assert got_b == [(1, "alpha"), (2, "beta"), (3, "gamma"),
+                     (4, "delta"), (6, "epsilon")], got_b
+
+    # genuine crash-replay on the bloom path: last commit marker gone
+    ckpt = tmp_path / "bloom_ckpt"
+    commits = sorted((ckpt / "commits").glob("[0-9]*"))
+    commits[-1].unlink()
+    crc = ckpt / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    out_b = run("bloom", 1 << 13)
+    got_b = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out_b).collect()
+    )
+    assert got_b == got_e, got_b
+
+    # geometry is a contract: a different m_bits refuses loudly
+    (src / "b9.json").write_text(
+        _json.dumps({"doc_id": 99, "text": "zeta"}) + "\n")
+    import pyspark.errors as _errs
+    import pytest as _pytest
+
+    with _pytest.raises(
+        _errs.exceptions.captured.StreamingQueryException,
+        match="geometry is a contract",
+    ):
+        q = live_dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src)),
+            str(tmp_path / "bloom_out"),
+            str(tmp_path / "bloom_state"),
+            str(tmp_path / "bloom_ckpt"),
+            available_now=True, bloom_bits=1 << 14,
+        )
+        q.awaitTermination(300)
+
+    # cumulative-bloom GC floor: predecessor retained, older dropped
+    bloom_dirs = sorted(
+        int(p.name.split("=")[1])
+        for p in (tmp_path / "bloom_state_bloom").glob("b=*")
+    )
+    assert len(bloom_dirs) <= 2 and len(bloom_dirs) >= 1, bloom_dirs
+
+    with _pytest.raises(ValueError, match="multiple of 8"):
+        live_dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src)),
+            "x", "y", "z", bloom_bits=100,
+        )
+
+
 def test_live_cusum_matches_batch_across_restart(spark, tmp_path):
     """Streaming CUSUM over an in-order availableNow drain must be
     bit-identical to the batch operator — including when the stream is
