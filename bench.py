@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "rolling_zscore_flags",
     "dq_profile_orders",
     "dq_violations_orders",
+    "dq_split_clean",
     "vwap_monthly",
     "inverted_index",
     "bm25_search",

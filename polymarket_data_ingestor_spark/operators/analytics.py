@@ -2458,6 +2458,68 @@ def dq_check(
     return report
 
 
+def dq_row_violation_labels(
+    df: DataFrame, rules: dict[str, dict]
+) -> F.Column:
+    """Array column of "col.rule" labels the ROW violates — the
+    row-level form of :func:`dq_check`'s rules, shared by
+    :func:`dq_split`. Same semantics per rule (NULLs skip bound/set/
+    check rules; ``not_null`` owns them); ``unique`` is NOT
+    row-expressible without a shuffle and raises — quarantining
+    duplicates is :func:`~polymarket_data_ingestor_spark.operators.dedup.drop_exact_dupes`'s
+    job, and counting them is :func:`dq_check`'s."""
+    flags: list[F.Column] = []
+    for col, checks in rules.items():
+        c = F.col(col)
+        for rule, arg in checks.items():
+            if rule == "not_null":
+                cond = c.isNull()
+            elif rule == "min":
+                cond = c < F.lit(arg)
+            elif rule == "max":
+                cond = c > F.lit(arg)
+            elif rule == "in_set":
+                cond = ~c.isin(list(arg))
+            elif rule == "check":
+                p = F.expr(arg) if isinstance(arg, str) else arg
+                cond = ~p
+            elif rule == "unique":
+                raise ValueError(
+                    "dq_split cannot evaluate 'unique' per row — use "
+                    "dq_check to count duplicates or drop_exact_dupes "
+                    "to materialize the deduped side"
+                )
+            else:
+                raise ValueError(f"unknown dq rule {rule!r} for {col!r}")
+            flags.append(
+                F.when(cond, F.lit(f"{col}.{rule}"))  # NULL cond -> NULL
+            )
+    if not flags:
+        raise ValueError("dq_split needs at least one rule")
+    return F.array_compact(F.array(*flags))
+
+
+def dq_split(
+    df: DataFrame, rules: dict[str, dict]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level quarantine split — the third DQ shape next to
+    :func:`dq_check`'s refuse-to-publish gate and its audit report:
+    ``(clean, quarantined)`` where clean rows violate NO rule and
+    quarantined rows carry a ``dq_failed array<string>`` naming every
+    violated "col.rule" (the repair queue's routing key). The labels
+    ride as literal bindings (same injection-safety as dq_check's
+    report). One scan per side, pure Catalyst predicates — no shuffle,
+    no UDF; at 100 TB both sides stay whole-stage-codegen filters over
+    the same pruned scan. Rule semantics match :func:`dq_check`
+    exactly (NULLs skip bound/set/check rules; ``unique`` raises —
+    see :func:`dq_row_violation_labels`)."""
+    labels = dq_row_violation_labels(df, rules)
+    flagged = df.withColumn("dq_failed", labels)
+    clean = flagged.filter(F.size("dq_failed") == 0).drop("dq_failed")
+    bad = flagged.filter(F.size("dq_failed") > 0)
+    return clean, bad
+
+
 def dq_failures(rows) -> list[str]:
     """Violated-rule labels from already-collected :func:`dq_check`
     report rows — shared by the batch gate above and the streaming

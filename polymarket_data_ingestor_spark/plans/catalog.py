@@ -1788,6 +1788,47 @@ def q_quantile_rollup(spark, sf_dir):
 
 
 @register(
+    "dq_split_clean",
+    """
+    SELECT *
+    FROM lineitem
+    WHERE NOT (
+      COALESCE(NOT (l_discount <= l_tax), FALSE)
+      OR COALESCE(NOT (l_extendedprice >= l_quantity), FALSE)
+      OR COALESCE(l_quantity < 1, FALSE)
+    )
+    """,
+    doc="Row-level DQ quarantine split "
+    "(operators/analytics.py::dq_split): the third DQ shape next to "
+    "dq_check's refuse-to-publish gate and audit report — clean rows "
+    "flow on, violating rows carry a dq_failed array naming every "
+    "violated col.rule for the repair queue. Pure Catalyst predicates "
+    "(no shuffle, no UDF — both sides are whole-stage-codegen filters "
+    "over the same pruned scan); rule semantics identical to dq_check "
+    "(NULLs skip bound/set/check rules; `unique` raises — not "
+    "row-expressible). This entry is the clean side under "
+    "dq_cross_column's rules; the quarantine side's labels are pinned "
+    "in pytest and the streaming twin (live_dq_split) parks them "
+    "per-batch, replay-idempotent.",
+    tags=("filter", "quality"),
+)
+def q_dq_split_clean(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import dq_split
+
+    clean, _bad = dq_split(
+        table(spark, sf_dir, "lineitem"),
+        {
+            "l_discount": {"check": "l_discount <= l_tax"},
+            "l_extendedprice": {
+                "check": F.col("l_extendedprice") >= F.col("l_quantity")
+            },
+            "l_quantity": {"min": 1},
+        },
+    )
+    return clean
+
+
+@register(
     "heavy_hitters",
     """
     SELECT event_type, CAST(user_id AS VARCHAR) AS item,

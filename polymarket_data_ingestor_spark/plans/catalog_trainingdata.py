@@ -3061,6 +3061,7 @@ _CODE_CHANGED_THIS_ROUND = (
     "heavy_hitters",        # r10: new operator (Misra-Gries monoid)
     "sample_rollup",        # r10: new operator (bottom-k/KMV monoid)
     "dq_cross_column",      # r10: new entry (cross-column check rule)
+    "dq_split_clean",       # r10: new operator (row-level quarantine)
     "dq_violations_orders", # r10: dq_check long-format rebuilt (lit
                             # bindings instead of stack() interpolation)
     "curation_pipeline",    # r10: drop_exact_dupes identical-row collapse

@@ -1428,6 +1428,53 @@ def live_dedup_stream(
     return writer.start()
 
 
+def live_dq_split(
+    docs: DataFrame,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    rules: dict[str, dict],
+    available_now: bool = False,
+):
+    """Streaming quarantine split — the third streaming DQ shape next
+    to :func:`live_dq_check`'s gate and audit report: every micro-batch
+    is split row-level by
+    :func:`~polymarket_data_ingestor_spark.operators.analytics.dq_split`;
+    clean rows land in ``clean_path/b=<id>``, violating rows (with
+    their ``dq_failed`` routing labels) in ``quarantine_path/b=<id>``.
+    Where the gate blocks the WHOLE batch until upstream repair, the
+    split keeps good data flowing and parks the bad rows for the
+    repair queue — pick per pipeline stage: gate at publish
+    boundaries, split at ingest. Per-batch directories make replay
+    idempotent (the split is a pure function of the batch; an
+    at-least-once re-delivery overwrites both sides with identical
+    content — no MVCC needed because nothing accumulates)."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        dq_split,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        clean, bad = dq_split(batch, rules)
+        clean.write.mode("overwrite").parquet(
+            f"{clean_path}/b={batch_id}"
+        )
+        bad.withColumn(
+            "dq_failed", F.array_join(F.col("dq_failed"), ",")
+        ).write.mode("overwrite").parquet(
+            f"{quarantine_path}/b={batch_id}"
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def live_cusum(
     events_stream: DataFrame,
     target: float,

@@ -1635,6 +1635,50 @@ def test_dq_check_cross_column_predicate_and_label_safety(spark):
     ], rep
 
 
+def test_dq_split_routes_rows_with_labels(spark):
+    """Row-level quarantine: clean rows violate nothing; quarantined
+    rows carry every violated col.rule label; NULL operands skip
+    bound/set/check rules (not_null owns them); `unique` refuses."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        dq_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, 4.0),     # bad: v > cap
+            (2, 3.0, 4.0),     # clean
+            (3, None, 4.0),    # bad: not_null only (check skipped)
+            (4, -1.0, -4.0),   # bad: min AND check (v > cap too)
+            (5, 2.0, None),    # clean: cap NULL skips check
+        ],
+        "k long, v double, cap double",
+    )
+    rules = {
+        "v": {"min": 0.0, "not_null": True,
+              "check": F.col("v") <= F.col("cap")},
+    }
+    clean, bad = dq_split(df, rules)
+    assert {r["k"] for r in clean.collect()} == {2, 5}
+    assert "dq_failed" not in clean.columns
+    got = {r["k"]: sorted(r["dq_failed"]) for r in bad.collect()}
+    assert got == {
+        1: ["v.check"],
+        3: ["v.not_null"],
+        4: ["v.check", "v.min"],
+    }, got
+    # clean + bad partition the input exactly
+    assert clean.count() + bad.count() == df.count()
+
+    with _pytest.raises(ValueError, match="unique"):
+        dq_split(df, {"k": {"unique": True}})
+    with _pytest.raises(ValueError, match="at least one rule"):
+        dq_split(df, {})
+
+
 def test_cusum_matches_naive_model_and_alarms(spark):
     """CUSUM against a hand recursion: resets at zero, accumulates a
     sustained shift, alarms past the threshold; seeding continues the

@@ -1729,6 +1729,36 @@ def test_live_dq_check_blocks_bad_batch_until_fixed(spark, tmp_path):
         )
 
 
+def test_live_dq_split_quarantines_per_batch(spark, tmp_path):
+    """Streaming quarantine split: clean rows keep flowing while
+    violating rows park per batch with their routing labels — the
+    ingest-side complement of the live_dq_check publish gate (which
+    blocks the whole batch)."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.streaming import live_dq_split
+
+    src = tmp_path / "sp_src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"k": 1, "v": 5.0}, {"k": 2, "v": -3.0}, {"k": 3, "v": None},
+    ]) + "\n")
+    q = live_dq_split(
+        spark.readStream.schema("k long, v double").json(str(src)),
+        str(tmp_path / "sp_clean"), str(tmp_path / "sp_bad"),
+        str(tmp_path / "sp_ckpt"),
+        {"v": {"min": 0.0, "not_null": True}},
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    clean = spark.read.parquet(str(tmp_path / "sp_clean")).collect()
+    bad = spark.read.parquet(str(tmp_path / "sp_bad")).collect()
+    assert [r["k"] for r in clean] == [1]
+    assert {r["k"]: r["dq_failed"] for r in bad} == {
+        2: "v.min", 3: "v.not_null",
+    }
+
+
 def test_live_dq_check_single_aggregate_per_batch(
     spark, tmp_path, monkeypatch
 ):
