@@ -903,6 +903,18 @@ def test_quantile_rollup_shuffles_sketches_not_values(spark):
     assert "Join" not in plan and "Window" not in plan, plan
 
 
+def test_dq_split_is_pure_codegen_filter(spark):
+    """dq_split's scale claim: the clean side is a plain filter over
+    the pruned scan — no exchange, no Python/Arrow eval, no join; the
+    rules compile to Catalyst predicates entirely."""
+    plan = plan_of(spark, "dq_split_clean")
+    assert plan.count("FileScan") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Filter" in plan, plan
+
+
 @pytest.mark.parametrize("name", ["heavy_hitters", "sample_rollup"])
 def test_monoid_rollups_shuffle_state_not_rows(spark, name):
     """heavy_hitters and sample_rollup share the quantile entry's plan
