@@ -1289,7 +1289,12 @@ def live_dedup_stream(
     the exact anti-join — output is IDENTICAL to the bloom-off path
     (no false negatives; positives resolved exactly), pinned in
     pytest. The batch is persisted for its two bloom passes; the
-    geometry is a contract (mixed ``m_bits`` raises). Alternatively
+    geometry is a contract (mixed ``m_bits`` raises). A digest lake
+    that PREDATES the bloom — :func:`bootstrap_dedup_state`'s ``b=-1``
+    seed, or an exact-mode history being migrated — is covered
+    automatically: the first bloom trigger builds the bloom from the
+    lake once and folds it into its cumulative row, so the full read
+    happens exactly once per migration. Alternatively
     compact the digest lake periodically
     (``compact_lake_partitions`` works on it as-is). Near-dup banding
     composes the same way (persist band keys per batch next to the
@@ -1326,6 +1331,7 @@ def live_dedup_stream(
             )
 
         cached = None
+        seen_bits = None
         if bloom_bits is None:
             try:
                 fresh = dedup_in.join(seen(), "__digest", "left_anti")
@@ -1336,9 +1342,7 @@ def live_dedup_stream(
                 fresh = dedup_in
         else:
             prev = _latest_below(spark, bloom_path, batch_id)
-            if prev is None:  # empty seen set: everything is new
-                fresh = dedup_in
-            else:
+            if prev is not None:
                 row = spark.read.parquet(
                     f"{bloom_path}/b={prev}"
                 ).collect()[0]
@@ -1348,12 +1352,25 @@ def live_dedup_stream(
                         f"called with {bloom_bits} — the geometry is a "
                         "contract (rebuild the bloom lake to change it)"
                     )
+                seen_bits = bytes(row["bits"])
+            elif _latest_below(spark, state_path, batch_id) is not None:
+                # digest partitions exist below this batch with no
+                # bloom covering them — bootstrap_dedup_state's b=-1
+                # seed, or an exact-mode lake being migrated to the
+                # bloom path. Build the bloom FROM the lake once (a
+                # pure function of the strictly-below read, so a
+                # replay rebuilds it identically); it is folded into
+                # this batch's cumulative row below, so the full read
+                # happens exactly once per migration, never again.
+                seen_bits = _bloom_from_digests(seen(), bloom_bits)
+            if seen_bits is None:  # genuinely empty seen set
+                fresh = dedup_in
+            else:
                 cached = (
                     dedup_in.select("*", *_bloom_hash_cols())
                     .withColumn(
                         "__maybe",
-                        _bloom_might_contain(bytes(row["bits"]),
-                                             bloom_bits),
+                        _bloom_might_contain(seen_bits, bloom_bits),
                     )
                     .persist()
                 )
@@ -1386,13 +1403,12 @@ def live_dedup_stream(
                     bloom_bits,
                 )
                 prev = _latest_below(spark, bloom_path, batch_id)
-                if prev is not None:
-                    prior = spark.read.parquet(
-                        f"{bloom_path}/b={prev}"
-                    ).collect()[0]
+                if seen_bits is not None:
+                    # stored predecessor OR the one-time migration
+                    # build — either way the history is covered
                     bb = (
                         np.frombuffer(bb, np.uint8)
-                        | np.frombuffer(bytes(prior["bits"]), np.uint8)
+                        | np.frombuffer(seen_bits, np.uint8)
                     ).tobytes()
                 spark.createDataFrame(
                     [(bytearray(bb), bloom_bits)],

@@ -1573,6 +1573,63 @@ def test_live_dedup_stream_bloom_front_identical_and_replay_safe(
         )
 
 
+def test_live_dedup_bloom_covers_bootstrap_and_exact_history(
+    spark, tmp_path
+):
+    """A digest lake that predates the bloom must still suppress its
+    duplicates on the bloom path: batch 0 over a bootstrap_dedup_state
+    seed (b=-1, no bloom row) migrates the lake into the bloom once,
+    and the NEXT batch's bloom must cover the bootstrap digests too
+    (the migration folds into the cumulative row — without the fold,
+    historical dupes would sail through every later batch as
+    'definitely new')."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.streaming import (
+        bootstrap_dedup_state,
+        live_dedup_stream,
+    )
+
+    state = str(tmp_path / "bb_state")
+    corpus = spark.createDataFrame(
+        [(100 + i, f"seed-{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert bootstrap_dedup_state(corpus, state) == 10
+
+    src = tmp_path / "bb_src"
+    src.mkdir()
+    out = str(tmp_path / "bb_out")
+
+    def run():
+        q = live_dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src)),
+            out, state, str(tmp_path / "bb_ckpt"),
+            available_now=True, bloom_bits=1 << 13,
+        )
+        q.awaitTermination(300)
+
+    # batch 0: one historical dup + one new doc; no bloom row yet
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 1, "text": "seed-3"},   # dup of the bootstrap corpus
+        {"doc_id": 2, "text": "fresh-a"},
+    ]) + "\n")
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {2}, got
+
+    # batch 1: another historical dup — the cumulative bloom must
+    # cover the bootstrap digests (migration fold), not just batch 0's
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 3, "text": "seed-7"},   # dup of the bootstrap corpus
+        {"doc_id": 4, "text": "fresh-b"},
+    ]) + "\n")
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {2, 4}, got
+
+
 def test_live_cusum_matches_batch_across_restart(spark, tmp_path):
     """Streaming CUSUM over an in-order availableNow drain must be
     bit-identical to the batch operator — including when the stream is
