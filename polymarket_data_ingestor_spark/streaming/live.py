@@ -1228,18 +1228,33 @@ def _bloom_might_contain(bloom_bytes: bytes, m_bits: int):
     return mc(*[F.col(c) for c in _BLOOM_HCOLS])
 
 
-def _latest_below(spark: SparkSession, path: str, below: int):
-    """Largest committed b=<id> partition strictly below ``below``, or
-    None — the strictly-below read shared by the digest lake and its
-    bloom front."""
-    from pathlib import Path as _P
+def _batch_partitions(spark: SparkSession, path: str) -> list[int]:
+    """Ascending b=<id> partition ids under ``path`` — Hadoop FS like
+    :func:`_rollup_versions`, so the same code runs on HDFS/S3A/local
+    (a ``pathlib`` listing would silently see nothing on a real
+    cluster's object store)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("b="):
+            bid = name[2:]
+            if bid.lstrip("-").isdigit():
+                out.append(int(bid))
+    return sorted(out)
 
-    ids = sorted(
-        int(p.name.split("=", 1)[1])
-        for p in _P(path).glob("b=*")
-        if p.name.split("=", 1)[1].lstrip("-").isdigit()
-    )
-    ids = [i for i in ids if i < below]
+
+def _latest_below(spark: SparkSession, path: str, below: int):
+    """Largest b=<id> partition strictly below ``below``, or None —
+    the strictly-below read shared by the digest lake and its bloom
+    front. A torn partition can only be the crashed batch's own id,
+    which its replay overwrites before any later batch exists — the
+    same sequencing argument as live_materialize."""
+    ids = [i for i in _batch_partitions(spark, path) if i < below]
     return ids[-1] if ids else None
 
 
@@ -1419,13 +1434,10 @@ def live_dedup_stream(
                 # GC: replay safety needs only the predecessor; drop
                 # everything below it (same floor as live_materialize)
                 if prev is not None:
-                    from pathlib import Path as _P
-
-                    for p in _P(bloom_path).glob("b=*"):
-                        bid = p.name.split("=", 1)[1]
-                        if bid.lstrip("-").isdigit() and int(bid) < prev:
+                    for bid in _batch_partitions(spark, bloom_path):
+                        if bid < prev:
                             jp = spark._jvm.org.apache.hadoop.fs.Path(
-                                str(p)
+                                f"{bloom_path}/b={bid}"
                             )
                             jfs = jp.getFileSystem(
                                 spark._jsc.hadoopConfiguration()
