@@ -1882,6 +1882,16 @@ def quantile_rollup_state(
     REFUSES to union sketches built with different k. NULL values are
     ignored (SQL percentile semantics); a key with no non-null values
     emits no state row.
+
+    Memory honesty (applies to the whole monoid-builder family,
+    including :func:`heavy_hitters_state` / :func:`sample_rollup_state`):
+    stage 1 holds one Python state per DISTINCT KEY SEEN IN THE
+    PARTITION and never spills — per-task memory ∝ keys-in-partition ×
+    state size. For rollup keys that is dozens-to-thousands and
+    trivially fine; for an ultra-high-cardinality key (millions per
+    partition), pre-``repartition(*keys)`` the input first — one
+    exchange, the same total shuffle a direct groupBy would pay, and
+    each task then holds only its own key range — or lower k.
     """
     import pandas as pd
 
@@ -2064,7 +2074,9 @@ def heavy_hitters_state(
     never the item stream; one grouped-map pass merges partials
     canonically. Items travel as strings (engine-portable); NULL items
     are ignored. ``k`` is the accuracy contract and travels in the
-    state; mixed-k merges refuse."""
+    state; mixed-k merges refuse. Stage-1 memory ∝ distinct keys per
+    partition × k — see the memory-honesty note on
+    :func:`quantile_rollup_state`."""
     import pandas as pd
 
     if k < 1:
@@ -2219,7 +2231,9 @@ def sample_rollup_state(
     Arrow boundary; pandas only dedups and keeps the k smallest
     (hash, id) pairs per partition — so the shuffle carries ≤ k pairs
     per (partition, key). NULL ids are ignored. ``k``/``seed`` travel
-    in the state; mixed contracts refuse to merge."""
+    in the state; mixed contracts refuse to merge. Stage-1 memory ∝
+    distinct keys per partition × k — see the memory-honesty note on
+    :func:`quantile_rollup_state`."""
     import pandas as pd
 
     from polymarket_data_ingestor_spark.functions.scalars import hash32
