@@ -2072,8 +2072,12 @@ def heavy_hitters_state(
     batch is counted vectorized, then MG-merged into the running
     summary), so the shuffle carries ≤ k counters per (partition, key),
     never the item stream; one grouped-map pass merges partials
-    canonically. Items travel as strings (engine-portable); NULL items
-    are ignored. ``k`` is the accuracy contract and travels in the
+    canonically. Items are cast to string JVM-SIDE before the Arrow
+    boundary (like :func:`sample_rollup_state`) — a pandas-side
+    ``astype(str)`` would label a nullable int column's items
+    ``"42.0"`` in any batch Arrow float64-upcast for a NULL and
+    ``"42"`` elsewhere, silently splitting one item's counts. NULL
+    items are ignored. ``k`` is the accuracy contract and travels in the
     state; mixed-k merges refuse. Stage-1 memory ∝ distinct keys per
     partition × k — see the memory-honesty note on
     :func:`quantile_rollup_state`."""
@@ -2101,7 +2105,7 @@ def heavy_hitters_state(
                 if st is None:
                     st = summaries[kv] = [{}, 0]
                 counts, _ = st
-                vc = grp[item_col].astype(str).value_counts()
+                vc = grp[item_col].value_counts()
                 for it, c in vc.items():
                     counts[it] = counts.get(it, 0) + int(c)
                 st[1] += _mg_trim(counts, k)
@@ -2117,9 +2121,9 @@ def heavy_hitters_state(
             rows["hh_k"].append(k)
         yield pd.DataFrame(rows)
 
-    partials = df.select(*key_list, item_col).mapInPandas(
-        build, out_schema
-    )
+    partials = df.select(
+        *key_list, F.col(item_col).cast("string").alias(item_col)
+    ).mapInPandas(build, out_schema)
     return _merge_hh_states(partials, keys)
 
 

@@ -30,7 +30,7 @@ from hashlib import md5 as _md5
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -97,6 +97,21 @@ def _h63(s: str) -> int:
     return (_h32("a:" + s) % 2_147_483_648) * 4_294_967_296 + _h32("b:" + s)
 
 
+def content_digest(key_col: str | Column) -> Column:
+    """THE content digest every exact-dedup surface shares (batch
+    groups, materializer, streaming digest lake + bloom front): md5 of
+    the content, with NULL content mapped to the sentinel ``"null"``
+    instead of a NULL hash. The sentinel matters: NULL never
+    equi-joins NULL, so a raw ``md5`` silently drops every
+    null-content row through the semi-join — with the sentinel they
+    form one dedup group (keep-one) like any other content value, and
+    the string can never collide with a real digest (md5 is 32 hex
+    chars). Change the hash or the sentinel HERE only — three
+    surfaces consume it."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.coalesce(F.md5(c), F.lit("null"))
+
+
 def exact_dedup_groups(
     df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -104,9 +119,13 @@ def exact_dedup_groups(
 
     Keeper = min id (deterministic). ``n_dupes > 1`` rows are duplicate
     groups; to materialize the deduped corpus, semi-join ids back.
+    NULL content forms one group under the ``"null"`` sentinel digest
+    (see :func:`content_digest`).
     """
     return (
-        df.select(F.md5(F.col(key_col)).alias("content_hash"), F.col(id_col))
+        df.select(
+            content_digest(key_col).alias("content_hash"), F.col(id_col)
+        )
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -129,8 +148,11 @@ def drop_exact_dupes(
     redelivery case the copies are identical, so the pick is
     deterministic). No extra exchange: the semi-join already
     partitions by the same (digest, id) keys the dedup groups on.
+    NULL content keeps its min-id row like any other group
+    (:func:`content_digest`'s sentinel — a raw md5 would NULL the
+    join key and silently drop every null-content document).
     """
-    dg = df.withColumn("__digest", F.md5(F.col(key_col)))
+    dg = df.withColumn("__digest", content_digest(key_col))
     keep = dg.groupBy("__digest").agg(F.min(F.col(id_col)).alias(id_col))
     return (
         dg.join(keep, ["__digest", id_col], "left_semi")
@@ -944,10 +966,10 @@ def dedup_against(
             "silently excluded from the band keys"
         )
     ex_digests = existing.select(
-        F.md5(F.col(text_col)).alias("__ch")
+        content_digest(text_col).alias("__ch")
     ).distinct()
     exact_surv = (
-        new.withColumn("__ch", F.md5(F.col(text_col)))
+        new.withColumn("__ch", content_digest(text_col))
         .join(ex_digests, "__ch", "left_anti")
         .drop("__ch")
     )

@@ -1325,7 +1325,11 @@ def live_dedup_stream(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        dg = batch.withColumn("__digest", F.md5(F.col(text_col)))
+        from polymarket_data_ingestor_spark.operators.dedup import (
+            content_digest,
+        )
+
+        dg = batch.withColumn("__digest", content_digest(text_col))
         keep = dg.groupBy("__digest").agg(
             F.min(F.col(id_col)).alias(id_col)
         )
@@ -1356,6 +1360,8 @@ def live_dedup_stream(
                     raise
                 fresh = dedup_in
         else:
+            import numpy as np
+
             prev = _latest_below(spark, bloom_path, batch_id)
             if prev is not None:
                 row = spark.read.parquet(
@@ -1368,16 +1374,32 @@ def live_dedup_stream(
                         "contract (rebuild the bloom lake to change it)"
                     )
                 seen_bits = bytes(row["bits"])
-            elif _latest_below(spark, state_path, batch_id) is not None:
-                # digest partitions exist below this batch with no
-                # bloom covering them — bootstrap_dedup_state's b=-1
-                # seed, or an exact-mode lake being migrated to the
-                # bloom path. Build the bloom FROM the lake once (a
-                # pure function of the strictly-below read, so a
-                # replay rebuilds it identically); it is folded into
-                # this batch's cumulative row below, so the full read
-                # happens exactly once per migration, never again.
-                seen_bits = _bloom_from_digests(seen(), bloom_bits)
+            # Fold in any digest partitions the stored bloom does NOT
+            # cover: b <= prev is covered (cumulative), anything in
+            # (prev, batch_id) is not — bootstrap_dedup_state's b=-1
+            # seed or an exact-mode interlude (bloom_bits=None runs
+            # between bloom-enabled runs) leaves exactly such a gap,
+            # and a bloom missing those digests would false-negative
+            # their duplicates forever. The fold reads ONLY the gap
+            # partitions (partition-pruned), is a pure function of the
+            # strictly-below read (replay rebuilds it identically),
+            # and lands in this batch's cumulative row below — so each
+            # gap is read once, never again.
+            uncovered = [
+                b for b in _batch_partitions(spark, state_path)
+                if b < batch_id and (prev is None or b > prev)
+            ]
+            if uncovered:
+                gap = spark.read.parquet(state_path).filter(
+                    F.col("b").isin(uncovered)
+                )
+                gap_bits = _bloom_from_digests(gap, bloom_bits)
+                seen_bits = (
+                    gap_bits if seen_bits is None else (
+                        np.frombuffer(seen_bits, np.uint8)
+                        | np.frombuffer(gap_bits, np.uint8)
+                    ).tobytes()
+                )
             if seen_bits is None:  # genuinely empty seen set
                 fresh = dedup_in
             else:
@@ -1476,23 +1498,34 @@ def live_dq_split(
     boundaries, split at ingest. Per-batch directories make replay
     idempotent (the split is a pure function of the batch; an
     at-least-once re-delivery overwrites both sides with identical
-    content — no MVCC needed because nothing accumulates)."""
+    content — no MVCC needed because nothing accumulates). The
+    flagged batch is persisted across the two side-writes, so the
+    upstream computation runs once and a row can never route to both
+    sides or neither (the same double-evaluation hazard
+    :func:`live_dq_check` closed for its report-vs-gate pair); the
+    quarantine parquet keeps ``dq_failed`` as the same
+    ``array<string>`` the batch operator returns."""
     from polymarket_data_ingestor_spark.operators.analytics import (
-        dq_split,
+        dq_row_violation_labels,
     )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        clean, bad = dq_split(batch, rules)
-        clean.write.mode("overwrite").parquet(
-            f"{clean_path}/b={batch_id}"
-        )
-        bad.withColumn(
-            "dq_failed", F.array_join(F.col("dq_failed"), ",")
-        ).write.mode("overwrite").parquet(
-            f"{quarantine_path}/b={batch_id}"
-        )
+        flagged = batch.withColumn(
+            "dq_failed", dq_row_violation_labels(batch, rules)
+        ).persist()
+        try:
+            flagged.filter(F.size("dq_failed") == 0).drop(
+                "dq_failed"
+            ).write.mode("overwrite").parquet(
+                f"{clean_path}/b={batch_id}"
+            )
+            flagged.filter(F.size("dq_failed") > 0).write.mode(
+                "overwrite"
+            ).parquet(f"{quarantine_path}/b={batch_id}")
+        finally:
+            flagged.unpersist()
 
     writer = (
         docs.writeStream.foreachBatch(_apply)
@@ -1600,8 +1633,12 @@ def bootstrap_dedup_state(
     digest count. Run BEFORE starting the stream (single-writer
     contract on ``state_path``, as everywhere in this module).
     """
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        content_digest,
+    )
+
     digests = corpus.select(
-        F.md5(F.col(text_col)).alias("__digest")
+        content_digest(text_col).alias("__digest")
     ).distinct()
     digests.write.mode("overwrite").parquet(f"{state_path}/b=-1")
     return digests.sparkSession.read.parquet(f"{state_path}/b=-1").count()

@@ -1357,6 +1357,30 @@ def test_heavy_hitters_exact_regime_and_mg_bounds(spark):
         ).collect()
 
 
+def test_heavy_hitters_nullable_int_items_not_float_labeled(spark):
+    """A nullable integer item column must label items '42', never
+    '42.0': Arrow float64-upcasts int batches that contain a NULL, so
+    a pandas-side astype(str) split one item's counts across '42' and
+    '42.0' labels depending on which batch the rows landed in (found
+    in the r10 review; the cast now happens JVM-side)."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_heavy_hitters,
+        heavy_hitters_state,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 42), ("g", 42), ("g", None), ("g", 7)],
+        "k string, item long",
+    ).coalesce(1)  # one batch: guarantees the NULL shares the batch
+    got = {
+        r["item"]: r["est_count"]
+        for r in finalize_heavy_hitters(
+            heavy_hitters_state(df, ("k",), "item", k=16)
+        ).collect()
+    }
+    assert got == {"42": 2, "7": 1}, got
+
+
 def test_mg_trim_kernel_deterministic_and_order_independent():
     """Pure-kernel: the trim is a pure function of the counter map (no
     item selection), so summing partials in ANY order then trimming

@@ -1573,6 +1573,63 @@ def test_live_dedup_stream_bloom_front_identical_and_replay_safe(
         )
 
 
+def test_live_dedup_bloom_covers_exact_mode_interlude(spark, tmp_path):
+    """A bloom lake that LAGS the digest lake — the stream ran with
+    bloom_bits=None between bloom-enabled runs — must not false-
+    negative the interlude's digests: the stored bloom covers only
+    b <= its own id, so the uncovered gap partitions are folded in
+    (and land in the next cumulative row, read-once). Without the
+    fold, duplicates of interlude documents sail through as
+    'definitely new' forever (found in the r10 review)."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.streaming import (
+        live_dedup_stream,
+    )
+
+    src = tmp_path / "il_src"
+    src.mkdir()
+    out = str(tmp_path / "il_out")
+
+    def run(bloom):
+        q = live_dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src)),
+            out, str(tmp_path / "il_state"), str(tmp_path / "il_ckpt"),
+            available_now=True, bloom_bits=bloom,
+        )
+        q.awaitTermination(300)
+
+    # batch 0 with bloom ON
+    (src / "b0.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "alpha"}) + "\n")
+    run(1 << 13)
+    # batch 1 with bloom OFF (exact interlude): digest lake advances,
+    # bloom lake stays at b=0
+    (src / "b1.json").write_text(
+        _json.dumps({"doc_id": 2, "text": "beta"}) + "\n")
+    run(None)
+    # batch 2 with bloom ON again: a duplicate of the INTERLUDE doc
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 3, "text": "beta"},    # dup of the uncovered batch 1
+        {"doc_id": 4, "text": "gamma"},
+    ]) + "\n")
+    run(1 << 13)
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "alpha"), (2, "beta"), (4, "gamma")], got
+
+    # and batch 3 probes the CUMULATIVE row: the gap fold must have
+    # landed in b=2's bloom, so another interlude dup is still caught
+    (src / "b3.json").write_text(
+        _json.dumps({"doc_id": 5, "text": "beta"}) + "\n")
+    run(1 << 13)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 4], got
+
+
 def test_live_dedup_bloom_covers_bootstrap_and_exact_history(
     spark, tmp_path
 ):
@@ -1811,8 +1868,10 @@ def test_live_dq_split_quarantines_per_batch(spark, tmp_path):
     clean = spark.read.parquet(str(tmp_path / "sp_clean")).collect()
     bad = spark.read.parquet(str(tmp_path / "sp_bad")).collect()
     assert [r["k"] for r in clean] == [1]
-    assert {r["k"]: r["dq_failed"] for r in bad} == {
-        2: "v.min", 3: "v.not_null",
+    # same array<string> shape as the batch dq_split (a repair queue
+    # written against one contract reads both)
+    assert {r["k"]: list(r["dq_failed"]) for r in bad} == {
+        2: ["v.min"], 3: ["v.not_null"],
     }
 
 

@@ -58,6 +58,43 @@ def test_exact_dedup_collapses_byte_identical_rows(spark, docs):
     assert deduped.count() == docs.count() - 30
 
 
+def test_exact_dedup_null_content_keeps_one_row(spark):
+    """NULL-content documents form ONE dedup group under the sentinel
+    digest and keep their min-id row — a raw md5 digest NULLs the
+    semi-join key and silently drops every null-content document from
+    the curated corpus (found in the r10 review)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (4, "x"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in D.drop_exact_dupes(df).collect()
+    )
+    assert got == [(1, "x"), (2, None)], got
+    # the group table shows the null group explicitly, not a NULL key
+    groups = {
+        r["content_hash"]: (r["keep_id"], r["n_dupes"])
+        for r in D.exact_dedup_groups(df).collect()
+    }
+    assert groups["null"] == (2, 3), groups
+    assert None not in groups
+
+
+def test_dedup_against_null_content_suppressed(spark):
+    """dedup_against: a NULL-content doc duplicating a NULL-content
+    corpus doc is suppressed like any other exact duplicate (raw md5
+    would let it through — NULL never anti-join-matches NULL)."""
+    existing = spark.createDataFrame(
+        [(1, None), (2, "keep me around")], "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, None), (11, "genuinely new text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in D.dedup_against(new, existing).collect()}
+    assert got == {11}, got
+
+
 def test_minhash_lsh_finds_planted_near_dupes(spark, docs):
     pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8).toPandas()
     got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
