@@ -239,6 +239,86 @@ def cmd_lake_expire(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lake_stats(args: argparse.Namespace) -> int:
+    """Maintain a mergeable rollup over a lake INCREMENTALLY from the
+    shell: fold one delta (a parquet path — typically today's
+    partition) into a stored state directory and print the finalized
+    statistics. Cost ∝ delta + state keys, never the history — the
+    CLI face of the monoid family; each run is
+    read-state → merge-delta → overwrite-state, with the merged state
+    eagerly localCheckpoint-ed so the overwrite never reads the path
+    it is replacing (the classic self-overwrite hazard)."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_distinct_rollup,
+        finalize_heavy_hitters,
+        finalize_quantile_rollup,
+        finalize_rollup,
+        heavy_hitters_state,
+        merge_distinct_rollup,
+        merge_heavy_hitters,
+        merge_quantile_rollup,
+        merge_rollup,
+        quantile_rollup_state,
+        rollup_state,
+        distinct_rollup_state,
+    )
+
+    keys = tuple(k for k in args.keys.split(",") if k)
+    if not keys:
+        print("lake stats: --keys must name at least one column",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="pdi-lake-stats")
+    delta = spark.read.parquet(args.delta)
+    builders = {
+        "summary": (
+            lambda d: rollup_state(d, keys, args.value),
+            lambda a, b: merge_rollup(a, b, keys=keys),
+            finalize_rollup,
+        ),
+        "distinct": (
+            lambda d: distinct_rollup_state(d, keys, args.value),
+            lambda a, b: merge_distinct_rollup(a, b, keys=keys),
+            finalize_distinct_rollup,
+        ),
+        "quantiles": (
+            lambda d: quantile_rollup_state(d, keys, args.value,
+                                            k=args.k),
+            lambda a, b: merge_quantile_rollup(a, b, keys=keys),
+            lambda s: finalize_quantile_rollup(
+                s, tuple(float(q) for q in args.quantiles.split(","))
+            ),
+        ),
+        "heavyhitters": (
+            lambda d: heavy_hitters_state(d, keys, args.value,
+                                          k=args.k),
+            lambda a, b: merge_heavy_hitters(a, b, keys=keys),
+            finalize_heavy_hitters,
+        ),
+    }
+    build, merge, finalize = builders[args.stat]
+    state = build(delta)
+    import os
+
+    if os.path.isdir(args.state) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(args.state)
+        for f in fs
+    ):
+        state = merge(spark.read.parquet(args.state), state)
+    # break lineage from args.state BEFORE overwriting it
+    state = state.localCheckpoint(eager=True)
+    state.write.mode("overwrite").parquet(args.state)
+    out = finalize(spark.read.parquet(args.state))
+    display_cols = [  # sketch payloads are state, not display
+        f.name for f in out.schema.fields
+        if f.dataType.typeName() not in ("binary", "array")
+    ]
+    for row in out.select(*display_cols).limit(args.show).collect():
+        print(row.asDict())
+    print(f"state: {args.state} ({state.count()} keys)")
+    return 0
+
+
 def cmd_manifests(args: argparse.Namespace) -> int:
     from polymarket_data_ingestor_spark.operators.replay import (
         write_gate_manifests,
@@ -338,6 +418,31 @@ def build_parser() -> argparse.ArgumentParser:
                          "below it are removed (ISO dates/hours)")
     le.add_argument("--dry-run", action="store_true",
                     help="report what would be removed, delete nothing")
+
+    ls = lk_sub.add_parser(
+        "stats",
+        help="fold a delta into a mergeable rollup state and print "
+             "the finalized statistics (cost ~ delta + state keys, "
+             "never the history)",
+    )
+    ls.add_argument("delta", help="parquet path of the NEW rows to fold")
+    ls.add_argument("--state", required=True,
+                    help="state directory (created on first run)")
+    ls.add_argument("--stat", required=True,
+                    choices=["summary", "distinct", "quantiles",
+                             "heavyhitters"])
+    ls.add_argument("--keys", required=True,
+                    help="comma-separated group columns")
+    ls.add_argument("--value", required=True,
+                    help="value column (item column for heavyhitters, "
+                         "counted column for distinct)")
+    ls.add_argument("--k", type=int, default=4096,
+                    help="sketch capacity (quantiles/heavyhitters)")
+    ls.add_argument("--quantiles", default="0.5,0.9,0.99",
+                    help="comma-separated quantiles for --stat quantiles")
+    ls.add_argument("--show", type=int, default=20,
+                    help="finalized rows to print")
+    ls.set_defaults(fn=cmd_lake_stats)
     le.set_defaults(fn=cmd_lake_expire)
 
     mf = sub.add_parser("manifests",

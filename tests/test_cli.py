@@ -193,3 +193,54 @@ def test_cmd_lake_roundtrip(spark, tmp_path, monkeypatch):
     assert cli.main(["manifests", "--data-dir", str(raw)]) == 0
     from polymarket_data_ingestor_spark.manifest import read_manifest_max
     assert read_manifest_max(raw / "2024-01-01-00.jsonl") == 1
+
+
+def test_cmd_lake_stats_incremental_matches_full(spark, tmp_path,
+                                                 monkeypatch, capsys):
+    """`lake stats`: fold day-1 then day-2 deltas into a summary state
+    via the CLI; the maintained result must equal one aggregation over
+    the union (the monoid contract, now operable from the shell), and
+    a quantile run over the same state dir layout works end to end."""
+    from polymarket_data_ingestor_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d1p, d2p = str(tmp_path / "d1"), str(tmp_path / "d2")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(d1p)
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(d2p)
+    state = str(tmp_path / "stat_state")
+
+    for delta in (d1p, d2p):
+        assert cli.main(["lake", "stats", delta, "--state", state,
+                         "--stat", "summary", "--keys", "event_type",
+                         "--value", "value"]) == 0
+    got = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in ev.groupBy("event_type").agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+        ).collect()
+    }
+    assert got == want
+
+    # quantile stat over the same flow (fresh state dir)
+    qstate = str(tmp_path / "q_state")
+    assert cli.main(["lake", "stats", d1p, "--state", qstate,
+                     "--stat", "quantiles", "--keys", "event_type",
+                     "--value", "value", "--quantiles", "0.5"]) == 0
+    assert cli.main(["lake", "stats", d2p, "--state", qstate,
+                     "--stat", "quantiles", "--keys", "event_type",
+                     "--value", "value", "--quantiles", "0.5"]) == 0
+    out = capsys.readouterr().out
+    assert "'p50':" in out and "keys)" in out
+
+    # empty --keys refuses with exit 2
+    assert cli.main(["lake", "stats", d1p, "--state", state,
+                     "--stat", "summary", "--keys", "",
+                     "--value", "value"]) == 2
