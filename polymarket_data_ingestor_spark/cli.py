@@ -298,13 +298,18 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     }
     build, merge, finalize = builders[args.stat]
     state = build(delta)
-    import os
-
-    if os.path.isdir(args.state) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(args.state)
-        for f in fs
-    ):
-        state = merge(spark.read.parquet(args.state), state)
+    # engine-side existence check (try-read, like live_dedup_stream's
+    # first batch): an os.path probe is local-FS-only and would
+    # silently SKIP the merge on HDFS/S3A — overwriting accumulated
+    # history with the delta's aggregates
+    try:
+        stored = spark.read.parquet(args.state)
+    except Exception as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Unable to infer" not in str(e):
+            raise
+        stored = None
+    if stored is not None:
+        state = merge(stored, state)
     # break lineage from args.state BEFORE overwriting it
     state = state.localCheckpoint(eager=True)
     state.write.mode("overwrite").parquet(args.state)

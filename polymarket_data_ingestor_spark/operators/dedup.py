@@ -106,8 +106,12 @@ def content_digest(key_col: str | Column) -> Column:
     null-content row through the semi-join — with the sentinel they
     form one dedup group (keep-one) like any other content value, and
     the string can never collide with a real digest (md5 is 32 hex
-    chars). Change the hash or the sentinel HERE only — three
-    surfaces consume it."""
+    chars). Change the hash or the sentinel HERE only — five surfaces
+    consume it (exact_dedup_groups, drop_exact_dupes, dedup_against,
+    the streaming digest lake, the bootstrap seed), and the streaming
+    bloom front additionally slices the digest for its hash positions
+    (non-hex slices coalesce to position 0 there — see
+    ``live._bloom_hash_cols``)."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     return F.coalesce(F.md5(c), F.lit("null"))
 

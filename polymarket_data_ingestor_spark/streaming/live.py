@@ -1170,9 +1170,19 @@ _BLOOM_HCOLS = tuple(f"__bh{i}" for i in range(len(_BLOOM_SLICES)))
 
 
 def _bloom_hash_cols(digest_col: str = "__digest") -> list:
+    # coalesce(0): content_digest's "null" sentinel is 4 chars, so
+    # slices past it substring to "" and conv('') is NULL — which
+    # numpy would NaN-cast to an UNDEFINED int64 in the build/probe
+    # kernels (platform-dependent: warning + INT64_MIN, or a raise).
+    # Pinning unparseable slices to position 0 keeps build and probe
+    # in exact agreement for any non-hex digest, preserving the
+    # no-false-negative contract.
     return [
-        F.conv(F.substring(F.col(digest_col), s, ln), 16, 10)
-        .cast("long").alias(name)
+        F.coalesce(
+            F.conv(F.substring(F.col(digest_col), s, ln), 16, 10)
+            .cast("long"),
+            F.lit(0),
+        ).alias(name)
         for name, (s, ln) in zip(_BLOOM_HCOLS, _BLOOM_SLICES)
     ]
 
@@ -1499,33 +1509,34 @@ def live_dq_split(
     idempotent (the split is a pure function of the batch; an
     at-least-once re-delivery overwrites both sides with identical
     content — no MVCC needed because nothing accumulates). The
-    flagged batch is persisted across the two side-writes, so the
-    upstream computation runs once and a row can never route to both
-    sides or neither (the same double-evaluation hazard
-    :func:`live_dq_check` closed for its report-vs-gate pair); the
+    batch is persisted across the two side-writes, so the upstream
+    computation runs once and a row can never route to both sides or
+    neither (the same double-evaluation hazard :func:`live_dq_check`
+    closed for its report-vs-gate pair — the split predicates
+    themselves are deterministic Catalyst expressions over the cached
+    rows, and they come from the ONE
+    :func:`~polymarket_data_ingestor_spark.operators.analytics.dq_split`
+    both shapes share, so batch and stream can never skew); the
     quarantine parquet keeps ``dq_failed`` as the same
     ``array<string>`` the batch operator returns."""
     from polymarket_data_ingestor_spark.operators.analytics import (
-        dq_row_violation_labels,
+        dq_split,
     )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        flagged = batch.withColumn(
-            "dq_failed", dq_row_violation_labels(batch, rules)
-        ).persist()
+        cached = batch.persist()
         try:
-            flagged.filter(F.size("dq_failed") == 0).drop(
-                "dq_failed"
-            ).write.mode("overwrite").parquet(
+            clean, bad = dq_split(cached, rules)
+            clean.write.mode("overwrite").parquet(
                 f"{clean_path}/b={batch_id}"
             )
-            flagged.filter(F.size("dq_failed") > 0).write.mode(
-                "overwrite"
-            ).parquet(f"{quarantine_path}/b={batch_id}")
+            bad.write.mode("overwrite").parquet(
+                f"{quarantine_path}/b={batch_id}"
+            )
         finally:
-            flagged.unpersist()
+            cached.unpersist()
 
     writer = (
         docs.writeStream.foreachBatch(_apply)
@@ -1632,16 +1643,33 @@ def bootstrap_dedup_state(
     output. One corpus scan, 16-byte distinct digests out; returns the
     digest count. Run BEFORE starting the stream (single-writer
     contract on ``state_path``, as everywhere in this module).
+
+    Bloom interaction: bootstrapping (or RE-bootstrapping) rewrites a
+    partition that may already be "covered" by a cumulative bloom row
+    — the bloom's coverage assumption (everything ≤ its own id) would
+    silently false-negative the new corpus's duplicates forever. So
+    this function DELETES any sibling ``<state_path>_bloom`` lake: the
+    next bloom-enabled trigger finds no bloom, runs the one-time
+    migration fold over the whole digest lake (including the fresh
+    ``b=-1``), and rebuilds coverage honestly. Cache invalidation, not
+    data loss — the bloom is derivable state.
     """
     from polymarket_data_ingestor_spark.operators.dedup import (
         content_digest,
     )
 
+    spark = corpus.sparkSession
     digests = corpus.select(
         content_digest(text_col).alias("__digest")
     ).distinct()
     digests.write.mode("overwrite").parquet(f"{state_path}/b=-1")
-    return digests.sparkSession.read.parquet(f"{state_path}/b=-1").count()
+    bloom_root = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{state_path}_bloom"
+    )
+    fs = bloom_root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(bloom_root):
+        fs.delete(bloom_root, True)
+    return spark.read.parquet(f"{state_path}/b=-1").count()
 
 
 def live_dq_check(

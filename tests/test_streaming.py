@@ -1622,12 +1622,29 @@ def test_live_dedup_bloom_covers_exact_mode_interlude(spark, tmp_path):
     assert got == [(1, "alpha"), (2, "beta"), (4, "gamma")], got
 
     # and batch 3 probes the CUMULATIVE row: the gap fold must have
-    # landed in b=2's bloom, so another interlude dup is still caught
-    (src / "b3.json").write_text(
-        _json.dumps({"doc_id": 5, "text": "beta"}) + "\n")
+    # landed in b=2's bloom, so another interlude dup is still caught;
+    # it also carries a NULL-text row, whose sentinel digest is
+    # non-hex — the bloom hash slices must coalesce (a NaN->int64
+    # numpy cast is undefined) and the row must dedup like any other
+    (src / "b3.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 5, "text": "beta"},
+        {"doc_id": 6, "text": None},
+        {"doc_id": 7, "text": None},   # in-batch dup of the null group
+    ]) + "\n")
+    run(1 << 13)
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "alpha"), (2, "beta"), (4, "gamma"),
+                   (6, None)], got
+    # a LATER null-text arrival is a cross-batch dup caught via the
+    # bloom (its sentinel digest went into b=3's cumulative row)
+    (src / "b4.json").write_text(
+        _json.dumps({"doc_id": 8, "text": None}) + "\n")
     run(1 << 13)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
-    assert got == [1, 2, 4], got
+    assert got == [1, 2, 4, 6], got
 
 
 def test_live_dedup_bloom_covers_bootstrap_and_exact_history(
@@ -1685,6 +1702,24 @@ def test_live_dedup_bloom_covers_bootstrap_and_exact_history(
     run()
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {2, 4}, got
+
+    # RE-bootstrap over the bloom-fronted lake: bootstrap must
+    # invalidate the bloom cache (delete <state>_bloom), or the new
+    # corpus digests — written to the already-"covered" b=-1 — would
+    # false-negative forever
+    corpus2 = spark.createDataFrame(
+        [(200 + i, f"seed2-{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert bootstrap_dedup_state(corpus2, state) == 5
+    assert not (tmp_path / "bb_state_bloom").exists()  # cache wiped
+    (src / "b3.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 5, "text": "seed2-2"},  # dup of the NEW corpus
+        {"doc_id": 6, "text": "fresh-c"},
+    ]) + "\n")
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {2, 4, 6}, got
 
 
 def test_live_cusum_matches_batch_across_restart(spark, tmp_path):
