@@ -1917,6 +1917,12 @@ def quantile_rollup_state(
                     st = sketches[kv] = ([[]], [False])
                 _qsk_update(st[0], st[1],
                             grp[value_col].astype(float).tolist(), k)
+        if not sketches:
+            # yield NOTHING for an empty partition: a frame built from
+            # empty lists defaults its nested columns to float64 and
+            # Arrow cannot convert that to array<array<double>> — a
+            # quiet stream's empty batch would crash the worker
+            return
         rows = {c: [] for c in key_list}
         rows.update(q_levels=[], q_flips=[], q_k=[])
         for kv, (lv, fl) in sketches.items():
@@ -2109,6 +2115,8 @@ def heavy_hitters_state(
                 for it, c in vc.items():
                     counts[it] = counts.get(it, 0) + int(c)
                 st[1] += _mg_trim(counts, k)
+        if not summaries:
+            return  # empty partition: see quantile builder's note
         rows = {c: [] for c in key_list}
         rows.update(hh_items=[], hh_counts=[], hh_dec=[], hh_k=[])
         for kv, (counts, dec) in summaries.items():
@@ -2272,6 +2280,8 @@ def sample_rollup_state(
                 if len(pairs) > 4 * k:  # periodic compaction
                     pairs = sorted(set(pairs))[:k]
                     best[kv] = pairs
+        if not best:
+            return  # empty partition: see quantile builder's note
         rows = {c: [] for c in key_list}
         rows.update(s_hash=[], s_id=[], s_k=[], s_seed=[])
         for kv, pairs in best.items():

@@ -1,0 +1,122 @@
+"""Edge-case pins for the r10 monoid family + dq_split: empty inputs,
+all-NULL columns, and minimal capacities must degrade to empty/tiny
+results — never to exceptions or wrong-schema frames (foreachBatch
+twins hit exactly these shapes on quiet streams)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polymarket_data_ingestor_spark.operators.analytics import (
+    dq_split,
+    finalize_heavy_hitters,
+    finalize_quantile_rollup,
+    finalize_sample_rollup,
+    heavy_hitters_state,
+    kmv_distinct_estimate,
+    merge_quantile_rollup,
+    merge_sample_rollup,
+    quantile_rollup_state,
+    sample_rollup_state,
+)
+
+SCHEMA = "g string, v double, item string"
+
+
+def _empty(spark):
+    return spark.createDataFrame([], SCHEMA)
+
+
+def test_quantile_rollup_empty_and_all_null(spark):
+    empty_state = quantile_rollup_state(_empty(spark), ("g",), "v")
+    assert empty_state.count() == 0
+    assert finalize_quantile_rollup(empty_state, (0.5,)).count() == 0
+
+    nulls = spark.createDataFrame(
+        [("a", None, "x"), ("a", None, "y")], SCHEMA
+    )
+    st = quantile_rollup_state(nulls, ("g",), "v")
+    assert st.count() == 0  # documented: no non-null values, no row
+
+    # merging an empty state into a real one is the identity
+    real = quantile_rollup_state(
+        spark.createDataFrame([("a", 1.0, "x"), ("a", 3.0, "y")], SCHEMA),
+        ("g",), "v",
+    )
+    merged = merge_quantile_rollup(real, empty_state, keys=("g",))
+    row = finalize_quantile_rollup(merged, (0.5,)).collect()
+    assert [(r["g"], r["p50"]) for r in row] == [("a", 1.0)]
+
+
+def test_heavy_hitters_empty_all_null_and_k1(spark):
+    assert heavy_hitters_state(_empty(spark), ("g",), "item").count() == 0
+    nulls = spark.createDataFrame(
+        [("a", 1.0, None), ("a", 2.0, None)], SCHEMA
+    )
+    assert heavy_hitters_state(nulls, ("g",), "item").count() == 0
+
+    # k=1 (the most lossy legal capacity): bounds still hold
+    df = spark.createDataFrame(
+        [("a", 0.0, it) for it in
+         ["x"] * 8 + ["y"] * 3 + ["z"] * 2], SCHEMA
+    ).coalesce(1)
+    rows = finalize_heavy_hitters(
+        heavy_hitters_state(df, ("g",), "item", k=1)
+    ).collect()
+    assert len(rows) <= 1
+    for r in rows:
+        true = {"x": 8, "y": 3, "z": 2}[r["item"]]
+        assert r["est_count"] <= true <= r["est_count"] + r["max_undercount"]
+
+
+def test_sample_rollup_empty_k1_and_duplicate_ids(spark):
+    empty_state = sample_rollup_state(_empty(spark), ("g",), "item")
+    assert empty_state.count() == 0
+    assert finalize_sample_rollup(empty_state).count() == 0
+
+    # duplicate ids never waste slots; k=1 keeps exactly one
+    df = spark.createDataFrame(
+        [("a", 0.0, "x")] * 5 + [("a", 0.0, "y")] * 5, SCHEMA
+    )
+    st = sample_rollup_state(df, ("g",), "item", k=1, seed=2)
+    rows = finalize_sample_rollup(st).collect()
+    assert len(rows) == 1 and rows[0]["sample_id"] in ("x", "y")
+    # below capacity the KMV estimate is the exact distinct count
+    st2 = sample_rollup_state(df, ("g",), "item", k=8, seed=2)
+    est = kmv_distinct_estimate(st2).collect()[0]["n_distinct_est"]
+    assert est == 2.0
+    # merging with the empty state is the identity
+    merged = merge_sample_rollup(st2, empty_state, keys=("g",))
+    assert sorted(
+        r["sample_id"] for r in finalize_sample_rollup(merged).collect()
+    ) == ["x", "y"]
+
+
+def test_dq_split_empty_and_all_bad(spark):
+    empty = spark.createDataFrame([], "k long, v double")
+    clean, bad = dq_split(empty, {"v": {"min": 0.0}})
+    assert clean.count() == 0 and bad.count() == 0
+    assert "dq_failed" in bad.columns and "dq_failed" not in clean.columns
+
+    allbad = spark.createDataFrame([(1, -1.0), (2, -2.0)],
+                                   "k long, v double")
+    clean, bad = dq_split(allbad, {"v": {"min": 0.0}})
+    assert clean.count() == 0 and bad.count() == 2
+
+
+def test_cli_lake_stats_distinct_flow(spark, tmp_path, monkeypatch,
+                                      capsys):
+    """The --stat distinct CLI path (HLL state; binary sketch column
+    must stay out of the printed rows)."""
+    from polymarket_data_ingestor_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d1 = str(tmp_path / "d1")
+    ev.write.parquet(d1)
+    state = str(tmp_path / "dstate")
+    assert cli.main(["lake", "stats", d1, "--state", state,
+                     "--stat", "distinct", "--keys", "event_type",
+                     "--value", "user_id"]) == 0
+    out = capsys.readouterr().out
+    assert "'n_distinct':" in out and "'hll'" not in out
