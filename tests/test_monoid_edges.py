@@ -120,3 +120,41 @@ def test_cli_lake_stats_distinct_flow(spark, tmp_path, monkeypatch,
                      "--value", "user_id"]) == 0
     out = capsys.readouterr().out
     assert "'n_distinct':" in out and "'hll'" not in out
+
+
+def test_monoids_multi_column_and_typed_keys(spark):
+    """Every monoid groups correctly by MULTIPLE key columns of
+    non-string types (bigint + string): the schema builder reproduces
+    the key dtypes and the pandas groupby/merge path round-trips
+    tuple keys — only single string keys were pinned elsewhere."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, "x"), (1, "a", 30.0, "x"), (1, "b", 5.0, "y"),
+         (2, "a", 7.0, "y"), (2, "a", 9.0, "z")],
+        "uid long, side string, v double, item string",
+    )
+    keys = ("uid", "side")
+
+    st = quantile_rollup_state(df, keys, "v", k=64)
+    got = {
+        (r["uid"], r["side"]): r["p50"]
+        for r in finalize_quantile_rollup(st, (0.5,)).collect()
+    }
+    assert got == {(1, "a"): 10.0, (1, "b"): 5.0, (2, "a"): 7.0}, got
+    assert dict(st.dtypes)["uid"] == "bigint"
+
+    hh = {
+        (r["uid"], r["side"], r["item"]): r["est_count"]
+        for r in finalize_heavy_hitters(
+            heavy_hitters_state(df, keys, "item", k=8)
+        ).collect()
+    }
+    assert hh == {(1, "a", "x"): 2, (1, "b", "y"): 1,
+                  (2, "a", "y"): 1, (2, "a", "z"): 1}, hh
+
+    smp = {
+        (r["uid"], r["side"])
+        for r in finalize_sample_rollup(
+            sample_rollup_state(df, keys, "item", k=4)
+        ).collect()
+    }
+    assert smp == {(1, "a"), (1, "b"), (2, "a")}, smp
