@@ -253,13 +253,16 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         finalize_heavy_hitters,
         finalize_quantile_rollup,
         finalize_rollup,
+        finalize_sample_rollup,
         heavy_hitters_state,
         merge_distinct_rollup,
         merge_heavy_hitters,
         merge_quantile_rollup,
         merge_rollup,
+        merge_sample_rollup,
         quantile_rollup_state,
         rollup_state,
+        sample_rollup_state,
         distinct_rollup_state,
     )
 
@@ -294,6 +297,12 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
                                           k=args.k),
             lambda a, b: merge_heavy_hitters(a, b, keys=keys),
             finalize_heavy_hitters,
+        ),
+        "sample": (
+            lambda d: sample_rollup_state(d, keys, args.value,
+                                          k=args.k),
+            lambda a, b: merge_sample_rollup(a, b, keys=keys),
+            finalize_sample_rollup,
         ),
     }
     build, merge, finalize = builders[args.stat]
@@ -435,7 +444,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="state directory (created on first run)")
     ls.add_argument("--stat", required=True,
                     choices=["summary", "distinct", "quantiles",
-                             "heavyhitters"])
+                             "heavyhitters", "sample"])
     ls.add_argument("--keys", required=True,
                     help="comma-separated group columns")
     ls.add_argument("--value", required=True,

@@ -158,3 +158,35 @@ def test_monoids_multi_column_and_typed_keys(spark):
         ).collect()
     }
     assert smp == {(1, "a"), (1, "b"), (2, "a")}, smp
+
+
+def test_cli_lake_stats_sample_flow(spark, tmp_path, monkeypatch,
+                                    capsys):
+    """--stat sample through the CLI: the maintained bottom-k sample
+    over two deltas equals a one-pass sample (true monoid, via the
+    shell)."""
+    from polymarket_data_ingestor_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(d1)
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(d2)
+    state = str(tmp_path / "sstate")
+    for d in (d1, d2):
+        assert cli.main(["lake", "stats", d, "--state", state,
+                         "--stat", "sample", "--keys", "event_type",
+                         "--value", "user_id", "--k", "5"]) == 0
+    got = {
+        (r["event_type"], r["sample_id"])
+        for r in finalize_sample_rollup(
+            spark.read.parquet(state)
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["sample_id"])
+        for r in finalize_sample_rollup(
+            sample_rollup_state(ev, ("event_type",), "user_id", k=5)
+        ).collect()
+    }
+    assert got == want and len(got) == 25  # 5 types x k=5
