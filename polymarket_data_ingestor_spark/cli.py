@@ -244,10 +244,14 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     shell: fold one delta (a parquet path — typically today's
     partition) into a stored state directory and print the finalized
     statistics. Cost ∝ delta + state keys, never the history — the
-    CLI face of the monoid family; each run is
-    read-state → merge-delta → overwrite-state, with the merged state
-    eagerly localCheckpoint-ed so the overwrite never reads the path
-    it is replacing (the classic self-overwrite hazard)."""
+    CLI face of the monoid family; each run reads the latest committed
+    ``v=N`` under ``--state``, merges the delta, and commits ``v=N+1``
+    (predecessors GC'd only AFTER the new version's ``_SUCCESS`` lands)
+    — the same MVCC pattern as ``live_materialize``, so a failure
+    mid-write can never destroy the accumulated history the way a
+    read-merge-overwrite of one path would. A pre-versioned flat state
+    directory is folded once as the implicit predecessor and its files
+    retired after ``v=1`` commits."""
     from polymarket_data_ingestor_spark.operators.analytics import (
         finalize_distinct_rollup,
         finalize_heavy_hitters,
@@ -269,6 +273,10 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     keys = tuple(k for k in args.keys.split(",") if k)
     if not keys:
         print("lake stats: --keys must name at least one column",
+              file=sys.stderr)
+        return 2
+    if args.retain_versions < 1:
+        print("lake stats: --retain-versions must be >= 1",
               file=sys.stderr)
         return 2
     spark = get_spark(app_name="pdi-lake-stats")
@@ -300,29 +308,77 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         ),
         "sample": (
             lambda d: sample_rollup_state(d, keys, args.value,
-                                          k=args.k),
+                                          k=args.k, seed=args.seed),
             lambda a, b: merge_sample_rollup(a, b, keys=keys),
             finalize_sample_rollup,
         ),
     }
+    if args.k is None:
+        # per-stat library defaults — one shared number would silently
+        # build sample states no API-default caller could ever fold
+        # (the (k, seed) contract check refuses mixed capacities)
+        args.k = {"quantiles": 4096, "heavyhitters": 1024,
+                  "sample": 64}.get(args.stat)
     build, merge, finalize = builders[args.stat]
     state = build(delta)
-    # engine-side existence check (try-read, like live_dedup_stream's
-    # first batch): an os.path probe is local-FS-only and would
-    # silently SKIP the merge on HDFS/S3A — overwriting accumulated
-    # history with the delta's aggregates
-    try:
-        stored = spark.read.parquet(args.state)
-    except Exception as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Unable to infer" not in str(e):
-            raise
-        stored = None
-    if stored is not None:
-        state = merge(stored, state)
-    # break lineage from args.state BEFORE overwriting it
-    state = state.localCheckpoint(eager=True)
-    state.write.mode("overwrite").parquet(args.state)
-    out = finalize(spark.read.parquet(args.state))
+    # Versioned commit, mirroring live_materialize: read latest v=N,
+    # write v=N+1, GC predecessors only after the new _SUCCESS exists.
+    # Never read-then-overwrite one path — a failure mid-write there
+    # destroys every previously folded delta. Hadoop-FS listing (not
+    # os.path) so the same code runs on HDFS/S3A.
+    from polymarket_data_ingestor_spark.streaming.live import (
+        _rollup_versions,
+    )
+
+    versions = _rollup_versions(spark, args.state)
+    legacy_files = []
+    if versions:
+        state = merge(
+            spark.read.parquet(f"{args.state}/v={versions[-1]}"), state
+        )
+    else:
+        # pre-versioned flat layout: fold it once as the implicit
+        # predecessor; its files are retired after v=1 commits. List
+        # root FILES explicitly (Hadoop FS, so HDFS/S3A work too) —
+        # a directory read would partition-discover a torn v=1 left
+        # by a crashed first fold and double-fold its partial write.
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(args.state)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(root):
+            legacy_files = [
+                st.getPath() for st in fs.listStatus(root)
+                if st.isFile()
+            ]
+        data = [p.toString() for p in legacy_files
+                if not p.getName().startswith(("_", "."))]
+        if data:
+            state = merge(spark.read.parquet(*data), state)
+        else:
+            legacy_files = []
+    new_v = (versions[-1] + 1) if versions else 1
+    # state is keys-sized: one file is the right layout. The write
+    # lands in a NEW directory, so the lineage reading v=N (or the
+    # legacy files) stays valid — no checkpoint needed.
+    # overwrite: v=new_v can only pre-exist as a TORN write (no
+    # _SUCCESS — versions() lists committed ones only); replacing it
+    # is the recovery path, same as live_materialize's replay
+    state.coalesce(1).write.mode("overwrite").parquet(
+        f"{args.state}/v={new_v}"
+    )
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(args.state).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    # keep the last retain_versions predecessors besides the new one —
+    # the same floor as live_materialize (>=1: replay/rollback safety)
+    for v in versions[:-args.retain_versions]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{args.state}/v={v}"), True)
+    for p in legacy_files:
+        fs.delete(p, False)
+    state = spark.read.parquet(f"{args.state}/v={new_v}")
+    out = finalize(state)
     display_cols = [  # sketch payloads are state, not display
         f.name for f in out.schema.fields
         if f.dataType.typeName() not in ("binary", "array")
@@ -450,8 +506,18 @@ def build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--value", required=True,
                     help="value column (item column for heavyhitters, "
                          "counted column for distinct)")
-    ls.add_argument("--k", type=int, default=4096,
-                    help="sketch capacity (quantiles/heavyhitters)")
+    ls.add_argument("--k", type=int, default=None,
+                    help="sketch/sample capacity; defaults follow the "
+                         "library per stat (quantiles 4096, "
+                         "heavyhitters 1024, sample 64) — k is a "
+                         "merge contract, so folds into an existing "
+                         "state must reuse its k")
+    ls.add_argument("--seed", type=int, default=1,
+                    help="hash seed for --stat sample (part of the "
+                         "state's merge contract, like --k)")
+    ls.add_argument("--retain-versions", type=int, default=2,
+                    help="committed state versions to keep besides "
+                         "the newest (>= 1)")
     ls.add_argument("--quantiles", default="0.5,0.9,0.99",
                     help="comma-separated quantiles for --stat quantiles")
     ls.add_argument("--show", type=int, default=20,

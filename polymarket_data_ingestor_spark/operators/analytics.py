@@ -2360,13 +2360,20 @@ def kmv_distinct_estimate(state: DataFrame) -> DataFrame:
     """KMV cardinality estimate off the sample state: with fewer than
     k retained hashes the count is exact; at capacity, the classic
     (k−1)·2³²/h_k estimator over the k-th smallest of the 32-bit
-    hashes (relative error ~1/√(k−2), pinned in pytest)."""
+    hashes (relative error ~1/√(k−2), pinned in pytest). h_k is
+    clamped to ≥1: hash32 can legitimately be 0 (md5 prefix
+    "00000000", ~k/2³² per key at capacity), and dividing by it would
+    report Infinity instead of a number — the clamp's worst case,
+    (k−1)·2³², is the estimator's natural ceiling."""
     key_cols = [
         f.name for f in state.schema.fields
         if f.name not in ("s_hash", "s_id", "s_k", "s_seed")
     ]
     n = F.size(F.col("s_hash"))
-    hk = F.get(F.col("s_hash"), F.col("s_k") - F.lit(1)).cast("double")
+    hk = F.greatest(
+        F.get(F.col("s_hash"), F.col("s_k") - F.lit(1)).cast("double"),
+        F.lit(1.0),
+    )
     return state.select(
         *key_cols,
         F.when(n < F.col("s_k"), n.cast("double"))

@@ -1189,9 +1189,12 @@ def _bloom_hash_cols(digest_col: str = "__digest") -> list:
 
 def _bloom_from_digests(df: DataFrame, m_bits: int) -> bytes:
     """Build the bloom bits for a batch's digest rows: per-partition
-    numpy partials via mapInPandas, OR-reduced on the driver (bounded:
-    ≤ n_partitions rows of m_bits/8 bytes — the batch-sized analogue
-    of the sinks' documented partition-value collects)."""
+    numpy partials via mapInPandas, then a treeReduce OR — so the
+    driver receives ONE m_bits/8-byte bloom, not one per partition.
+    That matters for the one-time migration fold, which scans the
+    whole digest lake (many partitions) at the feature's target
+    geometry (~GiB bloom for billions of digests): a driver-side
+    collect-and-OR would hold n_partitions × bloom bytes at once."""
     import numpy as np
 
     def partial(batches):
@@ -1209,33 +1212,55 @@ def _bloom_from_digests(df: DataFrame, m_bits: int) -> bytes:
         if seen:
             yield pd.DataFrame({"bits": [bloom.tobytes()]})
 
-    rows = df.select(*_bloom_hash_cols()).mapInPandas(
+    bits = df.select(*_bloom_hash_cols()).mapInPandas(
         partial, "bits binary"
-    ).collect()
-    acc = np.zeros(m_bits // 8, dtype=np.uint8)
-    for r in rows:
-        acc |= np.frombuffer(r["bits"], dtype=np.uint8)
-    return acc.tobytes()
+    ).rdd.map(lambda r: r["bits"])
+
+    def _or(a: bytes, b: bytes) -> bytes:
+        import numpy as np  # runs executor-side
+
+        return (np.frombuffer(a, np.uint8)
+                | np.frombuffer(b, np.uint8)).tobytes()
+
+    try:
+        # depth-2 tree: executors pre-combine, driver sees O(√P) blooms
+        # in flight and keeps exactly one
+        return bytes(bits.treeReduce(_or, depth=2))
+    except ValueError as e:
+        # "Cannot reduce() empty RDD" — every partition was empty (the
+        # partials yield nothing for those); probing isEmpty() first
+        # would run the build pass twice
+        if "empty" not in str(e).lower():
+            raise
+        return np.zeros(m_bits // 8, dtype=np.uint8).tobytes()
 
 
-def _bloom_might_contain(bloom_bytes: bytes, m_bits: int):
-    """Vectorized membership Column factory over the four hash cols."""
+def _bloom_might_contain(spark: SparkSession, bloom_bytes: bytes,
+                         m_bits: int):
+    """Vectorized membership Column factory over the four hash cols.
+
+    Returns ``(column, broadcast)``: the bloom bytes travel as a
+    torrent-distributed Broadcast — closing over them directly would
+    re-ship the full bloom (GiB at the target geometry) inside the
+    pickled UDF command for every task. The caller unpersists the
+    broadcast once the batch's plan has executed."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
-    arr = np.frombuffer(bloom_bytes, dtype=np.uint8)
+    bcast = spark.sparkContext.broadcast(bytes(bloom_bytes))
 
     @pandas_udf("boolean")
     def mc(h0: pd.Series, h1: pd.Series, h2: pd.Series,
            h3: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bcast.value, dtype=np.uint8)  # zero-copy
         out = np.ones(len(h0), dtype=bool)
         for h in (h0, h1, h2, h3):
             pos = h.to_numpy(dtype=np.int64) % m_bits
             out &= ((arr[pos >> 3] >> (pos & 7)) & 1).astype(bool)
         return pd.Series(out)
 
-    return mc(*[F.col(c) for c in _BLOOM_HCOLS])
+    return mc(*[F.col(c) for c in _BLOOM_HCOLS]), bcast
 
 
 def _batch_partitions(spark: SparkSession, path: str) -> list[int]:
@@ -1360,6 +1385,7 @@ def live_dedup_stream(
             )
 
         cached = None
+        bloom_bcast = None
         seen_bits = None
         if bloom_bits is None:
             try:
@@ -1413,12 +1439,12 @@ def live_dedup_stream(
             if seen_bits is None:  # genuinely empty seen set
                 fresh = dedup_in
             else:
+                maybe_col, bloom_bcast = _bloom_might_contain(
+                    spark, seen_bits, bloom_bits
+                )
                 cached = (
                     dedup_in.select("*", *_bloom_hash_cols())
-                    .withColumn(
-                        "__maybe",
-                        _bloom_might_contain(seen_bits, bloom_bits),
-                    )
+                    .withColumn("__maybe", maybe_col)
                     .persist()
                 )
                 cand = cached.filter(F.col("__maybe")).drop(
@@ -1478,6 +1504,11 @@ def live_dedup_stream(
         finally:
             if cached is not None:
                 cached.unpersist()
+            if bloom_bcast is not None:
+                # executor copies of the (potentially GiB) bloom are
+                # batch-scoped; unpersist (not destroy) so a straggler
+                # task can still refetch from the driver
+                bloom_bcast.unpersist()
 
     writer = (
         docs.writeStream.foreachBatch(_apply)

@@ -216,9 +216,12 @@ def test_cmd_lake_stats_incremental_matches_full(spark, tmp_path,
         assert cli.main(["lake", "stats", delta, "--state", state,
                          "--stat", "summary", "--keys", "event_type",
                          "--value", "value"]) == 0
+    from polymarket_data_ingestor_spark.streaming.live import (
+        read_rollup_state,
+    )
     got = {
         r["event_type"]: (r["n"], r["sum_v"])
-        for r in spark.read.parquet(state).collect()
+        for r in read_rollup_state(spark, state).collect()
     }
     want = {
         r["event_type"]: (r["n"], r["sum_v"])
@@ -244,3 +247,79 @@ def test_cmd_lake_stats_incremental_matches_full(spark, tmp_path,
     assert cli.main(["lake", "stats", d1p, "--state", state,
                      "--stat", "summary", "--keys", "",
                      "--value", "value"]) == 2
+    assert cli.main(["lake", "stats", d1p, "--state", state,
+                     "--stat", "summary", "--keys", "event_type",
+                     "--value", "value", "--retain-versions", "0"]) == 2
+
+
+def test_cmd_lake_stats_versioned_commit(spark, tmp_path, monkeypatch):
+    """The ADVICE-r10 hazard, pinned: `lake stats` state is MVCC —
+    each fold commits a NEW v=N+1 directory, so a crash mid-write
+    cannot destroy accumulated history; predecessors are GC'd only
+    after the commit; a pre-versioned flat state dir is folded once
+    as the implicit predecessor and then retired."""
+    import pathlib
+
+    from polymarket_data_ingestor_spark import cli
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming.live import (
+        read_rollup_state,
+    )
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d1p, d2p = str(tmp_path / "d1"), str(tmp_path / "d2")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(d1p)
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(d2p)
+
+    # legacy FLAT state (what the pre-r11 CLI wrote) — one delta's worth
+    state = str(tmp_path / "stat_state")
+    rollup_state(spark.read.parquet(d1p), ("event_type",),
+                 "value").coalesce(1).write.parquet(state)
+    legacy_parts = list(pathlib.Path(state).glob("part-*"))
+    assert legacy_parts  # layout sanity
+
+    # fold delta 2: migrates the flat state into v=1 and retires it
+    assert cli.main(["lake", "stats", d2p, "--state", state,
+                     "--stat", "summary", "--keys", "event_type",
+                     "--value", "value"]) == 0
+    assert (pathlib.Path(state) / "v=1" / "_SUCCESS").exists()
+    assert not list(pathlib.Path(state).glob("part-*"))  # retired
+    want = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in rollup_state(ev, ("event_type",), "value").collect()
+    }
+    got = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in read_rollup_state(spark, state).collect()
+    }
+    assert got == want
+
+    # crash mid-write of v=2 must leave v=1 (the full history) intact:
+    # simulate it with a torn v=2 dir (files landed, no _SUCCESS)
+    torn = pathlib.Path(state) / "v=2"
+    torn.mkdir()
+    (torn / "part-00000-torn.parquet").write_bytes(b"not parquet")
+    # v=2 has no _SUCCESS → reader and the next fold both ignore it
+    got_after = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in read_rollup_state(spark, state).collect()
+    }
+    assert got_after == want
+
+    # next fold skips the torn dir (versions lists only committed) and
+    # commits v=2 over it
+    d3p = str(tmp_path / "d3")
+    ev.limit(0).write.parquet(d3p)
+    assert cli.main(["lake", "stats", d3p, "--state", state,
+                     "--stat", "summary", "--keys", "event_type",
+                     "--value", "value"]) == 0
+    assert (pathlib.Path(state) / "v=2" / "_SUCCESS").exists()
+    got_final = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in read_rollup_state(spark, state).collect()
+    }
+    assert got_final == want

@@ -92,6 +92,32 @@ def test_sample_rollup_empty_k1_and_duplicate_ids(spark):
     ) == ["x", "y"]
 
 
+def test_kmv_estimate_zero_hash_is_finite(spark):
+    """ADVICE-r10: hash32 can legitimately be 0 (md5 prefix
+    "00000000"); at capacity the k-th smallest hash being 0 must give
+    the clamped finite ceiling (k−1)·2³², never Infinity."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # two ids colliding at hash 0 fill a k=2 state: h_k = 0
+    st = spark.createDataFrame(
+        [("a", [0, 0], ["i0", "i1"], 2, 1)],
+        "g string, s_hash array<bigint>, s_id array<string>, "
+        "s_k int, s_seed int",
+    )
+    est = kmv_distinct_estimate(st).collect()[0]["n_distinct_est"]
+    assert math.isfinite(est) and est == (2 - 1) * 2.0 ** 32
+    # a zero NOT in the k-th slot keeps the normal estimator
+    st2 = spark.createDataFrame(
+        [("a", [0, 1 << 31], ["i0", "i1"], 2, 1)],
+        "g string, s_hash array<bigint>, s_id array<string>, "
+        "s_k int, s_seed int",
+    )
+    est2 = kmv_distinct_estimate(st2).collect()[0]["n_distinct_est"]
+    assert est2 == (2 - 1) * 2.0 ** 32 / float(1 << 31)
+
+
 def test_dq_split_empty_and_all_bad(spark):
     empty = spark.createDataFrame([], "k long, v double")
     clean, bad = dq_split(empty, {"v": {"min": 0.0}})

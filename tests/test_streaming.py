@@ -1473,17 +1473,25 @@ def test_live_dedup_stream_bloom_front_identical_and_replay_safe(
     )
     m = 1 << 13
     bits = _bloom_from_digests(digests, m)
+    hit_col, hit_bc = _bloom_might_contain(spark, bits, m)
     hit = digests.select(*_bloom_hash_cols()).withColumn(
-        "__maybe", _bloom_might_contain(bits, m)
+        "__maybe", hit_col
     )
     assert hit.filter(~F.col("__maybe")).count() == 0
     # and the filter genuinely rejects most non-members at this fill
+    miss_col, miss_bc = _bloom_might_contain(spark, bits, m)
     miss = spark.range(10_000, 11_000).select(
         F.md5(F.col("id").cast("string")).alias("__digest")
     ).select(*_bloom_hash_cols()).withColumn(
-        "__maybe", _bloom_might_contain(bits, m)
+        "__maybe", miss_col
     )
     assert miss.filter(F.col("__maybe")).count() < 500  # << all
+    # empty digest frame: the treeReduce fold degrades to all-zeros,
+    # not a crash (every partial yields nothing)
+    empty_bits = _bloom_from_digests(digests.limit(0), m)
+    assert empty_bits == b"\x00" * (m // 8)
+    hit_bc.unpersist()
+    miss_bc.unpersist()
 
     src = tmp_path / "bl_src"
     src.mkdir()
