@@ -1768,6 +1768,142 @@ def finalize_distinct_rollup(state: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Monoid-builder scaffold
+#
+# The pandas-built monoids (quantile sketch, Misra-Gries heavy hitters,
+# bottom-k sample, top-k by score) share one physical shape, and this
+# scaffold is that shape, written once:
+#
+#   stage 1  mapInPandas over the (pre-projected) input: every partition
+#            streams its Arrow batches into per-key Python states and
+#            emits ONE state row per (partition, key) — so the single
+#            exchange below carries bounded state bytes, never rows;
+#   stage 2  groupBy(keys).applyInPandas: canonical (arrival-order-
+#            independent) merge of the partials, one state row per key.
+#
+# A monoid plugs in a ``_MonoidSpec``: its state columns (appended to
+# the key columns in both stages' schemas), ``init``/``update`` (build a
+# per-key state in place from a pandas group), ``pack`` (state → row
+# cells), and ``merge_rows`` (grouped partial rows → merged cells; this
+# is also where the monoid enforces its accuracy-contract columns, e.g.
+# mixed-k refusal). The empty-partition contract lives here once: a
+# partition with no usable rows yields NOTHING — a frame built from
+# empty lists defaults nested columns to float64, which Arrow cannot
+# convert to array<...> types, so a quiet partition would crash the
+# worker (found in r10's edge sweep, now structural).
+#
+# Memory honesty (every spec inherits it): stage 1 holds one Python
+# state per DISTINCT KEY SEEN IN THE PARTITION and never spills —
+# per-task memory ∝ keys-in-partition × state size. For rollup keys
+# that is dozens-to-thousands and trivially fine; for an ultra-high-
+# cardinality key (millions per partition), pre-``repartition(*keys)``
+# the input first — one exchange, the same total shuffle a direct
+# groupBy would pay, and each task then holds only its own key range —
+# or lower the state capacity k.
+# ---------------------------------------------------------------------------
+
+
+class _MonoidSpec:
+    """The pluggable algebra for :func:`_monoid_partials` /
+    :func:`_monoid_merge_states`. ``state_cols`` maps state column name
+    → Spark type string (order = row layout); the callables are
+    documented on each monoid's public builder."""
+
+    def __init__(self, state_cols, init, update, pack, merge_rows,
+                 prepare_batch=None):
+        self.state_cols = dict(state_cols)
+        self.init = init
+        self.update = update
+        self.pack = pack
+        self.merge_rows = merge_rows
+        self.prepare_batch = prepare_batch or (lambda pdf: pdf)
+
+    def schema_for(self, df: DataFrame, keys: tuple[str, ...]) -> str:
+        fields = [df.schema[c] for c in keys]
+        return ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+        ) + ", " + ", ".join(
+            f"{c} {t}" for c, t in self.state_cols.items()
+        )
+
+
+def _monoid_partials(
+    df: DataFrame, keys: tuple[str, ...], spec: _MonoidSpec
+) -> DataFrame:
+    """Stage 1: per-partition per-key states via mapInPandas — one
+    bounded state row per (partition, key), never the rows. ``df``
+    must already be projected to exactly the key + value columns the
+    spec's ``update`` reads (JVM-side casts happen before this)."""
+    import pandas as pd
+
+    key_list = list(keys)
+    state_names = list(spec.state_cols)
+    out_schema = spec.schema_for(df, keys)
+
+    def build(batches):
+        states: dict = {}
+        for pdf in batches:
+            pdf = spec.prepare_batch(pdf)
+            if not len(pdf):
+                continue
+            for kv, grp in pdf.groupby(key_list, sort=False,
+                                       dropna=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                st = states.get(kv)
+                if st is None:
+                    st = states[kv] = spec.init()
+                spec.update(st, grp)
+        if not states:
+            return  # empty partition: see the scaffold comment above
+        rows: dict = {c: [] for c in key_list}
+        rows.update({c: [] for c in state_names})
+        for kv, st in states.items():
+            for c, v in zip(key_list, kv):
+                rows[c].append(v)
+            packed = spec.pack(st)
+            for c in state_names:
+                rows[c].append(packed[c])
+        yield pd.DataFrame(rows)
+
+    return df.mapInPandas(build, out_schema)
+
+
+def _monoid_merge_states(
+    state: DataFrame, keys: tuple[str, ...], spec: _MonoidSpec
+) -> DataFrame:
+    """Stage 2: canonical per-key merge of partial state rows — one
+    grouped-map pass; ``spec.merge_rows`` owns order-independence and
+    the accuracy-contract (mixed-k/seed) refusal."""
+    import pandas as pd
+
+    key_list = list(keys)
+    state_names = list(spec.state_cols)
+    schema = state.schema
+
+    def merge(key, pdf):
+        packed = spec.merge_rows(pdf)
+        row = {c: [v] for c, v in zip(key_list, key)}
+        row.update({c: [packed[c]] for c in state_names})
+        return pd.DataFrame(row)
+
+    return state.groupBy(*key_list).applyInPandas(merge, schema)
+
+
+def _monoid_union_merge(
+    states: tuple, keys: tuple[str, ...], spec: _MonoidSpec, what: str
+) -> DataFrame:
+    """Shared body of the public ``merge_*`` fns: union per-split state
+    tables, then one canonical per-key merge — shuffle ∝ distinct keys ×
+    state size, never the data."""
+    if not states:
+        raise ValueError(f"{what} needs at least one state table")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return _monoid_merge_states(out, keys, spec)
+
+
+# ---------------------------------------------------------------------------
 # Mergeable quantile sketch (KLL/MRL-style, deterministic)
 #
 # Percentiles are the remaining common statistic with no exact merge monoid
@@ -1881,94 +2017,56 @@ def quantile_rollup_state(
     it travels in the state (``q_k``) and :func:`merge_quantile_rollup`
     REFUSES to union sketches built with different k. NULL values are
     ignored (SQL percentile semantics); a key with no non-null values
-    emits no state row.
-
-    Memory honesty (applies to the whole monoid-builder family,
-    including :func:`heavy_hitters_state` / :func:`sample_rollup_state`):
-    stage 1 holds one Python state per DISTINCT KEY SEEN IN THE
-    PARTITION and never spills — per-task memory ∝ keys-in-partition ×
-    state size. For rollup keys that is dozens-to-thousands and
-    trivially fine; for an ultra-high-cardinality key (millions per
-    partition), pre-``repartition(*keys)`` the input first — one
-    exchange, the same total shuffle a direct groupBy would pay, and
-    each task then holds only its own key range — or lower k.
+    emits no state row. Per-task memory: see the scaffold's
+    memory-honesty note.
     """
-    import pandas as pd
-
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    key_list = list(keys)
-    fields = [df.schema[c] for c in key_list]
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
-    ) + ", q_levels array<array<double>>, q_flips array<boolean>, q_k int"
-
-    def build(batches):
-        sketches: dict = {}
-        for pdf in batches:
-            clean = pdf.dropna(subset=[value_col])
-            if not len(clean):
-                continue
-            for kv, grp in clean.groupby(key_list, sort=False,
-                                         dropna=False):
-                kv = kv if isinstance(kv, tuple) else (kv,)
-                st = sketches.get(kv)
-                if st is None:
-                    st = sketches[kv] = ([[]], [False])
-                _qsk_update(st[0], st[1],
-                            grp[value_col].astype(float).tolist(), k)
-        if not sketches:
-            # yield NOTHING for an empty partition: a frame built from
-            # empty lists defaults its nested columns to float64 and
-            # Arrow cannot convert that to array<array<double>> — a
-            # quiet stream's empty batch would crash the worker
-            return
-        rows = {c: [] for c in key_list}
-        rows.update(q_levels=[], q_flips=[], q_k=[])
-        for kv, (lv, fl) in sketches.items():
-            for c, v in zip(key_list, kv):
-                rows[c].append(v)
-            rows["q_levels"].append([list(b) for b in lv])
-            rows["q_flips"].append(list(fl))
-            rows["q_k"].append(k)
-        yield pd.DataFrame(rows)
-
-    partials = df.select(*key_list, value_col).mapInPandas(
-        build, out_schema
+    partials = _monoid_partials(
+        df.select(*keys, value_col), keys, _quantile_spec(value_col, k)
     )
     return _merge_quantile_states(partials, keys)
+
+
+def _quantile_spec(value_col: str, k: int = 0) -> _MonoidSpec:
+    return _MonoidSpec(
+        state_cols={"q_levels": "array<array<double>>",
+                    "q_flips": "array<boolean>", "q_k": "int"},
+        init=lambda: ([[]], [False]),
+        update=lambda st, grp: _qsk_update(
+            st[0], st[1], grp[value_col].astype(float).tolist(), k
+        ),
+        pack=lambda st: {
+            "q_levels": [list(b) for b in st[0]],
+            "q_flips": list(st[1]), "q_k": k,
+        },
+        merge_rows=_qsk_merge_rows,
+        prepare_batch=lambda pdf: pdf.dropna(subset=[value_col]),
+    )
+
+
+def _qsk_merge_rows(pdf) -> dict:
+    ks = set(int(x) for x in pdf["q_k"])
+    if len(ks) > 1:
+        raise ValueError(
+            f"quantile states built with different k {sorted(ks)} "
+            "cannot merge — k is an accuracy contract (rebuild one "
+            "side at the other's k)"
+        )
+    k = ks.pop()
+    states = [
+        ([list(map(float, b)) for b in lv], [bool(x) for x in fl])
+        for lv, fl in zip(pdf["q_levels"], pdf["q_flips"])
+    ]
+    lv, fl = _qsk_merge(states, k)
+    return {"q_levels": [list(b) for b in lv], "q_flips": list(fl),
+            "q_k": k}
 
 
 def _merge_quantile_states(
     state: DataFrame, keys: tuple[str, ...]
 ) -> DataFrame:
-    import pandas as pd
-
-    key_list = list(keys)
-    schema = state.schema
-
-    def merge(key, pdf):
-        ks = set(int(x) for x in pdf["q_k"])
-        if len(ks) > 1:
-            raise ValueError(
-                f"quantile states built with different k {sorted(ks)} "
-                "cannot merge — k is an accuracy contract (rebuild one "
-                "side at the other's k)"
-            )
-        k = ks.pop()
-        states = [
-            ([list(map(float, b)) for b in lv], [bool(x) for x in fl])
-            for lv, fl in zip(pdf["q_levels"], pdf["q_flips"])
-        ]
-        lv, fl = _qsk_merge(states, k)
-        row = {c: [v] for c, v in zip(key_list, key)}
-        row.update(
-            q_levels=[[list(b) for b in lv]], q_flips=[list(fl)],
-            q_k=[k],
-        )
-        return pd.DataFrame(row)
-
-    return state.groupBy(*key_list).applyInPandas(merge, schema)
+    return _monoid_merge_states(state, keys, _quantile_spec(""))
 
 
 def merge_quantile_rollup(
@@ -2084,88 +2182,67 @@ def heavy_hitters_state(
     ``"42.0"`` in any batch Arrow float64-upcast for a NULL and
     ``"42"`` elsewhere, silently splitting one item's counts. NULL
     items are ignored. ``k`` is the accuracy contract and travels in the
-    state; mixed-k merges refuse. Stage-1 memory ∝ distinct keys per
-    partition × k — see the memory-honesty note on
-    :func:`quantile_rollup_state`."""
-    import pandas as pd
-
+    state; mixed-k merges refuse. Per-task memory: see the scaffold's
+    memory-honesty note."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    key_list = list(keys)
-    fields = [df.schema[c] for c in key_list]
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
-    ) + (", hh_items array<string>, hh_counts array<bigint>, "
-         "hh_dec bigint, hh_k int")
-
-    def build(batches):
-        summaries: dict = {}
-        for pdf in batches:
-            clean = pdf.dropna(subset=[item_col])
-            if not len(clean):
-                continue
-            for kv, grp in clean.groupby(key_list, sort=False,
-                                         dropna=False):
-                kv = kv if isinstance(kv, tuple) else (kv,)
-                st = summaries.get(kv)
-                if st is None:
-                    st = summaries[kv] = [{}, 0]
-                counts, _ = st
-                vc = grp[item_col].value_counts()
-                for it, c in vc.items():
-                    counts[it] = counts.get(it, 0) + int(c)
-                st[1] += _mg_trim(counts, k)
-        if not summaries:
-            return  # empty partition: see quantile builder's note
-        rows = {c: [] for c in key_list}
-        rows.update(hh_items=[], hh_counts=[], hh_dec=[], hh_k=[])
-        for kv, (counts, dec) in summaries.items():
-            items = sorted(counts)  # canonical item order
-            for c, v in zip(key_list, kv):
-                rows[c].append(v)
-            rows["hh_items"].append(items)
-            rows["hh_counts"].append([counts[i] for i in items])
-            rows["hh_dec"].append(dec)
-            rows["hh_k"].append(k)
-        yield pd.DataFrame(rows)
-
-    partials = df.select(
-        *key_list, F.col(item_col).cast("string").alias(item_col)
-    ).mapInPandas(build, out_schema)
+    partials = _monoid_partials(
+        df.select(*keys, F.col(item_col).cast("string").alias(item_col)),
+        keys, _hh_spec(item_col, k),
+    )
     return _merge_hh_states(partials, keys)
 
 
-def _merge_hh_states(state: DataFrame, keys: tuple[str, ...]) -> DataFrame:
-    import pandas as pd
+def _hh_pack(st) -> dict:
+    counts, dec, k = st[0], st[1], st[2]
+    items = sorted(counts)  # canonical item order
+    return {"hh_items": items,
+            "hh_counts": [counts[i] for i in items],
+            "hh_dec": dec, "hh_k": k}
 
-    key_list = list(keys)
-    schema = state.schema
 
-    def merge(key, pdf):
-        ks = set(int(x) for x in pdf["hh_k"])
-        if len(ks) > 1:
-            raise ValueError(
-                f"heavy-hitter states built with different k "
-                f"{sorted(ks)} cannot merge — k is an accuracy contract"
-            )
-        k = ks.pop()
-        counts: dict = {}
-        dec = 0
-        for items, cs, d in zip(pdf["hh_items"], pdf["hh_counts"],
-                                pdf["hh_dec"]):
-            for it, c in zip(items, cs):
-                counts[it] = counts.get(it, 0) + int(c)
-            dec += int(d)
-        dec += _mg_trim(counts, k)  # ONE trim after the commutative sum
-        items = sorted(counts)
-        row = {c: [v] for c, v in zip(key_list, key)}
-        row.update(
-            hh_items=[items], hh_counts=[[counts[i] for i in items]],
-            hh_dec=[dec], hh_k=[k],
+def _hh_update(st, grp, item_col: str, k: int) -> None:
+    counts = st[0]
+    vc = grp[item_col].value_counts()
+    for it, c in vc.items():
+        counts[it] = counts.get(it, 0) + int(c)
+    st[1] += _mg_trim(counts, k)
+
+
+def _hh_spec(item_col: str, k: int = 0) -> _MonoidSpec:
+    return _MonoidSpec(
+        state_cols={"hh_items": "array<string>",
+                    "hh_counts": "array<bigint>",
+                    "hh_dec": "bigint", "hh_k": "int"},
+        init=lambda: [{}, 0, k],
+        update=lambda st, grp: _hh_update(st, grp, item_col, k),
+        pack=_hh_pack,
+        merge_rows=_hh_merge_rows,
+        prepare_batch=lambda pdf: pdf.dropna(subset=[item_col]),
+    )
+
+
+def _hh_merge_rows(pdf) -> dict:
+    ks = set(int(x) for x in pdf["hh_k"])
+    if len(ks) > 1:
+        raise ValueError(
+            f"heavy-hitter states built with different k "
+            f"{sorted(ks)} cannot merge — k is an accuracy contract"
         )
-        return pd.DataFrame(row)
+    k = ks.pop()
+    counts: dict = {}
+    dec = 0
+    for items, cs, d in zip(pdf["hh_items"], pdf["hh_counts"],
+                            pdf["hh_dec"]):
+        for it, c in zip(items, cs):
+            counts[it] = counts.get(it, 0) + int(c)
+        dec += int(d)
+    dec += _mg_trim(counts, k)  # ONE trim after the commutative sum
+    return _hh_pack([counts, dec, k])
 
-    return state.groupBy(*key_list).applyInPandas(merge, schema)
+
+def _merge_hh_states(state: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    return _monoid_merge_states(state, keys, _hh_spec(""))
 
 
 def merge_heavy_hitters(
@@ -2243,92 +2320,66 @@ def sample_rollup_state(
     Arrow boundary; pandas only dedups and keeps the k smallest
     (hash, id) pairs per partition — so the shuffle carries ≤ k pairs
     per (partition, key). NULL ids are ignored. ``k``/``seed`` travel
-    in the state; mixed contracts refuse to merge. Stage-1 memory ∝
-    distinct keys per partition × k — see the memory-honesty note on
-    :func:`quantile_rollup_state`."""
-    import pandas as pd
-
+    in the state; mixed contracts refuse to merge. Per-task memory:
+    see the scaffold's memory-honesty note."""
     from polymarket_data_ingestor_spark.functions.scalars import hash32
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    key_list = list(keys)
-    fields = [df.schema[c] for c in key_list]
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
-    ) + (", s_hash array<bigint>, s_id array<string>, "
-         "s_k int, s_seed int")
-
     hashed = df.select(
-        *key_list,
+        *keys,
         F.col(id_col).cast("string").alias("__sid"),
         hash32(F.col(id_col).cast("string"), seed=seed).alias("__h"),
     ).dropna(subset=["__sid"])
-
-    def build(batches):
-        best: dict = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            for kv, grp in pdf.groupby(key_list, sort=False,
-                                       dropna=False):
-                kv = kv if isinstance(kv, tuple) else (kv,)
-                pairs = best.setdefault(kv, [])
-                pairs.extend(
-                    zip(grp["__h"].astype(int), grp["__sid"])
-                )
-                if len(pairs) > 4 * k:  # periodic compaction
-                    pairs = sorted(set(pairs))[:k]
-                    best[kv] = pairs
-        if not best:
-            return  # empty partition: see quantile builder's note
-        rows = {c: [] for c in key_list}
-        rows.update(s_hash=[], s_id=[], s_k=[], s_seed=[])
-        for kv, pairs in best.items():
-            pairs = sorted(set(pairs))[:k]
-            for c, v in zip(key_list, kv):
-                rows[c].append(v)
-            rows["s_hash"].append([h for h, _ in pairs])
-            rows["s_id"].append([i for _, i in pairs])
-            rows["s_k"].append(k)
-            rows["s_seed"].append(seed)
-        yield pd.DataFrame(rows)
-
-    partials = hashed.mapInPandas(build, out_schema)
+    partials = _monoid_partials(hashed, keys, _sample_spec(k, seed))
     return _merge_sample_states(partials, keys)
+
+
+def _sample_update(pairs: list, grp, k: int) -> None:
+    pairs.extend(zip(grp["__h"].astype(int), grp["__sid"]))
+    if len(pairs) > 4 * k:  # periodic compaction
+        pairs[:] = sorted(set(pairs))[:k]
+
+
+def _sample_pack(pairs: list, k: int, seed: int) -> dict:
+    pairs = sorted(set(pairs))[:k]
+    return {"s_hash": [h for h, _ in pairs],
+            "s_id": [i for _, i in pairs], "s_k": k, "s_seed": seed}
+
+
+def _sample_spec(k: int = 0, seed: int = 0) -> _MonoidSpec:
+    return _MonoidSpec(
+        state_cols={"s_hash": "array<bigint>", "s_id": "array<string>",
+                    "s_k": "int", "s_seed": "int"},
+        init=list,
+        update=lambda pairs, grp: _sample_update(pairs, grp, k),
+        pack=lambda pairs: _sample_pack(pairs, k, seed),
+        merge_rows=_sample_merge_rows,
+    )
+
+
+def _sample_merge_rows(pdf) -> dict:
+    contracts = set(
+        (int(a), int(b)) for a, b in zip(pdf["s_k"], pdf["s_seed"])
+    )
+    if len(contracts) > 1:
+        raise ValueError(
+            f"sample states with different (k, seed) "
+            f"{sorted(contracts)} cannot merge"
+        )
+    k, seed = contracts.pop()
+    pairs = [
+        (int(h), str(i))
+        for hs, ids in zip(pdf["s_hash"], pdf["s_id"])
+        for h, i in zip(hs, ids)
+    ]
+    return _sample_pack(pairs, k, seed)
 
 
 def _merge_sample_states(
     state: DataFrame, keys: tuple[str, ...]
 ) -> DataFrame:
-    import pandas as pd
-
-    key_list = list(keys)
-    schema = state.schema
-
-    def merge(key, pdf):
-        contracts = set(
-            (int(a), int(b)) for a, b in zip(pdf["s_k"], pdf["s_seed"])
-        )
-        if len(contracts) > 1:
-            raise ValueError(
-                f"sample states with different (k, seed) "
-                f"{sorted(contracts)} cannot merge"
-            )
-        k, seed = contracts.pop()
-        pairs = sorted({
-            (int(h), str(i))
-            for hs, ids in zip(pdf["s_hash"], pdf["s_id"])
-            for h, i in zip(hs, ids)
-        })[:k]
-        row = {c: [v] for c, v in zip(key_list, key)}
-        row.update(
-            s_hash=[[h for h, _ in pairs]], s_id=[[i for _, i in pairs]],
-            s_k=[k], s_seed=[seed],
-        )
-        return pd.DataFrame(row)
-
-    return state.groupBy(*key_list).applyInPandas(merge, schema)
+    return _monoid_merge_states(state, keys, _sample_spec())
 
 
 def merge_sample_rollup(
