@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "quantile_rollup",
     "heavy_hitters",
     "sample_rollup",
+    "topk_rollup",
     "filter_project",
     "minute_last_bars",
     "hourly_volume",

@@ -258,15 +258,18 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         finalize_quantile_rollup,
         finalize_rollup,
         finalize_sample_rollup,
+        finalize_topk_rollup,
         heavy_hitters_state,
         merge_distinct_rollup,
         merge_heavy_hitters,
         merge_quantile_rollup,
         merge_rollup,
         merge_sample_rollup,
+        merge_topk_rollup,
         quantile_rollup_state,
         rollup_state,
         sample_rollup_state,
+        topk_rollup_state,
         distinct_rollup_state,
     )
 
@@ -312,13 +315,23 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
             lambda a, b: merge_sample_rollup(a, b, keys=keys),
             finalize_sample_rollup,
         ),
+        "topk": (
+            lambda d: topk_rollup_state(d, keys, args.value,
+                                        args.score, k=args.k),
+            lambda a, b: merge_topk_rollup(a, b, keys=keys),
+            finalize_topk_rollup,
+        ),
     }
+    if args.stat == "topk" and not args.score:
+        print("lake stats: --stat topk needs --score <column>",
+              file=sys.stderr)
+        return 2
     if args.k is None:
         # per-stat library defaults — one shared number would silently
         # build sample states no API-default caller could ever fold
         # (the (k, seed) contract check refuses mixed capacities)
         args.k = {"quantiles": 4096, "heavyhitters": 1024,
-                  "sample": 64}.get(args.stat)
+                  "sample": 64, "topk": 16}.get(args.stat)
     build, merge, finalize = builders[args.stat]
     state = build(delta)
     # Versioned commit, mirroring live_materialize: read latest v=N,
@@ -385,7 +398,9 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     ]
     for row in out.select(*display_cols).limit(args.show).collect():
         print(row.asDict())
-    print(f"state: {args.state} ({state.count()} keys)")
+    # print the COMMITTED version path — a flat read of the root would
+    # union every retained version (read_rollup_state is the reader)
+    print(f"state: {args.state}/v={new_v} ({state.count()} keys)")
     return 0
 
 
@@ -500,18 +515,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="state directory (created on first run)")
     ls.add_argument("--stat", required=True,
                     choices=["summary", "distinct", "quantiles",
-                             "heavyhitters", "sample"])
+                             "heavyhitters", "sample", "topk"])
     ls.add_argument("--keys", required=True,
                     help="comma-separated group columns")
     ls.add_argument("--value", required=True,
                     help="value column (item column for heavyhitters, "
-                         "counted column for distinct)")
+                         "counted column for distinct, id column for "
+                         "sample/topk)")
+    ls.add_argument("--score", default=None,
+                    help="score column for --stat topk (items ranked "
+                         "score DESC, id ASC)")
     ls.add_argument("--k", type=int, default=None,
                     help="sketch/sample capacity; defaults follow the "
                          "library per stat (quantiles 4096, "
-                         "heavyhitters 1024, sample 64) — k is a "
-                         "merge contract, so folds into an existing "
-                         "state must reuse its k")
+                         "heavyhitters 1024, sample 64, topk 16) — "
+                         "k is a merge contract, so folds into an "
+                         "existing state must reuse its k")
     ls.add_argument("--seed", type=int, default=1,
                     help="hash seed for --stat sample (part of the "
                          "state's merge contract, like --k)")

@@ -2436,6 +2436,133 @@ def kmv_distinct_estimate(state: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Top-k-by-score monoid
+#
+# "The k best documents per source" is the curation counterpart of the
+# heavy-hitters monoid: hot items answer "what dominates", this answers
+# "what to keep". Union-then-keep-top-k over (score, id) pairs is a TRUE
+# monoid like the bottom-k sample — associative, commutative, idempotent
+# on duplicate pairs — so the maintained leaderboard equals a full
+# recompute bit-for-bit at every merge, with NO approximation regime.
+# Order is total and deterministic: score DESC, then id ASC (ids travel
+# as strings, so the tie-break is the string order — the same portable
+# convention as the sample monoid's ids). An id appearing with two
+# DIFFERENT scores is two pairs (same contract as KMV's (hash, id)
+# pairs); feed it a stable per-id score — e.g. a document's quality
+# score — and it is a per-id leaderboard.
+# ---------------------------------------------------------------------------
+
+
+def topk_rollup_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    score_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Mergeable top-k-by-score state per key (see the module comment
+    above). Scaffold shape (:class:`_MonoidSpec`): casts run JVM-side
+    (id → string, score → double) before the Arrow boundary; pandas
+    only accumulates and periodically compacts to the k best pairs, so
+    the single exchange carries ≤ k (score, id) pairs per (partition,
+    key), never the rows. NULL ids and NULL/NaN scores are ignored.
+    ``k`` travels in the state (``t_k``); mixed-k merges refuse.
+    Per-task memory: see the scaffold's memory-honesty note."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    proj = df.select(
+        *keys,
+        F.col(id_col).cast("string").alias("__tid"),
+        F.col(score_col).cast("double").alias("__tscore"),
+    ).dropna(subset=["__tid", "__tscore"])
+    partials = _monoid_partials(proj, keys, _topk_spec(k))
+    return _merge_topk_states(partials, keys)
+
+
+def _topk_order(pair):
+    # score DESC, id ASC — the monoid's total order
+    return (-pair[0], pair[1])
+
+
+def _topk_update(pairs: list, grp, k: int) -> None:
+    pairs.extend(zip(grp["__tscore"].astype(float), grp["__tid"]))
+    if len(pairs) > 4 * k:  # periodic compaction
+        pairs[:] = sorted(set(pairs), key=_topk_order)[:k]
+
+
+def _topk_pack(pairs: list, k: int) -> dict:
+    pairs = sorted(set(pairs), key=_topk_order)[:k]
+    return {"t_score": [s for s, _ in pairs],
+            "t_id": [i for _, i in pairs], "t_k": k}
+
+
+def _topk_spec(k: int = 0) -> _MonoidSpec:
+    return _MonoidSpec(
+        state_cols={"t_score": "array<double>", "t_id": "array<string>",
+                    "t_k": "int"},
+        init=list,
+        update=lambda pairs, grp: _topk_update(pairs, grp, k),
+        pack=lambda pairs: _topk_pack(pairs, k),
+        merge_rows=_topk_merge_rows,
+        # NaN scores survive a double cast; drop them pandas-side too
+        prepare_batch=lambda pdf: pdf.dropna(subset=["__tscore"]),
+    )
+
+
+def _topk_merge_rows(pdf) -> dict:
+    ks = set(int(x) for x in pdf["t_k"])
+    if len(ks) > 1:
+        raise ValueError(
+            f"top-k states built with different k {sorted(ks)} cannot "
+            "merge — k is a retention contract (rebuild one side)"
+        )
+    k = ks.pop()
+    pairs = [
+        (float(s), str(i))
+        for ss, ids in zip(pdf["t_score"], pdf["t_id"])
+        for s, i in zip(ss, ids)
+    ]
+    return _topk_pack(pairs, k)
+
+
+def _merge_topk_states(
+    state: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    return _monoid_merge_states(state, keys, _topk_spec())
+
+
+def merge_topk_rollup(
+    *states: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Union per-split top-k states — a TRUE monoid (pair-set union +
+    keep-top-k): merged splits equal the one-pass state bit-for-bit,
+    unconditionally; mixed-k contracts raise."""
+    return _monoid_union_merge(states, keys, _topk_spec(),
+                               "merge_topk_rollup")
+
+
+def finalize_topk_rollup(state: DataFrame) -> DataFrame:
+    """Explode the maintained leaderboard to one row per (key, rank):
+    ``rank`` (1-based, long — matches SQL row_number), ``item``,
+    ``score``."""
+    key_cols = [
+        f.name for f in state.schema.fields
+        if f.name not in ("t_score", "t_id", "t_k")
+    ]
+    return state.select(
+        *key_cols,
+        F.posexplode(
+            F.arrays_zip(F.col("t_id"), F.col("t_score"))
+        ).alias("__pos", "__e"),
+    ).select(
+        *key_cols,
+        (F.col("__pos") + 1).cast("long").alias("rank"),
+        F.col("__e.t_id").alias("item"),
+        F.col("__e.t_score").alias("score"),
+    )
+
+
 class DQViolationError(ValueError):
     """Raised by :func:`dq_check` when rules are violated and the
     caller asked for the loud gate."""

@@ -1917,6 +1917,50 @@ def q_sample_rollup(spark, sf_dir):
 
 
 @register(
+    "topk_rollup",
+    """
+    WITH d AS (
+      SELECT DISTINCT source, CAST(doc_id AS VARCHAR) AS tid,
+             CAST(n_chars AS DOUBLE) AS score
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    )
+    SELECT source, rank, item, score
+    FROM (
+      SELECT source, tid AS item, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, tid ASC) AS rank
+      FROM d)
+    WHERE rank <= 8
+    """,
+    doc="Mergeable top-k-by-score leaderboard "
+    "(operators/analytics.py::topk_rollup_state/merge_topk_rollup/"
+    "finalize_topk_rollup): keep the k best (score, id) pairs per key "
+    "— score DESC, string-id ASC — the curation counterpart of the "
+    "heavy-hitters monoid ('what to keep', not 'what dominates'). "
+    "Union-then-keep-top-k over pairs is a TRUE monoid (associative, "
+    "commutative, duplicate-idempotent), so an incrementally-"
+    "maintained leaderboard equals a full recompute bit-for-bit with "
+    "NO approximation regime — 'top k documents by quality per "
+    "source' maintained forever at delta cost. Monoid-scaffold shape: "
+    "JVM-side casts, pandas accumulate+compact, the single exchange "
+    "carries ≤ k pairs per (partition, key), never the corpus.",
+    tags=("agg", "curation"),
+)
+def q_topk_rollup(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_topk_rollup,
+        topk_rollup_state,
+    )
+
+    st = topk_rollup_state(
+        table(spark, sf_dir, "documents"), ("source",), "doc_id",
+        "n_chars", k=8,
+    )
+    return finalize_topk_rollup(st)
+
+
+@register(
     "rolling_zscore_flags",
     """
     WITH counts AS (

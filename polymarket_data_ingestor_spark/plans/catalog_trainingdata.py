@@ -3057,14 +3057,10 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: take the head of the window regardless of staleness so every change
 #: gets a first-party driver row in its own round.
 _CODE_CHANGED_THIS_ROUND = (
-    "quantile_rollup",      # r10: new operator (mergeable quantile sketch)
-    "heavy_hitters",        # r10: new operator (Misra-Gries monoid)
-    "sample_rollup",        # r10: new operator (bottom-k/KMV monoid)
-    "dq_cross_column",      # r10: new entry (cross-column check rule)
-    "dq_split_clean",       # r10: new operator (row-level quarantine)
-    "dq_violations_orders", # r10: dq_check long-format rebuilt (lit
-                            # bindings instead of stack() interpolation)
-    "curation_pipeline",    # r10: drop_exact_dupes identical-row collapse
+    "topk_rollup",          # r11: new operator (top-k-by-score monoid)
+    "quantile_rollup",      # r11: rebuilt on the _MonoidSpec scaffold
+    "heavy_hitters",        # r11: rebuilt on the _MonoidSpec scaffold
+    "sample_rollup",        # r11: scaffold rebuild + kmv h_k clamp
 )
 
 

@@ -1083,6 +1083,41 @@ def live_sample_rollup(
     )
 
 
+def live_topk_rollup(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    id_col: str,
+    score_col: str,
+    k: int = 16,
+    available_now: bool = False,
+    retain_versions: int = 2,
+):
+    """Continuously maintained per-key top-k-by-score leaderboard —
+    the curation monoid through the MVCC materializer (query with
+    ``read_rollup_state`` → ``finalize_topk_rollup``). Like the
+    sample twin it is a TRUE monoid (pair-set union + keep-top-k), so
+    the maintained leaderboard equals a full recompute bit-for-bit at
+    every commit, unconditionally — the live answer to "the k best
+    documents per source RIGHT NOW" without re-ranking the corpus."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_topk_rollup,
+        topk_rollup_state,
+    )
+
+    return live_materialize(
+        events,
+        state_path,
+        checkpoint,
+        state_fn=lambda b: topk_rollup_state(b, keys, id_col,
+                                             score_col, k),
+        merge_fn=lambda p, d: merge_topk_rollup(p, d, keys=keys),
+        available_now=available_now,
+        retain_versions=retain_versions,
+    )
+
+
 def live_materialize(
     events: DataFrame,
     state_path: str,

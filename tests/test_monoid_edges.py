@@ -185,6 +185,20 @@ def test_monoids_multi_column_and_typed_keys(spark):
     }
     assert smp == {(1, "a"), (1, "b"), (2, "a")}, smp
 
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_topk_rollup,
+        topk_rollup_state,
+    )
+
+    tk = {
+        (r["uid"], r["side"], r["rank"]): r["item"]
+        for r in finalize_topk_rollup(
+            topk_rollup_state(df, keys, "item", "v", k=1)
+        ).collect()
+    }
+    assert tk == {(1, "a", 1): "x", (1, "b", 1): "y",
+                  (2, "a", 1): "z"}, tk
+
 
 def test_cli_lake_stats_sample_flow(spark, tmp_path, monkeypatch,
                                     capsys):
@@ -203,10 +217,14 @@ def test_cli_lake_stats_sample_flow(spark, tmp_path, monkeypatch,
         assert cli.main(["lake", "stats", d, "--state", state,
                          "--stat", "sample", "--keys", "event_type",
                          "--value", "user_id", "--k", "5"]) == 0
+    from polymarket_data_ingestor_spark.streaming.live import (
+        read_rollup_state,
+    )
+
     got = {
         (r["event_type"], r["sample_id"])
         for r in finalize_sample_rollup(
-            spark.read.parquet(state)
+            read_rollup_state(spark, state)
         ).collect()
     }
     want = {
@@ -216,3 +234,91 @@ def test_cli_lake_stats_sample_flow(spark, tmp_path, monkeypatch,
         ).collect()
     }
     assert got == want and len(got) == 25  # 5 types x k=5
+
+
+def test_topk_rollup_empty_nulls_k1_and_ties(spark):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_topk_rollup,
+        merge_topk_rollup,
+        topk_rollup_state,
+    )
+
+    empty_state = topk_rollup_state(_empty(spark), ("g",), "item", "v")
+    assert empty_state.count() == 0
+    assert finalize_topk_rollup(empty_state).count() == 0
+
+    # NULL ids and NULL scores are ignored; all-NULL key emits nothing
+    df = spark.createDataFrame(
+        [("a", 3.0, "x"), ("a", None, "y"), ("a", 5.0, None),
+         ("a", 1.0, "z")], SCHEMA
+    )
+    st = topk_rollup_state(df, ("g",), "item", "v", k=2)
+    rows = finalize_topk_rollup(st).collect()
+    assert [(r["rank"], r["item"], r["score"]) for r in rows] == [
+        (1, "x", 3.0), (2, "z", 1.0)
+    ]
+    all_null = topk_rollup_state(
+        spark.createDataFrame([("a", None, None)], SCHEMA),
+        ("g",), "item", "v", k=2,
+    )
+    assert all_null.count() == 0
+
+    # k=1 with a score tie: string-id ASC breaks it deterministically
+    tie = spark.createDataFrame(
+        [("a", 7.0, "bb"), ("a", 7.0, "aa")], SCHEMA
+    )
+    rows = finalize_topk_rollup(
+        topk_rollup_state(tie, ("g",), "item", "v", k=1)
+    ).collect()
+    assert [(r["item"], r["score"]) for r in rows] == [("aa", 7.0)]
+
+    # merging with the empty state is the identity
+    merged = merge_topk_rollup(st, empty_state, keys=("g",))
+    assert sorted(
+        (r["rank"], r["item"]) for r in
+        finalize_topk_rollup(merged).collect()
+    ) == [(1, "x"), (2, "z")]
+
+
+def test_cli_lake_stats_topk_flow(spark, tmp_path, monkeypatch, capsys):
+    """--stat topk through the CLI: maintained leaderboard over two
+    deltas equals a one-pass top-k (true monoid, via the shell);
+    --stat topk without --score refuses with exit 2."""
+    from polymarket_data_ingestor_spark import cli
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_topk_rollup,
+        topk_rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming.live import (
+        read_rollup_state,
+    )
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(d1)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(d2)
+    state = str(tmp_path / "tkstate")
+    assert cli.main(["lake", "stats", d1, "--state", state,
+                     "--stat", "topk", "--keys", "source",
+                     "--value", "doc_id"]) == 2  # no --score
+    for d in (d1, d2):
+        assert cli.main(["lake", "stats", d, "--state", state,
+                         "--stat", "topk", "--keys", "source",
+                         "--value", "doc_id", "--score", "n_chars",
+                         "--k", "3"]) == 0
+    got = [
+        (r["source"], r["rank"], r["item"], r["score"])
+        for r in finalize_topk_rollup(read_rollup_state(spark, state))
+        .orderBy("source", "rank").collect()
+    ]
+    want = [
+        (r["source"], r["rank"], r["item"], r["score"])
+        for r in finalize_topk_rollup(
+            topk_rollup_state(docs, ("source",), "doc_id", "n_chars",
+                              k=3)
+        ).orderBy("source", "rank").collect()
+    ]
+    assert got == want and len(got) == 3 * docs.select(
+        "source").distinct().count()
+    assert "'rank':" in capsys.readouterr().out

@@ -156,3 +156,41 @@ def test_mg_canonical_merge_order_independent(items, k, n_splits):
     counts, dec = reduce_all(parts)
     for it, est in counts.items():
         assert est <= true[it] <= est + dec
+
+
+# --- top-k-by-score pack kernel (pure: _topk_pack over pair lists) ---
+
+from polymarket_data_ingestor_spark.operators.analytics import (  # noqa: E402
+    _topk_pack,
+)
+
+pairs_lists = st.lists(
+    st.tuples(
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6),
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+    ),
+    min_size=1, max_size=200,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(pairs_lists, st.integers(1, 8), st.integers(1, 4))
+def test_topk_pack_true_monoid_any_split(pairs, k, n_splits):
+    """Pack(split) ∘ merge == pack(all): associative, commutative,
+    idempotent on duplicate pairs — and the result IS the k best by
+    (score DESC, id ASC) over the deduped pair set."""
+    one = _topk_pack(list(pairs), k)
+    packs = [_topk_pack(pairs[i::n_splits], k) for i in range(n_splits)]
+    for order in (packs, packs[::-1]):
+        carried = [
+            (s, i) for p in order
+            for s, i in zip(p["t_score"], p["t_id"])
+        ]
+        assert _topk_pack(carried, k) == one
+    want = sorted(set(pairs), key=lambda t: (-t[0], t[1]))[:k]
+    assert one["t_score"] == [s for s, _ in want]
+    assert one["t_id"] == [i for _, i in want]
+    # duplicate-idempotence: folding the result into itself is a no-op
+    doubled = [(s, i) for s, i in zip(one["t_score"], one["t_id"])] * 2
+    assert _topk_pack(doubled, k) == one

@@ -915,13 +915,14 @@ def test_dq_split_is_pure_codegen_filter(spark):
     assert "Filter" in plan, plan
 
 
-@pytest.mark.parametrize("name", ["heavy_hitters", "sample_rollup"])
+@pytest.mark.parametrize("name", ["heavy_hitters", "sample_rollup",
+                                  "topk_rollup"])
 def test_monoid_rollups_shuffle_state_not_rows(spark, name):
-    """heavy_hitters and sample_rollup share the quantile entry's plan
-    contract: bounded per-partition state built BELOW the single
-    exchange (mapInPandas), one scan, no join/window — the shuffle
-    carries ≤ k counters / (hash, id) pairs per partial, never the
-    item stream."""
+    """heavy_hitters, sample_rollup, and topk_rollup share the quantile
+    entry's plan contract: bounded per-partition state built BELOW the
+    single exchange (mapInPandas), one scan, no join/window — the
+    shuffle carries ≤ k counters / (hash, id) / (score, id) pairs per
+    partial, never the item stream."""
     plan = plan_of(spark, name)
     assert plan.count("Exchange") == 1, plan
     assert plan.count("FileScan") == 1, plan

@@ -1498,6 +1498,71 @@ def test_sample_rollup_true_monoid_and_kmv(spark):
         ).collect()
 
 
+def test_topk_rollup_true_monoid_vs_window(spark):
+    """Top-k-by-score leaderboard: merged per-split states equal the
+    one-pass state BIT-FOR-BIT (true monoid, like the bottom-k
+    sample); the selection equals the window row_number form (score
+    DESC, string-id ASC) including ties; mixed-k refusal."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_topk_rollup,
+        merge_topk_rollup,
+        topk_rollup_state,
+    )
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    keys = ("source",)
+
+    full = topk_rollup_state(docs, keys, "doc_id", "n_chars", k=6)
+    parts = [
+        topk_rollup_state(
+            docs.filter(F.col("doc_id") % 3 == i), keys, "doc_id",
+            "n_chars", k=6,
+        )
+        for i in range(3)
+    ]
+    merged = merge_topk_rollup(*parts, keys=keys)
+
+    def canon(st):
+        return {
+            r["source"]: (list(r["t_score"]), list(r["t_id"]))
+            for r in st.collect()
+        }
+
+    assert canon(merged) == canon(full)  # bit-for-bit, unconditionally
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("__s").desc(), F.col("__tid").asc()
+    )
+    want = {
+        (r["source"], r["__rn"], r["__tid"], r["__s"])
+        for r in docs.select(
+            "source",
+            F.col("doc_id").cast("string").alias("__tid"),
+            F.col("n_chars").cast("double").alias("__s"),
+        )
+        .withColumn("__rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("__rn") <= 6)
+        .collect()
+    }
+    got = {
+        (r["source"], r["rank"], r["item"], r["score"])
+        for r in finalize_topk_rollup(full).collect()
+    }
+    assert got == want
+
+    with _pytest.raises(Exception, match="different k"):
+        merge_topk_rollup(
+            parts[0],
+            topk_rollup_state(docs, keys, "doc_id", "n_chars", k=5),
+            keys=keys,
+        ).collect()
+
+
 def test_distinct_rollup_merge_identical_to_full_sketch(spark):
     """HLL distinct-count state merges losslessly: per-split sketches
     unioned give the identical estimate as one pass; and at small

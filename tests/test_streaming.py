@@ -1343,6 +1343,77 @@ def test_live_heavy_hitters_and_sample_rollup_maintained(
     assert got_sample2 == want_sample
 
 
+def test_live_topk_rollup_maintained_and_crash_replay(spark, tmp_path):
+    """The r11 curation monoid through the MVCC materializer: the
+    maintained per-key leaderboard is bit-identical to a one-pass
+    batch top-k over the union (true monoid), and a crash-replay of
+    the last batch changes nothing."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_topk_rollup,
+        topk_rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        live_topk_rollup,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "tk_src"
+    src.mkdir()
+    rows1 = [{"k": "a", "id": f"d{i}", "score": float(i % 5)}
+             for i in range(10)]
+    rows2 = [{"k": "a", "id": f"e{i}", "score": float(7 - i)}
+             for i in range(6)]
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1) + "\n")
+
+    def run():
+        q = live_topk_rollup(
+            spark.readStream.schema("k string, id string, score double")
+            .json(str(src)),
+            str(tmp_path / "tk_state"), str(tmp_path / "tk_ckpt"),
+            ("k",), "id", "score", k=4, available_now=True,
+        )
+        q.awaitTermination(300)
+
+    run()
+    (src / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows2) + "\n")
+    run()
+
+    union = spark.createDataFrame(
+        rows1 + rows2, "k string, id string, score double")
+    want = [
+        (r["rank"], r["item"], r["score"])
+        for r in finalize_topk_rollup(
+            topk_rollup_state(union, ("k",), "id", "score", k=4)
+        ).orderBy("rank").collect()
+    ]
+    got = [
+        (r["rank"], r["item"], r["score"])
+        for r in finalize_topk_rollup(
+            read_rollup_state(spark, str(tmp_path / "tk_state"))
+        ).orderBy("rank").collect()
+    ]
+    assert got == want and got[0] == (1, "e0", 7.0)
+
+    # crash-replay: delete the last commit marker (+ crc) and re-run
+    commits = sorted((tmp_path / "tk_ckpt" / "commits").glob("[0-9]*"))
+    commits[-1].unlink()
+    crc = tmp_path / "tk_ckpt" / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run()
+    got2 = [
+        (r["rank"], r["item"], r["score"])
+        for r in finalize_topk_rollup(
+            read_rollup_state(spark, str(tmp_path / "tk_state"))
+        ).orderBy("rank").collect()
+    ]
+    assert got2 == want  # replay overwrote v=N identically
+
+
 def test_live_distinct_rollup_sketches_union_across_batches(
     spark, tmp_path
 ):
