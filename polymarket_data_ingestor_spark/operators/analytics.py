@@ -2202,10 +2202,17 @@ def _hh_pack(st) -> dict:
 
 
 def _hh_update(st, grp, item_col: str, k: int) -> None:
+    """Fold one batch group into the MG summary. The merge iterates
+    materialized lists (``index.tolist()`` / ``to_numpy().tolist()``)
+    rather than ``vc.items()`` — per-element numpy-scalar boxing made
+    the items() form ~1.8× slower at the 1M-distinct regime (r11
+    profile, ROUND11.md); a full pandas-alignment rewrite was measured
+    SLOWER than the dict loop at Arrow batch sizes and rejected.
+    Counts arrive as exact Python ints either way — identical state."""
     counts = st[0]
     vc = grp[item_col].value_counts()
-    for it, c in vc.items():
-        counts[it] = counts.get(it, 0) + int(c)
+    for it, c in zip(vc.index.tolist(), vc.to_numpy().tolist()):
+        counts[it] = counts.get(it, 0) + c
     st[1] += _mg_trim(counts, k)
 
 
