@@ -404,6 +404,24 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lake_bloom(args: argparse.Namespace) -> int:
+    """Size the streaming-dedup bloom front: print the ``bloom_bits``
+    for an expected corpus at a target false-positive rate (geometry
+    is a lake-lifetime contract — see ``bloom_geometry``). Pure math,
+    no Spark session."""
+    from polymarket_data_ingestor_spark.streaming import bloom_geometry
+
+    try:
+        m = bloom_geometry(args.digests, args.fp)
+    except ValueError as e:
+        print(f"lake bloom: {e}", file=sys.stderr)
+        return 2
+    print(f"bloom_bits: {m}")
+    print(f"bytes: {m // 8} (~{m / 8 / 2 ** 20:.1f} MiB)")
+    print(f"bits/digest: {m / args.digests:.2f} at fp<={args.fp}")
+    return 0
+
+
 def cmd_manifests(args: argparse.Namespace) -> int:
     from polymarket_data_ingestor_spark.operators.replay import (
         write_gate_manifests,
@@ -543,6 +561,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="finalized rows to print")
     ls.set_defaults(fn=cmd_lake_stats)
     le.set_defaults(fn=cmd_lake_expire)
+
+    lb = lk_sub.add_parser(
+        "bloom",
+        help="size the dedup bloom front: bloom_bits for an expected "
+             "corpus at a target false-positive rate",
+    )
+    lb.add_argument("--digests", type=int, required=True,
+                    help="corpus digests the bloom must eventually hold")
+    lb.add_argument("--fp", type=float, default=0.02,
+                    help="target false-positive rate (default 0.02)")
+    lb.set_defaults(fn=cmd_lake_bloom)
 
     mf = sub.add_parser("manifests",
                         help="backfill gate-manifest sidecars for "

@@ -1198,6 +1198,33 @@ def live_materialize(
 # the join's probe side shrinks to candidates otherwise.
 # ---------------------------------------------------------------------------
 
+def bloom_geometry(expected_digests: int, fp_rate: float = 0.02) -> int:
+    """The ``bloom_bits`` to pass :func:`live_dedup_stream` for a
+    target false-positive rate at ``expected_digests`` corpus digests
+    — the geometry is a long-lived contract (the lake refuses a
+    mismatched ``m_bits``), so size it for the corpus you expect to
+    GROW INTO, not today's: oversizing costs bytes (m/8), undersizing
+    costs a rebuild.
+
+    This bloom uses exactly 4 hash functions (the four disjoint md5
+    slices), so fp = (1 − e^(−4n/m))⁴ and the solve is
+    m = −4n / ln(1 − fp^¼). At the default 2% that is ~8.5 bits per
+    digest (~1 GiB per billion). Rounded up to a whole byte; floor 64
+    bits. False negatives remain impossible at ANY geometry — an
+    undersized bloom only degrades toward "every row is a candidate",
+    never toward data loss."""
+    import math
+
+    if expected_digests < 1:
+        raise ValueError(
+            f"expected_digests must be >= 1, got {expected_digests}"
+        )
+    if not 0.0 < fp_rate < 1.0:
+        raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
+    m = -4.0 * expected_digests / math.log(1.0 - fp_rate ** 0.25)
+    return max(64, int(math.ceil(m / 8.0)) * 8)
+
+
 #: 1-based (start, length) substrings of the 32-char md5 hex — four
 #: disjoint 32-bit hash values per digest.
 _BLOOM_SLICES = ((1, 8), (9, 8), (17, 8), (25, 8))

@@ -1564,6 +1564,34 @@ def test_live_dedup_stream_bloom_front_identical_and_replay_safe(
     hit_bc.unpersist()
     miss_bc.unpersist()
 
+    # geometry advisor: the math pins to the 4-hash closed form, and a
+    # bloom BUILT at the advised geometry empirically meets the target
+    # (2x slack: one 5k-probe sample of a ~5% process)
+    import math
+
+    from polymarket_data_ingestor_spark.streaming import bloom_geometry
+
+    n = 2_000
+    m_adv = bloom_geometry(n, 0.05)
+    want = -4.0 * n / math.log(1.0 - 0.05 ** 0.25)
+    assert want <= m_adv <= want + 8 and m_adv % 8 == 0
+    adv_digests = spark.range(0, n).select(
+        F.md5(F.col("id").cast("string")).alias("__digest")
+    )
+    adv_bits = _bloom_from_digests(adv_digests, m_adv)
+    probe_col, probe_bc = _bloom_might_contain(spark, adv_bits, m_adv)
+    fp = spark.range(100_000, 105_000).select(
+        F.md5(F.col("id").cast("string")).alias("__digest")
+    ).select(*_bloom_hash_cols()).withColumn("__maybe", probe_col)
+    assert fp.filter(F.col("__maybe")).count() <= 0.10 * 5_000
+    probe_bc.unpersist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fp_rate"):
+        bloom_geometry(10, 1.5)
+    with _pytest.raises(ValueError, match="expected_digests"):
+        bloom_geometry(0)
+
     src = tmp_path / "bl_src"
     src.mkdir()
     batches = [
