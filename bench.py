@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "sample_rollup",
     "topk_rollup",
+    "minhash_rollup",
+    "minhash_source_similarity",
     "filter_project",
     "minute_last_bars",
     "hourly_volume",

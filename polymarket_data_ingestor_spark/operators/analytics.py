@@ -2570,6 +2570,172 @@ def finalize_topk_rollup(state: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MinHash signature monoid (per-key set signatures, pure JVM)
+#
+# The rollup family maintains per-key SCALAR statistics; this member
+# maintains per-key SET IDENTITY: slot i of the signature is
+# min(hash_i(item)) over every item ever folded into the key, so two
+# keys' signatures estimate their item-set Jaccard similarity as the
+# fraction of equal slots (the classic Broder MinHash argument) —
+# "which sources/languages/shards share content" maintained forever at
+# delta cost, without ever comparing item sets. Elementwise min is a
+# TRUE monoid (associative, commutative, idempotent on re-folded
+# items), so the maintained signature equals a full recompute
+# bit-for-bit, unconditionally — and unlike the pandas-built monoids
+# the whole thing is native Catalyst: the state build is one
+# map-side-combined min-aggregate (the shuffle carries n_hashes longs
+# per key per partial map task — never items), and the merge is a
+# zip_with/least fold over collected partials. No Python anywhere.
+#
+# Per-slot hash functions derive from the portable hash32 (md5-prefix)
+# by seed offset: slot i uses hash32 seed = seed·1000 + i + 1 —
+# engine-portable (the DuckDB oracle reproduces every slot), non-zero
+# (hash32's seed-0 means "no prefix"), and disjoint across base seeds
+# while n_hashes ≤ 1000 (the constructor caps at 256). (n_hashes,
+# seed) travel in the state and are a merge contract like the other
+# monoids' k.
+# ---------------------------------------------------------------------------
+
+
+def minhash_rollup_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    item_col: str,
+    n_hashes: int = 16,
+    seed: int = 1,
+) -> DataFrame:
+    """Mergeable per-key MinHash signature state (see the module
+    comment above): ``mh_sig`` (array of n_hashes slot minima),
+    ``mh_n``, ``mh_seed``. One shuffle, map-side combined; NULL items
+    are ignored (a key with no non-null items emits no row — same as
+    the other monoids)."""
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+
+    if not 1 <= n_hashes <= 256:
+        raise ValueError(
+            f"n_hashes must be in [1, 256], got {n_hashes}"
+        )
+    items = df.select(
+        *keys, F.col(item_col).cast("string").alias("__it")
+    ).dropna(subset=["__it"])
+    return items.groupBy(*keys).agg(
+        F.array(*[
+            F.min(hash32(F.col("__it"), seed=seed * 1000 + i + 1))
+            for i in range(n_hashes)
+        ]).alias("mh_sig"),
+        F.lit(n_hashes).alias("mh_n"),
+        F.lit(seed).alias("mh_seed"),
+    )
+
+
+def merge_minhash_rollup(
+    *states: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Union per-split signature states into one per key — elementwise
+    min via a ``zip_with``/``least`` fold over the collected partials
+    (order-free: min is commutative), one state-sized shuffle, still
+    zero Python. Mixed (n_hashes, seed) contracts raise AT EXECUTION
+    (``raise_error`` — the check rides the same expression tree, so
+    the lazy-plan convention of the other merge fns is preserved)."""
+    if not states:
+        raise ValueError("merge_minhash_rollup needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    gathered = out.groupBy(*keys).agg(
+        F.collect_list("mh_sig").alias("__sigs"),
+        F.count_distinct(F.struct("mh_n", "mh_seed")).alias("__nc"),
+        F.first("mh_n").alias("mh_n"),
+        F.first("mh_seed").alias("mh_seed"),
+    )
+    folded = F.aggregate(
+        F.slice(F.col("__sigs"), 2, F.size("__sigs") - 1),
+        F.element_at(F.col("__sigs"), 1),
+        lambda acc, s: F.zip_with(acc, s, lambda a, b: F.least(a, b)),
+    )
+    return gathered.select(
+        *keys,
+        F.when(
+            F.col("__nc") > 1,
+            F.raise_error(F.lit(
+                "minhash states built with different (n_hashes, seed) "
+                "cannot merge — the hash family is an identity "
+                "contract (rebuild one side)"
+            )),
+        ).otherwise(folded).alias("mh_sig"),
+        "mh_n",
+        "mh_seed",
+    )
+
+
+def finalize_minhash_rollup(state: DataFrame) -> DataFrame:
+    """Explode the signature to one row per (key, slot): ``slot``
+    (0-based, long), ``min_hash`` — the flat form downstream SQL (and
+    the driver's value-hash compare) can consume."""
+    key_cols = [
+        f.name for f in state.schema.fields
+        if f.name not in ("mh_sig", "mh_n", "mh_seed")
+    ]
+    return state.select(
+        *key_cols,
+        F.posexplode(F.col("mh_sig")).alias("__slot", "min_hash"),
+    ).select(
+        *key_cols,
+        F.col("__slot").cast("long").alias("slot"),
+        "min_hash",
+    )
+
+
+def minhash_similarity_pairs(
+    state: DataFrame,
+    keys: tuple[str, ...],
+    min_similarity: float = 0.0,
+) -> DataFrame:
+    """Estimated Jaccard similarity for every key pair from their
+    signatures: ``est_jaccard`` = fraction of equal slots (exactly the
+    Broder estimator; deterministic given the hash family, so the
+    DuckDB oracle reproduces it bit-for-bit). The self-join is
+    STATE-sized (keys² pairs over n_hashes-long arrays) — the whole
+    point: corpus items were already folded away, so comparing every
+    source against every source costs nothing at any corpus size. The
+    smaller side is broadcast (state tables are keys-sized by
+    construction). Mixed-contract pairs raise at execution."""
+    a = state.select(
+        *[F.col(k).alias(f"{k}_a") for k in keys],
+        F.col("mh_sig").alias("__sa"),
+        F.col("mh_n").alias("__na"), F.col("mh_seed").alias("__ra"),
+    )
+    b = state.select(
+        *[F.col(k).alias(f"{k}_b") for k in keys],
+        F.col("mh_sig").alias("__sb"),
+        F.col("mh_n").alias("__nb"), F.col("mh_seed").alias("__rb"),
+    )
+    cond = (
+        F.struct(*[F.col(f"{k}_a") for k in keys])
+        < F.struct(*[F.col(f"{k}_b") for k in keys])
+    )
+    matches = F.size(F.filter(
+        F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v
+    ))
+    est = F.when(
+        (F.col("__na") != F.col("__nb"))
+        | (F.col("__ra") != F.col("__rb")),
+        F.raise_error(F.lit(
+            "minhash similarity across different (n_hashes, seed) "
+            "contracts is meaningless — rebuild one side"
+        )),
+    ).otherwise(matches.cast("double") / F.col("__na"))
+    return (
+        a.join(F.broadcast(b), cond)
+        .select(
+            *[f"{k}_a" for k in keys], *[f"{k}_b" for k in keys],
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= F.lit(float(min_similarity)))
+    )
+
+
 class DQViolationError(ValueError):
     """Raised by :func:`dq_check` when rules are violated and the
     caller asked for the loud gate."""

@@ -555,6 +555,101 @@ def q_minhash_signatures(spark, sf_dir):
     return D.minhash_signatures(d, num_hashes=16)
 
 
+#: Per-source MinHash-ROLLUP signature as a reusable SQL CTE body:
+#: 3-gram shingles (the word_ngrams twins above) × 16 hash32 slots
+#: (slot i's seed = 3·1000 + i + 1, matching minhash_rollup_state's
+#: derivation), min per (source, slot). Shared by the state entry and
+#: the similarity entry.
+_SQL_MH_ROLLUP_SIG = f"""
+      toks AS (SELECT source, {_SQL_TOKS} AS toks
+               FROM documents WHERE text IS NOT NULL),
+      grams AS (SELECT source, unnest({_SQL_GRAMS3}) AS gram FROM toks),
+      slots AS (SELECT unnest(generate_series(0, 15)) AS slot),
+      sig AS (
+        SELECT source, CAST(slot AS BIGINT) AS slot,
+               min(('0x' || substr(md5('s' || CAST(3001 + slot AS VARCHAR)
+                                       || ':' || gram), 1, 8))::BIGINT)
+               AS min_hash
+        FROM grams CROSS JOIN slots GROUP BY 1, 2
+      )
+"""
+
+
+@register(
+    "minhash_rollup",
+    f"""
+    WITH {_SQL_MH_ROLLUP_SIG}
+    SELECT source, slot, min_hash FROM sig
+    """,
+    doc="Mergeable per-key MinHash signature "
+    "(operators/analytics.py::minhash_rollup_state/merge_minhash_rollup/"
+    "finalize_minhash_rollup): slot i = min over the key's items of "
+    "hash32 at derived seed — per-key SET IDENTITY next to the "
+    "family's scalar statistics, and a TRUE monoid (elementwise min is "
+    "associative, commutative, idempotent), so the maintained "
+    "signature equals a full recompute bit-for-bit, unconditionally. "
+    "Unlike the pandas-built monoids this is pure Catalyst: one "
+    "map-side-combined min-aggregate — the shuffle carries n_hashes "
+    "longs per key per map task, never items. Entry: sources "
+    "fingerprinted by their documents' 3-gram shingles (word_ngrams "
+    "twins), n_hashes=16, seed=3, long format.",
+    tags=("agg", "sketch", "curation"),
+)
+def q_minhash_rollup(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_minhash_rollup,
+        minhash_rollup_state,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    grams = d.select(
+        "source", F.explode(D.word_ngrams("text", 3)).alias("gram")
+    )
+    return finalize_minhash_rollup(
+        minhash_rollup_state(grams, ("source",), "gram",
+                             n_hashes=16, seed=3)
+    )
+
+
+@register(
+    "minhash_source_similarity",
+    f"""
+    WITH {_SQL_MH_ROLLUP_SIG}
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(CASE WHEN a.min_hash = b.min_hash
+                         THEN 1 ELSE 0 END) AS DOUBLE) / 16
+           AS est_jaccard
+    FROM sig a JOIN sig b ON a.slot = b.slot AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Pairwise estimated Jaccard between sources from their "
+    "maintained MinHash signatures "
+    "(operators/analytics.py::minhash_similarity_pairs): est = "
+    "fraction of equal slots (the Broder estimator — deterministic "
+    "given the hash family, so the oracle reproduces it bit-exactly). "
+    "The self-join is STATE-sized (sources² pairs over 16-long "
+    "arrays, smaller side broadcast) — the corpus was already folded "
+    "into the signatures, so comparing every source against every "
+    "source costs the same at any corpus size. The curation question "
+    "this answers: which shards/dumps duplicate each other enough to "
+    "bother cross-deduping.",
+    tags=("join", "sketch", "curation"),
+)
+def q_minhash_source_similarity(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        minhash_rollup_state,
+        minhash_similarity_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    grams = d.select(
+        "source", F.explode(D.word_ngrams("text", 3)).alias("gram")
+    )
+    st = minhash_rollup_state(grams, ("source",), "gram",
+                              n_hashes=16, seed=3)
+    return minhash_similarity_pairs(st, ("source",))
+
+
 #: MinHash-LSH candidate pairs as a reusable SQL CTE body (SELECTs
 #: id_a < id_b); shared by the pairs entry and the materialized dedup.
 _SQL_LSH_PAIRS = f"""
@@ -3058,8 +3153,10 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: gets a first-party driver row in its own round.
 _CODE_CHANGED_THIS_ROUND = (
     "topk_rollup",          # r11: new operator (top-k-by-score monoid)
+    "minhash_rollup",       # r11: new operator (set-identity monoid)
+    "minhash_source_similarity",  # r11: new operator (signature pairs)
     "quantile_rollup",      # r11: rebuilt on the _MonoidSpec scaffold
-    "heavy_hitters",        # r11: rebuilt on the _MonoidSpec scaffold
+    "heavy_hitters",        # r11: scaffold rebuild + tolist-zip merge
     "sample_rollup",        # r11: scaffold rebuild + kmv h_k clamp
 )
 

@@ -1083,6 +1083,44 @@ def live_sample_rollup(
     )
 
 
+def live_minhash_rollup(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    item_col: str,
+    n_hashes: int = 16,
+    seed: int = 1,
+    available_now: bool = False,
+    retain_versions: int = 2,
+):
+    """Continuously maintained per-key MinHash signatures — the
+    set-identity monoid through the MVCC materializer (query with
+    ``read_rollup_state`` → ``finalize_minhash_rollup`` /
+    ``minhash_similarity_pairs``). Elementwise min is a TRUE monoid
+    (idempotent on re-folded items), so the maintained signature
+    equals a full recompute bit-for-bit at every commit — live
+    "which shards share content" without ever storing item sets.
+    Pre-shingle the stream if items should be n-grams (the batch
+    entry uses ``word_ngrams``)."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_minhash_rollup,
+        minhash_rollup_state,
+    )
+
+    return live_materialize(
+        events,
+        state_path,
+        checkpoint,
+        state_fn=lambda b: minhash_rollup_state(
+            b, keys, item_col, n_hashes, seed
+        ),
+        merge_fn=lambda p, d: merge_minhash_rollup(p, d, keys=keys),
+        available_now=available_now,
+        retain_versions=retain_versions,
+    )
+
+
 def live_topk_rollup(
     events: DataFrame,
     state_path: str,

@@ -322,3 +322,54 @@ def test_cli_lake_stats_topk_flow(spark, tmp_path, monkeypatch, capsys):
     assert got == want and len(got) == 3 * docs.select(
         "source").distinct().count()
     assert "'rank':" in capsys.readouterr().out
+
+
+def test_minhash_rollup_empty_nulls_and_contract(spark):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_minhash_rollup,
+        merge_minhash_rollup,
+        minhash_rollup_state,
+        minhash_similarity_pairs,
+    )
+
+    assert minhash_rollup_state(_empty(spark), ("g",), "item").count() == 0
+    nulls = spark.createDataFrame([("a", 1.0, None)], SCHEMA)
+    assert minhash_rollup_state(nulls, ("g",), "item").count() == 0
+
+    df = spark.createDataFrame(
+        [("a", 0.0, "x"), ("a", 0.0, "y"), ("b", 0.0, "x")], SCHEMA
+    )
+    st = minhash_rollup_state(df, ("g",), "item", n_hashes=4, seed=2)
+    # duplicate items are idempotent: re-folding the same rows is a no-op
+    again = merge_minhash_rollup(
+        st, minhash_rollup_state(df, ("g",), "item", 4, 2), keys=("g",)
+    )
+    assert (
+        {r["g"]: list(r["mh_sig"]) for r in again.collect()}
+        == {r["g"]: list(r["mh_sig"]) for r in st.collect()}
+    )
+    # finalize: n_hashes rows per key, slot is long
+    fin = finalize_minhash_rollup(st)
+    assert fin.count() == 8 and dict(fin.dtypes)["slot"] == "bigint"
+    # single-key state: similarity has no pairs, not an error
+    only_a = minhash_rollup_state(
+        df.filter(F.col("g") == "a"), ("g",), "item", 4, 2
+    )
+    assert minhash_similarity_pairs(only_a, ("g",)).count() == 0
+    # identical item sets -> est_jaccard 1.0
+    twin = spark.createDataFrame(
+        [("a", 0.0, "x"), ("b", 0.0, "x")], SCHEMA
+    )
+    sim = minhash_similarity_pairs(
+        minhash_rollup_state(twin, ("g",), "item", 4, 2), ("g",)
+    ).collect()
+    assert [(r["g_a"], r["g_b"], r["est_jaccard"]) for r in sim] == [
+        ("a", "b", 1.0)
+    ]
+    # n_hashes bounds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_hashes"):
+        minhash_rollup_state(df, ("g",), "item", n_hashes=0)
+    with _pytest.raises(ValueError, match="n_hashes"):
+        minhash_rollup_state(df, ("g",), "item", n_hashes=257)

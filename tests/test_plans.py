@@ -932,6 +932,40 @@ def test_monoid_rollups_shuffle_state_not_rows(spark, name):
     assert "Join" not in plan and "Window" not in plan, plan
 
 
+def test_minhash_rollup_pure_jvm_single_exchange(spark):
+    """The set-identity monoid's plan contract: pure Catalyst — one
+    scan, one map-side-combined min-aggregate (partial+final around a
+    single exchange), the shingle explode below the partial agg, and
+    ZERO Python anywhere (unlike the pandas-built monoids)."""
+    plan = plan_of(spark, "minhash_rollup")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "Generate" in plan, plan  # shingle explode below the agg
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_minhash_similarity_reuses_state_subtree(spark):
+    """The similarity self-join must NOT re-derive the corpus-scale
+    state build per side: the executed plan (AQE final — collect
+    first, r10 recipe) shares one scan+partial-agg subtree via
+    ReusedExchange, and the pair side arrives broadcast. Without the
+    reuse this entry would scan+hash the corpus twice — the exact
+    silent-rederivation hazard the scan-budget gate exists for."""
+    from polymarket_data_ingestor_spark.plans.catalog import CATALOG
+
+    df = CATALOG["minhash_source_similarity"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" \
+        in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+
+
 @pytest.mark.slow
 def test_catalog_scan_budget_no_silent_rederivation(spark):
     """Catalog-wide re-scan audit: every entry's physical plan reads

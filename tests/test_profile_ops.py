@@ -1563,6 +1563,79 @@ def test_topk_rollup_true_monoid_vs_window(spark):
         ).collect()
 
 
+def test_minhash_rollup_true_monoid_vs_naive(spark):
+    """MinHash signature monoid: merged per-split states equal the
+    one-pass state BIT-FOR-BIT (elementwise min — true monoid,
+    idempotent even on OVERLAPPING splits); each slot equals the
+    naive groupBy-min of the derived hash; similarity equals the
+    slot-agreement fraction computed by hand; mixed contracts raise."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_minhash_rollup,
+        merge_minhash_rollup,
+        minhash_rollup_state,
+        minhash_similarity_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    keys = ("lang",)
+    n, seed = 8, 5
+
+    full = minhash_rollup_state(docs, keys, "text", n, seed)
+    # OVERLAPPING splits (cumulative prefixes cover everything twice
+    # over) — idempotence means the overlap cannot skew the mins
+    parts = [
+        minhash_rollup_state(
+            docs.filter(F.col("doc_id") % 3 <= i), keys, "text", n, seed
+        )
+        for i in range(3)
+    ]
+    merged = merge_minhash_rollup(*parts, keys=keys)
+
+    def canon(st):
+        return {r["lang"]: list(r["mh_sig"]) for r in st.collect()}
+
+    assert canon(merged) == canon(full)
+
+    # slot-by-slot naive cross-check
+    for slot in (0, n - 1):
+        want = {
+            r["lang"]: r["mn"]
+            for r in docs.groupBy("lang").agg(
+                F.min(hash32(F.col("text").cast("string"),
+                             seed=seed * 1000 + slot + 1)).alias("mn")
+            ).collect()
+        }
+        got = {
+            r["lang"]: r["min_hash"]
+            for r in finalize_minhash_rollup(full)
+            .filter(F.col("slot") == slot).collect()
+        }
+        assert got == want, slot
+
+    # similarity == hand-computed slot agreement over the signatures
+    sigs = canon(full)
+    got_sim = {
+        (r["lang_a"], r["lang_b"]): r["est_jaccard"]
+        for r in minhash_similarity_pairs(full, keys).collect()
+    }
+    for (a, b), est in got_sim.items():
+        agree = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        assert est == agree / n, (a, b)
+    assert len(got_sim) == len(sigs) * (len(sigs) - 1) // 2
+
+    with _pytest.raises(Exception, match="n_hashes, seed"):
+        merge_minhash_rollup(
+            full,
+            minhash_rollup_state(docs, keys, "text", n, seed + 1),
+            keys=keys,
+        ).collect()
+
+
 def test_distinct_rollup_merge_identical_to_full_sketch(spark):
     """HLL distinct-count state merges losslessly: per-split sketches
     unioned give the identical estimate as one pass; and at small

@@ -1414,6 +1414,67 @@ def test_live_topk_rollup_maintained_and_crash_replay(spark, tmp_path):
     assert got2 == want  # replay overwrote v=N identically
 
 
+def test_live_minhash_rollup_maintained_and_crash_replay(spark, tmp_path):
+    """The set-identity monoid through the MVCC materializer: the
+    maintained signature equals a one-pass batch signature over the
+    union (true monoid, idempotent across re-folded items), and a
+    crash-replay of the last batch changes nothing."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        minhash_rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        live_minhash_rollup,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "mh_src"
+    src.mkdir()
+    rows1 = [{"k": "a", "item": f"w{i}"} for i in range(20)]
+    rows2 = [{"k": "a", "item": f"w{i}"} for i in range(10, 30)]  # overlap
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1) + "\n")
+
+    def run():
+        q = live_minhash_rollup(
+            spark.readStream.schema("k string, item string")
+            .json(str(src)),
+            str(tmp_path / "mh_state"), str(tmp_path / "mh_ckpt"),
+            ("k",), "item", n_hashes=8, seed=4, available_now=True,
+        )
+        q.awaitTermination(300)
+
+    run()
+    (src / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows2) + "\n")
+    run()
+
+    union = spark.createDataFrame(
+        rows1 + rows2, "k string, item string")
+    want = {
+        r["k"]: list(r["mh_sig"])
+        for r in minhash_rollup_state(
+            union, ("k",), "item", 8, 4).collect()
+    }
+    state = read_rollup_state(spark, str(tmp_path / "mh_state"))
+    got = {r["k"]: list(r["mh_sig"]) for r in state.collect()}
+    assert got == want
+
+    commits = sorted((tmp_path / "mh_ckpt" / "commits").glob("[0-9]*"))
+    commits[-1].unlink()
+    crc = tmp_path / "mh_ckpt" / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run()
+    got2 = {
+        r["k"]: list(r["mh_sig"])
+        for r in read_rollup_state(
+            spark, str(tmp_path / "mh_state")).collect()
+    }
+    assert got2 == want  # replay overwrote v=N identically
+
+
 def test_live_distinct_rollup_sketches_union_across_batches(
     spark, tmp_path
 ):
