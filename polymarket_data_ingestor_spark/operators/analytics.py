@@ -2588,13 +2588,16 @@ def finalize_topk_rollup(state: DataFrame) -> DataFrame:
 # per key per partial map task — never items), and the merge is a
 # zip_with/least fold over collected partials. No Python anywhere.
 #
-# Per-slot hash functions derive from the portable hash32 (md5-prefix)
-# by seed offset: slot i uses hash32 seed = seed·1000 + i + 1 —
-# engine-portable (the DuckDB oracle reproduces every slot), non-zero
-# (hash32's seed-0 means "no prefix"), and disjoint across base seeds
-# while n_hashes ≤ 1000 (the constructor caps at 256). (n_hashes,
-# seed) travel in the state and are a merge contract like the other
-# monoids' k.
+# Per-slot hash functions are the repo's standard Carter-Wegman affine
+# family over ONE base hash32 (the same family minhash_signatures
+# uses): slot i = ((2i+1)·h + i·987654321) mod (2³¹−1) with
+# h = hash32(seed:item). One md5 per item instead of n_hashes md5s
+# (measured: the per-slot-seeded-md5 form was 1.5× slower end-to-end
+# at sf0.1 — the slot hashes were ~half the entry's cost; shingle
+# generation owns the rest, ROUND11.md §4) — and engine-portable:
+# the DuckDB oracle reproduces every slot with the same long
+# arithmetic ((2i+1)·h < 2^37, no overflow). (n_hashes, seed) travel
+# in the state and are a merge contract like the other monoids' k.
 # ---------------------------------------------------------------------------
 
 
@@ -2611,17 +2614,24 @@ def minhash_rollup_state(
     are ignored (a key with no non-null items emits no row — same as
     the other monoids)."""
     from polymarket_data_ingestor_spark.functions.scalars import hash32
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        MINHASH_PRIME,
+    )
 
     if not 1 <= n_hashes <= 256:
         raise ValueError(
             f"n_hashes must be in [1, 256], got {n_hashes}"
         )
     items = df.select(
-        *keys, F.col(item_col).cast("string").alias("__it")
-    ).dropna(subset=["__it"])
+        *keys,
+        hash32(F.col(item_col).cast("string"), seed=seed).alias("__h"),
+    ).dropna(subset=["__h"])
     return items.groupBy(*keys).agg(
         F.array(*[
-            F.min(hash32(F.col("__it"), seed=seed * 1000 + i + 1))
+            F.min(
+                (F.lit(2 * i + 1) * F.col("__h")
+                 + F.lit(i * 987_654_321)) % F.lit(MINHASH_PRIME)
+            )
             for i in range(n_hashes)
         ]).alias("mh_sig"),
         F.lit(n_hashes).alias("mh_n"),

@@ -556,20 +556,23 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 #: Per-source MinHash-ROLLUP signature as a reusable SQL CTE body:
-#: 3-gram shingles (the word_ngrams twins above) × 16 hash32 slots
-#: (slot i's seed = 3·1000 + i + 1, matching minhash_rollup_state's
-#: derivation), min per (source, slot). Shared by the state entry and
-#: the similarity entry.
+#: 3-gram shingles (the word_ngrams twins above), ONE seeded hash32
+#: per gram, then the repo-standard Carter-Wegman slots
+#: ((2i+1)·h + i·987654321 mod 2³¹−1 — the same family
+#: minhash_signatures uses), min per (source, slot). Shared by the
+#: state entry and the similarity entry.
 _SQL_MH_ROLLUP_SIG = f"""
       toks AS (SELECT source, {_SQL_TOKS} AS toks
                FROM documents WHERE text IS NOT NULL),
-      grams AS (SELECT source, unnest({_SQL_GRAMS3}) AS gram FROM toks),
+      grams AS (SELECT source,
+                       {sql_hash32('unnest(' + _SQL_GRAMS3 + ')', 3)}
+                       AS h
+                FROM toks),
       slots AS (SELECT unnest(generate_series(0, 15)) AS slot),
       sig AS (
         SELECT source, CAST(slot AS BIGINT) AS slot,
-               min(('0x' || substr(md5('s' || CAST(3001 + slot AS VARCHAR)
-                                       || ':' || gram), 1, 8))::BIGINT)
-               AS min_hash
+               min(((2 * slot + 1) * h + slot * 987654321)
+                   % {D.MINHASH_PRIME}) AS min_hash
         FROM grams CROSS JOIN slots GROUP BY 1, 2
       )
 """
@@ -584,7 +587,8 @@ _SQL_MH_ROLLUP_SIG = f"""
     doc="Mergeable per-key MinHash signature "
     "(operators/analytics.py::minhash_rollup_state/merge_minhash_rollup/"
     "finalize_minhash_rollup): slot i = min over the key's items of "
-    "hash32 at derived seed — per-key SET IDENTITY next to the "
+    "the Carter-Wegman transform of one seeded hash32 — per-key SET "
+    "IDENTITY next to the "
     "family's scalar statistics, and a TRUE monoid (elementwise min is "
     "associative, commutative, idempotent), so the maintained "
     "signature equals a full recompute bit-for-bit, unconditionally. "

@@ -1601,13 +1601,20 @@ def test_minhash_rollup_true_monoid_vs_naive(spark):
 
     assert canon(merged) == canon(full)
 
-    # slot-by-slot naive cross-check
+    # slot-by-slot naive cross-check (the repo-standard Carter-Wegman
+    # family over one seeded base hash, same as minhash_signatures)
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        MINHASH_PRIME,
+    )
+
     for slot in (0, n - 1):
+        h = hash32(F.col("text").cast("string"), seed=seed)
         want = {
             r["lang"]: r["mn"]
             for r in docs.groupBy("lang").agg(
-                F.min(hash32(F.col("text").cast("string"),
-                             seed=seed * 1000 + slot + 1)).alias("mn")
+                F.min((F.lit(2 * slot + 1) * h
+                       + F.lit(slot * 987_654_321))
+                      % F.lit(MINHASH_PRIME)).alias("mn")
             ).collect()
         }
         got = {
