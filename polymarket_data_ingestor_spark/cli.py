@@ -255,6 +255,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     from polymarket_data_ingestor_spark.operators.analytics import (
         finalize_distinct_rollup,
         finalize_heavy_hitters,
+        finalize_minhash_rollup,
         finalize_quantile_rollup,
         finalize_rollup,
         finalize_sample_rollup,
@@ -262,10 +263,12 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         heavy_hitters_state,
         merge_distinct_rollup,
         merge_heavy_hitters,
+        merge_minhash_rollup,
         merge_quantile_rollup,
         merge_rollup,
         merge_sample_rollup,
         merge_topk_rollup,
+        minhash_rollup_state,
         quantile_rollup_state,
         rollup_state,
         sample_rollup_state,
@@ -321,6 +324,13 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
             lambda a, b: merge_topk_rollup(a, b, keys=keys),
             finalize_topk_rollup,
         ),
+        "minhash": (
+            lambda d: minhash_rollup_state(d, keys, args.value,
+                                           n_hashes=args.k,
+                                           seed=args.seed),
+            lambda a, b: merge_minhash_rollup(a, b, keys=keys),
+            finalize_minhash_rollup,
+        ),
     }
     if args.stat == "topk" and not args.score:
         print("lake stats: --stat topk needs --score <column>",
@@ -331,7 +341,8 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         # build sample states no API-default caller could ever fold
         # (the (k, seed) contract check refuses mixed capacities)
         args.k = {"quantiles": 4096, "heavyhitters": 1024,
-                  "sample": 64, "topk": 16}.get(args.stat)
+                  "sample": 64, "topk": 16,
+                  "minhash": 16}.get(args.stat)
     build, merge, finalize = builders[args.stat]
     state = build(delta)
     # Versioned commit, mirroring live_materialize: read latest v=N,
@@ -533,25 +544,27 @@ def build_parser() -> argparse.ArgumentParser:
                     help="state directory (created on first run)")
     ls.add_argument("--stat", required=True,
                     choices=["summary", "distinct", "quantiles",
-                             "heavyhitters", "sample", "topk"])
+                             "heavyhitters", "sample", "topk",
+                             "minhash"])
     ls.add_argument("--keys", required=True,
                     help="comma-separated group columns")
     ls.add_argument("--value", required=True,
-                    help="value column (item column for heavyhitters, "
-                         "counted column for distinct, id column for "
-                         "sample/topk)")
+                    help="value column (item column for heavyhitters/"
+                         "minhash, counted column for distinct, id "
+                         "column for sample/topk)")
     ls.add_argument("--score", default=None,
                     help="score column for --stat topk (items ranked "
                          "score DESC, id ASC)")
     ls.add_argument("--k", type=int, default=None,
-                    help="sketch/sample capacity; defaults follow the "
-                         "library per stat (quantiles 4096, "
-                         "heavyhitters 1024, sample 64, topk 16) — "
-                         "k is a merge contract, so folds into an "
-                         "existing state must reuse its k")
+                    help="sketch/sample capacity (n_hashes for "
+                         "minhash); defaults follow the library per "
+                         "stat (quantiles 4096, heavyhitters 1024, "
+                         "sample 64, topk 16, minhash 16) — k is a "
+                         "merge contract, so folds into an existing "
+                         "state must reuse its k")
     ls.add_argument("--seed", type=int, default=1,
-                    help="hash seed for --stat sample (part of the "
-                         "state's merge contract, like --k)")
+                    help="hash seed for --stat sample/minhash (part "
+                         "of the state's merge contract, like --k)")
     ls.add_argument("--retain-versions", type=int, default=2,
                     help="committed state versions to keep besides "
                          "the newest (>= 1)")

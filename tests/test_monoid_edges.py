@@ -236,6 +236,43 @@ def test_cli_lake_stats_sample_flow(spark, tmp_path, monkeypatch,
     assert got == want and len(got) == 25  # 5 types x k=5
 
 
+def test_cli_lake_stats_minhash_flow(spark, tmp_path, monkeypatch,
+                                     capsys):
+    """--stat minhash through the CLI: two-delta maintained signatures
+    equal a one-pass state (true monoid, via the shell)."""
+    from polymarket_data_ingestor_spark import cli
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        minhash_rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming.live import (
+        read_rollup_state,
+    )
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1, d2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(d1)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(d2)
+    state = str(tmp_path / "mhstate")
+    for d in (d1, d2):
+        assert cli.main(["lake", "stats", d, "--state", state,
+                         "--stat", "minhash", "--keys", "lang",
+                         "--value", "text", "--k", "8",
+                         "--seed", "2"]) == 0
+    got = {
+        r["lang"]: list(r["mh_sig"])
+        for r in read_rollup_state(spark, state).collect()
+    }
+    want = {
+        r["lang"]: list(r["mh_sig"])
+        for r in minhash_rollup_state(
+            docs, ("lang",), "text", n_hashes=8, seed=2).collect()
+    }
+    assert got == want
+    out = capsys.readouterr().out
+    assert "'slot':" in out and "'mh_sig'" not in out
+
+
 def test_topk_rollup_empty_nulls_k1_and_ties(spark):
     from polymarket_data_ingestor_spark.operators.analytics import (
         finalize_topk_rollup,
