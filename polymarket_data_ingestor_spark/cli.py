@@ -285,6 +285,19 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --retain-versions must be >= 1",
               file=sys.stderr)
         return 2
+    # pure-argument checks BEFORE the Spark session: a bad invocation
+    # should fail instantly, not after JVM startup + a delta read
+    if args.stat == "topk" and not args.score:
+        print("lake stats: --stat topk needs --score <column>",
+              file=sys.stderr)
+        return 2
+    if args.k is None:
+        # per-stat library defaults — one shared number would silently
+        # build sample states no API-default caller could ever fold
+        # (the (k, seed) contract check refuses mixed capacities)
+        args.k = {"quantiles": 4096, "heavyhitters": 1024,
+                  "sample": 64, "topk": 16,
+                  "minhash": 16}.get(args.stat)
     spark = get_spark(app_name="pdi-lake-stats")
     delta = spark.read.parquet(args.delta)
     builders = {
@@ -332,74 +345,52 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
             finalize_minhash_rollup,
         ),
     }
-    if args.stat == "topk" and not args.score:
-        print("lake stats: --stat topk needs --score <column>",
-              file=sys.stderr)
-        return 2
-    if args.k is None:
-        # per-stat library defaults — one shared number would silently
-        # build sample states no API-default caller could ever fold
-        # (the (k, seed) contract check refuses mixed capacities)
-        args.k = {"quantiles": 4096, "heavyhitters": 1024,
-                  "sample": 64, "topk": 16,
-                  "minhash": 16}.get(args.stat)
     build, merge, finalize = builders[args.stat]
     state = build(delta)
-    # Versioned commit, mirroring live_materialize: read latest v=N,
-    # write v=N+1, GC predecessors only after the new _SUCCESS exists.
-    # Never read-then-overwrite one path — a failure mid-write there
-    # destroys every previously folded delta. Hadoop-FS listing (not
-    # os.path) so the same code runs on HDFS/S3A.
+    # Versioned commit via the ONE shared MVCC sequence
+    # (live.py::commit_rollup_version, same as live_materialize): read
+    # latest v=N, write v=N+1, GC predecessors only after the new
+    # _SUCCESS exists. Never read-then-overwrite one path — a failure
+    # mid-write there destroys every previously folded delta.
     from polymarket_data_ingestor_spark.streaming.live import (
         _rollup_versions,
+        commit_rollup_version,
     )
 
     versions = _rollup_versions(spark, args.state)
-    legacy_files = []
+    # Legacy (pre-versioned flat) files at the root, listed on EVERY
+    # run: retirement happens after a successful commit, so a crash in
+    # the window between a commit and the deletes must be retried by
+    # the next fold, not orphaned next to the v=N dirs forever (where
+    # a flat read of the root would union the stale pre-migration
+    # aggregates back in). Root FILES only, via Hadoop FS — a
+    # directory read would partition-discover a torn v=1 left by a
+    # crashed first fold and double-fold its partial write.
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(args.state)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    legacy_files = (
+        [st.getPath() for st in fs.listStatus(root) if st.isFile()]
+        if fs.exists(root) else []
+    )
     if versions:
+        # legacy data (if any still lingers) was folded by the run
+        # that committed v=1 — fold from the committed state only
         state = merge(
             spark.read.parquet(f"{args.state}/v={versions[-1]}"), state
         )
     else:
-        # pre-versioned flat layout: fold it once as the implicit
-        # predecessor; its files are retired after v=1 commits. List
-        # root FILES explicitly (Hadoop FS, so HDFS/S3A work too) —
-        # a directory read would partition-discover a torn v=1 left
-        # by a crashed first fold and double-fold its partial write.
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(args.state)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(root):
-            legacy_files = [
-                st.getPath() for st in fs.listStatus(root)
-                if st.isFile()
-            ]
         data = [p.toString() for p in legacy_files
                 if not p.getName().startswith(("_", "."))]
         if data:
+            # fold the flat layout once as the implicit predecessor
             state = merge(spark.read.parquet(*data), state)
-        else:
-            legacy_files = []
+    # The write lands in a NEW directory, so the lineage reading v=N
+    # (or the legacy files) stays valid — no checkpoint needed.
     new_v = (versions[-1] + 1) if versions else 1
-    # state is keys-sized: one file is the right layout. The write
-    # lands in a NEW directory, so the lineage reading v=N (or the
-    # legacy files) stays valid — no checkpoint needed.
-    # overwrite: v=new_v can only pre-exist as a TORN write (no
-    # _SUCCESS — versions() lists committed ones only); replacing it
-    # is the recovery path, same as live_materialize's replay
-    state.coalesce(1).write.mode("overwrite").parquet(
-        f"{args.state}/v={new_v}"
-    )
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(args.state).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    # keep the last retain_versions predecessors besides the new one —
-    # the same floor as live_materialize (>=1: replay/rollback safety)
-    for v in versions[:-args.retain_versions]:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(
-            f"{args.state}/v={v}"), True)
-    for p in legacy_files:
+    commit_rollup_version(spark, args.state, state, new_v,
+                          versions, args.retain_versions)
+    for p in legacy_files:  # retire AFTER the commit, every run
         fs.delete(p, False)
     state = spark.read.parquet(f"{args.state}/v={new_v}")
     out = finalize(state)

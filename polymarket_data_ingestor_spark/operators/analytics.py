@@ -2076,12 +2076,8 @@ def merge_quantile_rollup(
     shape) into one state per key — shuffle ∝ distinct keys × sketch
     size, never the data; arrival-order independent (canonical k-way
     merge); mixed-k inputs raise (see :func:`quantile_rollup_state`)."""
-    if not states:
-        raise ValueError("merge_quantile_rollup needs at least one state")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
-    return _merge_quantile_states(out, keys)
+    return _monoid_union_merge(states, keys, _quantile_spec(""),
+                               "merge_quantile_rollup")
 
 
 def finalize_quantile_rollup(
@@ -2258,12 +2254,8 @@ def merge_heavy_hitters(
     """Union per-split heavy-hitter states into one per key — shuffle ∝
     distinct keys × k counters; arrival-order independent (canonical
     sum-then-one-trim); mixed-k inputs raise."""
-    if not states:
-        raise ValueError("merge_heavy_hitters needs at least one state")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
-    return _merge_hh_states(out, keys)
+    return _monoid_union_merge(states, keys, _hh_spec(""),
+                               "merge_heavy_hitters")
 
 
 def finalize_heavy_hitters(
@@ -2395,12 +2387,8 @@ def merge_sample_rollup(
     """Union per-split bottom-k sample states — a TRUE monoid (set
     union + keep bottom-k): merged splits equal the one-pass state
     bit-for-bit, unconditionally; mixed (k, seed) contracts raise."""
-    if not states:
-        raise ValueError("merge_sample_rollup needs at least one state")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
-    return _merge_sample_states(out, keys)
+    return _monoid_union_merge(states, keys, _sample_spec(),
+                               "merge_sample_rollup")
 
 
 def finalize_sample_rollup(state: DataFrame) -> DataFrame:

@@ -863,6 +863,36 @@ def _rollup_versions(spark: SparkSession, state_path: str) -> list[int]:
     return sorted(out)
 
 
+def commit_rollup_version(
+    spark: SparkSession,
+    state_path: str,
+    state: DataFrame,
+    version: int,
+    prior: list[int],
+    retain_versions: int,
+) -> None:
+    """THE MVCC commit sequence — one copy, shared by
+    :func:`live_materialize` and the CLI's ``lake stats`` fold (it is
+    crash-safety-critical, so it must not drift between callers):
+    write ``state`` as ``state_path/v=version`` (overwrite — a
+    pre-existing dir can only be a TORN write, since committed
+    versions are ``_SUCCESS``-gated and ``version`` is above them
+    all), then GC committed predecessors more than ``retain_versions``
+    behind. ``prior`` is the ascending committed-version list strictly
+    below ``version``. State tables are keys-sized: one file is the
+    right layout."""
+    state.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_path}/v={version}"
+    )
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for v in prior[:-retain_versions]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{state_path}/v={v}"), True)
+
+
 def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The current (latest committed) rollup state table — what a
     dashboard or downstream join reads. Raises if no version exists.
@@ -1199,15 +1229,8 @@ def live_materialize(
             new = merge_fn(prev, delta)
         else:
             new = delta
-        # state is keys-sized: one file is the right layout
-        new.coalesce(1).write.mode("overwrite").parquet(
-            f"{state_path}/v={batch_id}"
-        )
-        for v in prior[:-retain_versions]:
-            jvm = spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(f"{state_path}/v={v}")
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.delete(p, True)
+        commit_rollup_version(spark, state_path, new, batch_id,
+                              prior, retain_versions)
 
     writer = (
         events.writeStream.foreachBatch(_apply)
@@ -1605,10 +1628,15 @@ def live_dedup_stream(
             if cached is not None:
                 cached.unpersist()
             if bloom_bcast is not None:
-                # executor copies of the (potentially GiB) bloom are
-                # batch-scoped; unpersist (not destroy) so a straggler
-                # task can still refetch from the driver
-                bloom_bcast.unpersist()
+                # the (potentially GiB) bloom is batch-scoped and the
+                # batch's writes above are synchronous — no straggler
+                # can legitimately refetch it — so DESTROY: unpersist()
+                # alone keeps the driver-side serialized copy until a
+                # nondeterministic ContextCleaner pass, and one leaked
+                # bloom per trigger fills the driver's local store on a
+                # long-running stream (r11 review finding); a retried
+                # batch builds a fresh broadcast anyway
+                bloom_bcast.destroy()
 
     writer = (
         docs.writeStream.foreachBatch(_apply)

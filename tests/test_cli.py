@@ -323,3 +323,24 @@ def test_cmd_lake_stats_versioned_commit(spark, tmp_path, monkeypatch):
         for r in read_rollup_state(spark, state).collect()
     }
     assert got_final == want
+
+    # r11 review finding: a crash BETWEEN the v=1 commit and the
+    # legacy-file deletes must not orphan the flat files forever —
+    # simulate the window by dropping a stale legacy part file next to
+    # the committed versions; the next fold retires it (post-commit)
+    # and does NOT fold its stale aggregates back in
+    stray = pathlib.Path(state) / "part-00000-stale-legacy.parquet"
+    rollup_state(spark.read.parquet(d1p), ("event_type",),
+                 "value").coalesce(1).write.parquet(str(tmp_path / "sl"))
+    import shutil as _sh
+
+    _sh.copy(next((tmp_path / "sl").glob("part-*")), stray)
+    assert cli.main(["lake", "stats", d3p, "--state", state,
+                     "--stat", "summary", "--keys", "event_type",
+                     "--value", "value"]) == 0
+    assert not stray.exists()  # retired on the NEXT fold
+    got_after_retire = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in read_rollup_state(spark, state).collect()
+    }
+    assert got_after_retire == want  # stale aggregates NOT re-folded
