@@ -410,3 +410,54 @@ def test_minhash_rollup_empty_nulls_and_contract(spark):
         minhash_rollup_state(df, ("g",), "item", n_hashes=0)
     with _pytest.raises(ValueError, match="n_hashes"):
         minhash_rollup_state(df, ("g",), "item", n_hashes=257)
+
+
+def test_topk_nan_inf_scores_and_minhash_multikey_similarity(spark):
+    """r11 deliberate edge sweep, pinned: genuine Spark-side NaN
+    scores are dropped (JVM dropna keeps NaN; the pandas prepare
+    drops it), ±inf order correctly with dense ranks; minhash
+    similarity works over MULTI-COLUMN keys (struct<struct ordering),
+    honors min_similarity, and n_hashes=1 self-merge is idempotent."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_topk_rollup,
+        merge_minhash_rollup,
+        minhash_rollup_state,
+        minhash_similarity_pairs,
+        topk_rollup_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float("nan"), "x"), ("a", 2.0, "y"),
+         ("a", float("inf"), "z"), ("a", float("-inf"), "w")], SCHEMA
+    )
+    rows = finalize_topk_rollup(
+        topk_rollup_state(df, ("g",), "item", "v", k=4)).collect()
+    assert [(r["rank"], r["item"], r["score"]) for r in rows] == [
+        (1, "z", float("inf")), (2, "y", 2.0),
+        (3, "w", float("-inf")),
+    ]
+
+    mk = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "y"), (1, "b", "x"),
+         (2, "a", "x"), (2, "a", "y")],
+        "uid long, side string, item string",
+    )
+    st = minhash_rollup_state(mk, ("uid", "side"), "item",
+                              n_hashes=4, seed=2)
+    pairs = {
+        ((r["uid_a"], r["side_a"]), (r["uid_b"], r["side_b"])):
+        r["est_jaccard"]
+        for r in minhash_similarity_pairs(st, ("uid", "side")).collect()
+    }
+    assert len(pairs) == 3
+    assert pairs[((1, "a"), (2, "a"))] == 1.0  # identical item sets
+    n_flt = minhash_similarity_pairs(
+        st, ("uid", "side"), min_similarity=0.9).count()
+    assert 1 <= n_flt < 3
+
+    one = minhash_rollup_state(mk, ("uid",), "item", n_hashes=1, seed=2)
+    m = merge_minhash_rollup(one, one, keys=("uid",))
+    assert (
+        {r["uid"]: list(r["mh_sig"]) for r in one.collect()}
+        == {r["uid"]: list(r["mh_sig"]) for r in m.collect()}
+    )
