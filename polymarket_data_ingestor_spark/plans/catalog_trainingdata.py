@@ -556,8 +556,10 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 #: Per-source MinHash-ROLLUP signature as a reusable SQL CTE body:
-#: 3-gram shingles (the word_ngrams twins above), ONE seeded hash32
-#: per gram, then the repo-standard Carter-Wegman slots
+#: 3-gram shingles (the word_ngrams twins above), ONE hash32 per gram
+#: (seed 0 — the Spark side feeds dedup.gram_hashes_vectorized, whose
+#: _h32 is the unseeded hash32; kernel/Catalyst identity pinned in
+#: EXACTNESS.md), then the repo-standard Carter-Wegman slots
 #: ((2i+1)·h + i·987654321 mod 2³¹−1 — the same family
 #: minhash_signatures uses), min per (source, slot). Shared by the
 #: state entry and the similarity entry.
@@ -565,7 +567,7 @@ _SQL_MH_ROLLUP_SIG = f"""
       toks AS (SELECT source, {_SQL_TOKS} AS toks
                FROM documents WHERE text IS NOT NULL),
       grams AS (SELECT source,
-                       {sql_hash32('unnest(' + _SQL_GRAMS3 + ')', 3)}
+                       {sql_hash32('unnest(' + _SQL_GRAMS3 + ')')}
                        AS h
                 FROM toks),
       slots AS (SELECT unnest(generate_series(0, 15)) AS slot),
@@ -592,11 +594,12 @@ _SQL_MH_ROLLUP_SIG = f"""
     "family's scalar statistics, and a TRUE monoid (elementwise min is "
     "associative, commutative, idempotent), so the maintained "
     "signature equals a full recompute bit-for-bit, unconditionally. "
-    "Unlike the pandas-built monoids this is pure Catalyst: one "
-    "map-side-combined min-aggregate — the shuffle carries n_hashes "
-    "longs per key per map task, never items. Entry: sources "
-    "fingerprinted by their documents' 3-gram shingles (word_ngrams "
-    "twins), n_hashes=16, seed=3, long format.",
+    "Aggregate and merge are pure Catalyst: one map-side-combined "
+    "min-aggregate — the shuffle carries n_hashes longs per key per "
+    "map task, never items; the shingle+hash prep is the repo's "
+    "standard Arrow kernel (gram_hashes_vectorized, ~4.5x the HOF "
+    "form). Entry: sources fingerprinted by their documents' 3-gram "
+    "shingles, n_hashes=16, seed=0, long format.",
     tags=("agg", "sketch", "curation"),
 )
 def q_minhash_rollup(spark, sf_dir):
@@ -606,12 +609,15 @@ def q_minhash_rollup(spark, sf_dir):
     )
 
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    grams = d.select(
-        "source", F.explode(D.word_ngrams("text", 3)).alias("gram")
+    # Arrow kernel shingles+hashes in one pass (~4.5× the HOF form);
+    # _h32 == hash32 at seed 0, so the state is labeled seed=0
+    hashes = d.select(
+        "source",
+        F.explode(D.gram_hashes_vectorized("text", 3)).alias("gh"),
     )
     return finalize_minhash_rollup(
-        minhash_rollup_state(grams, ("source",), "gram",
-                             n_hashes=16, seed=3)
+        minhash_rollup_state(hashes, ("source",), "gh",
+                             n_hashes=16, seed=0, prehashed=True)
     )
 
 
@@ -646,11 +652,12 @@ def q_minhash_source_similarity(spark, sf_dir):
     )
 
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    grams = d.select(
-        "source", F.explode(D.word_ngrams("text", 3)).alias("gram")
+    hashes = d.select(
+        "source",
+        F.explode(D.gram_hashes_vectorized("text", 3)).alias("gh"),
     )
-    st = minhash_rollup_state(grams, ("source",), "gram",
-                              n_hashes=16, seed=3)
+    st = minhash_rollup_state(hashes, ("source",), "gh",
+                              n_hashes=16, seed=0, prehashed=True)
     return minhash_similarity_pairs(st, ("source",))
 
 

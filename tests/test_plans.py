@@ -932,18 +932,23 @@ def test_monoid_rollups_shuffle_state_not_rows(spark, name):
     assert "Join" not in plan and "Window" not in plan, plan
 
 
-def test_minhash_rollup_pure_jvm_single_exchange(spark):
-    """The set-identity monoid's plan contract: pure Catalyst — one
-    scan, one map-side-combined min-aggregate (partial+final around a
-    single exchange), the shingle explode below the partial agg, and
-    ZERO Python anywhere (unlike the pandas-built monoids)."""
+def test_minhash_rollup_single_exchange_arrow_prep(spark):
+    """The set-identity monoid's plan contract: one scan, one
+    map-side-combined min-aggregate (partial+final around a single
+    exchange), the gram-hash prep as ONE Arrow kernel below the
+    partial agg (dedup.gram_hashes_vectorized — ~4.5× the Catalyst
+    HOF form), no row-at-a-time Python, no join. The AGGREGATE and
+    MERGE are pure Catalyst — only the shingle prep is Arrow."""
     plan = plan_of(spark, "minhash_rollup")
     assert plan.count("Exchange") == 1, plan
     assert plan.count("FileScan") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
-    assert "Generate" in plan, plan  # shingle explode below the agg
-    assert "Python" not in plan and "Arrow" not in plan, plan
+    assert "Generate" in plan, plan  # gram-hash explode below the agg
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan  # never row-at-a-time
     assert "Join" not in plan, plan
+    # the kernel runs BELOW the exchange: partials, not shuffled rows
+    assert "ArrowEvalPython" in plan.split("Exchange")[-1], plan
 
 
 def test_minhash_similarity_reuses_state_subtree(spark):
@@ -963,7 +968,7 @@ def test_minhash_similarity_reuses_state_subtree(spark):
     assert "ReusedExchange" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" \
         in plan, plan
-    assert "Python" not in plan and "Arrow" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # Arrow prep only
 
 
 @pytest.mark.slow
