@@ -291,6 +291,24 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --stat topk needs --score <column>",
               file=sys.stderr)
         return 2
+    if args.label is None and (args.window is not None
+                               or args.retain_labels is not None):
+        print("lake stats: --window/--retain-labels need --label "
+              "(windowed mode)", file=sys.stderr)
+        return 2
+    if args.label is not None and (
+            not args.label or "/" in args.label
+            or args.label.startswith(".")):
+        print(f"lake stats: bad --label {args.label!r}",
+              file=sys.stderr)
+        return 2
+    if args.window is not None and args.window < 1:
+        print("lake stats: --window must be >= 1", file=sys.stderr)
+        return 2
+    if args.retain_labels is not None and args.retain_labels < 1:
+        print("lake stats: --retain-labels must be >= 1",
+              file=sys.stderr)
+        return 2
     if args.k is None:
         # per-stat library defaults — one shared number would silently
         # build sample states no API-default caller could ever fold
@@ -347,6 +365,42 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     }
     build, merge, finalize = builders[args.stat]
     state = build(delta)
+
+    if args.label is not None:
+        # LABELED (windowed) mode: this delta's own state lands under
+        # d=<label> — a pure function of the delta, so a re-fold of
+        # the same label is idempotent with no predecessor read — and
+        # the answer is the merge of the last --window labels. This is
+        # how "last N days" works for monoids with no subtraction
+        # (min/max, sketches, bottom-k/top-k): keep per-label states,
+        # merge the window at read. Retention via --retain-labels.
+        from polymarket_data_ingestor_spark.streaming.live import (
+            expire_state_labels,
+            fold_labeled_state,
+            read_window_state,
+        )
+
+        fold_labeled_state(spark, args.state, args.label, state)
+        if args.retain_labels is not None:
+            gone = expire_state_labels(spark, args.state,
+                                       args.retain_labels)
+            if gone:
+                print(f"expired {len(gone)} label(s): "
+                      f"{', '.join(gone)}")
+        state = read_window_state(spark, args.state, merge,
+                                  last_n=args.window)
+        out = finalize(state)
+        display_cols = [
+            f.name for f in out.schema.fields
+            if f.dataType.typeName() not in ("binary", "array")
+        ]
+        for row in out.select(*display_cols).limit(args.show).collect():
+            print(row.asDict())
+        win = f"last {args.window}" if args.window else "all"
+        print(f"state: {args.state}/d={args.label} committed; "
+              f"window: {win} label(s), {state.count()} keys")
+        return 0
+
     # Versioned commit via the ONE shared MVCC sequence
     # (live.py::commit_rollup_version, same as live_materialize): read
     # latest v=N, write v=N+1, GC predecessors only after the new
@@ -558,7 +612,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "of the state's merge contract, like --k)")
     ls.add_argument("--retain-versions", type=int, default=2,
                     help="committed state versions to keep besides "
-                         "the newest (>= 1)")
+                         "the newest (>= 1; cumulative mode)")
+    ls.add_argument("--label", default=None,
+                    help="windowed mode: store THIS delta's state "
+                         "under d=<label> (e.g. an ISO date) instead "
+                         "of folding cumulatively — 'last N days' for "
+                         "monoids that cannot subtract")
+    ls.add_argument("--window", type=int, default=None,
+                    help="windowed mode: merge only the newest N "
+                         "labels for the printed stats (default all)")
+    ls.add_argument("--retain-labels", type=int, default=None,
+                    help="windowed mode: delete labels beyond the "
+                         "newest N after the fold")
     ls.add_argument("--quantiles", default="0.5,0.9,0.99",
                     help="comma-separated quantiles for --stat quantiles")
     ls.add_argument("--show", type=int, default=20,

@@ -893,6 +893,103 @@ def commit_rollup_version(
             f"{state_path}/v={v}"), True)
 
 
+# ---------------------------------------------------------------------------
+# Label-partitioned (windowed) monoid states
+#
+# The cumulative v=N fold answers "all history"; these answer "the last
+# N days" — which a cumulative state CANNOT, because most of the monoid
+# family has no subtraction (min/max, HLL, quantile sketch, MG, bottom-k,
+# top-k, MinHash are monoids, not groups). The standard fix is
+# partitioned state: each delta's OWN aggregate lands under
+# ``d=<label>`` (a pure function of that delta — re-folding a label
+# overwrites it with identical content, so idempotence needs no
+# predecessor read at all), retention deletes old labels, and a window
+# query merges the retained labels at read time. Cost: fold ∝ delta;
+# read ∝ window_size × keys × state size — at 100 TB that is the
+# difference between "re-scan 90 days" and "merge 90 keys-sized
+# tables".
+# ---------------------------------------------------------------------------
+
+
+def fold_labeled_state(
+    spark: SparkSession, state_path: str, label: str, state: DataFrame
+) -> None:
+    """Write ``state`` (one monoid state table — the aggregate of ONE
+    delta) as ``state_path/d=<label>``. Overwrite: the state is a pure
+    function of its delta, so a re-fold (retry, backfill, crash
+    recovery) replaces the label with identical content — exactly-once
+    semantics without any predecessor read. Labels must sort in time
+    order for ``last_n`` windows (ISO dates/hours do)."""
+    if not label or "/" in label or label.startswith("."):
+        raise ValueError(f"bad state label: {label!r}")
+    state.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_path}/d={label}"
+    )
+
+
+def state_labels(spark: SparkSession, state_path: str) -> list[str]:
+    """Committed (``_SUCCESS``-gated) labels under ``state_path``,
+    ascending — Hadoop FS like :func:`_rollup_versions`, so the same
+    code runs on HDFS/S3A/local."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("d="):
+            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(),
+                                                   "_SUCCESS")
+            if fs.exists(marker):
+                out.append(name[2:])
+    return sorted(out)
+
+
+def read_window_state(
+    spark: SparkSession,
+    state_path: str,
+    merge_fn,
+    last_n: int | None = None,
+) -> DataFrame:
+    """The window's merged state: merge the last ``last_n`` committed
+    labels (all of them when None) with the stat's ``merge_fn(a, b)``.
+    The merge is one plan — label states union and reduce in a single
+    job, shuffle ∝ window keys × state size. Raises if the window is
+    empty (no committed labels)."""
+    labels = state_labels(spark, state_path)
+    if last_n is not None:
+        labels = labels[-last_n:]
+    if not labels:
+        raise FileNotFoundError(
+            f"no committed labeled state under {state_path}"
+        )
+    out = spark.read.parquet(f"{state_path}/d={labels[0]}")
+    for lb in labels[1:]:
+        out = merge_fn(out, spark.read.parquet(f"{state_path}/d={lb}"))
+    return out
+
+
+def expire_state_labels(
+    spark: SparkSession, state_path: str, keep_last: int
+) -> list[str]:
+    """Retention: delete committed labels beyond the newest
+    ``keep_last``; returns the expired labels. ``keep_last >= 1``."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    labels = state_labels(spark, state_path)
+    gone = labels[:-keep_last]
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for lb in gone:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{state_path}/d={lb}"), True)
+    return gone
+
+
 def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The current (latest committed) rollup state table — what a
     dashboard or downstream join reads. Raises if no version exists.

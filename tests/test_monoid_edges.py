@@ -461,3 +461,73 @@ def test_topk_nan_inf_scores_and_minhash_multikey_similarity(spark):
         {r["uid"]: list(r["mh_sig"]) for r in one.collect()}
         == {r["uid"]: list(r["mh_sig"]) for r in m.collect()}
     )
+
+
+def test_cli_lake_stats_windowed_mode(spark, tmp_path, monkeypatch,
+                                      capsys):
+    """--label windowed mode through the CLI: per-day folds, --window
+    merges only the newest N labels, --retain-labels expires, and the
+    argument guards refuse windowed flags without --label."""
+    from polymarket_data_ingestor_spark import cli
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import state_labels
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    days = [r["d"] for r in ev.select(
+        F.to_date("ts").alias("d")).distinct().orderBy("d").limit(3)
+        .collect()]
+    deltas = []
+    for i, d in enumerate(days):
+        p = str(tmp_path / f"day{i}")
+        ev.filter(F.to_date("ts") == d).write.parquet(p)
+        deltas.append(p)
+    state = str(tmp_path / "wstate")
+
+    # guards
+    assert cli.main(["lake", "stats", deltas[0], "--state", state,
+                     "--stat", "summary", "--keys", "event_type",
+                     "--value", "value", "--window", "2"]) == 2
+    assert cli.main(["lake", "stats", deltas[0], "--state", state,
+                     "--stat", "summary", "--keys", "event_type",
+                     "--value", "value", "--label", "../x"]) == 2
+
+    for d, delta in zip(days, deltas):
+        assert cli.main(["lake", "stats", delta, "--state", state,
+                         "--stat", "summary", "--keys", "event_type",
+                         "--value", "value",
+                         "--label", d.isoformat(),
+                         "--window", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "window: last 2 label(s)" in out
+
+    # the printed window (= CLI's last fold) equals a direct rollup
+    # over the last two days; verify via the stored labels instead of
+    # parsing stdout: merge d= dirs of the newest two labels
+    labels = state_labels(spark, state)
+    assert labels == sorted(d.isoformat() for d in days)
+    merged = spark.read.parquet(
+        f"{state}/d={labels[-2]}", f"{state}/d={labels[-1]}")
+    got_n = {
+        r["event_type"]: r["n"]
+        for r in merged.groupBy("event_type").agg(
+            F.sum("n").alias("n")).collect()
+    }
+    want_n = {
+        r["event_type"]: r["n"]
+        for r in rollup_state(
+            ev.filter(F.to_date("ts").isin(days[-2:])),
+            ("event_type",), "value").collect()
+    }
+    assert got_n == want_n
+
+    # retention from the shell
+    assert cli.main(["lake", "stats", deltas[-1], "--state", state,
+                     "--stat", "summary", "--keys", "event_type",
+                     "--value", "value",
+                     "--label", days[-1].isoformat(),
+                     "--retain-labels", "2"]) == 0
+    assert state_labels(spark, state) == sorted(
+        d.isoformat() for d in days[-2:])

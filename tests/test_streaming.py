@@ -1475,6 +1475,90 @@ def test_live_minhash_rollup_maintained_and_crash_replay(spark, tmp_path):
     assert got2 == want  # replay overwrote v=N identically
 
 
+def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
+    """Label-partitioned monoid states (r11): per-label folds are
+    idempotent pure functions of their delta; a window read merges
+    exactly the last N labels (== a direct aggregation over those
+    days' rows — the 'last N days' answer for monoids with no
+    subtraction); retention deletes old labels; an empty window
+    raises."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_rollup,
+        rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        expire_state_labels,
+        fold_labeled_state,
+        read_window_state,
+        state_labels,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    days = [r["d"] for r in ev.select(
+        F.to_date("ts").alias("d")).distinct().orderBy("d").limit(3)
+        .collect()]
+    assert len(days) == 3
+    state = str(tmp_path / "win_state")
+    keys = ("event_type",)
+    for d in days:
+        fold_labeled_state(
+            spark, state, d.isoformat(),
+            rollup_state(ev.filter(F.to_date("ts") == d), keys, "value"),
+        )
+    assert state_labels(spark, state) == sorted(
+        d.isoformat() for d in days)
+
+    # window of the last 2 labels == direct rollup over those 2 days
+    win = read_window_state(
+        spark, state, lambda a, b: merge_rollup(a, b, keys=keys),
+        last_n=2,
+    )
+    got = {r["event_type"]: (r["n"], r["sum_v"]) for r in win.collect()}
+    want = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in rollup_state(
+            ev.filter(F.to_date("ts").isin(days[-2:])), keys, "value"
+        ).collect()
+    }
+    assert got == want
+
+    # re-folding a label is a no-op (pure function of the delta)
+    fold_labeled_state(
+        spark, state, days[0].isoformat(),
+        rollup_state(ev.filter(F.to_date("ts") == days[0]), keys,
+                     "value"),
+    )
+    all_state = read_window_state(
+        spark, state, lambda a, b: merge_rollup(a, b, keys=keys))
+    want_all = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in rollup_state(
+            ev.filter(F.to_date("ts").isin(days)), keys, "value"
+        ).collect()
+    }
+    got_all = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in all_state.collect()
+    }
+    assert got_all == want_all
+
+    # retention: keep the newest 2; the expired label is gone
+    gone = expire_state_labels(spark, state, keep_last=2)
+    assert gone == [days[0].isoformat()]
+    assert state_labels(spark, state) == sorted(
+        d.isoformat() for d in days[-2:])
+    with _pytest.raises(ValueError, match="keep_last"):
+        expire_state_labels(spark, state, keep_last=0)
+    with _pytest.raises(FileNotFoundError):
+        read_window_state(spark, str(tmp_path / "nope"),
+                          lambda a, b: a)
+    with _pytest.raises(ValueError, match="label"):
+        fold_labeled_state(spark, state, "../evil", all_state)
+
+
 def test_live_distinct_rollup_sketches_union_across_batches(
     spark, tmp_path
 ):
