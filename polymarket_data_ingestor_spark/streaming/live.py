@@ -990,6 +990,48 @@ def expire_state_labels(
     return gone
 
 
+def compact_state_labels(
+    spark: SparkSession,
+    state_path: str,
+    labels: list[str],
+    into_label: str,
+    merge_fn,
+) -> None:
+    """Hierarchical window maintenance: merge ``labels`` (all must be
+    committed) into one coarser ``into_label`` (e.g. 31 dailies →
+    ``2026-08``) and delete the sources — so a 3-year window is ~36
+    monthly states, not ~1100 dailies. Monoid associativity is exactly
+    what makes this lossless: merge(compacted, rest) == merge(all).
+    Crash-safe in the same way as every labeled write: ``into_label``
+    commits (``_SUCCESS``) BEFORE the sources are deleted, and a
+    re-run of the same compaction overwrites it with identical
+    content. ``into_label`` must sort consistently with the window
+    semantics the caller uses (a month prefix sorts before its days —
+    callers windowing by ``last_n`` should compact oldest-first, which
+    keeps compacted coarse labels at the window's old end).
+    Mixed-granularity windows after compaction are the caller's
+    contract."""
+    committed = set(state_labels(spark, state_path))
+    missing = [lb for lb in labels if lb not in committed]
+    if not labels or missing:
+        raise ValueError(
+            f"labels to compact must all be committed; missing {missing}"
+        )
+    if into_label in labels:
+        raise ValueError("into_label cannot be one of the sources")
+    out = spark.read.parquet(f"{state_path}/d={labels[0]}")
+    for lb in labels[1:]:
+        out = merge_fn(out, spark.read.parquet(f"{state_path}/d={lb}"))
+    fold_labeled_state(spark, state_path, into_label, out)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for lb in labels:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{state_path}/d={lb}"), True)
+
+
 def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The current (latest committed) rollup state table — what a
     dashboard or downstream join reads. Raises if no version exists.

@@ -531,3 +531,15 @@ def test_cli_lake_stats_windowed_mode(spark, tmp_path, monkeypatch,
                      "--retain-labels", "2"]) == 0
     assert state_labels(spark, state) == sorted(
         d.isoformat() for d in days[-2:])
+
+    # the windowed path is merge-fn generic: a SKETCH stat (quantiles)
+    # folds and windows through the same CLI flow
+    qstate = str(tmp_path / "wqstate")
+    for d, delta in zip(days[:2], deltas[:2]):
+        assert cli.main(["lake", "stats", delta, "--state", qstate,
+                         "--stat", "quantiles", "--keys", "event_type",
+                         "--value", "value", "--quantiles", "0.5",
+                         "--label", d.isoformat(),
+                         "--window", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "'p50':" in out and "window: last 2 label(s)" in out

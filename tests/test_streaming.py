@@ -1558,6 +1558,27 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
     with _pytest.raises(ValueError, match="label"):
         fold_labeled_state(spark, state, "../evil", all_state)
 
+    # compaction: merge the 2 remaining dailies into one coarse label;
+    # associativity makes it lossless — the window answer is unchanged
+    from polymarket_data_ingestor_spark.streaming import (
+        compact_state_labels,
+    )
+
+    mfn = lambda a, b: merge_rollup(a, b, keys=keys)  # noqa: E731
+    srcs = state_labels(spark, state)
+    compact_state_labels(spark, state, srcs, "2024-01", mfn)
+    assert state_labels(spark, state) == ["2024-01"]
+    got_c = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in read_window_state(spark, state, mfn).collect()
+    }
+    assert got_c == want  # == the last-2-days direct rollup
+    # sources must be committed; into_label can't be a source
+    with _pytest.raises(ValueError, match="missing"):
+        compact_state_labels(spark, state, ["ghost"], "x", mfn)
+    with _pytest.raises(ValueError, match="sources"):
+        compact_state_labels(spark, state, ["2024-01"], "2024-01", mfn)
+
 
 def test_live_distinct_rollup_sketches_union_across_batches(
     spark, tmp_path
