@@ -296,12 +296,19 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --window/--retain-labels need --label "
               "(windowed mode)", file=sys.stderr)
         return 2
-    if args.label is not None and (
-            not args.label or "/" in args.label
-            or args.label.startswith(".")):
-        print(f"lake stats: bad --label {args.label!r}",
-              file=sys.stderr)
-        return 2
+    if args.label is not None:
+        # the ONE shared predicate (live.validate_state_label) — a
+        # diverging local copy would let a label pass this cheap guard
+        # and traceback after JVM startup
+        from polymarket_data_ingestor_spark.streaming.live import (
+            validate_state_label,
+        )
+
+        try:
+            validate_state_label(args.label)
+        except ValueError as e:
+            print(f"lake stats: {e}", file=sys.stderr)
+            return 2
     if args.window is not None and args.window < 1:
         print("lake stats: --window must be >= 1", file=sys.stderr)
         return 2
@@ -321,18 +328,18 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     builders = {
         "summary": (
             lambda d: rollup_state(d, keys, args.value),
-            lambda a, b: merge_rollup(a, b, keys=keys),
+            lambda *st: merge_rollup(*st, keys=keys),
             finalize_rollup,
         ),
         "distinct": (
             lambda d: distinct_rollup_state(d, keys, args.value),
-            lambda a, b: merge_distinct_rollup(a, b, keys=keys),
+            lambda *st: merge_distinct_rollup(*st, keys=keys),
             finalize_distinct_rollup,
         ),
         "quantiles": (
             lambda d: quantile_rollup_state(d, keys, args.value,
                                             k=args.k),
-            lambda a, b: merge_quantile_rollup(a, b, keys=keys),
+            lambda *st: merge_quantile_rollup(*st, keys=keys),
             lambda s: finalize_quantile_rollup(
                 s, tuple(float(q) for q in args.quantiles.split(","))
             ),
@@ -340,26 +347,26 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         "heavyhitters": (
             lambda d: heavy_hitters_state(d, keys, args.value,
                                           k=args.k),
-            lambda a, b: merge_heavy_hitters(a, b, keys=keys),
+            lambda *st: merge_heavy_hitters(*st, keys=keys),
             finalize_heavy_hitters,
         ),
         "sample": (
             lambda d: sample_rollup_state(d, keys, args.value,
                                           k=args.k, seed=args.seed),
-            lambda a, b: merge_sample_rollup(a, b, keys=keys),
+            lambda *st: merge_sample_rollup(*st, keys=keys),
             finalize_sample_rollup,
         ),
         "topk": (
             lambda d: topk_rollup_state(d, keys, args.value,
                                         args.score, k=args.k),
-            lambda a, b: merge_topk_rollup(a, b, keys=keys),
+            lambda *st: merge_topk_rollup(*st, keys=keys),
             finalize_topk_rollup,
         ),
         "minhash": (
             lambda d: minhash_rollup_state(d, keys, args.value,
                                            n_hashes=args.k,
                                            seed=args.seed),
-            lambda a, b: merge_minhash_rollup(a, b, keys=keys),
+            lambda *st: merge_minhash_rollup(*st, keys=keys),
             finalize_minhash_rollup,
         ),
     }
@@ -378,6 +385,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
             expire_state_labels,
             fold_labeled_state,
             read_window_state,
+            state_labels,
         )
 
         fold_labeled_state(spark, args.state, args.label, state)
@@ -389,16 +397,29 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
                       f"{', '.join(gone)}")
         state = read_window_state(spark, args.state, merge,
                                   last_n=args.window)
-        out = finalize(state)
-        display_cols = [
-            f.name for f in out.schema.fields
-            if f.dataType.typeName() not in ("binary", "array")
-        ]
-        for row in out.select(*display_cols).limit(args.show).collect():
-            print(row.asDict())
-        win = f"last {args.window}" if args.window else "all"
-        print(f"state: {args.state}/d={args.label} committed; "
-              f"window: {win} label(s), {state.count()} keys")
+        # persist: unlike the cumulative branch there is no committed
+        # merged artifact to re-read, and the display collect + the
+        # key count below would otherwise run the window merge twice
+        state = state.persist()
+        try:
+            out = finalize(state)
+            display_cols = [
+                f.name for f in out.schema.fields
+                if f.dataType.typeName() not in ("binary", "array")
+            ]
+            for row in (out.select(*display_cols)
+                        .limit(args.show).collect()):
+                print(row.asDict())
+            # report the labels ACTUALLY merged — fewer labels than
+            # --window asked for must not read as a full window
+            merged = state_labels(spark, args.state)
+            if args.window is not None:
+                merged = merged[-args.window:]
+            print(f"state: {args.state}/d={args.label} committed; "
+                  f"window: {len(merged)} label(s) "
+                  f"[{merged[0]}..{merged[-1]}], {state.count()} keys")
+        finally:
+            state.unpersist()
         return 0
 
     # Versioned commit via the ONE shared MVCC sequence

@@ -2621,6 +2621,17 @@ def minhash_rollup_state(
             f"n_hashes must be in [1, 256], got {n_hashes}"
         )
     if prehashed:
+        # integral column REQUIRED: cast("long") on a string column
+        # turns every non-numeric item into NULL, and dropna would then
+        # silently erase whole keys from the state — the exact mistake
+        # the flag invites (passing raw items with prehashed=True)
+        dt = df.schema[item_col].dataType.typeName()
+        if dt not in ("long", "integer", "short", "byte"):
+            raise ValueError(
+                f"prehashed=True needs an integral hash column; "
+                f"{item_col!r} is {dt} (pass the raw items with "
+                "prehashed=False instead)"
+            )
         items = df.select(
             *keys, F.col(item_col).cast("long").alias("__h"),
         ).dropna(subset=["__h"])

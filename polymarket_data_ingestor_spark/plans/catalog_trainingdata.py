@@ -559,17 +559,21 @@ def q_minhash_signatures(spark, sf_dir):
 #: 3-gram shingles (the word_ngrams twins above), ONE hash32 per gram
 #: (seed 0 — the Spark side feeds dedup.gram_hashes_vectorized, whose
 #: _h32 is the unseeded hash32; kernel/Catalyst identity pinned in
-#: EXACTNESS.md), then the repo-standard Carter-Wegman slots
+#: EXACTNESS.md). ``gram <> ''`` mirrors the kernel's in-kernel drop
+#: of the empty gram (produced only by empty/whitespace-only texts —
+#: r11 review: without it a whitespace-only doc puts hash32('') into
+#: the oracle's minima but not Spark's), then the repo-standard
+#: Carter-Wegman slots
 #: ((2i+1)·h + i·987654321 mod 2³¹−1 — the same family
 #: minhash_signatures uses), min per (source, slot). Shared by the
 #: state entry and the similarity entry.
 _SQL_MH_ROLLUP_SIG = f"""
       toks AS (SELECT source, {_SQL_TOKS} AS toks
                FROM documents WHERE text IS NOT NULL),
-      grams AS (SELECT source,
-                       {sql_hash32('unnest(' + _SQL_GRAMS3 + ')')}
-                       AS h
-                FROM toks),
+      grams AS (SELECT source, {sql_hash32('gram')} AS h
+                FROM (SELECT source, unnest({_SQL_GRAMS3}) AS gram
+                      FROM toks)
+                WHERE gram <> ''),
       slots AS (SELECT unnest(generate_series(0, 15)) AS slot),
       sig AS (
         SELECT source, CAST(slot AS BIGINT) AS slot,

@@ -911,6 +911,15 @@ def commit_rollup_version(
 # ---------------------------------------------------------------------------
 
 
+def validate_state_label(label: str) -> None:
+    """The ONE label-validity predicate (shared by
+    :func:`fold_labeled_state` and the CLI's pre-Spark argument check —
+    two copies would let a label pass the cheap guard and then raise a
+    traceback after JVM startup). Raises ``ValueError``."""
+    if not label or "/" in label or label.startswith("."):
+        raise ValueError(f"bad state label: {label!r}")
+
+
 def fold_labeled_state(
     spark: SparkSession, state_path: str, label: str, state: DataFrame
 ) -> None:
@@ -920,8 +929,7 @@ def fold_labeled_state(
     recovery) replaces the label with identical content — exactly-once
     semantics without any predecessor read. Labels must sort in time
     order for ``last_n`` windows (ISO dates/hours do)."""
-    if not label or "/" in label or label.startswith("."):
-        raise ValueError(f"bad state label: {label!r}")
+    validate_state_label(label)
     state.coalesce(1).write.mode("overwrite").parquet(
         f"{state_path}/d={label}"
     )
@@ -953,11 +961,13 @@ def read_window_state(
     merge_fn,
     last_n: int | None = None,
 ) -> DataFrame:
-    """The window's merged state: merge the last ``last_n`` committed
-    labels (all of them when None) with the stat's ``merge_fn(a, b)``.
-    The merge is one plan — label states union and reduce in a single
-    job, shuffle ∝ window keys × state size. Raises if the window is
-    empty (no committed labels)."""
+    """The window's merged state: ONE multi-directory parquet read of
+    the last ``last_n`` committed labels (all of them when None),
+    canonically merged by ONE ``merge_fn(states)`` call — the repo's
+    ``merge_*`` fns are variadic and union-then-merge internally, so a
+    90-label window is one scan + one shuffle, never a chain of 89
+    binary merges (an O(N)-deep plan with a shuffle per step — the
+    r11 review's finding). Raises if the window is empty."""
     labels = state_labels(spark, state_path)
     if last_n is not None:
         labels = labels[-last_n:]
@@ -965,10 +975,9 @@ def read_window_state(
         raise FileNotFoundError(
             f"no committed labeled state under {state_path}"
         )
-    out = spark.read.parquet(f"{state_path}/d={labels[0]}")
-    for lb in labels[1:]:
-        out = merge_fn(out, spark.read.parquet(f"{state_path}/d={lb}"))
-    return out
+    return merge_fn(spark.read.parquet(
+        *[f"{state_path}/d={lb}" for lb in labels]
+    ))
 
 
 def expire_state_labels(
@@ -997,36 +1006,56 @@ def compact_state_labels(
     into_label: str,
     merge_fn,
 ) -> None:
-    """Hierarchical window maintenance: merge ``labels`` (all must be
-    committed) into one coarser ``into_label`` (e.g. 31 dailies →
-    ``2026-08``) and delete the sources — so a 3-year window is ~36
-    monthly states, not ~1100 dailies. Monoid associativity is exactly
-    what makes this lossless: merge(compacted, rest) == merge(all).
-    Crash-safe in the same way as every labeled write: ``into_label``
-    commits (``_SUCCESS``) BEFORE the sources are deleted, and a
-    re-run of the same compaction overwrites it with identical
-    content. ``into_label`` must sort consistently with the window
-    semantics the caller uses (a month prefix sorts before its days —
-    callers windowing by ``last_n`` should compact oldest-first, which
-    keeps compacted coarse labels at the window's old end).
-    Mixed-granularity windows after compaction are the caller's
+    """Hierarchical window maintenance: merge ``labels`` into one
+    coarser ``into_label`` (e.g. 31 dailies → ``2026-08``) and delete
+    the sources — so a 3-year window is ~36 monthly states, not ~1100
+    dailies. Monoid associativity is exactly what makes this lossless:
+    merge(compacted, rest) == merge(all). One multi-dir read + one
+    ``merge_fn(states)`` call, like :func:`read_window_state`.
+
+    Crash-safety, including the mid-delete window (the r11 review's
+    finding): ``into_label`` commits (``_SUCCESS``) BEFORE any source
+    deletes, and a RE-RUN of the same call recovers from every crash
+    point — sources all present (crashed pre-delete, or never ran):
+    rebuild from sources and overwrite ``into_label`` with identical
+    content; some sources already gone AND ``into_label`` committed
+    (crashed mid-delete): the coarse state already holds the full
+    merge, so just finish the deletes; some sources gone and NO
+    committed ``into_label``: unrecoverable mislabeling — raise.
+    Until the re-run, a window read double-counts the surviving
+    sources — re-run promptly on failure. ``into_label`` must sort
+    consistently with the caller's window semantics (compact
+    oldest-first so coarse labels sit at the window's old end);
+    mixed-granularity windows after compaction are the caller's
     contract."""
-    committed = set(state_labels(spark, state_path))
-    missing = [lb for lb in labels if lb not in committed]
-    if not labels or missing:
-        raise ValueError(
-            f"labels to compact must all be committed; missing {missing}"
-        )
+    if not labels:
+        raise ValueError("labels to compact must be non-empty")
     if into_label in labels:
         raise ValueError("into_label cannot be one of the sources")
-    out = spark.read.parquet(f"{state_path}/d={labels[0]}")
-    for lb in labels[1:]:
-        out = merge_fn(out, spark.read.parquet(f"{state_path}/d={lb}"))
-    fold_labeled_state(spark, state_path, into_label, out)
+    committed = set(state_labels(spark, state_path))
+    missing = [lb for lb in labels if lb not in committed]
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
+    if missing:
+        if into_label not in committed:
+            raise ValueError(
+                f"labels to compact must all be committed; missing "
+                f"{missing} and no committed d={into_label} to resume "
+                "from"
+            )
+        # resume a crashed compaction: the coarse label committed from
+        # the FULL source set before any delete ran — finish the deletes
+        for lb in labels:
+            if lb in committed:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(
+                    f"{state_path}/d={lb}"), True)
+        return
+    out = merge_fn(spark.read.parquet(
+        *[f"{state_path}/d={lb}" for lb in labels]
+    ))
+    fold_labeled_state(spark, state_path, into_label, out)
     for lb in labels:
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             f"{state_path}/d={lb}"), True)

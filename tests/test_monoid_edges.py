@@ -501,7 +501,7 @@ def test_cli_lake_stats_windowed_mode(spark, tmp_path, monkeypatch,
                          "--label", d.isoformat(),
                          "--window", "2"]) == 0
     out = capsys.readouterr().out
-    assert "window: last 2 label(s)" in out
+    assert "window: 2 label(s)" in out
 
     # the printed window (= CLI's last fold) equals a direct rollup
     # over the last two days; verify via the stored labels instead of
@@ -542,4 +542,4 @@ def test_cli_lake_stats_windowed_mode(spark, tmp_path, monkeypatch,
                          "--label", d.isoformat(),
                          "--window", "2"]) == 0
     out = capsys.readouterr().out
-    assert "'p50':" in out and "window: last 2 label(s)" in out
+    assert "'p50':" in out and "window: 2 label(s)" in out

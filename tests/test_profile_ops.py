@@ -1897,3 +1897,52 @@ def test_cusum_matches_naive_model_and_alarms(spark):
 
     with _pytest.raises(ValueError, match="null/NaN"):
         cusum_series([1.0, float("nan")], 50.5, 49.5)
+
+
+def test_minhash_entry_empty_text_parity_with_oracle(spark, tmp_path):
+    """r11 review finding, pinned: the Arrow gram kernel drops the ''
+    gram (produced only by empty/whitespace-only texts) in-kernel, and
+    the catalog oracle's `gram <> ''` filter mirrors it — a
+    whitespace-only document contributes NOTHING on either side, and a
+    source whose docs are ALL empty has no signature row on either
+    side. The shipped test data has zero empty texts, so this is the
+    only pin exercising the divergence the old oracle had."""
+    import duckdb
+
+    from polymarket_data_ingestor_spark.operators import dedup as D
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_minhash_rollup,
+        minhash_rollup_state,
+    )
+    from polymarket_data_ingestor_spark.plans.catalog import CATALOG
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "s_mixed"),
+         (2, "   ", "s_mixed"),       # whitespace-only: '' gram only
+         (3, "", "s_empty"),          # all-empty source
+         (4, None, "s_mixed")],       # NULL text: filtered either way
+        "doc_id long, text string, source string",
+    )
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+
+    # Spark side: the exact entry pipeline over this table
+    hashes = docs.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.explode(D.gram_hashes_vectorized("text", 3)).alias("gh"),
+    )
+    got = [
+        (r["source"], r["slot"], r["min_hash"])
+        for r in finalize_minhash_rollup(
+            minhash_rollup_state(hashes, ("source",), "gh",
+                                 n_hashes=16, seed=0, prehashed=True)
+        ).orderBy("source", "slot").collect()
+    ]
+    assert {g[0] for g in got} == {"s_mixed"}  # s_empty: no row
+
+    # oracle side: the entry's own SQL over the same parquet
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    want = con.execute(CATALOG["minhash_rollup"].sql).fetchall()
+    want = sorted((r[0], r[1], r[2]) for r in want)
+    assert got == want

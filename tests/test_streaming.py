@@ -1513,7 +1513,7 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
 
     # window of the last 2 labels == direct rollup over those 2 days
     win = read_window_state(
-        spark, state, lambda a, b: merge_rollup(a, b, keys=keys),
+        spark, state, lambda *st: merge_rollup(*st, keys=keys),
         last_n=2,
     )
     got = {r["event_type"]: (r["n"], r["sum_v"]) for r in win.collect()}
@@ -1532,7 +1532,7 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
                      "value"),
     )
     all_state = read_window_state(
-        spark, state, lambda a, b: merge_rollup(a, b, keys=keys))
+        spark, state, lambda *st: merge_rollup(*st, keys=keys))
     want_all = {
         r["event_type"]: (r["n"], r["sum_v"])
         for r in rollup_state(
@@ -1554,7 +1554,7 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
         expire_state_labels(spark, state, keep_last=0)
     with _pytest.raises(FileNotFoundError):
         read_window_state(spark, str(tmp_path / "nope"),
-                          lambda a, b: a)
+                          lambda *st: st[0])
     with _pytest.raises(ValueError, match="label"):
         fold_labeled_state(spark, state, "../evil", all_state)
 
@@ -1564,7 +1564,7 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
         compact_state_labels,
     )
 
-    mfn = lambda a, b: merge_rollup(a, b, keys=keys)  # noqa: E731
+    mfn = lambda *st: merge_rollup(*st, keys=keys)  # noqa: E731
     srcs = state_labels(spark, state)
     compact_state_labels(spark, state, srcs, "2024-01", mfn)
     assert state_labels(spark, state) == ["2024-01"]
@@ -1578,6 +1578,37 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
         compact_state_labels(spark, state, ["ghost"], "x", mfn)
     with _pytest.raises(ValueError, match="sources"):
         compact_state_labels(spark, state, ["2024-01"], "2024-01", mfn)
+
+    # crash-mid-delete RESUME (r11 review finding): the coarse label is
+    # committed but only SOME sources were deleted — a re-run of the
+    # same compaction must finish the deletes, not raise
+    state2 = str(tmp_path / "win_state2")
+    for d in days[:2]:
+        fold_labeled_state(
+            spark, state2, d.isoformat(),
+            rollup_state(ev.filter(F.to_date("ts") == d), keys, "value"),
+        )
+    srcs2 = state_labels(spark, state2)
+    # simulate: into-label committed from the FULL source set...
+    compact_done = read_window_state(spark, state2, mfn)
+    fold_labeled_state(spark, state2, "2024-01x", compact_done)
+    # ...then the crash deleted only the first source
+    import shutil as _sh
+
+    _sh.rmtree(f"{state2}/d={srcs2[0]}")
+    compact_state_labels(spark, state2, srcs2, "2024-01x", mfn)  # resume
+    assert state_labels(spark, state2) == ["2024-01x"]
+    got_r = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in read_window_state(spark, state2, mfn).collect()
+    }
+    want_r = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in rollup_state(
+            ev.filter(F.to_date("ts").isin(days[:2])), keys, "value"
+        ).collect()
+    }
+    assert got_r == want_r  # no double counting, nothing lost
 
 
 def test_live_distinct_rollup_sketches_union_across_batches(
