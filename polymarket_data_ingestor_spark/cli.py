@@ -481,6 +481,62 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lake_compact_labels(args: argparse.Namespace) -> int:
+    """Hierarchical window maintenance from the shell: merge a range
+    of committed ``d=<label>`` states into one coarser label (31
+    dailies → a month) and retire the sources — so long windows stay
+    a handful of keys-sized states. Crash-safe and resumable (see
+    ``compact_state_labels``); re-run the same command after any
+    failure."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_distinct_rollup,
+        merge_heavy_hitters,
+        merge_minhash_rollup,
+        merge_quantile_rollup,
+        merge_rollup,
+        merge_sample_rollup,
+        merge_topk_rollup,
+    )
+    from polymarket_data_ingestor_spark.streaming.live import (
+        compact_state_labels,
+        validate_state_label,
+    )
+
+    keys = tuple(k for k in args.keys.split(",") if k)
+    labels = [lb for lb in args.labels.split(",") if lb]
+    if not keys or not labels:
+        print("lake compact-labels: --keys and --labels must be "
+              "non-empty", file=sys.stderr)
+        return 2
+    try:
+        validate_state_label(args.into)
+    except ValueError as e:
+        print(f"lake compact-labels: {e}", file=sys.stderr)
+        return 2
+    merges = {
+        "summary": merge_rollup,
+        "distinct": merge_distinct_rollup,
+        "quantiles": merge_quantile_rollup,
+        "heavyhitters": merge_heavy_hitters,
+        "sample": merge_sample_rollup,
+        "topk": merge_topk_rollup,
+        "minhash": merge_minhash_rollup,
+    }
+    mfn = merges[args.stat]
+    spark = get_spark(app_name="pdi-lake-compact-labels")
+    try:
+        compact_state_labels(
+            spark, args.state, labels, args.into,
+            lambda *st: mfn(*st, keys=keys),
+        )
+    except ValueError as e:
+        print(f"lake compact-labels: {e}", file=sys.stderr)
+        return 1
+    print(f"compacted {len(labels)} label(s) into "
+          f"{args.state}/d={args.into}")
+    return 0
+
+
 def cmd_lake_bloom(args: argparse.Namespace) -> int:
     """Size the streaming-dedup bloom front: print the ``bloom_bits``
     for an expected corpus at a target false-positive rate (geometry
@@ -651,6 +707,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="finalized rows to print")
     ls.set_defaults(fn=cmd_lake_stats)
     le.set_defaults(fn=cmd_lake_expire)
+
+    lcl = lk_sub.add_parser(
+        "compact-labels",
+        help="merge committed d=<label> window states into one "
+             "coarser label (31 dailies -> a month) and retire the "
+             "sources",
+    )
+    lcl.add_argument("state", help="labeled state directory")
+    lcl.add_argument("--stat", required=True,
+                     choices=["summary", "distinct", "quantiles",
+                              "heavyhitters", "sample", "topk",
+                              "minhash"])
+    lcl.add_argument("--keys", required=True,
+                     help="comma-separated group columns (must match "
+                          "the folds that built the states)")
+    lcl.add_argument("--labels", required=True,
+                     help="comma-separated source labels to merge")
+    lcl.add_argument("--into", required=True,
+                     help="the coarser label to commit")
+    lcl.set_defaults(fn=cmd_lake_compact_labels)
 
     lb = lk_sub.add_parser(
         "bloom",

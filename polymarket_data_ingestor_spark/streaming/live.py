@@ -1061,6 +1061,42 @@ def compact_state_labels(
             f"{state_path}/d={lb}"), True)
 
 
+def live_labeled_rollup(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    state_fn,
+    retain_labels: int | None = None,
+    available_now: bool = False,
+):
+    """The windowed streaming twin: each micro-batch's OWN monoid
+    state lands under ``d=<zero-padded batch_id>`` — a pure function
+    of that batch alone, so an at-least-once replay overwrites the
+    label with identical content (even simpler than
+    :func:`live_materialize`'s strictly-below read: there is no
+    predecessor to get wrong). Query with :func:`read_window_state`
+    (``last_n`` = "the last N triggers"); ``retain_labels`` keeps the
+    newest N labels after each commit. Zero-padding makes numeric
+    batch ids sort lexicographically — the window order
+    ``state_labels`` relies on."""
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fold_labeled_state(spark, state_path, f"{batch_id:020d}",
+                           state_fn(batch))
+        if retain_labels is not None:
+            expire_state_labels(spark, state_path, retain_labels)
+
+    writer = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The current (latest committed) rollup state table — what a
     dashboard or downstream join reads. Raises if no version exists.

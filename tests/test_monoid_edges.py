@@ -543,3 +543,67 @@ def test_cli_lake_stats_windowed_mode(spark, tmp_path, monkeypatch,
                          "--window", "2"]) == 0
     out = capsys.readouterr().out
     assert "'p50':" in out and "window: 2 label(s)" in out
+
+
+def test_cli_lake_compact_labels(spark, tmp_path, monkeypatch):
+    """compact-labels through the CLI: dailies merge into a coarse
+    label, the sources retire, window answers unchanged; a re-run
+    after the merge (resume semantics) exits 0; bad args exit 2."""
+    from polymarket_data_ingestor_spark import cli
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_rollup,
+        rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        fold_labeled_state,
+        read_window_state,
+        state_labels,
+    )
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    days = [r["d"] for r in ev.select(
+        F.to_date("ts").alias("d")).distinct().orderBy("d").limit(2)
+        .collect()]
+    state = str(tmp_path / "clstate")
+    for d in days:
+        fold_labeled_state(
+            spark, state, d.isoformat(),
+            rollup_state(ev.filter(F.to_date("ts") == d),
+                         ("event_type",), "value"),
+        )
+    labels_arg = ",".join(d.isoformat() for d in days)
+    mfn = lambda *st: merge_rollup(*st, keys=("event_type",))  # noqa: E731
+    want = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in read_window_state(spark, state, mfn).collect()
+    }
+
+    assert cli.main(["lake", "compact-labels", state, "--stat",
+                     "summary", "--keys", "event_type",
+                     "--labels", labels_arg, "--into", "2024-01"]) == 0
+    assert state_labels(spark, state) == ["2024-01"]
+    got = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in read_window_state(spark, state, mfn).collect()
+    }
+    assert got == want
+
+    # resume semantics: re-running after completion exits 0 (the
+    # coarse label is committed, sources already gone)
+    assert cli.main(["lake", "compact-labels", state, "--stat",
+                     "summary", "--keys", "event_type",
+                     "--labels", labels_arg, "--into", "2024-01"]) == 0
+    assert state_labels(spark, state) == ["2024-01"]
+
+    # guards: empty keys/labels, bad into-label, uncommitted sources
+    # with no committed target
+    assert cli.main(["lake", "compact-labels", state, "--stat",
+                     "summary", "--keys", "", "--labels", labels_arg,
+                     "--into", "x"]) == 2
+    assert cli.main(["lake", "compact-labels", state, "--stat",
+                     "summary", "--keys", "event_type",
+                     "--labels", labels_arg, "--into", "../x"]) == 2
+    assert cli.main(["lake", "compact-labels", state, "--stat",
+                     "summary", "--keys", "event_type",
+                     "--labels", "ghost1,ghost2", "--into", "g"]) == 1

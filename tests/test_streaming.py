@@ -1611,6 +1611,69 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
     assert got_r == want_r  # no double counting, nothing lost
 
 
+def test_live_labeled_rollup_windows_and_crash_replay(spark, tmp_path):
+    """The windowed streaming twin: each trigger's state lands under
+    its zero-padded batch id (pure function of the batch — replay
+    overwrites identically with NO predecessor read), window reads
+    give 'last N triggers', retention trims labels."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_rollup,
+        rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        live_labeled_rollup,
+        read_window_state,
+        state_labels,
+    )
+
+    src = tmp_path / "ll_src"
+    src.mkdir()
+    rows1 = [{"k": "a", "value": float(i)} for i in range(6)]
+    rows2 = [{"k": "a", "value": float(10 + i)} for i in range(4)]
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1) + "\n")
+
+    def run():
+        q = live_labeled_rollup(
+            spark.readStream.schema("k string, value double")
+            .json(str(src)),
+            str(tmp_path / "ll_state"), str(tmp_path / "ll_ckpt"),
+            state_fn=lambda b: rollup_state(b, ("k",), "value"),
+            retain_labels=10, available_now=True,
+        )
+        q.awaitTermination(300)
+
+    run()
+    (src / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows2) + "\n")
+    run()
+    state = str(tmp_path / "ll_state")
+    labels = state_labels(spark, state)
+    assert len(labels) == 2 and labels == sorted(labels)
+
+    mfn = lambda *st: merge_rollup(*st, keys=("k",))  # noqa: E731
+    # last trigger only == batch-2 rollup
+    last1 = read_window_state(spark, state, mfn, last_n=1).collect()[0]
+    assert (last1["n"], float(last1["sum_v"])) == (4, 46.0)
+    # both == union rollup
+    both = read_window_state(spark, state, mfn).collect()[0]
+    assert (both["n"], float(both["sum_v"])) == (10, 61.0)
+
+    # crash-replay of the last batch: the label is overwritten with
+    # identical content, the window answers are unchanged
+    commits = sorted((tmp_path / "ll_ckpt" / "commits").glob("[0-9]*"))
+    commits[-1].unlink()
+    crc = tmp_path / "ll_ckpt" / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run()
+    assert state_labels(spark, state) == labels
+    both2 = read_window_state(spark, state, mfn).collect()[0]
+    assert (both2["n"], float(both2["sum_v"])) == (10, 61.0)
+
+
 def test_live_distinct_rollup_sketches_union_across_batches(
     spark, tmp_path
 ):
