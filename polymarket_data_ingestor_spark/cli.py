@@ -178,6 +178,31 @@ def _pcols(args: argparse.Namespace) -> tuple[str, ...]:
     return tuple(c for c in args.partition_cols.split(",") if c)
 
 
+def _stat_merges() -> dict:
+    """The ONE stat-name → variadic merge-fn map, shared by
+    ``lake stats`` and ``lake compact-labels`` — two parallel maps
+    would silently disagree when the next monoid lands (r11 review)."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_distinct_rollup,
+        merge_heavy_hitters,
+        merge_minhash_rollup,
+        merge_quantile_rollup,
+        merge_rollup,
+        merge_sample_rollup,
+        merge_topk_rollup,
+    )
+
+    return {
+        "summary": merge_rollup,
+        "distinct": merge_distinct_rollup,
+        "quantiles": merge_quantile_rollup,
+        "heavyhitters": merge_heavy_hitters,
+        "sample": merge_sample_rollup,
+        "topk": merge_topk_rollup,
+        "minhash": merge_minhash_rollup,
+    }
+
+
 def cmd_lake_compact(args: argparse.Namespace) -> int:
     from polymarket_data_ingestor_spark.sinks import compact_lake_partitions
 
@@ -261,13 +286,6 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         finalize_sample_rollup,
         finalize_topk_rollup,
         heavy_hitters_state,
-        merge_distinct_rollup,
-        merge_heavy_hitters,
-        merge_minhash_rollup,
-        merge_quantile_rollup,
-        merge_rollup,
-        merge_sample_rollup,
-        merge_topk_rollup,
         minhash_rollup_state,
         quantile_rollup_state,
         rollup_state,
@@ -328,18 +346,15 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     builders = {
         "summary": (
             lambda d: rollup_state(d, keys, args.value),
-            lambda *st: merge_rollup(*st, keys=keys),
             finalize_rollup,
         ),
         "distinct": (
             lambda d: distinct_rollup_state(d, keys, args.value),
-            lambda *st: merge_distinct_rollup(*st, keys=keys),
             finalize_distinct_rollup,
         ),
         "quantiles": (
             lambda d: quantile_rollup_state(d, keys, args.value,
                                             k=args.k),
-            lambda *st: merge_quantile_rollup(*st, keys=keys),
             lambda s: finalize_quantile_rollup(
                 s, tuple(float(q) for q in args.quantiles.split(","))
             ),
@@ -347,30 +362,30 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         "heavyhitters": (
             lambda d: heavy_hitters_state(d, keys, args.value,
                                           k=args.k),
-            lambda *st: merge_heavy_hitters(*st, keys=keys),
             finalize_heavy_hitters,
         ),
         "sample": (
             lambda d: sample_rollup_state(d, keys, args.value,
                                           k=args.k, seed=args.seed),
-            lambda *st: merge_sample_rollup(*st, keys=keys),
             finalize_sample_rollup,
         ),
         "topk": (
             lambda d: topk_rollup_state(d, keys, args.value,
                                         args.score, k=args.k),
-            lambda *st: merge_topk_rollup(*st, keys=keys),
             finalize_topk_rollup,
         ),
         "minhash": (
             lambda d: minhash_rollup_state(d, keys, args.value,
                                            n_hashes=args.k,
                                            seed=args.seed),
-            lambda *st: merge_minhash_rollup(*st, keys=keys),
             finalize_minhash_rollup,
         ),
     }
-    build, merge, finalize = builders[args.stat]
+    build, finalize = builders[args.stat]
+    _merge_fn = _stat_merges()[args.stat]  # the ONE shared stat map
+
+    def merge(*st):
+        return _merge_fn(*st, keys=keys)
     state = build(delta)
 
     if args.label is not None:
@@ -488,22 +503,13 @@ def cmd_lake_compact_labels(args: argparse.Namespace) -> int:
     a handful of keys-sized states. Crash-safe and resumable (see
     ``compact_state_labels``); re-run the same command after any
     failure."""
-    from polymarket_data_ingestor_spark.operators.analytics import (
-        merge_distinct_rollup,
-        merge_heavy_hitters,
-        merge_minhash_rollup,
-        merge_quantile_rollup,
-        merge_rollup,
-        merge_sample_rollup,
-        merge_topk_rollup,
-    )
     from polymarket_data_ingestor_spark.streaming.live import (
         compact_state_labels,
         validate_state_label,
     )
 
     keys = tuple(k for k in args.keys.split(",") if k)
-    labels = [lb for lb in args.labels.split(",") if lb]
+    labels = [lb.strip() for lb in args.labels.split(",") if lb.strip()]
     if not keys or not labels:
         print("lake compact-labels: --keys and --labels must be "
               "non-empty", file=sys.stderr)
@@ -513,27 +519,21 @@ def cmd_lake_compact_labels(args: argparse.Namespace) -> int:
     except ValueError as e:
         print(f"lake compact-labels: {e}", file=sys.stderr)
         return 2
-    merges = {
-        "summary": merge_rollup,
-        "distinct": merge_distinct_rollup,
-        "quantiles": merge_quantile_rollup,
-        "heavyhitters": merge_heavy_hitters,
-        "sample": merge_sample_rollup,
-        "topk": merge_topk_rollup,
-        "minhash": merge_minhash_rollup,
-    }
-    mfn = merges[args.stat]
+    mfn = _stat_merges()[args.stat]
     spark = get_spark(app_name="pdi-lake-compact-labels")
     try:
-        compact_state_labels(
+        action, removed = compact_state_labels(
             spark, args.state, labels, args.into,
             lambda *st: mfn(*st, keys=keys),
         )
     except ValueError as e:
         print(f"lake compact-labels: {e}", file=sys.stderr)
         return 1
-    print(f"compacted {len(labels)} label(s) into "
-          f"{args.state}/d={args.into}")
+    # report what ACTUALLY happened — a resume that only finished
+    # leftover deletes must not read as a fresh merge
+    print(f"{action}: {args.state}/d={args.into}; removed "
+          f"{len(removed)} source label(s)"
+          + (f": {', '.join(removed)}" if removed else ""))
     return 0
 
 

@@ -1005,60 +1005,106 @@ def compact_state_labels(
     labels: list[str],
     into_label: str,
     merge_fn,
-) -> None:
+) -> tuple[str, list[str]]:
     """Hierarchical window maintenance: merge ``labels`` into one
     coarser ``into_label`` (e.g. 31 dailies → ``2026-08``) and delete
     the sources — so a 3-year window is ~36 monthly states, not ~1100
     dailies. Monoid associativity is exactly what makes this lossless:
     merge(compacted, rest) == merge(all). One multi-dir read + one
     ``merge_fn(states)`` call, like :func:`read_window_state`.
+    Returns ``(action, removed_labels)`` where action is ``"merged"``
+    or ``"resumed"`` — callers report what actually happened.
 
-    Crash-safety, including the mid-delete window (the r11 review's
-    finding): ``into_label`` commits (``_SUCCESS``) BEFORE any source
-    deletes, and a RE-RUN of the same call recovers from every crash
-    point — sources all present (crashed pre-delete, or never ran):
-    rebuild from sources and overwrite ``into_label`` with identical
-    content; some sources already gone AND ``into_label`` committed
-    (crashed mid-delete): the coarse state already holds the full
-    merge, so just finish the deletes; some sources gone and NO
-    committed ``into_label``: unrecoverable mislabeling — raise.
-    Until the re-run, a window read double-counts the surviving
-    sources — re-run promptly on failure. ``into_label`` must sort
+    Crash-safety is MANIFEST-based (the r11 second review showed a
+    heuristic resume — "coarse committed + sources missing ⇒ finish
+    deletes" — silently deletes unmerged sources when an operator
+    re-targets an EXISTING coarse label or typos one source): the
+    recorded source list ``_compact_d=<into>.json`` is written before
+    the merge, the coarse label commits, the sources delete, the
+    manifest deletes — so a re-run resumes from the manifest's exact
+    recorded set at every crash point, and WITHOUT a manifest a
+    committed ``into_label`` REFUSES (compacted labels are immutable;
+    to extend one, compact [it + the new sources] into a NEW label).
+    Duplicate sources are rejected (reading a label twice would
+    double-count every non-idempotent stat). ``into_label`` must sort
     consistently with the caller's window semantics (compact
-    oldest-first so coarse labels sit at the window's old end);
-    mixed-granularity windows after compaction are the caller's
-    contract."""
+    oldest-first); mixed-granularity windows after compaction are the
+    caller's contract."""
+    import json as _json
+
     if not labels:
         raise ValueError("labels to compact must be non-empty")
+    if len(set(labels)) != len(labels):
+        dups = sorted({lb for lb in labels if labels.count(lb) > 1})
+        raise ValueError(
+            f"duplicate source labels {dups} — reading a label twice "
+            "would double-count non-idempotent stats"
+        )
     if into_label in labels:
         raise ValueError("into_label cannot be one of the sources")
+    validate_state_label(into_label)
     committed = set(state_labels(spark, state_path))
-    missing = [lb for lb in labels if lb not in committed]
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
-    if missing:
-        if into_label not in committed:
-            raise ValueError(
-                f"labels to compact must all be committed; missing "
-                f"{missing} and no committed d={into_label} to resume "
-                "from"
-            )
-        # resume a crashed compaction: the coarse label committed from
-        # the FULL source set before any delete ran — finish the deletes
-        for lb in labels:
+    manifest = jvm.org.apache.hadoop.fs.Path(
+        f"{state_path}/_compact_d={into_label}.json"
+    )
+
+    def _delete_sources(srcs: list[str]) -> list[str]:
+        removed = []
+        for lb in srcs:
             if lb in committed:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(
                     f"{state_path}/d={lb}"), True)
-        return
+                removed.append(lb)
+        return removed
+
+    if fs.exists(manifest):
+        # resume a crashed compaction from the RECORDED source set
+        # (never the caller's argument — a typo there must not steer
+        # the recovery)
+        stream = fs.open(manifest)
+        recorded = _json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+        stream.close()
+        if into_label not in committed:
+            # crashed between manifest write and the coarse commit:
+            # deletes never ran, every recorded source is still here
+            out = merge_fn(spark.read.parquet(
+                *[f"{state_path}/d={lb}" for lb in recorded]
+            ))
+            fold_labeled_state(spark, state_path, into_label, out)
+        removed = _delete_sources(recorded)
+        fs.delete(manifest, False)
+        return ("resumed", removed)
+
+    if into_label in committed:
+        raise ValueError(
+            f"d={into_label} is already committed and no compaction "
+            "manifest exists — compacted labels are immutable "
+            "(overwriting would destroy the previously merged "
+            "history); compact [it + the new sources] into a NEW "
+            "label instead"
+        )
+    missing = [lb for lb in labels if lb not in committed]
+    if missing:
+        raise ValueError(
+            f"labels to compact must all be committed; missing {missing}"
+        )
+    # manifest BEFORE the merge: from here every crash point resumes
+    stream = fs.create(manifest, True)
+    stream.write(bytearray(_json.dumps(labels), "utf-8"))
+    stream.close()
     out = merge_fn(spark.read.parquet(
         *[f"{state_path}/d={lb}" for lb in labels]
     ))
     fold_labeled_state(spark, state_path, into_label, out)
-    for lb in labels:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(
-            f"{state_path}/d={lb}"), True)
+    removed = _delete_sources(labels)
+    fs.delete(manifest, False)
+    return ("merged", removed)
 
 
 def live_labeled_rollup(
@@ -1079,6 +1125,12 @@ def live_labeled_rollup(
     newest N labels after each commit. Zero-padding makes numeric
     batch ids sort lexicographically — the window order
     ``state_labels`` relies on."""
+    if retain_labels is not None and retain_labels < 1:
+        # fail FAST like live_materialize's retain_versions guard — an
+        # invalid value raising inside foreachBatch would kill the
+        # stream only after the first batch already folded state
+        raise ValueError("retain_labels must be >= 1")
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return

@@ -589,11 +589,12 @@ def test_cli_lake_compact_labels(spark, tmp_path, monkeypatch):
     }
     assert got == want
 
-    # resume semantics: re-running after completion exits 0 (the
-    # coarse label is committed, sources already gone)
+    # a re-run after COMPLETION refuses (no manifest + committed
+    # into-label = immutability guard; re-targeting an existing coarse
+    # label must never clobber it — r11 second review)
     assert cli.main(["lake", "compact-labels", state, "--stat",
                      "summary", "--keys", "event_type",
-                     "--labels", labels_arg, "--into", "2024-01"]) == 0
+                     "--labels", labels_arg, "--into", "2024-01"]) == 1
     assert state_labels(spark, state) == ["2024-01"]
 
     # guards: empty keys/labels, bad into-label, uncommitted sources

@@ -1573,15 +1573,31 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
         for r in read_window_state(spark, state, mfn).collect()
     }
     assert got_c == want  # == the last-2-days direct rollup
-    # sources must be committed; into_label can't be a source
+    # sources must be committed; into_label can't be a source;
+    # duplicates refuse (double-counting); a COMMITTED into-label
+    # without a manifest refuses (immutability — the r11 second
+    # review's silent-loss scenario: re-targeting an existing coarse
+    # label must never clobber it)
     with _pytest.raises(ValueError, match="missing"):
         compact_state_labels(spark, state, ["ghost"], "x", mfn)
     with _pytest.raises(ValueError, match="sources"):
         compact_state_labels(spark, state, ["2024-01"], "2024-01", mfn)
+    with _pytest.raises(ValueError, match="duplicate"):
+        compact_state_labels(spark, state, ["a", "a"], "x", mfn)
+    fold_labeled_state(
+        spark, state, "extra",
+        rollup_state(ev.filter(F.to_date("ts") == days[0]), keys,
+                     "value"),
+    )
+    with _pytest.raises(ValueError, match="immutable"):
+        compact_state_labels(spark, state, ["extra"], "2024-01", mfn)
 
-    # crash-mid-delete RESUME (r11 review finding): the coarse label is
-    # committed but only SOME sources were deleted — a re-run of the
-    # same compaction must finish the deletes, not raise
+    # crash-mid-delete RESUME: the manifest records the source set, the
+    # coarse label is committed, only SOME sources were deleted — a
+    # re-run finishes the deletes from the RECORDED set, not the
+    # caller's argument
+    import json as _json2
+
     state2 = str(tmp_path / "win_state2")
     for d in days[:2]:
         fold_labeled_state(
@@ -1589,15 +1605,20 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
             rollup_state(ev.filter(F.to_date("ts") == d), keys, "value"),
         )
     srcs2 = state_labels(spark, state2)
-    # simulate: into-label committed from the FULL source set...
     compact_done = read_window_state(spark, state2, mfn)
     fold_labeled_state(spark, state2, "2024-01x", compact_done)
-    # ...then the crash deleted only the first source
+    # the crashed run's manifest + one source already deleted
+    import pathlib as _pl
     import shutil as _sh
 
+    _pl.Path(f"{state2}/_compact_d=2024-01x.json").write_text(
+        _json2.dumps(srcs2))
     _sh.rmtree(f"{state2}/d={srcs2[0]}")
-    compact_state_labels(spark, state2, srcs2, "2024-01x", mfn)  # resume
+    action, removed = compact_state_labels(
+        spark, state2, srcs2, "2024-01x", mfn)
+    assert action == "resumed" and removed == [srcs2[1]]
     assert state_labels(spark, state2) == ["2024-01x"]
+    assert not _pl.Path(f"{state2}/_compact_d=2024-01x.json").exists()
     got_r = {
         r["event_type"]: (r["n"], r["sum_v"])
         for r in read_window_state(spark, state2, mfn).collect()
@@ -1609,6 +1630,27 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
         ).collect()
     }
     assert got_r == want_r  # no double counting, nothing lost
+
+    # crash BEFORE the coarse commit (manifest written, merge never
+    # landed): resume redoes the merge from the recorded sources
+    state3 = str(tmp_path / "win_state3")
+    for d in days[:2]:
+        fold_labeled_state(
+            spark, state3, d.isoformat(),
+            rollup_state(ev.filter(F.to_date("ts") == d), keys, "value"),
+        )
+    srcs3 = state_labels(spark, state3)
+    _pl.Path(f"{state3}/_compact_d=m.json").write_text(
+        _json2.dumps(srcs3))
+    action3, removed3 = compact_state_labels(
+        spark, state3, srcs3, "m", mfn)
+    assert action3 == "resumed" and sorted(removed3) == srcs3
+    assert state_labels(spark, state3) == ["m"]
+    got3 = {
+        r["event_type"]: (r["n"], r["sum_v"])
+        for r in read_window_state(spark, state3, mfn).collect()
+    }
+    assert got3 == want_r
 
 
 def test_live_labeled_rollup_windows_and_crash_replay(spark, tmp_path):
