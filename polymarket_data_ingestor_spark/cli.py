@@ -496,6 +496,83 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lake_stats_show(args: argparse.Namespace) -> int:
+    """Read-only query of an existing monoid state — what a dashboard
+    or operator runs between folds. Detects the layout: ``d=<label>``
+    dirs → windowed read (merge the newest ``--window`` labels);
+    ``v=N`` dirs → the latest committed cumulative version; neither →
+    error. Never writes."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_distinct_rollup,
+        finalize_heavy_hitters,
+        finalize_minhash_rollup,
+        finalize_quantile_rollup,
+        finalize_rollup,
+        finalize_sample_rollup,
+        finalize_topk_rollup,
+    )
+    from polymarket_data_ingestor_spark.streaming.live import (
+        _rollup_versions,
+        read_rollup_state,
+        read_window_state,
+        state_labels,
+    )
+
+    keys = tuple(k for k in args.keys.split(",") if k)
+    if not keys:
+        print("lake stats-show: --keys must name at least one column",
+              file=sys.stderr)
+        return 2
+    if args.window is not None and args.window < 1:
+        print("lake stats-show: --window must be >= 1", file=sys.stderr)
+        return 2
+    finalizers = {
+        "summary": finalize_rollup,
+        "distinct": finalize_distinct_rollup,
+        "quantiles": lambda s: finalize_quantile_rollup(
+            s, tuple(float(q) for q in args.quantiles.split(","))
+        ),
+        "heavyhitters": finalize_heavy_hitters,
+        "sample": finalize_sample_rollup,
+        "topk": finalize_topk_rollup,
+        "minhash": finalize_minhash_rollup,
+    }
+    finalize = finalizers[args.stat]
+    mfn = _stat_merges()[args.stat]
+    spark = get_spark(app_name="pdi-lake-stats-show")
+    labels = state_labels(spark, args.state)
+    if labels:
+        state = read_window_state(
+            spark, args.state,
+            lambda *st: mfn(*st, keys=keys),
+            last_n=args.window,
+        )
+        shown = labels if args.window is None else labels[-args.window:]
+        where = f"window: {len(shown)} label(s) [{shown[0]}..{shown[-1]}]"
+    else:
+        versions = _rollup_versions(spark, args.state)
+        if not versions:
+            print(f"lake stats-show: no committed state under "
+                  f"{args.state}", file=sys.stderr)
+            return 1
+        if args.window is not None:
+            print("lake stats-show: --window needs a LABELED state "
+                  "(d=<label> dirs); this one is cumulative (v=N)",
+                  file=sys.stderr)
+            return 2
+        state = read_rollup_state(spark, args.state)
+        where = f"cumulative v={versions[-1]}"
+    out = finalize(state)
+    display_cols = [
+        f.name for f in out.schema.fields
+        if f.dataType.typeName() not in ("binary", "array")
+    ]
+    for row in out.select(*display_cols).limit(args.show).collect():
+        print(row.asDict())
+    print(f"state: {args.state} ({where})")
+    return 0
+
+
 def cmd_lake_compact_labels(args: argparse.Namespace) -> int:
     """Hierarchical window maintenance from the shell: merge a range
     of committed ``d=<label>`` states into one coarser label (31
@@ -707,6 +784,29 @@ def build_parser() -> argparse.ArgumentParser:
                     help="finalized rows to print")
     ls.set_defaults(fn=cmd_lake_stats)
     le.set_defaults(fn=cmd_lake_expire)
+
+    lss = lk_sub.add_parser(
+        "stats-show",
+        help="read-only query of an existing monoid state (cumulative "
+             "v=N or windowed d=<label> layout, auto-detected)",
+    )
+    lss.add_argument("state", help="state directory")
+    lss.add_argument("--stat", required=True,
+                     choices=["summary", "distinct", "quantiles",
+                              "heavyhitters", "sample", "topk",
+                              "minhash"])
+    lss.add_argument("--keys", required=True,
+                     help="comma-separated group columns (must match "
+                          "the folds that built the state)")
+    lss.add_argument("--window", type=int, default=None,
+                     help="labeled states: merge only the newest N "
+                          "labels (default all)")
+    lss.add_argument("--quantiles", default="0.5,0.9,0.99",
+                     help="comma-separated quantiles for --stat "
+                          "quantiles")
+    lss.add_argument("--show", type=int, default=20,
+                     help="finalized rows to print")
+    lss.set_defaults(fn=cmd_lake_stats_show)
 
     lcl = lk_sub.add_parser(
         "compact-labels",

@@ -608,3 +608,61 @@ def test_cli_lake_compact_labels(spark, tmp_path, monkeypatch):
     assert cli.main(["lake", "compact-labels", state, "--stat",
                      "summary", "--keys", "event_type",
                      "--labels", "ghost1,ghost2", "--into", "g"]) == 1
+
+
+def test_cli_lake_stats_show(spark, tmp_path, monkeypatch, capsys):
+    """Read-only `lake stats-show` over BOTH layouts: cumulative v=N
+    (auto-detected, --window refused) and labeled d=<label>
+    (windowed); missing state exits 1; never writes."""
+    import pathlib
+
+    from polymarket_data_ingestor_spark import cli
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        fold_labeled_state,
+    )
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d1 = str(tmp_path / "d1")
+    ev.write.parquet(d1)
+
+    # cumulative layout via a real fold
+    cstate = str(tmp_path / "cstate")
+    assert cli.main(["lake", "stats", d1, "--state", cstate,
+                     "--stat", "summary", "--keys", "event_type",
+                     "--value", "value"]) == 0
+    capsys.readouterr()
+    before = sorted(p.name for p in pathlib.Path(cstate).iterdir())
+    assert cli.main(["lake", "stats-show", cstate, "--stat", "summary",
+                     "--keys", "event_type"]) == 0
+    out = capsys.readouterr().out
+    assert "'avg_v':" in out and "cumulative v=1" in out
+    # read-only: the state dir is unchanged
+    assert sorted(p.name for p in pathlib.Path(cstate).iterdir()) \
+        == before
+    # --window on a cumulative state refuses
+    assert cli.main(["lake", "stats-show", cstate, "--stat", "summary",
+                     "--keys", "event_type", "--window", "2"]) == 2
+
+    # labeled layout
+    lstate = str(tmp_path / "lstate")
+    days = [r["d"] for r in ev.select(
+        F.to_date("ts").alias("d")).distinct().orderBy("d").limit(2)
+        .collect()]
+    for d in days:
+        fold_labeled_state(
+            spark, lstate, d.isoformat(),
+            rollup_state(ev.filter(F.to_date("ts") == d),
+                         ("event_type",), "value"),
+        )
+    assert cli.main(["lake", "stats-show", lstate, "--stat", "summary",
+                     "--keys", "event_type", "--window", "1"]) == 0
+    out = capsys.readouterr().out
+    assert f"window: 1 label(s) [{days[-1].isoformat()}.." in out
+
+    # nothing committed
+    assert cli.main(["lake", "stats-show", str(tmp_path / "nope"),
+                     "--stat", "summary", "--keys", "event_type"]) == 1
