@@ -203,6 +203,49 @@ def _stat_merges() -> dict:
     }
 
 
+#: the ONE list of monoid stat names — every lake subcommand's
+#: --stat choices must come from here (parallel lists drift)
+_STAT_CHOICES = ["summary", "distinct", "quantiles", "heavyhitters",
+                 "sample", "topk", "minhash"]
+
+
+def _stat_finalizers(args: argparse.Namespace) -> dict:
+    """The ONE stat-name → finalizer map shared by ``lake stats`` and
+    ``lake stats-show`` (same drift hazard as :func:`_stat_merges`).
+    ``args`` supplies the quantile list."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_distinct_rollup,
+        finalize_heavy_hitters,
+        finalize_minhash_rollup,
+        finalize_quantile_rollup,
+        finalize_rollup,
+        finalize_sample_rollup,
+        finalize_topk_rollup,
+    )
+
+    return {
+        "summary": finalize_rollup,
+        "distinct": finalize_distinct_rollup,
+        "quantiles": lambda s: finalize_quantile_rollup(
+            s, tuple(float(q) for q in args.quantiles.split(","))
+        ),
+        "heavyhitters": finalize_heavy_hitters,
+        "sample": finalize_sample_rollup,
+        "topk": finalize_topk_rollup,
+        "minhash": finalize_minhash_rollup,
+    }
+
+
+def _display_cols(df) -> list[str]:
+    """Printable columns of a finalized state — sketch payloads
+    (binary/array cells) are state, not display; shared by every
+    stats-printing command."""
+    return [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() not in ("binary", "array")
+    ]
+
+
 def cmd_lake_compact(args: argparse.Namespace) -> int:
     from polymarket_data_ingestor_spark.sinks import compact_lake_partitions
 
@@ -278,13 +321,6 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     directory is folded once as the implicit predecessor and its files
     retired after ``v=1`` commits."""
     from polymarket_data_ingestor_spark.operators.analytics import (
-        finalize_distinct_rollup,
-        finalize_heavy_hitters,
-        finalize_minhash_rollup,
-        finalize_quantile_rollup,
-        finalize_rollup,
-        finalize_sample_rollup,
-        finalize_topk_rollup,
         heavy_hitters_state,
         minhash_rollup_state,
         quantile_rollup_state,
@@ -334,6 +370,9 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --retain-labels must be >= 1",
               file=sys.stderr)
         return 2
+    if args.show < 0:
+        print("lake stats: --show must be >= 0", file=sys.stderr)
+        return 2
     if args.k is None:
         # per-stat library defaults — one shared number would silently
         # build sample states no API-default caller could ever fold
@@ -344,44 +383,21 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="pdi-lake-stats")
     delta = spark.read.parquet(args.delta)
     builders = {
-        "summary": (
-            lambda d: rollup_state(d, keys, args.value),
-            finalize_rollup,
-        ),
-        "distinct": (
-            lambda d: distinct_rollup_state(d, keys, args.value),
-            finalize_distinct_rollup,
-        ),
-        "quantiles": (
-            lambda d: quantile_rollup_state(d, keys, args.value,
-                                            k=args.k),
-            lambda s: finalize_quantile_rollup(
-                s, tuple(float(q) for q in args.quantiles.split(","))
-            ),
-        ),
-        "heavyhitters": (
-            lambda d: heavy_hitters_state(d, keys, args.value,
-                                          k=args.k),
-            finalize_heavy_hitters,
-        ),
-        "sample": (
-            lambda d: sample_rollup_state(d, keys, args.value,
-                                          k=args.k, seed=args.seed),
-            finalize_sample_rollup,
-        ),
-        "topk": (
-            lambda d: topk_rollup_state(d, keys, args.value,
-                                        args.score, k=args.k),
-            finalize_topk_rollup,
-        ),
-        "minhash": (
-            lambda d: minhash_rollup_state(d, keys, args.value,
-                                           n_hashes=args.k,
-                                           seed=args.seed),
-            finalize_minhash_rollup,
-        ),
+        "summary": lambda d: rollup_state(d, keys, args.value),
+        "distinct": lambda d: distinct_rollup_state(d, keys, args.value),
+        "quantiles": lambda d: quantile_rollup_state(
+            d, keys, args.value, k=args.k),
+        "heavyhitters": lambda d: heavy_hitters_state(
+            d, keys, args.value, k=args.k),
+        "sample": lambda d: sample_rollup_state(
+            d, keys, args.value, k=args.k, seed=args.seed),
+        "topk": lambda d: topk_rollup_state(
+            d, keys, args.value, args.score, k=args.k),
+        "minhash": lambda d: minhash_rollup_state(
+            d, keys, args.value, n_hashes=args.k, seed=args.seed),
     }
-    build, finalize = builders[args.stat]
+    build = builders[args.stat]
+    finalize = _stat_finalizers(args)[args.stat]
     _merge_fn = _stat_merges()[args.stat]  # the ONE shared stat map
 
     def merge(*st):
@@ -418,11 +434,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         state = state.persist()
         try:
             out = finalize(state)
-            display_cols = [
-                f.name for f in out.schema.fields
-                if f.dataType.typeName() not in ("binary", "array")
-            ]
-            for row in (out.select(*display_cols)
+            for row in (out.select(*_display_cols(out))
                         .limit(args.show).collect()):
                 print(row.asDict())
             # report the labels ACTUALLY merged — fewer labels than
@@ -481,14 +493,14 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     commit_rollup_version(spark, args.state, state, new_v,
                           versions, args.retain_versions)
     for p in legacy_files:  # retire AFTER the commit, every run
+        if "_compact_d=" in p.getName():
+            # a pending label-compaction recovery manifest is NOT
+            # legacy residue — deleting it would brick that recovery
+            continue
         fs.delete(p, False)
     state = spark.read.parquet(f"{args.state}/v={new_v}")
     out = finalize(state)
-    display_cols = [  # sketch payloads are state, not display
-        f.name for f in out.schema.fields
-        if f.dataType.typeName() not in ("binary", "array")
-    ]
-    for row in out.select(*display_cols).limit(args.show).collect():
+    for row in out.select(*_display_cols(out)).limit(args.show).collect():
         print(row.asDict())
     # print the COMMITTED version path — a flat read of the root would
     # union every retained version (read_rollup_state is the reader)
@@ -502,15 +514,6 @@ def cmd_lake_stats_show(args: argparse.Namespace) -> int:
     dirs → windowed read (merge the newest ``--window`` labels);
     ``v=N`` dirs → the latest committed cumulative version; neither →
     error. Never writes."""
-    from polymarket_data_ingestor_spark.operators.analytics import (
-        finalize_distinct_rollup,
-        finalize_heavy_hitters,
-        finalize_minhash_rollup,
-        finalize_quantile_rollup,
-        finalize_rollup,
-        finalize_sample_rollup,
-        finalize_topk_rollup,
-    )
     from polymarket_data_ingestor_spark.streaming.live import (
         _rollup_versions,
         read_rollup_state,
@@ -526,28 +529,23 @@ def cmd_lake_stats_show(args: argparse.Namespace) -> int:
     if args.window is not None and args.window < 1:
         print("lake stats-show: --window must be >= 1", file=sys.stderr)
         return 2
-    finalizers = {
-        "summary": finalize_rollup,
-        "distinct": finalize_distinct_rollup,
-        "quantiles": lambda s: finalize_quantile_rollup(
-            s, tuple(float(q) for q in args.quantiles.split(","))
-        ),
-        "heavyhitters": finalize_heavy_hitters,
-        "sample": finalize_sample_rollup,
-        "topk": finalize_topk_rollup,
-        "minhash": finalize_minhash_rollup,
-    }
-    finalize = finalizers[args.stat]
+    if args.show < 0:
+        print("lake stats-show: --show must be >= 0", file=sys.stderr)
+        return 2
+    finalize = _stat_finalizers(args)[args.stat]
     mfn = _stat_merges()[args.stat]
     spark = get_spark(app_name="pdi-lake-stats-show")
     labels = state_labels(spark, args.state)
     if labels:
+        # ONE listing feeds both the merge and the report — a second
+        # listing inside read_window_state could disagree with what a
+        # concurrent fold/expire left by the time we print
+        shown = labels if args.window is None else labels[-args.window:]
         state = read_window_state(
             spark, args.state,
             lambda *st: mfn(*st, keys=keys),
-            last_n=args.window,
+            labels=shown,
         )
-        shown = labels if args.window is None else labels[-args.window:]
         where = f"window: {len(shown)} label(s) [{shown[0]}..{shown[-1]}]"
     else:
         versions = _rollup_versions(spark, args.state)
@@ -602,6 +600,7 @@ def cmd_lake_compact_labels(args: argparse.Namespace) -> int:
         action, removed = compact_state_labels(
             spark, args.state, labels, args.into,
             lambda *st: mfn(*st, keys=keys),
+            contract=f"{args.stat}/{','.join(keys)}",
         )
     except ValueError as e:
         print(f"lake compact-labels: {e}", file=sys.stderr)
@@ -742,9 +741,7 @@ def build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--state", required=True,
                     help="state directory (created on first run)")
     ls.add_argument("--stat", required=True,
-                    choices=["summary", "distinct", "quantiles",
-                             "heavyhitters", "sample", "topk",
-                             "minhash"])
+                    choices=_STAT_CHOICES)
     ls.add_argument("--keys", required=True,
                     help="comma-separated group columns")
     ls.add_argument("--value", required=True,
@@ -792,9 +789,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lss.add_argument("state", help="state directory")
     lss.add_argument("--stat", required=True,
-                     choices=["summary", "distinct", "quantiles",
-                              "heavyhitters", "sample", "topk",
-                              "minhash"])
+                     choices=_STAT_CHOICES)
     lss.add_argument("--keys", required=True,
                      help="comma-separated group columns (must match "
                           "the folds that built the state)")
@@ -816,9 +811,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lcl.add_argument("state", help="labeled state directory")
     lcl.add_argument("--stat", required=True,
-                     choices=["summary", "distinct", "quantiles",
-                              "heavyhitters", "sample", "topk",
-                              "minhash"])
+                     choices=_STAT_CHOICES)
     lcl.add_argument("--keys", required=True,
                      help="comma-separated group columns (must match "
                           "the folds that built the states)")

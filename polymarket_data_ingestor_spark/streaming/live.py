@@ -960,6 +960,7 @@ def read_window_state(
     state_path: str,
     merge_fn,
     last_n: int | None = None,
+    labels: list[str] | None = None,
 ) -> DataFrame:
     """The window's merged state: ONE multi-directory parquet read of
     the last ``last_n`` committed labels (all of them when None),
@@ -967,10 +968,17 @@ def read_window_state(
     ``merge_*`` fns are variadic and union-then-merge internally, so a
     90-label window is one scan + one shuffle, never a chain of 89
     binary merges (an O(N)-deep plan with a shuffle per step — the
-    r11 review's finding). Raises if the window is empty."""
-    labels = state_labels(spark, state_path)
-    if last_n is not None:
-        labels = labels[-last_n:]
+    r11 review's finding). Raises if the window is empty.
+
+    Pass ``labels`` (an already-listed committed set) to pin exactly
+    which labels are merged — callers that also REPORT the window must
+    use one listing for both, or a concurrent fold/expire between two
+    listings makes the report disagree with the merge (and a remote FS
+    pays two listings where one suffices)."""
+    if labels is None:
+        labels = state_labels(spark, state_path)
+        if last_n is not None:
+            labels = labels[-last_n:]
     if not labels:
         raise FileNotFoundError(
             f"no committed labeled state under {state_path}"
@@ -1005,6 +1013,7 @@ def compact_state_labels(
     labels: list[str],
     into_label: str,
     merge_fn,
+    contract: str | None = None,
 ) -> tuple[str, list[str]]:
     """Hierarchical window maintenance: merge ``labels`` into one
     coarser ``into_label`` (e.g. 31 dailies → ``2026-08``) and delete
@@ -1020,12 +1029,23 @@ def compact_state_labels(
     deletes" — silently deletes unmerged sources when an operator
     re-targets an EXISTING coarse label or typos one source): the
     recorded source list ``_compact_d=<into>.json`` is written before
-    the merge, the coarse label commits, the sources delete, the
-    manifest deletes — so a re-run resumes from the manifest's exact
-    recorded set at every crash point, and WITHOUT a manifest a
-    committed ``into_label`` REFUSES (compacted labels are immutable;
-    to extend one, compact [it + the new sources] into a NEW label).
-    Duplicate sources are rejected (reading a label twice would
+    the merge (via temp-file + rename, so a torn manifest cannot
+    exist), the coarse label commits, the sources delete, the manifest
+    deletes — so a re-run resumes from the manifest's exact recorded
+    set at every crash point, and WITHOUT a manifest a committed
+    ``into_label`` REFUSES (compacted labels are immutable; to extend
+    one, compact [it + the new sources] into a NEW label).
+
+    A resume must be THE SAME compaction: it refuses when the caller's
+    ``labels`` differ from the recorded set, or when ``contract``
+    (an opaque caller string — the CLI passes ``stat/keys``) differs
+    from the recorded one — otherwise a mistyped re-run would re-merge
+    the recorded sources with the WRONG merge function and then delete
+    them. It also refuses (with a clear error, not an
+    AnalysisException) when a recorded source expired between the
+    crash and the resume while the coarse label never committed —
+    that compaction is unrecoverable; delete the manifest to abandon
+    it. Duplicate sources are rejected (reading a label twice would
     double-count every non-idempotent stat). ``into_label`` must sort
     consistently with the caller's window semantics (compact
     oldest-first); mixed-granularity windows after compaction are the
@@ -1064,15 +1084,40 @@ def compact_state_labels(
     if fs.exists(manifest):
         # resume a crashed compaction from the RECORDED source set
         # (never the caller's argument — a typo there must not steer
-        # the recovery)
+        # the recovery), and only when it IS the same compaction
         stream = fs.open(manifest)
-        recorded = _json.loads(
-            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        )
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         stream.close()
+        doc = _json.loads(raw)  # rename-committed: never torn
+        recorded = doc["labels"]
+        if set(recorded) != set(labels):
+            raise ValueError(
+                f"a compaction into d={into_label} is pending with a "
+                f"DIFFERENT recorded source set {recorded} — resume "
+                "with exactly those labels, or delete the manifest to "
+                "abandon it"
+            )
+        if doc.get("contract") != contract:
+            raise ValueError(
+                f"a compaction into d={into_label} is pending under "
+                f"contract {doc.get('contract')!r}, not {contract!r} "
+                "— resuming with a different stat/keys would merge "
+                "the sources wrongly and then delete them"
+            )
         if into_label not in committed:
             # crashed between manifest write and the coarse commit:
-            # deletes never ran, every recorded source is still here
+            # deletes never ran, every recorded source must still be
+            # here — if retention expired one meanwhile, the merge is
+            # unrecoverable and must say so, not AnalysisException
+            gone = [lb for lb in recorded if lb not in committed]
+            if gone:
+                raise ValueError(
+                    f"cannot resume compaction into d={into_label}: "
+                    f"recorded source(s) {gone} are no longer "
+                    "committed (expired after the crash) and the "
+                    "coarse label never committed — delete the "
+                    "manifest to abandon"
+                )
             out = merge_fn(spark.read.parquet(
                 *[f"{state_path}/d={lb}" for lb in recorded]
             ))
@@ -1094,10 +1139,21 @@ def compact_state_labels(
         raise ValueError(
             f"labels to compact must all be committed; missing {missing}"
         )
-    # manifest BEFORE the merge: from here every crash point resumes
-    stream = fs.create(manifest, True)
-    stream.write(bytearray(_json.dumps(labels), "utf-8"))
+    # manifest BEFORE the merge: from here every crash point resumes.
+    # Temp-file + rename so a crash mid-write can never leave a torn
+    # manifest that bricks recovery (rename is atomic on HDFS/local)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{state_path}/._compact_d={into_label}.json.tmp"
+    )
+    stream = fs.create(tmp, True)
+    stream.write(bytearray(
+        _json.dumps({"labels": labels, "contract": contract}), "utf-8"
+    ))
     stream.close()
+    if fs.exists(manifest):
+        fs.delete(manifest, False)
+    if not fs.rename(tmp, manifest):
+        raise IOError(f"could not commit compaction manifest {manifest}")
     out = merge_fn(spark.read.parquet(
         *[f"{state_path}/d={lb}" for lb in labels]
     ))

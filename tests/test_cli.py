@@ -344,3 +344,14 @@ def test_cmd_lake_stats_versioned_commit(spark, tmp_path, monkeypatch):
         for r in read_rollup_state(spark, state).collect()
     }
     assert got_after_retire == want  # stale aggregates NOT re-folded
+
+    # r11 third review: a pending label-compaction recovery manifest
+    # at the state root is NOT legacy residue — the cumulative fold's
+    # retirement must leave it alone (deleting it would brick that
+    # compaction's recovery)
+    manifest = pathlib.Path(state) / "_compact_d=m.json"
+    manifest.write_text('{"labels": ["a"], "contract": null}')
+    assert cli.main(["lake", "stats", d3p, "--state", state,
+                     "--stat", "summary", "--keys", "event_type",
+                     "--value", "value"]) == 0
+    assert manifest.exists()

@@ -1612,7 +1612,7 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
     import shutil as _sh
 
     _pl.Path(f"{state2}/_compact_d=2024-01x.json").write_text(
-        _json2.dumps(srcs2))
+        _json2.dumps({"labels": srcs2, "contract": None}))
     _sh.rmtree(f"{state2}/d={srcs2[0]}")
     action, removed = compact_state_labels(
         spark, state2, srcs2, "2024-01x", mfn)
@@ -1641,7 +1641,15 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
         )
     srcs3 = state_labels(spark, state3)
     _pl.Path(f"{state3}/_compact_d=m.json").write_text(
-        _json2.dumps(srcs3))
+        _json2.dumps({"labels": srcs3, "contract": None}))
+    # the resume must be THE SAME compaction (r11 third review):
+    # different labels, or a different stat/keys contract, refuse —
+    # a mistyped re-run must never re-merge wrongly and then delete
+    with _pytest.raises(ValueError, match="DIFFERENT recorded"):
+        compact_state_labels(spark, state3, srcs3[:1], "m", mfn)
+    with _pytest.raises(ValueError, match="contract"):
+        compact_state_labels(spark, state3, srcs3, "m", mfn,
+                             contract="summary/other_keys")
     action3, removed3 = compact_state_labels(
         spark, state3, srcs3, "m", mfn)
     assert action3 == "resumed" and sorted(removed3) == srcs3
@@ -1651,6 +1659,21 @@ def test_labeled_window_states_merge_expire_idempotent(spark, tmp_path):
         for r in read_window_state(spark, state3, mfn).collect()
     }
     assert got3 == want_r
+
+    # recorded source expired before the coarse commit: clear refusal,
+    # not an AnalysisException traceback
+    state4 = str(tmp_path / "win_state4")
+    for d in days[:2]:
+        fold_labeled_state(
+            spark, state4, d.isoformat(),
+            rollup_state(ev.filter(F.to_date("ts") == d), keys, "value"),
+        )
+    srcs4 = state_labels(spark, state4)
+    _pl.Path(f"{state4}/_compact_d=m4.json").write_text(
+        _json2.dumps({"labels": srcs4, "contract": None}))
+    _sh.rmtree(f"{state4}/d={srcs4[0]}")
+    with _pytest.raises(ValueError, match="no longer committed"):
+        compact_state_labels(spark, state4, srcs4, "m4", mfn)
 
 
 def test_live_labeled_rollup_windows_and_crash_replay(spark, tmp_path):
