@@ -339,6 +339,10 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --retain-versions must be >= 1",
               file=sys.stderr)
         return 2
+    if args.state_files < 1:
+        print("lake stats: --state-files must be >= 1",
+              file=sys.stderr)
+        return 2
     # pure-argument checks BEFORE the Spark session: a bad invocation
     # should fail instantly, not after JVM startup + a delta read
     if args.stat == "topk" and not args.score:
@@ -404,6 +408,20 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         return _merge_fn(*st, keys=keys)
     state = build(delta)
 
+    # A state directory's layout is a CONTRACT like its (k, seed): one
+    # accidental fold in the other mode would create a dual-layout dir
+    # where stats-show's auto-detect (d= labels win) silently shadows
+    # the entire accumulated cumulative history — refuse loudly
+    # instead (r11 ADVICE).
+    from polymarket_data_ingestor_spark.streaming.live import (
+        _rollup_versions,
+        commit_rollup_version,
+        expire_state_labels,
+        fold_labeled_state,
+        read_window_state,
+        state_labels,
+    )
+
     if args.label is not None:
         # LABELED (windowed) mode: this delta's own state lands under
         # d=<label> — a pure function of the delta, so a re-fold of
@@ -412,22 +430,32 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         # how "last N days" works for monoids with no subtraction
         # (min/max, sketches, bottom-k/top-k): keep per-label states,
         # merge the window at read. Retention via --retain-labels.
-        from polymarket_data_ingestor_spark.streaming.live import (
-            expire_state_labels,
-            fold_labeled_state,
-            read_window_state,
-            state_labels,
-        )
-
-        fold_labeled_state(spark, args.state, args.label, state)
+        if _rollup_versions(spark, args.state):
+            print(f"lake stats: {args.state} is a cumulative (v=N) "
+                  "state directory — a labeled fold into it would "
+                  "shadow the accumulated history in read-only "
+                  "queries; drop --label or use a fresh directory",
+                  file=sys.stderr)
+            return 2
+        fold_labeled_state(spark, args.state, args.label, state,
+                           n_files=args.state_files)
         if args.retain_labels is not None:
             gone = expire_state_labels(spark, args.state,
                                        args.retain_labels)
             if gone:
                 print(f"expired {len(gone)} label(s): "
                       f"{', '.join(gone)}")
+        # ONE listing feeds both the merge and the report (the
+        # two-listing hazard read_window_state's docstring warns
+        # about): a concurrent fold/expire between two listings would
+        # make the printed window disagree with what was merged —
+        # fewer labels than --window asked for must ALSO not read as
+        # a full window, hence reporting len(merged)
+        merged = state_labels(spark, args.state)
+        if args.window is not None:
+            merged = merged[-args.window:]
         state = read_window_state(spark, args.state, merge,
-                                  last_n=args.window)
+                                  labels=merged)
         # persist: unlike the cumulative branch there is no committed
         # merged artifact to re-read, and the display collect + the
         # key count below would otherwise run the window merge twice
@@ -437,11 +465,6 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
             for row in (out.select(*_display_cols(out))
                         .limit(args.show).collect()):
                 print(row.asDict())
-            # report the labels ACTUALLY merged — fewer labels than
-            # --window asked for must not read as a full window
-            merged = state_labels(spark, args.state)
-            if args.window is not None:
-                merged = merged[-args.window:]
             print(f"state: {args.state}/d={args.label} committed; "
                   f"window: {len(merged)} label(s) "
                   f"[{merged[0]}..{merged[-1]}], {state.count()} keys")
@@ -454,11 +477,12 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     # latest v=N, write v=N+1, GC predecessors only after the new
     # _SUCCESS exists. Never read-then-overwrite one path — a failure
     # mid-write there destroys every previously folded delta.
-    from polymarket_data_ingestor_spark.streaming.live import (
-        _rollup_versions,
-        commit_rollup_version,
-    )
-
+    if state_labels(spark, args.state):
+        print(f"lake stats: {args.state} is a labeled (d=<label>) "
+              "state directory — a cumulative fold into it would "
+              "create a dual-layout dir; pass --label or use a "
+              "fresh directory", file=sys.stderr)
+        return 2
     versions = _rollup_versions(spark, args.state)
     # Legacy (pre-versioned flat) files at the root, listed on EVERY
     # run: retirement happens after a successful commit, so a crash in
@@ -491,7 +515,8 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     # (or the legacy files) stays valid — no checkpoint needed.
     new_v = (versions[-1] + 1) if versions else 1
     commit_rollup_version(spark, args.state, state, new_v,
-                          versions, args.retain_versions)
+                          versions, args.retain_versions,
+                          n_files=args.state_files)
     for p in legacy_files:  # retire AFTER the commit, every run
         if "_compact_d=" in p.getName():
             # a pending label-compaction recovery manifest is NOT
@@ -761,6 +786,11 @@ def build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--seed", type=int, default=1,
                     help="hash seed for --stat sample/minhash (part "
                          "of the state's merge contract, like --k)")
+    ls.add_argument("--state-files", type=int, default=1,
+                    help="files per committed state write (default 1 "
+                    "— right for sketch-bounded states; scale it for "
+                    "a high-cardinality-key summary/distinct state so "
+                    "the commit doesn't funnel through one writer)")
     ls.add_argument("--retain-versions", type=int, default=2,
                     help="committed state versions to keep besides "
                          "the newest (>= 1; cumulative mode)")

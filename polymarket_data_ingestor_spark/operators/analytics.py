@@ -2584,8 +2584,11 @@ def finalize_topk_rollup(state: DataFrame) -> DataFrame:
 # at sf0.1 — the slot hashes were ~half the entry's cost; shingle
 # generation owns the rest, ROUND11.md §4) — and engine-portable:
 # the DuckDB oracle reproduces every slot with the same long
-# arithmetic ((2i+1)·h < 2^37, no overflow). (n_hashes, seed) travel
-# in the state and are a merge contract like the other monoids' k.
+# arithmetic (at the n_hashes=256 cap, (2i+1)·h < 511·2^32 < 2^41
+# and the i·987654321 offset < 2^38 — far inside int64; the bound
+# REQUIRES h ∈ [0, 2^32), which the prehashed path range-checks).
+# (n_hashes, seed) travel in the state and are a merge contract like
+# the other monoids' k.
 # ---------------------------------------------------------------------------
 
 
@@ -2632,8 +2635,33 @@ def minhash_rollup_state(
                 f"{item_col!r} is {dt} (pass the raw items with "
                 "prehashed=False instead)"
             )
+        # range guard, same spirit as the integral-type check: the
+        # Carter-Wegman slot arithmetic (and its no-overflow bound, and
+        # the DuckDB oracle running the identical longs) assumes hash32
+        # range [0, 2^32) — a caller feeding xxhash64/murmur64 values
+        # would silently wrap the (2i+1)·h multiply for higher slots
+        # (sign-carrying % then yields negative slots), quietly leaving
+        # the engine-portable family. raise_error rides the expression
+        # tree, so the plan stays lazy like every other monoid builder.
+        h = F.col(item_col).cast("long")
+        guarded = F.when(
+            # NULL first: NULL items are IGNORED (dropna below), same
+            # as every monoid builder — without this branch a NULL
+            # would fall through to the range raise
+            h.isNull(), F.lit(None).cast("long")
+        ).when(
+            (h >= 0) & (h < F.lit(2 ** 32)), h
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit("prehashed minhash input out of hash32 range "
+                      "[0, 2^32): got "),
+                h.cast("string"),
+                F.lit(" (pass hash32 values, or the raw items with "
+                      "prehashed=False)"),
+            ))
+        )
         items = df.select(
-            *keys, F.col(item_col).cast("long").alias("__h"),
+            *keys, guarded.alias("__h"),
         ).dropna(subset=["__h"])
     else:
         items = df.select(
@@ -2716,6 +2744,7 @@ def minhash_similarity_pairs(
     state: DataFrame,
     keys: tuple[str, ...],
     min_similarity: float = 0.0,
+    broadcast_max_keys: int = 1_000_000,
 ) -> DataFrame:
     """Estimated Jaccard similarity for every key pair from their
     signatures: ``est_jaccard`` = fraction of equal slots (exactly the
@@ -2723,9 +2752,22 @@ def minhash_similarity_pairs(
     DuckDB oracle reproduces it bit-for-bit). The self-join is
     STATE-sized (keys² pairs over n_hashes-long arrays) — the whole
     point: corpus items were already folded away, so comparing every
-    source against every source costs nothing at any corpus size. The
-    smaller side is broadcast (state tables are keys-sized by
-    construction). Mixed-contract pairs raise at execution."""
+    source against every source costs nothing at any corpus size.
+    Mixed-contract pairs raise at execution.
+
+    The broadcast is GUARDED, not unconditional (r11 verdict): for the
+    intended key domains (sources, languages, shards — thousands of
+    keys) one side broadcasts; a caller keying by DOCUMENT would
+    broadcast-explode every executor with a corpus-sized table, so
+    above ``broadcast_max_keys`` the join is forced to
+    ``shuffle_replicate_nl`` (a distributed cartesian) instead —
+    merely DROPPING the hint is not enough, because the planner's
+    size-stats would re-pick BroadcastNestedLoopJoin on its own for
+    any non-equi join with a small-looking side. Still keys² work by
+    design, just never keys² × executors memory. The guard costs one
+    count() over the keys-sized state (the one eager action in this
+    file's monoid family; the state is by construction tiny relative
+    to anything that built it)."""
     a = state.select(
         *[F.col(k).alias(f"{k}_a") for k in keys],
         F.col("mh_sig").alias("__sa"),
@@ -2751,8 +2793,12 @@ def minhash_similarity_pairs(
             "contracts is meaningless — rebuild one side"
         )),
     ).otherwise(matches.cast("double") / F.col("__na"))
+    right = (
+        F.broadcast(b) if state.count() <= broadcast_max_keys
+        else b.hint("shuffle_replicate_nl")
+    )
     return (
-        a.join(F.broadcast(b), cond)
+        a.join(right, cond)
         .select(
             *[f"{k}_a" for k in keys], *[f"{k}_b" for k in keys],
             est.alias("est_jaccard"),

@@ -870,6 +870,7 @@ def commit_rollup_version(
     version: int,
     prior: list[int],
     retain_versions: int,
+    n_files: int = 1,
 ) -> None:
     """THE MVCC commit sequence — one copy, shared by
     :func:`live_materialize` and the CLI's ``lake stats`` fold (it is
@@ -879,9 +880,13 @@ def commit_rollup_version(
     versions are ``_SUCCESS``-gated and ``version`` is above them
     all), then GC committed predecessors more than ``retain_versions``
     behind. ``prior`` is the ascending committed-version list strictly
-    below ``version``. State tables are keys-sized: one file is the
-    right layout."""
-    state.coalesce(1).write.mode("overwrite").parquet(
+    below ``version``. Sketch-bounded states are keys-sized — one file
+    (the default) is the right layout; a high-cardinality-key
+    ``summary``/``distinct`` state should scale ``n_files`` like
+    :func:`fold_labeled_state`."""
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    state.coalesce(n_files).write.mode("overwrite").parquet(
         f"{state_path}/v={version}"
     )
     jvm = spark._jvm
@@ -921,16 +926,30 @@ def validate_state_label(label: str) -> None:
 
 
 def fold_labeled_state(
-    spark: SparkSession, state_path: str, label: str, state: DataFrame
+    spark: SparkSession, state_path: str, label: str, state: DataFrame,
+    n_files: int = 1,
 ) -> None:
     """Write ``state`` (one monoid state table — the aggregate of ONE
     delta) as ``state_path/d=<label>``. Overwrite: the state is a pure
     function of its delta, so a re-fold (retry, backfill, crash
     recovery) replaces the label with identical content — exactly-once
     semantics without any predecessor read. Labels must sort in time
-    order for ``last_n`` windows (ISO dates/hours do)."""
+    order for ``last_n`` windows (ISO dates/hours do).
+
+    ``n_files`` CAPS the commit's write parallelism (r11 verdict):
+    the default 1 is right for sketch-bounded states (quantile/HH/
+    sample/topk/minhash — a handful of KB per key), but a
+    high-cardinality-key ``summary``/``distinct`` state is keys-sized,
+    and funneling millions of rows through one writer task serializes
+    the commit; scale it with the state (readers never care — every
+    consumer globs the directory). It is a ``coalesce`` cap, not a
+    repartition: a state that AQE already shrank below ``n_files``
+    partitions writes fewer files rather than paying a shuffle to
+    split what is, by that evidence, already small."""
     validate_state_label(label)
-    state.coalesce(1).write.mode("overwrite").parquet(
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    state.coalesce(n_files).write.mode("overwrite").parquet(
         f"{state_path}/d={label}"
     )
 
