@@ -1011,8 +1011,19 @@ def pagerank(
     under any partitioning (pinned in pytest: repartition(7) ==
     coalesce(1) exactly). A float formulation would drift with shuffle
     layout. ``damping`` is a decimal STRING for the same reason.
-    Ranks sum to ~1 (per-division rounding at the 18th place is the
-    only loss).
+    Ranks sum to ~1. The exact rounding ladder (what makes the result
+    a pure function of the data, reproducible in ANY engine with
+    int128): init/base are one half-up rounding at scale 18 over
+    exact integer arithmetic; each contribution rank/deg rounds
+    half-up at scale 18 (Spark's decimal division, probed — the
+    DECIMAL128 intermediate cannot flip a scale-18 tie because ties
+    terminate within 34 significant digits and non-ties are ≥
+    1/(2·deg) away); the d·Σ product rounds half-up at scale 15 and
+    the base+ addition at scale 14 (Spark's precision-loss
+    adjustment for DECIMAL(38) operands — probed types, r12), then
+    the final cast pads back to scale 18. The catalog's DuckDB
+    oracle replays this ladder verbatim in HUGEINT fixed-point, so
+    the entry is hash-exact, not approximately close.
 
     Scale shape: per iteration, one join of the edge list against the
     #nodes-row rank table (broadcast-eligible while ranks fit, else a
@@ -1044,6 +1055,20 @@ def pagerank(
     d = Decimal(damping)
     if not (0 < d < 1):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    # exact scale-18 representation required: init/base below are
+    # defined by ONE half-up rounding over exact integer arithmetic
+    # (the rule the DuckDB oracle replays in int128), which needs d
+    # itself to be exactly representable at scale 18
+    from decimal import localcontext
+
+    with localcontext() as ctx:
+        ctx.prec = 60  # scaleb is context-rounded; keep it exact here
+        d_s = int(d.scaleb(18))
+        if Decimal(d_s).scaleb(-18) != d:
+            raise ValueError(
+                f"damping must have at most 18 decimal places, "
+                f"got {damping}"
+            )
     e = edges.select(
         F.col(src_col).cast("string").alias("u"),
         F.col(dst_col).cast("string").alias("v"),
@@ -1067,8 +1092,14 @@ def pagerank(
         sym.unpersist()
         deg.unpersist()
         return out
-    init = (Decimal(1) / Decimal(n)).quantize(Decimal("1e-18"))
-    base = ((Decimal(1) - d) / Decimal(n)).quantize(Decimal("1e-18"))
+    # ONE-step half-up rounding over exact integer arithmetic (for
+    # positive a/b, round_half_up(a/b) == (2a + b) // (2b)) — the old
+    # form (28-significant-digit context division, then a half-even
+    # quantize) was DOUBLE rounding under a rounding mode no SQL engine
+    # exposes; this rule is what the DuckDB oracle replays in int128
+    S = 10 ** 18
+    init = Decimal((2 * S + n) // (2 * n)).scaleb(-18)
+    base = Decimal((2 * (S - d_s) + n) // (2 * n)).scaleb(-18)
     ranks = deg.select(
         "u", "deg", F.lit(init).cast("decimal(38,18)").alias("rank")
     ).localCheckpoint(eager=True)

@@ -343,18 +343,104 @@ def q_bpe_pair_counts(spark, sf_dir):
     return T.bpe_pair_counts(table(spark, sf_dir, "documents"), top_k=50)
 
 
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of ``train_bpe``'s FIXED-count training loop as
+    unrolled chained CTEs (r11 verdict: the 'driver-held state'
+    objection dissolves when the iteration count is a constant).
+    Round i: weighted adjacent-pair rollup over seg{{i-1}} → 1-row
+    argmax by (n DESC, l, r) → greedy left-to-right re-segmentation.
+    The greedy walk (Spark's pending-symbol fold) is re-expressed
+    set-wise via gaps-and-islands: a match at position j is CHOSEN iff
+    its offset within its run of consecutive matches is even (matches
+    at adjacent positions only occur when l = r — for l ≠ r a match at
+    j and j+1 would force s[j+1] = r = l — so runs are exactly the
+    self-overlap case the walk resolves greedily), and position j+1
+    after a chosen j is consumed. Identical output to the fold,
+    including tie order and the merged-symbol rounds the pytest
+    trainer pins."""
+    esc_ws = r"'\s+'"
+    parts = [f"""
+    WITH w0 AS (
+      SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), {esc_ws}))
+            AS tok FROM documents)
+      WHERE length(tok) >= 2
+      GROUP BY 1
+    ),
+    seg0 AS (
+      SELECT w AS wid, freq,
+             list_transform(generate_series(1, length(w)),
+                            i -> w[i:i]) AS syms
+      FROM w0
+    )"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f""",
+    t{i} AS (
+      SELECT syms[j] AS l, syms[j+1] AS r,
+             syms[j] || syms[j+1] AS m, CAST(SUM(freq) AS BIGINT) AS n
+      FROM seg{p}, unnest(generate_series(1, len(syms) - 1)) AS u(j)
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, l, r LIMIT 1
+    ),
+    x{i} AS (
+      SELECT s.wid, s.freq, j AS pos, s.syms[j] AS sym, tt.m,
+             COALESCE(s.syms[j] = tt.l AND s.syms[j+1] = tt.r,
+                      FALSE) AS mt
+      FROM seg{p} s CROSS JOIN t{i} tt,
+           unnest(generate_series(1, len(s.syms))) AS u(j)
+    ),
+    c{i} AS (
+      SELECT *, CASE WHEN mt THEN pos - ROW_NUMBER()
+                     OVER (PARTITION BY wid, mt ORDER BY pos) END AS isl
+      FROM x{i}
+    ),
+    ch{i} AS (
+      SELECT *, COALESCE(mt AND (pos - MIN(pos)
+                     OVER (PARTITION BY wid, isl)) % 2 = 0,
+                     FALSE) AS chosen
+      FROM c{i}
+    ),
+    seg{i} AS (
+      SELECT wid, freq,
+             list(CASE WHEN chosen THEN m ELSE sym END
+                  ORDER BY pos) AS syms
+      FROM (
+        SELECT *, COALESCE(LAG(chosen)
+                   OVER (PARTITION BY wid ORDER BY pos),
+                   FALSE) AS prevch
+        FROM ch{i}
+      )
+      WHERE NOT prevch
+      GROUP BY wid, freq
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i - 1} AS rk, l, r, m, n FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(rk AS BIGINT) AS rank, l AS "left", r AS "right",
+           m AS merged, n
+    FROM ({union})
+    ORDER BY rank
+    """)
+    return "".join(parts)
+
+
 @register(
     "bpe_train_merges",
-    None,  # iterative training loop — not expressible in one SQL query
+    _bpe_oracle_sql(8),
     doc="Full iterative BPE training (operators/text.py::train_bpe): 8 "
     "merge rounds over the corpus's distinct-word frequency table, "
     "each round = map-side-combined pair rollup + 1-row argmax + pure "
     "Spark aggregate-fold re-segmentation (no UDF). The merge table is "
     "a DETERMINISTIC pure function of the corpus ((n DESC, left, "
-    "right) tie order), but the loop's driver-held state puts it "
-    "beyond a single SQL oracle — same category as dup_components' "
-    "iteration; pytest pins the whole table against an independent "
-    "Python trainer including merged-symbol rounds.",
+    "right) tie order). ORACLE-PAIRED since r12: the fixed merge count "
+    "unrolls into chained DuckDB CTEs (_bpe_oracle_sql) whose "
+    "re-segmentation re-expresses the greedy pending-symbol walk as a "
+    "gaps-and-islands choose-every-other rule; pytest additionally "
+    "pins the whole table against an independent Python trainer "
+    "including merged-symbol rounds.",
     tags=("text", "trainmix"),
 )
 def q_bpe_train_merges(spark, sf_dir):
@@ -1927,9 +2013,63 @@ def q_robust_price_stats_approx(spark, sf_dir):
     return robust_stats(c, "cents", "l_returnflag", approx_accuracy=10000)
 
 
+def _pagerank_oracle_sql(n_iter: int = 8) -> str:
+    """DuckDB replay of ``pagerank``'s exact decimal rounding ladder in
+    HUGEINT (int128) fixed-point at scale 18 — the r11 verdict's
+    iteration-unrolled-CTE trick (the loop has a FIXED iteration
+    count, so the 'driver-held state' objection dissolves: unroll it).
+    Per iteration (probed Spark result types, operators/analytics.py::
+    pagerank docstring): contribution = half_up(rank/deg) at scale 18
+    via the integer identity (2a+b)//(2b); exact HUGEINT sum; the
+    damping product rounds half-up at scale 15 (Spark's DECIMAL(38)
+    precision-loss adjustment), the base+ addition at scale 14, then
+    the scale-18 pad-back. All values positive, so floor-based
+    half-up identities hold throughout."""
+    S = 10 ** 18           # scale-18 fixed point
+    D = 85 * 10 ** 16      # damping 0.85 at scale 18
+    P21 = 10 ** 21         # product scale 36 → 15: divide by 10^21
+    parts = [f"""
+    WITH e AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT 'p:' || l_partkey AS u, 's:' || l_suppkey AS v
+        FROM lineitem
+        UNION ALL
+        SELECT 's:' || l_suppkey AS u, 'p:' || l_partkey AS v
+        FROM lineitem
+      ) WHERE u <> v
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS HUGEINT) AS dg FROM e GROUP BY u),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM deg),
+    base AS (
+      SELECT (2*(CAST({S} AS HUGEINT) - {D}) + n) // (2*n) AS b FROM nn
+    ),
+    r0 AS (
+      SELECT d.u, d.dg, (2*CAST({S} AS HUGEINT) + nn.n) // (2*nn.n) AS rk
+      FROM deg d CROSS JOIN nn
+    )"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    s{i} AS (
+      SELECT e.v AS u, SUM((2*r.rk + r.dg) // (2*r.dg)) AS sm
+      FROM r{i - 1} r JOIN e ON e.u = r.u
+      GROUP BY e.v
+    ),
+    r{i} AS (
+      SELECT s.u, d.dg,
+             ((2*(b.b + 1000*((2*CAST({D} AS HUGEINT)*s.sm + {P21})
+                              // (2*{P21}))) + 10000) // 20000) * 10000
+             AS rk
+      FROM s{i} s JOIN deg d ON d.u = s.u CROSS JOIN base b
+    )""")
+    parts.append(f"""
+    SELECT u AS node, CAST(rk AS BIGINT) AS rank_fp FROM r{n_iter}
+    """)
+    return "".join(parts)
+
+
 @register(
     "part_supplier_pagerank",
-    None,  # iterative fixpoint loop — same category as dup_components
+    _pagerank_oracle_sql(8),
     doc="Deterministic PageRank (operators/analytics.py::pagerank) "
     "over the bipartite part↔supplier graph from lineitem (nodes "
     "prefixed 'p:'/'s:'), 8 rounds at damping 0.85. Rank arithmetic "
@@ -1938,10 +2078,14 @@ def q_robust_price_stats_approx(spark, sf_dir):
     "any partitioning (pinned in pytest: repartition(7) == "
     "coalesce(1) exactly, plus float-model parity on a hand graph). "
     "The per-iteration join+sum is the Pregel-on-DataFrames loop with "
-    "persist/unpersist lineage flattening; driver state is one scalar "
-    "N, like dup_components' convergence check. Rows-only by the same "
-    "argument as bpe_train_merges: the loop's driver-held state is "
-    "beyond a single SQL oracle.",
+    "localCheckpoint lineage flattening; driver state is one scalar "
+    "N, like dup_components' convergence check. ORACLE-PAIRED since "
+    "r12: the fixed iteration count unrolls into chained DuckDB CTEs "
+    "replaying the exact rounding ladder in HUGEINT fixed-point "
+    "(_pagerank_oracle_sql); the entry emits the rank's UNSCALED "
+    "scale-18 value as rank_fp (bigint — rank = rank_fp·1e-18) so the "
+    "compare is integer-hash-exact with no engine decimal/float "
+    "conversion in the loop.",
     tags=("graph",),
 )
 def q_part_supplier_pagerank(spark, sf_dir):
@@ -1951,7 +2095,16 @@ def q_part_supplier_pagerank(spark, sf_dir):
         F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
         F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
     )
-    return pagerank(li, n_iter=8)
+    # unscale: rank is a multiple of 1e-18 by construction, so the
+    # (38,6)-typed product is an exact integer and the LONG cast is
+    # lossless — bigint compare, no decimal→pandas conversion hazards
+    return pagerank(li, n_iter=8).select(
+        "node",
+        F.expr(
+            "CAST(rank * CAST(1000000000000000000 AS DECIMAL(19,0)) "
+            "AS LONG)"
+        ).alias("rank_fp"),
+    )
 
 
 @register(
@@ -3167,12 +3320,12 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: take the head of the window regardless of staleness so every change
 #: gets a first-party driver row in its own round.
 _CODE_CHANGED_THIS_ROUND = (
-    "topk_rollup",          # r11: new operator (top-k-by-score monoid)
-    "minhash_rollup",       # r11: new operator (set-identity monoid)
-    "minhash_source_similarity",  # r11: new operator (signature pairs)
-    "quantile_rollup",      # r11: rebuilt on the _MonoidSpec scaffold
-    "heavy_hitters",        # r11: scaffold rebuild + tolist-zip merge
-    "sample_rollup",        # r11: scaffold rebuild + kmv h_k clamp
+    "part_supplier_pagerank",  # r12: NEW ORACLE (HUGEINT fixed-point
+    #                            CTE ladder) + single-step init/base
+    #                            rounding + rank_fp output schema
+    "bpe_train_merges",     # r12: NEW ORACLE (unrolled-CTE trainer)
+    "minhash_rollup",       # r12: prehashed range guard in the plan
+    "minhash_source_similarity",  # r12: guard + broadcast threshold
 )
 
 
