@@ -319,7 +319,14 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     mid-write can never destroy the accumulated history the way a
     read-merge-overwrite of one path would. A pre-versioned flat state
     directory is folded once as the implicit predecessor and its files
-    retired after ``v=1`` commits."""
+    retired after ``v=1`` commits.
+
+    ``--stat`` accepts a comma list (r11 verdict #5): an operator
+    maintaining summary+quantiles+topk over the same lake folds all
+    three off ONE cached delta scan instead of paying one delta read
+    per stat. With multiple stats, ``--state`` is the PARENT directory
+    and each stat's state lands at ``<state>/<stat>`` (with one stat
+    the directory is used as-is — unchanged contract)."""
     from polymarket_data_ingestor_spark.operators.analytics import (
         heavy_hitters_state,
         minhash_rollup_state,
@@ -335,6 +342,17 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --keys must name at least one column",
               file=sys.stderr)
         return 2
+    stats = [s for s in args.stat.split(",") if s]
+    bad = [s for s in stats if s not in _STAT_CHOICES]
+    if not stats or bad:
+        print(f"lake stats: --stat must be a comma list from "
+              f"{{{','.join(_STAT_CHOICES)}}}"
+              + (f"; got {','.join(bad)}" if bad else ""),
+              file=sys.stderr)
+        return 2
+    if len(stats) != len(set(stats)):
+        print("lake stats: --stat lists a stat twice", file=sys.stderr)
+        return 2
     if args.retain_versions < 1:
         print("lake stats: --retain-versions must be >= 1",
               file=sys.stderr)
@@ -345,7 +363,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         return 2
     # pure-argument checks BEFORE the Spark session: a bad invocation
     # should fail instantly, not after JVM startup + a delta read
-    if args.stat == "topk" and not args.score:
+    if "topk" in stats and not args.score:
         print("lake stats: --stat topk needs --score <column>",
               file=sys.stderr)
         return 2
@@ -377,36 +395,31 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     if args.show < 0:
         print("lake stats: --show must be >= 0", file=sys.stderr)
         return 2
-    if args.k is None:
-        # per-stat library defaults — one shared number would silently
-        # build sample states no API-default caller could ever fold
-        # (the (k, seed) contract check refuses mixed capacities)
-        args.k = {"quantiles": 4096, "heavyhitters": 1024,
-                  "sample": 64, "topk": 16,
-                  "minhash": 16}.get(args.stat)
+    # per-stat library defaults — one shared number would silently
+    # build sample states no API-default caller could ever fold
+    # (the (k, seed) contract check refuses mixed capacities)
+    _k_defaults = {"quantiles": 4096, "heavyhitters": 1024,
+                   "sample": 64, "topk": 16, "minhash": 16}
     spark = get_spark(app_name="pdi-lake-stats")
     delta = spark.read.parquet(args.delta)
-    builders = {
-        "summary": lambda d: rollup_state(d, keys, args.value),
-        "distinct": lambda d: distinct_rollup_state(d, keys, args.value),
-        "quantiles": lambda d: quantile_rollup_state(
-            d, keys, args.value, k=args.k),
-        "heavyhitters": lambda d: heavy_hitters_state(
-            d, keys, args.value, k=args.k),
-        "sample": lambda d: sample_rollup_state(
-            d, keys, args.value, k=args.k, seed=args.seed),
-        "topk": lambda d: topk_rollup_state(
-            d, keys, args.value, args.score, k=args.k),
-        "minhash": lambda d: minhash_rollup_state(
-            d, keys, args.value, n_hashes=args.k, seed=args.seed),
-    }
-    build = builders[args.stat]
-    finalize = _stat_finalizers(args)[args.stat]
-    _merge_fn = _stat_merges()[args.stat]  # the ONE shared stat map
 
-    def merge(*st):
-        return _merge_fn(*st, keys=keys)
-    state = build(delta)
+    def _build(stat, d):
+        k = args.k if args.k is not None else _k_defaults.get(stat)
+        return {
+            "summary": lambda: rollup_state(d, keys, args.value),
+            "distinct": lambda: distinct_rollup_state(
+                d, keys, args.value),
+            "quantiles": lambda: quantile_rollup_state(
+                d, keys, args.value, k=k),
+            "heavyhitters": lambda: heavy_hitters_state(
+                d, keys, args.value, k=k),
+            "sample": lambda: sample_rollup_state(
+                d, keys, args.value, k=k, seed=args.seed),
+            "topk": lambda: topk_rollup_state(
+                d, keys, args.value, args.score, k=k),
+            "minhash": lambda: minhash_rollup_state(
+                d, keys, args.value, n_hashes=k, seed=args.seed),
+        }[stat]()
 
     # A state directory's layout is a CONTRACT like its (k, seed): one
     # accidental fold in the other mode would create a dual-layout dir
@@ -422,6 +435,44 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         state_labels,
     )
 
+    if len(stats) > 1:
+        # the point of the comma list: ONE delta scan feeds every
+        # stat's state build (the first build materializes the cache;
+        # the rest read InMemoryTableScan, never the parquet again)
+        delta = delta.persist()
+    try:
+        for stat in stats:
+            state_dir = (args.state if len(stats) == 1
+                         else f"{args.state.rstrip('/')}/{stat}")
+            rc = _fold_one_lake_stat(
+                spark, args, stat, state_dir, keys,
+                _build(stat, delta),
+                _stat_finalizers(args)[stat], _stat_merges()[stat],
+                _rollup_versions, commit_rollup_version,
+                expire_state_labels, fold_labeled_state,
+                read_window_state, state_labels,
+            )
+            if rc != 0:
+                return rc
+    finally:
+        if len(stats) > 1:
+            delta.unpersist()
+    return 0
+
+
+def _fold_one_lake_stat(spark, args, stat, state_dir, keys, state,
+                        finalize, _merge_fn, _rollup_versions,
+                        commit_rollup_version, expire_state_labels,
+                        fold_labeled_state, read_window_state,
+                        state_labels) -> int:
+    """One stat's fold+report against one state directory — the body
+    of ``lake stats``, factored so the multi-stat loop shares the
+    cached delta (r11 verdict #5) while the labeled/cumulative logic
+    stays the ONE copy."""
+
+    def merge(*st):
+        return _merge_fn(*st, keys=keys)
+
     if args.label is not None:
         # LABELED (windowed) mode: this delta's own state lands under
         # d=<label> — a pure function of the delta, so a re-fold of
@@ -430,17 +481,17 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         # how "last N days" works for monoids with no subtraction
         # (min/max, sketches, bottom-k/top-k): keep per-label states,
         # merge the window at read. Retention via --retain-labels.
-        if _rollup_versions(spark, args.state):
-            print(f"lake stats: {args.state} is a cumulative (v=N) "
+        if _rollup_versions(spark, state_dir):
+            print(f"lake stats: {state_dir} is a cumulative (v=N) "
                   "state directory — a labeled fold into it would "
                   "shadow the accumulated history in read-only "
                   "queries; drop --label or use a fresh directory",
                   file=sys.stderr)
             return 2
-        fold_labeled_state(spark, args.state, args.label, state,
+        fold_labeled_state(spark, state_dir, args.label, state,
                            n_files=args.state_files)
         if args.retain_labels is not None:
-            gone = expire_state_labels(spark, args.state,
+            gone = expire_state_labels(spark, state_dir,
                                        args.retain_labels)
             if gone:
                 print(f"expired {len(gone)} label(s): "
@@ -451,10 +502,10 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         # make the printed window disagree with what was merged —
         # fewer labels than --window asked for must ALSO not read as
         # a full window, hence reporting len(merged)
-        merged = state_labels(spark, args.state)
+        merged = state_labels(spark, state_dir)
         if args.window is not None:
             merged = merged[-args.window:]
-        state = read_window_state(spark, args.state, merge,
+        state = read_window_state(spark, state_dir, merge,
                                   labels=merged)
         # persist: unlike the cumulative branch there is no committed
         # merged artifact to re-read, and the display collect + the
@@ -465,7 +516,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
             for row in (out.select(*_display_cols(out))
                         .limit(args.show).collect()):
                 print(row.asDict())
-            print(f"state: {args.state}/d={args.label} committed; "
+            print(f"state: {state_dir}/d={args.label} committed; "
                   f"window: {len(merged)} label(s) "
                   f"[{merged[0]}..{merged[-1]}], {state.count()} keys")
         finally:
@@ -477,13 +528,13 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     # latest v=N, write v=N+1, GC predecessors only after the new
     # _SUCCESS exists. Never read-then-overwrite one path — a failure
     # mid-write there destroys every previously folded delta.
-    if state_labels(spark, args.state):
-        print(f"lake stats: {args.state} is a labeled (d=<label>) "
+    if state_labels(spark, state_dir):
+        print(f"lake stats: {state_dir} is a labeled (d=<label>) "
               "state directory — a cumulative fold into it would "
               "create a dual-layout dir; pass --label or use a "
               "fresh directory", file=sys.stderr)
         return 2
-    versions = _rollup_versions(spark, args.state)
+    versions = _rollup_versions(spark, state_dir)
     # Legacy (pre-versioned flat) files at the root, listed on EVERY
     # run: retirement happens after a successful commit, so a crash in
     # the window between a commit and the deletes must be retried by
@@ -493,7 +544,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     # directory read would partition-discover a torn v=1 left by a
     # crashed first fold and double-fold its partial write.
     jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(args.state)
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     legacy_files = (
         [st.getPath() for st in fs.listStatus(root) if st.isFile()]
@@ -503,7 +554,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         # legacy data (if any still lingers) was folded by the run
         # that committed v=1 — fold from the committed state only
         state = merge(
-            spark.read.parquet(f"{args.state}/v={versions[-1]}"), state
+            spark.read.parquet(f"{state_dir}/v={versions[-1]}"), state
         )
     else:
         data = [p.toString() for p in legacy_files
@@ -514,7 +565,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     # The write lands in a NEW directory, so the lineage reading v=N
     # (or the legacy files) stays valid — no checkpoint needed.
     new_v = (versions[-1] + 1) if versions else 1
-    commit_rollup_version(spark, args.state, state, new_v,
+    commit_rollup_version(spark, state_dir, state, new_v,
                           versions, args.retain_versions,
                           n_files=args.state_files)
     for p in legacy_files:  # retire AFTER the commit, every run
@@ -523,13 +574,13 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
             # legacy residue — deleting it would brick that recovery
             continue
         fs.delete(p, False)
-    state = spark.read.parquet(f"{args.state}/v={new_v}")
+    state = spark.read.parquet(f"{state_dir}/v={new_v}")
     out = finalize(state)
     for row in out.select(*_display_cols(out)).limit(args.show).collect():
         print(row.asDict())
     # print the COMMITTED version path — a flat read of the root would
     # union every retained version (read_rollup_state is the reader)
-    print(f"state: {args.state}/v={new_v} ({state.count()} keys)")
+    print(f"state: {state_dir}/v={new_v} ({state.count()} keys)")
     return 0
 
 
@@ -766,7 +817,10 @@ def build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--state", required=True,
                     help="state directory (created on first run)")
     ls.add_argument("--stat", required=True,
-                    choices=_STAT_CHOICES)
+                    help=f"one of {{{','.join(_STAT_CHOICES)}}}, or a "
+                    "comma list to fold several states off ONE cached "
+                    "delta scan (then --state is the parent dir and "
+                    "each stat lands at <state>/<stat>)")
     ls.add_argument("--keys", required=True,
                     help="comma-separated group columns")
     ls.add_argument("--value", required=True,

@@ -824,3 +824,82 @@ def test_cli_lake_stats_layout_mixing_refused(spark, tmp_path,
     assert cli.main(base + ["--state", cstate, "--state-files", "2"]) == 0
     assert cli.main(base + ["--state", lstate, "--label", "d2",
                             "--state-files", "2"]) == 0
+
+
+def test_cli_lake_stats_multi_stat_single_delta_read(spark, tmp_path,
+                                                     monkeypatch,
+                                                     capsys):
+    """r11 verdict #5, pinned: `--stat a,b,c` folds every stat off ONE
+    cached delta — the delta path's reader is invoked exactly once and
+    the resulting DataFrame is persisted (so the parquet scan runs
+    once; subsequent builds read InMemoryTableScan), each stat commits
+    under <state>/<stat>, and the values match per-stat single folds."""
+    import pyspark.sql as pysql
+
+    from polymarket_data_ingestor_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    delta = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [(f"g{i % 3}", float(i), f"it{i}") for i in range(30)],
+        "g string, v double, item string",
+    ).write.parquet(delta)
+
+    # Spark 4: pyspark.sql.DataFrame is the abstract base; the session
+    # hands out pyspark.sql.classic.dataframe.DataFrame, whose OWN
+    # persist would shadow a base-class patch
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    delta_reads = []
+    persisted = []
+    real_parquet = pysql.readwriter.DataFrameReader.parquet
+    real_persist = _CDF.persist
+
+    def counting_parquet(self, *paths, **kw):
+        if list(paths) == [delta]:
+            delta_reads.append(paths)
+        return real_parquet(self, *paths, **kw)
+
+    def recording_persist(self, *a, **kw):
+        persisted.append(self)
+        return real_persist(self, *a, **kw)
+
+    monkeypatch.setattr(pysql.readwriter.DataFrameReader, "parquet",
+                        counting_parquet)
+    monkeypatch.setattr(_CDF, "persist", recording_persist)
+
+    multi = str(tmp_path / "multi")
+    assert cli.main(["lake", "stats", delta, "--state", multi,
+                     "--stat", "summary,quantiles,topk",
+                     "--keys", "g", "--value", "v",
+                     "--score", "v"]) == 0
+    assert len(delta_reads) == 1, delta_reads
+    assert len(persisted) >= 1  # the shared delta cache
+    out = capsys.readouterr().out
+    for stat in ("summary", "quantiles", "topk"):
+        assert f"state: {multi}/{stat}/v=1" in out, out
+
+    # values == per-stat single folds (same delta, fresh dirs)
+    import duckdb as _duck
+
+    for stat in ("summary", "quantiles", "topk"):
+        single = str(tmp_path / f"single_{stat}")
+        assert cli.main(["lake", "stats", delta, "--state", single,
+                         "--stat", stat, "--keys", "g", "--value", "v",
+                         "--score", "v"]) == 0
+        con = _duck.connect()
+        a = con.execute(
+            f"SELECT * FROM '{multi}/{stat}/v=1/*.parquet' ORDER BY ALL"
+        ).fetchall()
+        b = con.execute(
+            f"SELECT * FROM '{single}/v=1/*.parquet' ORDER BY ALL"
+        ).fetchall()
+        assert a == b, stat
+
+    # guards: unknown stat / duplicate stat refuse pre-Spark
+    assert cli.main(["lake", "stats", delta, "--state", multi,
+                     "--stat", "summary,bogus", "--keys", "g",
+                     "--value", "v"]) == 2
+    assert cli.main(["lake", "stats", delta, "--state", multi,
+                     "--stat", "summary,summary", "--keys", "g",
+                     "--value", "v"]) == 2
