@@ -587,14 +587,17 @@ def _fold_one_lake_stat(spark, args, stat, state_dir, keys, state,
 def cmd_lake_stats_show(args: argparse.Namespace) -> int:
     """Read-only query of an existing monoid state — what a dashboard
     or operator runs between folds. Detects the layout: ``d=<label>``
-    dirs → windowed read (merge the newest ``--window`` labels);
-    ``v=N`` dirs → the latest committed cumulative version; neither →
-    error. Never writes."""
+    dirs → windowed read (merge the newest ``--window`` labels, or
+    exactly ``--label`` for one-day inspection — the read-only parity
+    of the fold path's flags, r11 verdict #8); ``v=N`` dirs → the
+    latest committed cumulative version; neither → error. Never
+    writes."""
     from polymarket_data_ingestor_spark.streaming.live import (
         _rollup_versions,
         read_rollup_state,
         read_window_state,
         state_labels,
+        validate_state_label,
     )
 
     keys = tuple(k for k in args.keys.split(",") if k)
@@ -605,6 +608,16 @@ def cmd_lake_stats_show(args: argparse.Namespace) -> int:
     if args.window is not None and args.window < 1:
         print("lake stats-show: --window must be >= 1", file=sys.stderr)
         return 2
+    if args.label is not None and args.window is not None:
+        print("lake stats-show: --label reads exactly one label; it "
+              "excludes --window", file=sys.stderr)
+        return 2
+    if args.label is not None:
+        try:
+            validate_state_label(args.label)
+        except ValueError as e:
+            print(f"lake stats-show: {e}", file=sys.stderr)
+            return 2
     if args.show < 0:
         print("lake stats-show: --show must be >= 0", file=sys.stderr)
         return 2
@@ -616,7 +629,17 @@ def cmd_lake_stats_show(args: argparse.Namespace) -> int:
         # ONE listing feeds both the merge and the report — a second
         # listing inside read_window_state could disagree with what a
         # concurrent fold/expire left by the time we print
-        shown = labels if args.window is None else labels[-args.window:]
+        if args.label is not None:
+            if args.label not in labels:
+                print(f"lake stats-show: no committed label "
+                      f"d={args.label} under {args.state} "
+                      f"(have: {', '.join(labels)})", file=sys.stderr)
+                return 1
+            shown = [args.label]
+        elif args.window is not None:
+            shown = labels[-args.window:]
+        else:
+            shown = labels
         state = read_window_state(
             spark, args.state,
             lambda *st: mfn(*st, keys=keys),
@@ -629,10 +652,10 @@ def cmd_lake_stats_show(args: argparse.Namespace) -> int:
             print(f"lake stats-show: no committed state under "
                   f"{args.state}", file=sys.stderr)
             return 1
-        if args.window is not None:
-            print("lake stats-show: --window needs a LABELED state "
-                  "(d=<label> dirs); this one is cumulative (v=N)",
-                  file=sys.stderr)
+        if args.window is not None or args.label is not None:
+            print("lake stats-show: --window/--label need a LABELED "
+                  "state (d=<label> dirs); this one is cumulative "
+                  "(v=N)", file=sys.stderr)
             return 2
         state = read_rollup_state(spark, args.state)
         where = f"cumulative v={versions[-1]}"
@@ -880,6 +903,9 @@ def build_parser() -> argparse.ArgumentParser:
     lss.add_argument("--window", type=int, default=None,
                      help="labeled states: merge only the newest N "
                           "labels (default all)")
+    lss.add_argument("--label", default=None,
+                     help="labeled states: read exactly this one "
+                          "committed label (excludes --window)")
     lss.add_argument("--quantiles", default="0.5,0.9,0.99",
                      help="comma-separated quantiles for --stat "
                           "quantiles")

@@ -903,3 +903,51 @@ def test_cli_lake_stats_multi_stat_single_delta_read(spark, tmp_path,
     assert cli.main(["lake", "stats", delta, "--state", multi,
                      "--stat", "summary,summary", "--keys", "g",
                      "--value", "v"]) == 2
+
+
+def test_cli_lake_stats_show_single_label(spark, tmp_path, monkeypatch,
+                                          capsys):
+    """r11 verdict #8 parity: stats-show --label reads EXACTLY one
+    committed label (one-day inspection); missing label exits 1,
+    --label+--window refuse, cumulative layout refuses --label."""
+    from polymarket_data_ingestor_spark import cli
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        fold_labeled_state,
+    )
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    state = str(tmp_path / "slstate")
+    for lb, vals in [("d1", [1.0, 3.0]), ("d2", [10.0, 30.0])]:
+        df = spark.createDataFrame([("a", v) for v in vals],
+                                   "g string, v double")
+        fold_labeled_state(spark, state, lb, rollup_state(df, ("g",), "v"))
+
+    assert cli.main(["lake", "stats-show", state, "--stat", "summary",
+                     "--keys", "g", "--label", "d1"]) == 0
+    out = capsys.readouterr().out
+    assert "'n': 2" in out and "'avg_v': 2.0" in out
+    assert "window: 1 label(s) [d1..d1]" in out
+
+    assert cli.main(["lake", "stats-show", state, "--stat", "summary",
+                     "--keys", "g", "--label", "ghost"]) == 1
+    assert "no committed label" in capsys.readouterr().err
+    assert cli.main(["lake", "stats-show", state, "--stat", "summary",
+                     "--keys", "g", "--label", "d1",
+                     "--window", "2"]) == 2
+    assert cli.main(["lake", "stats-show", state, "--stat", "summary",
+                     "--keys", "g", "--label", "../x"]) == 2
+
+    # cumulative layout refuses --label like it refuses --window
+    delta = str(tmp_path / "delta")
+    spark.createDataFrame([("a", 1.0)], "g string, v double") \
+        .write.parquet(delta)
+    cstate = str(tmp_path / "cstate")
+    assert cli.main(["lake", "stats", delta, "--state", cstate,
+                     "--stat", "summary", "--keys", "g",
+                     "--value", "v"]) == 0
+    capsys.readouterr()
+    assert cli.main(["lake", "stats-show", cstate, "--stat", "summary",
+                     "--keys", "g", "--label", "d1"]) == 2
