@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "running_total",
     "token_explode",
     "revenue_rollup",
+    "linreg_rollup",
     "doc_quality",
     "asof_join",
     "asof_join_forward",

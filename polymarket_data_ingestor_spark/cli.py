@@ -185,6 +185,7 @@ def _stat_merges() -> dict:
     from polymarket_data_ingestor_spark.operators.analytics import (
         merge_distinct_rollup,
         merge_heavy_hitters,
+        merge_linreg_rollup,
         merge_minhash_rollup,
         merge_quantile_rollup,
         merge_rollup,
@@ -200,13 +201,14 @@ def _stat_merges() -> dict:
         "sample": merge_sample_rollup,
         "topk": merge_topk_rollup,
         "minhash": merge_minhash_rollup,
+        "linreg": merge_linreg_rollup,
     }
 
 
 #: the ONE list of monoid stat names — every lake subcommand's
 #: --stat choices must come from here (parallel lists drift)
 _STAT_CHOICES = ["summary", "distinct", "quantiles", "heavyhitters",
-                 "sample", "topk", "minhash"]
+                 "sample", "topk", "minhash", "linreg"]
 
 
 def _stat_finalizers(args: argparse.Namespace) -> dict:
@@ -216,6 +218,7 @@ def _stat_finalizers(args: argparse.Namespace) -> dict:
     from polymarket_data_ingestor_spark.operators.analytics import (
         finalize_distinct_rollup,
         finalize_heavy_hitters,
+        finalize_linreg_rollup,
         finalize_minhash_rollup,
         finalize_quantile_rollup,
         finalize_rollup,
@@ -233,6 +236,7 @@ def _stat_finalizers(args: argparse.Namespace) -> dict:
         "sample": finalize_sample_rollup,
         "topk": finalize_topk_rollup,
         "minhash": finalize_minhash_rollup,
+        "linreg": finalize_linreg_rollup,
     }
 
 
@@ -329,6 +333,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     the directory is used as-is — unchanged contract)."""
     from polymarket_data_ingestor_spark.operators.analytics import (
         heavy_hitters_state,
+        linreg_rollup_state,
         minhash_rollup_state,
         quantile_rollup_state,
         rollup_state,
@@ -366,6 +371,10 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     if "topk" in stats and not args.score:
         print("lake stats: --stat topk needs --score <column>",
               file=sys.stderr)
+        return 2
+    if "linreg" in stats and not args.x:
+        print("lake stats: --stat linreg needs --x <column> (the "
+              "regressor; --value is y)", file=sys.stderr)
         return 2
     if args.label is None and (args.window is not None
                                or args.retain_labels is not None):
@@ -419,6 +428,8 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
                 d, keys, args.value, args.score, k=k),
             "minhash": lambda: minhash_rollup_state(
                 d, keys, args.value, n_hashes=k, seed=args.seed),
+            "linreg": lambda: linreg_rollup_state(
+                d, keys, args.x, args.value),
         }[stat]()
 
     # A state directory's layout is a CONTRACT like its (k, seed): one
@@ -863,6 +874,10 @@ def build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--seed", type=int, default=1,
                     help="hash seed for --stat sample/minhash (part "
                          "of the state's merge contract, like --k)")
+    ls.add_argument("--x", default=None,
+                    help="for --stat linreg: the regressor column "
+                    "(--value is y; must fit decimal(18,6) — epoch "
+                    "SECONDS fit, millis do not)")
     ls.add_argument("--state-files", type=int, default=1,
                     help="files per committed state write (default 1 "
                     "— right for sketch-bounded states; scale it for "

@@ -2838,6 +2838,165 @@ def minhash_similarity_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-key OLS sufficient-statistics monoid (pure Catalyst, exact decimals)
+#
+# The maintained-trend member of the rollup family: per key, keep the six
+# OLS sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) over (x, y) pairs
+# and derive slope / intercept / R² at read time — "is this market's
+# price drifting", "is this source's quality degrading" maintained
+# forever at delta cost, never re-reading history. Component-wise sums
+# are the textbook TRUE monoid; with the sums in exact DECIMAL (like
+# rollup_state's variance pair) the merged state — and therefore every
+# derived coefficient — is bit-identical under any split, any merge
+# order, any partitioning. The whole operator is native Catalyst: one
+# map-side-combined aggregate, no Python anywhere, and the DuckDB oracle
+# reproduces it digit-for-digit (decimal sums, then the identical
+# fixed-shape double expressions at finalize).
+# ---------------------------------------------------------------------------
+
+
+def linreg_rollup_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    x_col: str,
+    y_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Mergeable per-key OLS state: ``lr_n`` plus exact decimal sums
+    ``lr_sx``/``lr_sy`` (decimal(38,scale)) and ``lr_sxx``/``lr_syy``/
+    ``lr_sxy`` (decimal(38,2·scale)). Inputs are cast to
+    decimal(18,scale) — 18 digits keeps every product inside Spark's
+    38-digit cap with NO precision-loss rounding (the EXACTNESS.md
+    trap) — so x must fit 18−scale integer digits (epoch SECONDS fit
+    at the default scale 6; epoch millis/micros do not — normalize
+    first, the catalog entry shows the exact-decimal ms→s conversion).
+    A pair where either side is NULL is skipped (pairwise-complete,
+    like every monoid builder ignores NULLs); a NON-NULL value the
+    decimal cannot represent (overflow, NaN/±Inf) raises at execution
+    instead of silently vanishing from the sums — the loud contract,
+    same spirit as the prehashed minhash range guard. ``scale`` (also
+    the round-trip contract, stored as ``lr_scale``) trades fractional
+    precision against x/y range.
+
+    Scale shape: one map-side-combined aggregate — the shuffle carries
+    six numbers per key per partial map task, never rows. At 100 TB
+    this is the cheapest member of the monoid family: constant state,
+    zero Python, whole-stage codegen end to end."""
+    if not 0 <= scale <= 9:
+        raise ValueError(f"scale must be in [0, 9], got {scale}")
+
+    def guarded(col_name: str):
+        # try_cast, not cast: under Spark 4's default ANSI mode a plain
+        # cast raises ITS error before this guard can shape the
+        # message, and under non-ANSI it silently NULLs — try_cast
+        # gives the mode-independent NULL this guard then turns into
+        # the loud, named contract violation
+        c = F.col(col_name)
+        cast = c.try_cast(f"decimal(18,{scale})")
+        return (
+            F.when(c.isNull(), F.lit(None).cast(f"decimal(18,{scale})"))
+            .when(cast.isNotNull(), cast)
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"linreg: {col_name} value not representable in "
+                      f"decimal(18,{scale}) (overflow or NaN/Inf): "),
+                c.cast("string"),
+                F.lit(" — normalize/filter upstream"),
+            )))
+        )
+
+    pairs = df.select(
+        *keys, guarded(x_col).alias("__x"), guarded(y_col).alias("__y"),
+    ).dropna(subset=["__x", "__y"])
+    x, y = F.col("__x"), F.col("__y")
+    s2 = 2 * scale
+    return pairs.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("lr_n"),
+        F.sum(x).cast(f"decimal(38,{scale})").alias("lr_sx"),
+        F.sum(y).cast(f"decimal(38,{scale})").alias("lr_sy"),
+        F.sum(x * x).cast(f"decimal(38,{s2})").alias("lr_sxx"),
+        F.sum(y * y).cast(f"decimal(38,{s2})").alias("lr_syy"),
+        F.sum(x * y).cast(f"decimal(38,{s2})").alias("lr_sxy"),
+        F.lit(scale).alias("lr_scale"),
+    )
+
+
+def merge_linreg_rollup(
+    *states: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Union per-split OLS states into one per key — component-wise
+    decimal sums (exact, so merge order can never change a digit), one
+    state-sized shuffle, zero Python. Mixed ``lr_scale`` contracts
+    raise AT EXECUTION (``raise_error`` rides the expression tree —
+    the family's lazy-plan convention): sums at different scales are
+    different units."""
+    if not states:
+        raise ValueError("merge_linreg_rollup needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    scale_t = dict(out.dtypes)["lr_sx"]
+    sq_t = dict(out.dtypes)["lr_sxx"]
+    gathered = out.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum("lr_n").alias("lr_n"),
+        F.sum("lr_sx").cast(scale_t).alias("lr_sx"),
+        F.sum("lr_sy").cast(scale_t).alias("lr_sy"),
+        F.sum("lr_sxx").cast(sq_t).alias("lr_sxx"),
+        F.sum("lr_syy").cast(sq_t).alias("lr_syy"),
+        F.sum("lr_sxy").cast(sq_t).alias("lr_sxy"),
+        F.count_distinct("lr_scale").alias("__nc"),
+        F.first("lr_scale").alias("lr_scale"),
+    )
+    return gathered.select(
+        *keys,
+        F.when(
+            F.col("__nc") > 1,
+            F.raise_error(F.lit(
+                "linreg states built with different scales cannot "
+                "merge — the decimal scale is a unit contract "
+                "(rebuild one side)"
+            )).cast("bigint"),
+        ).otherwise(F.col("lr_n")).alias("lr_n"),
+        "lr_sx", "lr_sy", "lr_sxx", "lr_syy", "lr_sxy", "lr_scale",
+    )
+
+
+def finalize_linreg_rollup(state: DataFrame) -> DataFrame:
+    """Derive the regression coefficients from the exact sufficient
+    statistics: ``slope`` = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), ``intercept``
+    = Σy/n − slope·(Σx/n), ``r2`` = (nΣxy − ΣxΣy)²/((nΣx² − (Σx)²)·
+    (nΣy² − (Σy)²)) — each a FIXED double expression tree over
+    bit-identical decimal operands, so the doubles are bit-identical
+    too however the state was split and merged (the finalize_rollup /
+    delta_volatility convention; the DuckDB oracle spells the same
+    trees). Degenerate keys report NULL: constant x (den 0) → no
+    slope; constant y additionally → no r2. n stays as ``n_pairs``."""
+    key_cols = [
+        f.name for f in state.schema.fields
+        if f.name not in ("lr_n", "lr_sx", "lr_sy", "lr_sxx", "lr_syy",
+                          "lr_sxy", "lr_scale")
+    ]
+    n = F.col("lr_n").cast("double")
+    sx = F.col("lr_sx").cast("double")
+    sy = F.col("lr_sy").cast("double")
+    sxx = F.col("lr_sxx").cast("double")
+    syy = F.col("lr_syy").cast("double")
+    sxy = F.col("lr_sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = F.when(den != 0, num / den)
+    return state.select(
+        *key_cols,
+        F.col("lr_n").alias("n_pairs"),
+        slope.alias("slope"),
+        F.when(den != 0, sy / n - (num / den) * (sx / n))
+        .alias("intercept"),
+        F.when((den != 0) & (deny != 0), (num * num) / (den * deny))
+        .alias("r2"),
+    )
+
+
 class DQViolationError(ValueError):
     """Raised by :func:`dq_check` when rules are violated and the
     caller asked for the loud gate."""

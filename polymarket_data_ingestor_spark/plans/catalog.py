@@ -1585,6 +1585,101 @@ def q_incremental_rollup(spark, sf_dir):
 
 
 @register(
+    "linreg_rollup",
+    """
+    WITH p AS (
+      SELECT event_type,
+             CAST(CAST(epoch_us(ts) AS BIGINT)
+                  * CAST(0.000001 AS DECIMAL(6,6))
+                  AS DECIMAL(18,6)) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             -- decimal -> VARCHAR -> DOUBLE, deliberately: DuckDB's
+             -- direct int128-decimal->double cast double-rounds
+             -- (double(int128)/10^scale) and lands 1 ulp off the
+             -- correctly-rounded value Spark/Java produce; the string
+             -- route is correctly rounded, and the den/num
+             -- cancellation in the coefficients amplifies that ulp
+             -- ~1e5x (probed, r12)
+             CAST(CAST(CAST(SUM(x) AS DECIMAL(38,6)) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(CAST(SUM(y) AS DECIMAL(38,6)) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * x)
+                  AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(CAST(SUM(CAST(y AS DECIMAL(19,6)) * y)
+                  AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * y)
+                  AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, n_pairs,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0
+                THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+           END AS slope,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0
+                THEN sy / CAST(n_pairs AS DOUBLE)
+                     - ((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx))
+                       * (sx / CAST(n_pairs AS DOUBLE))
+           END AS intercept,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0
+                 AND CAST(n_pairs AS DOUBLE) * syy - sy * sy <> 0
+                THEN ((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                      * (CAST(n_pairs AS DOUBLE) * sxy - sx * sy))
+                     / ((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n_pairs AS DOUBLE) * syy - sy * sy))
+           END AS r2
+    FROM s
+    """,
+    doc="Maintained per-key OLS trend (operators/analytics.py::"
+    "linreg_rollup_state/merge_linreg_rollup/finalize_linreg_rollup): "
+    "the six regression sufficient statistics (n, Σx, Σy, Σx², Σy², "
+    "Σxy) as EXACT decimal sums — component-wise addition is a true "
+    "monoid, so 'is this market drifting / is this source's quality "
+    "degrading' is maintained forever at delta cost with slope/"
+    "intercept/R² derived at read time. Here the state is built over "
+    "a 70/30 split of events (value regressed on epoch seconds, the "
+    "exact-decimal µs→s conversion) and MERGED; the oracle is the "
+    "full single-pass recompute, so green = the merge is bit-exact "
+    "(decimal sums make merge order unable to change a digit; the "
+    "coefficient expressions are fixed double trees over identical "
+    "operands — the finalize_rollup/delta_volatility convention). "
+    "Pure Catalyst: one map-side-combined aggregate, the shuffle "
+    "carries six numbers per key per partial, whole-stage codegen "
+    "end to end — the cheapest member of the monoid family at "
+    "100 TB. Degenerate keys (constant x) report NULL coefficients.",
+    tags=("agg", "incremental"),
+)
+def q_linreg_rollup(spark, sf_dir):
+    from decimal import Decimal
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_linreg_rollup,
+        linreg_rollup_state,
+        merge_linreg_rollup,
+    )
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "x_s",
+        F.unix_micros(F.col("ts")).cast("decimal(20,0)")
+        * F.lit(Decimal("0.000001")),
+    )
+    keys = ("event_type",)
+    hist = linreg_rollup_state(
+        ev.filter(F.col("event_id") % 10 < 7), keys, "x_s", "value")
+    delta = linreg_rollup_state(
+        ev.filter(F.col("event_id") % 10 >= 7), keys, "x_s", "value")
+    return finalize_linreg_rollup(
+        merge_linreg_rollup(hist, delta, keys=keys))
+
+
+@register(
     "cusum_drift",
     """
     WITH RECURSIVE seq AS (

@@ -3326,6 +3326,8 @@ _CODE_CHANGED_THIS_ROUND = (
     "bpe_train_merges",     # r12: NEW ORACLE (unrolled-CTE trainer)
     "minhash_rollup",       # r12: prehashed range guard in the plan
     "minhash_source_similarity",  # r12: guard + broadcast threshold
+    "linreg_rollup",        # r12: NEW operator (OLS sufficient-stats
+    #                         monoid, pure Catalyst decimal sums)
 )
 
 

@@ -1517,6 +1517,43 @@ def live_topk_rollup(
     )
 
 
+def live_linreg_rollup(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    x_col: str,
+    y_col: str,
+    scale: int = 6,
+    available_now: bool = False,
+    retain_versions: int = 2,
+):
+    """Continuously maintained per-key OLS trend — the regression
+    sufficient-statistics monoid through the MVCC materializer (query
+    with ``read_rollup_state`` → ``finalize_linreg_rollup``).
+    Component-wise exact decimal sums are a TRUE monoid, so the
+    maintained slope/intercept/R² equal a full recompute bit-for-bit
+    at every commit — the live answer to "is this market's price
+    drifting RIGHT NOW" without re-reading history. Mind the decimal
+    range contract: x must fit decimal(18,scale) (epoch SECONDS at
+    the default scale; pre-normalize ms/µs streams)."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        linreg_rollup_state,
+        merge_linreg_rollup,
+    )
+
+    return live_materialize(
+        events,
+        state_path,
+        checkpoint,
+        state_fn=lambda b: linreg_rollup_state(b, keys, x_col, y_col,
+                                               scale),
+        merge_fn=lambda p, d: merge_linreg_rollup(p, d, keys=keys),
+        available_now=available_now,
+        retain_versions=retain_versions,
+    )
+
+
 def live_materialize(
     events: DataFrame,
     state_path: str,

@@ -951,3 +951,125 @@ def test_cli_lake_stats_show_single_label(spark, tmp_path, monkeypatch,
     capsys.readouterr()
     assert cli.main(["lake", "stats-show", cstate, "--stat", "summary",
                      "--keys", "g", "--label", "d1"]) == 2
+
+
+def test_linreg_rollup_edges_merge_and_naive_model(spark):
+    """r12 OLS monoid: empty/all-NULL inputs degrade to empty states;
+    a single point (or constant x) reports NULL coefficients; a
+    perfect line is EXACT (2.0/1.0/1.0 — decimal sums + fixed double
+    trees); split-merge equals one-pass bit-for-bit; coefficients
+    match an independent float OLS to 1e-9; mixed scales and
+    non-representable values raise; multi-column keys work."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_linreg_rollup,
+        linreg_rollup_state,
+        merge_linreg_rollup,
+    )
+
+    empty = spark.createDataFrame([], "g string, x double, y double")
+    assert linreg_rollup_state(empty, ("g",), "x", "y").count() == 0
+    nulls = spark.createDataFrame(
+        [("a", None, 1.0), ("a", 2.0, None)], "g string, x double, y double"
+    )
+    assert linreg_rollup_state(nulls, ("g",), "x", "y").count() == 0
+
+    # deterministic pseudorandom data (no RNG: hash-ish arithmetic)
+    rows = []
+    for i in range(200):
+        x = float(i % 37) + (i * 7 % 11) * 0.125
+        noise = ((i * 2654435761) % 1000 - 500) / 250.0
+        rows.append(("a", x, 3.5 * x - 2.0 + noise))
+        if i < 50:
+            rows.append(("b", float(i), 10.0 - 0.25 * i))
+    rows.append(("c", 5.0, 1.0))           # single point
+    rows.append(("d", 2.0, 1.0))           # constant x, two points
+    rows.append(("d", 2.0, 9.0))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    fin = {r["g"]: r.asDict()
+           for r in finalize_linreg_rollup(
+               linreg_rollup_state(df, ("g",), "x", "y")).collect()}
+
+    # perfect line: exact
+    assert fin["b"]["slope"] == -0.25 and fin["b"]["intercept"] == 10.0
+    assert fin["b"]["r2"] == 1.0
+    # degenerate keys: NULL coefficients, n_pairs kept
+    assert fin["c"] == {"g": "c", "n_pairs": 1, "slope": None,
+                        "intercept": None, "r2": None}
+    assert fin["d"]["slope"] is None and fin["d"]["n_pairs"] == 2
+
+    # independent float OLS model for the noisy key
+    xs = [r[1] for r in rows if r[0] == "a"]
+    ys = [r[2] for r in rows if r[0] == "a"]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    assert fin["a"]["slope"] == _pytest.approx(sxy / sxx, abs=1e-9)
+    assert fin["a"]["intercept"] == _pytest.approx(
+        my - (sxy / sxx) * mx, abs=1e-9)
+    assert fin["a"]["r2"] == _pytest.approx(sxy * sxy / (sxx * syy),
+                                            abs=1e-9)
+
+    # split-merge == one-pass, bit-for-bit (decimal sums)
+    one = linreg_rollup_state(df, ("g",), "x", "y")
+    a1 = linreg_rollup_state(df.filter("x < 10"), ("g",), "x", "y")
+    a2 = linreg_rollup_state(df.filter("x >= 10"), ("g",), "x", "y")
+    merged = merge_linreg_rollup(a1, a2, keys=("g",))
+    as_map = lambda st: {  # noqa: E731
+        r["g"]: (r["lr_n"], r["lr_sx"], r["lr_sy"], r["lr_sxx"],
+                 r["lr_syy"], r["lr_sxy"]) for r in st.collect()}
+    assert as_map(merged) == as_map(one)
+
+    # contracts
+    with _pytest.raises(Exception, match="unit contract"):
+        merge_linreg_rollup(
+            one, linreg_rollup_state(df, ("g",), "x", "y", scale=2),
+            keys=("g",),
+        ).collect()
+    with _pytest.raises(Exception, match="not representable"):
+        linreg_rollup_state(
+            spark.createDataFrame([("a", 1e14, 1.0)],
+                                  "g string, x double, y double"),
+            ("g",), "x", "y").collect()
+    with _pytest.raises(ValueError, match="scale"):
+        linreg_rollup_state(df, ("g",), "x", "y", scale=10)
+
+    # multi-column, non-string keys
+    mk = spark.createDataFrame(
+        [(1, "s", float(i), 2.0 * i) for i in range(5)],
+        "uid long, side string, x double, y double",
+    )
+    r = finalize_linreg_rollup(
+        linreg_rollup_state(mk, ("uid", "side"), "x", "y")).collect()
+    assert [(q["uid"], q["side"], q["slope"], q["intercept"])
+            for q in r] == [(1, "s", 2.0, 0.0)]
+
+
+def test_cli_lake_stats_linreg_flow(spark, tmp_path, monkeypatch,
+                                    capsys):
+    """--stat linreg through the CLI: fold with --x, coefficients in
+    the printed report; missing --x refuses pre-Spark."""
+    from polymarket_data_ingestor_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    delta = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [("m1", float(i), 2.0 * i + 1.0) for i in range(10)],
+        "g string, x double, y double",
+    ).write.parquet(delta)
+    state = str(tmp_path / "lrstate")
+
+    assert cli.main(["lake", "stats", delta, "--state", state,
+                     "--stat", "linreg", "--keys", "g",
+                     "--value", "y"]) == 2
+    assert "--x" in capsys.readouterr().err
+
+    assert cli.main(["lake", "stats", delta, "--state", state,
+                     "--stat", "linreg", "--keys", "g",
+                     "--value", "y", "--x", "x"]) == 0
+    out = capsys.readouterr().out
+    assert "'slope': 2.0" in out and "'intercept': 1.0" in out
+    assert "'r2': 1.0" in out

@@ -1072,3 +1072,22 @@ def test_iterative_entries_release_their_caches(spark):
             "overwrite"
         ).save()
         assert cm.isEmpty(), f"{name} left persisted relations behind"
+
+
+def test_linreg_rollup_pure_catalyst_single_scan(spark):
+    """The r12 OLS monoid's plan contract: the entry's 70/30
+    split-then-merge runs as map-side-combined decimal aggregates
+    (partial + final HashAggregate) with ZERO Python anywhere — no
+    Arrow, no row-at-a-time eval, no join, no window — and the merge
+    unions state tables, so the shuffle carries six numbers per key
+    per partial. One FileScan per split side (Spark can't share a
+    scan across the two disjoint filters without a CTE materialize;
+    the filters prune at the scan)."""
+    plan = plan_of(spark, "linreg_rollup")
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 stages
+    assert plan.count("FileScan") == 2, plan  # one per split side
+    assert "Union" in plan, plan

@@ -2387,3 +2387,64 @@ def test_live_dq_check_single_aggregate_per_batch(
     reports = spark.read.parquet(str(tmp_path / "dq1_rep")).collect()
     assert {r["rule"] for r in reports} == {"min", "not_null", "check"}
     assert all(r["violations"] == 0 and r["n_rows"] == 2 for r in reports)
+
+
+def test_live_linreg_rollup_maintained_and_crash_replay(spark, tmp_path):
+    """The r12 OLS monoid through the MVCC materializer: maintained
+    slope/intercept/R² are bit-identical to a one-pass batch build
+    over the union (exact decimal sums), and a crash-replay of the
+    last batch changes nothing."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_linreg_rollup,
+        linreg_rollup_state,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        live_linreg_rollup,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "lr_src"
+    src.mkdir()
+    rows1 = [{"k": "m", "x": float(i), "y": 2.0 * i + 1.0 + (i % 3)}
+             for i in range(12)]
+    rows2 = [{"k": "m", "x": float(20 + i), "y": 45.0 - 0.5 * i}
+             for i in range(8)]
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1) + "\n")
+
+    def run():
+        q = live_linreg_rollup(
+            spark.readStream.schema("k string, x double, y double")
+            .json(str(src)),
+            str(tmp_path / "lr_state"), str(tmp_path / "lr_ckpt"),
+            ("k",), "x", "y", available_now=True,
+        )
+        q.awaitTermination(300)
+
+    run()
+    (src / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows2) + "\n")
+    run()
+
+    union = spark.createDataFrame(
+        rows1 + rows2, "k string, x double, y double")
+    want = [r.asDict() for r in finalize_linreg_rollup(
+        linreg_rollup_state(union, ("k",), "x", "y")).collect()]
+
+    def got():
+        return [r.asDict() for r in finalize_linreg_rollup(
+            read_rollup_state(spark, str(tmp_path / "lr_state"))
+        ).collect()]
+
+    assert got() == want  # bit-identical, not approx
+
+    # crash-replay: delete the last commit marker (+ crc) and re-run
+    commits = sorted((tmp_path / "lr_ckpt" / "commits").glob("[0-9]*"))
+    commits[-1].unlink()
+    crc = tmp_path / "lr_ckpt" / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run()
+    assert got() == want  # replay overwrote v=N identically
