@@ -376,6 +376,18 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --stat linreg needs --x <column> (the "
               "regressor; --value is y)", file=sys.stderr)
         return 2
+    if len(stats) > 1 and args.k is not None:
+        # k means incompatible things per stat (sketch size vs sample
+        # capacity vs n_hashes) and a wrong one silently commits a
+        # state no default-parameter caller can ever fold again (the
+        # (k, seed) contract refusal fires on the NEXT fold, after
+        # the damage) — the per-stat defaults exist precisely because
+        # one shared number is wrong (r12 review)
+        print("lake stats: --k with multiple stats is ambiguous "
+              "(k is sketch size / capacity / n_hashes depending on "
+              "the stat) — fold the stat that needs a custom k "
+              "separately", file=sys.stderr)
+        return 2
     if args.label is None and (args.window is not None
                                or args.retain_labels is not None):
         print("lake stats: --window/--retain-labels need --label "
@@ -432,19 +444,39 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
                 d, keys, args.x, args.value),
         }[stat]()
 
+    from polymarket_data_ingestor_spark.streaming.live import (
+        _rollup_versions,
+        state_labels,
+    )
+
+    state_dirs = {
+        stat: (args.state if len(stats) == 1
+               else f"{args.state.rstrip('/')}/{stat}")
+        for stat in stats
+    }
     # A state directory's layout is a CONTRACT like its (k, seed): one
     # accidental fold in the other mode would create a dual-layout dir
     # where stats-show's auto-detect (d= labels win) silently shadows
     # the entire accumulated cumulative history — refuse loudly
-    # instead (r11 ADVICE).
-    from polymarket_data_ingestor_spark.streaming.live import (
-        _rollup_versions,
-        commit_rollup_version,
-        expire_state_labels,
-        fold_labeled_state,
-        read_window_state,
-        state_labels,
-    )
+    # instead (r11 ADVICE). Validated for EVERY stat BEFORE the first
+    # fold (r12 review): cumulative folds are not idempotent, so a
+    # mid-loop refusal after earlier stats committed would make the
+    # natural "fix and re-run" double-fold the delta into them.
+    for stat in stats:
+        sd = state_dirs[stat]
+        if args.label is not None and _rollup_versions(spark, sd):
+            print(f"lake stats: {sd} is a cumulative (v=N) "
+                  "state directory — a labeled fold into it would "
+                  "shadow the accumulated history in read-only "
+                  "queries; drop --label or use a fresh directory",
+                  file=sys.stderr)
+            return 2
+        if args.label is None and state_labels(spark, sd):
+            print(f"lake stats: {sd} is a labeled (d=<label>) "
+                  "state directory — a cumulative fold into it would "
+                  "create a dual-layout dir; pass --label or use a "
+                  "fresh directory", file=sys.stderr)
+            return 2
 
     if len(stats) > 1:
         # the point of the comma list: ONE delta scan feeds every
@@ -453,17 +485,23 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         delta = delta.persist()
     try:
         for stat in stats:
-            state_dir = (args.state if len(stats) == 1
-                         else f"{args.state.rstrip('/')}/{stat}")
             rc = _fold_one_lake_stat(
-                spark, args, stat, state_dir, keys,
+                spark, args, stat, state_dirs[stat], keys,
                 _build(stat, delta),
                 _stat_finalizers(args)[stat], _stat_merges()[stat],
-                _rollup_versions, commit_rollup_version,
-                expire_state_labels, fold_labeled_state,
-                read_window_state, state_labels,
             )
             if rc != 0:
+                # predictable failures are pre-validated above; a
+                # residual mid-loop failure (e.g. a (k, seed) merge
+                # contract refusal against an existing state) leaves
+                # EARLIER stats committed — say so, so the operator
+                # re-runs only the remaining stats
+                if stats.index(stat) > 0:
+                    done = stats[:stats.index(stat)]
+                    print("lake stats: stats before the failure "
+                          f"({','.join(done)}) COMMITTED this delta — "
+                          "re-run with only the remaining stats",
+                          file=sys.stderr)
                 return rc
     finally:
         if len(stats) > 1:
@@ -472,14 +510,20 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
 
 
 def _fold_one_lake_stat(spark, args, stat, state_dir, keys, state,
-                        finalize, _merge_fn, _rollup_versions,
-                        commit_rollup_version, expire_state_labels,
-                        fold_labeled_state, read_window_state,
-                        state_labels) -> int:
+                        finalize, _merge_fn) -> int:
     """One stat's fold+report against one state directory — the body
     of ``lake stats``, factored so the multi-stat loop shares the
     cached delta (r11 verdict #5) while the labeled/cumulative logic
-    stays the ONE copy."""
+    stays the ONE copy. Layout validation happened in the caller's
+    pre-pass (all stats, before any fold)."""
+    from polymarket_data_ingestor_spark.streaming.live import (
+        _rollup_versions,
+        commit_rollup_version,
+        expire_state_labels,
+        fold_labeled_state,
+        read_window_state,
+        state_labels,
+    )
 
     def merge(*st):
         return _merge_fn(*st, keys=keys)
@@ -492,13 +536,6 @@ def _fold_one_lake_stat(spark, args, stat, state_dir, keys, state,
         # how "last N days" works for monoids with no subtraction
         # (min/max, sketches, bottom-k/top-k): keep per-label states,
         # merge the window at read. Retention via --retain-labels.
-        if _rollup_versions(spark, state_dir):
-            print(f"lake stats: {state_dir} is a cumulative (v=N) "
-                  "state directory — a labeled fold into it would "
-                  "shadow the accumulated history in read-only "
-                  "queries; drop --label or use a fresh directory",
-                  file=sys.stderr)
-            return 2
         fold_labeled_state(spark, state_dir, args.label, state,
                            n_files=args.state_files)
         if args.retain_labels is not None:
@@ -538,13 +575,8 @@ def _fold_one_lake_stat(spark, args, stat, state_dir, keys, state,
     # (live.py::commit_rollup_version, same as live_materialize): read
     # latest v=N, write v=N+1, GC predecessors only after the new
     # _SUCCESS exists. Never read-then-overwrite one path — a failure
-    # mid-write there destroys every previously folded delta.
-    if state_labels(spark, state_dir):
-        print(f"lake stats: {state_dir} is a labeled (d=<label>) "
-              "state directory — a cumulative fold into it would "
-              "create a dual-layout dir; pass --label or use a "
-              "fresh directory", file=sys.stderr)
-        return 2
+    # mid-write there destroys every previously folded delta. (The
+    # labeled-dir layout refusal ran in the caller's pre-pass.)
     versions = _rollup_versions(spark, state_dir)
     # Legacy (pre-versioned flat) files at the root, listed on EVERY
     # run: retirement happens after a successful commit, so a crash in
@@ -671,11 +703,7 @@ def cmd_lake_stats_show(args: argparse.Namespace) -> int:
         state = read_rollup_state(spark, args.state)
         where = f"cumulative v={versions[-1]}"
     out = finalize(state)
-    display_cols = [
-        f.name for f in out.schema.fields
-        if f.dataType.typeName() not in ("binary", "array")
-    ]
-    for row in out.select(*display_cols).limit(args.show).collect():
+    for row in out.select(*_display_cols(out)).limit(args.show).collect():
         print(row.asDict())
     print(f"state: {args.state} ({where})")
     return 0

@@ -2794,11 +2794,21 @@ def minhash_similarity_pairs(
     ``shuffle_replicate_nl`` (a distributed cartesian) instead —
     merely DROPPING the hint is not enough, because the planner's
     size-stats would re-pick BroadcastNestedLoopJoin on its own for
-    any non-equi join with a small-looking side. Still keys² work by
-    design, just never keys² × executors memory. The guard costs one
-    count() over the keys-sized state (the one eager action in this
-    file's monoid family; the state is by construction tiny relative
-    to anything that built it)."""
+    any non-equi join with a small-looking side.  Still keys² work by
+    design, just never keys² × executors memory.
+
+    The guard's key count makes this function EAGER: the state is
+    ``localCheckpoint``-ed first, so the (possibly corpus-scale) state
+    build runs exactly ONCE at call time and the count, the pair join,
+    and every downstream action read the keys-sized checkpointed
+    blocks — a bare ``count()`` on the un-persisted lineage would
+    re-run the whole build per consumer (the r12 review's +1-corpus-
+    pass finding), and r11's ReusedExchange sharing only ever covered
+    the two join sides, not the extra count job. Same trade as
+    ``pagerank``'s round tables: no executor-loss recompute for the
+    (tiny) checkpointed state, blocks freed by the ContextCleaner when
+    the result is garbage."""
+    state = state.localCheckpoint(eager=True)
     a = state.select(
         *[F.col(k).alias(f"{k}_a") for k in keys],
         F.col("mh_sig").alias("__sa"),

@@ -896,13 +896,43 @@ def test_cli_lake_stats_multi_stat_single_delta_read(spark, tmp_path,
         ).fetchall()
         assert a == b, stat
 
-    # guards: unknown stat / duplicate stat refuse pre-Spark
+    # guards: unknown stat / duplicate stat / ambiguous --k refuse
+    # pre-Spark
     assert cli.main(["lake", "stats", delta, "--state", multi,
                      "--stat", "summary,bogus", "--keys", "g",
                      "--value", "v"]) == 2
     assert cli.main(["lake", "stats", delta, "--state", multi,
                      "--stat", "summary,summary", "--keys", "g",
                      "--value", "v"]) == 2
+    assert cli.main(["lake", "stats", delta, "--state", multi,
+                     "--stat", "summary,quantiles", "--keys", "g",
+                     "--value", "v", "--k", "8192"]) == 2
+    assert "ambiguous" in capsys.readouterr().err
+
+    # atomicity (r12 review): layout problems for ANY stat in the list
+    # refuse BEFORE the first fold — a mid-loop refusal would let the
+    # natural re-run double-fold the delta into the committed stats
+    import pathlib as _pl
+
+    from polymarket_data_ingestor_spark.streaming import (
+        fold_labeled_state,
+    )
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        rollup_state,
+    )
+
+    atom = str(tmp_path / "atomic")
+    # poison the SECOND stat's dir with a labeled layout
+    fold_labeled_state(
+        spark, f"{atom}/quantiles", "d1",
+        rollup_state(spark.read.parquet(delta), ("g",), "v"))
+    capsys.readouterr()
+    assert cli.main(["lake", "stats", delta, "--state", atom,
+                     "--stat", "summary,quantiles", "--keys", "g",
+                     "--value", "v"]) == 2
+    assert "labeled (d=<label>)" in capsys.readouterr().err
+    # the FIRST stat's dir was never created — nothing committed
+    assert not (_pl.Path(atom) / "summary").exists()
 
 
 def test_cli_lake_stats_show_single_label(spark, tmp_path, monkeypatch,

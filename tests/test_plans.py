@@ -951,13 +951,15 @@ def test_minhash_rollup_single_exchange_arrow_prep(spark):
     assert "ArrowEvalPython" in plan.split("Exchange")[-1], plan
 
 
-def test_minhash_similarity_reuses_state_subtree(spark):
+def test_minhash_similarity_materializes_state_once(spark):
     """The similarity self-join must NOT re-derive the corpus-scale
-    state build per side: the executed plan (AQE final — collect
-    first, r10 recipe) shares one scan+partial-agg subtree via
-    ReusedExchange, and the pair side arrives broadcast. Without the
-    reuse this entry would scan+hash the corpus twice — the exact
-    silent-rederivation hazard the scan-budget gate exists for."""
+    state build per consumer. Since r12 the mechanism is an eager
+    localCheckpoint inside minhash_similarity_pairs (the broadcast
+    guard's key count made the function eager anyway, and r11's
+    ReusedExchange only ever shared the two JOIN sides — the count
+    job still re-ran the build): the returned plan reads the
+    keys-sized checkpointed blocks, so it contains ZERO FileScans and
+    no Python — the corpus was scanned exactly once, at call time."""
     from polymarket_data_ingestor_spark.plans.catalog import CATALOG
 
     df = CATALOG["minhash_source_similarity"].spark(
@@ -965,10 +967,12 @@ def test_minhash_similarity_reuses_state_subtree(spark):
     )
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, plan
+    assert "FileScan" not in plan, plan  # reads checkpointed state
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" \
         in plan, plan
-    assert "BatchEvalPython" not in plan, plan  # Arrow prep only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" \
+        not in plan, plan
 
 
 @pytest.mark.slow
