@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "token_explode",
     "revenue_rollup",
     "linreg_rollup",
+    "kmv_overlap",
     "doc_quality",
     "asof_join",
     "asof_join_forward",

@@ -2462,6 +2462,94 @@ def kmv_distinct_estimate(state: DataFrame) -> DataFrame:
     )
 
 
+def kmv_overlap_pairs(
+    state: DataFrame,
+    keys: tuple[str, ...],
+    min_jaccard: float = 0.0,
+    broadcast_max_keys: int = 1_000_000,
+) -> DataFrame:
+    """Distinct-set OVERLAP between every pair of keys, estimated from
+    their maintained bottom-k sample states — "how many distinct users
+    do two segments share" without ever materializing per-key user
+    sets (at 100 TB the sets ARE the data; the states are k longs per
+    key, maintained forever at delta cost by the sample monoid).
+
+    The classic KMV set-operation estimator (Beyer et al.): for a pair
+    (A, B), L = the K smallest hashes of A ∪ B with K = min(k, |union
+    of the two sketches|) — computable exactly from two bottom-k
+    sketches, which is the whole trick — then ``n_common`` = |L ∩ A ∩
+    B|, ``jaccard`` = n_common / K, and ``n_common_est`` = jaccard ×
+    the KMV cardinality estimate of the union (same exact-below-
+    capacity / (K−1)·2³²/h_K-at-capacity convention, h clamped ≥ 1,
+    as :func:`kmv_distinct_estimate`). While both keys' distinct
+    counts stay under k the sketches are the full hash sets and every
+    output is EXACT (n_common = |A∩B|, jaccard = the true Jaccard);
+    past capacity the error is the estimator's ~1/√K. Mixed (k, seed)
+    contracts raise at execution — the hash family is an identity
+    contract like the minhash monoid's.
+
+    Scale and plan shape mirror :func:`minhash_similarity_pairs`
+    exactly (state-sized self-join; eager localCheckpoint so the
+    state build runs once; broadcast under ``broadcast_max_keys``,
+    forced distributed cartesian above). Pure Catalyst array ops —
+    sorted-array union/intersect over k-sized arrays, no Python."""
+    state = state.localCheckpoint(eager=True)
+    a = state.select(
+        *[F.col(k).alias(f"{k}_a") for k in keys],
+        F.col("s_hash").alias("__ha"),
+        F.col("s_k").alias("__ka"), F.col("s_seed").alias("__ra"),
+    )
+    b = state.select(
+        *[F.col(k).alias(f"{k}_b") for k in keys],
+        F.col("s_hash").alias("__hb"),
+        F.col("s_k").alias("__kb"), F.col("s_seed").alias("__rb"),
+    )
+    cond = (
+        F.struct(*[F.col(f"{k}_a") for k in keys])
+        < F.struct(*[F.col(f"{k}_b") for k in keys])
+    )
+    union = F.array_sort(F.array_union("__ha", "__hb"))
+    kk = F.least(F.col("__ka"), F.size(union))
+    low = F.slice(union, F.lit(1), kk)
+    n_common = F.size(
+        F.array_intersect(low, F.array_intersect("__ha", "__hb"))
+    )
+    contract_ok = (
+        (F.col("__ka") == F.col("__kb"))
+        & (F.col("__ra") == F.col("__rb"))
+    )
+    guard = F.when(
+        ~contract_ok,
+        F.raise_error(F.lit(
+            "kmv overlap across different (k, seed) contracts is "
+            "meaningless — the hash family is an identity contract "
+            "(rebuild one side)"
+        )).cast("bigint"),
+    )
+    jac = n_common.cast("double") / kk.cast("double")
+    union_est = F.when(
+        F.size(union) < F.col("__ka"), F.size(union).cast("double")
+    ).otherwise(
+        (F.col("__ka") - F.lit(1)).cast("double") * F.lit(float(2 ** 32))
+        / F.greatest(F.element_at(low, kk).cast("double"), F.lit(1.0))
+    )
+    right = (
+        F.broadcast(b) if state.count() <= broadcast_max_keys
+        else b.hint("shuffle_replicate_nl")
+    )
+    return (
+        a.join(right, cond)
+        .select(
+            *[f"{k}_a" for k in keys], *[f"{k}_b" for k in keys],
+            guard.otherwise(kk.cast("bigint")).alias("k_used"),
+            n_common.cast("bigint").alias("n_common"),
+            jac.alias("jaccard"),
+            (jac * union_est).alias("n_common_est"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(min_jaccard)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Top-k-by-score monoid
 #

@@ -2056,6 +2056,84 @@ def q_topk_rollup(spark, sf_dir):
 
 
 @register(
+    "kmv_overlap",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS sid
+      FROM events WHERE user_id IS NOT NULL
+    ), h AS (
+      SELECT g, {sql_hash32_catalog("sid", 7)} AS h FROM d
+    ), bk AS (
+      -- replicate the bottom-k sketch exactly: k smallest DISTINCT
+      -- hashes per key (the sample state dedups (hash, id) pairs;
+      -- distinct users -> distinct sids -> distinct hashes mod
+      -- collisions, which both engines hash identically)
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) rn
+        FROM (SELECT DISTINCT g, h FROM h))
+      WHERE rn <= 1024
+    ), agg AS (
+      SELECT g, list_sort(list(h)) AS hs FROM bk GROUP BY g
+    ), pairs AS (
+      SELECT a.g AS g_a, b.g AS g_b,
+             list_sort(list_distinct(a.hs || b.hs)) AS uni,
+             list_intersect(a.hs, b.hs) AS raw_inter,
+             len(a.hs) AS na, len(b.hs) AS nb
+      FROM agg a JOIN agg b ON a.g < b.g
+    ), est AS (
+      SELECT g_a, g_b,
+             least(1024, len(uni)) AS kk,
+             len(list_intersect(uni[1:least(1024, len(uni))],
+                                raw_inter)) AS x,
+             len(uni) AS ulen,
+             uni[least(1024, len(uni))] AS hk
+      FROM pairs
+    )
+    SELECT g_a AS event_type_a, g_b AS event_type_b,
+           CAST(kk AS BIGINT) AS k_used,
+           CAST(x AS BIGINT) AS n_common,
+           CAST(x AS DOUBLE) / CAST(kk AS DOUBLE) AS jaccard,
+           (CAST(x AS DOUBLE) / CAST(kk AS DOUBLE))
+           * (CASE WHEN ulen < 1024 THEN CAST(ulen AS DOUBLE)
+                   ELSE CAST(1024 - 1 AS DOUBLE) * 4294967296.0
+                        / greatest(CAST(hk AS DOUBLE), 1.0) END)
+           AS n_common_est
+    FROM est
+    """,
+    doc="Distinct-set overlap between segments from maintained "
+    "bottom-k sample states (operators/analytics.py::"
+    "kmv_overlap_pairs): the classic KMV set-operation estimator — "
+    "L = the K smallest hashes of the pair's sketch union, n_common "
+    "= |L ∩ A ∩ B|, jaccard = n_common/K, n_common_est = jaccard x "
+    "the union's KMV cardinality estimate — 'how many distinct users "
+    "do two event segments share' computed from k longs per key, "
+    "never from the user sets (at 100 TB the sets ARE the data; the "
+    "states are maintained forever at delta cost by the sample "
+    "monoid). At sf0.01 (~150 users/type vs k=1024) the sketches are "
+    "the full hash sets, so every output is EXACT — a tier-1 green; "
+    "at sf0.1 (~1500 users/type) the same entry exercises the "
+    "capacity regime and the oracle replicates the identical sketch "
+    "construction (tier-2 determinism; the estimator's ~1/√K accuracy "
+    "is pinned separately in pytest). Plan shape mirrors "
+    "minhash_source_similarity: eager localCheckpoint (state build "
+    "runs once), keys-sized broadcast self-join, pure Catalyst "
+    "sorted-array ops.",
+    tags=("agg", "similarity"),
+)
+def q_kmv_overlap(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        kmv_overlap_pairs,
+        sample_rollup_state,
+    )
+
+    st = sample_rollup_state(
+        table(spark, sf_dir, "events"), ("event_type",), "user_id",
+        k=1024, seed=7,
+    )
+    return kmv_overlap_pairs(st, ("event_type",))
+
+
+@register(
     "rolling_zscore_flags",
     """
     WITH counts AS (

@@ -3328,6 +3328,8 @@ _CODE_CHANGED_THIS_ROUND = (
     "minhash_source_similarity",  # r12: guard + broadcast threshold
     "linreg_rollup",        # r12: NEW operator (OLS sufficient-stats
     #                         monoid, pure Catalyst decimal sums)
+    "kmv_overlap",          # r12: NEW operator (KMV set-overlap off
+    #                         the sample monoid's bottom-k states)
 )
 
 

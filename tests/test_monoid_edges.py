@@ -1103,3 +1103,68 @@ def test_cli_lake_stats_linreg_flow(spark, tmp_path, monkeypatch,
     out = capsys.readouterr().out
     assert "'slope': 2.0" in out and "'intercept': 1.0" in out
     assert "'r2': 1.0" in out
+
+
+def test_kmv_overlap_exact_regime_capacity_bound_and_plan(spark):
+    """r12 KMV set-overlap: in the exact regime (both keys below k)
+    n_common/jaccard equal the true set intersection/Jaccard computed
+    naively; at CAPACITY the estimator lands within the ~1/√K rank
+    error of the truth; mixed (k, seed) contracts raise; the plan
+    reads the checkpointed state (zero FileScans) and broadcasts."""
+    import math
+
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        kmv_overlap_pairs,
+        sample_rollup_state,
+    )
+
+    # exact regime: known sets via a naive python model
+    sets = {
+        "a": {f"u{i}" for i in range(40)},
+        "b": {f"u{i}" for i in range(20, 70)},
+        "c": {f"v{i}" for i in range(10)},
+    }
+    rows = [(g, u) for g, us in sets.items() for u in us]
+    df = spark.createDataFrame(rows, "g string, uid string")
+    st = sample_rollup_state(df, ("g",), "uid", k=256, seed=5)
+    got = {(r["g_a"], r["g_b"]): r.asDict()
+           for r in kmv_overlap_pairs(st, ("g",)).collect()}
+    for (ga, gb), r in got.items():
+        inter = len(sets[ga] & sets[gb])
+        union = len(sets[ga] | sets[gb])
+        assert r["n_common"] == inter, r
+        assert r["jaccard"] == inter / union, r
+        assert r["n_common_est"] == _pytest.approx(inter, abs=1e-9), r
+        assert r["k_used"] == union
+
+    # capacity regime: 5000-element sets, 60% overlap, k=128 — the
+    # estimate must land within 4/√K relative error of the truth
+    big_a = {f"w{i}" for i in range(5000)}
+    big_b = {f"w{i}" for i in range(2000, 7000)}
+    rows2 = [("A", u) for u in big_a] + [("B", u) for u in big_b]
+    df2 = spark.createDataFrame(rows2, "g string, uid string")
+    st2 = sample_rollup_state(df2, ("g",), "uid", k=128, seed=5)
+    r = kmv_overlap_pairs(st2, ("g",)).collect()[0]
+    true_inter = len(big_a & big_b)
+    assert r["k_used"] == 128
+    tol = 4.0 / math.sqrt(128)  # ~0.35 relative
+    assert abs(r["n_common_est"] - true_inter) <= tol * true_inter, r
+
+    # mixed contract raises at execution
+    st3 = sample_rollup_state(df, ("g",), "uid", k=64, seed=5)
+    with _pytest.raises(Exception, match="identity contract"):
+        kmv_overlap_pairs(st.unionByName(st3), ("g",)).collect()
+
+    # plan: checkpointed state (no FileScan/Python), broadcast join;
+    # the guard falls back to a distributed cartesian above the bound
+    out = kmv_overlap_pairs(st, ("g",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "EvalPython" not in plan, plan
+    assert "Broadcast" in plan, plan
+    guarded = kmv_overlap_pairs(st, ("g",), broadcast_max_keys=1)
+    gp = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in gp and "Broadcast" not in gp, gp
+    assert sorted(map(lambda q: (q["g_a"], q["g_b"]), guarded.collect())) \
+        == sorted(got.keys())
