@@ -483,25 +483,34 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         # stat's state build (the first build materializes the cache;
         # the rest read InMemoryTableScan, never the parquet again)
         delta = delta.persist()
+    def _partial_commit_note(i: int) -> None:
+        # predictable failures are pre-validated above; a residual
+        # mid-loop failure (e.g. a (k, seed) merge contract refusal
+        # against an existing state, surfacing as an EXCEPTION from
+        # the commit's write action — not as a return code, which the
+        # r12 second review showed never fires post-refactor) leaves
+        # EARLIER stats committed; cumulative folds are not
+        # idempotent, so a blind re-run would double-fold the delta
+        # into them — say so, so the operator re-runs only the rest
+        if i > 0:
+            print("lake stats: stats before the failure "
+                  f"({','.join(stats[:i])}) COMMITTED this delta — "
+                  "re-run with only the remaining stats",
+                  file=sys.stderr)
+
     try:
-        for stat in stats:
-            rc = _fold_one_lake_stat(
-                spark, args, stat, state_dirs[stat], keys,
-                _build(stat, delta),
-                _stat_finalizers(args)[stat], _stat_merges()[stat],
-            )
+        for i, stat in enumerate(stats):
+            try:
+                rc = _fold_one_lake_stat(
+                    spark, args, stat, state_dirs[stat], keys,
+                    _build(stat, delta),
+                    _stat_finalizers(args)[stat], _stat_merges()[stat],
+                )
+            except Exception:
+                _partial_commit_note(i)
+                raise
             if rc != 0:
-                # predictable failures are pre-validated above; a
-                # residual mid-loop failure (e.g. a (k, seed) merge
-                # contract refusal against an existing state) leaves
-                # EARLIER stats committed — say so, so the operator
-                # re-runs only the remaining stats
-                if stats.index(stat) > 0:
-                    done = stats[:stats.index(stat)]
-                    print("lake stats: stats before the failure "
-                          f"({','.join(done)}) COMMITTED this delta — "
-                          "re-run with only the remaining stats",
-                          file=sys.stderr)
+                _partial_commit_note(i)
                 return rc
     finally:
         if len(stats) > 1:

@@ -2466,7 +2466,7 @@ def kmv_overlap_pairs(
     state: DataFrame,
     keys: tuple[str, ...],
     min_jaccard: float = 0.0,
-    broadcast_max_keys: int = 1_000_000,
+    broadcast_max_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Distinct-set OVERLAP between every pair of keys, estimated from
     their maintained bottom-k sample states — "how many distinct users
@@ -2488,25 +2488,20 @@ def kmv_overlap_pairs(
     contracts raise at execution — the hash family is an identity
     contract like the minhash monoid's.
 
-    Scale and plan shape mirror :func:`minhash_similarity_pairs`
-    exactly (state-sized self-join; eager localCheckpoint so the
-    state build runs once; broadcast under ``broadcast_max_keys``,
-    forced distributed cartesian above). Pure Catalyst array ops —
-    sorted-array union/intersect over k-sized arrays, no Python."""
-    state = state.localCheckpoint(eager=True)
-    a = state.select(
-        *[F.col(k).alias(f"{k}_a") for k in keys],
-        F.col("s_hash").alias("__ha"),
-        F.col("s_k").alias("__ka"), F.col("s_seed").alias("__ra"),
-    )
-    b = state.select(
-        *[F.col(k).alias(f"{k}_b") for k in keys],
-        F.col("s_hash").alias("__hb"),
-        F.col("s_k").alias("__kb"), F.col("s_seed").alias("__rb"),
-    )
-    cond = (
-        F.struct(*[F.col(f"{k}_a") for k in keys])
-        < F.struct(*[F.col(f"{k}_b") for k in keys])
+    Scale and plan shape are the shared :func:`_pairwise_state_join`
+    scaffold (eager localCheckpoint so the state build runs once;
+    byte-budget broadcast guard — a k=1024 sample row is ~8 KB, so
+    the budget matters here where a key-count threshold sized for
+    the ~128 B minhash rows would broadcast-explode; forced
+    distributed cartesian above the budget). Pure Catalyst array ops
+    — sorted-array union/intersect over k-sized arrays, no Python."""
+    joined = _pairwise_state_join(
+        state, keys,
+        {"s_hash": "h", "s_k": "k", "s_seed": "r"},
+        # capacity (s_k), not the observed array length: the budget
+        # must hold for the fullest rows, not the first one sampled
+        lambda r: 8 * int(r["s_k"]) + 64,
+        broadcast_max_bytes,
     )
     union = F.array_sort(F.array_union("__ha", "__hb"))
     kk = F.least(F.col("__ka"), F.size(union))
@@ -2533,12 +2528,8 @@ def kmv_overlap_pairs(
         (F.col("__ka") - F.lit(1)).cast("double") * F.lit(float(2 ** 32))
         / F.greatest(F.element_at(low, kk).cast("double"), F.lit(1.0))
     )
-    right = (
-        F.broadcast(b) if state.count() <= broadcast_max_keys
-        else b.hint("shuffle_replicate_nl")
-    )
     return (
-        a.join(right, cond)
+        joined
         .select(
             *[f"{k}_a" for k in keys], *[f"{k}_b" for k in keys],
             guard.otherwise(kk.cast("bigint")).alias("k_used"),
@@ -2859,11 +2850,64 @@ def finalize_minhash_rollup(state: DataFrame) -> DataFrame:
     )
 
 
+def _pairwise_state_join(
+    state: DataFrame,
+    keys: tuple[str, ...],
+    side_cols: dict,
+    per_row_bytes,
+    broadcast_max_bytes: int,
+) -> DataFrame:
+    """Shared scaffold of the state-pair operators
+    (:func:`minhash_similarity_pairs` / :func:`kmv_overlap_pairs` —
+    r12 second review: ONE copy, parallel scaffolds drift): eagerly
+    ``localCheckpoint`` the keys-sized state so the (possibly
+    corpus-scale) build runs exactly once and the count, the join
+    sides, and every downstream action read the checkpointed blocks;
+    alias each side's payload columns (``side_cols`` maps state column
+    → alias stem, emitted as ``__<stem>a``/``__<stem>b``); join every
+    ORDERED key pair (struct(keys_a) < struct(keys_b)).
+
+    The broadcast guard is a BYTE budget, not a key count: members of
+    this family carry very different row payloads (a kmv k=1024 row is
+    ~8 KB of hash array where a minhash n_hashes=16 row is ~128 B), so
+    one key-count threshold sized for the light member broadcast-
+    explodes on the heavy one (the r12 second review's 8 GB example).
+    ``per_row_bytes(first_row)`` estimates a row's payload from one
+    representative row (capacity fields, not observed lengths, where
+    available); above the budget the join is forced to
+    ``shuffle_replicate_nl`` — merely dropping the hint would let the
+    planner's size-stats re-pick BroadcastNestedLoopJoin. Same
+    localCheckpoint trade as ``pagerank``'s round tables: no
+    executor-loss recompute for the (tiny) state, blocks freed by the
+    ContextCleaner when the result is garbage."""
+    state = state.localCheckpoint(eager=True)
+    a = state.select(
+        *[F.col(k).alias(f"{k}_a") for k in keys],
+        *[F.col(c).alias(f"__{s}a") for c, s in side_cols.items()],
+    )
+    b = state.select(
+        *[F.col(k).alias(f"{k}_b") for k in keys],
+        *[F.col(c).alias(f"__{s}b") for c, s in side_cols.items()],
+    )
+    cond = (
+        F.struct(*[F.col(f"{k}_a") for k in keys])
+        < F.struct(*[F.col(f"{k}_b") for k in keys])
+    )
+    n = state.count()
+    first = state.head() if n else None
+    est = n * per_row_bytes(first) if first is not None else 0
+    right = (
+        F.broadcast(b) if est <= broadcast_max_bytes
+        else b.hint("shuffle_replicate_nl")
+    )
+    return a.join(right, cond)
+
+
 def minhash_similarity_pairs(
     state: DataFrame,
     keys: tuple[str, ...],
     min_similarity: float = 0.0,
-    broadcast_max_keys: int = 1_000_000,
+    broadcast_max_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Estimated Jaccard similarity for every key pair from their
     signatures: ``est_jaccard`` = fraction of equal slots (exactly the
@@ -2878,38 +2922,19 @@ def minhash_similarity_pairs(
     intended key domains (sources, languages, shards — thousands of
     keys) one side broadcasts; a caller keying by DOCUMENT would
     broadcast-explode every executor with a corpus-sized table, so
-    above ``broadcast_max_keys`` the join is forced to
-    ``shuffle_replicate_nl`` (a distributed cartesian) instead —
-    merely DROPPING the hint is not enough, because the planner's
-    size-stats would re-pick BroadcastNestedLoopJoin on its own for
-    any non-equi join with a small-looking side.  Still keys² work by
-    design, just never keys² × executors memory.
-
-    The guard's key count makes this function EAGER: the state is
-    ``localCheckpoint``-ed first, so the (possibly corpus-scale) state
-    build runs exactly ONCE at call time and the count, the pair join,
-    and every downstream action read the keys-sized checkpointed
-    blocks — a bare ``count()`` on the un-persisted lineage would
-    re-run the whole build per consumer (the r12 review's +1-corpus-
-    pass finding), and r11's ReusedExchange sharing only ever covered
-    the two join sides, not the extra count job. Same trade as
-    ``pagerank``'s round tables: no executor-loss recompute for the
-    (tiny) checkpointed state, blocks freed by the ContextCleaner when
-    the result is garbage."""
-    state = state.localCheckpoint(eager=True)
-    a = state.select(
-        *[F.col(k).alias(f"{k}_a") for k in keys],
-        F.col("mh_sig").alias("__sa"),
-        F.col("mh_n").alias("__na"), F.col("mh_seed").alias("__ra"),
-    )
-    b = state.select(
-        *[F.col(k).alias(f"{k}_b") for k in keys],
-        F.col("mh_sig").alias("__sb"),
-        F.col("mh_n").alias("__nb"), F.col("mh_seed").alias("__rb"),
-    )
-    cond = (
-        F.struct(*[F.col(f"{k}_a") for k in keys])
-        < F.struct(*[F.col(f"{k}_b") for k in keys])
+    above the ``broadcast_max_bytes`` budget the join is forced to a
+    distributed cartesian instead. The scaffold — eager localCheckpoint
+    so the state build runs exactly ONCE (a bare count() on the
+    un-persisted lineage re-ran the whole build per consumer, the r12
+    review's +1-corpus-pass finding), ordered pair condition, and the
+    byte-budget broadcast guard — is the shared
+    :func:`_pairwise_state_join`; this function owns only the Broder
+    estimator and the hash-family contract."""
+    joined = _pairwise_state_join(
+        state, keys,
+        {"mh_sig": "s", "mh_n": "n", "mh_seed": "r"},
+        lambda r: 8 * int(r["mh_n"]) + 64,
+        broadcast_max_bytes,
     )
     matches = F.size(F.filter(
         F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v
@@ -2922,12 +2947,8 @@ def minhash_similarity_pairs(
             "contracts is meaningless — rebuild one side"
         )),
     ).otherwise(matches.cast("double") / F.col("__na"))
-    right = (
-        F.broadcast(b) if state.count() <= broadcast_max_keys
-        else b.hint("shuffle_replicate_nl")
-    )
     return (
-        a.join(right, cond)
+        joined
         .select(
             *[f"{k}_a" for k in keys], *[f"{k}_b" for k in keys],
             est.alias("est_jaccard"),
@@ -2963,7 +2984,8 @@ def linreg_rollup_state(
 ) -> DataFrame:
     """Mergeable per-key OLS state: ``lr_n`` plus exact decimal sums
     ``lr_sx``/``lr_sy`` (decimal(38,scale)) and ``lr_sxx``/``lr_syy``/
-    ``lr_sxy`` (decimal(38,2·scale)). Inputs are cast to
+    ``lr_sxy`` (decimal(38,2·scale)), plus exact min/max of x and y
+    (the finalize guards' degeneracy witnesses). Inputs are cast to
     decimal(18,scale) — 18 digits keeps every product inside Spark's
     38-digit cap with NO precision-loss rounding (the EXACTNESS.md
     trap) — so x must fit 18−scale integer digits (epoch SECONDS fit
@@ -2976,6 +2998,18 @@ def linreg_rollup_state(
     same spirit as the prehashed minhash range guard. ``scale`` (also
     the round-trip contract, stored as ``lr_scale``) trades fractional
     precision against x/y range.
+
+    CAPACITY CEILING (r12 second review): the square sums accumulate
+    in decimal(38,2·scale), so a key holds at most 10^(38−2·scale) /
+    max(x², y², |x·y|) rows before Σ overflows — with epoch-seconds x
+    (~1.76e9, x² ≈ 3.1e18) at the default scale that is ~3.2e7 rows
+    per key. Past it, ANSI mode raises ARITHMETIC_OVERFLOW at the
+    fold; non-ANSI NULLs the sum, which :func:`finalize_linreg_rollup`
+    turns into a loud raise (NULL sum with lr_n > 0) instead of
+    silently-NULL coefficients. For long-lived high-rate keys, CENTER
+    x (regress on x − x₀ for a fixed recent epoch — x ~ 1e8 lifts the
+    ceiling ~1000×; the slope is unchanged, the intercept shifts by
+    slope·x₀).
 
     Scale shape: one map-side-combined aggregate — the shuffle carries
     six numbers per key per partial map task, never rows. At 100 TB
@@ -3008,6 +3042,14 @@ def linreg_rollup_state(
     ).dropna(subset=["__x", "__y"])
     x, y = F.col("__x"), F.col("__y")
     s2 = 2 * scale
+    # min/max of x and y ride in the state (each its own monoid, like
+    # rollup_state's): they are the EXACT degeneracy witnesses the
+    # finalize guards need — testing `n·Σx² − (Σx)² != 0` on the
+    # double-cast sums lets catastrophic-cancellation ulp noise
+    # impersonate a nonzero variance for constant non-dyadic x
+    # (x = 0.1 over 7 rows → den ≈ 1e-16 → garbage slope 16.0; r12
+    # second review, verified numerically), while min == max is exact
+    # arithmetic-free truth.
     return pairs.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("lr_n"),
         F.sum(x).cast(f"decimal(38,{scale})").alias("lr_sx"),
@@ -3015,6 +3057,10 @@ def linreg_rollup_state(
         F.sum(x * x).cast(f"decimal(38,{s2})").alias("lr_sxx"),
         F.sum(y * y).cast(f"decimal(38,{s2})").alias("lr_syy"),
         F.sum(x * y).cast(f"decimal(38,{s2})").alias("lr_sxy"),
+        F.min(x).alias("lr_min_x"),
+        F.max(x).alias("lr_max_x"),
+        F.min(y).alias("lr_min_y"),
+        F.max(y).alias("lr_max_y"),
         F.lit(scale).alias("lr_scale"),
     )
 
@@ -3042,6 +3088,10 @@ def merge_linreg_rollup(
         F.sum("lr_sxx").cast(sq_t).alias("lr_sxx"),
         F.sum("lr_syy").cast(sq_t).alias("lr_syy"),
         F.sum("lr_sxy").cast(sq_t).alias("lr_sxy"),
+        F.min("lr_min_x").alias("lr_min_x"),
+        F.max("lr_max_x").alias("lr_max_x"),
+        F.min("lr_min_y").alias("lr_min_y"),
+        F.max("lr_max_y").alias("lr_max_y"),
         F.count_distinct("lr_scale").alias("__nc"),
         F.first("lr_scale").alias("lr_scale"),
     )
@@ -3055,7 +3105,8 @@ def merge_linreg_rollup(
                 "(rebuild one side)"
             )).cast("bigint"),
         ).otherwise(F.col("lr_n")).alias("lr_n"),
-        "lr_sx", "lr_sy", "lr_sxx", "lr_syy", "lr_sxy", "lr_scale",
+        "lr_sx", "lr_sy", "lr_sxx", "lr_syy", "lr_sxy",
+        "lr_min_x", "lr_max_x", "lr_min_y", "lr_max_y", "lr_scale",
     )
 
 
@@ -3067,30 +3118,54 @@ def finalize_linreg_rollup(state: DataFrame) -> DataFrame:
     bit-identical decimal operands, so the doubles are bit-identical
     too however the state was split and merged (the finalize_rollup /
     delta_volatility convention; the DuckDB oracle spells the same
-    trees). Degenerate keys report NULL: constant x (den 0) → no
-    slope; constant y additionally → no r2. n stays as ``n_pairs``."""
+    trees). Degenerate keys report NULL, detected on the EXACT
+    min/max witnesses carried in the state, not on the double image
+    of nΣx² − (Σx)² (catastrophic cancellation leaves ulp noise there
+    for constant non-dyadic x — the r12 second review's garbage-slope
+    finding): constant x → no slope/intercept/r2; constant y
+    additionally → no r2; the ``den/deny != 0`` double checks stay
+    as belt-and-braces against the opposite rounding direction (a
+    genuinely nonzero quantity whose double image rounds to 0 must
+    not divide). A NULL square-sum with ``lr_n > 0`` is an OVERFLOWED
+    non-ANSI fold (see the state builder's capacity ceiling) and
+    raises here rather than reporting silently-NULL coefficients.
+    n stays as ``n_pairs``."""
     key_cols = [
         f.name for f in state.schema.fields
         if f.name not in ("lr_n", "lr_sx", "lr_sy", "lr_sxx", "lr_syy",
-                          "lr_sxy", "lr_scale")
+                          "lr_sxy", "lr_min_x", "lr_max_x", "lr_min_y",
+                          "lr_max_y", "lr_scale")
     ]
     n = F.col("lr_n").cast("double")
     sx = F.col("lr_sx").cast("double")
     sy = F.col("lr_sy").cast("double")
-    sxx = F.col("lr_sxx").cast("double")
-    syy = F.col("lr_syy").cast("double")
-    sxy = F.col("lr_sxy").cast("double")
+    overflow = F.raise_error(F.lit(
+        "linreg state holds a NULL square-sum for a key with rows — "
+        "a non-ANSI decimal-sum overflow (see linreg_rollup_state's "
+        "capacity ceiling; center x to lift it)"
+    ))
+    sxx = F.when(
+        F.col("lr_sxx").isNull() & (F.col("lr_n") > 0), overflow
+    ).otherwise(F.col("lr_sxx")).cast("double")
+    syy = F.when(
+        F.col("lr_syy").isNull() & (F.col("lr_n") > 0), overflow
+    ).otherwise(F.col("lr_syy")).cast("double")
+    sxy = F.when(
+        F.col("lr_sxy").isNull() & (F.col("lr_n") > 0), overflow
+    ).otherwise(F.col("lr_sxy")).cast("double")
     num = n * sxy - sx * sy
     den = n * sxx - sx * sx
     deny = n * syy - sy * sy
-    slope = F.when(den != 0, num / den)
+    x_varies = F.col("lr_min_x") != F.col("lr_max_x")
+    y_varies = F.col("lr_min_y") != F.col("lr_max_y")
+    ok = x_varies & (den != 0)
     return state.select(
         *key_cols,
         F.col("lr_n").alias("n_pairs"),
-        slope.alias("slope"),
-        F.when(den != 0, sy / n - (num / den) * (sx / n))
+        F.when(ok, num / den).alias("slope"),
+        F.when(ok, sy / n - (num / den) * (sx / n))
         .alias("intercept"),
-        F.when((den != 0) & (deny != 0), (num * num) / (den * deny))
+        F.when(ok & y_varies & (deny != 0), (num * num) / (den * deny))
         .alias("r2"),
     )
 

@@ -1614,21 +1614,26 @@ def q_incremental_rollup(spark, sf_dir):
              CAST(CAST(CAST(SUM(CAST(y AS DECIMAL(19,6)) * y)
                   AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS syy,
              CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * y)
-                  AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS sxy
+                  AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS sxy,
+             (MIN(x) <> MAX(x)) AS x_varies,
+             (MIN(y) <> MAX(y)) AS y_varies
       FROM p GROUP BY 1
     )
     SELECT event_type, n_pairs,
-           CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0
+           CASE WHEN x_varies
+                 AND CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0
                 THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
                      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
            END AS slope,
-           CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0
+           CASE WHEN x_varies
+                 AND CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0
                 THEN sy / CAST(n_pairs AS DOUBLE)
                      - ((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
                         / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx))
                        * (sx / CAST(n_pairs AS DOUBLE))
            END AS intercept,
-           CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0
+           CASE WHEN x_varies AND y_varies
+                 AND CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0
                  AND CAST(n_pairs AS DOUBLE) * syy - sy * sy <> 0
                 THEN ((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
                       * (CAST(n_pairs AS DOUBLE) * sxy - sx * sy))

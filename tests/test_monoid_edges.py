@@ -703,12 +703,14 @@ def test_minhash_prehashed_range_guard(spark):
 
 
 def test_minhash_similarity_broadcast_guard(spark):
-    """r11 verdict #3, pinned: above broadcast_max_keys the pair join
-    is forced to a DISTRIBUTED cartesian (shuffle_replicate_nl) — a
-    caller keying by DOCUMENT would broadcast-explode a corpus-sized
-    table into every executor, and merely dropping the hint lets the
-    planner's size stats re-pick BNLJ — and the results are identical
-    either way."""
+    """r11 verdict #3 + r12 second review, pinned: above the
+    broadcast_max_bytes BUDGET (bytes, not keys — a k=1024 sample row
+    is ~64x a minhash row, so one key-count threshold cannot fit both)
+    the pair join is forced to a DISTRIBUTED cartesian
+    (shuffle_replicate_nl) — a caller keying by DOCUMENT would
+    broadcast-explode a corpus-sized table into every executor, and
+    merely dropping the hint lets the planner's size stats re-pick
+    BNLJ — and the results are identical either way."""
     from polymarket_data_ingestor_spark.operators.analytics import (
         minhash_rollup_state,
         minhash_similarity_pairs,
@@ -723,7 +725,7 @@ def test_minhash_similarity_broadcast_guard(spark):
     try:
         hinted = minhash_similarity_pairs(st, ("g",))
         plain = minhash_similarity_pairs(st, ("g",),
-                                         broadcast_max_keys=1)
+                                         broadcast_max_bytes=1)
         hp = hinted._jdf.queryExecution().executedPlan().toString()
         pp = plain._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in hp or "BroadcastNestedLoopJoin" in hp
@@ -1016,6 +1018,11 @@ def test_linreg_rollup_edges_merge_and_naive_model(spark):
     rows.append(("c", 5.0, 1.0))           # single point
     rows.append(("d", 2.0, 1.0))           # constant x, two points
     rows.append(("d", 2.0, 9.0))
+    # constant NON-DYADIC x (r12 second review): the double image of
+    # n·Σx² − (Σx)² is ulp noise (≈1e-16), not 0 — only the exact
+    # min/max witness reports the documented NULL instead of a
+    # garbage slope (measured 16.0 before the fix)
+    rows.extend([("e", 0.1, float(i)) for i in range(7)])
     df = spark.createDataFrame(rows, "g string, x double, y double")
     fin = {r["g"]: r.asDict()
            for r in finalize_linreg_rollup(
@@ -1028,6 +1035,8 @@ def test_linreg_rollup_edges_merge_and_naive_model(spark):
     assert fin["c"] == {"g": "c", "n_pairs": 1, "slope": None,
                         "intercept": None, "r2": None}
     assert fin["d"]["slope"] is None and fin["d"]["n_pairs"] == 2
+    assert fin["e"] == {"g": "e", "n_pairs": 7, "slope": None,
+                        "intercept": None, "r2": None}
 
     # independent float OLS model for the noisy key
     xs = [r[1] for r in rows if r[0] == "a"]
@@ -1050,7 +1059,9 @@ def test_linreg_rollup_edges_merge_and_naive_model(spark):
     merged = merge_linreg_rollup(a1, a2, keys=("g",))
     as_map = lambda st: {  # noqa: E731
         r["g"]: (r["lr_n"], r["lr_sx"], r["lr_sy"], r["lr_sxx"],
-                 r["lr_syy"], r["lr_sxy"]) for r in st.collect()}
+                 r["lr_syy"], r["lr_sxy"], r["lr_min_x"],
+                 r["lr_max_x"], r["lr_min_y"], r["lr_max_y"])
+        for r in st.collect()}
     assert as_map(merged) == as_map(one)
 
     # contracts
@@ -1163,7 +1174,7 @@ def test_kmv_overlap_exact_regime_capacity_bound_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan and "EvalPython" not in plan, plan
     assert "Broadcast" in plan, plan
-    guarded = kmv_overlap_pairs(st, ("g",), broadcast_max_keys=1)
+    guarded = kmv_overlap_pairs(st, ("g",), broadcast_max_bytes=1)
     gp = guarded._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" in gp and "Broadcast" not in gp, gp
     assert sorted(map(lambda q: (q["g_a"], q["g_b"]), guarded.collect())) \
