@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "linreg_rollup",
     "kmv_overlap",
+    "corr_rollup",
     "doc_quality",
     "asof_join",
     "asof_join_forward",

@@ -3170,6 +3170,226 @@ def finalize_linreg_rollup(state: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-key correlation-matrix monoid (pure Catalyst, exact decimals)
+#
+# The multivariate sibling of linreg_rollup, aimed at training-data
+# feature QA: per key (source/shard/language), maintain the pairwise
+# correlation structure of m feature columns — "are this source's
+# length and vocabulary features co-varying the way the corpus's do" —
+# from exactly the sufficient statistics (n, per-column sums, pairwise
+# product sums, min/max witnesses), all exact decimals, all true
+# monoids. Same guarantees as the rest of the family: the maintained
+# matrix equals a full recompute bit-for-bit under any split/merge/
+# partitioning, the whole operator is one map-side-combined Catalyst
+# aggregate (m + m(m+1)/2 numbers per key on the shuffle), and the
+# DuckDB oracle replays the identical decimal sums and double trees.
+# ---------------------------------------------------------------------------
+
+
+def corr_rollup_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    cols: tuple[str, ...],
+    scale: int = 6,
+) -> DataFrame:
+    """Mergeable per-key correlation state over ``cols``: ``cr_n``
+    (LISTWISE-complete count — a row missing ANY feature is skipped,
+    so every pairwise statistic describes the same row set), exact
+    decimal sums ``cr_s__i``, pairwise product sums ``cr_p__i_j``
+    (i ≤ j, decimal(38,2·scale)), and min/max degeneracy witnesses per
+    column (the linreg lesson: constant columns must be detected on
+    exact values, never on the double image of a cancellation).
+    ``cr_cols`` (the comma-joined column names) and ``cr_scale``
+    travel as the merge/finalize contract. Same decimal range rules,
+    try_cast raise-guard, and capacity ceiling as
+    :func:`linreg_rollup_state` — see its docstring.
+
+    Scale shape: one map-side-combined aggregate; for m columns the
+    shuffle carries m + m(m+1)/2 + 2m numbers per key per partial —
+    m=8 is 52 numbers. Whole-stage codegen end to end, zero Python."""
+    if not 0 <= scale <= 9:
+        raise ValueError(f"scale must be in [0, 9], got {scale}")
+    if len(cols) < 2:
+        raise ValueError("corr_rollup needs at least 2 columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in {cols}")
+
+    def guarded(col_name: str):
+        c = F.col(col_name)
+        cast = c.try_cast(f"decimal(18,{scale})")
+        return (
+            F.when(c.isNull(), F.lit(None).cast(f"decimal(18,{scale})"))
+            .when(cast.isNotNull(), cast)
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"corr_rollup: {col_name} value not representable"
+                      f" in decimal(18,{scale}) (overflow or NaN/Inf): "
+                      ),
+                c.cast("string"),
+                F.lit(" — normalize/filter upstream"),
+            )))
+        )
+
+    m = len(cols)
+    rows = df.select(
+        *keys, *[guarded(c).alias(f"__x{i}") for i, c in enumerate(cols)]
+    ).dropna(subset=[f"__x{i}" for i in range(m)])
+    x = [F.col(f"__x{i}") for i in range(m)]
+    s2 = 2 * scale
+    aggs = [F.count(F.lit(1)).alias("cr_n")]
+    aggs += [F.sum(x[i]).cast(f"decimal(38,{scale})").alias(f"cr_s__{i}")
+             for i in range(m)]
+    aggs += [
+        F.sum(x[i] * x[j]).cast(f"decimal(38,{s2})")
+        .alias(f"cr_p__{i}_{j}")
+        for i in range(m) for j in range(i, m)
+    ]
+    aggs += [F.min(x[i]).alias(f"cr_min__{i}") for i in range(m)]
+    aggs += [F.max(x[i]).alias(f"cr_max__{i}") for i in range(m)]
+    aggs += [F.lit(",".join(cols)).alias("cr_cols"),
+             F.lit(scale).alias("cr_scale")]
+    return rows.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def merge_corr_rollup(
+    *states: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Union per-split correlation states — component-wise exact
+    decimal sums + min/max, derived generically from the state schema
+    (any m). Mixed (cols, scale) contracts raise AT EXECUTION, the
+    family convention: sums over different feature sets or units are
+    different animals."""
+    if not states:
+        raise ValueError("merge_corr_rollup needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    dtypes = dict(out.dtypes)
+
+    def _idx(name: str) -> tuple:
+        # numeric-aware ordering that reproduces the BUILDER's column
+        # order exactly (state schema stability is part of the monoid
+        # contract; a lexicographic sort would also misorder m > 10)
+        return tuple(int(p) for p in
+                     name.split("__", 1)[1].split("_"))
+
+    sum_cols = (
+        sorted((c for c in dtypes if c.startswith("cr_s__")), key=_idx)
+        + sorted((c for c in dtypes if c.startswith("cr_p__")),
+                 key=_idx)
+    )
+    min_cols = sorted((c for c in dtypes if c.startswith("cr_min__")),
+                      key=_idx)
+    max_cols = sorted((c for c in dtypes if c.startswith("cr_max__")),
+                      key=_idx)
+    gathered = out.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum("cr_n").alias("cr_n"),
+        *[F.sum(c).cast(dtypes[c]).alias(c) for c in sum_cols],
+        *[F.min(c).alias(c) for c in min_cols],
+        *[F.max(c).alias(c) for c in max_cols],
+        F.count_distinct(F.struct("cr_cols", "cr_scale")).alias("__nc"),
+        F.first("cr_cols").alias("cr_cols"),
+        F.first("cr_scale").alias("cr_scale"),
+    )
+    return gathered.select(
+        *keys,
+        F.when(
+            F.col("__nc") > 1,
+            F.raise_error(F.lit(
+                "corr states built over different (cols, scale) "
+                "contracts cannot merge — rebuild one side"
+            )).cast("bigint"),
+        ).otherwise(F.col("cr_n")).alias("cr_n"),
+        *sum_cols, *min_cols, *max_cols, "cr_cols", "cr_scale",
+    )
+
+
+def finalize_corr_rollup(
+    state: DataFrame, cols: tuple[str, ...]
+) -> DataFrame:
+    """Long-format pairwise matrix from the exact sufficient
+    statistics: one row per key per (col_a < col_b) pair with
+    ``n_rows``, sample ``covar`` = (nΣxy − ΣxΣy)/(n(n−1)), and
+    Pearson ``corr`` = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) —
+    fixed double trees over bit-identical decimal operands (the
+    DuckDB oracle spells the same trees; IEEE sqrt is correctly
+    rounded in both engines). Degenerate pairs report NULL corr,
+    detected on the exact min/max witnesses with the double ``> 0``
+    checks as belt-and-braces (a variance whose double image rounds
+    to ≤ 0 must reach neither the division nor the sqrt); n < 2
+    reports NULL covar. ``cols`` must repeat the state's contract —
+    checked at execution against ``cr_cols`` (the caller names the
+    output columns, the state proves they are the right ones).
+    A NULL product-sum with rows raises (non-ANSI overflow — see
+    the capacity ceiling)."""
+    m = len(cols)
+    key_cols = [
+        f.name for f in state.schema.fields
+        if not (f.name == "cr_n" or f.name.startswith(("cr_s__",
+                "cr_p__", "cr_min__", "cr_max__"))
+                or f.name in ("cr_cols", "cr_scale"))
+    ]
+    contract_bad = F.col("cr_cols") != F.lit(",".join(cols))
+    n = F.col("cr_n").cast("double")
+
+    def psum(i, j):
+        c = F.col(f"cr_p__{i}_{j}")
+        return F.when(
+            c.isNull() & (F.col("cr_n") > 0),
+            F.raise_error(F.lit(
+                "corr state holds a NULL product-sum for a key with "
+                "rows — a non-ANSI decimal-sum overflow (see "
+                "linreg_rollup_state's capacity ceiling)"
+            )),
+        ).otherwise(c).cast("double")
+
+    def s(i):
+        return F.col(f"cr_s__{i}").cast("double")
+
+    def varies(i):
+        return F.col(f"cr_min__{i}") != F.col(f"cr_max__{i}")
+
+    pair_structs = []
+    for i in range(m):
+        for j in range(i + 1, m):
+            num = n * psum(i, j) - s(i) * s(j)
+            den_i = n * psum(i, i) - s(i) * s(i)
+            den_j = n * psum(j, j) - s(j) * s(j)
+            covar = F.when(
+                F.col("cr_n") >= 2, num / (n * (n - F.lit(1.0)))
+            )
+            corr = F.when(
+                varies(i) & varies(j) & (den_i > 0) & (den_j > 0),
+                num / F.sqrt(den_i * den_j),
+            )
+            pair_structs.append(F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                covar.alias("covar"),
+                corr.alias("corr"),
+            ))
+    exploded = state.select(
+        *key_cols,
+        F.col("cr_n").alias("n_rows"),
+        F.explode(F.when(
+            contract_bad,
+            F.raise_error(F.lit(
+                "finalize_corr_rollup called with columns that do not "
+                "match the state's cr_cols contract"
+            )).cast(
+                "array<struct<col_a:string,col_b:string,"
+                "covar:double,corr:double>>"
+            ),
+        ).otherwise(F.array(*pair_structs))).alias("__p"),
+    )
+    return exploded.select(
+        *key_cols, F.col("__p.col_a").alias("col_a"),
+        F.col("__p.col_b").alias("col_b"), "n_rows",
+        F.col("__p.covar").alias("covar"),
+        F.col("__p.corr").alias("corr"),
+    )
+
+
 class DQViolationError(ValueError):
     """Raised by :func:`dq_check` when rules are violated and the
     caller asked for the loud gate."""

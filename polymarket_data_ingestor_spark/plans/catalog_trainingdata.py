@@ -451,6 +451,102 @@ def q_bpe_train_merges(spark, sf_dir):
     )
 
 
+def _corr_oracle_sql() -> str:
+    """DuckDB replay of the ``corr_rollup`` entry: identical decimal
+    sums (operands widened to DECIMAL(19) before squaring — DuckDB
+    multiplies DECIMAL(18) in int64 and overflows at runtime),
+    decimal→double through VARCHAR (the direct int128 cast is 1 ulp
+    off correctly-rounded — EXACTNESS.md trap 3), and the identical
+    fixed double trees per pair, n≥2 / exact-witness / >0 guards
+    mirrored from finalize_corr_rollup."""
+    names = ["n_chars", "n_tokens", "n_unique_tokens"]
+    sums = []
+    for i in range(3):
+        sums.append(f"CAST(CAST(CAST(SUM(x{i}) AS DECIMAL(38,6)) "
+                    f"AS VARCHAR) AS DOUBLE) AS s{i}")
+        sums.append(f"(MIN(x{i}) <> MAX(x{i})) AS v{i}")
+        for j in range(i, 3):
+            sums.append(
+                f"CAST(CAST(CAST(SUM(CAST(x{i} AS DECIMAL(19,6)) "
+                f"* x{j}) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) "
+                f"AS p{i}{j}")
+    pair_rows = []
+    for i in range(3):
+        for j in range(i + 1, 3):
+            num = f"(CAST(n AS DOUBLE) * p{i}{j} - s{i} * s{j})"
+            di = f"(CAST(n AS DOUBLE) * p{i}{i} - s{i} * s{i})"
+            dj = f"(CAST(n AS DOUBLE) * p{j}{j} - s{j} * s{j})"
+            pair_rows.append(f"""
+      SELECT source, '{names[i]}' AS col_a, '{names[j]}' AS col_b,
+             n AS n_rows,
+             CASE WHEN n >= 2 THEN {num}
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             END AS covar,
+             CASE WHEN v{i} AND v{j} AND {di} > 0 AND {dj} > 0
+                  THEN {num} / sqrt({di} * {dj})
+             END AS corr
+      FROM s""")
+    sums_sql = ",\n             ".join(sums)
+    pairs_sql = " UNION ALL ".join(pair_rows)
+    return f"""
+    WITH f AS (
+      SELECT source,
+             CAST(n_chars AS DECIMAL(18,6)) AS x0,
+             CAST(len(toks) AS DECIMAL(18,6)) AS x1,
+             CAST(len(list_distinct(toks)) AS DECIMAL(18,6)) AS x2
+      FROM (SELECT source, n_chars, {_SQL_TOKS} AS toks
+            FROM documents WHERE text IS NOT NULL)
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             {sums_sql}
+      FROM f GROUP BY 1
+    )
+    {pairs_sql}
+    """
+
+
+@register(
+    "corr_rollup",
+    _corr_oracle_sql(),
+    doc="Maintained per-key feature correlation matrix "
+    "(operators/analytics.py::corr_rollup_state/merge_corr_rollup/"
+    "finalize_corr_rollup): the multivariate sibling of linreg_rollup "
+    "for training-data feature QA — per source, the pairwise Pearson "
+    "correlations and sample covariances of (n_chars, n_tokens, "
+    "n_unique_tokens), from exact-decimal sufficient statistics "
+    "(listwise-complete n, per-column sums, pairwise product sums, "
+    "min/max degeneracy witnesses — each a true monoid). The entry "
+    "builds the state over a 70/30 doc_id split and MERGES; the "
+    "oracle is the one-pass full recompute, so green proves the "
+    "merge exact (decimal sums) AND the coefficient trees identical "
+    "(double ops over bit-identical operands; decimal→double through "
+    "VARCHAR on the DuckDB side — EXACTNESS trap 3). Pure Catalyst: "
+    "one map-side-combined aggregate, m + m(m+1)/2 + 2m numbers per "
+    "key per partial on the shuffle, zero Python, plan-gated.",
+    tags=("agg", "trainmix"),
+)
+def q_corr_rollup(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        corr_rollup_state,
+        finalize_corr_rollup,
+        merge_corr_rollup,
+    )
+
+    cols = ("n_chars", "n_tokens", "n_unique_tokens")
+    feats = T.token_stats(
+        table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+    ).select("doc_id", "source", *cols)
+    keys = ("source",)
+    hist = corr_rollup_state(
+        feats.filter(F.col("doc_id") % 10 < 7), keys, cols)
+    delta = corr_rollup_state(
+        feats.filter(F.col("doc_id") % 10 >= 7), keys, cols)
+    return finalize_corr_rollup(
+        merge_corr_rollup(hist, delta, keys=keys), cols)
+
+
 @register(
     "length_bucket_batches",
     f"""
@@ -3330,6 +3426,8 @@ _CODE_CHANGED_THIS_ROUND = (
     #                         monoid, pure Catalyst decimal sums)
     "kmv_overlap",          # r12: NEW operator (KMV set-overlap off
     #                         the sample monoid's bottom-k states)
+    "corr_rollup",          # r12: NEW operator (per-key feature
+    #                         correlation-matrix monoid)
 )
 
 

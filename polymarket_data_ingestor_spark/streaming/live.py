@@ -1554,6 +1554,40 @@ def live_linreg_rollup(
     )
 
 
+def live_corr_rollup(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    cols: tuple[str, ...],
+    scale: int = 6,
+    available_now: bool = False,
+    retain_versions: int = 2,
+):
+    """Continuously maintained per-key feature correlation matrix —
+    the multivariate sufficient-statistics monoid through the MVCC
+    materializer (query with ``read_rollup_state`` →
+    ``finalize_corr_rollup(state, cols)``). Exact decimal sums make
+    the maintained matrix equal a full recompute bit-for-bit at every
+    commit — live "are this source's features co-varying normally"
+    for streaming ingestion QA. Same decimal range/capacity contracts
+    as the batch builder."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        corr_rollup_state,
+        merge_corr_rollup,
+    )
+
+    return live_materialize(
+        events,
+        state_path,
+        checkpoint,
+        state_fn=lambda b: corr_rollup_state(b, keys, cols, scale),
+        merge_fn=lambda p, d: merge_corr_rollup(p, d, keys=keys),
+        available_now=available_now,
+        retain_versions=retain_versions,
+    )
+
+
 def live_materialize(
     events: DataFrame,
     state_path: str,

@@ -1179,3 +1179,81 @@ def test_kmv_overlap_exact_regime_capacity_bound_and_plan(spark):
     assert "CartesianProduct" in gp and "Broadcast" not in gp, gp
     assert sorted(map(lambda q: (q["g_a"], q["g_b"]), guarded.collect())) \
         == sorted(got.keys())
+
+
+def test_corr_rollup_edges_merge_and_naive_model(spark):
+    """r12 correlation monoid: perfect linear pair → corr exactly 1.0;
+    noisy pair matches an independent float Pearson to 1e-9; single
+    row → NULL covar+corr; constant NON-DYADIC column → NULL corr via
+    the exact witnesses (the linreg lesson applied at birth);
+    split-merge equals one-pass bit-for-bit including schema order;
+    mixed contracts and mismatched finalize cols raise; listwise
+    completeness drops a row missing ANY feature."""
+    import math
+
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        corr_rollup_state,
+        finalize_corr_rollup,
+        merge_corr_rollup,
+    )
+
+    rows = []
+    for i in range(50):
+        rows.append(("g1", float(i), 2.0 * i + 3.0, float((i * 37) % 11)))
+    rows.append(("g2", 1.0, 2.0, 3.0))                       # single row
+    rows += [("g3", 0.1, float(i), 5.0) for i in range(4)]   # const a, c
+    rows.append(("g1", None, 1.0, 1.0))                      # listwise
+    df = spark.createDataFrame(rows, "g string, a double, b double, c double")
+    cols = ("a", "b", "c")
+    st = corr_rollup_state(df, ("g",), cols)
+    out = {(r["g"], r["col_a"], r["col_b"]): r.asDict()
+           for r in finalize_corr_rollup(st, cols).collect()}
+    assert len(out) == 9  # 3 keys x 3 pairs
+
+    assert out[("g1", "a", "b")]["corr"] == 1.0
+    assert out[("g1", "a", "b")]["n_rows"] == 50  # NULL-a row dropped
+
+    xs = [r[1] for r in rows if r[0] == "g1" and r[1] is not None]
+    cs = [r[3] for r in rows if r[0] == "g1" and r[1] is not None]
+    n = len(xs)
+    mx, mc = sum(xs) / n, sum(cs) / n
+    num = sum((x - mx) * (y - mc) for x, y in zip(xs, cs))
+    den = math.sqrt(sum((x - mx) ** 2 for x in xs)
+                    * sum((y - mc) ** 2 for y in cs))
+    assert out[("g1", "a", "c")]["corr"] == _pytest.approx(
+        num / den, abs=1e-9)
+    assert out[("g1", "a", "c")]["covar"] == _pytest.approx(
+        num / (n - 1), abs=1e-9)
+
+    g2 = out[("g2", "a", "b")]
+    assert g2["covar"] is None and g2["corr"] is None and g2["n_rows"] == 1
+    g3 = out[("g3", "a", "b")]
+    assert g3["corr"] is None and g3["covar"] is not None
+
+    one = corr_rollup_state(df, ("g",), cols)
+    m1 = corr_rollup_state(df.filter("a < 20"), ("g",), cols)
+    m2 = corr_rollup_state(df.filter("a >= 20 or a is null"),
+                           ("g",), cols)
+    merged = merge_corr_rollup(m1, m2, keys=("g",))
+    assert merged.columns == one.columns  # schema-order contract
+    snap = lambda s: sorted(tuple(r) for r in s.collect())  # noqa: E731
+    assert snap(merged) == snap(one)
+
+    with _pytest.raises(Exception, match="cr_cols contract"):
+        finalize_corr_rollup(st, ("a", "b")).collect()
+    with _pytest.raises(Exception, match="rebuild one side"):
+        merge_corr_rollup(
+            st, corr_rollup_state(df, ("g",), cols, scale=4),
+            keys=("g",),
+        ).collect()
+    with _pytest.raises(Exception, match="not representable"):
+        corr_rollup_state(
+            spark.createDataFrame([("a", 1e14, 1.0, 1.0)],
+                                  "g string, a double, b double, c double"),
+            ("g",), cols).collect()
+    with _pytest.raises(ValueError, match="at least 2"):
+        corr_rollup_state(df, ("g",), ("a",))
+    with _pytest.raises(ValueError, match="duplicate"):
+        corr_rollup_state(df, ("g",), ("a", "a"))

@@ -1095,3 +1095,17 @@ def test_linreg_rollup_pure_catalyst_single_scan(spark):
     assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 stages
     assert plan.count("FileScan") == 2, plan  # one per split side
     assert "Union" in plan, plan
+
+
+def test_corr_rollup_pure_catalyst_single_scan(spark):
+    """The r12 correlation monoid's plan contract, same as linreg's:
+    map-side-combined decimal aggregates, zero Python, no join/window;
+    one FileScan per split side of the entry's 70/30 merge demo."""
+    plan = plan_of(spark, "corr_rollup")
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert plan.count("FileScan") == 2, plan
+    assert "Union" in plan, plan

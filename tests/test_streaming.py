@@ -2448,3 +2448,64 @@ def test_live_linreg_rollup_maintained_and_crash_replay(spark, tmp_path):
         crc.unlink()
     run()
     assert got() == want  # replay overwrote v=N identically
+
+
+def test_live_corr_rollup_maintained_and_crash_replay(spark, tmp_path):
+    """The r12 correlation monoid through the MVCC materializer:
+    maintained pairwise corr/covar are bit-identical to a one-pass
+    batch build over the union, and a crash-replay of the last batch
+    changes nothing."""
+    import json as _json
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        corr_rollup_state,
+        finalize_corr_rollup,
+    )
+    from polymarket_data_ingestor_spark.streaming import (
+        live_corr_rollup,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "cr_src"
+    src.mkdir()
+    rows1 = [{"k": "s", "a": float(i), "b": 2.0 * i + (i % 3)}
+             for i in range(10)]
+    rows2 = [{"k": "s", "a": float(10 + i), "b": 30.0 - i}
+             for i in range(6)]
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1) + "\n")
+
+    def run():
+        q = live_corr_rollup(
+            spark.readStream.schema("k string, a double, b double")
+            .json(str(src)),
+            str(tmp_path / "cr_state"), str(tmp_path / "cr_ckpt"),
+            ("k",), ("a", "b"), available_now=True,
+        )
+        q.awaitTermination(300)
+
+    run()
+    (src / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows2) + "\n")
+    run()
+
+    union = spark.createDataFrame(
+        rows1 + rows2, "k string, a double, b double")
+    want = [r.asDict() for r in finalize_corr_rollup(
+        corr_rollup_state(union, ("k",), ("a", "b")),
+        ("a", "b")).collect()]
+
+    def got():
+        return [r.asDict() for r in finalize_corr_rollup(
+            read_rollup_state(spark, str(tmp_path / "cr_state")),
+            ("a", "b")).collect()]
+
+    assert got() == want  # bit-identical
+
+    commits = sorted((tmp_path / "cr_ckpt" / "commits").glob("[0-9]*"))
+    commits[-1].unlink()
+    crc = tmp_path / "cr_ckpt" / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run()
+    assert got() == want
