@@ -2975,6 +2975,30 @@ def minhash_similarity_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _decimal_range_guard(col_name: str, scale: int, op_label: str):
+    """The ONE decimal-input guard shared by the sufficient-statistics
+    monoids (:func:`linreg_rollup_state` / :func:`corr_rollup_state` —
+    r12 third review: the try_cast/ANSI subtlety must not live in two
+    copies). try_cast, not cast: under Spark 4's default ANSI mode a
+    plain cast raises ITS error before the guard can shape the
+    message, and under non-ANSI it silently NULLs — try_cast gives the
+    mode-independent NULL this guard then turns into the loud, named
+    contract violation. NULL inputs stay NULL (the builders' listwise
+    dropna owns them)."""
+    c = F.col(col_name)
+    cast = c.try_cast(f"decimal(18,{scale})")
+    return (
+        F.when(c.isNull(), F.lit(None).cast(f"decimal(18,{scale})"))
+        .when(cast.isNotNull(), cast)
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"{op_label}: {col_name} value not representable in "
+                  f"decimal(18,{scale}) (overflow or NaN/Inf): "),
+            c.cast("string"),
+            F.lit(" — normalize/filter upstream"),
+        )))
+    )
+
+
 def linreg_rollup_state(
     df: DataFrame,
     keys: tuple[str, ...],
@@ -3017,28 +3041,10 @@ def linreg_rollup_state(
     zero Python, whole-stage codegen end to end."""
     if not 0 <= scale <= 9:
         raise ValueError(f"scale must be in [0, 9], got {scale}")
-
-    def guarded(col_name: str):
-        # try_cast, not cast: under Spark 4's default ANSI mode a plain
-        # cast raises ITS error before this guard can shape the
-        # message, and under non-ANSI it silently NULLs — try_cast
-        # gives the mode-independent NULL this guard then turns into
-        # the loud, named contract violation
-        c = F.col(col_name)
-        cast = c.try_cast(f"decimal(18,{scale})")
-        return (
-            F.when(c.isNull(), F.lit(None).cast(f"decimal(18,{scale})"))
-            .when(cast.isNotNull(), cast)
-            .otherwise(F.raise_error(F.concat(
-                F.lit(f"linreg: {col_name} value not representable in "
-                      f"decimal(18,{scale}) (overflow or NaN/Inf): "),
-                c.cast("string"),
-                F.lit(" — normalize/filter upstream"),
-            )))
-        )
-
     pairs = df.select(
-        *keys, guarded(x_col).alias("__x"), guarded(y_col).alias("__y"),
+        *keys,
+        _decimal_range_guard(x_col, scale, "linreg").alias("__x"),
+        _decimal_range_guard(y_col, scale, "linreg").alias("__y"),
     ).dropna(subset=["__x", "__y"])
     x, y = F.col("__x"), F.col("__y")
     s2 = 2 * scale
@@ -3215,24 +3221,11 @@ def corr_rollup_state(
     if len(set(cols)) != len(cols):
         raise ValueError(f"duplicate columns in {cols}")
 
-    def guarded(col_name: str):
-        c = F.col(col_name)
-        cast = c.try_cast(f"decimal(18,{scale})")
-        return (
-            F.when(c.isNull(), F.lit(None).cast(f"decimal(18,{scale})"))
-            .when(cast.isNotNull(), cast)
-            .otherwise(F.raise_error(F.concat(
-                F.lit(f"corr_rollup: {col_name} value not representable"
-                      f" in decimal(18,{scale}) (overflow or NaN/Inf): "
-                      ),
-                c.cast("string"),
-                F.lit(" — normalize/filter upstream"),
-            )))
-        )
-
     m = len(cols)
     rows = df.select(
-        *keys, *[guarded(c).alias(f"__x{i}") for i, c in enumerate(cols)]
+        *keys,
+        *[_decimal_range_guard(c, scale, "corr_rollup").alias(f"__x{i}")
+          for i, c in enumerate(cols)],
     ).dropna(subset=[f"__x{i}" for i in range(m)])
     x = [F.col(f"__x{i}") for i in range(m)]
     s2 = 2 * scale

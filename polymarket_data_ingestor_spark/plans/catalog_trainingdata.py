@@ -534,9 +534,14 @@ def q_corr_rollup(spark, sf_dir):
     )
 
     cols = ("n_chars", "n_tokens", "n_unique_tokens")
+    # source IS NOT NULL mirrors the oracle exactly (r12 third review:
+    # Spark's groupBy would keep a NULL-source group the oracle's
+    # filter drops — dead code on today's fixtures, a red gate the day
+    # a NULL source appears); a per-source profile of the NULL source
+    # is meaningless anyway
     feats = T.token_stats(
         table(spark, sf_dir, "documents").filter(
-            F.col("text").isNotNull())
+            F.col("text").isNotNull() & F.col("source").isNotNull())
     ).select("doc_id", "source", *cols)
     keys = ("source",)
     hist = corr_rollup_state(
