@@ -183,6 +183,7 @@ def _stat_merges() -> dict:
     ``lake stats`` and ``lake compact-labels`` — two parallel maps
     would silently disagree when the next monoid lands (r11 review)."""
     from polymarket_data_ingestor_spark.operators.analytics import (
+        merge_corr_rollup,
         merge_distinct_rollup,
         merge_heavy_hitters,
         merge_linreg_rollup,
@@ -202,13 +203,14 @@ def _stat_merges() -> dict:
         "topk": merge_topk_rollup,
         "minhash": merge_minhash_rollup,
         "linreg": merge_linreg_rollup,
+        "corr": merge_corr_rollup,
     }
 
 
 #: the ONE list of monoid stat names — every lake subcommand's
 #: --stat choices must come from here (parallel lists drift)
 _STAT_CHOICES = ["summary", "distinct", "quantiles", "heavyhitters",
-                 "sample", "topk", "minhash", "linreg"]
+                 "sample", "topk", "minhash", "linreg", "corr"]
 
 
 def _stat_finalizers(args: argparse.Namespace) -> dict:
@@ -216,6 +218,7 @@ def _stat_finalizers(args: argparse.Namespace) -> dict:
     ``lake stats-show`` (same drift hazard as :func:`_stat_merges`).
     ``args`` supplies the quantile list."""
     from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_corr_rollup,
         finalize_distinct_rollup,
         finalize_heavy_hitters,
         finalize_linreg_rollup,
@@ -237,6 +240,12 @@ def _stat_finalizers(args: argparse.Namespace) -> dict:
         "topk": finalize_topk_rollup,
         "minhash": finalize_minhash_rollup,
         "linreg": finalize_linreg_rollup,
+        # corr's cols come from --value (a comma list for this stat);
+        # evaluated lazily, so commands without --value (stats-show on
+        # other stats) never touch it
+        "corr": lambda s: finalize_corr_rollup(
+            s, tuple(c for c in args.value.split(",") if c)
+        ),
     }
 
 
@@ -332,6 +341,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     and each stat's state lands at ``<state>/<stat>`` (with one stat
     the directory is used as-is — unchanged contract)."""
     from polymarket_data_ingestor_spark.operators.analytics import (
+        corr_rollup_state,
         heavy_hitters_state,
         linreg_rollup_state,
         minhash_rollup_state,
@@ -376,6 +386,21 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --stat linreg needs --x <column> (the "
               "regressor; --value is y)", file=sys.stderr)
         return 2
+    if "corr" in stats:
+        # corr re-purposes --value as a COMMA LIST of feature columns;
+        # that conflicts with every other stat's single-column reading,
+        # so corr folds alone (the multi-stat cache trick saves one
+        # delta scan — corr already computes all its features in it)
+        if len(stats) > 1:
+            print("lake stats: --stat corr uses --value as a comma "
+                  "list of feature columns and cannot combine with "
+                  "other stats — fold it separately", file=sys.stderr)
+            return 2
+        if len([c for c in args.value.split(",") if c]) < 2:
+            print("lake stats: --stat corr needs --value "
+                  "<col_a,col_b[,...]> (at least two feature columns)",
+                  file=sys.stderr)
+            return 2
     if len(stats) > 1 and args.k is not None:
         # k means incompatible things per stat (sketch size vs sample
         # capacity vs n_hashes) and a wrong one silently commits a
@@ -442,6 +467,8 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
                 d, keys, args.value, n_hashes=k, seed=args.seed),
             "linreg": lambda: linreg_rollup_state(
                 d, keys, args.x, args.value),
+            "corr": lambda: corr_rollup_state(
+                d, keys, tuple(c for c in args.value.split(",") if c)),
         }[stat]()
 
     from polymarket_data_ingestor_spark.streaming.live import (
@@ -672,6 +699,14 @@ def cmd_lake_stats_show(args: argparse.Namespace) -> int:
             return 2
     if args.show < 0:
         print("lake stats-show: --show must be >= 0", file=sys.stderr)
+        return 2
+    if args.stat == "corr" and (
+        args.value is None
+        or len([c for c in args.value.split(",") if c]) < 2
+    ):
+        print("lake stats-show: --stat corr needs --value "
+              "<col_a,col_b[,...]> (the columns the state was built "
+              "over)", file=sys.stderr)
         return 2
     finalize = _stat_finalizers(args)[args.stat]
     mfn = _stat_merges()[args.stat]
@@ -958,6 +993,11 @@ def build_parser() -> argparse.ArgumentParser:
     lss.add_argument("--label", default=None,
                      help="labeled states: read exactly this one "
                           "committed label (excludes --window)")
+    lss.add_argument("--value", default=None,
+                     help="--stat corr only: the comma list of feature "
+                          "columns the state was built over (names the "
+                          "finalized output; checked against the "
+                          "state's cr_cols contract at execution)")
     lss.add_argument("--quantiles", default="0.5,0.9,0.99",
                      help="comma-separated quantiles for --stat "
                           "quantiles")

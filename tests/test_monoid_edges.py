@@ -1257,3 +1257,50 @@ def test_corr_rollup_edges_merge_and_naive_model(spark):
         corr_rollup_state(df, ("g",), ("a",))
     with _pytest.raises(ValueError, match="duplicate"):
         corr_rollup_state(df, ("g",), ("a", "a"))
+
+
+def test_cli_lake_stats_corr_flow(spark, tmp_path, monkeypatch, capsys):
+    """--stat corr through the CLI: --value is the feature-column
+    comma list; cumulative fold + stats-show (with --value) report the
+    pairwise matrix; corr refuses to combine with other stats, <2
+    columns refuse, stats-show without --value refuses."""
+    from polymarket_data_ingestor_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    delta = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [("s", float(i), 2.0 * i + 1.0, float((i * 7) % 5))
+         for i in range(20)],
+        "g string, a double, b double, c double",
+    ).write.parquet(delta)
+    state = str(tmp_path / "crstate")
+
+    base = ["lake", "stats", delta, "--keys", "g"]
+    # guards, all pre-fold
+    assert cli.main(base + ["--state", state, "--stat", "corr",
+                            "--value", "a"]) == 2
+    assert "at least two" in capsys.readouterr().err
+    assert cli.main(base + ["--state", state, "--stat", "summary,corr",
+                            "--value", "a,b"]) == 2
+    assert "fold it separately" in capsys.readouterr().err
+
+    assert cli.main(base + ["--state", state, "--stat", "corr",
+                            "--value", "a,b,c"]) == 0
+    out = capsys.readouterr().out
+    assert "'col_a': 'a', 'col_b': 'b'" in out and "'corr': 1.0" in out
+    assert f"state: {state}/v=1" in out
+
+    # read-only path: --value names the finalize columns
+    assert cli.main(["lake", "stats-show", state, "--stat", "corr",
+                     "--keys", "g"]) == 2
+    assert "--value" in capsys.readouterr().err
+    assert cli.main(["lake", "stats-show", state, "--stat", "corr",
+                     "--keys", "g", "--value", "a,b,c"]) == 0
+    out = capsys.readouterr().out
+    assert "'corr': 1.0" in out and "cumulative v=1" in out
+    # mismatched cols hit the state's cr_cols contract at execution
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="cr_cols contract"):
+        cli.main(["lake", "stats-show", state, "--stat", "corr",
+                  "--keys", "g", "--value", "b,a"])
