@@ -212,11 +212,25 @@ def _stat_merges() -> dict:
 _STAT_CHOICES = ["summary", "distinct", "quantiles", "heavyhitters",
                  "sample", "topk", "minhash", "linreg", "corr"]
 
+#: the ONE stat → default-k map (and, by key set, the list of stats
+#: that take a k at all — `lake stats` rejects --k for any other stat,
+#: r12 advisor: an ignored --k reads as "I sized a sketch" when the
+#: stat has none). One shared default number across stats would be
+#: wrong: k is sketch size / sample capacity / n_hashes depending on
+#: the stat, and it is a merge contract.
+_K_DEFAULTS = {"quantiles": 4096, "heavyhitters": 1024,
+               "sample": 64, "topk": 16, "minhash": 16}
 
-def _stat_finalizers(args: argparse.Namespace) -> dict:
+
+def _stat_finalizers(args: argparse.Namespace,
+                     corr_cols: tuple | None = None) -> dict:
     """The ONE stat-name → finalizer map shared by ``lake stats`` and
     ``lake stats-show`` (same drift hazard as :func:`_stat_merges`).
-    ``args`` supplies the quantile list."""
+    ``args`` supplies the quantile list. ``corr_cols`` carries corr's
+    feature columns when the caller parsed them from the
+    ``corr:<a+b+...>`` stat form (r12 verdict #5 — multi-stat corr);
+    when None, corr falls back to reading ``--value`` as its comma
+    list (bare single-stat corr, and stats-show, unchanged)."""
     from polymarket_data_ingestor_spark.operators.analytics import (
         finalize_corr_rollup,
         finalize_distinct_rollup,
@@ -240,11 +254,13 @@ def _stat_finalizers(args: argparse.Namespace) -> dict:
         "topk": finalize_topk_rollup,
         "minhash": finalize_minhash_rollup,
         "linreg": finalize_linreg_rollup,
-        # corr's cols come from --value (a comma list for this stat);
-        # evaluated lazily, so commands without --value (stats-show on
-        # other stats) never touch it
+        # corr's cols come from corr_cols (the corr:<a+b> stat form)
+        # or --value (bare corr / stats-show); evaluated lazily, so
+        # commands without --value (stats-show on other stats) never
+        # touch it
         "corr": lambda s: finalize_corr_rollup(
-            s, tuple(c for c in args.value.split(",") if c)
+            s, corr_cols if corr_cols is not None
+            else tuple(c for c in args.value.split(",") if c)
         ),
     }
 
@@ -339,7 +355,12 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     three off ONE cached delta scan instead of paying one delta read
     per stat. With multiple stats, ``--state`` is the PARENT directory
     and each stat's state lands at ``<state>/<stat>`` (with one stat
-    the directory is used as-is — unchanged contract)."""
+    the directory is used as-is — unchanged contract). corr joins a
+    multi-stat list as ``corr:<col_a+col_b[+...]>`` (r12 verdict #5):
+    the suffix carries its feature-column list, freeing ``--value``
+    for the other stats' single-column reading; the bare ``corr``
+    form (``--value`` as the comma list, single-stat only) is
+    unchanged."""
     from polymarket_data_ingestor_spark.operators.analytics import (
         corr_rollup_state,
         heavy_hitters_state,
@@ -357,7 +378,26 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --keys must name at least one column",
               file=sys.stderr)
         return 2
-    stats = [s for s in args.stat.split(",") if s]
+    # --stat tokens are <name> or (corr only) corr:<col_a+col_b[+...]>
+    # — the suffixed form frees --value for the other stats, so corr
+    # can ride the same one cached delta scan (r12 verdict #5)
+    stats: list[str] = []
+    corr_cols: tuple | None = None
+    for tok in (s for s in args.stat.split(",") if s):
+        base, sep, suffix = tok.partition(":")
+        if sep:
+            if base != "corr":
+                print(f"lake stats: only corr takes a :<cols> suffix "
+                      f"(corr:<col_a+col_b[+...]>); got {tok!r}",
+                      file=sys.stderr)
+                return 2
+            cols = tuple(c for c in suffix.split("+") if c)
+            if len(cols) < 2:
+                print("lake stats: corr:<col_a+col_b[+...]> needs at "
+                      "least two feature columns", file=sys.stderr)
+                return 2
+            corr_cols = cols
+        stats.append(base)
     bad = [s for s in stats if s not in _STAT_CHOICES]
     if not stats or bad:
         print(f"lake stats: --stat must be a comma list from "
@@ -367,6 +407,14 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         return 2
     if len(stats) != len(set(stats)):
         print("lake stats: --stat lists a stat twice", file=sys.stderr)
+        return 2
+    # every stat consumes --value except the suffixed corr form,
+    # which carries its columns in the stat token itself
+    needs_value = [s for s in stats
+                   if not (s == "corr" and corr_cols is not None)]
+    if needs_value and not args.value:
+        print("lake stats: --value is required for "
+              f"{','.join(needs_value)}", file=sys.stderr)
         return 2
     if args.retain_versions < 1:
         print("lake stats: --retain-versions must be >= 1",
@@ -386,17 +434,19 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         print("lake stats: --stat linreg needs --x <column> (the "
               "regressor; --value is y)", file=sys.stderr)
         return 2
-    if "corr" in stats:
-        # corr re-purposes --value as a COMMA LIST of feature columns;
-        # that conflicts with every other stat's single-column reading,
-        # so corr folds alone (the multi-stat cache trick saves one
-        # delta scan — corr already computes all its features in it)
+    if "corr" in stats and corr_cols is None:
+        # BARE corr re-purposes --value as a COMMA LIST of feature
+        # columns; that conflicts with every other stat's
+        # single-column reading, so the bare form folds alone — the
+        # corr:<a+b> form above is how corr joins a multi-stat fold
         if len(stats) > 1:
-            print("lake stats: --stat corr uses --value as a comma "
+            print("lake stats: bare corr uses --value as a comma "
                   "list of feature columns and cannot combine with "
-                  "other stats — fold it separately", file=sys.stderr)
+                  "other stats — use corr:<col_a+col_b[+...]> in the "
+                  "--stat list instead", file=sys.stderr)
             return 2
-        if len([c for c in args.value.split(",") if c]) < 2:
+        corr_cols = tuple(c for c in args.value.split(",") if c)
+        if len(corr_cols) < 2:
             print("lake stats: --stat corr needs --value "
                   "<col_a,col_b[,...]> (at least two feature columns)",
                   file=sys.stderr)
@@ -412,6 +462,15 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
               "(k is sketch size / capacity / n_hashes depending on "
               "the stat) — fold the stat that needs a custom k "
               "separately", file=sys.stderr)
+        return 2
+    if len(stats) == 1 and args.k is not None \
+            and stats[0] not in _K_DEFAULTS:
+        # an ignored --k reads as "I sized a sketch" when the stat has
+        # none (summary/distinct/linreg/corr) — refuse, mirroring the
+        # multi-stat ambiguity check (r12 advisor)
+        print(f"lake stats: --stat {stats[0]} takes no --k "
+              f"(only {','.join(sorted(_K_DEFAULTS))} size a sketch) "
+              "— remove --k", file=sys.stderr)
         return 2
     if args.label is None and (args.window is not None
                                or args.retain_labels is not None):
@@ -441,16 +500,15 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
     if args.show < 0:
         print("lake stats: --show must be >= 0", file=sys.stderr)
         return 2
-    # per-stat library defaults — one shared number would silently
-    # build sample states no API-default caller could ever fold
-    # (the (k, seed) contract check refuses mixed capacities)
-    _k_defaults = {"quantiles": 4096, "heavyhitters": 1024,
-                   "sample": 64, "topk": 16, "minhash": 16}
     spark = get_spark(app_name="pdi-lake-stats")
     delta = spark.read.parquet(args.delta)
 
     def _build(stat, d):
-        k = args.k if args.k is not None else _k_defaults.get(stat)
+        # per-stat library defaults (_K_DEFAULTS) — one shared number
+        # would silently build sample states no API-default caller
+        # could ever fold (the (k, seed) contract refuses mixed
+        # capacities)
+        k = args.k if args.k is not None else _K_DEFAULTS.get(stat)
         return {
             "summary": lambda: rollup_state(d, keys, args.value),
             "distinct": lambda: distinct_rollup_state(
@@ -467,8 +525,7 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
                 d, keys, args.value, n_hashes=k, seed=args.seed),
             "linreg": lambda: linreg_rollup_state(
                 d, keys, args.x, args.value),
-            "corr": lambda: corr_rollup_state(
-                d, keys, tuple(c for c in args.value.split(",") if c)),
+            "corr": lambda: corr_rollup_state(d, keys, corr_cols),
         }[stat]()
 
     from polymarket_data_ingestor_spark.streaming.live import (
@@ -531,7 +588,8 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
                 rc = _fold_one_lake_stat(
                     spark, args, stat, state_dirs[stat], keys,
                     _build(stat, delta),
-                    _stat_finalizers(args)[stat], _stat_merges()[stat],
+                    _stat_finalizers(args, corr_cols=corr_cols)[stat],
+                    _stat_merges()[stat],
                 )
             except Exception:
                 _partial_commit_note(i)
@@ -926,13 +984,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help=f"one of {{{','.join(_STAT_CHOICES)}}}, or a "
                     "comma list to fold several states off ONE cached "
                     "delta scan (then --state is the parent dir and "
-                    "each stat lands at <state>/<stat>)")
+                    "each stat lands at <state>/<stat>); corr joins a "
+                    "multi-stat list as corr:<col_a+col_b[+...]> — "
+                    "the suffix carries its feature columns so "
+                    "--value stays the other stats' single column")
     ls.add_argument("--keys", required=True,
                     help="comma-separated group columns")
-    ls.add_argument("--value", required=True,
+    ls.add_argument("--value", default=None,
                     help="value column (item column for heavyhitters/"
                          "minhash, counted column for distinct, id "
-                         "column for sample/topk)")
+                         "column for sample/topk; comma list of "
+                         "feature columns for bare corr) — required "
+                         "unless the only stat is corr:<cols>")
     ls.add_argument("--score", default=None,
                     help="score column for --stat topk (items ranked "
                          "score DESC, id ASC)")

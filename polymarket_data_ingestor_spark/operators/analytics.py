@@ -2486,7 +2486,23 @@ def kmv_overlap_pairs(
     output is EXACT (n_common = |A∩B|, jaccard = the true Jaccard);
     past capacity the error is the estimator's ~1/√K. Mixed (k, seed)
     contracts raise at execution — the hash family is an identity
-    contract like the minhash monoid's.
+    contract like the minhash monoid's; the guard is embedded in
+    ``kk``, which every output column and the threshold filter build
+    on, so no projection can prune the check (r12 advisor — the r12
+    shape guarded only ``k_used``, and a consumer selecting just
+    (keys, jaccard) silently mixed incompatible sketches).
+
+    Hash-collision hazard (r12 advisor): the sample state keeps the k
+    smallest distinct (hash, ID) PAIRS, so a within-key 32-bit
+    collision landing in the bottom-k leaves the sketch with a
+    duplicate hash value — at capacity the deduped union can then
+    hold < k distinct hashes (the exact branch fires on a
+    technically-at-capacity sketch) and n_common counts the collided
+    pair once. Probability ~k²/2³³ per key (~10⁻⁴ at k=1024), effect
+    one estimator sample — inside the ~1/√K error pinned in
+    EXACTNESS; the DuckDB oracle replicates the pair-ranked sketch
+    construction bit-for-bit, so the correctness check stays
+    deterministic either way.
 
     Scale and plan shape are the shared :func:`_pairwise_state_join`
     scaffold (eager localCheckpoint so the state build runs once;
@@ -2504,22 +2520,29 @@ def kmv_overlap_pairs(
         broadcast_max_bytes,
     )
     union = F.array_sort(F.array_union("__ha", "__hb"))
-    kk = F.least(F.col("__ka"), F.size(union))
-    low = F.slice(union, F.lit(1), kk)
-    n_common = F.size(
-        F.array_intersect(low, F.array_intersect("__ha", "__hb"))
-    )
     contract_ok = (
         (F.col("__ka") == F.col("__kb"))
         & (F.col("__ra") == F.col("__rb"))
     )
-    guard = F.when(
+    # The mixed-contract guard lives INSIDE kk — every downstream
+    # value (low, n_common, jaccard, union_est, the min_jaccard
+    # filter) is built on kk, so ANY projection of ANY output column
+    # forces the check. The r12 shape guarded only k_used: a consumer
+    # selecting just (keys, jaccard) let Catalyst prune the raise and
+    # silently mix sketches from incompatible hash families (r12
+    # advisor, medium). minhash_similarity_pairs embeds its guard in
+    # est_jaccard the same way.
+    kk = F.when(
         ~contract_ok,
         F.raise_error(F.lit(
             "kmv overlap across different (k, seed) contracts is "
             "meaningless — the hash family is an identity contract "
             "(rebuild one side)"
-        )).cast("bigint"),
+        )).cast("int"),
+    ).otherwise(F.least(F.col("__ka"), F.size(union)))
+    low = F.slice(union, F.lit(1), kk)
+    n_common = F.size(
+        F.array_intersect(low, F.array_intersect("__ha", "__hb"))
     )
     jac = n_common.cast("double") / kk.cast("double")
     union_est = F.when(
@@ -2532,7 +2555,7 @@ def kmv_overlap_pairs(
         joined
         .select(
             *[f"{k}_a" for k in keys], *[f"{k}_b" for k in keys],
-            guard.otherwise(kk.cast("bigint")).alias("k_used"),
+            kk.cast("bigint").alias("k_used"),
             n_common.cast("bigint").alias("n_common"),
             jac.alias("jaccard"),
             (jac * union_est).alias("n_common_est"),

@@ -2067,15 +2067,21 @@ def q_topk_rollup(spark, sf_dir):
       SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS sid
       FROM events WHERE user_id IS NOT NULL
     ), h AS (
-      SELECT g, {sql_hash32_catalog("sid", 7)} AS h FROM d
+      SELECT g, sid, {sql_hash32_catalog("sid", 7)} AS h FROM d
     ), bk AS (
-      -- replicate the bottom-k sketch exactly: k smallest DISTINCT
-      -- hashes per key (the sample state dedups (hash, id) pairs;
-      -- distinct users -> distinct sids -> distinct hashes mod
-      -- collisions, which both engines hash identically)
+      -- replicate the sketch EXACTLY as the sample state maintains
+      -- it: the k smallest distinct (hash, sid) PAIRS per key, hashes
+      -- kept WITH duplicates (r12 advisor: a within-key hash32
+      -- collision landing in the bottom-k gives the state duplicate
+      -- hash values — an oracle ranking DISTINCT hashes would then
+      -- admit the (k+1)-th pair's hash and diverge deterministically
+      -- at capacity). d is already DISTINCT (g, sid), so ranking by
+      -- (h, sid) reproduces the state's pair order bit-for-bit; the
+      -- set-semantics list ops downstream dedup on BOTH engines.
       SELECT g, h FROM (
-        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) rn
-        FROM (SELECT DISTINCT g, h FROM h))
+        SELECT g, h, sid,
+               row_number() OVER (PARTITION BY g ORDER BY h, sid) rn
+        FROM h)
       WHERE rn <= 1024
     ), agg AS (
       SELECT g, list_sort(list(h)) AS hs FROM bk GROUP BY g

@@ -1167,6 +1167,14 @@ def test_kmv_overlap_exact_regime_capacity_bound_and_plan(spark):
     st3 = sample_rollup_state(df, ("g",), "uid", k=64, seed=5)
     with _pytest.raises(Exception, match="identity contract"):
         kmv_overlap_pairs(st.unionByName(st3), ("g",)).collect()
+    # ... and the guard survives ANY projection: the r12 advisor found
+    # the k_used-only guard let a (keys, jaccard) select prune the
+    # raise and silently mix hash families. The guard now lives inside
+    # kk, which every value column builds on.
+    mixed = kmv_overlap_pairs(st.unionByName(st3), ("g",))
+    for col in ("jaccard", "n_common", "n_common_est"):
+        with _pytest.raises(Exception, match="identity contract"):
+            mixed.select("g_a", "g_b", col).collect()
 
     # plan: checkpointed state (no FileScan/Python), broadcast join;
     # the guard falls back to a distributed cartesian above the bound
@@ -1282,7 +1290,20 @@ def test_cli_lake_stats_corr_flow(spark, tmp_path, monkeypatch, capsys):
     assert "at least two" in capsys.readouterr().err
     assert cli.main(base + ["--state", state, "--stat", "summary,corr",
                             "--value", "a,b"]) == 2
-    assert "fold it separately" in capsys.readouterr().err
+    assert "corr:<col_a+col_b" in capsys.readouterr().err
+    # :<cols> suffix is corr-only; corr:<one col> refuses; --k on a
+    # stat with no sketch refuses (r12 advisor)
+    assert cli.main(base + ["--state", state, "--stat", "summary:a",
+                            "--value", "a"]) == 2
+    assert "only corr takes" in capsys.readouterr().err
+    assert cli.main(base + ["--state", state, "--stat", "corr:a",
+                            "--value", "b"]) == 2
+    assert "at least two" in capsys.readouterr().err
+    assert cli.main(base + ["--state", state, "--stat", "corr",
+                            "--value", "a,b", "--k", "64"]) == 2
+    assert "takes no --k" in capsys.readouterr().err
+    assert cli.main(base + ["--state", state, "--stat", "summary"]) == 2
+    assert "--value is required" in capsys.readouterr().err
 
     assert cli.main(base + ["--state", state, "--stat", "corr",
                             "--value", "a,b,c"]) == 0
@@ -1304,3 +1325,46 @@ def test_cli_lake_stats_corr_flow(spark, tmp_path, monkeypatch, capsys):
     with _pytest.raises(Exception, match="cr_cols contract"):
         cli.main(["lake", "stats-show", state, "--stat", "corr",
                   "--keys", "g", "--value", "b,a"])
+
+
+def test_cli_lake_stats_corr_multistat(spark, tmp_path, monkeypatch,
+                                       capsys):
+    """r12 verdict #5: corr joins a multi-stat fold as
+    corr:<col_a+col_b[+...]> — the suffix carries its feature columns,
+    --value stays the other stats' single column, and both states
+    land under <state>/<stat> off the one cached delta. The suffixed
+    form alone also works with NO --value at all, and its output
+    matches the bare-corr fold of the same delta."""
+    from polymarket_data_ingestor_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    delta = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [("s", float(i), 2.0 * i + 1.0, float((i * 7) % 5))
+         for i in range(20)],
+        "g string, a double, b double, c double",
+    ).write.parquet(delta)
+
+    # multi-stat: summary over --value, corr over the suffix cols
+    state = str(tmp_path / "multi")
+    assert cli.main(["lake", "stats", delta, "--keys", "g",
+                     "--state", state, "--stat", "summary,corr:a+b+c",
+                     "--value", "a"]) == 0
+    out = capsys.readouterr().out
+    assert "'col_a': 'a', 'col_b': 'b'" in out and "'corr': 1.0" in out
+    assert f"state: {state}/summary/v=1" in out
+    assert f"state: {state}/corr/v=1" in out
+
+    # suffixed corr alone: no --value needed; matches the bare form
+    s2 = str(tmp_path / "suffixonly")
+    assert cli.main(["lake", "stats", delta, "--keys", "g",
+                     "--state", s2, "--stat", "corr:a+b+c"]) == 0
+    out2 = capsys.readouterr().out
+    s3 = str(tmp_path / "bare")
+    assert cli.main(["lake", "stats", delta, "--keys", "g",
+                     "--state", s3, "--stat", "corr",
+                     "--value", "a,b,c"]) == 0
+    out3 = capsys.readouterr().out
+    lines2 = sorted(ln for ln in out2.splitlines() if "'corr'" in ln)
+    lines3 = sorted(ln for ln in out3.splitlines() if "'corr'" in ln)
+    assert lines2 == lines3 and lines2
