@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "topk_rollup",
     "minhash_rollup",
     "minhash_source_similarity",
+    # the banded (above-broadcast-budget) twin — benched next to the
+    # exact path so the banding overhead at broadcastable scale stays
+    # measured (r13; at scale banding is the only non-cartesian path)
+    "minhash_pairs_banded",
     "filter_project",
     "minute_last_bars",
     "hourly_volume",
@@ -65,6 +69,7 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "linreg_rollup",
     "kmv_overlap",
+    "kmv_overlap_banded",
     "corr_rollup",
     "doc_quality",
     "asof_join",

@@ -2467,6 +2467,7 @@ def kmv_overlap_pairs(
     keys: tuple[str, ...],
     min_jaccard: float = 0.0,
     broadcast_max_bytes: int = 512 * 1024 * 1024,
+    banded: bool | None = None,
 ) -> DataFrame:
     """Distinct-set OVERLAP between every pair of keys, estimated from
     their maintained bottom-k sample states — "how many distinct users
@@ -2508,9 +2509,16 @@ def kmv_overlap_pairs(
     scaffold (eager localCheckpoint so the state build runs once;
     byte-budget broadcast guard — a k=1024 sample row is ~8 KB, so
     the budget matters here where a key-count threshold sized for
-    the ~128 B minhash rows would broadcast-explode; forced
-    distributed cartesian above the budget). Pure Catalyst array ops
-    — sorted-array union/intersect over k-sized arrays, no Python."""
+    the ~128 B minhash rows would broadcast-explode). Above the
+    budget with ``min_jaccard > 0`` the scaffold self-bands the
+    SKETCH (r12 verdict #2): candidacy = sharing at least one
+    bottom-k hash, positionless — n_common is 0 without a shared
+    hash, so the banded output is IDENTICAL to the cartesian's after
+    the threshold filter, at any key cardinality, through equi-joins
+    only. ``banded=True`` forces that path; the remaining
+    threshold-0 above-budget case falls back to a loudly-warned
+    distributed cartesian. Pure Catalyst array ops — sorted-array
+    union/intersect over k-sized arrays, no Python."""
     joined = _pairwise_state_join(
         state, keys,
         {"s_hash": "h", "s_k": "k", "s_seed": "r"},
@@ -2518,6 +2526,11 @@ def kmv_overlap_pairs(
         # must hold for the fullest rows, not the first one sampled
         lambda r: 8 * int(r["s_k"]) + 64,
         broadcast_max_bytes,
+        band_col="s_hash",
+        band_positional=False,
+        banded=banded,
+        threshold_positive=min_jaccard > 0.0,
+        op_label="kmv_overlap_pairs",
     )
     union = F.array_sort(F.array_union("__ha", "__hb"))
     contract_ok = (
@@ -2879,6 +2892,11 @@ def _pairwise_state_join(
     side_cols: dict,
     per_row_bytes,
     broadcast_max_bytes: int,
+    band_col: str | None = None,
+    band_positional: bool = True,
+    banded: bool | None = None,
+    threshold_positive: bool = False,
+    op_label: str = "state-pair join",
 ) -> DataFrame:
     """Shared scaffold of the state-pair operators
     (:func:`minhash_similarity_pairs` / :func:`kmv_overlap_pairs` —
@@ -2897,12 +2915,47 @@ def _pairwise_state_join(
     explodes on the heavy one (the r12 second review's 8 GB example).
     ``per_row_bytes(first_row)`` estimates a row's payload from one
     representative row (capacity fields, not observed lengths, where
-    available); above the budget the join is forced to
-    ``shuffle_replicate_nl`` — merely dropping the hint would let the
-    planner's size-stats re-pick BroadcastNestedLoopJoin. Same
-    localCheckpoint trade as ``pagerank``'s round tables: no
+    available).
+
+    Above the budget there are TWO paths (r12 verdict #2 — the old
+    unconditional keys² cartesian was the family's scale ceiling):
+
+    * **banded** (``band_col`` set and the caller's similarity
+      threshold strictly positive): self-band the maintained sketch
+      itself, exactly as ``minhash_lsh_pairs`` bands document
+      signatures — explode ``band_col``, equi-join on the banded
+      value (plus the slot position when ``band_positional``, the
+      minhash convention; positionless for kmv, where sharing ANY
+      bottom-k hash is the candidacy event), distinct the ordered
+      candidate pairs, then equi-join each side's payload back on its
+      keys. EXACT-equivalent to the cartesian, not approximate: a
+      pair sharing no banded value scores 0 on both estimators
+      (zero matching slots / empty sketch intersection), and the
+      caller's ``>= threshold`` filter with threshold > 0 drops score-0
+      pairs from the exact path's output too. All equi-joins — the
+      plan has no cartesian at ANY key cardinality.
+    * **fallback cartesian** (no band column, or threshold 0 where the
+      banded path would drop legitimate score-0 output rows): forced
+      ``shuffle_replicate_nl`` — merely dropping the hint would let
+      the planner's size-stats re-pick BroadcastNestedLoopJoin — and
+      LOUDLY warned (r12 verdict #8: a silent keys² cartesian must
+      never ship unnoticed).
+
+    ``banded`` overrides the auto choice: ``True`` forces banding even
+    under the broadcast budget (raises without a positive threshold —
+    the output would silently lose score-0 pairs); ``False`` forbids
+    it. Same localCheckpoint trade as ``pagerank``'s round tables: no
     executor-loss recompute for the (tiny) state, blocks freed by the
     ContextCleaner when the result is garbage."""
+    if banded and not threshold_positive:
+        raise ValueError(
+            f"{op_label}: banded pairing requires a positive "
+            "similarity threshold — with threshold 0 the exact output "
+            "includes zero-overlap pairs the banded path cannot "
+            "produce"
+        )
+    if banded and band_col is None:
+        raise ValueError(f"{op_label}: no band column to band on")
     state = state.localCheckpoint(eager=True)
     a = state.select(
         *[F.col(k).alias(f"{k}_a") for k in keys],
@@ -2912,15 +2965,59 @@ def _pairwise_state_join(
         *[F.col(k).alias(f"{k}_b") for k in keys],
         *[F.col(c).alias(f"__{s}b") for c, s in side_cols.items()],
     )
+    n = state.count()
+    first = state.head() if n else None
+    est = n * per_row_bytes(first) if first is not None else 0
+    over_budget = est > broadcast_max_bytes
+    use_banded = (
+        banded if banded is not None
+        else over_budget and threshold_positive and band_col is not None
+    )
+    if use_banded:
+        bexp = (F.posexplode(band_col) if band_positional
+                else F.explode(band_col))
+        balias = (("__bp", "__bv") if band_positional else ("__bv",))
+        ex = state.select(*keys, bexp.alias(*balias))
+        ca = ex.select(
+            *[F.col(k).alias(f"{k}_a") for k in keys], *balias)
+        cb = ex.select(
+            *[F.col(k).alias(f"{k}_b") for k in keys], *balias)
+        cand = (
+            ca.join(cb, on=list(balias))
+            .filter(
+                F.struct(*[F.col(f"{k}_a") for k in keys])
+                < F.struct(*[F.col(f"{k}_b") for k in keys])
+            )
+            .select(*[f"{k}_a" for k in keys],
+                    *[f"{k}_b" for k in keys])
+            .distinct()
+        )
+        return (
+            cand
+            .join(a, on=[f"{k}_a" for k in keys])
+            .join(b, on=[f"{k}_b" for k in keys])
+        )
     cond = (
         F.struct(*[F.col(f"{k}_a") for k in keys])
         < F.struct(*[F.col(f"{k}_b") for k in keys])
     )
-    n = state.count()
-    first = state.head() if n else None
-    est = n * per_row_bytes(first) if first is not None else 0
+    if over_budget:
+        import warnings
+
+        warnings.warn(
+            f"{op_label}: state (~{est >> 20} MiB, {n} keys) exceeds "
+            f"the {broadcast_max_bytes >> 20} MiB broadcast budget and "
+            "no banded path applies "
+            + ("(band column unavailable)" if band_col is None
+               else "(threshold is 0 — score-0 pairs are legitimate "
+                    "output)")
+            + " — falling back to a DISTRIBUTED CARTESIAN (keys² "
+            "pairs). Pass a positive threshold to enable banded "
+            "pruning.",
+            stacklevel=3,
+        )
     right = (
-        F.broadcast(b) if est <= broadcast_max_bytes
+        F.broadcast(b) if not over_budget
         else b.hint("shuffle_replicate_nl")
     )
     return a.join(right, cond)
@@ -2931,6 +3028,7 @@ def minhash_similarity_pairs(
     keys: tuple[str, ...],
     min_similarity: float = 0.0,
     broadcast_max_bytes: int = 512 * 1024 * 1024,
+    banded: bool | None = None,
 ) -> DataFrame:
     """Estimated Jaccard similarity for every key pair from their
     signatures: ``est_jaccard`` = fraction of equal slots (exactly the
@@ -2945,8 +3043,15 @@ def minhash_similarity_pairs(
     intended key domains (sources, languages, shards — thousands of
     keys) one side broadcasts; a caller keying by DOCUMENT would
     broadcast-explode every executor with a corpus-sized table, so
-    above the ``broadcast_max_bytes`` budget the join is forced to a
-    distributed cartesian instead. The scaffold — eager localCheckpoint
+    above the ``broadcast_max_bytes`` budget with ``min_similarity >
+    0`` the scaffold self-bands the SIGNATURE (r12 verdict #2, the
+    trick :func:`~..dedup.minhash_lsh_pairs` applies to documents):
+    candidacy = at least one matching (slot, min) — est_jaccard is 0
+    without one, so the banded output is IDENTICAL to the cartesian's
+    after the threshold filter, at any key cardinality, through
+    equi-joins only. ``banded=True`` forces that path; the remaining
+    threshold-0 above-budget case falls back to a loudly-warned
+    distributed cartesian. The scaffold — eager localCheckpoint
     so the state build runs exactly ONCE (a bare count() on the
     un-persisted lineage re-ran the whole build per consumer, the r12
     review's +1-corpus-pass finding), ordered pair condition, and the
@@ -2958,6 +3063,11 @@ def minhash_similarity_pairs(
         {"mh_sig": "s", "mh_n": "n", "mh_seed": "r"},
         lambda r: 8 * int(r["mh_n"]) + 64,
         broadcast_max_bytes,
+        band_col="mh_sig",
+        band_positional=True,
+        banded=banded,
+        threshold_positive=min_similarity > 0.0,
+        op_label="minhash_similarity_pairs",
     )
     matches = F.size(F.filter(
         F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v

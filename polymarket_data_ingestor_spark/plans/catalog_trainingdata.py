@@ -852,6 +852,53 @@ def q_minhash_source_similarity(spark, sf_dir):
     return minhash_similarity_pairs(st, ("source",))
 
 
+@register(
+    "minhash_pairs_banded",
+    f"""
+    WITH {_SQL_MH_ROLLUP_SIG}
+    SELECT source_a, source_b, est_jaccard FROM (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(sum(CASE WHEN a.min_hash = b.min_hash
+                           THEN 1 ELSE 0 END) AS DOUBLE) / 16
+             AS est_jaccard
+      FROM sig a JOIN sig b ON a.slot = b.slot AND a.source < b.source
+      GROUP BY 1, 2)
+    WHERE est_jaccard >= 0.05
+    """,
+    doc="minhash_source_similarity's BANDED path (operators/"
+    "analytics.py::minhash_similarity_pairs banded=True via "
+    "_pairwise_state_join, r12 verdict #2): above the broadcast byte "
+    "budget the state-pair family used to eat a keys² cartesian; with "
+    "a positive threshold the scaffold instead self-bands the "
+    "SIGNATURE — posexplode the slots, equi-join on (slot, min) "
+    "exactly as minhash_lsh_pairs bands documents, distinct the "
+    "ordered candidate pairs, equi-join the payloads back by key. "
+    "EXACT-equivalent to the cartesian: est_jaccard = matching "
+    "slots / n is 0 for any pair with no matching (slot, min), and "
+    "the min_similarity filter drops score-0 pairs from the exact "
+    "path too — so the oracle is the similarity oracle plus the "
+    "identical threshold, and the driver pins banded == exact on real "
+    "data every round. Plan: equi-joins only, no cartesian at any key "
+    "cardinality (gated in pytest).",
+    tags=("join", "sketch", "curation"),
+)
+def q_minhash_pairs_banded(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        minhash_rollup_state,
+        minhash_similarity_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hashes = d.select(
+        "source",
+        F.explode(D.gram_hashes_vectorized("text", 3)).alias("gh"),
+    )
+    st = minhash_rollup_state(hashes, ("source",), "gh",
+                              n_hashes=16, seed=0, prehashed=True)
+    return minhash_similarity_pairs(st, ("source",),
+                                    min_similarity=0.05, banded=True)
+
+
 #: MinHash-LSH candidate pairs as a reusable SQL CTE body (SELECTs
 #: id_a < id_b); shared by the pairs entry and the materialized dedup.
 _SQL_LSH_PAIRS = f"""

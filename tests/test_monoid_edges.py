@@ -1189,6 +1189,75 @@ def test_kmv_overlap_exact_regime_capacity_bound_and_plan(spark):
         == sorted(got.keys())
 
 
+def test_pairwise_state_banded_matches_exact_and_plan(spark):
+    """r13 (r12 verdict #2): above the broadcast budget the state-pair
+    family no longer has to eat a keys² cartesian — the scaffold bands
+    the maintained sketch itself. Pins: banded output IDENTICAL to the
+    exact path on a planted corpus (both operators, threshold > 0);
+    banded plans contain NO cartesian and NO BroadcastNestedLoopJoin;
+    banded without a positive threshold refuses; the auto path picks
+    banding above budget, and the threshold-0 above-budget fallback
+    warns loudly."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        kmv_overlap_pairs,
+        minhash_rollup_state,
+        minhash_similarity_pairs,
+        sample_rollup_state,
+    )
+
+    # planted corpus: overlapping item sets across 6 keys, plus one
+    # isolated key that must appear in NO thresholded pair
+    rows = []
+    for g in range(6):
+        rows += [(f"g{g}", f"i{j}") for j in range(g * 10, g * 10 + 40)]
+    rows += [("lone", f"z{j}") for j in range(30)]
+    df = spark.createDataFrame(rows, "g string, item string")
+
+    def _pin(make):
+        exact = make(banded=False)
+        band = make(banded=True)
+        ex = sorted(map(tuple, exact.collect()))
+        bd = sorted(map(tuple, band.collect()))
+        assert ex == bd and ex, (ex[:3], bd[:3])
+        plan = band._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+        assert not any("lone" in str(r) for r in ex)
+
+    mh = minhash_rollup_state(df, ("g",), "item", n_hashes=16, seed=3)
+    _pin(lambda banded: minhash_similarity_pairs(
+        mh, ("g",), min_similarity=0.05, banded=banded))
+    sm = sample_rollup_state(df, ("g",), "item", k=64, seed=3)
+    _pin(lambda banded: kmv_overlap_pairs(
+        sm, ("g",), min_jaccard=0.05, banded=banded))
+
+    # banded without a positive threshold would silently lose score-0
+    # pairs from the output — refuse
+    with _pytest.raises(ValueError, match="positive"):
+        minhash_similarity_pairs(mh, ("g",), banded=True)
+    with _pytest.raises(ValueError, match="positive"):
+        kmv_overlap_pairs(sm, ("g",), banded=True)
+
+    # auto: above budget + positive threshold -> banded (no cartesian)
+    auto = minhash_similarity_pairs(
+        mh, ("g",), min_similarity=0.05, broadcast_max_bytes=1)
+    ap = auto._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ap and "BroadcastNestedLoop" \
+        not in ap, ap
+    # above budget + threshold 0 -> cartesian, loudly warned
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        fb = minhash_similarity_pairs(
+            mh, ("g",), broadcast_max_bytes=1)
+        assert any("DISTRIBUTED CARTESIAN" in str(x.message) for x in w)
+    fp = fb._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in fp, fp
+
+
 def test_corr_rollup_edges_merge_and_naive_model(spark):
     """r12 correlation monoid: perfect linear pair → corr exactly 1.0;
     noisy pair matches an independent float Pearson to 1e-9; single
