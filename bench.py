@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "doc_bigram_lm",
     "substring_dup_pairs",
     "substring_dedup_materialize",
+    "substring_trim_materialize",
     "funnel_user_paths_multipass",
     "chunk_documents",
     "ohlc_candles",

@@ -280,6 +280,154 @@ def gram_hashes_vectorized(
     return gram_hashes(c)
 
 
+def gram_hashes_positional(
+    text_col: F.Column | str, n: int = 8
+) -> F.Column:
+    """Per-POSITION word-n-gram hashes (array<long>): element i is the
+    32-bit hash of the window starting at token i — the alignment
+    :func:`substring_trim_docs` needs to excise token RANGES, which
+    the distinct-set form (:func:`gram_hashes_vectorized`) destroys.
+    Same Arrow-kernel shape and the same :func:`_h32` hash family
+    (bit-identical to JVM/DuckDB ``hash32``); the sentinel ``''`` gram
+    (blank/NULL text) becomes a NULL element instead of being dropped,
+    preserving index == token position. NULL text → empty array."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    @pandas_udf("array<long>")
+    def gram_hashes_pos(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                []
+                if t is None
+                else [
+                    _h32(g) if g != "" else None
+                    for g in _py_grams(_py_tokens(t), n)
+                ]
+                for t in texts
+            ]
+        )
+
+    return gram_hashes_pos(c)
+
+
+def substring_trim_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Excise duplicated k-token SPANS and keep the documents — the
+    higher-yield curation action the Lee-et-al. exact-substring recipe
+    actually prescribes (:func:`substring_dup_pairs`'s materializer
+    drops whole cluster members; a 95%-unique doc carrying one pasted
+    license block should lose the block, not the doc).
+
+    Policy (deterministic, oracle-expressible): a k-token window is
+    DUPLICATED when its hash occurs >= 2 times corpus-wide, counting
+    every position — so verbatim intra-document repetition is caught
+    too, not just cross-document paste. Exactly ONE copy survives: the
+    globally-first occurrence (min (id, position)) of each duplicated
+    window is exempt, every other occurrence has its k tokens removed
+    (Lee et al. keep one copy so the corpus retains the information
+    once). Overlapping duplicated windows union their ranges; an
+    exempt window's tokens can still fall to a DIFFERENT overlapping
+    duplicated window — span-level union is inherently gram-granular.
+    Untouched documents keep their ORIGINAL text byte-for-byte
+    (including NULL); edited documents are re-joined with single
+    spaces from the surviving tokens in order (token-level surgery
+    cannot preserve inter-token whitespace). Output: (id,
+    trimmed_text, n_tokens, n_removed), one row per input document.
+
+    Scale shape (100 TB): one Arrow-kernel corpus pass emits the
+    positional gram stream as int64 (never gram strings); ONE
+    anchored exchange on the gram hash feeds both the occurrence
+    aggregate and the join-back via AQE stage reuse (the
+    :func:`substring_dup_pairs` anchor trick); duplicated windows —
+    a corpus-duplication-sized set, not corpus-sized — explode into k
+    covered positions; the only full-token shuffle is the final
+    regroup-by-doc, inherent to rewriting documents (same bound as
+    :func:`remove_boilerplate_lines`). No self-join anywhere: trim is
+    LINEAR where pairing is quadratic — no hot-window cap needed.
+    """
+    from polymarket_data_ingestor_spark.operators.text import tokens
+
+    grams = (
+        df
+        # NULL ids are unkeyable (and ignored, the monoid convention).
+        # Filtering HERE — not relying on join pushdown — matters for
+        # the plan: the excised join pushes isnotnull(id) below the
+        # kernel on its side only, making the two repartition subtrees
+        # canonically unequal, and AQE then materializes the gram
+        # shuffle TWICE (the kernel corpus pass with it)
+        .filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(gram_hashes_positional(text_col, k)).alias(
+                "__pos", "__gh"
+            ),
+        )
+        .filter(F.col("__gh").isNotNull())
+        .repartition("__gh")
+    )
+    stats = grams.groupBy("__gh").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("__pos").alias("p"))).alias("__first"),
+    )
+    excised = (
+        grams.join(stats.filter(F.col("__cnt") >= 2), "__gh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__first.d"))
+                & (F.col("__pos") == F.col("__first.p"))
+            )
+        )
+    )
+    covered = excised.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
+        ).alias("__tpos"),
+    ).distinct()
+    tstream = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("__tpos", "__tok"),
+    )
+    rebuilt = (
+        tstream.join(covered, [id_col, "__tpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__tpos", "__tok"))
+            ).alias("__ts")
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.expr("transform(__ts, x -> x.__tok)"), " "
+            ).alias("__trimmed"),
+            F.size("__ts").cast("long").alias("__n_kept"),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    n_kept = F.coalesce(F.col("__n_kept"), F.lit(0))
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.when(n_kept == F.col("n_tokens"), F.col(text_col))
+        .otherwise(F.coalesce(F.col("__trimmed"), F.lit("")))
+        .alias("trimmed_text"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - n_kept).cast("long").alias("n_removed"),
+    )
+
+
 def _blocked_gram_self_join(
     df: DataFrame,
     text_col: str,

@@ -3177,6 +3177,76 @@ def q_substring_dedup_materialize(spark, sf_dir):
     )
 
 
+@register(
+    "substring_trim_materialize",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), pg AS (
+      SELECT doc_id, i AS pos, {_SQL_HASH.format(x="g")} AS gh
+      FROM (SELECT doc_id, i,
+                   array_to_string(toks[i+1:i+8], ' ') AS g
+            FROM toks,
+                 UNNEST(generate_series(0, greatest(len(toks) - 8, 0)))
+                 AS t(i))
+      WHERE g <> ''
+    ), occ AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gh) AS cnt,
+             row_number() OVER (PARTITION BY gh
+                                ORDER BY doc_id, pos) AS rn
+      FROM pg
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos + o AS tpos
+      FROM occ, UNNEST(generate_series(0, 7)) AS u(o)
+      WHERE cnt >= 2 AND rn >= 2
+    ), ts AS (
+      SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(toks))) AS t(i)
+    ), kept AS (
+      SELECT ts.doc_id, ts.tpos, ts.tok
+      FROM ts LEFT JOIN covered c
+        ON ts.doc_id = c.doc_id AND ts.tpos = c.tpos
+      WHERE c.doc_id IS NULL
+    ), agg AS (
+      SELECT doc_id,
+             array_to_string(list(tok ORDER BY tpos), ' ') AS t2,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN coalesce(a.n_kept, 0) = coalesce(len(t.toks), 0)
+                THEN t.text ELSE coalesce(a.t2, '') END
+             AS trimmed_text,
+           CAST(CASE WHEN t.text IS NULL THEN 0 ELSE len(t.toks) END
+                AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN t.text IS NULL THEN 0 ELSE len(t.toks) END
+                - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Duplicated-SPAN removal keeping the documents "
+    "(operators/dedup.py::substring_trim_docs, r12 verdict #3): the "
+    "action the Lee-et-al. exact-substring recipe actually prescribes "
+    "— substring_dedup_materialize drops whole cluster members, but a "
+    "95%-unique doc carrying one pasted license block should lose the "
+    "block, not the doc. A k=8-token window occurring >= 2 times "
+    "corpus-wide (counting every position — intra-doc verbatim "
+    "repetition too) keeps exactly its globally-first occurrence "
+    "(min (doc_id, pos)); every other occurrence's token range is "
+    "excised, overlaps unioned, survivors re-joined in order; "
+    "untouched docs keep their original text byte-for-byte. LINEAR "
+    "where pairing is quadratic (no self-join, no hot-window cap): "
+    "one Arrow-kernel pass emits positional gram hashes as int64, "
+    "one anchored gram-hash exchange feeds the occurrence count and "
+    "the join-back, duplicated windows explode into k covered "
+    "positions, one inherent regroup-by-doc rebuilds the text.",
+    tags=("dedup", "substring", "curation"),
+)
+def q_substring_trim_materialize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return D.substring_trim_docs(docs, k=8)
+
+
 # --- Relational widening: CUBE, pivot, lag/lead deltas ---------------------
 # Registered here (not in plans/catalog.py) purely for registration-order
 # stability: catalog.py entries register first, so inserting there would

@@ -1041,6 +1041,10 @@ def test_catalog_scan_budget_no_silent_rederivation(spark):
         "cosine_topk_lsh_recall": 3,
         "doc_tfidf_topk": 3,
         "dedup_near_materialize": 3,
+        # positional-gram kernel pass + token stream + per-doc base
+        # row — three column-pruned reads; the trim is linear (no
+        # self-join), so the extra pruned scan is the whole price
+        "substring_trim_materialize": 3,
     }
     default_budget = 2
 
@@ -1058,6 +1062,28 @@ def test_catalog_scan_budget_no_silent_rederivation(spark):
         if worst > budgets.get(name, default_budget):
             over[name] = dict(per_table)
     assert not over, over
+
+
+def test_substring_trim_plan_linear_no_self_join(spark):
+    """substring_trim_materialize's scale contract (r13): LINEAR where
+    pairing is quadratic — the positional Arrow kernel runs exactly
+    once (one ArrowEvalPython; the anchored gram-hash exchange feeds
+    both the occurrence aggregate and the join-back), no cartesian or
+    nested-loop join anywhere, no row-at-a-time Python, and only the
+    three documented joins (dup-stats join-back, covered-position
+    anti-join, final per-doc left join). Runtime reuse is AQE's call
+    (the substring_dup_pairs convention): collect, then read the
+    FINAL plan."""
+    df = CATALOG["substring_trim_materialize"].spark(spark, SF)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("ArrowEvalPython") == 1, final
+    assert "BatchEvalPython" not in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoop" not in final, final
 
 
 def test_cusum_single_key_shuffle_grouped_map(spark):

@@ -801,6 +801,54 @@ def test_substring_dup_catches_pasted_quote(spark):
     assert j01 and j01[0] < 0.12
 
 
+def test_substring_trim_excises_spans_keeps_docs(spark):
+    """r13 (r12 verdict #3): substring_trim_docs removes duplicated
+    k-token SPANS and keeps the documents — every edge against a
+    hand-computed model: cross-doc paste (globally-first occurrence
+    survives verbatim, including its original inter-token whitespace),
+    intra-doc verbatim repetition (first copy kept), a short doc
+    duplicated whole (second copy trims to ''), overlapping duplicated
+    windows (ranges union), NULL text (passes through as NULL),
+    unique docs untouched byte-for-byte."""
+    rows = [
+        # d0 first occurrence of "w1 w2 w3 w4" — untouched, DOUBLE
+        # space preserved (byte-identity for unedited docs)
+        (0, "w1  w2 w3 w4 x1 x2"),
+        # d1 pastes the span -> tokens 1-4 excised
+        (1, "z1 w1 w2 w3 w4 z2"),
+        # d2 repeats its own span -> second copy (pos 5-8) excised
+        (2, "r1 r2 r3 r4 q r1 r2 r3 r4"),
+        # d3/d4 identical short docs (single truncated gram): d3 is
+        # the global first -> kept; d4 trims to ''
+        (3, "s1 s2"),
+        (4, "s1 s2"),
+        # d5 NULL text
+        (5, None),
+        # d6 unique -> untouched
+        (6, "u1 u2 u3 u4 u5"),
+        # d7/d8 share two OVERLAPPING windows -> d8's ranges union
+        # to tokens 0-4, leaving only 'extra'
+        (7, "o1 o2 o3 o4 o5"),
+        (8, "o1 o2 o3 o4 o5 extra"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["trimmed_text"], r["n_tokens"], r["n_removed"])
+           for r in D.substring_trim_docs(d, k=4).collect()}
+    assert got == {
+        0: ("w1  w2 w3 w4 x1 x2", 6, 0),
+        1: ("z1 z2", 6, 4),
+        2: ("r1 r2 r3 r4 q", 9, 4),
+        3: ("s1 s2", 2, 0),
+        4: ("", 2, 2),
+        5: (None, 0, 0),
+        6: ("u1 u2 u3 u4 u5", 5, 0),
+        7: ("o1 o2 o3 o4 o5", 5, 0),
+        8: ("extra", 6, 5),
+    }, got
+    # one row per input doc, always
+    assert D.substring_trim_docs(d, k=4).count() == len(rows)
+
+
 def test_substring_dup_hot_window_cap(spark):
     """A window present in more docs than max_gram_docs is boilerplate:
     it must not create pairs (that is line_dedup_clean's job), so a
