@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "substring_dup_pairs",
     "substring_dedup_materialize",
     "substring_trim_materialize",
+    "embedding_cluster_dedup",
     "funnel_user_paths_multipass",
     "chunk_documents",
     "ohlc_candles",

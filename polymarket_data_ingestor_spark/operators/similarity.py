@@ -582,6 +582,118 @@ def embedding_dup_pairs(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    eps: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[float]] | None = None,
+    keep: str = "farthest",
+    fit_fraction: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup: cluster-then-prune semantic deduplication flags.
+
+    The embedding-space dedup modality of Abbas et al., *SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication*
+    (arXiv:2303.09540): assign every vector to its nearest centroid,
+    then WITHIN each cluster mark as duplicates the members whose cosine
+    to an earlier-ranked member is ≥ ``eps``. Pairwise LSH
+    (:func:`embedding_dup_pairs`) approximates the same relation
+    globally; SemDeDup bounds the quadratic exactly — pairs are only
+    ever formed inside one cluster, so ``n_clusters`` is the explicit
+    scale knob (the paper runs 50k clusters over LAION; size it so
+    ``(corpus / n_clusters)²`` candidate pairs fit an executor).
+
+    One-pass removal semantics, exactly the paper's upper-triangular
+    formulation: cluster members are ordered (``keep='farthest'`` — the
+    paper's choice — ranks LOW centroid-similarity first; ``'closest'``
+    ranks high first; ties by id), and member *j* is removed iff SOME
+    earlier member *i* has ``cos(i, j) >= eps`` — whether or not *i*
+    itself survived. Not iterative, so the whole policy is window
+    functions + one equi-join: SQL-expressible and oracle-paired.
+
+    Plan shape at 100 TB: the codebook is a driver-side list compiled
+    into ONE Catalyst projection (array of (cos, cluster) structs →
+    ``array_max``) — assignment costs zero shuffles and zero Python.
+    Ranking is one shuffle on ``cluster``; the candidate self-join is an
+    equi-join on the same key (exchange reuse, never a cartesian); the
+    verify cosine reuses the precomputed-norm trick of
+    :func:`embedding_dup_pairs` (one fold per pair, bit-identical to
+    :func:`cosine`). Pass ``codebook`` explicitly for reproducible
+    output (e.g. pinned seed vectors); the default fits
+    :func:`fit_ivf_codebook` (KMeans on a deterministic sample), which
+    is engine-specific.
+
+    Returns (id, cluster, centroid_cos, kept) — a FLAG table, not a
+    filtered corpus, so the caller can audit removal rate per source
+    before materializing (join back on id to materialize).
+    """
+    from pyspark.sql import Window
+
+    if keep not in ("farthest", "closest"):
+        raise ValueError(f"keep must be 'farthest' or 'closest', got {keep!r}")
+    if codebook is None:
+        codebook = fit_ivf_codebook(
+            emb, n_clusters, vec_col, fit_fraction=fit_fraction, seed=seed
+        )
+
+    # argmax(cos, tie -> smallest cluster) as ONE expression: struct max
+    # compares cos first, then -cluster, so equal-cos ties pick the
+    # smallest cluster id — matching ORDER BY ccos DESC, cluster in SQL.
+    scored = [
+        F.struct(
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            .alias("c"),
+            F.lit(-i).alias("nc"),
+        )
+        for i, c in enumerate(codebook)
+    ]
+    best = F.array_max(F.array(*scored))
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__n"),
+        (-best["nc"]).alias("cluster"),
+        best["c"].alias("__ccos"),
+    )
+
+    order = (
+        F.col("__ccos").asc() if keep == "farthest" else F.col("__ccos").desc()
+    )
+    ranked = assigned.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(order, F.col(id_col))
+        ),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pair_cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.__n") * F.col("b.__n")
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.__rn") < F.col("b.__rn")),
+        )
+        .filter(pair_cos >= F.lit(eps))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__removed", F.lit(True))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.round("__ccos", 6).alias("centroid_cos"),
+            F.coalesce(~F.col("__removed"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def quantize_embeddings(
     emb: DataFrame,
     vec_col: str = "embedding",

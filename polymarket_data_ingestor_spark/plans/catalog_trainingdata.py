@@ -1428,6 +1428,62 @@ def q_embedding_dup_pairs_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_cluster_dedup",
+    f"""
+    WITH cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS cluster,
+             embedding AS center
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, c.cluster,
+             {_sql_cos('e.embedding', 'c.center')} AS ccos
+      FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, embedding, cluster, ccos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS arn
+        FROM scored)
+      WHERE arn = 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster ORDER BY ccos ASC, vec_id) AS orn
+      FROM assigned
+    ), removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM ranked a JOIN ranked b
+        ON a.cluster = b.cluster AND a.orn < b.orn
+      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.35
+    )
+    SELECT r.vec_id, r.cluster, round(r.ccos, 6) AS centroid_cos,
+           (rm.vec_id IS NULL) AS kept
+    FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
+    """,
+    doc="SemDeDup cluster-then-prune semantic dedup flags (operators/"
+    "similarity.py::semdedup, Abbas et al. arXiv:2303.09540): assign "
+    "each vector to its nearest centroid (ONE Catalyst projection — "
+    "codebook compiled in as struct-array argmax, zero shuffle, zero "
+    "Python), rank members low-centroid-similarity-first within each "
+    "cluster (the paper's keep='farthest' policy), remove a member iff "
+    "an earlier-ranked member is within cos >= 0.35 (one-pass "
+    "upper-triangular semantics — never iterative). Pairs form ONLY "
+    "inside a cluster: n_clusters is the explicit quadratic bound, the "
+    "cluster equi-join is never a cartesian. The entry pins the "
+    "codebook to the 8 smallest vec_ids' embeddings so the assignment "
+    "is engine-independent; production uses the KMeans codebook "
+    "(fit_ivf_codebook) the IVF ANN path already maintains.",
+    tags=("similarity", "dedup"),
+)
+def q_embedding_cluster_dedup(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.select("embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    return S.semdedup(emb, eps=0.35, codebook=seeds)
+
+
 # ---------------------------------------------------------------------------
 # Training-mixture construction: packing + deterministic sampling
 # ---------------------------------------------------------------------------
@@ -3538,18 +3594,13 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: take the head of the window regardless of staleness so every change
 #: gets a first-party driver row in its own round.
 _CODE_CHANGED_THIS_ROUND = (
-    "part_supplier_pagerank",  # r12: NEW ORACLE (HUGEINT fixed-point
-    #                            CTE ladder) + single-step init/base
-    #                            rounding + rank_fp output schema
-    "bpe_train_merges",     # r12: NEW ORACLE (unrolled-CTE trainer)
-    "minhash_rollup",       # r12: prehashed range guard in the plan
-    "minhash_source_similarity",  # r12: guard + broadcast threshold
-    "linreg_rollup",        # r12: NEW operator (OLS sufficient-stats
-    #                         monoid, pure Catalyst decimal sums)
-    "kmv_overlap",          # r12: NEW operator (KMV set-overlap off
-    #                         the sample monoid's bottom-k states)
-    "corr_rollup",          # r12: NEW operator (per-key feature
-    #                         correlation-matrix monoid)
+    "kmv_overlap",          # r13: contract raise moved into kk (every
+    #                         output column + filter now carries it) +
+    #                         oracle re-ranked by (hash, sid) pairs
+    "minhash_source_similarity",  # r13: routes through the reworked
+    #                         _pairwise_state_join (banded scaffold)
+    # kmv_overlap_banded / substring_trim_materialize are NEW this
+    # round — never-green entries sort first without being listed here.
 )
 
 

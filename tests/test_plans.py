@@ -1042,9 +1042,17 @@ def test_catalog_scan_budget_no_silent_rederivation(spark):
         "doc_tfidf_topk": 3,
         "dedup_near_materialize": 3,
         # positional-gram kernel pass + token stream + per-doc base
-        # row — three column-pruned reads; the trim is linear (no
-        # self-join), so the extra pruned scan is the whole price
-        "substring_trim_materialize": 3,
+        # row — three column-pruned reads; the kernel subtree PRINTS
+        # twice in the initial plan (both consumers of the anchored
+        # gram exchange), but runtime AQE materializes it once —
+        # test_substring_trim_plan_linear_no_self_join pins exactly
+        # one ArrowEvalPython in the FINAL plan
+        "substring_trim_materialize": 4,
+        # semdedup: assignment projection + the two sides of the
+        # within-cluster candidate equi-join — pair-entry convention
+        # (embedding_dup_pairs_lsh reads 4); the quadratic is bounded
+        # by n_clusters, never a cartesian
+        "embedding_cluster_dedup": 3,
     }
     default_budget = 2
 

@@ -1729,3 +1729,102 @@ def test_containment_blank_docs_never_pair(spark):
     # blank-blank pairs vanish (NULL jaccard); a blank-vs-real pair is
     # a legitimate 0.0 and only survives a degenerate 0.0 threshold
     assert D.ngram_jaccard_pairs(df, threshold=0.001).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r13, r12 verdict #4): cluster-then-prune semantic dedup
+# ---------------------------------------------------------------------------
+
+def _semdedup_rows(spark, vecs, **kw):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    return {r["vec_id"]: r for r in S.semdedup(df, **kw).collect()}
+
+
+def test_semdedup_one_pass_chain_semantics(spark):
+    """The paper's upper-triangular formulation, NOT greedy-keeper: a
+    removed member still removes later members. Unit vectors in one
+    cluster, keep='farthest' (rank low-centroid-cos first):
+    a(ccos .5) -> b(ccos .8) -> c(ccos .95); cos(a,b)=.9196 >= .9
+    removes b, cos(b,c)=.9474 >= .9 removes c EVEN THOUGH b is itself
+    removed (cos(a,c)=.7454 < .9 — greedy would have kept c)."""
+    a = [0.5, 0.8660254, 0.0]
+    b = [0.8, 0.6, 0.0]
+    c = [0.95, 0.3122499, 0.0]
+    got = _semdedup_rows(
+        spark, [a, b, c], eps=0.9, codebook=[[1.0, 0.0, 0.0]],
+        keep="farthest",
+    )
+    assert {k: r["kept"] for k, r in got.items()} == {
+        0: True, 1: False, 2: False,
+    }
+    # closest reverses the ordering: c survives, b removed by c,
+    # a removed by b (earlier in THAT ordering) despite b being removed
+    got = _semdedup_rows(
+        spark, [a, b, c], eps=0.9, codebook=[[1.0, 0.0, 0.0]],
+        keep="closest",
+    )
+    assert {k: r["kept"] for k, r in got.items()} == {
+        0: False, 1: False, 2: True,
+    }
+
+
+def test_semdedup_assignment_and_tiebreaks(spark):
+    """argmax-cosine assignment with smallest-cluster tie-break, and a
+    high eps keeps everything."""
+    c0, c1 = [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]
+    vecs = [
+        [0.9, 0.1, 0.0],   # cluster 0
+        [0.0, 0.1, 0.9],   # cluster 1
+        [0.0, 1.0, 0.0],   # cos 0 with BOTH centroids -> tie -> cluster 0
+    ]
+    got = _semdedup_rows(spark, vecs, eps=0.9999, codebook=[c0, c1])
+    assert {k: r["cluster"] for k, r in got.items()} == {0: 0, 1: 1, 2: 0}
+    assert all(r["kept"] for r in got.values())
+    # members of DIFFERENT clusters never pair, however similar: two
+    # near-identical vectors straddling the centroid boundary both keep
+    straddle = [[0.7072, 0.0, 0.7070], [0.7070, 0.0, 0.7072]]
+    got = _semdedup_rows(spark, straddle, eps=0.5, codebook=[c0, c1])
+    assert {k: (r["cluster"], r["kept"]) for k, r in got.items()} == {
+        0: (0, True), 1: (1, True),
+    }
+
+
+def test_semdedup_plan_no_cartesian_and_guards(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.select("embedding").orderBy("vec_id").limit(4).collect()
+    ]
+    out = S.semdedup(emb, eps=0.35, codebook=seeds)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the flag table covers the corpus exactly once
+    assert out.count() == emb.count()
+    with pytest.raises(ValueError, match="keep"):
+        S.semdedup(emb, keep="random", codebook=seeds)
+
+
+def test_semdedup_removals_are_sound(spark):
+    """Containment vs brute force: every removed id has a genuine
+    eps-neighbor in the full all-pairs relation (cluster pruning can
+    MISS pairs, never invent them)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.select("embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    removed = {
+        r["vec_id"]
+        for r in S.semdedup(emb, eps=0.35, codebook=seeds).collect()
+        if not r["kept"]
+    }
+    assert removed, "planted threshold should remove something"
+    pairs = S.embedding_dup_pairs(emb, threshold=0.35, all_pairs=True)
+    has_neighbor = {
+        x for r in pairs.collect() for x in (r["id_a"], r["id_b"])
+    }
+    assert removed <= has_neighbor, removed - has_neighbor
