@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "substring_dedup_materialize",
     "substring_trim_materialize",
     "embedding_cluster_dedup",
+    "dsir_weights",
+    "dsir_resample",
     "funnel_user_paths_multipass",
     "chunk_documents",
     "ohlc_candles",

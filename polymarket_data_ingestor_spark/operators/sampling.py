@@ -128,6 +128,214 @@ def hash_split(
     return df.withColumn(split_col, label)
 
 
+def _dsir_feature_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, bucket) row per hashed unigram/bigram feature instance.
+
+    The DSIR feature map: whitespace unigrams plus space-joined bigrams,
+    each hashed into ``n_buckets`` via the portable :func:`hash32` — so
+    the featurization is identical in Spark, DuckDB, and the paper's
+    own hashed-n-gram construction. Pure Catalyst: array slicing +
+    ``zip_with`` form bigrams per row (zero joins), one explode."""
+    from polymarket_data_ingestor_spark.operators.text import tokens
+
+    arr = tokens(text_col)
+    n = F.size(arr)
+    unis = F.filter(arr, lambda w: w != F.lit(""))
+    bigs = F.filter(
+        F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.when(
+                (a != "") & (b != ""), F.concat(a, F.lit(" "), b)
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.explode(F.concat(unis, bigs)).alias("__g"))
+        .select(
+            id_col, (hash32(F.col("__g")) % F.lit(n_buckets)).alias("__b")
+        )
+    )
+
+
+def _dsir_decimal_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, n_feats, __lw decimal(28,9)) — shared exact-decimal core of
+    :func:`dsir_log_weights` / :func:`dsir_resample`."""
+    from pyspark.sql import Window
+
+    feats = _dsir_feature_stream(df, text_col, id_col, n_buckets)
+    # aggregation CHAIN (the bigram_lm_score trick): dcnt is the only
+    # consumer of the corpus featurization; qcnt derives from dcnt, so
+    # AQE exchange reuse featurizes the raw corpus ONCE. Totals ride as
+    # WINDOW sums over the <= n_buckets-row histograms — NOT as
+    # separate .agg() subtrees, which would silently re-derive the
+    # whole corpus featurization for a 1-row result (the re-scan trap
+    # the plan-budget test exists to catch). The unpartitioned window
+    # is bounded by n_buckets rows — model-sized by construction, never
+    # corpus-sized.
+    everything = Window.partitionBy()
+    dcnt = feats.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__m"))
+    qcnt = (
+        dcnt.groupBy("__b")
+        .agg(F.sum("__m").alias("__q"))
+        .withColumn("__qt", F.sum("__q").over(everything))
+    )
+    pcnt = (
+        _dsir_feature_stream(target, text_col, id_col, n_buckets)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__p"))
+        .withColumn("__pt", F.sum("__p").over(everything))
+    )
+    # per-bucket log importance ratio, add-one smoothed over n_buckets.
+    # round(.., 9) -> decimal BEFORE any per-doc sum: the aggregation is
+    # exact decimal arithmetic — order-independent under any shuffle —
+    # and the 9-dp pre-round absorbs last-ulp ln() differences between
+    # engines (the bigram_lm_score discipline). Buckets the target
+    # never hit smooth to (0+1)/(ptot+B); the target total __pt must
+    # still cover them, hence coalesce against ANY pcnt row's total (a
+    # max over the joined column — all rows carry the same value).
+    # Buckets the RAW corpus never hit can't matter: a doc's count
+    # there is zero by construction.
+    lam = (
+        qcnt.join(pcnt, "__b", "left")
+        .withColumn("__pt", F.max("__pt").over(everything))
+        .withColumn("__pt", F.coalesce("__pt", F.lit(0)))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__p"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("__pt") + F.lit(n_buckets))
+                )
+                - F.log(
+                    (F.col("__q") + F.lit(1.0))
+                    / (F.col("__qt") + F.lit(n_buckets))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("__lam"),
+        )
+    )
+    return (
+        # the model is <= n_buckets rows — ALWAYS broadcast, so the
+        # per-doc bucket counts never reshuffle for the join
+        dcnt.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").alias("n_feats"),
+            # (18,9) x (10,0) -> (29,9); sum -> (38,9); the cast DOWN to
+            # (28,9) is safe (|lw| <= n_feats * max|lam| — a 10^6-token
+            # doc stays under 10^8) and leaves headroom to ADD the
+            # gumbel key without tripping Spark's 38-digit cap
+            F.sum(F.col("__lam") * F.col("__m").cast("decimal(10,0)"))
+            .cast("decimal(28,9)")
+            .alias("__lw"),
+        )
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., *Data Selection for Language
+    Models via Importance Resampling*, NeurIPS 2023, arXiv:2302.03169).
+
+    Per document: ``log w = Σ_b c_b · (log p̂_target[b] − log p̂_raw[b])``
+    over hashed unigram+bigram buckets, with add-one smoothing over
+    ``n_buckets`` — how much more the doc looks like the TARGET
+    distribution (e.g. a trusted high-quality slice) than the raw corpus
+    it came from. Returns (id, n_feats, log_weight); docs with no
+    features (empty/NULL text) drop out, the `bigram_lm_score`
+    convention.
+
+    Scale shape at 100 TB: the learned model is ``<= n_buckets`` rows
+    and BROADCASTS to the per-doc counts, so after the count exchanges
+    nothing corpus-sized moves again; model totals ride as window sums
+    over the model-sized histograms (never a corpus-re-deriving 1-row
+    aggregate subtree). The raw featurization runs twice (per-doc
+    counts + corpus histogram — Catalyst won't reuse an exchange across
+    a broadcast build side), a deliberate trade: both passes are
+    column-pruned scans with map-side partial aggregation, where the
+    single-pass alternative (anchor the feature stream on the bucket
+    key) would shuffle RAW feature instances with stopword-bucket skew.
+    The target — typically orders of magnitude smaller — is featurized
+    once. Zero Python anywhere. Cross-engine exact: each bucket's
+    log-ratio is rounded to 9 dp into decimal(18,9) before the per-doc
+    sum (exact, order-independent); only the final decimal→double cast
+    is IEEE.
+    """
+    return _dsir_decimal_weights(
+        df, target, n_buckets, text_col, id_col
+    ).select(
+        id_col,
+        "n_feats",
+        F.col("__lw").cast("double").alias("log_weight"),
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 10_000,
+    seed: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k over the importance weights.
+
+    The paper resamples without replacement with probability ∝ w; the
+    Gumbel-max trick makes that a deterministic top-k — key =
+    ``log w + Gumbel(u)`` with ``u = (hash32(seed:id)+0.5) / 2^32`` a
+    pure function of (seed, id), so the SAME documents are selected on
+    any engine, any partitioning, any day (the module's reproducibility
+    contract; no RNG state anywhere).
+
+    Exactness: both addends are 9-dp decimals, so the sort key is
+    EXACT decimal arithmetic — engines can't disagree on order except
+    on true ties, which break by id. The top-k lowers to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), never a global sort or single-partition window.
+
+    Returns (id, n_feats, log_weight, gumbel_key), the k selected docs.
+    """
+    w = _dsir_decimal_weights(df, target, n_buckets, text_col, id_col)
+    u = (
+        hash32(F.col(id_col).cast("string"), seed=seed) + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    gumbel = F.round(-F.log(-F.log(u)), 9).cast("decimal(18,9)")
+    key = (F.col("__lw") + gumbel).alias("__gkey")  # (28,9)+(18,9)→(29,9)
+    return (
+        w.select(id_col, "n_feats", "__lw", key)
+        .orderBy(F.col("__gkey").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "n_feats",
+            F.col("__lw").cast("double").alias("log_weight"),
+            F.col("__gkey").cast("double").alias("gumbel_key"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     budgets: Mapping[str, int],

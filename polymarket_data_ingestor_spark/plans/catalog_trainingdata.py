@@ -1796,6 +1796,112 @@ def q_hash_split_docs(spark, sf_dir):
     ).select("doc_id", "lang", "source", "split")
 
 
+# DSIR (Xie et al. arXiv:2302.03169) hashed-feature machinery, SQL twin
+# of sampling._dsir_feature_stream: unigrams + space-joined bigrams, each
+# hashed into 10k buckets via the portable hash32. The raw side is the
+# whole documents corpus; the target is the lang='en' slice (select raw
+# docs that look like the trusted target distribution).
+_SQL_DSIR_FEATS = f"""
+      SELECT doc_id, ({_SQL_HASH.format(x='g')} % 10000) AS b FROM (
+        SELECT doc_id, unnest(list_filter(arr, w -> w != '')) AS g
+        FROM {{d}}
+        UNION ALL
+        SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS g
+        FROM {{d}}, UNNEST(range(1, len(arr))) AS t(i)
+        WHERE arr[i] != '' AND arr[i + 1] != ''
+      )
+"""
+
+_SQL_DSIR_CORE = f"""
+    WITH rdocs AS (
+      SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+      WHERE doc_id IS NOT NULL
+    ), tdocs AS (
+      SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+      WHERE doc_id IS NOT NULL AND lang = 'en'
+    ), rfeats AS ({_SQL_DSIR_FEATS.format(d='rdocs')}
+    ), tfeats AS ({_SQL_DSIR_FEATS.format(d='tdocs')}
+    ), dcnt AS (
+      SELECT doc_id, b, count(*) AS m FROM rfeats GROUP BY 1, 2
+    ), qcnt AS (
+      SELECT b, CAST(sum(m) AS BIGINT) AS q FROM dcnt GROUP BY 1
+    ), qt AS (
+      SELECT CAST(sum(q) AS BIGINT) AS qt FROM qcnt
+    ), pcnt AS (
+      SELECT b, count(*) AS p FROM tfeats GROUP BY 1
+    ), pt AS (
+      SELECT count(*) AS pt FROM tfeats
+    ), lam AS (
+      SELECT b,
+             CAST(round(ln((coalesce(p, 0) + 1.0) / (pt + 10000))
+                        - ln((q + 1.0) / (qt + 10000)), 9)
+                  AS DECIMAL(18,9)) AS lam
+      FROM qcnt LEFT JOIN pcnt USING (b) CROSS JOIN pt CROSS JOIN qt
+    ), w AS (
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+             CAST(sum(lam * m) AS DECIMAL(28,9)) AS lw
+      FROM dcnt JOIN lam USING (b) GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dsir_weights",
+    f"""{_SQL_DSIR_CORE}
+    SELECT doc_id, n_feats, CAST(lw AS DOUBLE) AS log_weight FROM w
+    """,
+    doc="DSIR importance weights (sampling.py::dsir_log_weights, Xie et "
+    "al. arXiv:2302.03169): per-doc log w = sum_b c_b*(ln p_target[b] - "
+    "ln p_raw[b]) over hashed unigram+bigram buckets, add-one smoothed; "
+    "target = the lang='en' slice. Raw corpus featurized ONCE (per-doc "
+    "counts; the corpus histogram derives from them via exchange "
+    "reuse); the <=10k-row model BROADCASTS, so nothing corpus-sized "
+    "reshuffles after the one count exchange. Exact decimal per-doc "
+    "sums (9-dp pre-rounded log-ratios) — the bigram_lm discipline.",
+    tags=("trainmix", "text"),
+)
+def q_dsir_weights(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return dsir_log_weights(d, d.filter(F.col("lang") == "en"))
+
+
+@register(
+    "dsir_resample",
+    f"""{_SQL_DSIR_CORE}
+    SELECT doc_id, n_feats, CAST(lw AS DOUBLE) AS log_weight,
+           CAST(gkey AS DOUBLE) AS gumbel_key
+    FROM (
+      SELECT doc_id, n_feats, lw,
+             lw + CAST(round(-ln(-ln(
+                 (({sql_hash32("CAST(doc_id AS VARCHAR)", seed=1)}) + 0.5)
+                 / 4294967296.0)), 9) AS DECIMAL(18,9)) AS gkey
+      FROM w)
+    ORDER BY gkey DESC, doc_id
+    LIMIT 100
+    """,
+    doc="DSIR selection (sampling.py::dsir_resample): sample-without-"
+    "replacement proportional to importance weight via the Gumbel-max "
+    "trick — key = log w + Gumbel(u), u a pure function of (seed, id), "
+    "top-100 selected. Both addends are 9-dp decimals so the SORT KEY "
+    "is exact decimal arithmetic (engines cannot disagree on order "
+    "except true ties, broken by id), and the top-k lowers to "
+    "TakeOrderedAndProject — per-partition heaps, never a global sort "
+    "or single-partition window.",
+    tags=("trainmix", "text"),
+)
+def q_dsir_resample(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return dsir_resample(d, d.filter(F.col("lang") == "en"), k=100)
+
+
 @register(
     "vocab_stats",
     f"""

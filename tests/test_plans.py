@@ -1053,6 +1053,11 @@ def test_catalog_scan_budget_no_silent_rederivation(spark):
         # (embedding_dup_pairs_lsh reads 4); the quadratic is bounded
         # by n_clusters, never a cartesian
         "embedding_cluster_dedup": 3,
+        # dsir: per-doc counts + corpus histogram (featurize twice,
+        # both map-side-combined pruned scans — the documented trade
+        # against shuffling raw feature instances) + the target slice
+        "dsir_weights": 3,
+        "dsir_resample": 3,
     }
     default_budget = 2
 

@@ -345,3 +345,127 @@ def test_hash_split_rounds_permyriad_thresholds(spark, docs):
     ).collect()}
     for d, b in buckets.items():
         assert got[d] == ("a" if b < 3000 else "b"), (d, b, got[d])
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r13, Xie et al. arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+def _py_dsir_weights(raw, target, B=10_000):
+    """Pure-python DSIR model: hashed unigram+bigram buckets, add-one
+    smoothing, exact per-doc sum of 9-dp-rounded log ratios."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def feats(text):
+        toks = [t for t in (text or "").strip().split() if t != ""]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [h32(g) % B for g in grams]
+
+    q = Counter(b for _, t in raw for b in feats(t))
+    p = Counter(b for _, t in target for b in feats(t))
+    qt, pt = sum(q.values()), sum(p.values())
+    out = {}
+    for did, t in raw:
+        fs = feats(t)
+        if not fs:
+            continue
+        lw = sum(
+            Decimal(str(round(
+                math.log((p.get(b, 0) + 1.0) / (pt + B))
+                - math.log((q[b] + 1.0) / (qt + B)), 9)))
+            for b in fs
+        )
+        out[did] = (len(fs), float(lw))
+    return out
+
+
+def test_dsir_weights_match_python_model(spark):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    raw = [
+        (1, "alpha alpha beta"),
+        (2, "gamma delta gamma delta"),
+        (3, "alpha beta"),
+        (4, ""),        # no features -> dropped
+        (5, None),      # NULL text -> dropped
+        (6, "   "),     # whitespace-only -> dropped
+    ]
+    target = [(100, "alpha beta"), (101, "alpha beta alpha")]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_log_weights(rdf, tdf).collect()
+    }
+    want = _py_dsir_weights(raw, target)
+    assert set(got) == set(want) == {1, 2, 3}
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert got[did][1] == pytest.approx(want[did][1], abs=1e-12), did
+    # target-likeness orders the weights: doc 3 IS the target text,
+    # doc 2 shares nothing with it
+    assert got[3][1] > got[1][1] > got[2][1]
+
+
+def test_dsir_resample_gumbel_topk_deterministic(spark):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    raw = [(i, f"tok{i % 7} tok{(i + 1) % 7} filler{i}") for i in range(60)]
+    target = [(1000 + j, f"tok{j % 3} tok{(j + 1) % 3}") for j in range(9)]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    sel = dsir_resample(rdf, tdf, k=10, seed=3)
+    rows = sel.collect()
+    assert len(rows) == 10
+    # gumbel_key really is log_weight + Gumbel(hash-seeded u)
+    import hashlib
+    import math
+
+    for r in rows:
+        h = int(hashlib.md5(f"s3:{r['doc_id']}".encode())
+                .hexdigest()[:8], 16)
+        u = (h + 0.5) / 2.0**32
+        g = round(-math.log(-math.log(u)), 9)
+        assert r["gumbel_key"] == pytest.approx(
+            r["log_weight"] + g, abs=1e-9)
+    # partition-layout independence: same selection after repartition
+    ids = sorted(r["doc_id"] for r in rows)
+    again = sorted(
+        r["doc_id"]
+        for r in dsir_resample(
+            rdf.repartition(7), tdf.repartition(3), k=10, seed=3
+        ).collect()
+    )
+    assert again == ids
+    # different seed -> (almost surely) different gumbel ordering is
+    # allowed but k and determinism still hold
+    assert dsir_resample(rdf, tdf, k=10, seed=4).count() == 10
+
+
+def test_dsir_plan_gates(spark, docs):
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    sel = dsir_resample(docs, docs.filter(F.col("lang") == "en"), k=50)
+    sel.collect()
+    final = (
+        sel._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # model join broadcasts; top-k lowers to per-partition heaps; all
+    # JVM-side
+    assert "SortMergeJoin" not in final, final
+    assert "TakeOrderedAndProject" in final, final
+    assert "EvalPython" not in final, final
+    assert "CartesianProduct" not in final, final
