@@ -55,6 +55,19 @@ def cosine(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _py_seq_norm(vec) -> float:
+    """Driver-side L2 norm, bit-identical to :func:`_norm`: plain
+    sequential float64 adds in dimension order (NOT math.fsum — the
+    engine fold is a naive left fold, and matching it exactly is the
+    point), then one correctly-rounded sqrt."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _collect_query_probe(queries, query_id_col, vec_col, caller):
     """Collect a BOUNDED query batch to the driver (the codebook-style
     side every top-k path broadcasts as a closure). Fail loudly instead
@@ -642,21 +655,32 @@ def semdedup(
     # argmax(cos, tie -> smallest cluster) as ONE expression: struct max
     # compares cos first, then -cluster, so equal-cos ties pick the
     # smallest cluster id — matching ORDER BY ccos DESC, cluster in SQL.
+    # Centroid norms are precomputed DRIVER-SIDE (python float64 sums in
+    # dimension order are bit-identical to the engine fold) and the
+    # vector's own norm folds ONCE — 9 array folds per row instead of
+    # 24 (array HOFs never enter codegen, so folds dominate assignment).
+    cnorms = [_py_seq_norm(c) for c in codebook]
+    nv = _norm(F.col(vec_col))
     scored = [
         F.struct(
-            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            .alias("c"),
+            (
+                _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                / (F.col("__n") * F.lit(cn))
+            ).alias("c"),
             F.lit(-i).alias("nc"),
         )
-        for i, c in enumerate(codebook)
+        for i, (c, cn) in enumerate(zip(codebook, cnorms))
     ]
     best = F.array_max(F.array(*scored))
-    assigned = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("__n"),
-        (-best["nc"]).alias("cluster"),
-        best["c"].alias("__ccos"),
+    assigned = (
+        emb.select(F.col(id_col), F.col(vec_col), nv.alias("__n"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__n"),
+            (-best["nc"]).alias("cluster"),
+            best["c"].alias("__ccos"),
+        )
     )
 
     order = (
@@ -668,6 +692,12 @@ def semdedup(
             Window.partitionBy("cluster").orderBy(order, F.col(id_col))
         ),
     )
+    # Verify stage: one dot product per within-cluster candidate pair
+    # (cluster_size² pairs — n_clusters is the bound). One JVM fold per
+    # pair with both norms precomputed per VECTOR: measured FASTER here
+    # than the embedding_dup_pairs Arrow seq_dot kernel (the pairs
+    # would ship two 64-float arrays through Arrow per row, and the
+    # serialization exceeds the fold win — 4.7 s vs 6.7 s at sf0.1).
     a, b = ranked.alias("a"), ranked.alias("b")
     pair_cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
         F.col("a.__n") * F.col("b.__n")
