@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "embedding_cluster_dedup",
     "dsir_weights",
     "dsir_resample",
+    "cluster_balanced_sample",
     "funnel_user_paths_multipass",
     "chunk_documents",
     "ohlc_candles",

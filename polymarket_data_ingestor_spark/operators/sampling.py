@@ -165,32 +165,36 @@ def _dsir_feature_stream(
     )
 
 
-def _dsir_decimal_weights(
-    df: DataFrame,
+def dsir_model(
+    raw: DataFrame,
     target: DataFrame,
-    n_buckets: int,
-    text_col: str,
-    id_col: str,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, n_feats, __lw decimal(28,9)) — shared exact-decimal core of
-    :func:`dsir_log_weights` / :func:`dsir_resample`."""
+    """Fit the DSIR bucket model: (__b, __lam, __lam0), <= n_buckets rows.
+
+    ``__lam`` is the add-one-smoothed log importance ratio of bucket
+    ``__b``; ``__lam0`` (the same value on every row) is the ratio of a
+    bucket NEITHER corpus hit — what :func:`dsir_score` applies to
+    out-of-corpus grams when scoring documents the model never saw.
+    Fit once per corpus version, score many times (the
+    ``fit_ivf_codebook`` convention); the result is model-sized, so
+    persisting it is one tiny parquet.
+    """
     from pyspark.sql import Window
 
-    feats = _dsir_feature_stream(df, text_col, id_col, n_buckets)
-    # aggregation CHAIN (the bigram_lm_score trick): dcnt is the only
-    # consumer of the corpus featurization; qcnt derives from dcnt, so
-    # AQE exchange reuse featurizes the raw corpus ONCE. Totals ride as
-    # WINDOW sums over the <= n_buckets-row histograms — NOT as
-    # separate .agg() subtrees, which would silently re-derive the
-    # whole corpus featurization for a 1-row result (the re-scan trap
-    # the plan-budget test exists to catch). The unpartitioned window
-    # is bounded by n_buckets rows — model-sized by construction, never
-    # corpus-sized.
+    # Totals ride as WINDOW sums over the <= n_buckets-row histograms —
+    # NOT as separate .agg() subtrees, which would silently re-derive
+    # the whole corpus featurization for a 1-row result (the re-scan
+    # trap the plan-budget test exists to catch). The unpartitioned
+    # window is bounded by n_buckets rows — model-sized by
+    # construction, never corpus-sized.
     everything = Window.partitionBy()
-    dcnt = feats.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__m"))
     qcnt = (
-        dcnt.groupBy("__b")
-        .agg(F.sum("__m").alias("__q"))
+        _dsir_feature_stream(raw, text_col, id_col, n_buckets)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__q"))
         .withColumn("__qt", F.sum("__q").over(everything))
     )
     pcnt = (
@@ -205,31 +209,49 @@ def _dsir_decimal_weights(
     # and the 9-dp pre-round absorbs last-ulp ln() differences between
     # engines (the bigram_lm_score discipline). Buckets the target
     # never hit smooth to (0+1)/(ptot+B); the target total __pt must
-    # still cover them, hence coalesce against ANY pcnt row's total (a
-    # max over the joined column — all rows carry the same value).
-    # Buckets the RAW corpus never hit can't matter: a doc's count
-    # there is zero by construction.
-    lam = (
+    # still cover them, hence the max-over-window after the left join
+    # (all joined rows carry the same total). Buckets the RAW corpus
+    # never hit aren't in the model — per-doc sums over the raw corpus
+    # never need them, and the scorer substitutes __lam0.
+    def _ratio(cnt, tot):
+        return F.log((cnt + F.lit(1.0)) / (tot + F.lit(n_buckets)))
+
+    return (
         qcnt.join(pcnt, "__b", "left")
         .withColumn("__pt", F.max("__pt").over(everything))
         .withColumn("__pt", F.coalesce("__pt", F.lit(0)))
         .select(
             "__b",
             F.round(
-                F.log(
-                    (F.coalesce(F.col("__p"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("__pt") + F.lit(n_buckets))
-                )
-                - F.log(
-                    (F.col("__q") + F.lit(1.0))
-                    / (F.col("__qt") + F.lit(n_buckets))
-                ),
+                _ratio(F.coalesce(F.col("__p"), F.lit(0)), F.col("__pt"))
+                - _ratio(F.col("__q"), F.col("__qt")),
                 9,
             )
             .cast("decimal(18,9)")
             .alias("__lam"),
+            F.round(
+                _ratio(F.lit(0), F.col("__pt"))
+                - _ratio(F.lit(0), F.col("__qt")),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("__lam0"),
         )
     )
+
+
+def _dsir_decimal_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, n_feats, __lw decimal(28,9)) — shared exact-decimal core of
+    :func:`dsir_log_weights` / :func:`dsir_resample`."""
+    feats = _dsir_feature_stream(df, text_col, id_col, n_buckets)
+    dcnt = feats.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__m"))
+    lam = dsir_model(df, target, n_buckets, text_col, id_col)
     return (
         # the model is <= n_buckets rows — ALWAYS broadcast, so the
         # per-doc bucket counts never reshuffle for the join
@@ -245,6 +267,78 @@ def _dsir_decimal_weights(
             .cast("decimal(28,9)")
             .alias("__lw"),
         )
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    model,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a PREFIT DSIR model — streaming-safe.
+
+    ``model`` is :func:`dsir_model`'s output (a DataFrame, collected
+    here — bounded by n_buckets rows) or its pre-collected rows. The
+    scorer is ONE zero-shuffle Arrow kernel: per row, tokenize +
+    bigram + hash exactly as the fit did (the dedup kernels'
+    ``_py_tokens`` / ``_h32`` twins), look each bucket up in the
+    closure-held model, and sum the 9-dp decimals EXACTLY (python
+    Decimal) — bit-identical to the batch join-and-aggregate path,
+    pinned in tests. Grams in buckets the model never saw score the
+    model's ``__lam0`` (both-corpora-unseen smoothing mass).
+
+    Because it is a stateless per-row projection, it runs unchanged on
+    a STREAMING DataFrame — the live twin of :func:`dsir_log_weights`:
+    fit the model on the historical lake, score the live feed with no
+    state store and no watermark. Appends (n_feats, log_weight)
+    columns; featureless docs score (0, 0.0) rather than dropping —
+    a stream filter can't retroactively drop rows, so the convention
+    differs from the batch path and is pinned in tests.
+    """
+    from decimal import Decimal
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        _h32,
+        _py_tokens,
+    )
+
+    rows = model.collect() if isinstance(model, DataFrame) else list(model)
+    if not rows:
+        raise ValueError(
+            "dsir_score: empty model — fit dsir_model on a non-empty "
+            "raw corpus first"
+        )
+    lam = {int(r["__b"]): Decimal(r["__lam"]) for r in rows}
+    lam0 = Decimal(rows[0]["__lam0"])
+    B = n_buckets
+
+    # no type hints: Series -> DataFrame (struct return) is rejected by
+    # the hint-inference path; the returnType string carries the schema
+    @pandas_udf("struct<n_feats: bigint, log_weight: double>")
+    def score(texts):
+        ns, ws = [], []
+        for t in texts:
+            if t is None:
+                ns.append(0)
+                ws.append(0.0)
+                continue
+            toks = [w for w in _py_tokens(t) if w != ""]
+            grams = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            ns.append(len(grams))
+            acc = Decimal(0)
+            for g in grams:
+                acc += lam.get(_h32(g) % B, lam0)
+            ws.append(float(acc))
+        return pd.DataFrame({"n_feats": ns, "log_weight": ws})
+
+    return df.withColumn("__sc", score(F.col(text_col))).select(
+        *df.columns, "__sc.n_feats", "__sc.log_weight"
     )
 
 

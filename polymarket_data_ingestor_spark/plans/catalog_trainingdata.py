@@ -1428,9 +1428,11 @@ def q_embedding_dup_pairs_lsh(spark, sf_dir):
     )
 
 
-@register(
-    "embedding_cluster_dedup",
-    f"""
+# Shared SemDeDup oracle body (embedding_cluster_dedup + the
+# cluster_balanced_sample composition): pinned 8-smallest-vec_ids
+# codebook, cosine argmax assignment (tie -> smallest cluster),
+# keep='farthest' ordering, one-pass upper-triangular removal at 0.35.
+_SQL_SEMDEDUP_CORE = f"""
     WITH cent AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                AS cluster,
@@ -1455,10 +1457,18 @@ def q_embedding_dup_pairs_lsh(spark, sf_dir):
       FROM ranked a JOIN ranked b
         ON a.cluster = b.cluster AND a.orn < b.orn
       WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.35
+    ), flags AS (
+      SELECT r.vec_id, r.cluster, round(r.ccos, 6) AS centroid_cos,
+             (rm.vec_id IS NULL) AS kept
+      FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
     )
-    SELECT r.vec_id, r.cluster, round(r.ccos, 6) AS centroid_cos,
-           (rm.vec_id IS NULL) AS kept
-    FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
+"""
+
+
+@register(
+    "embedding_cluster_dedup",
+    f"""{_SQL_SEMDEDUP_CORE}
+    SELECT vec_id, cluster, centroid_cos, kept FROM flags
     """,
     doc="SemDeDup cluster-then-prune semantic dedup flags (operators/"
     "similarity.py::semdedup, Abbas et al. arXiv:2303.09540): assign "
@@ -1482,6 +1492,44 @@ def q_embedding_cluster_dedup(spark, sf_dir):
         for r in emb.select("embedding").orderBy("vec_id").limit(8).collect()
     ]
     return S.semdedup(emb, eps=0.35, codebook=seeds)
+
+
+@register(
+    "cluster_balanced_sample",
+    f"""{_SQL_SEMDEDUP_CORE}
+    SELECT vec_id, cluster, centroid_cos FROM (
+      SELECT vec_id, cluster, centroid_cos,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY ({sql_hash32("CAST(vec_id AS VARCHAR)", seed=5)}
+                         % 10000), vec_id) AS rk
+      FROM flags WHERE kept)
+    WHERE rk <= 20
+    """,
+    doc="Cluster-balanced diversity sampling — semantic dedup then "
+    "exactly-20-per-cluster: a PURE COMPOSITION of semdedup "
+    "(similarity.py) and rank_sample (sampling.py) with the embedding "
+    "cluster as the stratum. The DataComp-style selection shape: "
+    "semantic duplicates pruned first, then each region of embedding "
+    "space contributes a bounded, deterministic share of the mixture "
+    "(hash-then-id total order — engine-portable, partition-layout-"
+    "independent). Inherits semdedup's plan posture; the balance stage "
+    "adds ONE exchange on the cluster key.",
+    tags=("similarity", "dedup", "trainmix"),
+)
+def q_cluster_balanced_sample(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.sampling import rank_sample
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.select("embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    flags = S.semdedup(emb, eps=0.35, codebook=seeds)
+    return rank_sample(
+        flags.filter(F.col("kept")), k=20,
+        stratum_col="cluster", id_col="vec_id", seed=5,
+    ).select("vec_id", "cluster", "centroid_cos")
 
 
 # ---------------------------------------------------------------------------

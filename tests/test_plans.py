@@ -1053,6 +1053,9 @@ def test_catalog_scan_budget_no_silent_rederivation(spark):
         # (embedding_dup_pairs_lsh reads 4); the quadratic is bounded
         # by n_clusters, never a cartesian
         "embedding_cluster_dedup": 3,
+        # pure composition over semdedup — same 3 reads, the balance
+        # stage adds only an exchange
+        "cluster_balanced_sample": 3,
         # dsir: per-doc counts + corpus histogram (featurize twice,
         # both map-side-combined pruned scans — the documented trade
         # against shuffling raw feature instances) + the target slice

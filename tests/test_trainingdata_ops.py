@@ -1828,3 +1828,35 @@ def test_semdedup_removals_are_sound(spark):
         x for r in pairs.collect() for x in (r["id_a"], r["id_b"])
     }
     assert removed <= has_neighbor, removed - has_neighbor
+
+
+def test_cluster_balanced_sample_composition(spark):
+    """semdedup -> rank_sample composition: at most k per cluster, only
+    kept members eligible, deterministic under partition layout."""
+    from polymarket_data_ingestor_spark.operators.sampling import rank_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.select("embedding").orderBy("vec_id").limit(4).collect()
+    ]
+    flags = S.semdedup(emb, eps=0.35, codebook=seeds)
+    sel = rank_sample(
+        flags.filter(F.col("kept")), k=10,
+        stratum_col="cluster", id_col="vec_id", seed=5,
+    )
+    rows = sel.collect()
+    per = {}
+    for r in rows:
+        per[r["cluster"]] = per.get(r["cluster"], 0) + 1
+    assert per and all(v <= 10 for v in per.values()), per
+    kept_ids = {r["vec_id"] for r in flags.filter(F.col("kept")).collect()}
+    assert {r["vec_id"] for r in rows} <= kept_ids
+    again = rank_sample(
+        S.semdedup(emb.repartition(7), eps=0.35, codebook=seeds)
+        .filter(F.col("kept")),
+        k=10, stratum_col="cluster", id_col="vec_id", seed=5,
+    )
+    assert sorted(r["vec_id"] for r in again.collect()) == sorted(
+        r["vec_id"] for r in rows
+    )

@@ -469,3 +469,98 @@ def test_dsir_plan_gates(spark, docs):
     assert "TakeOrderedAndProject" in final, final
     assert "EvalPython" not in final, final
     assert "CartesianProduct" not in final, final
+
+
+def test_dsir_model_score_matches_batch_weights(spark):
+    """Fit-once/score-many contract: dsir_model + dsir_score reproduce
+    dsir_log_weights EXACTLY (both paths sum the same 9-dp decimals),
+    featureless docs score (0, 0.0) instead of dropping, and grams the
+    model never saw score __lam0."""
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_log_weights,
+        dsir_model,
+        dsir_score,
+    )
+
+    raw = [
+        (1, "alpha alpha beta"),
+        (2, "gamma delta gamma delta"),
+        (3, "alpha beta"),
+        (4, ""),
+        (5, None),
+    ]
+    target = [(100, "alpha beta"), (101, "alpha beta alpha")]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    model = dsir_model(rdf, tdf)
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_log_weights(rdf, tdf).collect()
+    }
+    scored = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_score(rdf, model).collect()
+    }
+    # scorer keeps featureless rows at (0, 0.0); batch drops them
+    assert scored.pop(4) == (0, 0.0)
+    assert scored.pop(5) == (0, 0.0)
+    assert scored == batch
+    # out-of-model grams score lam0 — a doc of pure novel tokens
+    novel = spark.createDataFrame(
+        [(9, "zzqqx wwvvy")], "doc_id long, text string"
+    )
+    lam0 = float(model.select("__lam0").first()[0])
+    got = dsir_score(novel, model).first()
+    assert got["n_feats"] == 3  # 2 unigrams + 1 bigram
+    assert got["log_weight"] == pytest.approx(3 * lam0, abs=1e-9)
+    with pytest.raises(ValueError, match="empty model"):
+        dsir_score(rdf, model.filter(F.lit(False)))
+
+
+def test_dsir_score_streaming_twin(spark, tmp_path):
+    """dsir_score is a stateless projection: the SAME kernel runs on a
+    file stream (availableNow) with no state store / watermark, and the
+    emitted scores equal the batch scorer's."""
+    import json
+
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_model,
+        dsir_score,
+    )
+
+    raw = [(i, f"tok{i % 5} tok{(i + 1) % 5} word{i}") for i in range(20)]
+    target = [(100 + j, f"tok{j % 2} tok{(j + 1) % 2}") for j in range(6)]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    model_rows = dsir_model(rdf, tdf).collect()
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "batch.jsonl", "w") as fh:
+        for did, t in raw[:8]:
+            fh.write(json.dumps({"doc_id": did, "text": t}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    out = tmp_path / "out"
+    q = (
+        dsir_score(stream, model_rows)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_score(
+            rdf.filter(F.col("doc_id") < 8), model_rows
+        ).collect()
+    }
+    assert got == want and len(got) == 8

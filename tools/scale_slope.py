@@ -301,6 +301,43 @@ def main() -> None:
                             "rows": n_ev * scale, "sec": sec})
             print(json.dumps(results[-1]), flush=True)
 
+    # ---- kmv_overlap in the CAPACITY regime (r12 verdict #8) ----
+    # Synthetic high-cardinality input: 24 keys whose member sets are
+    # ~n/24 distinct ids each (k=1024 << distinct-per-key at BOTH
+    # scales, so every sketch is saturated — the 100 TB regime; the r12
+    # 1.01 slope was measured on sf0.1 events where some keys ran under
+    # capacity and the exact branch shortcut part of the work). Members
+    # are drawn from a shared pool (stride-7919 residues mod n/3) so
+    # key pairs genuinely overlap and the estimator path runs. The
+    # state build is the only input-sized stage; the pair join is
+    # state-sized and CONSTANT across scales — a ~linear ratio is the
+    # pass signal, quadratic means the capacity bound leaked.
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        kmv_overlap_pairs,
+        sample_rollup_state,
+    )
+
+    kmv_inputs = {}
+    for scale in (1, 10):
+        n = 200_000 * scale
+        p = str(TMP / f"kmv_capacity_x{scale}.parquet")
+        if not Path(p).exists():
+            spark.range(n).select(
+                (F.col("id") % 24).cast("string").alias("k"),
+                ((F.col("id") * 7919) % (n // 3)).alias("m"),
+            ).write.parquet(p)
+        kmv_inputs[scale] = (n, spark.read.parquet(p))
+
+    def _kmv_capacity(d):
+        st = sample_rollup_state(d, ("k",), "m", k=1024, seed=7)
+        return kmv_overlap_pairs(st, ("k",)).count()
+
+    for scale, (n, d) in kmv_inputs.items():
+        sec = _time2(lambda: _kmv_capacity(d))
+        results.append({"op": "kmv_overlap_capacity", "scale": scale,
+                        "rows": n, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
     # slope summary
     by_op: dict[str, dict[int, float]] = {}
     for r in results:
