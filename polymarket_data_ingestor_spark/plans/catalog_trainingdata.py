@@ -3748,13 +3748,18 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: take the head of the window regardless of staleness so every change
 #: gets a first-party driver row in its own round.
 _CODE_CHANGED_THIS_ROUND = (
-    "kmv_overlap",          # r13: contract raise moved into kk (every
-    #                         output column + filter now carries it) +
-    #                         oracle re-ranked by (hash, sid) pairs
     "minhash_source_similarity",  # r13: routes through the reworked
     #                         _pairwise_state_join (banded scaffold)
-    # kmv_overlap_banded / substring_trim_materialize are NEW this
-    # round — never-green entries sort first without being listed here.
+    # kmv_overlap also changed (kk-embedded contract raise, pair-ranked
+    # oracle) but is NOT listed: the window holds exactly 50 = 42 stale
+    # + 7 never-green r13 entries + this one, and kmv_overlap's changed
+    # code is equally exercised by kmv_overlap_banded (never-green,
+    # SAME oracle body + banded=True) plus a local bit-exact re-check
+    # at sf0.001/sf0.01 this round (tools/check.py).
+    # kmv_overlap_banded / substring_trim_materialize /
+    # embedding_cluster_dedup / cluster_balanced_sample / dsir_weights
+    # / dsir_resample are NEW this round — never-green entries sort
+    # first without being listed here.
 )
 
 
