@@ -301,6 +301,47 @@ def main() -> None:
                             "rows": n_ev * scale, "sec": sec})
             print(json.dumps(results[-1]), flush=True)
 
+    # ---- r13 ops on the shared 1x/10x fixtures ----
+    # dsir_weights: target = the lang='en' slice of the SAME scale
+    # (docs10 copies carry no lang column — rejoin by original doc_id
+    # parity is overkill; a deterministic doc_id%3 slice plays the
+    # target role identically for slope purposes). The model stays
+    # <= 10k rows at both scales; the slope measures the two
+    # featurize+count passes.
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    for scale, d in ((1, docs1), (10, docs10)):
+        tgt = d.filter(F.col("doc_id") % 3 == 0)
+        sec = _time2(lambda: dsir_log_weights(d, tgt).count())
+        results.append({"op": "dsir_weights", "scale": scale,
+                        "rows": n_docs * scale, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
+    # semdedup: n_clusters IS the quadratic knob (the paper scales
+    # clusters with the corpus) — 10x rows get 10x clusters, keeping
+    # expected cluster size (and so pairs-per-cluster) constant; fixed
+    # clusters at 10x rows would measure the designed-in within-cluster
+    # quadratic, not scan scaling. Codebook pinned from the 1x corpus
+    # (n smallest vec_ids) so the fit is untimed at both scales.
+    from polymarket_data_ingestor_spark.operators.similarity import (
+        semdedup,
+    )
+
+    seeds32 = [
+        [float(x) for x in r[0]]
+        for r in emb.select("embedding").orderBy("vec_id")
+        .limit(80).collect()
+    ]
+    for scale, e, ncl in ((1, emb, 8), (10, emb10, 80)):
+        cb = seeds32[:ncl]
+        sec = _time2(lambda: semdedup(e, eps=0.35, codebook=cb).count())
+        results.append({"op": "semdedup", "scale": scale,
+                        "rows": n_emb * scale, "sec": sec,
+                        "n_clusters": ncl})
+        print(json.dumps(results[-1]), flush=True)
+
     # ---- kmv_overlap in the CAPACITY regime (r12 verdict #8) ----
     # Synthetic high-cardinality input: 24 keys whose member sets are
     # ~n/24 distinct ids each (k=1024 << distinct-per-key at BOTH
