@@ -143,6 +143,9 @@ def _dsir_feature_stream(
     ``zip_with`` form bigrams per row (zero joins), one explode."""
     from polymarket_data_ingestor_spark.operators.text import tokens
 
+    if n_buckets <= 0:
+        raise ValueError(f"dsir: n_buckets must be positive, got {n_buckets}")
+
     arr = tokens(text_col)
     n = F.size(arr)
     unis = F.filter(arr, lambda w: w != F.lit(""))
@@ -236,6 +239,11 @@ def dsir_model(
             )
             .cast("decimal(18,9)")
             .alias("__lam0"),
+            # the model's hash space is part of its identity: a scorer
+            # fed a different n_buckets would silently mis-bucket every
+            # gram (the kmv mixed-(k,seed) hazard), so the model
+            # carries it and dsir_score refuses a mismatch
+            F.lit(n_buckets).alias("__nb"),
         )
     )
 
@@ -311,6 +319,13 @@ def dsir_score(
         raise ValueError(
             "dsir_score: empty model — fit dsir_model on a non-empty "
             "raw corpus first"
+        )
+    if int(rows[0]["__nb"]) != n_buckets:
+        raise ValueError(
+            f"dsir_score: model was fit with n_buckets="
+            f"{int(rows[0]['__nb'])} but the scorer was given "
+            f"{n_buckets} — mismatched hash spaces would silently "
+            f"mis-bucket every gram"
         )
     lam = {int(r["__b"]): Decimal(r["__lam"]) for r in rows}
     lam0 = Decimal(rows[0]["__lam0"])

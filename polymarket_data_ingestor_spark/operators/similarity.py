@@ -651,6 +651,10 @@ def semdedup(
         codebook = fit_ivf_codebook(
             emb, n_clusters, vec_col, fit_fraction=fit_fraction, seed=seed
         )
+    if not codebook:
+        # array_max over zero structs would assign NULL clusters and
+        # silently keep everything — refuse instead
+        raise ValueError("semdedup: empty codebook")
 
     # argmax(cos, tie -> smallest cluster) as ONE expression: struct max
     # compares cos first, then -cluster, so equal-cos ties pick the

@@ -564,3 +564,30 @@ def test_dsir_score_streaming_twin(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 8
+
+
+def test_dsir_guards(spark):
+    """r13 self-review: empty codebook / bad n_buckets / mismatched
+    model hash space all refuse loudly instead of silently mis-scoring."""
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_log_weights,
+        dsir_model,
+        dsir_score,
+    )
+    from polymarket_data_ingestor_spark.operators.similarity import semdedup
+
+    rdf = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_log_weights(rdf, rdf, n_buckets=0)
+    model = dsir_model(rdf, rdf, n_buckets=512)
+    with pytest.raises(ValueError, match="mis-bucket"):
+        dsir_score(rdf, model, n_buckets=10_000)
+    # matched spaces fine
+    assert dsir_score(rdf, model, n_buckets=512).count() == 2
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty codebook"):
+        semdedup(emb, codebook=[])
