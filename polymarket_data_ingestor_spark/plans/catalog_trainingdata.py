@@ -1495,6 +1495,27 @@ def q_embedding_cluster_dedup(spark, sf_dir):
 
 
 @register(
+    "semdedup_kmeans",
+    None,  # engine-specific MLlib KMeans codebook → rows-only check;
+    # the pinned-codebook twin (embedding_cluster_dedup) is the value
+    # oracle, and the codebook-INDEPENDENT invariant (exact-duplicate
+    # vectors are always flagged, any codebook) is pinned in
+    # tests/test_trainingdata_ops.py
+    doc="SemDeDup with the PRODUCTION codebook: fit_ivf_codebook "
+    "(MLlib KMeans on a deterministic sample — the same coarse "
+    "quantizer the IVF ANN path maintains, fit once per corpus "
+    "version) feeding semdedup's assignment/prune. No SQL oracle: the "
+    "codebook is engine-specific by construction; "
+    "embedding_cluster_dedup pins the identical prune semantics "
+    "bit-exact under a pinned codebook.",
+    tags=("similarity", "dedup"),
+)
+def q_semdedup_kmeans(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return S.semdedup(emb, eps=0.35, n_clusters=8)
+
+
+@register(
     "cluster_balanced_sample",
     f"""{_SQL_SEMDEDUP_CORE}
     SELECT vec_id, cluster, centroid_cos FROM (

@@ -1860,3 +1860,30 @@ def test_cluster_balanced_sample_composition(spark):
     assert sorted(r["vec_id"] for r in again.collect()) == sorted(
         r["vec_id"] for r in rows
     )
+
+
+def test_semdedup_exact_duplicates_flagged_under_any_codebook(spark):
+    """Codebook-INDEPENDENT invariant backing the rows-only
+    semdedup_kmeans entry: identical vectors get identical centroid
+    cosines, so they land in the same cluster under ANY codebook,
+    tie-break by id, and the later copy is removed (cos = 1 >= eps) —
+    exact duplicates can never survive semdedup. Run against the real
+    MLlib-KMeans production path."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dupes = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dupes)
+    flags = S.semdedup(corpus, eps=0.95, n_clusters=4)
+    got = {r["vec_id"]: r["kept"] for r in flags.collect()}
+    for i in range(5):
+        assert got[i] is True, i          # first copy survives
+        assert got[100000 + i] is False, i  # exact duplicate flagged
+    # determinism of the production path: same seed -> same flags
+    again = {
+        r["vec_id"]: r["kept"]
+        for r in S.semdedup(corpus, eps=0.95, n_clusters=4).collect()
+    }
+    assert again == got
