@@ -1056,6 +1056,9 @@ def test_catalog_scan_budget_no_silent_rederivation(spark):
         # pure composition over semdedup — same 3 reads, the balance
         # stage adds only an exchange
         "cluster_balanced_sample": 3,
+        # production-codebook twin: same semdedup plan (the KMeans fit
+        # runs eagerly outside the returned plan)
+        "semdedup_kmeans": 3,
         # dsir: per-doc counts + corpus histogram (featurize twice,
         # both map-side-combined pruned scans — the documented trade
         # against shuffling raw feature instances) + the target slice
