@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     # exact path so the banding overhead at broadcastable scale stays
     # measured (r13; at scale banding is the only non-cartesian path)
     "minhash_pairs_banded",
+    # the PCA fit's numpy partial kernel is mapInPandas — Arrow block
+    # for the same reason (r13)
+    "pca_project_embeddings",
     "filter_project",
     "minute_last_bars",
     "hourly_volume",
@@ -89,6 +92,7 @@ BENCH_QUERIES = [
     "embedding_cluster_dedup",
     "dsir_weights",
     "dsir_resample",
+    "nb_classify_lang",
     "cluster_balanced_sample",
     "funnel_user_paths_multipass",
     "chunk_documents",

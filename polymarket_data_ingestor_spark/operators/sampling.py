@@ -133,14 +133,18 @@ def _dsir_feature_stream(
     text_col: str,
     id_col: str,
     n_buckets: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bucket) row per hashed unigram/bigram feature instance.
+    """(id, *extra_cols, bucket) row per hashed unigram/bigram feature
+    instance.
 
     The DSIR feature map: whitespace unigrams plus space-joined bigrams,
     each hashed into ``n_buckets`` via the portable :func:`hash32` — so
     the featurization is identical in Spark, DuckDB, and the paper's
     own hashed-n-gram construction. Pure Catalyst: array slicing +
-    ``zip_with`` form bigrams per row (zero joins), one explode."""
+    ``zip_with`` form bigrams per row (zero joins), one explode.
+    ``extra_cols`` ride through unchanged (the NB classifier threads its
+    label this way — no corpus-sized join back for it)."""
     from polymarket_data_ingestor_spark.operators.text import tokens
 
     if n_buckets <= 0:
@@ -159,11 +163,18 @@ def _dsir_feature_stream(
         ),
         lambda g: g.isNotNull(),
     )
+    extra = [F.col(c) for c in extra_cols]
     return (
         df.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col), F.explode(F.concat(unis, bigs)).alias("__g"))
         .select(
-            id_col, (hash32(F.col("__g")) % F.lit(n_buckets)).alias("__b")
+            F.col(id_col),
+            *extra,
+            F.explode(F.concat(unis, bigs)).alias("__g"),
+        )
+        .select(
+            id_col,
+            *extra_cols,
+            (hash32(F.col("__g")) % F.lit(n_buckets)).alias("__b"),
         )
     )
 

@@ -1207,3 +1207,183 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over an embedding column: exact-covariance monoid fit + Catalyst
+# projection
+# ---------------------------------------------------------------------------
+
+def fit_pca(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit a PCA rotation for an embedding column in ONE distributed
+    pass — the dimensionality-reduction step the embedding stack
+    (IVF/PQ/LSH, SemDeDup, ANN) runs in front of at scale, where a
+    64 -> 8 projection cuts every downstream distance computation and
+    shuffle 8x.
+
+    The sufficient statistics are a MONOID (the ``linreg_rollup``
+    design, vectorized): per Arrow batch a numpy partial
+    ``(n, colsum, X^T X)`` — one row of ``1 + d + d^2`` doubles per
+    partition, never per vector — then a positional explode +
+    ``groupBy(pos)`` reduce to a single ``d x d``-sized row set
+    (``<= 1 + d + d^2`` rows TOTAL crosses the one exchange, whatever
+    the corpus size). The eigendecomposition runs driver-side on the
+    tiny ``d x d`` covariance (``numpy.linalg.eigh``) — the same
+    fit-once/apply-many split as :func:`fit_ivf_codebook`, and like
+    that codebook the fit is engine-specific: cross-partition float
+    combine order makes the last ulp layout-dependent, so exactness
+    pins live in pytest (vs numpy, with tolerance) rather than a SQL
+    oracle; :func:`pca_project` under a PINNED rotation is exact.
+
+    Returns ``{"n", "mean", "components", "explained_variance"}`` —
+    ``components`` is a k x d list (rows = principal axes, descending
+    eigenvalue), sign-normalized so each row's largest-|x| entry is
+    positive (eigenvector sign is otherwise arbitrary — the
+    deterministic convention makes refits comparable).
+    """
+    import numpy as np
+
+    d_probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if d_probe is None or d_probe["d"] is None:
+        raise ValueError("fit_pca: empty input or NULL vectors")
+    d = int(d_probe["d"])
+    if not (1 <= k <= d):
+        raise ValueError(f"fit_pca: k must be in [1, {d}], got {k}")
+
+    def partials(batches):
+        import pandas as pd
+
+        n, s, q = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"fit_pca: ragged vectors (got dim {x.shape[1]}, "
+                    f"expected {d})"
+                )
+            if np.isnan(x).any():
+                raise ValueError(
+                    "fit_pca: NULL/NaN vector components — a NaN is "
+                    "absorbing under + and would silently poison every "
+                    "covariance entry; clean or filter upstream"
+                )
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            q += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"vals": [[float(n)] + s.tolist() + q.ravel().tolist()]}
+            )
+
+    flat = (
+        # NULL vectors are excluded from the fit (n counts present
+        # vectors); NaN COMPONENTS inside a present vector raise in the
+        # kernel instead — silent exclusion there would be a
+        # row-dependent covariance
+        emb.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .mapInPandas(partials, "vals array<double>")
+        .select(F.posexplode("vals").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    vals = np.zeros(1 + d + d * d)
+    for r in flat:
+        vals[r["pos"]] = r["v"]
+    n = int(vals[0])
+    if n < 2:
+        raise ValueError(f"fit_pca: need >= 2 vectors, got {n}")
+    s, q = vals[1 : 1 + d], vals[1 + d :].reshape(d, d)
+    mean = s / n
+    cov = (q - np.outer(s, s) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    return {
+        "n": n,
+        "mean": [float(x) for x in mean],
+        "components": [[float(x) for x in row] for row in comps],
+        "explained_variance": [float(max(evals[i], 0.0)) for i in order],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project an embedding column through a PREFIT PCA rotation —
+    pure Catalyst, zero shuffle, zero Python.
+
+    ``model`` is :func:`fit_pca`'s output (or any ``{"mean",
+    "components"}`` dict). Per output axis j:
+    ``out_j = sum_i (v_i - mean_i) * C[j][i]`` as a sequential
+    ``zip_with`` + ``aggregate`` fold over literal arrays — the
+    :func:`cosine` discipline, so under a PINNED rotation the result is
+    a deterministic pure function of the input on any engine, any
+    partitioning. Appends ``out_col`` as ``array<double>`` of length k.
+    Projecting 100 TB is exactly as parallel as scanning it.
+    """
+    mean = model["mean"]
+    comps = model["components"]
+    if not comps or any(len(c) != len(mean) for c in comps):
+        raise ValueError(
+            "pca_project: components/mean dimension mismatch "
+            f"({[len(c) for c in comps]} vs {len(mean)})"
+        )
+    d = len(mean)
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x.cast("double") - m,
+    )
+    out = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(c)) for c in row]),
+                    lambda x, c: x * c,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for row in comps
+        ]
+    )
+    # The contract raise lives IN the value column (the r12 advisor
+    # lesson: a side-channel guard column can be projection-pruned):
+    # zip_with pads a short vector with NULLs, which would otherwise
+    # flow out as silent NULL components. A NULL vector projects to
+    # NULL (without the explicit branch the per-axis folds would emit
+    # an array OF nulls — a k-element value for a missing input).
+    out = (
+        F.when(F.col(vec_col).isNull(), F.lit(None))
+        .when(
+            F.size(F.col(vec_col)) != F.lit(d),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"pca_project: rotation is {d}-dim but vector has "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(" components"),
+                )
+            ),
+        )
+        .otherwise(out)
+    )
+    return df.withColumn(out_col, out)

@@ -1553,6 +1553,34 @@ def q_cluster_balanced_sample(spark, sf_dir):
     ).select("vec_id", "cluster", "centroid_cos")
 
 
+@register(
+    "pca_project_embeddings",
+    None,  # engine-specific fit (cross-partition float combine order
+    # moves the covariance's last ulp, exactly like the MLlib KMeans
+    # codebook) -> rows-only check; the fit is pinned against numpy and
+    # the projection against a pure-python fold in
+    # tests/test_trainingdata_ops.py, and pca_project under a PINNED
+    # rotation is a deterministic pure function of the input
+    doc="PCA dimensionality reduction for the embedding stack "
+    "(similarity.py::fit_pca / pca_project): fit the 64-dim covariance "
+    "in ONE distributed pass — per-partition numpy partials "
+    "(n, colsum, X^T X) as a vectorized monoid, positional-explode "
+    "reduce, <= 1+d+d^2 rows TOTAL across the one exchange at any "
+    "corpus size — eigendecompose the tiny d x d matrix driver-side, "
+    "then project every vector through the k=8 rotation as a pure "
+    "Catalyst zip_with/aggregate fold (zero shuffle, zero Python, "
+    "sign-normalized axes). The 8x distance/shuffle cut in front of "
+    "IVF/PQ/ANN at 100 TB.",
+    tags=("similarity",),
+)
+def q_pca_project_embeddings(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    model = S.fit_pca(emb, k=8)
+    return S.pca_project(emb, model).select(
+        "vec_id", F.col("pca").alias("pca8")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-mixture construction: packing + deterministic sampling
 # ---------------------------------------------------------------------------
@@ -1969,6 +1997,104 @@ def q_dsir_resample(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return dsir_resample(d, d.filter(F.col("lang") == "en"), k=100)
+
+
+# Hashed-n-gram Naive-Bayes classifier (operators/classify.py): the
+# oracle replicates the fit (per-(class, bucket) add-one-smoothed
+# log-likelihoods + log priors over the hash_split seed-7 'train'
+# slice) and the predict (exact-decimal per-class scores, argmax with
+# smallest-label tie-break, runner-up margin). Shares the DSIR feature
+# CTE — same unigram+bigram hash32 buckets.
+_SQL_NB_FEATS = _SQL_DSIR_FEATS
+
+
+@register(
+    "nb_classify_lang",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS arr FROM documents
+      WHERE doc_id IS NOT NULL
+    ), train AS (
+      SELECT * FROM docs
+      WHERE lang IS NOT NULL
+        AND ({sql_hash32("CAST(doc_id AS VARCHAR)", seed=7)}
+             % 10000) BETWEEN 500 AND 9499
+    ), tfeats AS ({_SQL_NB_FEATS.format(d='train')}
+    ), hist AS (
+      SELECT t.lang, f.b, count(*) AS m
+      FROM tfeats f JOIN (SELECT doc_id, lang FROM train) t
+        USING (doc_id)
+      GROUP BY 1, 2
+    ), totc AS (
+      SELECT lang, CAST(sum(m) AS BIGINT) AS tc FROM hist GROUP BY 1
+    ), pr AS (
+      SELECT lang, count(*) AS ndc FROM train GROUP BY 1
+    ), nn AS (
+      SELECT CAST(sum(ndc) AS BIGINT) AS nd FROM pr
+    ), classes AS (
+      SELECT p.lang,
+             CAST(round(ln((0 + 1.0) / (coalesce(t.tc, 0) + 10000)), 9)
+                  AS DECIMAL(18,9)) AS w0,
+             CAST(round(ln(CAST(p.ndc AS DOUBLE) / nd), 9)
+                  AS DECIMAL(18,9)) AS prior
+      FROM pr p LEFT JOIN totc t USING (lang) CROSS JOIN nn
+    ), weights AS (
+      SELECT h.lang, h.b,
+             CAST(round(ln((h.m + 1.0) / (t.tc + 10000)), 9)
+                  AS DECIMAL(18,9)) AS w
+      FROM hist h JOIN totc t USING (lang)
+    ), afeats AS ({_SQL_NB_FEATS.format(d='docs')}
+    ), dcnt AS (
+      SELECT doc_id, b, count(*) AS m FROM afeats GROUP BY 1, 2
+    ), scores AS (
+      SELECT d.doc_id, c.lang,
+             CAST(sum(d.m) AS BIGINT) AS n_feats,
+             CAST(sum(CAST(d.m AS DECIMAL(10,0)) * coalesce(w.w, c.w0))
+                  AS DECIMAL(28,9)) + c.prior AS score
+      FROM dcnt d
+      CROSS JOIN classes c
+      LEFT JOIN weights w ON w.lang = c.lang AND w.b = d.b
+      GROUP BY d.doc_id, c.lang, c.prior
+    ), ranked AS (
+      SELECT doc_id, n_feats, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn,
+             lead(score) OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lang) AS second
+      FROM scores
+    )
+    SELECT doc_id, n_feats, lang AS label,
+           CAST(score AS DOUBLE) AS score,
+           CAST(score - second AS DOUBLE) AS margin
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Hashed-n-gram Naive-Bayes language classifier (operators/"
+    "classify.py, Joulin et al. arXiv:1607.01759 made engine-native): "
+    "fit nb_model on the hash_split seed-7 'train' slice with lang "
+    "labels, nb_predict over the whole corpus — per-doc exact-decimal "
+    "class scores (prior + sum of 9-dp-pre-rounded log-likelihoods, "
+    "unseen buckets scoring the class's smoothing weight), argmax with "
+    "smallest-label tie-break, runner-up margin. The fastText-style "
+    "domain/lang/quality gate as a first-class operator. Scale shape: "
+    "ONE corpus featurize scan; the model re-enters as a broadcast "
+    "bucket -> map<class, weight> LocalRelation (<= n_buckets rows), "
+    "all K class sums ride one map-side-combined groupBy(doc), and the "
+    "argmax window reuses that aggregate's partitioning — two shuffle "
+    "exchanges total, nothing corpus-text-sized after the first.",
+    tags=("trainmix", "text"),
+)
+def q_nb_classify_lang(spark, sf_dir):
+    from polymarket_data_ingestor_spark.operators.classify import (
+        nb_model,
+        nb_predict,
+    )
+    from polymarket_data_ingestor_spark.operators.sampling import hash_split
+
+    d = table(spark, sf_dir, "documents")
+    train = hash_split(
+        d, {"train": 0.90, "val": 0.05, "test": 0.05}, seed=7
+    ).filter(F.col("split") == "train")
+    return nb_predict(d, nb_model(train, label_col="lang"))
 
 
 @register(
@@ -3769,18 +3895,23 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: take the head of the window regardless of staleness so every change
 #: gets a first-party driver row in its own round.
 _CODE_CHANGED_THIS_ROUND = (
-    "minhash_source_similarity",  # r13: routes through the reworked
-    #                         _pairwise_state_join (banded scaffold)
-    # kmv_overlap also changed (kk-embedded contract raise, pair-ranked
-    # oracle) but is NOT listed: the window holds exactly 50 = 42 stale
-    # + 7 never-green r13 entries + this one, and kmv_overlap's changed
-    # code is equally exercised by kmv_overlap_banded (never-green,
-    # SAME oracle body + banded=True) plus a local bit-exact re-check
-    # at sf0.001/sf0.01 this round (tools/check.py).
-    # kmv_overlap_banded / substring_trim_materialize /
-    # embedding_cluster_dedup / cluster_balanced_sample / dsir_weights
-    # / dsir_resample are NEW this round — never-green entries sort
-    # first without being listed here.
+    # EMPTY for r13: the window holds exactly 50 = the 42-entry
+    # r10-stale cohort + 8 never-green r13 entries (kmv_overlap_banded,
+    # substring_trim_materialize, embedding_cluster_dedup,
+    # cluster_balanced_sample, dsir_weights, dsir_resample,
+    # minhash_pairs_banded, nb_classify_lang — never-green sorts first
+    # without being listed here). The two entries whose EXISTING code
+    # changed this round are deliberately not seeded, because seeding
+    # either would evict a 3-rounds-stale entry from the full window:
+    #  - kmv_overlap (kk-embedded contract raise, pair-ranked oracle):
+    #    equally exercised by kmv_overlap_banded (never-green, SAME
+    #    oracle body + banded=True);
+    #  - minhash_source_similarity (routes through the reworked
+    #    _pairwise_state_join): the banded scaffold is exercised by
+    #    BOTH never-green banded twins (minhash_pairs_banded,
+    #    kmv_overlap_banded).
+    # Both were additionally re-verified bit-exact locally this round
+    # at sf0.001/sf0.01 (tools/check.py).
 )
 
 

@@ -342,6 +342,52 @@ def main() -> None:
                         "n_clusters": ncl})
         print(json.dumps(results[-1]), flush=True)
 
+    # ---- r13-session ops: NB classifier + PCA ----
+    # nb: synthetic 5-class label (doc_id % 5 — the 10x copies carry no
+    # lang column), fit on the hash-split-style 80% slice, predict the
+    # whole corpus. The model stays <= 5*10k rows at both scales; the
+    # slope measures fit featurize + the one predict featurize/agg.
+    from polymarket_data_ingestor_spark.operators.classify import (
+        nb_model,
+        nb_predict,
+    )
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+
+    def _nb(d):
+        lab = d.withColumn(
+            "lang", (F.col("doc_id") % 5).cast("string")
+        )
+        train = lab.filter(
+            hash32(F.col("doc_id").cast("string"), seed=7) % 10000 < 8000
+        )
+        return nb_predict(
+            d, nb_model(train, label_col="lang")
+        ).count()
+
+    for scale, d in ((1, docs1), (10, docs10)):
+        sec = _time2(lambda: _nb(d))
+        results.append({"op": "nb_classify", "scale": scale,
+                        "rows": n_docs * scale, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
+    # pca: fit (the input-sized stage: one numpy-partial kernel pass +
+    # the model-sized positional reduce) + full projection. k fixed —
+    # the model is dimension-sized, never corpus-sized.
+    from polymarket_data_ingestor_spark.operators.similarity import (
+        fit_pca,
+        pca_project,
+    )
+
+    def _pca(e):
+        m = fit_pca(e, k=8)
+        return pca_project(e, m).count()
+
+    for scale, e in ((1, emb), (10, emb10)):
+        sec = _time2(lambda: _pca(e))
+        results.append({"op": "pca_fit_project", "scale": scale,
+                        "rows": n_emb * scale, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
     # ---- kmv_overlap in the CAPACITY regime (r12 verdict #8) ----
     # Synthetic high-cardinality input: 24 keys whose member sets are
     # ~n/24 distinct ids each (k=1024 << distinct-per-key at BOTH
