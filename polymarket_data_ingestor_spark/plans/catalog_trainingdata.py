@@ -1576,8 +1576,11 @@ def q_cluster_balanced_sample(spark, sf_dir):
 def q_pca_project_embeddings(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     model = S.fit_pca(emb, k=8)
+    # catalog convention: array outputs never leave the wrapper (the
+    # driver hashes by pandas sort_values, which crashes on list cells)
     return S.pca_project(emb, model).select(
-        "vec_id", F.col("pca").alias("pca8")
+        "vec_id",
+        *[F.col("pca")[i].alias(f"p{i}") for i in range(8)],
     )
 
 
