@@ -193,10 +193,16 @@ def nb_predict(
 
     Plan shape: the collected weights re-enter as a LocalRelation of
     ``<= n_buckets`` rows — bucket -> ``map<class, weight>`` — and
-    BROADCAST to the (doc, bucket) counts, so all K class sums ride ONE
-    ``groupBy(doc)`` aggregate (map-side combined). The argmax window
-    partitions on the same key the aggregate just produced: Catalyst
-    reuses the partitioning, no third exchange.
+    BROADCAST directly to the per-GRAM feature stream (no per-(doc,
+    bucket) pre-count: summing ``w`` per instance is decimal-exactly
+    the same as ``m * w`` per bucket, and the count exchange the DSIR
+    shape needs would be pure overhead here). All K class sums ride ONE
+    ``groupBy(doc)`` aggregate whose map-side combine collapses the
+    gram stream to doc-count-sized partials BEFORE the exchange — the
+    single shuffle in the whole plan moves docs x (K decimals), never
+    gram instances. The argmax window partitions on the same key the
+    aggregate just produced: Catalyst reuses the partitioning, no
+    second shuffle.
     """
     rows = _model_rows(model)
     n_buckets = int(rows[0]["__nb"])
@@ -229,25 +235,19 @@ def nb_predict(
             ]
         ),
     )
-    dcnt = (
-        _dsir_feature_stream(df, text_col, id_col, n_buckets)
-        .groupBy(id_col, "__b")
-        .agg(F.count(F.lit(1)).alias("__m"))
-    )
-    m_dec = F.col("__m").cast("decimal(10,0)")
     scored = (
-        dcnt.join(F.broadcast(wmap), "__b", "left")
+        _dsir_feature_stream(df, text_col, id_col, n_buckets)
+        .join(F.broadcast(wmap), "__b", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("__m").alias("n_feats"),
+            F.count(F.lit(1)).alias("n_feats"),
             *[
-                # (18,9) x (10,0) -> (29,9); sum -> (38,9); cast DOWN to
-                # (28,9) is safe (|score| <= n_feats * max|w|: a
-                # 10^6-token doc stays under ~2e7) and leaves headroom
-                # to add the prior without tripping the 38-digit cap
+                # (18,9) summed widens toward (38,9); the cast pins
+                # (28,9) — safe, |score| <= n_feats * max|w| (a
+                # 10^6-token doc stays under ~2e7) — and leaves
+                # headroom to add the prior without the 38-digit cap
                 F.sum(
-                    m_dec
-                    * F.coalesce(
+                    F.coalesce(
                         F.col("__wm")[F.lit(c)],
                         F.lit(w0).cast("decimal(18,9)"),
                     )

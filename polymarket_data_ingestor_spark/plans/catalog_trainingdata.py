@@ -2080,10 +2080,12 @@ _SQL_NB_FEATS = _SQL_DSIR_FEATS
     "smallest-label tie-break, runner-up margin. The fastText-style "
     "domain/lang/quality gate as a first-class operator. Scale shape: "
     "ONE corpus featurize scan; the model re-enters as a broadcast "
-    "bucket -> map<class, weight> LocalRelation (<= n_buckets rows), "
-    "all K class sums ride one map-side-combined groupBy(doc), and the "
-    "argmax window reuses that aggregate's partitioning — two shuffle "
-    "exchanges total, nothing corpus-text-sized after the first.",
+    "bucket -> map<class, weight> LocalRelation (<= n_buckets rows) "
+    "joined straight onto the gram stream, all K class sums ride one "
+    "groupBy(doc) whose map-side combine collapses grams to doc "
+    "partials BEFORE the exchange, and the argmax window reuses that "
+    "partitioning — ONE shuffle exchange total, moving docs x K "
+    "decimals, never gram instances.",
     tags=("trainmix", "text"),
 )
 def q_nb_classify_lang(spark, sf_dir):

@@ -895,16 +895,18 @@ def test_nb_guards_and_plan_gates(spark):
         pred._jdf.queryExecution().executedPlan().toString()
         .split("== Initial Plan ==")[0]
     )
-    # model joins as a BROADCAST of a LocalRelation; batch path is
-    # zero-Python; argmax window reuses the aggregate's partitioning
-    # (two shuffle exchanges + one broadcast exchange, nothing more)
+    # model joins as a BROADCAST of a LocalRelation straight onto the
+    # gram stream; batch path is zero-Python; map-side combine
+    # collapses grams to doc partials before the ONE shuffle, and the
+    # argmax window reuses that aggregate's partitioning (one shuffle
+    # exchange + one broadcast exchange, nothing more)
     assert "BroadcastHashJoin" in final, final
     assert "EvalPython" not in final, final
     assert "CartesianProduct" not in final, final
     assert "SortMergeJoin" not in final, final
     import re
 
-    assert len(re.findall(r"Exchange hashpartitioning", final)) == 2, final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final
 
 
 def test_nb_truncated_model_refused(spark):
