@@ -877,10 +877,20 @@ def test_nb_guards_and_plan_gates(spark):
         nb_score,
     )
 
+    from polymarket_data_ingestor_spark.operators.classify import (
+        _MODEL_SCHEMA,
+    )
+
     tdf = spark.createDataFrame(
         _NB_TRAIN, "doc_id long, text string, lang string"
     )
     model = nb_model(tdf, label_col="lang", n_buckets=256)
+    # the persistable-model contract: nb_model's output matches the
+    # documented schema exactly (a model written to parquet today must
+    # be readable by tomorrow's appliers)
+    assert [(f.name, f.dataType) for f in model.schema.fields] == [
+        (f.name, f.dataType) for f in _MODEL_SCHEMA.fields
+    ]
     with pytest.raises(ValueError, match="meta rows"):
         nb_predict(tdf, model.filter(F.lit(False)))
     mixed = model.collect() + nb_model(
