@@ -315,6 +315,15 @@ def nb_score(df: DataFrame, model, text_col: str = "text") -> DataFrame:
         _py_tokens,
     )
 
+    appended = {"n_feats", "label", "score", "margin"}
+    clash = sorted(appended & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"nb_score appends columns {sorted(appended)} but the input "
+            f"already has {clash} — rename or drop them first (the "
+            f"duplicate names would make every later reference "
+            f"AMBIGUOUS_REFERENCE)"
+        )
     rows = _model_rows(model)
     B = int(rows[0]["__nb"])
     classes = sorted(

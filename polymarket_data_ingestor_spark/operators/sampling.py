@@ -325,6 +325,13 @@ def dsir_score(
         _py_tokens,
     )
 
+    clash = sorted({"n_feats", "log_weight"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"dsir_score appends (n_feats, log_weight) but the input "
+            f"already has {clash} — rename or drop them first (duplicate "
+            f"names make every later reference AMBIGUOUS_REFERENCE)"
+        )
     rows = model.collect() if isinstance(model, DataFrame) else list(model)
     if not rows:
         raise ValueError(

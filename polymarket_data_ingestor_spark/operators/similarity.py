@@ -1247,9 +1247,17 @@ def fit_pca(
     """
     import numpy as np
 
-    d_probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    # probe over NON-NULL vectors only — the fit scan below excludes
+    # NULLs, and a probe that read size(NULL) from whatever row
+    # happened to scan first would fail a valid corpus
+    # layout-dependently (review finding, reproduced)
+    d_probe = (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     if d_probe is None or d_probe["d"] is None:
-        raise ValueError("fit_pca: empty input or NULL vectors")
+        raise ValueError("fit_pca: empty input or all vectors NULL")
     d = int(d_probe["d"])
     if not (1 <= k <= d):
         raise ValueError(f"fit_pca: k must be in [1, {d}], got {k}")
@@ -1261,14 +1269,18 @@ def fit_pca(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # length pre-check BEFORE np.array: a ragged batch would
+            # otherwise die inside numpy with an opaque
+            # inhomogeneous-shape error instead of this message
+            bad = {len(v) for v in pdf[vec_col]} - {d}
+            if bad:
+                raise ValueError(
+                    f"fit_pca: ragged vectors (got dims {sorted(bad)}, "
+                    f"expected {d})"
+                )
             x = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            if x.shape[1] != d:
-                raise ValueError(
-                    f"fit_pca: ragged vectors (got dim {x.shape[1]}, "
-                    f"expected {d})"
-                )
             if np.isnan(x).any():
                 raise ValueError(
                     "fit_pca: NULL/NaN vector components — a NaN is "
@@ -1364,12 +1376,15 @@ def pca_project(
             for row in comps
         ]
     )
-    # The contract raise lives IN the value column (the r12 advisor
+    # The contract raises live IN the value column (the r12 advisor
     # lesson: a side-channel guard column can be projection-pruned):
-    # zip_with pads a short vector with NULLs, which would otherwise
-    # flow out as silent NULL components. A NULL vector projects to
-    # NULL (without the explicit branch the per-axis folds would emit
-    # an array OF nulls — a k-element value for a missing input).
+    # zip_with pads a short vector with NULLs, and a NULL COMPONENT
+    # inside a right-length vector would likewise fold to a silent
+    # all-NULL output array — both refuse loudly, mirroring fit_pca's
+    # NaN refusal (review finding: the first guard caught only the
+    # length case). A NULL vector projects to NULL (without the
+    # explicit branch the per-axis folds would emit an array OF
+    # nulls — a k-element value for a missing input).
     out = (
         F.when(F.col(vec_col).isNull(), F.lit(None))
         .when(
@@ -1383,6 +1398,14 @@ def pca_project(
                     F.lit(" components"),
                 )
             ),
+        )
+        .when(
+            F.exists(F.col(vec_col), lambda x: x.isNull()),
+            F.raise_error(F.lit(
+                "pca_project: NULL vector component — the fold would "
+                "emit a silent all-NULL projection; clean or filter "
+                "upstream (fit_pca refuses the same input)"
+            )),
         )
         .otherwise(out)
     )

@@ -2029,10 +2029,6 @@ def test_fit_pca_plan_one_kernel_one_exchange(spark, emb):
 
     probe = emb.select(F.size("embedding").alias("d")).first()
     d = int(probe["d"])
-    flat = (
-        emb.select("embedding")
-        .mapInPandas(lambda it: it, "embedding array<float>")
-    )
     # exercise the real fit and check its job ran with the documented
     # shape by reconstructing the same plan fragment
     model = S.fit_pca(emb, k=4)
@@ -2089,3 +2085,28 @@ def test_pca_project_guards_ride_the_value_column(spark):
     )
     with pytest.raises(Exception, match="NaN"):
         S.fit_pca(nan, k=1)
+    # a NULL COMPONENT inside a right-length vector raises from the
+    # value column too (review finding: it previously flowed out as a
+    # silent k-element array of NULLs)
+    nullcomp = spark.createDataFrame(
+        [(1, [1.0, None, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL vector component"):
+        S.pca_project(nullcomp, model).select("pca").collect()
+    # probe robustness (review finding, was layout-dependent): a NULL
+    # vector physically FIRST must not fail the fit
+    null_first = spark.createDataFrame(
+        [(0, None)] + [(i + 1, [float(v) for v in row]) for i, row
+                       in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    m3 = S.fit_pca(null_first, k=2)
+    assert m3["n"] == 20
+    # ragged vectors in ONE partition get the designed message, not an
+    # opaque numpy inhomogeneous-shape error (review finding)
+    ragged1p = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        S.fit_pca(ragged1p, k=1)

@@ -601,19 +601,22 @@ def _py_nb(train, B=1000):
     """Pure-python NB twin: hashed unigram+bigram buckets, add-one
     smoothing, exact-decimal scores, argmax with smallest-label ties.
     Returns (classes, predict) where predict(text) ->
-    (n_feats, label, score, margin)."""
-    import hashlib
+    (n_feats, label, score, margin). Tokenizer/hash are the verified
+    production twins (_py_tokens/_h32) — a local str.split() would
+    diverge on tabs/unicode whitespace (Java \\s is ASCII-only)."""
     import math
     from collections import Counter
     from decimal import Decimal
 
-    def h32(s):
-        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        _h32,
+        _py_tokens,
+    )
 
     def feats(text):
-        toks = [t for t in (text or "").strip().split() if t != ""]
+        toks = [t for t in _py_tokens(text or "") if t != ""]
         grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-        return [h32(g) % B for g in grams]
+        return [_h32(g) % B for g in grams]
 
     hist: dict = {}
     ndc: Counter = Counter()
@@ -642,15 +645,16 @@ def _py_nb(train, B=1000):
 
     def predict(text):
         fs = feats(text)
-        scored = sorted(
+        scored = [
             (
                 prior[c] + sum((w[c].get(b, w0[c]) for b in fs), Decimal(0)),
                 c,
             )
             for c in classes
-        )
-        best_s, best_c = max(scored, key=lambda t: (t[0], [-ord(ch) for ch in t[1]]))
-        # max over (score asc, label desc-order) == score desc, label asc
+        ]
+        # score desc, label asc — min over (-score, label); the earlier
+        # [-ord(ch)] trick mis-ranked prefix labels on ties (review)
+        best_s, best_c = min(scored, key=lambda t: (-t[0], t[1]))
         second = max(
             (s for s, c in scored if (s, c) != (best_s, best_c)),
             default=None,
@@ -817,7 +821,7 @@ def test_nb_scorer_matches_batch_and_featureless_convention(spark):
         for r in model_rows
         if r["__b"] is None
     )
-    best = max(metas, key=lambda t: (t[1], [-ord(c) for c in t[0]]))
+    best = min(metas, key=lambda t: (-t[1], t[0]))
     for did in (102, 103):
         nf, lab, sc, mg = scored[did]
         assert nf == 0 and lab == best[0]
@@ -937,3 +941,33 @@ def test_nb_truncated_model_refused(spark):
     )
     with pytest.raises(ValueError, match="no.*meta row|meta row"):
         nb_predict(tdf.select("doc_id", "text"), truncated)
+
+
+def test_scorer_append_column_collisions_refused(spark):
+    """nb_score / dsir_score APPEND columns; an input already carrying
+    one of those names would produce duplicate columns and
+    AMBIGUOUS_REFERENCE on every later use — both refuse loudly
+    (review finding)."""
+    from polymarket_data_ingestor_spark.operators.classify import (
+        nb_model,
+        nb_score,
+    )
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        dsir_model,
+        dsir_score,
+    )
+
+    tdf = spark.createDataFrame(
+        _NB_TRAIN, "doc_id long, text string, lang string"
+    )
+    rows = nb_model(tdf, label_col="lang", n_buckets=256).collect()
+    with pytest.raises(ValueError, match="already has \\['label'\\]"):
+        nb_score(
+            tdf.withColumn("label", F.col("lang")), rows
+        )
+    rdf = tdf.select("doc_id", "text")
+    dmodel = dsir_model(rdf, rdf, n_buckets=256)
+    with pytest.raises(ValueError, match="already has \\['n_feats'\\]"):
+        dsir_score(
+            rdf.withColumn("n_feats", F.lit(1)), dmodel, n_buckets=256
+        )
