@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "substring_dedup_materialize",
     "substring_trim_materialize",
     "embedding_cluster_dedup",
+    "random_projection_embeddings",
     "dsir_weights",
     "dsir_resample",
     "nb_classify_lang",

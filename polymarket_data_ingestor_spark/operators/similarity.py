@@ -1410,3 +1410,95 @@ def pca_project(
         .otherwise(out)
     )
     return df.withColumn(out_col, out)
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    seed: int = 1,
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection — the FIT-FREE
+    dimensionality cut for the embedding stack: ``out_j = (1/sqrt(k)) *
+    sum_i v_i * s_ij`` with ``s_ij = +-1`` derived from the portable
+    ``hash32("rp{seed}:{j}:{i}")`` parity (Achlioptas 2003, the
+    database-friendly JL construction). Where :func:`fit_pca` buys the
+    best k axes with a corpus pass, this buys distance-preserving-in-
+    expectation axes for FREE — no fit, no model artifact, and because
+    the matrix is a pure function of (seed, dims) the SAME projection
+    is reproducible on any engine, any day (it is fully
+    SQL-expressible via the ``_SQL_DOT`` sequential fold + md5 parity,
+    unlike a fitted rotation).
+
+    Pure Catalyst: the sign matrix compiles in as literal arrays and
+    each output axis is the :func:`cosine`-discipline sequential
+    ``zip_with`` + ``aggregate`` fold — zero shuffle, zero Python;
+    projecting 100 TB is exactly as parallel as scanning it. Guards
+    ride the value column (NULL vector -> NULL row; wrong length or
+    NULL component -> raise), mirroring :func:`pca_project`.
+    """
+    from polymarket_data_ingestor_spark.operators.dedup import _h32
+
+    if out_dim < 1:
+        raise ValueError(f"random_projection: out_dim must be >= 1, "
+                         f"got {out_dim}")
+    d_probe = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if d_probe is None or d_probe["d"] is None:
+        raise ValueError(
+            "random_projection: empty input or all vectors NULL"
+        )
+    d = int(d_probe["d"])
+    inv = 1.0 / float(out_dim) ** 0.5
+    signs = [
+        [
+            1.0 if _h32(f"rp{seed}:{j}:{i}") % 2 == 0 else -1.0
+            for i in range(d)
+        ]
+        for j in range(out_dim)
+    ]
+    out = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(s) for s in row]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(inv)
+            for row in signs
+        ]
+    )
+    out = (
+        F.when(F.col(vec_col).isNull(), F.lit(None))
+        .when(
+            F.size(F.col(vec_col)) != F.lit(d),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"random_projection: sign matrix is {d}-dim but "
+                        f"vector has "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(" components"),
+                )
+            ),
+        )
+        .when(
+            F.exists(F.col(vec_col), lambda x: x.isNull()),
+            F.raise_error(F.lit(
+                "random_projection: NULL vector component — the fold "
+                "would emit a silent all-NULL projection; clean or "
+                "filter upstream"
+            )),
+        )
+        .otherwise(out)
+    )
+    return df.withColumn(out_col, out)

@@ -1584,6 +1584,35 @@ def q_pca_project_embeddings(spark, sf_dir):
     )
 
 
+@register(
+    "random_projection_embeddings",
+    None,  # rows-only THIS round purely for window-capacity reasons
+    # (ROUND13.md §0: the staleness contract caps oracle-paired entries
+    # at 150 and r13's 50-slot window is exactly full) — unlike the
+    # fitted PCA rotation this construction IS fully SQL-expressible:
+    # sign s_ij = hash32('rp1:' || j || ':' || i) % 2 via the shared md5
+    # primitive and the _SQL_DOT sequential list_reduce fold. r14: move
+    # that oracle into this slot (2 slots free after the r13 driver
+    # run); value correctness is meanwhile pinned BIT-exact against a
+    # sequential python fold in tests/test_trainingdata_ops.py
+    doc="Johnson-Lindenstrauss sign random projection (similarity.py::"
+    "random_projection, Achlioptas 2003): 64 -> 8 dims with s_ij = +-1 "
+    "from the portable hash32('rp{seed}:{j}:{i}') parity — the FIT-FREE "
+    "distance-preserving-in-expectation cut in front of the embedding "
+    "stack, reproducible on any engine because the matrix is a pure "
+    "function of (seed, dims). Pure Catalyst sequential folds over "
+    "literal sign arrays: zero shuffle, zero Python, guards riding the "
+    "value column.",
+    tags=("similarity",),
+)
+def q_random_projection_embeddings(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return S.random_projection(emb, out_dim=8, seed=1).select(
+        "vec_id",
+        *[F.col("rp")[i].alias(f"rp{i}") for i in range(8)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-mixture construction: packing + deterministic sampling
 # ---------------------------------------------------------------------------

@@ -2110,3 +2110,68 @@ def test_pca_project_guards_ride_the_value_column(spark):
     ).coalesce(1)
     with pytest.raises(Exception, match="ragged"):
         S.fit_pca(ragged1p, k=1)
+
+
+def test_random_projection_matches_python_fold_and_determinism(spark):
+    """JL sign projection: BIT-equal to the sequential python fold over
+    the same hash-derived sign matrix; pure function of (seed, dims) —
+    layout-independent, seed-sensitive; zero-shuffle zero-Python plan;
+    shares pca_project's value-column guards."""
+    import math
+
+    from polymarket_data_ingestor_spark.operators.dedup import _h32
+
+    x = _pca_fixture_vecs(n=25, d=6)
+    rows = [(i, [float(v) for v in row]) for i, row in enumerate(x)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["rp"]
+        for r in S.random_projection(df, out_dim=4, seed=3).collect()
+    }
+    import numpy as np
+
+    inv = 1.0 / math.sqrt(4.0)
+    for i, vec in rows:
+        want = []
+        for j in range(4):
+            acc = 0.0
+            for p, v in enumerate(vec):
+                s = 1.0 if _h32(f"rp3:{j}:{p}") % 2 == 0 else -1.0
+                acc += float(np.float32(v)) * s
+            want.append(acc * inv)
+        assert out[i] == want, i  # BIT equality, same IEEE op sequence
+    # layout independence and seed sensitivity
+    again = {
+        r["vec_id"]: r["rp"]
+        for r in S.random_projection(
+            df.repartition(7), out_dim=4, seed=3
+        ).collect()
+    }
+    assert again == out
+    other = {
+        r["vec_id"]: r["rp"]
+        for r in S.random_projection(df, out_dim=4, seed=4).collect()
+    }
+    assert other != out
+    # plan: pure projection
+    plan = (
+        S.random_projection(df, out_dim=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
+    # guards (the pca_project family)
+    with pytest.raises(Exception, match="sign matrix is"):
+        S.random_projection(
+            spark.createDataFrame(
+                [(1, [1.0])], "vec_id long, embedding array<float>"
+            ).unionByName(df),
+            out_dim=2,
+        ).collect()
+    with pytest.raises(ValueError, match="out_dim"):
+        S.random_projection(df, out_dim=0)
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    assert S.random_projection(
+        nulls.unionByName(df).coalesce(1), out_dim=2
+    ).filter(F.col("vec_id") == 1).first()["rp"] is None
