@@ -177,3 +177,51 @@ def test_wordpiece_counts_match_naive_model(spark, docs):
     assert got == {
         i: _naive_wordpiece_count(t, _WP_VOCAB) for i, t in rows
     }
+
+
+def test_ccnet_perplexity_bucket_composition(spark):
+    """The CCNet head/middle/tail recipe needs NO new operator — it is
+    bigram_lm_score (corpus-trained LM quality) composed with
+    quality_percentile_filter's percent_rank pattern. Pin the
+    composition: terciles partition the scored docs deterministically,
+    the 'head' bucket has the highest mean avg_logprob (lowest
+    perplexity), and the bucketing is a pure function of the corpus
+    (layout-independent)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    scored = bigram_lm_score(docs).select("doc_id", "avg_logprob")
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    bucketed = scored.withColumn(
+        "bucket",
+        F.least(
+            F.lit(2),
+            ((F.percent_rank().over(w)) * 3).cast("int"),
+        ),
+    )
+    rows = bucketed.collect()
+    n = len(rows)
+    assert n > 30
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["avg_logprob"])
+    assert set(by_bucket) == {0, 1, 2}
+    # tercile sizes within 1 of each other (percent_rank boundaries)
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[-1] - sizes[0] <= 2, sizes
+    # head (bucket 0) strictly better than tail (bucket 2) on average
+    mean = {b: sum(v) / len(v) for b, v in by_bucket.items()}
+    assert mean[0] > mean[1] > mean[2]
+    # layout independence
+    again = {
+        r["doc_id"]: r["bucket"]
+        for r in bucketed.repartition(13).collect()
+    }
+    assert again == {r["doc_id"]: r["bucket"] for r in rows}
