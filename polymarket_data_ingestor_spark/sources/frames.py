@@ -38,6 +38,24 @@ from polymarket_data_ingestor_spark.schemas import (
 #: (``collector/src/main.rs:132-135`` naming; parsed back in
 #: ``cli/src/file_reader.rs:53-73``).
 _FILE_HOUR_RE = r"(\d{4}-\d{2}-\d{2}-\d{2})\.jsonl(\.zst|\.gz)?$"
+#: The streaming frame sink's partition layout
+#: (``live.py::write_frames_stream`` -> ``hour=<hour>/part-...``).
+_HOUR_DIR_RE = r"hour=(\d{4}-\d{2}-\d{2}-\d{2})/[^/]*$"
+
+
+def file_hour_col():
+    """Hour ordering key from the input file name — accepts BOTH frame
+    lake layouts: the collector's flat ``<hour>.jsonl[.zst|.gz]`` naming
+    and the streaming sink's ``hour=<hour>/part-*`` partition dirs.
+    Without the second form, frames written by
+    :func:`...streaming.live.write_frames_stream` read back with
+    ``file_hour = ''`` and batch replay silently loses its cross-hour
+    ordering key — books rebuilt from size-planned split order instead
+    of log order (review finding, closed here for every reader at
+    once)."""
+    flat = F.regexp_extract(F.input_file_name(), _FILE_HOUR_RE, 1)
+    part = F.regexp_extract(F.input_file_name(), _HOUR_DIR_RE, 1)
+    return F.when(flat != "", flat).otherwise(part)
 
 
 def read_frames(
@@ -73,7 +91,7 @@ def read_frames(
     df = reader.schema(schema).json(list(paths))
     return df.select(
         "*",
-        F.regexp_extract(F.input_file_name(), _FILE_HOUR_RE, 1).alias("file_hour"),
+        file_hour_col().alias("file_hour"),
         F.monotonically_increasing_id().alias("line_id"),
     )
 
@@ -131,7 +149,7 @@ def frames_quality_report(
     """
     if isinstance(paths, str):
         paths = [paths]
-    hour = F.regexp_extract(F.input_file_name(), _FILE_HOUR_RE, 1)
+    hour = file_hour_col()
     parsed = spark.read.text(list(paths)).select(
         # files not named by the hour convention keep their own row
         # (keyed by full path) instead of all merging into one '' group

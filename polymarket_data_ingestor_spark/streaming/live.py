@@ -41,7 +41,7 @@ except ImportError:  # pragma: no cover - Spark 3.x fallback
 
 from polymarket_data_ingestor_spark.schemas import FRAME_SCHEMA, TICK_SCHEMA
 from polymarket_data_ingestor_spark.sources.frames import (
-    _FILE_HOUR_RE,
+    file_hour_col,
     parse_feed_messages,
 )
 
@@ -63,7 +63,7 @@ def read_frames_stream(
     # is the documented live-mode ordering contract.
     return df.select(
         "*",
-        F.regexp_extract(F.input_file_name(), _FILE_HOUR_RE, 1).alias("file_hour"),
+        file_hour_col().alias("file_hour"),
         F.unix_micros(F.to_timestamp("timestamp")).alias("line_id"),
     )
 
@@ -76,10 +76,20 @@ def write_frames_stream(
     The collector's hand-rolled rotation becomes ``partitionBy(hour)`` on
     the frame timestamp; the codec option mirrors zstd-on-cluster (gzip
     locally). Returns the started StreamingQuery.
+
+    The hour key is sliced LEXICALLY from the frame's RFC3339 UTC
+    timestamp (``collector/src/main.rs:28`` stamps UTC) — a
+    ``date_format`` would render it in the SESSION timezone and diverge
+    from the collector's UTC file naming (review finding). Readers
+    recover ``file_hour`` from this sink's ``hour=<hour>/`` layout via
+    :func:`...sources.frames.file_hour_col`, so frames written here
+    replay in the same cross-hour order as collector-written logs.
     """
-    hour = F.date_format(F.to_timestamp("timestamp"), "yyyy-MM-dd-HH").alias(
-        "hour"
-    )
+    hour = F.concat(
+        F.substring("timestamp", 1, 10),
+        F.lit("-"),
+        F.substring("timestamp", 12, 2),
+    ).alias("hour")
     return (
         frames.withColumn("hour", hour)
         .writeStream.format("json")
@@ -197,19 +207,28 @@ def _row_valid(row: Any) -> bool:
             or _is_null(row.timestamp):
         return False
     et = row.event_type
+    # NULL ELEMENTS inside a collection (`"bids": [{...}, null]` parses
+    # to a None entry) must reject the message, not crash the kernel:
+    # lv["price"] on None raises, the task fails, and the checkpoint
+    # replays the same poison micro-batch forever — the exact crash
+    # loop this function exists to prevent (review finding, reproduced;
+    # the batch path drops the same input via NULL propagation).
     if et == "book":
         for side in (row.bids, row.asks):
             if _is_null(side):
                 return False
             for lv in side:
-                if not (_is_num(lv["price"]) and _is_num(lv["size"])):
+                if lv is None or not (
+                    _is_num(lv["price"]) and _is_num(lv["size"])
+                ):
                     return False
         return True
     if et == "price_change":
         if _is_null(row.changes):
             return False
         return all(
-            ch["side"] in ("BUY", "SELL")
+            ch is not None
+            and ch["side"] in ("BUY", "SELL")
             and _is_num(ch["price"]) and _is_num(ch["size"])
             for ch in row.changes
         )
@@ -395,7 +414,14 @@ def live_bbo_bars(
     The reference has no watermarks (SURVEY §2.9: replay trusts log order);
     live aggregation needs one to bound state: events later than
     ``watermark`` behind the max seen event time are dropped and windows
-    finalize. Uses ``max_by(price, event_time)`` for in-window 'last'.
+    finalize. Uses ONE ``max_by(struct(price, size), event_time)`` for
+    the in-window 'last': two independent max_by aggregates would
+    resolve event-time TIES independently and could emit a (price,
+    size) pair taken from two different ticks — a BBO state that never
+    existed (review finding; tick timestamps are epoch-ms, same-ms
+    bursts are routine). The struct pick is atomic; which tied tick
+    wins stays nondeterministic (the batch twin's total (file, line,
+    msg) key does not exist on a stream), but the pair is always real.
 
     Topology note: feed this from a *tick stream source* (e.g. a
     ``readStream`` over the parquet directory that :func:`live_ticks`
@@ -413,12 +439,14 @@ def live_bbo_bars(
             F.window("event_time", every).alias("w"), "asset", "side"
         )
         .agg(
-            F.max_by("price", "event_time").alias("price"),
-            F.max_by("size", "event_time").alias("size"),
+            F.max_by(
+                F.struct("price", "size"), "event_time"
+            ).alias("__last")
         )
         .select(
             F.col("w.start").alias("bar_time"), "asset", "side",
-            "price", "size",
+            F.col("__last.price").alias("price"),
+            F.col("__last.size").alias("size"),
         )
     )
 
@@ -844,23 +872,49 @@ def live_active_users(
     )
 
 
-def _rollup_versions(spark: SparkSession, state_path: str) -> list[int]:
-    """Committed state versions (``v=N`` dirs with a ``_SUCCESS``
-    marker) under ``state_path``, ascending. Hadoop FS so the same
-    code runs on HDFS/S3A/local."""
+def _list_partition_values(
+    spark: SparkSession,
+    path: str,
+    prefix: str,
+    require_success: bool,
+) -> list[str]:
+    """Shared Hadoop-FS listing behind :func:`_rollup_versions`,
+    :func:`state_labels` and :func:`_batch_partitions` (so the same
+    code runs on HDFS/S3A/local — ``pathlib`` silently sees nothing on
+    an object store): raw values of ``<prefix><value>`` child dirs,
+    optionally ``_SUCCESS``-gated. One implementation so robustness
+    guards cannot drift between the three callers again (the review
+    found one of the three parsing ints unguarded)."""
     jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return []
     out = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v="):
-            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-            if fs.exists(marker):
-                out.append(int(name[2:]))
-    return sorted(out)
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        if require_success and not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            continue
+        out.append(name[len(prefix):])
+    return out
+
+
+def _int_partition_values(vals: list[str]) -> list[int]:
+    # non-numeric strays (v=tmp, b=backup) are ignored, not a permanent
+    # ValueError on every read (review finding)
+    return sorted(int(v) for v in vals if v.lstrip("-").isdigit())
+
+
+def _rollup_versions(spark: SparkSession, state_path: str) -> list[int]:
+    """Committed state versions (``v=N`` dirs with a ``_SUCCESS``
+    marker) under ``state_path``, ascending."""
+    return _int_partition_values(
+        _list_partition_values(spark, state_path, "v=", True)
+    )
 
 
 def commit_rollup_version(
@@ -956,22 +1010,8 @@ def fold_labeled_state(
 
 def state_labels(spark: SparkSession, state_path: str) -> list[str]:
     """Committed (``_SUCCESS``-gated) labels under ``state_path``,
-    ascending — Hadoop FS like :func:`_rollup_versions`, so the same
-    code runs on HDFS/S3A/local."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(state_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return []
-    out = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("d="):
-            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(),
-                                                   "_SUCCESS")
-            if fs.exists(marker):
-                out.append(name[2:])
-    return sorted(out)
+    ascending."""
+    return sorted(_list_partition_values(spark, state_path, "d=", True))
 
 
 def read_window_state(
@@ -994,6 +1034,15 @@ def read_window_state(
     use one listing for both, or a concurrent fold/expire between two
     listings makes the report disagree with the merge (and a remote FS
     pays two listings where one suffices)."""
+    if last_n is not None and last_n < 1:
+        # labels[-0:] is the WHOLE list — a computed last_n of 0 would
+        # silently merge the full history (the opposite of the request,
+        # arbitrarily expensive at 90+ labels), and a negative value
+        # drops the OLDEST labels instead; both refuse (review finding,
+        # mirroring expire_state_labels' keep_last guard)
+        raise ValueError(
+            f"read_window_state: last_n must be >= 1, got {last_n}"
+        )
     if labels is None:
         labels = state_labels(spark, state_path)
         if last_n is not None:
@@ -1789,23 +1838,13 @@ def _bloom_might_contain(spark: SparkSession, bloom_bytes: bytes,
 
 
 def _batch_partitions(spark: SparkSession, path: str) -> list[int]:
-    """Ascending b=<id> partition ids under ``path`` — Hadoop FS like
-    :func:`_rollup_versions`, so the same code runs on HDFS/S3A/local
-    (a ``pathlib`` listing would silently see nothing on a real
-    cluster's object store)."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return []
-    out = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("b="):
-            bid = name[2:]
-            if bid.lstrip("-").isdigit():
-                out.append(int(bid))
-    return sorted(out)
+    """Ascending b=<id> partition ids under ``path`` (NOT
+    ``_SUCCESS``-gated: batch partitions are written atomically by
+    mode('overwrite') within a foreachBatch trigger and the strictly-
+    below readers tolerate a torn tail by construction)."""
+    return _int_partition_values(
+        _list_partition_values(spark, path, "b=", False)
+    )
 
 
 def _latest_below(spark: SparkSession, path: str, below: int):
@@ -1984,6 +2023,12 @@ def live_dedup_stream(
                     fresh = new.unionByName(
                         cand.join(seen(), "__digest", "left_anti")
                     )
+        # persist across the TWO writes below (rows + digests): without
+        # it each action re-runs the whole dedup lineage — including
+        # the full digest-lake anti-join scan, the cost the docstring
+        # calls "the honest cost at billions of corpus digests" —
+        # twice per trigger (review finding; the live_dq_split pattern)
+        fresh = fresh.persist()
         try:
             fresh.drop("__digest").write.mode("overwrite").parquet(
                 f"{out_path}/b={batch_id}"
@@ -2027,6 +2072,7 @@ def live_dedup_stream(
                             )
                             jfs.delete(jp, True)
         finally:
+            fresh.unpersist()
             if cached is not None:
                 cached.unpersist()
             if bloom_bcast is not None:

@@ -2509,3 +2509,101 @@ def test_live_corr_rollup_maintained_and_crash_replay(spark, tmp_path):
         crc.unlink()
     run()
     assert got() == want
+
+
+# ---------------------------------------------------------------------------
+# r13 session-2 review fixes (streaming/live.py)
+# ---------------------------------------------------------------------------
+
+def test_row_valid_null_collection_elements_rejected():
+    """A null ELEMENT inside bids/asks/changes must reject the message,
+    not crash the kernel: the crash escapes to the task, the checkpoint
+    replays the same micro-batch, and the stream dies in a permanent
+    poison-pill loop (review finding, reproduced). No Spark needed —
+    _row_valid is plain python over Row-likes."""
+    from types import SimpleNamespace as NS
+
+    from polymarket_data_ingestor_spark.streaming.live import _row_valid
+
+    base = dict(asset_id="a", market="m", timestamp="1700000000000",
+                bids=None, asks=None, changes=None, side=None,
+                price=None, size=None)
+    ok_book = NS(**{**base, "event_type": "book",
+                    "bids": [{"price": "0.5", "size": "1"}],
+                    "asks": []})
+    assert _row_valid(ok_book)
+    poisoned = NS(**{**base, "event_type": "book",
+                     "bids": [{"price": "0.5", "size": "1"}, None],
+                     "asks": []})
+    assert _row_valid(poisoned) is False  # drops, never raises
+    poisoned_chg = NS(**{**base, "event_type": "price_change",
+                         "changes": [None]})
+    assert _row_valid(poisoned_chg) is False
+
+
+def test_write_frames_stream_roundtrip_preserves_replay_order(
+    spark, tmp_path
+):
+    """Frames written by the STREAMING sink (hour=<hour>/part-* layout)
+    must read back with the same file_hour ordering key as
+    collector-written flat files — before the fix the partition layout
+    never matched _FILE_HOUR_RE, file_hour was '' for every row, and
+    batch replay silently lost its cross-hour ordering (review
+    finding). Also pins the UTC hour key: the value is sliced from the
+    RFC3339 UTC timestamp, not date_format'd in the session timezone."""
+    from polymarket_data_ingestor_spark.sources.frames import read_frames
+    from polymarket_data_ingestor_spark.streaming.live import (
+        write_frames_stream,
+    )
+
+    src = tmp_path / "flat"
+    write_fixture_files(src, n_hours=2, msgs_per_hour=40, seed=21)
+    stream = (
+        spark.readStream.schema(
+            "timestamp string, message_type string, content string"
+        ).json(str(src) + "/*.jsonl")
+    )
+    lake = tmp_path / "frame_lake"
+    q = write_frames_stream(
+        stream, str(lake), str(tmp_path / "ckpt"), compression="none"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = read_frames(spark, str(lake))
+    hours = sorted(
+        r["file_hour"]
+        for r in back.select("file_hour").distinct().collect()
+    )
+    flat_hours = sorted(p.stem for p in Path(src).glob("*.jsonl"))
+    assert hours == flat_hours, (hours, flat_hours)
+    # and replay over the streamed lake == replay over the flat files
+    flat_ticks = replay(spark, sorted(str(p) for p in
+                                      Path(src).glob("*.jsonl")))
+    lake_ticks = replay(back)
+    a = sorted(map(tuple, flat_ticks.collect()))
+    b = sorted(map(tuple, lake_ticks.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_window_state_and_rollup_listing_guards(spark, tmp_path):
+    """read_window_state refuses last_n < 1 (labels[-0:] would merge
+    the WHOLE history); _rollup_versions ignores non-numeric stray
+    dirs instead of a permanent ValueError (review findings)."""
+    from polymarket_data_ingestor_spark.streaming.live import (
+        _rollup_versions,
+        read_window_state,
+    )
+
+    with pytest.raises(ValueError, match="last_n must be >= 1"):
+        read_window_state(
+            spark, str(tmp_path / "s"), lambda df: df, last_n=0
+        )
+    state = tmp_path / "roll"
+    for v in ("v=1", "v=tmp", "v=-3"):
+        d = state / v
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+    assert _rollup_versions(spark, str(state)) == [-3, 1]
