@@ -50,6 +50,28 @@ def _resolve_paths(data_dir: str, time_range: str | None,
         for pat in ("*.jsonl", "*.jsonl.zst", "*.jsonl.gz")
         for p in glob.glob(str(Path(data_dir) / pat))
     ]
+    # one file per hour bucket: a compressed+uncompressed pair of the
+    # same hour (an archival step that left the original behind) would
+    # otherwise replay the hour TWICE and silently double its ticks
+    # (review finding). Preference mirrors the collector's archival
+    # format: .zst, then .gz, then plain.
+    rank = {".zst": 0, ".gz": 1}
+    by_hour: dict[str, str] = {}
+    for p in sorted(candidates):
+        stem = Path(p).name.split(".jsonl")[0]
+        if stem not in by_hour or (
+            rank.get(Path(p).suffix, 2)
+            < rank.get(Path(by_hour[stem]).suffix, 2)
+        ):
+            by_hour[stem] = p
+    dropped = sorted(set(candidates) - set(by_hour.values()))
+    if dropped:
+        print(
+            f"warning: ignoring {len(dropped)} duplicate-hour file(s) "
+            f"(compressed sibling preferred): {', '.join(dropped)}",
+            file=sys.stderr,
+        )
+    candidates = sorted(by_hour.values())
     t0 = t1 = None
     if time_range:
         t0, t1 = parse_time_range(time_range)
@@ -71,7 +93,17 @@ def cmd_replay(args: argparse.Namespace) -> int:
     # extension fix-up like main.rs:148-156
     if not out.endswith(".parquet"):
         out += ".parquet"
-    markets = args.markets.split(",") if args.markets else None
+    # filter empties like every sibling comma-list parse: a trailing
+    # comma would otherwise inject '' into the market filter; a value
+    # that is ALL empties is ambiguous (filter-nothing vs filter-all),
+    # so refuse rather than guess
+    markets = (
+        [m for m in args.markets.split(",") if m] if args.markets else None
+    )
+    if args.markets and not markets:
+        print("--markets given but contains no market ids",
+              file=sys.stderr)
+        return 2
     spark = get_spark(app_name="pdi-replay")
     ticks = replay(spark, paths, markets=markets,
                    in_log_order=args.log_order)
@@ -222,6 +254,33 @@ _K_DEFAULTS = {"quantiles": 4096, "heavyhitters": 1024,
                "sample": 64, "topk": 16, "minhash": 16}
 
 
+def _parse_quantiles(raw: str) -> tuple[float, ...] | str:
+    """Pre-parse ``--quantiles`` in the PURE-ARGUMENT phase: a tuple on
+    success, an error MESSAGE on failure. The finalizer used to parse
+    it lazily — AFTER the state commit — so a trailing comma crashed
+    the command post-commit and a retry double-folded the delta into
+    the non-idempotent cumulative state (review finding; violates the
+    checks-before-Spark contract this file documents)."""
+    try:
+        qs = tuple(float(q) for q in raw.split(",") if q.strip() != "")
+    except ValueError:
+        return f"--quantiles {raw!r} is not a comma-separated float list"
+    if not qs:
+        return f"--quantiles {raw!r} contains no values"
+    bad = [q for q in qs if not (0.0 <= q <= 1.0)]
+    if bad:
+        return f"--quantiles values must be in [0, 1], got {bad}"
+    return qs
+
+
+def _require_quantiles(args: argparse.Namespace) -> tuple[float, ...]:
+    """Finalize-time accessor: commands validated this in their
+    pure-argument phase, so a failure here is a programming error."""
+    qs = _parse_quantiles(args.quantiles)
+    assert not isinstance(qs, str), qs
+    return qs
+
+
 def _stat_finalizers(args: argparse.Namespace,
                      corr_cols: tuple | None = None) -> dict:
     """The ONE stat-name → finalizer map shared by ``lake stats`` and
@@ -247,7 +306,7 @@ def _stat_finalizers(args: argparse.Namespace,
         "summary": finalize_rollup,
         "distinct": finalize_distinct_rollup,
         "quantiles": lambda s: finalize_quantile_rollup(
-            s, tuple(float(q) for q in args.quantiles.split(","))
+            s, _require_quantiles(args)
         ),
         "heavyhitters": finalize_heavy_hitters,
         "sample": finalize_sample_rollup,
@@ -472,6 +531,14 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
               f"(only {','.join(sorted(_K_DEFAULTS))} size a sketch) "
               "— remove --k", file=sys.stderr)
         return 2
+    if "quantiles" in stats:
+        # pure-argument phase by contract: the finalizer runs AFTER the
+        # state commit, so a parse failure there crashes post-commit
+        # and a retry double-folds the delta (review finding)
+        qs = _parse_quantiles(args.quantiles)
+        if isinstance(qs, str):
+            print(f"lake stats: {qs}", file=sys.stderr)
+            return 2
     if args.label is None and (args.window is not None
                                or args.retain_labels is not None):
         print("lake stats: --window/--retain-labels need --label "
@@ -571,16 +638,22 @@ def cmd_lake_stats(args: argparse.Namespace) -> int:
         # predictable failures are pre-validated above; a residual
         # mid-loop failure (e.g. a (k, seed) merge contract refusal
         # against an existing state, surfacing as an EXCEPTION from
-        # the commit's write action — not as a return code, which the
-        # r12 second review showed never fires post-refactor) leaves
-        # EARLIER stats committed; cumulative folds are not
-        # idempotent, so a blind re-run would double-fold the delta
-        # into them — say so, so the operator re-runs only the rest
-        if i > 0:
-            print("lake stats: stats before the failure "
-                  f"({','.join(stats[:i])}) COMMITTED this delta — "
-                  "re-run with only the remaining stats",
-                  file=sys.stderr)
+        # the commit's write action) leaves EARLIER stats committed —
+        # and because the COMMIT precedes the finalize/print inside
+        # _fold_one_lake_stat, stat i ITSELF may have committed too
+        # before a display-path failure (review finding: the old note
+        # told the operator to re-run stat i, steering a double-fold).
+        # Cumulative folds are not idempotent, so be precise:
+        done = ",".join(stats[:i]) or "(none)"
+        rest = ",".join(stats[i + 1:])
+        print("lake stats: stats before the failure "
+              f"({done}) COMMITTED this delta; the failing stat "
+              f"'{stats[i]}' may ALSO have committed before the "
+              "failure — check its version/label with stats-show "
+              "before re-folding it"
+              + (f"; the remaining stats ({rest}) did not run"
+                 if rest else ""),
+              file=sys.stderr)
 
     try:
         for i, stat in enumerate(stats):
@@ -630,6 +703,26 @@ def _fold_one_lake_stat(spark, args, stat, state_dir, keys, state,
         # how "last N days" works for monoids with no subtraction
         # (min/max, sketches, bottom-k/top-k): keep per-label states,
         # merge the window at read. Retention via --retain-labels.
+        if args.retain_labels is not None:
+            # BEFORE committing: a backfill label older than the
+            # retention window would be committed and then immediately
+            # expired by the post-commit retention pass — while still
+            # printing 'committed' (review finding). One listing,
+            # refuse up front with nothing written.
+            existing = state_labels(spark, state_dir)
+            kept = sorted(set(existing) | {args.label})[
+                -args.retain_labels:
+            ]
+            if args.label not in kept:
+                print(
+                    f"lake stats: label {args.label} sorts below the "
+                    f"--retain-labels {args.retain_labels} window "
+                    f"(newest: {existing[-1]}) — the backfill would be "
+                    f"expired the moment it commits; re-run without "
+                    f"--retain-labels to keep it",
+                    file=sys.stderr,
+                )
+                return 2
         fold_labeled_state(spark, state_dir, args.label, state,
                            n_files=args.state_files)
         if args.retain_labels is not None:
@@ -766,6 +859,11 @@ def cmd_lake_stats_show(args: argparse.Namespace) -> int:
               "<col_a,col_b[,...]> (the columns the state was built "
               "over)", file=sys.stderr)
         return 2
+    if args.stat == "quantiles":
+        qs = _parse_quantiles(args.quantiles)
+        if isinstance(qs, str):
+            print(f"lake stats-show: {qs}", file=sys.stderr)
+            return 2
     finalize = _stat_finalizers(args)[args.stat]
     mfn = _stat_merges()[args.stat]
     spark = get_spark(app_name="pdi-lake-stats-show")
@@ -970,6 +1068,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "below it are removed (ISO dates/hours)")
     le.add_argument("--dry-run", action="store_true",
                     help="report what would be removed, delete nothing")
+    le.set_defaults(fn=cmd_lake_expire)
 
     ls = lk_sub.add_parser(
         "stats",
@@ -1037,7 +1136,6 @@ def build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--show", type=int, default=20,
                     help="finalized rows to print")
     ls.set_defaults(fn=cmd_lake_stats)
-    le.set_defaults(fn=cmd_lake_expire)
 
     lss = lk_sub.add_parser(
         "stats-show",

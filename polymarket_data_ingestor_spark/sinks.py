@@ -342,23 +342,45 @@ def upsert_lake_partitions(
             max_records_per_file=max_records_per_file,
         )
         return updates.select(*partition_cols).distinct().count()
-    touched_rows = updates.select(*partition_cols).distinct().collect()
-    if not touched_rows:
-        return 0
-    lake = spark.read.parquet(path)
-    survivors = (
-        lake.filter(
+    # persist: updates otherwise feeds THREE separate actions (touched
+    # partitions, the key anti-join, the union) — cheap for a parquet
+    # re-read, but a library caller passing a derived/expensive plan
+    # (or apply_cdc_stream, per micro-batch) would re-run its whole
+    # upstream 3x (review finding)
+    updates = updates.persist()
+    try:
+        touched_rows = (
+            updates.select(*partition_cols).distinct().collect()
+        )
+        if not touched_rows:
+            return 0
+        lake = spark.read.parquet(path)
+        up_keys = updates.select(*key_cols).distinct()
+        # NULL-SAFE key match: a plain column-list anti-join never
+        # matches NULL = NULL, so a NULL-key lake row could never be
+        # replaced and its NULL-key update would insert a duplicate,
+        # accreting one more copy per CDC micro-batch (review finding;
+        # the module was already null-safe for partition VALUES)
+        touched = lake.filter(
             _partition_predicate(lake, partition_cols, touched_rows)
         )
-        .join(updates.select(*key_cols).distinct(), list(key_cols), "anti")
-    )
-    merged = survivors.unionByName(
-        updates.select(*lake.columns)
-    ).localCheckpoint(eager=True)
-    overwrite_lake_partitions(
-        merged, path, partition_cols, max_records_per_file
-    )
-    return len(touched_rows)
+        cond = None
+        for k in key_cols:
+            # reference the JOIN's own left side (touched), not the
+            # pre-filter lineage — a cross-lineage column reference
+            # breaks resolution
+            c = touched[k].eqNullSafe(up_keys[k])
+            cond = c if cond is None else cond & c
+        survivors = touched.join(up_keys, cond, "anti")
+        merged = survivors.unionByName(
+            updates.select(*lake.columns)
+        ).localCheckpoint(eager=True)
+        overwrite_lake_partitions(
+            merged, path, partition_cols, max_records_per_file
+        )
+        return len(touched_rows)
+    finally:
+        updates.unpersist()
 
 
 def compact_lake_partitions(
@@ -385,6 +407,36 @@ def compact_lake_partitions(
     """
     lake = spark.read.parquet(path)
     if partition_filter is not None:
+        # The filter MUST reference only partition columns: lake.filter
+        # prunes ROWS, and the surviving rows are dynamic-overwritten
+        # back — a predicate on a data column would silently DELETE
+        # every non-matching row in the touched partitions while
+        # reporting a successful compaction (review finding; the
+        # docstring promises rows byte-identical before/after).
+        # Analysis-time check, zero jobs: resolve the predicate against
+        # an EMPTY RELATION holding only the partition columns — a
+        # filter on a projection would NOT do (ResolveMissingReferences
+        # lets a filter see through a Project to pruned columns), but a
+        # relation that never had the column genuinely cannot resolve
+        # it.
+        try:
+            from pyspark.sql.types import StructType
+
+            part_schema = StructType(
+                [f for f in lake.schema.fields
+                 if f.name in partition_cols]
+            )
+            spark.createDataFrame([], part_schema).filter(
+                partition_filter
+            ).schema
+        except Exception as e:
+            raise ValueError(
+                f"compact_lake_partitions: partition_filter "
+                f"{partition_filter!r} must reference only the partition "
+                f"columns {partition_cols} — a data-column predicate "
+                f"would silently drop non-matching rows from every "
+                f"rewritten partition ({e})"
+            ) from None
         lake = lake.filter(partition_filter)
     rewritten = lake.localCheckpoint(eager=True)
     n_touched = (
@@ -555,8 +607,23 @@ def register_bucketed_table(
     declaring a wrong spec yields WRONG JOINS, not an error, so keep
     the spec next to the path in whatever config names the table.
     """
+    import re as _re
+
     if sort_cols is None:
         sort_cols = bucket_cols
+    # the DDL is assembled by interpolation: validate the two
+    # non-backtick-quoted inputs instead of letting a quoted path or an
+    # exotic identifier mis-parse the statement (review finding)
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?",
+                         table):
+        raise ValueError(
+            f"register_bucketed_table: invalid table identifier {table!r}"
+        )
+    if "'" in path:
+        raise ValueError(
+            f"register_bucketed_table: path must not contain a quote: "
+            f"{path!r}"
+        )
     schema = spark.read.parquet(path).schema
     cols_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields

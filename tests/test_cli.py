@@ -355,3 +355,132 @@ def test_cmd_lake_stats_versioned_commit(spark, tmp_path, monkeypatch):
                      "--stat", "summary", "--keys", "event_type",
                      "--value", "value"]) == 0
     assert manifest.exists()
+
+
+# ---------------------------------------------------------------------------
+# r13 session-2 review fixes (cli.py + sinks.py)
+# ---------------------------------------------------------------------------
+
+def test_resolve_paths_dedups_compressed_siblings(tmp_path, capsys):
+    """A compressed+uncompressed pair of the same hour must replay
+    ONCE (compressed preferred), not silently double the hour's ticks
+    (review finding)."""
+    write_fixture_files(tmp_path, n_hours=2, msgs_per_hour=5, seed=4)
+    flat = sorted(tmp_path.glob("*.jsonl"))
+    # archival left both behind for the first hour
+    (tmp_path / (flat[0].name + ".zst")).write_bytes(b"")
+    got = _resolve_paths(str(tmp_path), None, None, None)
+    names = [p.split("/")[-1] for p in got]
+    assert len(got) == 2
+    assert flat[0].name + ".zst" in names  # compressed preferred
+    assert flat[0].name not in names
+    assert "duplicate-hour" in capsys.readouterr().err
+
+
+def test_parse_quantiles_pure_arg_validation():
+    """--quantiles is validated BEFORE any Spark session / state
+    commit: a post-commit parse crash steered operators into
+    double-folding the delta (review finding)."""
+    from polymarket_data_ingestor_spark.cli import _parse_quantiles
+
+    assert _parse_quantiles("0.5,0.9,0.99") == (0.5, 0.9, 0.99)
+    assert _parse_quantiles("0.5,") == (0.5,)  # trailing comma tolerated
+    assert isinstance(_parse_quantiles("p50"), str)
+    assert isinstance(_parse_quantiles(","), str)
+    assert "in [0, 1]" in _parse_quantiles("0.5,1.5")
+
+    import polymarket_data_ingestor_spark.cli as cli
+
+    rc = cli.main([
+        "lake", "stats", "/nonexistent-delta", "--stat", "quantiles",
+        "--state", "/nonexistent-state", "--keys", "k", "--value", "v",
+        "--quantiles", "p50",
+    ])
+    assert rc == 2  # refused in the pure-argument phase
+
+
+def test_cmd_replay_all_empty_markets_refused(tmp_path):
+    import polymarket_data_ingestor_spark.cli as cli
+
+    write_fixture_files(tmp_path, n_hours=1, msgs_per_hour=5, seed=5)
+    rc = cli.main([
+        "replay", "--data-dir", str(tmp_path),
+        "-o", str(tmp_path / "t.parquet"), "--markets", ",",
+    ])
+    assert rc == 2
+
+
+def test_compact_refuses_data_column_filter(spark, tmp_path):
+    """compact with a predicate on a NON-partition column would
+    silently delete every non-matching row in the touched partitions
+    while reporting success (review finding) — refused at analysis
+    time, lake untouched."""
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.sinks import (
+        compact_lake_partitions,
+        write_partitioned_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, -5.0),
+         ("2024-01-02", 3, 7.0)],
+        "dt string, id int, price double",
+    )
+    write_partitioned_lake(df, lake, ("dt",))
+    before = sorted(map(tuple, spark.read.parquet(lake).collect()))
+    with _pytest.raises(ValueError, match="partition_filter"):
+        compact_lake_partitions(
+            spark, lake, ("dt",), partition_filter="price > 0"
+        )
+    assert sorted(map(tuple, spark.read.parquet(lake).collect())) == before
+    # partition-column predicates still work
+    n = compact_lake_partitions(
+        spark, lake, ("dt",), partition_filter="dt < '2024-01-02'"
+    )
+    assert n == 1
+    assert sorted(map(tuple, spark.read.parquet(lake).collect())) == before
+
+
+def test_upsert_null_key_rows_replaced_not_duplicated(spark, tmp_path):
+    """NULL-key rows must be REPLACED by a NULL-key update, not
+    duplicated forever (review finding: plain anti-join never matches
+    NULL = NULL; apply_cdc_stream accreted one copy per micro-batch)."""
+    from polymarket_data_ingestor_spark.sinks import (
+        upsert_lake_partitions,
+        write_partitioned_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    schema = "dt string, k string, v int"
+    write_partitioned_lake(
+        spark.createDataFrame(
+            [("2024-01-01", None, 1), ("2024-01-01", "a", 2)], schema
+        ),
+        lake, ("dt",),
+    )
+    upsert_lake_partitions(
+        spark, lake,
+        spark.createDataFrame([("2024-01-01", None, 99)], schema),
+        ("k",), ("dt",),
+    )
+    rows = {
+        (r["k"], r["v"]) for r in spark.read.parquet(lake).collect()
+    }
+    assert rows == {(None, 99), ("a", 2)}
+
+
+def test_register_bucketed_table_rejects_unsafe_identifiers(spark, tmp_path):
+    import pytest as _pytest
+
+    from polymarket_data_ingestor_spark.sinks import register_bucketed_table
+
+    with _pytest.raises(ValueError, match="table identifier"):
+        register_bucketed_table(
+            spark, "t; DROP TABLE x", str(tmp_path), ("k",), 4
+        )
+    with _pytest.raises(ValueError, match="quote"):
+        register_bucketed_table(
+            spark, "t_ok", str(tmp_path) + "/o'brien", ("k",), 4
+        )
