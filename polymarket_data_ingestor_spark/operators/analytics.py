@@ -103,11 +103,17 @@ def funnel_steps_multipass(
     relevant = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col), F.col(type_col).alias("__type"), ms.alias("__ms")
     )
-    # step 0: plain min per user — defines the user universe
+    # step 0: plain min per user — defines the user universe. The
+    # NOT-NULL filter mirrors funnel_steps' final filter: a user whose
+    # step-0 events ALL have NULL ts aggregates to a NULL min here
+    # (groupBy keeps the group) but never survives the array form —
+    # without it the two forms diverge on NULL timestamps (review
+    # finding, violating the identical-output contract)
     frontier = (
         relevant.filter(F.col("__type") == steps[0])
         .groupBy(user_col)
         .agg(F.min("__ms").alias(f"t_{steps[0]}"))
+        .filter(F.col(f"t_{steps[0]}").isNotNull())
     )
     prev_col = f"t_{steps[0]}"
     for k in range(1, len(steps)):
@@ -151,14 +157,21 @@ def funnel_counts(
             for k, s in enumerate(steps)
         ]
     )
-    stack = ", ".join(
-        f"{k}L, '{s}', __n_{k}" for k, s in enumerate(steps)
+    # explode(array(struct(lit(...)))) — NOT a stack() f-string: step
+    # names are stream DATA (event types), and interpolating them into
+    # SQL breaks on quotes and lets a crafted name inject into the plan
+    # (the defect class dq_check documents; review finding)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"__n_{k}").alias("n_users"),
+            )
+            for k, s in enumerate(steps)
+        ]
     )
-    return wide.select(
-        F.expr(
-            f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
-        )
-    )
+    return wide.select(F.explode(rows).alias("__r")).select("__r.*")
 
 
 def cohort_retention(
@@ -367,7 +380,24 @@ def cross_key_correlation(
         .select(
             "k",
             "b",
-            F.floor(F.col("__mean") * F.lit(1.0e6)).alias("m"),
+            # guard rides the value column (repo discipline): past
+            # 2^53/1e6 the fixed-point multiply is no longer
+            # integer-exact, and past 1e12 the decimal(18,0) cast
+            # overflows — non-ANSI mode would NULL the mean while
+            # n_buckets still counted the row, silently skewing corr
+            # (review finding). Refuse the out-of-domain input loudly.
+            F.when(
+                F.abs(F.col("__mean")) >= F.lit(9.0e9),
+                F.raise_error(F.concat(
+                    F.lit("cross_key_correlation: bucket mean "),
+                    F.col("__mean").cast("string"),
+                    F.lit(" exceeds the exact fixed-point domain "
+                          "(|mean| < 9e9) — rescale the value column "
+                          "upstream"),
+                )),
+            )
+            .otherwise(F.floor(F.col("__mean") * F.lit(1.0e6)))
+            .alias("m"),
         )
     )
     a, b_ = means.alias("a"), means.alias("b")
@@ -721,23 +751,31 @@ def dq_profile(
     distinct = (
         F.count_distinct if exact_distinct else F.approx_count_distinct
     )
+    # POSITIONAL intermediate aliases + explode(array(struct(...))) —
+    # never an f-string stack() over raw column names, which broke on
+    # quoted/dashed/dotted names and let a name inject into the plan
+    # (the defect class dq_check documents; review finding). df[c]
+    # instead of F.col(c): F.col parses dots as struct access.
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs.append(
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}")
+            F.sum(df[c].isNull().cast("bigint")).alias(f"__nulls_{i}")
         )
-        aggs.append(distinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(distinct(df[c]).alias(f"__nd_{i}"))
     one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __nd_{c}" for c in cols
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__nulls_{i}").alias("n_nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
     return (
-        one.select(
-            F.col("__n"),
-            F.expr(
-                f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
-            ),
-        )
+        one.select(F.col("__n"), F.explode(rows).alias("__r"))
+        .select("__n", "__r.col_name", "__r.n_nulls", "__r.n_distinct")
         .select(
             F.col("col_name"),
             F.col("__n").alias("n_rows"),
@@ -886,14 +924,21 @@ def value_histogram(
     # NULL guard FIRST: F.least skips NULL arguments, so without it a
     # NULL value makes the DIV expression NULL and least(NULL, n_bins)
     # silently lands in the overflow bin instead of the NULL bin.
+    # integral division via exact decimal floor, NOT an f-string DIV
+    # over the raw column name (an expression-like name — "a-b" — would
+    # silently parse as arithmetic over OTHER columns; review finding).
+    # The numerator is non-negative in this branch (v >= lo), so
+    # floor == DIV, and decimal arithmetic keeps it integer-exact where
+    # a double division would not.
+    num = (v.cast("long") - F.lit(lo)).cast("decimal(38,0)") * F.lit(
+        n_bins
+    )
     bin_ = (
         F.when(v.isNull(), F.lit(None).cast("long"))
         .when(v < F.lit(lo), F.lit(-1).cast("long"))
         .otherwise(
             F.least(
-                F.expr(
-                    f"(({value_col} - {lo}) * {n_bins}) DIV {span}"
-                ).cast("long"),
+                F.floor(num / F.lit(span)).cast("long"),
                 F.lit(n_bins).cast("long"),
             )
         )
@@ -982,8 +1027,18 @@ def iqr_outliers(
         F.col("__q3") - F.col("__q1")
     )
     v10 = v.cast("double") * F.lit(10.0)
+    # NULL-SAFE stratum join: a plain equi-join would silently DROP
+    # every NULL-stratum input row (its quantile group exists — groupBy
+    # keeps NULL — but NULL never equals NULL), violating the
+    # rows-plus-a-flag contract (review finding). The quantile side's
+    # key is RENAMED before the condition join — qs derives from df,
+    # and a same-name condition would trip the ambiguous-self-join
+    # analyzer check.
+    qs = qs.withColumnRenamed(stratum_col, "__iqr_stratum")
     return (
-        df.join(qs, stratum_col)
+        df.join(
+            qs, F.col(stratum_col).eqNullSafe(F.col("__iqr_stratum"))
+        )
         .select(
             *df.columns,
             ((v10 < lo) | (v10 > hi)).alias("is_outlier"),
@@ -1369,7 +1424,11 @@ def robust_stats(
     return dev.groupBy(stratum_col).agg(
         (F.min("__m2") / 2).alias("median"),
         mad_agg,
-        F.count(F.lit(1)).alias("n"),
+        # count the MEDIAN/MAD POPULATION (non-null deviations), not
+        # raw rows: percentile ignores NULL values, so count(*) would
+        # overstate the sample size behind the reported median for any
+        # stratum with NULL values (review finding)
+        F.count(F.col("__d2")).alias("n"),
     )
 
 
@@ -1708,11 +1767,7 @@ def merge_rollup(*states: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     key), so the merge's shuffle moves rows ∝ distinct keys — at any
     corpus size.
     """
-    if not states:
-        raise ValueError("merge_rollup needs at least one state table")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
+    out = _union_states(states, "merge_rollup")
     return out.groupBy(*[F.col(k) for k in keys]).agg(
         F.sum("n").alias("n"),
         F.sum("sum_v").alias("sum_v"),
@@ -1781,11 +1836,7 @@ def merge_distinct_rollup(
     Mixed-lgk inputs raise by default (see
     :func:`distinct_rollup_state`); ``allow_different_lgk=True`` opts
     into the coarser-accuracy union for an lgk migration."""
-    if not states:
-        raise ValueError("merge_distinct_rollup needs at least one state")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
+    out = _union_states(states, "merge_distinct_rollup")
     return out.groupBy(*[F.col(k) for k in keys]).agg(
         F.hll_union_agg(F.col("hll"), allow_different_lgk).alias("hll"),
     )
@@ -1870,11 +1921,44 @@ def _monoid_partials(
     key_list = list(keys)
     state_names = list(spec.state_cols)
     out_schema = spec.schema_for(df, keys)
+    # Integral key columns cross the Arrow boundary as float64 whenever
+    # a batch carries a NULL key (numpy has no nullable int): above
+    # 2^53 that float silently MERGES distinct keys and the cast back
+    # rounds key values — the exact hazard the heavy-hitters item cast
+    # documents, but for KEYS (review finding). Restore exactness via
+    # pandas' nullable Int64 inside the kernel; values past 2^53 refuse
+    # loudly instead of corrupting.
+    integral_keys = {
+        f.name
+        for f in df.schema.fields
+        if f.name in keys
+        and f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+
+    def _restore_int_keys(pdf):
+        for c in integral_keys:
+            col = pdf[c]
+            if col.dtype.kind != "f":
+                continue
+            present = col.dropna()
+            # >= 2^53, not >: (2^53)+1 ROUNDS TO exactly 2^53 on the
+            # way in, so a float at the boundary is already ambiguous —
+            # the original integer is unrecoverable
+            if (present.abs() >= 2.0**53).any():
+                raise ValueError(
+                    f"monoid state: NULL-bearing integral key column "
+                    f"{c!r} was float-upcast across Arrow and holds "
+                    f"values at or beyond 2^53 — float64 cannot "
+                    f"represent them exactly (distinct keys would "
+                    f"merge); cast the key to string upstream"
+                )
+            pdf[c] = col.astype("Int64")
+        return pdf
 
     def build(batches):
         states: dict = {}
         for pdf in batches:
-            pdf = spec.prepare_batch(pdf)
+            pdf = spec.prepare_batch(_restore_int_keys(pdf))
             if not len(pdf):
                 continue
             for kv, grp in pdf.groupby(key_list, sort=False,
@@ -1890,7 +1974,9 @@ def _monoid_partials(
         rows.update({c: [] for c in state_names})
         for kv, st in states.items():
             for c, v in zip(key_list, kv):
-                rows[c].append(v)
+                # pd.NA (a restored NULL key) must go back as None —
+                # Arrow rejects NA inside an object column
+                rows[c].append(None if v is pd.NA else v)
             packed = spec.pack(st)
             for c in state_names:
                 rows[c].append(packed[c])
@@ -1920,18 +2006,30 @@ def _monoid_merge_states(
     return state.groupBy(*key_list).applyInPandas(merge, schema)
 
 
+def _union_states(states: tuple, what: str) -> DataFrame:
+    """Shared union fold of the six ``merge_*`` families: every merge
+    starts by unioning per-split state tables (aggregate-sized rows)
+    before its one canonical per-key merge. ONE copy of the fold and
+    its empty-input guard so a future change (allowMissingColumns, a
+    schema pre-check) lands everywhere at once (review finding: six
+    inline copies had already been pasted)."""
+    if not states:
+        raise ValueError(f"{what} needs at least one state table")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def _monoid_union_merge(
     states: tuple, keys: tuple[str, ...], spec: _MonoidSpec, what: str
 ) -> DataFrame:
     """Shared body of the public ``merge_*`` fns: union per-split state
     tables, then one canonical per-key merge — shuffle ∝ distinct keys ×
     state size, never the data."""
-    if not states:
-        raise ValueError(f"{what} needs at least one state table")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
-    return _monoid_merge_states(out, keys, spec)
+    return _monoid_merge_states(
+        _union_states(states, what), keys, spec
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2837,11 +2935,7 @@ def merge_minhash_rollup(
     zero Python. Mixed (n_hashes, seed) contracts raise AT EXECUTION
     (``raise_error`` — the check rides the same expression tree, so
     the lazy-plan convention of the other merge fns is preserved)."""
-    if not states:
-        raise ValueError("merge_minhash_rollup needs at least one state")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
+    out = _union_states(states, "merge_minhash_rollup")
     gathered = out.groupBy(*keys).agg(
         F.collect_list("mh_sig").alias("__sigs"),
         F.count_distinct(F.struct("mh_n", "mh_seed")).alias("__nc"),
@@ -3213,11 +3307,7 @@ def merge_linreg_rollup(
     raise AT EXECUTION (``raise_error`` rides the expression tree —
     the family's lazy-plan convention): sums at different scales are
     different units."""
-    if not states:
-        raise ValueError("merge_linreg_rollup needs at least one state")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
+    out = _union_states(states, "merge_linreg_rollup")
     scale_t = dict(out.dtypes)["lr_sx"]
     sq_t = dict(out.dtypes)["lr_sxx"]
     gathered = out.groupBy(*[F.col(k) for k in keys]).agg(
@@ -3385,11 +3475,7 @@ def merge_corr_rollup(
     (any m). Mixed (cols, scale) contracts raise AT EXECUTION, the
     family convention: sums over different feature sets or units are
     different animals."""
-    if not states:
-        raise ValueError("merge_corr_rollup needs at least one state")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
+    out = _union_states(states, "merge_corr_rollup")
     dtypes = dict(out.dtypes)
 
     def _idx(name: str) -> tuple:

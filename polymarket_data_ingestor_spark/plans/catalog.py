@@ -2627,7 +2627,7 @@ def q_next_event_examples(spark, sf_dir):
            min(m2) / 2 AS median,
            quantile_cont(abs(CAST(cents AS DOUBLE) * 2 - m2), 0.5) / 2
              AS mad,
-           count(*) AS n
+           count(cents) AS n
     FROM c JOIN m USING (l_returnflag)
     GROUP BY c.l_returnflag
     """,

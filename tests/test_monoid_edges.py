@@ -1437,3 +1437,35 @@ def test_cli_lake_stats_corr_multistat(spark, tmp_path, monkeypatch,
     lines2 = sorted(ln for ln in out2.splitlines() if "'corr'" in ln)
     lines3 = sorted(ln for ln in out3.splitlines() if "'corr'" in ln)
     assert lines2 == lines3 and lines2
+
+
+def test_integral_keys_survive_arrow_null_upcast_exactly(spark):
+    """A NULL-bearing bigint key batch is float64-upcast across Arrow
+    (numpy has no nullable int): without the scaffold's Int64
+    restoration, key values above 2^53 silently MERGE distinct keys
+    and round on the way back (review finding — the hazard the
+    heavy-hitters ITEM cast documents, for KEYS). Within 2^53 the
+    restoration is exact incl. the NULL key; beyond it the kernel
+    refuses loudly."""
+    import pytest
+
+    big_a = (1 << 53) - 2   # distinct, adjacent, float-representable
+    big_b = (1 << 53) - 1
+    df = spark.createDataFrame(
+        [(big_a, 1.0), (big_b, 2.0), (None, 3.0), (big_a, 4.0)],
+        "k bigint, v double",
+    ).coalesce(1)  # one batch -> the NULL forces the float upcast
+    st = quantile_rollup_state(df, ("k",), "v", k=16)
+    got = {r["k"]: r for r in st.collect()}
+    assert set(got) == {big_a, big_b, None}
+    # per-key level-0 buffers carry the right values — two distinct
+    # keys, not one float-merged key
+    assert sorted(got[big_a]["q_levels"][0]) == [1.0, 4.0]
+    assert got[big_b]["q_levels"][0] == [2.0]
+    assert got[None]["q_levels"][0] == [3.0]
+
+    over = spark.createDataFrame(
+        [((1 << 53) + 1, 1.0), (None, 2.0)], "k bigint, v double"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="2\\^53|beyond"):
+        quantile_rollup_state(over, ("k",), "v", k=16).collect()

@@ -1946,3 +1946,108 @@ def test_minhash_entry_empty_text_parity_with_oracle(spark, tmp_path):
     want = con.execute(CATALOG["minhash_rollup"].sql).fetchall()
     want = sorted((r[0], r[1], r[2]) for r in want)
     assert got == want
+
+
+def test_dq_profile_and_funnel_survive_hostile_names(spark):
+    """stack()-free unpivots: quoted/dashed column names and
+    quote-bearing step names must neither break the plan nor inject
+    into it (review finding — the defect class dq_check documents)."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        dq_profile,
+        funnel_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["bid-ask", "o'brien"]
+    )
+    rows = {r["col_name"]: r for r in dq_profile(df).collect()}
+    assert set(rows) == {"bid-ask", "o'brien"}
+    assert rows["o'brien"]["n_nulls"] == 1
+    assert rows["bid-ask"]["completeness_permyriad"] == 10000
+
+    events = spark.createDataFrame(
+        [(1, "signup", "2024-01-01T00:00:00"),
+         (1, "O'Brien's market", "2024-01-01T00:00:01"),
+         (2, "signup", "2024-01-01T00:00:02")],
+        "user_id long, event_type string, ts string",
+    )
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(
+            events, ["signup", "O'Brien's market"]
+        ).collect()
+    }
+    assert out == {"signup": 2, "O'Brien's market": 1}
+
+
+def test_value_histogram_expression_like_column_name(spark):
+    """Bins must come from the NAMED column, not from arithmetic over
+    other columns that happen to spell its name (review finding: the
+    old f-string DIV parsed 'a-b' as a minus b)."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(100, 1, 5), (100, 1, 15)], ["a", "b", "a-b"]
+    )
+    rows = {r["bin"]: r["n"] for r in
+            value_histogram(df, "a-b", 0, 20, 2).collect()}
+    # values 5 and 15 -> bins 0 and 1; the old parse (a - b = 99)
+    # would put both in overflow
+    assert rows == {0: 1, 1: 1}
+
+
+def test_iqr_outliers_keeps_null_stratum_rows(spark):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        iqr_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 12), ("a", 11), ("a", 1000),
+         (None, 5), (None, 6), (None, 7), (None, 900)],
+        "g string, v long",
+    )
+    out = iqr_outliers(df, "v", "g")
+    assert out.count() == 8  # NULL-stratum rows kept (review finding)
+    flags = {(r["g"], r["v"]): r["is_outlier"] for r in out.collect()}
+    assert flags[("a", 1000)] is True and flags[(None, 900)] is True
+    assert flags[("a", 11)] is False and flags[(None, 6)] is False
+
+
+def test_funnel_multipass_parity_on_null_timestamps(spark):
+    """A user whose step-0 events all have NULL ts must drop from BOTH
+    funnel forms (review finding: multipass kept the user with a NULL
+    frontier, diverging from the array form's contract)."""
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        funnel_steps,
+        funnel_steps_multipass,
+    )
+
+    events = spark.createDataFrame(
+        [(1, "view", "2024-01-01T00:00:00"),
+         (1, "click", "2024-01-01T00:00:01"),
+         (2, "view", None),
+         (2, "click", "2024-01-01T00:00:02")],
+        "user_id long, event_type string, ts string",
+    )
+    a = sorted(map(tuple, funnel_steps(
+        events, ["view", "click"]).collect()))
+    b = sorted(map(tuple, funnel_steps_multipass(
+        events, ["view", "click"]).collect()))
+    assert a == b
+    assert [r[0] for r in a] == [1]
+
+
+def test_robust_stats_n_counts_value_population(spark):
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        robust_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", None), ("a", None)],
+        "g string, v long",
+    )
+    row = robust_stats(df, "v", "g").first()
+    # median/MAD describe the 2 non-null values; n must agree
+    assert row["n"] == 2 and row["median"] == 15.0
