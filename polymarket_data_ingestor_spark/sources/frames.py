@@ -89,10 +89,35 @@ def read_frames(
         )
         reader = reader.option("columnNameOfCorruptRecord", "corrupt_record")
     df = reader.schema(schema).json(list(paths))
+    # line_id — the within-hour ordering key — is layout-dependent:
+    #
+    # * flat collector files (<hour>.jsonl): monotonically_increasing_id
+    #   preserves line order within the single file's splits;
+    # * the streaming sink's hour=<hour>/part-* layout: an hour dir
+    #   holds one part file PER MICRO-BATCH, and Spark plans splits by
+    #   SIZE (descending), so a larger later-batch file can take lower
+    #   id ranges than a smaller earlier one — an older book snapshot
+    #   would replay after newer deltas (review finding; the cross-FILE
+    #   form of the bug file_hour_col closed). There the frame's own
+    #   collector timestamp is the ordering contract (monotone per
+    #   collector, exactly read_frames_stream's documented live-mode
+    #   key), so line_id = unix_micros(timestamp).
+    #
+    # Mixing a flat file and an hour dir FOR THE SAME HOUR in one read
+    # would compare the two key kinds and is unsupported (the CLI's
+    # duplicate-hour dedup refuses sibling files already).
+    part_layout = F.regexp_extract(
+        F.input_file_name(), _HOUR_DIR_RE, 1
+    ) != ""
     return df.select(
         "*",
         file_hour_col().alias("file_hour"),
-        F.monotonically_increasing_id().alias("line_id"),
+        F.when(
+            part_layout,
+            F.unix_micros(F.to_timestamp("timestamp")),
+        )
+        .otherwise(F.monotonically_increasing_id())
+        .alias("line_id"),
     )
 
 

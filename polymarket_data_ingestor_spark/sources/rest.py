@@ -15,6 +15,7 @@ retry logic is fully testable offline; wiring a real transport is one
 from __future__ import annotations
 
 import base64
+import json
 import time
 from typing import Any, Callable, Iterable
 
@@ -48,7 +49,10 @@ def _fetch_with_retry(fetch_page: FetchPage, cursor: str) -> dict:
             return fetch_page(cursor)
         except Exception as e:  # noqa: BLE001
             last = e
-            time.sleep(0.5 * (attempt + 1))
+            if attempt + 1 < MAX_RETRIES:
+                # no sleep after the FINAL failure — it only delayed
+                # the raise by the longest backoff (review finding)
+                time.sleep(0.5 * (attempt + 1))
     raise RuntimeError(f"page fetch failed after {MAX_RETRIES} tries") from last
 
 
@@ -87,12 +91,21 @@ def fetch_sampling_markets(fetch_page: FetchPage) -> list[dict]:
     """Sequential next_cursor pagination (S2, ``mod.rs:221-250``)."""
     out: list[dict] = []
     cursor = ""
+    seen: set[str] = set()
     while True:
         page = _fetch_with_retry(fetch_page, cursor)
         out.extend(page.get("data") or [])
         cursor = page.get("next_cursor") or END_CURSOR
         if cursor == END_CURSOR:
             break
+        if cursor in seen:
+            # same protocol-error guard as fetch_markets: a repeated
+            # next_cursor would spin forever and grow `out` unboundedly
+            # (review finding — the sibling guarded, this one didn't)
+            raise RuntimeError(
+                f"non-advancing next_cursor {cursor!r} (already visited)"
+            )
+        seen.add(cursor)
     return out
 
 
@@ -116,8 +129,14 @@ def markets_to_df(spark: Any, markets: list[dict]):
     rows = []
     for m in markets:
         row = {k: m.get(k) for k in known if k != "other"}
+        # JSON, not repr, for non-string dynamic values: str() turned
+        # {"a": 1} into "{'a': 1}" — single-quoted python repr no JSON
+        # parser downstream can decode — and True/None into 'True'/
+        # 'None' (review finding). Strings pass through unchanged.
         row["other"] = {
-            k: str(v) for k, v in m.items() if k not in known
+            k: (v if isinstance(v, str) else json.dumps(v))
+            for k, v in m.items()
+            if k not in known
         } or None
         rows.append(row)
     return spark.createDataFrame(rows, MARKET_SCHEMA)

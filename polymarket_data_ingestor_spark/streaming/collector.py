@@ -153,24 +153,50 @@ class FrameWriter:
         # can't be read back (e.g. a truncated gzip member), suppress
         # the manifest for THIS file instead: no sidecar → the gate
         # falls back to the raw scan, which is the honest answer.
+        needs_newline = False
         try:
             if p.exists() and p.stat().st_size > 0:
                 opener = gzip.open if self.compress else open
+                last_line = None
                 with opener(p, "rt", encoding="utf-8") as fh:
                     for line in fh:
+                        last_line = line
                         _manifest.count_book_assets(
                             line.rstrip("\n"), self._book_counts
                         )
+                # a crash mid-write can leave a TORN final line with no
+                # newline: appending straight after it would glue the
+                # next frame onto the fragment into one malformed line
+                # that PERMISSIVE parsing silently drops BOTH halves of
+                # (review finding) — terminate it first
+                needs_newline = (
+                    last_line is not None and not last_line.endswith("\n")
+                )
         except (OSError, EOFError, UnicodeDecodeError, zlib.error):
             # BadGzipFile is OSError; a truncated gzip tail raises
             # EOFError mid-iteration; a bit-flipped deflate stream
             # raises zlib.error (none of these subclass each other)
             self._manifest_ok = False
             self._book_counts = {}
+            if self.compress:
+                # NEVER append a fresh gzip member after a truncated
+                # one: every reader (python gzip, the Hadoop codec)
+                # stops at the corrupt member, so all post-restart
+                # frames would be unreadable (review finding). Move the
+                # remnant aside for manual salvage and start clean.
+                n = 0
+                while True:
+                    aside = p.with_name(f"{p.name}.torn-{n}")
+                    if not aside.exists():
+                        break
+                    n += 1
+                p.rename(aside)
         if self.compress:
             self._fh = gzip.open(p, "at", encoding="utf-8")
         else:
             self._fh = open(p, "a", encoding="utf-8")
+        if needs_newline:
+            self._fh.write("\n")
 
     def _hour(self, dt: datetime) -> datetime:
         return dt.replace(minute=0, second=0, microsecond=0)
@@ -203,12 +229,39 @@ class FrameWriter:
         self._fh.close()
         name = self._current_hour.strftime("%Y-%m-%d-%H") + self._ext()
         target = self.out_dir / name
-        self._current_path().rename(target)
+        cur = self._current_path()
+        if target.exists():
+            # A same-hour restart already rotated a segment for this
+            # hour: a plain rename would silently REPLACE it, losing
+            # the earlier segment forever with a matching sidecar to
+            # hide it (review finding). Concatenate instead — valid
+            # for both layouts (JSONL lines; gzip members are
+            # concatenable) — and merge the prior sidecar's counts so
+            # the gate statistic still covers the whole file.
+            import shutil
+
+            prior = _manifest.read_manifest_counts(target)
+            with open(cur, "rb") as src, open(target, "ab") as dst:
+                shutil.copyfileobj(src, dst)
+            cur.unlink()
+            if prior is not None and self._manifest_ok:
+                for a, c in prior.items():
+                    self._book_counts[a] = (
+                        self._book_counts.get(a, 0) + c
+                    )
+            else:
+                self._manifest_ok = False
+        else:
+            cur.rename(target)
         # the file is immutable from here: persist its gate statistic
         # (unless crash recovery could not reconstruct the leftover
         # lines' counts — then no sidecar, and the gate scans)
         if self._manifest_ok:
             _manifest.write_manifest(target, self._book_counts)
+        else:
+            # drop any now-stale sidecar from the replaced segment so
+            # nothing ever reads counts that no longer match the file
+            _manifest.manifest_path(target).unlink(missing_ok=True)
         self._book_counts = {}
         self._manifest_ok = True
         return target
@@ -312,29 +365,57 @@ class ConnectionState:
         )
 
 
+#: Liveness cap on the escalated backoff — a deliberate deviation from
+#: the reference, whose reconnecter sleeps in its own tokio task while
+#: ping tasks keep running (``connection.rs:288-360``): this port is
+#: single-threaded, so an unbounded ``error_count``-second sleep would
+#: starve the 15 s app-level pings of every HEALTHY connection and the
+#: server would drop them for inactivity (review finding).
+ESCALATED_BACKOFF_CAP_S = 10.0
+
+
+def _batch_escalates(batch_size: int, failed_in_batch: int) -> bool:
+    """The ONE copy of the majority rule (``reconnecter.rs:87-90``):
+    ``n_errors >= n/2`` with INTEGER division — exactly-half batches
+    (2 of 4) and 2-of-5 escalate; zero failures never do. (The old
+    public form tested a strict majority, ``failed*2 > batch``,
+    silently diverging from :func:`collect`'s inline rule AND the
+    reference — review finding.)"""
+    return (
+        batch_size > 0
+        and failed_in_batch >= max(batch_size // 2, 1)
+    )
+
+
 def reconnect_backoff(batch_size: int, failed_in_batch: int,
                       error_count: int) -> float:
     """Backoff policy (``reconnecter.rs:182-196``): 500 ms normally;
-    ``max(error_count, 3)`` seconds when the majority of a reconnect batch
-    failed."""
-    if batch_size > 0 and failed_in_batch * 2 > batch_size:
-        return float(max(error_count, 3))
+    ``max(error_count, 3)`` seconds — capped at
+    :data:`ESCALATED_BACKOFF_CAP_S` for single-threaded ping liveness —
+    when the last reconnect batch half-or-more failed. This IS the
+    function :func:`collect` sleeps on (no inline twin to drift)."""
+    if _batch_escalates(batch_size, failed_in_batch):
+        return min(float(max(error_count, 3)), ESCALATED_BACKOFF_CAP_S)
     return NORMAL_BACKOFF_S
 
 
 def next_reconnect_batch(pending: list[ConnectionState]) -> list[ConnectionState]:
     """Up to 50 connections reconnect in parallel (``mod.rs:17``),
-    splitting any that qualify first (T4)."""
+    splitting any that qualify first (T4). A split landing AT the cap
+    keeps both halves (one-over, like :func:`collect`'s inline
+    assembly) — the old ``batch[:50]`` silently dropped the second
+    half, losing its markets from the returned batch (review
+    finding)."""
     batch: list[ConnectionState] = []
     for conn in pending:
+        if len(batch) >= MAX_PARALLEL_OPENS:
+            break
         if conn.should_split():
             a, b = conn.split()
             batch.extend([a, b])
         else:
             batch.append(conn)
-        if len(batch) >= MAX_PARALLEL_OPENS:
-            break
-    return batch[:MAX_PARALLEL_OPENS]
+    return batch
 
 
 #: App-level ping payload (``connection.rs:334``).
@@ -522,6 +603,20 @@ def collect(
         live.remove(lc)
         pending.append(lc.state)
 
+    def _service_pings() -> None:
+        # the ONE ping pass: called from the drain loop AND between the
+        # reconnect path's sleeps/sequential opens, so a slow batch of
+        # failing opens can no longer starve healthy connections past
+        # the 15 s ping deadline (review finding)
+        for lc in list(live):
+            if clock() >= lc.next_ping:
+                try:
+                    lc.sock.send(PING_TEXT)
+                    lc.next_ping = clock() + PING_INTERVAL_S
+                except TransportClosed:
+                    _drop(lc)
+
+    prev_batch_size = prev_failed = 0
     try:
         while not stop():
             if not pending and not live:
@@ -531,9 +626,15 @@ def collect(
                 sleep(NORMAL_BACKOFF_S)
                 continue
             if pending:
-                # Backoff before each reconnect batch (reconnecter.rs:182-196)
-                sleep(float(max(error_count, 3)) if error_count > 0
-                      else NORMAL_BACKOFF_S)
+                # Backoff before each reconnect batch — the ONE policy
+                # function (reconnect_backoff), keyed on the LAST
+                # batch's outcome like the reference, liveness-capped;
+                # pings serviced on both sides of the sleep
+                _service_pings()
+                sleep(reconnect_backoff(
+                    prev_batch_size, prev_failed, error_count
+                ))
+                _service_pings()
                 # Assemble a batch of ≤50, splitting qualifying connections
                 # first (reconnecter.rs:199-230)
                 batch: list[ConnectionState] = []
@@ -558,25 +659,22 @@ def collect(
                     else:
                         live.append(lc)
                         _mark_opened(st)
-                # Half-or-more-failed batches escalate the backoff: the
-                # reference tests n_errors >= n/2 with INTEGER division
-                # (reconnecter.rs:87-90), so exactly-half batches (2 of
-                # 4) and the 2-of-5 case escalate too.
+                    # each sequential open can block up to the 10 s
+                    # initial-read timeout — keep healthy connections
+                    # pinged between opens
+                    _service_pings()
+                # Half-or-more-failed batches escalate the backoff
+                # (_batch_escalates — the shared integer-division rule)
+                prev_batch_size, prev_failed = len(batch), failed
                 if failed == 0:
                     error_count = 0
-                elif failed >= len(batch) // 2:
+                elif _batch_escalates(len(batch), failed):
                     error_count += 1
 
-            # Service every live connection: pings when due, then drain
-            # available text frames into the writer.
+            # Service every live connection: pings when due (the shared
+            # pass), then drain available text frames into the writer.
+            _service_pings()
             for lc in list(live):
-                if clock() >= lc.next_ping:
-                    try:
-                        lc.sock.send(PING_TEXT)
-                        lc.next_ping = clock() + PING_INTERVAL_S
-                    except TransportClosed:
-                        _drop(lc)
-                        continue
                 for _ in range(_DRAIN_LIMIT):
                     try:
                         msg = lc.sock.recv(timeout=poll_timeout)

@@ -124,6 +124,15 @@ def test_reconnect_backoff_policy():
     assert reconnect_backoff(10, 6, 7) == 7.0  # majority → max(errors, 3)
     assert reconnect_backoff(10, 6, 1) == 3.0  # floor of 3 s
     assert reconnect_backoff(0, 0, 0) == 0.5
+    # integer-division rule (reconnecter.rs:87-90): exactly half
+    # escalates — the old strict-majority form let 2-of-4 slip,
+    # diverging from collect's inline rule (review finding)
+    assert reconnect_backoff(4, 2, 1) == 3.0
+    assert reconnect_backoff(5, 2, 1) == 3.0
+    assert reconnect_backoff(1, 1, 0) == 3.0
+    # single-threaded liveness cap: the escalated sleep never starves
+    # the 15 s ping deadline unboundedly
+    assert reconnect_backoff(4, 2, 99) == 10.0
 
 
 def test_next_reconnect_batch_splits_and_caps():
@@ -2607,3 +2616,181 @@ def test_window_state_and_rollup_listing_guards(spark, tmp_path):
         d.mkdir(parents=True)
         (d / "_SUCCESS").write_text("")
     assert _rollup_versions(spark, str(state)) == [-3, 1]
+
+
+def test_frame_writer_same_hour_restart_concatenates(tmp_path):
+    """A restart WITHIN an hour must not destroy the hour's earlier
+    rotated segment: rotation concatenates onto an existing same-name
+    file (valid for JSONL and gzip members alike) and merges the
+    sidecar counts (review finding: Path.rename silently REPLACED the
+    file, with a matching manifest hiding the loss)."""
+    from polymarket_data_ingestor_spark import manifest as _manifest
+
+    clock = {"now": datetime(2025, 9, 30, 14, 10, 0, tzinfo=timezone.utc)}
+    book = json.dumps([{"event_type": "book", "asset_id": "a1"}])
+
+    w1 = FrameWriter(tmp_path, markets=make_markets(),
+                     now=lambda: clock["now"])
+    w1.handle_message(book)
+    w1.shutdown()  # rotates 2025-09-30-14.jsonl (segment 1)
+    target = tmp_path / "2025-09-30-14.jsonl"
+    seg1_lines = target.read_text().splitlines()
+
+    clock["now"] += timedelta(minutes=5)  # restart, SAME hour
+    w2 = FrameWriter(tmp_path, markets=make_markets(),
+                     now=lambda: clock["now"])
+    w2.handle_message(book)
+    w2.handle_message(book)
+    w2.shutdown()
+
+    lines = target.read_text().splitlines()
+    assert lines[: len(seg1_lines)] == seg1_lines  # segment 1 intact
+    assert len(lines) > len(seg1_lines)
+    # merged sidecar covers the WHOLE concatenated file
+    counts = _manifest.read_manifest_counts(target)
+    assert counts is not None
+    raw = {}
+    for ln in lines:
+        _manifest.count_book_assets(ln, raw)
+    assert counts == raw
+
+
+def test_frame_writer_gzip_torn_tail_moved_aside(tmp_path):
+    """A truncated gzip member left by a crash must be moved ASIDE,
+    never appended to: every reader stops at the corrupt member, so
+    appending would make ALL post-restart frames unreadable (review
+    finding)."""
+    import gzip as _gzip
+
+    cur = tmp_path / "current"
+    cur.mkdir(parents=True, exist_ok=True)
+    torn = cur / "log.jsonl.gz"
+    blob = _gzip.compress(b'{"timestamp":"t","message_type":"m"}\n')
+    torn.write_bytes(blob[: len(blob) - 6])  # truncate the member
+
+    clock = {"now": datetime(2025, 9, 30, 14, 0, 0, tzinfo=timezone.utc)}
+    w = FrameWriter(tmp_path, markets=make_markets(), compress=True,
+                    now=lambda: clock["now"])
+    w.handle_message(json.dumps([{"event_type": "book",
+                                  "asset_id": "a1"}]))
+    clock["now"] += timedelta(hours=1)
+    w.handle_message("PONG")
+    w.shutdown()
+    out = tmp_path / "2025-09-30-14.jsonl.gz"
+    # the rotated file is FULLY readable end to end
+    with _gzip.open(out, "rt", encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    assert len(lines) >= 2  # active_markets header + the book frame
+    for ln in lines:
+        json.loads(ln)
+    # the torn remnant survives for manual salvage
+    assert list(cur.glob("log.jsonl.gz.torn-*"))
+
+
+def test_frame_writer_terminates_torn_final_line(tmp_path):
+    """A torn final line (crash mid-write, no newline) must not glue
+    the next frame onto it — PERMISSIVE parsing would drop BOTH
+    (review finding)."""
+    cur = tmp_path / "current"
+    cur.mkdir(parents=True, exist_ok=True)
+    (cur / "log.jsonl").write_text('{"timestamp":"t","message_')
+
+    clock = {"now": datetime(2025, 9, 30, 14, 0, 0, tzinfo=timezone.utc)}
+    w = FrameWriter(tmp_path, markets=make_markets(),
+                    now=lambda: clock["now"])
+    w.handle_message(json.dumps([{"event_type": "book",
+                                  "asset_id": "a1"}]))
+    clock["now"] += timedelta(hours=1)
+    w.handle_message("PONG")
+    w.shutdown()
+    lines = (tmp_path / "2025-09-30-14.jsonl").read_text().splitlines()
+    # the torn fragment is its own (malformed) line; every LATER line
+    # parses — nothing was glued to the fragment
+    assert lines[0] == '{"timestamp":"t","message_'
+    for ln in lines[1:]:
+        json.loads(ln)
+
+
+def test_streamed_lake_multiple_parts_per_hour_replay_order(
+    spark, tmp_path
+):
+    """Two micro-batches landing in ONE hour dir produce two part
+    files; split planning orders them by SIZE, so line_id must come
+    from the frame timestamp, not monotonically_increasing_id — or an
+    older snapshot replays after newer deltas (review finding)."""
+    from polymarket_data_ingestor_spark.sources.frames import read_frames
+    from polymarket_data_ingestor_spark.streaming.live import (
+        write_frames_stream,
+    )
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    # ONE hour split across two source files -> two micro-batches ->
+    # two part files in the same hour dir. File A (earlier frames) is
+    # made much LARGER than file B so size-ordered planning would
+    # reverse them under the old monotonic line_id.
+    def frame(ts, content):
+        return json.dumps({"timestamp": ts, "message_type":
+                           "feed_message", "content": content})
+
+    # the EARLIER file must be the SMALLER one: size-descending split
+    # planning then gives the LATER (big) file the lower
+    # monotonically_increasing_id range, which is exactly the reversal
+    # the old line_id silently produced (an earlier big file would
+    # mask the bug by accident)
+    pad = " " * 4000
+    a_lines = [
+        frame(
+            "2025-09-30T14:00:00+00:00",
+            json.dumps([{"event_type": "book",
+                         "timestamp": "1700000000000",
+                         "market": "m", "asset_id": "a1",
+                         "bids": [{"price": "0.300", "size": "1"}],
+                         "asks": []}]),
+        ),
+        frame(
+            "2025-09-30T14:00:01+00:00",
+            json.dumps([{"event_type": "price_change",
+                         "timestamp": "1700000000001",
+                         "market": "m", "asset_id": "a1",
+                         "changes": [{"price": "0.400", "size": "5",
+                                      "side": "BUY"}]}]),
+        ),
+    ]
+    b_lines = [frame(
+        "2025-09-30T14:00:30+00:00",
+        json.dumps([{"event_type": "price_change",
+                     "timestamp": "1700000000030", "market": "m" + pad,
+                     "asset_id": "a1",
+                     "changes": [{"price": "0.350", "size": "2",
+                                  "side": "BUY"}]}]),
+    )] * 5
+    (src / "2025-09-30-14.a.jsonl").write_text("\n".join(a_lines) + "\n")
+    (src / "2025-09-30-14.b.jsonl").write_text("\n".join(b_lines) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            "timestamp string, message_type string, content string"
+        ).option("maxFilesPerTrigger", 1).json(str(src) + "/*.jsonl")
+    )
+    lake = tmp_path / "lake"
+    q = write_frames_stream(stream, str(lake), str(tmp_path / "ckpt"),
+                            compression="none")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hour_dir = lake / "hour=2025-09-30-14"
+    assert len(list(hour_dir.glob("part-*"))) >= 2
+
+    ticks = replay(read_frames(spark, str(lake))).collect()
+    # file B's event adds a bid BELOW the 0.400 top built by file A:
+    # replayed in order, its BBO row shows the standing top (0.4, 5);
+    # replayed size-first (B before A), the book would be empty and
+    # its BBO row would read (0.35, 2)
+    b_bid = [
+        r for r in ticks
+        if r["timestamp"] == "1700000000030" and r["side"] == "BID"
+    ]
+    assert len(b_bid) == 5  # the repeated (idempotent) B event
+    assert {(r["price"], r["size"]) for r in b_bid} == {(0.4, 5.0)}
