@@ -157,11 +157,19 @@ def drop_exact_dupes(
     join key and silently drop every null-content document).
     """
     dg = df.withColumn("__digest", content_digest(key_col))
+    # NULL-id rows bypass the dedup entirely: min() skips NULLs and a
+    # semi-join key never matches NULL, so they previously VANISHED
+    # from the output instead of keeping one row (review finding).
+    # With no usable identity they cannot participate in keep-one
+    # semantics — pass them through unchanged, documented.
+    null_ids = dg.filter(F.col(id_col).isNull()).drop("__digest")
+    dg = dg.filter(F.col(id_col).isNotNull())
     keep = dg.groupBy("__digest").agg(F.min(F.col(id_col)).alias(id_col))
     return (
         dg.join(keep, ["__digest", id_col], "left_semi")
         .dropDuplicates(["__digest", id_col])
         .drop("__digest")
+        .unionByName(null_ids)
     )
 
 
@@ -349,8 +357,6 @@ def substring_trim_docs(
     :func:`remove_boilerplate_lines`). No self-join anywhere: trim is
     LINEAR where pairing is quadratic — no hot-window cap needed.
     """
-    from polymarket_data_ingestor_spark.operators.text import tokens
-
     grams = (
         df
         # NULL ids are unkeyable (and ignored, the monoid convention).
@@ -420,11 +426,20 @@ def substring_trim_docs(
     n_kept = F.coalesce(F.col("__n_kept"), F.lit(0))
     return base.join(rebuilt, id_col, "left").select(
         F.col(id_col),
-        F.when(n_kept == F.col("n_tokens"), F.col(text_col))
+        # NULL-id rows never joined `rebuilt` (they are unkeyable), so
+        # the old coalesce emitted '' — silently DESTROYING their text
+        # (review finding, reproduced). They pass through verbatim.
+        F.when(
+            F.col(id_col).isNull() | (n_kept == F.col("n_tokens")),
+            F.col(text_col),
+        )
         .otherwise(F.coalesce(F.col("__trimmed"), F.lit("")))
         .alias("trimmed_text"),
         F.col("n_tokens"),
-        (F.col("n_tokens") - n_kept).cast("long").alias("n_removed"),
+        F.when(F.col(id_col).isNull(), F.lit(0))
+        .otherwise(F.col("n_tokens") - n_kept)
+        .cast("long")
+        .alias("n_removed"),
     )
 
 
@@ -436,17 +451,21 @@ def _blocked_gram_self_join(
     block_col: str | None,
 ):
     """Shared scaffold for the gram-overlap pair operators: per-doc
-    distinct shingles with the sentinel ``""`` gram REMOVED (blank/NULL
-    text shingles to ``[""]`` — keeping it would make every pair of
-    blank docs a 100%-overlap 'duplicate', a quadratic junk explosion
-    on exactly the degenerate input blocking is meant to contain), then
-    the block-equal ``id <`` self-join. Returns (joined, block column
-    name) with sides aliased ``a``/``b``."""
+    distinct shingles with blank grams REMOVED — not just the ``""``
+    sentinel but any whitespace-only shingle: ``trim`` strips spaces
+    only, so a tab/newline-only doc shingles to ``" "`` and the old
+    ``array_remove(grams, "")`` kept it, pairing every pair of
+    whitespace-only scrape artifacts at 100% similarity — the
+    quadratic junk explosion this guard exists to contain (review
+    finding, reproduced). Then the block-equal ``id <`` self-join.
+    Returns (joined, block column name) with sides aliased
+    ``a``/``b``."""
     grams = df.select(
         F.col(id_col),
         F.col(block_col) if block_col else F.lit(1).alias("__b"),
-        F.array_remove(
-            word_ngrams_vectorized(text_col, n), ""
+        F.filter(
+            word_ngrams_vectorized(text_col, n),
+            lambda g: F.trim(g) != "",
         ).alias("grams"),
     )
     bcol = block_col if block_col else "__b"
@@ -884,6 +903,11 @@ def benchmark_ngram_overlap(
         benchmark.select(
             F.explode(word_ngrams_vectorized(text_col, n)).alias("gram")
         )
+        # a blank/NULL benchmark row shingles to [""]: unfiltered, that
+        # sentinel gram marks every blank CORPUS doc 100% contaminated
+        # (review finding); whitespace-only shingles filtered for the
+        # same reason as _blocked_gram_self_join
+        .filter(F.trim(F.col("gram")) != "")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -978,7 +1002,14 @@ def dup_components(
         labels = (
             labels.union(nbr).groupBy("u").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        s = labels.agg(F.sum("comp")).collect()[0][0]
+        # decimal sum: an int64 sum of 63-bit-scale labels (hash- or
+        # snowflake-derived ids) overflows — ANSI mode throws
+        # ARITHMETIC_OVERFLOW on round one, non-ANSI could wrap to a
+        # spuriously matching total and declare convergence early
+        # (review finding, reproduced live)
+        s = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if s == prev_sum:
             converged = True
             break
@@ -1070,7 +1101,7 @@ def remove_boilerplate_lines(
             F.collect_list(F.struct("pos", "line", "keep"))
         ).alias("ls")
     )
-    return packed.select(
+    cleaned = packed.select(
         F.col(id_col),
         F.array_join(
             F.expr("transform(filter(ls, x -> x.keep), x -> x.line)"),
@@ -1081,6 +1112,17 @@ def remove_boilerplate_lines(
         .cast("long")
         .alias("n_removed"),
     )
+    # NULL-text docs explode to ZERO line rows and would silently
+    # vanish, violating the documented one-row-per-input-doc contract
+    # (review finding, reproduced) — they pass through with NULL
+    # clean_text and zero counts
+    null_rows = docs.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.lit(0).cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    return cleaned.unionByName(null_rows)
 
 
 def dedup_against(

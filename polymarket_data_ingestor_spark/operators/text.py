@@ -76,11 +76,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("double")
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
     mean_tok_len = (n_alnum / n_tok)
-    punct_ratio = (n_chars - n_alnum) / n_chars
-    score = (
+    # empty docs (n_chars = 0) are routine in crawled corpora: an
+    # unguarded division is DIVIDE_BY_ZERO under ANSI mode — this
+    # environment's default — and a silent NULL otherwise (review
+    # finding, reproduced). Explicit NULL ratios/score, pinned.
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - n_alnum) / n_chars
+    )
+    score = F.when(
+        n_chars > 0,
         F.least(n_tok / F.lit(64.0), F.lit(1.0)) * F.lit(0.25)
         + uniq_ratio * F.lit(0.5)
-        + (F.lit(1.0) - punct_ratio) * F.lit(0.25)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.25),
     )
     return df.select(
         "*",
@@ -341,8 +348,6 @@ def length_bucket_batches(
     """
     from pyspark.sql import Window
 
-    from polymarket_data_ingestor_spark.functions.scalars import hash32
-
     base = docs.select(
         F.col(id_col),
         F.greatest(F.size(tokens(text_col)), F.lit(1))
@@ -440,10 +445,28 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     the highest count (ties broken by language code order); no hit at all →
     'und'. Pure regexp_count expressions — vectorized, no UDF.
     """
+    import re as _re
+
+    def _hits(m: str):
+        # \b is ASCII-word-defined in BOTH Java and RE2 regex: CJK
+        # markers (的/是/了) sit between non-word neighbors, so
+        # \b-anchored counts were ALWAYS ZERO and Chinese could never
+        # be detected — and the DuckDB oracle's RE2 \b agreed, the
+        # both-engines-agree-on-garbage failure a hash oracle cannot
+        # see (review finding, reproduced). Non-ASCII-word markers
+        # count plain substring occurrences via the length difference,
+        # an identical integer computation in any engine.
+        if _re.fullmatch(r"\w+", m, flags=_re.ASCII):
+            return F.regexp_count(F.col(text_col), F.lit(rf"\b{m}\b"))
+        c = F.col(text_col)
+        return (
+            (F.length(c) - F.length(F.replace(c, F.lit(m))))
+            / F.lit(len(m))
+        ).cast("int")
+
     counts = {
         lang: sum(
-            (F.regexp_count(F.col(text_col), F.lit(rf"\b{m}\b")) for m in ms),
-            start=F.lit(0),
+            (_hits(m) for m in ms), start=F.lit(0)
         ).alias(f"hits_{lang}")
         for lang, ms in LANG_MARKERS.items()
     }

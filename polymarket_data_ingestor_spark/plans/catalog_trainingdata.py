@@ -58,11 +58,17 @@ def q_text_stats(spark, sf_dir):
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            round(n_alnum / n_tok, 6) AS mean_token_len,
-           round((n_chars - n_alnum) / n_chars, 6) AS punct_ratio,
+           -- empty docs: NULL ratios/score (mirrors quality_score's
+           -- ANSI-safe guard; DuckDB would otherwise produce NaN)
+           CASE WHEN n_chars > 0
+                THEN round((n_chars - n_alnum) / n_chars, 6) END
+             AS punct_ratio,
            round(n_uniq / n_tok, 6) AS unique_ratio,
-           round(least(n_tok / 64.0, 1.0) * 0.25
-                 + (n_uniq / n_tok) * 0.5
-                 + (1.0 - (n_chars - n_alnum) / n_chars) * 0.25, 6) AS quality
+           CASE WHEN n_chars > 0
+                THEN round(least(n_tok / 64.0, 1.0) * 0.25
+                           + (n_uniq / n_tok) * 0.5
+                           + (1.0 - (n_chars - n_alnum) / n_chars)
+                             * 0.25, 6) END AS quality
     FROM (
       SELECT doc_id, toks,
              CAST(len(toks) AS DOUBLE) AS n_tok,
@@ -244,10 +250,23 @@ def q_label_centroids(spark, sf_dir):
 
 
 def _sql_lang_hits(lang: str) -> str:
-    markers = T.LANG_MARKERS[lang]
-    return " + ".join(
-        rf"len(regexp_extract_all(text, '\b{m}\b'))" for m in markers
-    )
+    # mirrors text.py::lang_id's _hits: \b counts for ASCII-word
+    # markers, substring-occurrence counts (length difference) for CJK
+    # markers — RE2's \b is ASCII-word-defined like Java's, so the old
+    # \b-for-everything form made hits_zh identically zero in BOTH
+    # engines (review finding)
+    import re as _re
+
+    parts = []
+    for m in T.LANG_MARKERS[lang]:
+        if _re.fullmatch(r"\w+", m, flags=_re.ASCII):
+            parts.append(rf"len(regexp_extract_all(text, '\b{m}\b'))")
+        else:
+            parts.append(
+                f"CAST((length(text) - length(replace(text, '{m}', '')))"
+                f" / {len(m)} AS INTEGER)"
+            )
+    return " + ".join(parts)
 
 
 @register(
