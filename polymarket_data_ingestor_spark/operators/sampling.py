@@ -223,17 +223,23 @@ def dsir_model(
     # and the 9-dp pre-round absorbs last-ulp ln() differences between
     # engines (the bigram_lm_score discipline). Buckets the target
     # never hit smooth to (0+1)/(ptot+B); the target total __pt must
-    # still cover them, hence the max-over-window after the left join
-    # (all joined rows carry the same total). Buckets the RAW corpus
-    # never hit aren't in the model — per-doc sums over the raw corpus
-    # never need them, and the scorer substitutes __lam0.
+    # still cover them, and it must survive even when raw and target
+    # hit DISJOINT bucket sets — a LEFT join would drop every pcnt row
+    # and silently collapse the total to 0 (wrong weights, caught by
+    # the Hypothesis pin). Hence the FULL outer join: pcnt-only rows
+    # carry the true total into the max-over-window, then drop out of
+    # the model (only raw buckets are model rows — per-doc sums over
+    # the raw corpus never need the others, and the scorer substitutes
+    # __lam0). Still model-sized: <= 2*n_buckets rows cross the join.
     def _ratio(cnt, tot):
         return F.log((cnt + F.lit(1.0)) / (tot + F.lit(n_buckets)))
 
     return (
-        qcnt.join(pcnt, "__b", "left")
-        .withColumn("__pt", F.max("__pt").over(everything))
-        .withColumn("__pt", F.coalesce("__pt", F.lit(0)))
+        qcnt.join(pcnt, "__b", "full")
+        .withColumn(
+            "__pt", F.coalesce(F.max("__pt").over(everything), F.lit(0))
+        )
+        .filter(F.col("__q").isNotNull())
         .select(
             "__b",
             F.round(
