@@ -30,7 +30,7 @@ from hashlib import md5 as _md5
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -143,33 +143,40 @@ def drop_exact_dupes(
 ) -> DataFrame:
     """Materialized exact dedup: keep ONE min-id row per content digest.
 
-    The trailing ``dropDuplicates`` closes the physically-identical-row
-    gap: under at-least-once upstream redelivery a corpus can hold two
-    byte-identical rows (same id, same content) — a semi-join alone
-    keeps every left row that matches, i.e. BOTH copies. Rows that
-    agree on (id, digest) but differ in other columns collapse to one
-    arbitrary survivor (Spark ``dropDuplicates`` semantics — for the
-    redelivery case the copies are identical, so the pick is
-    deterministic). No extra exchange: the semi-join already
-    partitions by the same (digest, id) keys the dedup groups on.
+    ONE corpus scan, ONE exchange: ``row_number()`` over
+    ``Window.partitionBy(digest).orderBy(id NULLS LAST)`` ranks every
+    row of a dedup group; the keeper is rank 1 (the min non-null id —
+    ties on (digest, id), i.e. at-least-once redelivery copies or
+    same-id variants, keep one arbitrary-but-single survivor, the old
+    ``dropDuplicates`` semantics). The previous agg-then-semi-join
+    shape re-derived the corpus subtree once per branch (3 scans after
+    the NULL-passthrough fix — the r13 scan-budget regression); the
+    window reads it once. Skew note for 100 TB: a megadup group (one
+    content value repeated billions of times) lands on a single
+    reducer's external sort either way — the semi-join variant also
+    exchanges on the digest — and AQE's skew handling does not split
+    window partitions, so pathological boilerplate should be routed
+    through :func:`remove_boilerplate_lines` first.
+
+    NULL-id rows bypass the dedup entirely: with no usable identity
+    they cannot participate in keep-one semantics — they pass through
+    unchanged (review finding: min() skips NULLs and a semi-join key
+    never matches NULL, so they previously VANISHED). NULLS LAST in
+    the ranking keeps them from ever shadowing a real keeper; the
+    keep predicate exempts them by ``id IS NULL``.
     NULL content keeps its min-id row like any other group
     (:func:`content_digest`'s sentinel — a raw md5 would NULL the
-    join key and silently drop every null-content document).
+    group key and make every null-content document its own group).
     """
-    dg = df.withColumn("__digest", content_digest(key_col))
-    # NULL-id rows bypass the dedup entirely: min() skips NULLs and a
-    # semi-join key never matches NULL, so they previously VANISHED
-    # from the output instead of keeping one row (review finding).
-    # With no usable identity they cannot participate in keep-one
-    # semantics — pass them through unchanged, documented.
-    null_ids = dg.filter(F.col(id_col).isNull()).drop("__digest")
-    dg = dg.filter(F.col(id_col).isNotNull())
-    keep = dg.groupBy("__digest").agg(F.min(F.col(id_col)).alias(id_col))
+    w = (
+        Window.partitionBy("__digest")
+        .orderBy(F.col(id_col).asc_nulls_last())
+    )
     return (
-        dg.join(keep, ["__digest", id_col], "left_semi")
-        .dropDuplicates(["__digest", id_col])
-        .drop("__digest")
-        .unionByName(null_ids)
+        df.withColumn("__digest", content_digest(key_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col(id_col).isNull() | (F.col("__rn") == 1))
+        .drop("__digest", "__rn")
     )
 
 
@@ -1078,16 +1085,28 @@ def remove_boilerplate_lines(
     each doc's surviving lines by position inside ``array_sort`` — a
     per-row O(k log k) expression, no window, no global sort.
     """
+    # posexplode_OUTER: a NULL-text doc (split -> NULL array) emits ONE
+    # (pos=NULL, line=NULL) sentinel row instead of vanishing from the
+    # explode — the one-row-per-input-doc contract (review finding)
+    # rides the SAME scan rather than a filter+union branch that would
+    # re-derive the corpus subtree (the r13 scan-budget regression).
+    # A NULL pos is unambiguous: real positions are 0..n-1, and split()
+    # of a non-NULL string never yields NULL elements.
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+        F.posexplode_outer(F.split(F.col(text_col), "\n", -1)).alias(
             "pos", "line"
         ),
     ).withColumn("line_md5", F.md5("line"))
     boiler = (
         lines.groupBy("line_md5")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            # the NULL-line sentinel group is never boilerplate (and a
+            # NULL key would never match the join anyway)
+            & F.col("line_md5").isNotNull()
+        )
         .select("line_md5")
         .withColumn("__boiler", F.lit(True))
     )
@@ -1101,28 +1120,28 @@ def remove_boilerplate_lines(
             F.collect_list(F.struct("pos", "line", "keep"))
         ).alias("ls")
     )
-    cleaned = packed.select(
+    # a doc is the NULL-text sentinel iff its (single) packed row has a
+    # NULL pos — it reports NULL clean_text and zero counts
+    is_null_doc = F.col("ls")[0]["pos"].isNull()
+    return packed.select(
         F.col(id_col),
-        F.array_join(
-            F.expr("transform(filter(ls, x -> x.keep), x -> x.line)"),
-            "\n",
-        ).alias("clean_text"),
-        F.expr("size(ls)").cast("long").alias("n_lines"),
-        F.expr("size(filter(ls, x -> NOT x.keep))")
+        F.when(is_null_doc, F.lit(None).cast("string"))
+        .otherwise(
+            F.array_join(
+                F.expr("transform(filter(ls, x -> x.keep), x -> x.line)"),
+                "\n",
+            )
+        )
+        .alias("clean_text"),
+        F.when(is_null_doc, F.lit(0))
+        .otherwise(F.expr("size(ls)"))
+        .cast("long")
+        .alias("n_lines"),
+        F.when(is_null_doc, F.lit(0))
+        .otherwise(F.expr("size(filter(ls, x -> NOT x.keep))"))
         .cast("long")
         .alias("n_removed"),
     )
-    # NULL-text docs explode to ZERO line rows and would silently
-    # vanish, violating the documented one-row-per-input-doc contract
-    # (review finding, reproduced) — they pass through with NULL
-    # clean_text and zero counts
-    null_rows = docs.filter(F.col(text_col).isNull()).select(
-        F.col(id_col),
-        F.lit(None).cast("string").alias("clean_text"),
-        F.lit(0).cast("long").alias("n_lines"),
-        F.lit(0).cast("long").alias("n_removed"),
-    )
-    return cleaned.unionByName(null_rows)
 
 
 def dedup_against(

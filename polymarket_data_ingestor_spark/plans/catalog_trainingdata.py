@@ -1603,17 +1603,37 @@ def q_pca_project_embeddings(spark, sf_dir):
     )
 
 
+def _sql_jl_axis(j: int, d: int = 64, seed: int = 1) -> str:
+    """One JL output axis as a DuckDB sequential fold: the oracle
+    re-derives the sign matrix INDEPENDENTLY from the shared md5
+    parity (never trusting the Spark-side literals) and folds in the
+    same left-to-right order as the Catalyst ``aggregate``. The
+    1/sqrt(k) scale is embedded as an exact double literal so neither
+    engine's pow/sqrt ulp enters the comparison."""
+    signs = (
+        f"list_transform(generate_series(0, {d - 1}), i -> "
+        f"CASE WHEN (('0x' || substr(md5('rp{seed}:{j}:' || i), 1, 8))"
+        f"::BIGINT % 2) = 0 THEN CAST(1 AS DOUBLE) "
+        f"ELSE CAST(-1 AS DOUBLE) END)"
+    )
+    inv = 1.0 / float(8) ** 0.5
+    return (
+        f"{_SQL_DOT.format(a='embedding', b=signs)} * {inv!r} AS rp{j}"
+    )
+
+
 @register(
     "random_projection_embeddings",
-    None,  # rows-only THIS round purely for window-capacity reasons
-    # (ROUND13.md §0: the staleness contract caps oracle-paired entries
-    # at 150 and r13's 50-slot window is exactly full) — unlike the
-    # fitted PCA rotation this construction IS fully SQL-expressible:
-    # sign s_ij = hash32('rp1:' || j || ':' || i) % 2 via the shared md5
-    # primitive and the _SQL_DOT sequential list_reduce fold. r14: move
-    # that oracle into this slot (2 slots free after the r13 driver
-    # run); value correctness is meanwhile pinned BIT-exact against a
-    # sequential python fold in tests/test_trainingdata_ops.py
+    # flipped from rows-only in r14 (the r13 window was at capacity;
+    # ROUND13.md §0) — unlike the fitted PCA rotation this construction
+    # IS fully SQL-expressible because the matrix is a pure function of
+    # (seed, dims); also pinned BIT-exact against a sequential python
+    # fold in tests/test_trainingdata_ops.py
+    f"""
+    SELECT vec_id,
+           {", ".join(_sql_jl_axis(j) for j in range(8))}
+    FROM embeddings
+    """,
     doc="Johnson-Lindenstrauss sign random projection (similarity.py::"
     "random_projection, Achlioptas 2003): 64 -> 8 dims with s_ij = +-1 "
     "from the portable hash32('rp{seed}:{j}:{i}') parity — the FIT-FREE "
@@ -3948,23 +3968,27 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: take the head of the window regardless of staleness so every change
 #: gets a first-party driver row in its own round.
 _CODE_CHANGED_THIS_ROUND = (
-    # EMPTY for r13: the window holds exactly 50 = the 42-entry
-    # r10-stale cohort + 8 never-green r13 entries (kmv_overlap_banded,
-    # substring_trim_materialize, embedding_cluster_dedup,
-    # cluster_balanced_sample, dsir_weights, dsir_resample,
-    # minhash_pairs_banded, nb_classify_lang — never-green sorts first
-    # without being listed here). The two entries whose EXISTING code
-    # changed this round are deliberately not seeded, because seeding
-    # either would evict a 3-rounds-stale entry from the full window:
-    #  - kmv_overlap (kk-embedded contract raise, pair-ranked oracle):
-    #    equally exercised by kmv_overlap_banded (never-green, SAME
-    #    oracle body + banded=True);
-    #  - minhash_source_similarity (routes through the reworked
-    #    _pairwise_state_join): the banded scaffold is exercised by
-    #    BOTH never-green banded twins (minhash_pairs_banded,
-    #    kmv_overlap_banded).
-    # Both were additionally re-verified bit-exact locally this round
-    # at sf0.001/sf0.01 (tools/check.py).
+    # r14: the window holds exactly 50 = the 48-entry r11-stale cohort
+    # + random_projection_embeddings (flipped to oracle-paired this
+    # round → never-green, sorts first without being listed) + this ONE
+    # seed. dsir_weights carries the r14 dsir_model fix (the
+    # target-total collapse on bucket-disjoint corpora) through the
+    # fixed join into a first-party driver row. The other three entries
+    # whose code changed this round are deliberately not seeded —
+    # seeding any would evict a 3-rounds-stale entry from the full
+    # window (the r13 kmv_overlap precedent):
+    #  - dsir_resample: SAME fixed dsir_model + _dsir_decimal_weights
+    #    core as dsir_weights; only its (unchanged) gumbel top-k
+    #    differs, and it was r13-green;
+    #  - curation_pipeline (drop_exact_dupes rewritten to the
+    #    single-scan window form) and line_dedup_clean
+    #    (remove_boilerplate_lines' NULL passthrough folded into the
+    #    one scan via posexplode_outer): plan-shape-only changes whose
+    #    semantics pins stayed green, both r13-green.
+    # All four were re-verified bit-exact locally this round at
+    # sf0.001 AND sf0.01 (tools/check.py), as was
+    # random_projection_embeddings' new oracle.
+    "dsir_weights",
 )
 
 

@@ -8,11 +8,14 @@ this module materializes the contract as explicit sort-key columns:
 
 * ``file_hour`` — the hour bucket parsed from the file name (lexicographic ==
   chronological, same as the reference's filename sort);
-* ``line_id`` — ``monotonically_increasing_id()``, which increases with line
-  order inside each file because (a) ``.zst`` is a non-splittable codec, so a
-  compressed file is always a single read stream, and (b) for splittable
-  plain ``.jsonl``, a file's splits are planned in offset order so partition
-  index (the id's high bits) increases with offset. ``line_id`` values are
+* ``line_id`` — for flat collector files, ``monotonically_increasing_id()``,
+  which increases with line order inside each file because (a) ``.zst`` is a
+  non-splittable codec, so a compressed file is always a single read stream,
+  and (b) for splittable plain ``.jsonl``, a file's splits are planned in
+  offset order so partition index (the id's high bits) increases with offset.
+  For the streaming sink's ``hour=*/part-*`` layout, the sink's persisted
+  batch-major ``seq`` (falling back to ``unix_micros(timestamp)`` for
+  pre-``seq`` lakes — see :func:`read_frames`). ``line_id`` values are
   sparse; only their order within a ``file_hour`` is meaningful.
 * ``msg_idx`` — position of a feed message inside its frame's content array
   (``posexplode``).
@@ -78,17 +81,23 @@ def read_frames(
     """
     if isinstance(paths, str):
         paths = [paths]
-    schema = FRAME_SCHEMA
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # the read schema carries the streaming sink's optional ``seq``
+    # column (NULL in flat collector files, which never wrote one)
+    fields = list(FRAME_SCHEMA.fields) + [
+        StructField("seq", LongType(), True)
+    ]
     reader = spark.read
     if keep_corrupt:
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        schema = StructType(
-            list(FRAME_SCHEMA.fields)
-            + [StructField("corrupt_record", StringType(), True)]
-        )
+        fields.append(StructField("corrupt_record", StringType(), True))
         reader = reader.option("columnNameOfCorruptRecord", "corrupt_record")
-    df = reader.schema(schema).json(list(paths))
+    df = reader.schema(StructType(fields)).json(list(paths))
     # line_id — the within-hour ordering key — is layout-dependent:
     #
     # * flat collector files (<hour>.jsonl): monotonically_increasing_id
@@ -98,10 +107,25 @@ def read_frames(
     #   SIZE (descending), so a larger later-batch file can take lower
     #   id ranges than a smaller earlier one — an older book snapshot
     #   would replay after newer deltas (review finding; the cross-FILE
-    #   form of the bug file_hour_col closed). There the frame's own
-    #   collector timestamp is the ordering contract (monotone per
-    #   collector, exactly read_frames_stream's documented live-mode
-    #   key), so line_id = unix_micros(timestamp).
+    #   form of the bug file_hour_col closed). There the ordering key
+    #   is, in preference order (r13 advisor — the timestamp alone is
+    #   not a total order):
+    #
+    #   1. the sink's PERSISTED ``seq`` (batch-major arrival order,
+    #      write_frames_stream) — a total order that is byte-stable
+    #      across replays because it lives in the data, not in read-time
+    #      split planning;
+    #   2. ``unix_micros(timestamp)`` for lakes written before ``seq``
+    #      existed — monotone per collector, but same-ms bursts keep
+    #      only a DETERMINISTIC-FOR-A-FIXED-LAKE relative order (gzip
+    #      part files are single-split, so within a file the tie order
+    #      is line order; across files it follows Spark's size-ordered
+    #      split planning). Documented residual nondeterminism: adding
+    #      or rewriting files can reorder cross-file same-ms ties;
+    #   3. ``monotonically_increasing_id()`` when the timestamp is NULL
+    #      or unparseable — such frames sort FIRST within their hour
+    #      (mono ids are ~2^33-scale, micros ~2^50-scale) instead of
+    #      the undefined NULL placement the advisor flagged.
     #
     # Mixing a flat file and an hour dir FOR THE SAME HOUR in one read
     # would compare the two key kinds and is unsupported (the CLI's
@@ -110,11 +134,15 @@ def read_frames(
         F.input_file_name(), _HOUR_DIR_RE, 1
     ) != ""
     return df.select(
-        "*",
+        *[c for c in df.columns if c != "seq"],
         file_hour_col().alias("file_hour"),
         F.when(
             part_layout,
-            F.unix_micros(F.to_timestamp("timestamp")),
+            F.coalesce(
+                F.col("seq"),
+                F.unix_micros(F.to_timestamp("timestamp")),
+                F.monotonically_increasing_id(),
+            ),
         )
         .otherwise(F.monotonically_increasing_id())
         .alias("line_id"),

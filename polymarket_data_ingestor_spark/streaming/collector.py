@@ -28,6 +28,7 @@ from __future__ import annotations
 import gzip
 import io
 import json
+import os
 import time
 import zlib
 from datetime import datetime, timezone
@@ -125,6 +126,7 @@ class FrameWriter:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         (self.out_dir / "current").mkdir(exist_ok=True)
         self.compress = compress
+        self._recover_torn_concat()
         self.markets = markets or []
         self._now = now or (lambda: datetime.now(timezone.utc))
         self._fh: io.TextIOBase | None = None
@@ -140,6 +142,64 @@ class FrameWriter:
 
     def _current_path(self) -> Path:
         return self.out_dir / "current" / f"log{self._ext()}"
+
+    def _recover_torn_concat(self) -> None:
+        """Undo a half-finished same-hour rotation concat (r13 advisor).
+
+        :meth:`_rotate`'s concat path records the pre-append size of the
+        hour file in a ``<file>.merging`` marker before appending the
+        ``current/`` segment, and removes the marker only after the
+        segment is unlinked. A crash anywhere inside that protocol is
+        detectable here:
+
+        * marker present AND ``current/`` still exists — the append died
+          before the unlink (possibly mid-copy): truncate the hour file
+          back to the recorded offset, restoring its pre-concat bytes
+          (its existing sidecar, if any, is valid for them again); the
+          intact ``current/`` segment re-merges at the next rotation.
+          Without the undo, the restart would re-count AND re-concat
+          those lines — duplicated frames with a sidecar whose counts
+          match the duplicated content, invisible to the manifest gate.
+        * marker present, ``current/`` gone — the append completed and
+          only the marker removal was lost: nothing to undo.
+        """
+        cur = self._current_path()
+        for marker in self.out_dir.glob(f"*{self._ext()}.merging"):
+            target = marker.with_name(marker.name[: -len(".merging")])
+            if cur.exists() and target.exists():
+                offset = int(marker.read_text())
+                # the pre-concat sidecar (written before the crash) is
+                # valid for the truncated bytes again, but its recorded
+                # mtime_ns won't survive the truncate — re-stamp it so
+                # the gate keeps its fast path; any other sidecar state
+                # is dropped (no sidecar -> the gate scans, the honest
+                # fallback). _rotate writes the merged sidecar only
+                # AFTER removing the marker, so a marker implies the
+                # sidecar on disk, if any, predates the concat.
+                counts = None
+                try:
+                    doc = json.loads(
+                        _manifest.manifest_path(target).read_text()
+                    )
+                    if (
+                        doc.get("version") == _manifest.MANIFEST_VERSION
+                        and doc.get("file_size") == offset
+                    ):
+                        counts = doc["book_counts"]
+                except (OSError, ValueError, KeyError):
+                    pass
+                os.truncate(target, offset)
+                if counts is not None:
+                    _manifest.write_manifest(target, counts)
+                else:
+                    _manifest.manifest_path(target).unlink(
+                        missing_ok=True
+                    )
+            marker.unlink()
+        # an interrupted atomic marker write leaves only a .tmp — no
+        # append can have started (the marker rename precedes the copy)
+        for tmp in self.out_dir.glob(f"*{self._ext()}.merging.tmp"):
+            tmp.unlink()
 
     def _open(self) -> None:
         p = self._current_path()
@@ -241,9 +301,23 @@ class FrameWriter:
             import shutil
 
             prior = _manifest.read_manifest_counts(target)
+            # Crash-idempotent concat protocol (r13 advisor — a crash
+            # after the copy but before the unlink would otherwise make
+            # the restart re-count and re-concatenate these lines:
+            # duplicated frames hidden by a counts-matching sidecar).
+            # Record the pre-append size in an atomically-written
+            # marker BEFORE touching the file; _recover_torn_concat
+            # truncates back to it if we die before unlinking cur.
+            marker = target.with_name(target.name + ".merging")
+            tmp = marker.with_name(marker.name + ".tmp")
+            tmp.write_text(str(target.stat().st_size))
+            tmp.rename(marker)
             with open(cur, "rb") as src, open(target, "ab") as dst:
                 shutil.copyfileobj(src, dst)
+                dst.flush()
+                os.fsync(dst.fileno())
             cur.unlink()
+            marker.unlink()
             if prior is not None and self._manifest_ok:
                 for a, c in prior.items():
                     self._book_counts[a] = (
@@ -387,14 +461,20 @@ def _batch_escalates(batch_size: int, failed_in_batch: int) -> bool:
     )
 
 
-def reconnect_backoff(batch_size: int, failed_in_batch: int,
-                      error_count: int) -> float:
-    """Backoff policy (``reconnecter.rs:182-196``): 500 ms normally;
-    ``max(error_count, 3)`` seconds — capped at
+def reconnect_backoff(error_count: int) -> float:
+    """Backoff policy (``reconnecter.rs:182-194``): 500 ms while
+    ``error_count == 0``; ``max(error_count, 3)`` seconds — capped at
     :data:`ESCALATED_BACKOFF_CAP_S` for single-threaded ping liveness —
-    when the last reconnect batch half-or-more failed. This IS the
-    function :func:`collect` sleeps on (no inline twin to drift)."""
-    if _batch_escalates(batch_size, failed_in_batch):
+    whenever ``error_count > 0``. The gate is the COUNTER, not the last
+    batch's outcome: a partially-failed batch (``n_errors < n/2``)
+    leaves ``error_count`` unchanged (``reconnecter.rs:87-91``), so the
+    escalated sleep PERSISTS across such batches until a zero-failure
+    batch resets it (r13 advisor — the previous form re-derived the
+    escalation from the last batch alone and silently dropped back to
+    500 ms after any sub-majority failure). :func:`_batch_escalates`
+    governs only the increments. This IS the function :func:`collect`
+    sleeps on (no inline twin to drift)."""
+    if error_count > 0:
         return min(float(max(error_count, 3)), ESCALATED_BACKOFF_CAP_S)
     return NORMAL_BACKOFF_S
 
@@ -616,7 +696,6 @@ def collect(
                 except TransportClosed:
                     _drop(lc)
 
-    prev_batch_size = prev_failed = 0
     try:
         while not stop():
             if not pending and not live:
@@ -627,13 +706,11 @@ def collect(
                 continue
             if pending:
                 # Backoff before each reconnect batch — the ONE policy
-                # function (reconnect_backoff), keyed on the LAST
-                # batch's outcome like the reference, liveness-capped;
+                # function (reconnect_backoff), keyed on the persistent
+                # error_count like the reference, liveness-capped;
                 # pings serviced on both sides of the sleep
                 _service_pings()
-                sleep(reconnect_backoff(
-                    prev_batch_size, prev_failed, error_count
-                ))
+                sleep(reconnect_backoff(error_count))
                 _service_pings()
                 # Assemble a batch of ≤50, splitting qualifying connections
                 # first (reconnecter.rs:199-230)
@@ -665,7 +742,6 @@ def collect(
                     _service_pings()
                 # Half-or-more-failed batches escalate the backoff
                 # (_batch_escalates — the shared integer-division rule)
-                prev_batch_size, prev_failed = len(batch), failed
                 if failed == 0:
                     error_count = 0
                 elif _batch_escalates(len(batch), failed):

@@ -84,14 +84,58 @@ def write_frames_stream(
     recover ``file_hour`` from this sink's ``hour=<hour>/`` layout via
     :func:`...sources.frames.file_hour_col`, so frames written here
     replay in the same cross-hour order as collector-written logs.
+
+    Each frame also persists ``seq`` — the arrival-order replay key for
+    this layout (r13 advisor: ``unix_micros(timestamp)`` alone is not a
+    total order; same-ms bursts replayed in nondeterministic relative
+    order, so a book snapshot and its deltas sharing a timestamp could
+    rebuild out of log order). ``seq`` is batch-major:
+    ``unix_millis(current_timestamp()) * 2^20 + row-in-partition mod
+    2^20``. In a streaming query ``current_timestamp()`` is the BATCH
+    timestamp from the offset log — constant within a micro-batch,
+    strictly increasing across batches, and replayed bit-identically
+    after a crash — so ``seq`` totally orders frames by (trigger, line
+    order) exactly as the collector's flat files order by line. The
+    row counter comes from a tiny order-preserving ``mapInPandas``
+    pass (``monotonically_increasing_id`` is rejected in streaming
+    plans; the collector stream is low-volume, so one Arrow hop is
+    noise). The 20-bit row field wraps only past 2^20 rows per
+    partition per batch (order among SAME-batch frames is still
+    correct unless a single partition-batch exceeds 1M rows; equal
+    ``seq`` can then only arise ACROSS part files, where relative
+    order is fixed-for-a-given-lake); the product stays under 2^63
+    until year ~2248. Readers prefer ``seq`` and fall back to the
+    timestamp key for lakes written before this column existed
+    (:func:`...sources.frames.read_frames`).
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    row_schema = StructType(
+        list(frames.schema.fields)
+        + [StructField("__row", LongType(), True)]
+    )
+
+    def _stamp_rows(batches):
+        n = 0
+        for pdf in batches:
+            pdf = pdf.assign(__row=range(n, n + len(pdf)))
+            n += len(pdf)
+            yield pdf
+
     hour = F.concat(
         F.substring("timestamp", 1, 10),
         F.lit("-"),
         F.substring("timestamp", 12, 2),
     ).alias("hour")
+    seq = (
+        F.unix_millis(F.current_timestamp()) * F.lit(1 << 20)
+        + F.pmod(F.col("__row"), F.lit(1 << 20))
+    ).alias("seq")
     return (
-        frames.withColumn("hour", hour)
+        frames.mapInPandas(_stamp_rows, schema=row_schema)
+        .withColumn("hour", hour)
+        .withColumn("seq", seq)
+        .drop("__row")
         .writeStream.format("json")
         .option("path", path)
         .option("checkpointLocation", checkpoint)

@@ -120,19 +120,34 @@ def test_split_partitions_markets():
 
 
 def test_reconnect_backoff_policy():
-    assert reconnect_backoff(10, 2, 7) == 0.5  # minority failed → normal
-    assert reconnect_backoff(10, 6, 7) == 7.0  # majority → max(errors, 3)
-    assert reconnect_backoff(10, 6, 1) == 3.0  # floor of 3 s
-    assert reconnect_backoff(0, 0, 0) == 0.5
+    # reference parity (reconnecter.rs:182-194): the gate is the
+    # PERSISTENT error_count, not the last batch's outcome — a
+    # sub-majority-failed batch leaves the count (and thus the
+    # escalated sleep) in place until a zero-failure batch resets it
+    # (r13 advisor)
+    assert reconnect_backoff(0) == 0.5  # healthy → 500 ms
+    assert reconnect_backoff(7) == 7.0  # max(errors, 3)
+    assert reconnect_backoff(1) == 3.0  # floor of 3 s
+    assert reconnect_backoff(3) == 3.0
+    # single-threaded liveness cap: the escalated sleep never starves
+    # the 15 s ping deadline unboundedly
+    assert reconnect_backoff(99) == 10.0
+
+
+def test_batch_escalates_integer_division_rule():
     # integer-division rule (reconnecter.rs:87-90): exactly half
     # escalates — the old strict-majority form let 2-of-4 slip,
     # diverging from collect's inline rule (review finding)
-    assert reconnect_backoff(4, 2, 1) == 3.0
-    assert reconnect_backoff(5, 2, 1) == 3.0
-    assert reconnect_backoff(1, 1, 0) == 3.0
-    # single-threaded liveness cap: the escalated sleep never starves
-    # the 15 s ping deadline unboundedly
-    assert reconnect_backoff(4, 2, 99) == 10.0
+    from polymarket_data_ingestor_spark.streaming.collector import (
+        _batch_escalates,
+    )
+
+    assert _batch_escalates(4, 2)
+    assert _batch_escalates(5, 2)
+    assert _batch_escalates(1, 1)
+    assert not _batch_escalates(10, 2)
+    assert not _batch_escalates(4, 0)
+    assert not _batch_escalates(0, 0)
 
 
 def test_next_reconnect_batch_splits_and_caps():
@@ -2653,6 +2668,89 @@ def test_frame_writer_same_hour_restart_concatenates(tmp_path):
     for ln in lines:
         _manifest.count_book_assets(ln, raw)
     assert counts == raw
+
+
+def test_frame_writer_torn_concat_recovery_no_duplicates(tmp_path):
+    """A crash AFTER the same-hour concat's copy but BEFORE the
+    ``current/`` unlink must not duplicate the copied frames on
+    restart (r13 advisor: the restart re-counted AND re-concatenated
+    them, with a counts-matching sidecar hiding the duplication).
+    The ``.merging`` offset marker makes the concat idempotent:
+    recovery truncates the hour file back to its pre-append size and
+    the intact ``current/`` segment merges exactly once at the next
+    rotation."""
+    from polymarket_data_ingestor_spark import manifest as _manifest
+
+    clock = {"now": datetime(2025, 9, 30, 14, 10, 0, tzinfo=timezone.utc)}
+    book = json.dumps([{"event_type": "book", "asset_id": "a1"}])
+
+    w1 = FrameWriter(tmp_path, markets=make_markets(),
+                     now=lambda: clock["now"])
+    w1.handle_message(book)
+    w1.shutdown()  # rotates 2025-09-30-14.jsonl (segment 1)
+    target = tmp_path / "2025-09-30-14.jsonl"
+    seg1 = target.read_bytes()
+
+    # hand-build the crash state: current/ holds segment 2, the hour
+    # file already has it appended, the marker records the pre-append
+    # offset, and the unlink never ran
+    seg2 = (
+        json.dumps({
+            "timestamp": "2025-09-30T14:15:00+00:00",
+            "message_type": "feed_message",
+            "content": json.dumps([{"event_type": "book",
+                                    "asset_id": "a2"}]),
+        })
+        + "\n"
+    ).encode()
+    cur = tmp_path / "current" / "log.jsonl"
+    cur.write_bytes(seg2)
+    target.write_bytes(seg1 + seg2)
+    marker = tmp_path / "2025-09-30-14.jsonl.merging"
+    marker.write_text(str(len(seg1)))
+
+    clock["now"] += timedelta(minutes=10)  # restart, SAME hour
+    w2 = FrameWriter(tmp_path, markets=make_markets(),
+                     now=lambda: clock["now"])
+    # recovery undid the half-finished append before anything else
+    assert not marker.exists()
+    assert target.read_bytes() == seg1
+    w2.handle_message(book)
+    w2.shutdown()
+
+    lines = target.read_text().splitlines()
+    assert lines[: seg1.count(b"\n")] == seg1.decode().splitlines()
+    # segment 2 merged exactly ONCE (the asset id is quote-escaped
+    # inside the double-encoded content string)
+    assert sum(1 for ln in lines if "a2" in ln) == 1
+    counts = _manifest.read_manifest_counts(target)
+    raw: dict = {}
+    for ln in lines:
+        _manifest.count_book_assets(ln, raw)
+    assert counts == raw
+
+
+def test_frame_writer_completed_concat_marker_cleanup(tmp_path):
+    """The other crash window — marker present but ``current/`` gone
+    (the append completed; only the marker removal was lost) — must
+    leave the hour file UNTOUCHED and just clear the marker."""
+    clock = {"now": datetime(2025, 9, 30, 14, 10, 0, tzinfo=timezone.utc)}
+    w1 = FrameWriter(tmp_path, markets=make_markets(),
+                     now=lambda: clock["now"])
+    w1.handle_message(json.dumps([{"event_type": "book",
+                                   "asset_id": "a1"}]))
+    w1.shutdown()
+    target = tmp_path / "2025-09-30-14.jsonl"
+    content = target.read_bytes()
+    marker = tmp_path / "2025-09-30-14.jsonl.merging"
+    marker.write_text("3")  # stale offset from a completed concat
+    (tmp_path / "2025-09-30-14.jsonl.merging.tmp").write_text("")
+
+    FrameWriter(tmp_path, markets=make_markets(),
+                now=lambda: clock["now"])
+    assert not marker.exists()
+    assert not (tmp_path / "2025-09-30-14.jsonl.merging.tmp").exists()
+    assert target.read_bytes() == content
 
 
 def test_frame_writer_gzip_torn_tail_moved_aside(tmp_path):
