@@ -126,6 +126,61 @@ def extract_features(
     return media.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame,
+    stride: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """'Resize' stub: deterministic byte-stride downsample, payload →
+    payload (the brief's image-resize slot; a real decoder replaces the
+    stride with ``PIL.Image.resize`` / ffmpeg scale on a production
+    cluster).
+
+    Keeps the media schema — ``(id, payload, media_meta)`` with the
+    metadata recomputed for the RESIZED bytes — so it composes with
+    :func:`extract_features` / :func:`frame_sample` downstream exactly
+    like a real thumbnail pass would (resize-then-featurize is the
+    production pipeline shape). NULL payloads pass through as NULL with
+    NULL size/digest (never silently dropped). Same scale shape as
+    extraction: ``mapInPandas`` streams Arrow batches at constant
+    memory; the output payload is ~1/stride of the input, so run this
+    BEFORE any shuffle that would otherwise move full-size media.
+
+    The stride downsample is reproducible in SQL over an ASCII corpus
+    (every-k-th-char + md5 — see the catalog entry's documented
+    oracle), so the full Arrow path is value-checkable despite the
+    stubbed decode.
+    """
+    from hashlib import md5 as _md5
+
+    if stride < 1:
+        raise ValueError(f"resize_media: stride must be >= 1, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["media_meta"]):
+                if p is None:
+                    payloads.append(None)
+                    metas.append(
+                        {"media_type": m["media_type"], "n_bytes": None,
+                         "digest": None}
+                    )
+                    continue
+                r = bytes(p)[::stride]
+                payloads.append(r)
+                metas.append(
+                    {"media_type": m["media_type"], "n_bytes": len(r),
+                     "digest": _md5(r).hexdigest()}
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads,
+                 "media_meta": metas}
+            )
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
 def frame_sample(
     media: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -198,52 +198,57 @@ def dsir_model(
     """
     from pyspark.sql import Window
 
-    # Totals ride as WINDOW sums over the <= n_buckets-row histograms —
-    # NOT as separate .agg() subtrees, which would silently re-derive
-    # the whole corpus featurization for a 1-row result (the re-scan
-    # trap the plan-budget test exists to catch). The unpartitioned
-    # window is bounded by n_buckets rows — model-sized by
-    # construction, never corpus-sized.
+    # BOTH histograms come out of ONE aggregate: the two feature
+    # streams union with a side tag and a single groupBy(__b) counts
+    # each side conditionally. No join anywhere in the model build —
+    # the r14 first fix used a FULL outer join of separate histograms
+    # (a LEFT join silently collapsed the target total to 0 on
+    # bucket-disjoint corpora — the Hypothesis-caught wrong answer),
+    # but full outer cannot broadcast and lowered to a SortMergeJoin
+    # the plan gate refuses; the union-aggregate form keeps the
+    # disjoint-safe totals AND halves the exchanges. Totals ride as
+    # WINDOW sums over the merged histogram — NOT as separate .agg()
+    # subtrees, which would silently re-derive the whole corpus
+    # featurization for a 1-row result (the re-scan trap the
+    # plan-budget test exists to catch) — computed BEFORE the
+    # raw-buckets filter so target-only buckets still contribute to
+    # ``__pt`` (disjoint corpora included). The unpartitioned window is
+    # bounded by 2*n_buckets rows — model-sized by construction, never
+    # corpus-sized. Only raw buckets remain as model rows: per-doc sums
+    # over the raw corpus never need the others, and the scorer
+    # substitutes __lam0.
     everything = Window.partitionBy()
-    qcnt = (
+    merged = (
         _dsir_feature_stream(raw, text_col, id_col, n_buckets)
+        .select("__b", F.lit(0).alias("__side"))
+        .unionByName(
+            _dsir_feature_stream(target, text_col, id_col, n_buckets)
+            .select("__b", F.lit(1).alias("__side"))
+        )
         .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__q"))
+        .agg(
+            F.count(F.when(F.col("__side") == 0, 1)).alias("__q"),
+            F.count(F.when(F.col("__side") == 1, 1)).alias("__p"),
+        )
         .withColumn("__qt", F.sum("__q").over(everything))
-    )
-    pcnt = (
-        _dsir_feature_stream(target, text_col, id_col, n_buckets)
-        .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__p"))
         .withColumn("__pt", F.sum("__p").over(everything))
+        .filter(F.col("__q") > 0)
     )
     # per-bucket log importance ratio, add-one smoothed over n_buckets.
     # round(.., 9) -> decimal BEFORE any per-doc sum: the aggregation is
     # exact decimal arithmetic — order-independent under any shuffle —
     # and the 9-dp pre-round absorbs last-ulp ln() differences between
     # engines (the bigram_lm_score discipline). Buckets the target
-    # never hit smooth to (0+1)/(ptot+B); the target total __pt must
-    # still cover them, and it must survive even when raw and target
-    # hit DISJOINT bucket sets — a LEFT join would drop every pcnt row
-    # and silently collapse the total to 0 (wrong weights, caught by
-    # the Hypothesis pin). Hence the FULL outer join: pcnt-only rows
-    # carry the true total into the max-over-window, then drop out of
-    # the model (only raw buckets are model rows — per-doc sums over
-    # the raw corpus never need the others, and the scorer substitutes
-    # __lam0). Still model-sized: <= 2*n_buckets rows cross the join.
+    # never hit smooth to (0+1)/(ptot+B).
     def _ratio(cnt, tot):
         return F.log((cnt + F.lit(1.0)) / (tot + F.lit(n_buckets)))
 
     return (
-        qcnt.join(pcnt, "__b", "full")
-        .withColumn(
-            "__pt", F.coalesce(F.max("__pt").over(everything), F.lit(0))
-        )
-        .filter(F.col("__q").isNotNull())
+        merged
         .select(
             "__b",
             F.round(
-                _ratio(F.coalesce(F.col("__p"), F.lit(0)), F.col("__pt"))
+                _ratio(F.col("__p"), F.col("__pt"))
                 - _ratio(F.col("__q"), F.col("__qt")),
                 9,
             )

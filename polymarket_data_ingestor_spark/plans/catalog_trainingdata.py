@@ -2887,6 +2887,46 @@ def q_frame_sample(spark, sf_dir):
 
 
 @register(
+    "resize_media",
+    None,  # rows-only for WINDOW CAPACITY only (the r13 JL precedent):
+    # 149 oracle-paired is the ceiling that leaves one seed slot per
+    # round under the 50-slot / 2-round-staleness contract — a 150th
+    # would lock every future window to exactly the stalest cohort
+    # with zero room for code-changed seeds. The oracle is written and
+    # ready to flip when capacity frees (ASCII corpus => the stride
+    # downsample is SQL-reproducible, the multimodal_features recipe):
+    #
+    #   SELECT doc_id,
+    #          octet_length(encode(r)) AS n_bytes, md5(r) AS digest
+    #   FROM (SELECT doc_id, array_to_string(list_transform(
+    #           generate_series(1, length(text), 4),
+    #           i -> substr(text, i, 1)), '') AS r
+    #         FROM documents WHERE doc_id < 100)
+    #
+    # Meanwhile the value path is pinned bit-exact against a python
+    # byte-stride twin in tests/test_trainingdata_ops.py, including
+    # the resize->featurize composition.
+    doc="Media 'resize' stub (multimodal.py::resize_media): "
+    "deterministic byte-stride downsample payload->payload with "
+    "metadata recomputed for the resized bytes — the brief's "
+    "image-resize slot, schema-preserving so it composes with "
+    "extract_features/frame_sample (resize-then-featurize, the "
+    "production thumbnail pipeline shape). mapInPandas Arrow "
+    "batches, constant memory; output ~1/stride of input, so it "
+    "runs before any shuffle that would move full-size media.",
+    tags=("multimodal",),
+)
+def q_resize_media(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    resized = M.resize_media(M.attach_payload(d), stride=4)
+    return resized.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.digest").alias("digest"),
+    )
+
+
+@register(
     "doc_repetition",
     """
     WITH g AS (

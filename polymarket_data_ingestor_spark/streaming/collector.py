@@ -167,7 +167,27 @@ class FrameWriter:
         for marker in self.out_dir.glob(f"*{self._ext()}.merging"):
             target = marker.with_name(marker.name[: -len(".merging")])
             if cur.exists() and target.exists():
-                offset = int(marker.read_text())
+                try:
+                    offset = int(marker.read_text())
+                    if offset > target.stat().st_size:
+                        raise ValueError("offset beyond file")
+                except (OSError, ValueError):
+                    # unreadable marker or impossible offset (the
+                    # protocol can't produce either — atomic rename of
+                    # a fully-written int; appends only grow): the
+                    # undo point is unknown, so do NOT guess with a
+                    # truncate (an over-large offset would zero-extend
+                    # the file). Quarantine the marker, drop the
+                    # sidecar so the gate scans the possibly-partial
+                    # file honestly, and keep collecting rather than
+                    # crash-looping the collector on a corrupt byte.
+                    _manifest.manifest_path(target).unlink(
+                        missing_ok=True
+                    )
+                    marker.rename(
+                        marker.with_name(marker.name + ".corrupt")
+                    )
+                    continue
                 # the pre-concat sidecar (written before the crash) is
                 # valid for the truncated bytes again, but its recorded
                 # mtime_ns won't survive the truncate — re-stamp it so

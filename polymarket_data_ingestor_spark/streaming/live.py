@@ -52,19 +52,31 @@ def read_frames_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming scan of framed JSONL logs (same shape as read_frames)."""
-    reader = spark.readStream.schema(FRAME_SCHEMA)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(FRAME_SCHEMA.fields) + [StructField("seq", LongType(), True)]
+    )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.json(path)
-    # monotonically_increasing_id() is not allowed on streaming DataFrames,
-    # so live mode orders frames by their log timestamp (the collector
-    # stamps every frame with now() — monotone within a file,
-    # collector/src/main.rs:28). Batch replay keeps exact line order; this
-    # is the documented live-mode ordering contract.
+    # monotonically_increasing_id() is not allowed on streaming
+    # DataFrames, so live mode orders frames by write_frames_stream's
+    # persisted batch-major ``seq`` when the lake carries it (the total
+    # arrival order — same preference as batch read_frames), falling
+    # back to the log timestamp (the collector stamps every frame with
+    # now() — monotone within a file, collector/src/main.rs:28) for
+    # flat collector logs, where same-ms ties keep file-line order only
+    # per the batch reader's documented residual. Batch replay keeps
+    # exact line order; this is the documented live-mode ordering
+    # contract.
     return df.select(
-        "*",
+        *[c for c in df.columns if c != "seq"],
         file_hour_col().alias("file_hour"),
-        F.unix_micros(F.to_timestamp("timestamp")).alias("line_id"),
+        F.coalesce(
+            F.col("seq"), F.unix_micros(F.to_timestamp("timestamp"))
+        ).alias("line_id"),
     )
 
 

@@ -2753,6 +2753,36 @@ def test_frame_writer_completed_concat_marker_cleanup(tmp_path):
     assert target.read_bytes() == content
 
 
+def test_frame_writer_corrupt_concat_marker_quarantined(tmp_path):
+    """A marker the protocol cannot produce (non-int content, or an
+    offset beyond the file) must be QUARANTINED, never guessed at: no
+    truncate (an over-large offset would zero-extend), sidecar dropped
+    so the gate scans honestly, and the writer keeps working instead
+    of crash-looping on every restart."""
+    clock = {"now": datetime(2025, 9, 30, 14, 10, 0, tzinfo=timezone.utc)}
+    w1 = FrameWriter(tmp_path, markets=make_markets(),
+                     now=lambda: clock["now"])
+    w1.handle_message(json.dumps([{"event_type": "book",
+                                   "asset_id": "a1"}]))
+    w1.shutdown()
+    target = tmp_path / "2025-09-30-14.jsonl"
+    content = target.read_bytes()
+    (tmp_path / "current" / "log.jsonl").write_text("x\n")
+    marker = tmp_path / "2025-09-30-14.jsonl.merging"
+    for bad in ("not-an-int", str(len(content) + 999)):
+        marker.write_text(bad)
+        FrameWriter(tmp_path, markets=make_markets(),
+                    now=lambda: clock["now"])
+        assert not marker.exists()
+        corrupt = tmp_path / "2025-09-30-14.jsonl.merging.corrupt"
+        assert corrupt.exists()
+        assert target.read_bytes() == content  # untouched, not extended
+        from polymarket_data_ingestor_spark import manifest as _mf
+
+        assert _mf.read_manifest_counts(target) is None  # gate scans
+        corrupt.unlink()
+
+
 def test_frame_writer_gzip_torn_tail_moved_aside(tmp_path):
     """A truncated gzip member left by a crash must be moved ASIDE,
     never appended to: every reader stops at the corrupt member, so

@@ -439,6 +439,56 @@ def test_frame_sample_row_shape(spark, docs):
             [i * 50 for i in range(expected)]
 
 
+def test_resize_media_python_twin_and_composition(spark, docs):
+    """resize_media == a python byte-stride twin bit-for-bit (payload,
+    size, digest), preserves the media schema, and COMPOSES with
+    extract_features — the resized features equal featurizing the
+    strided bytes directly (the production resize-then-featurize
+    shape)."""
+    from hashlib import md5 as _md5
+
+    src = docs.filter(F.col("doc_id") < 10)
+    media = M.attach_payload(src)
+    resized = M.resize_media(media, stride=4)
+    assert resized.schema == media.schema
+    texts = {r.doc_id: r.text for r in src.select("doc_id", "text").collect()}
+    rows = {r.doc_id: r for r in resized.collect()}
+    assert set(rows) == set(texts)
+    for i, t in texts.items():
+        want = t.encode("utf-8")[::4]
+        r = rows[i]
+        assert bytes(r.payload) == want, i
+        assert r.media_meta.n_bytes == len(want), i
+        assert r.media_meta.digest == _md5(want).hexdigest(), i
+        assert r.media_meta.media_type == "application/octet-stream"
+    feats = {
+        r.doc_id: list(r.features)
+        for r in M.extract_features(resized).collect()
+    }
+    for i, t in texts.items():
+        assert feats[i] == M._fake_features(t.encode("utf-8")[::4]), i
+
+
+def test_resize_media_null_payload_and_guards(spark):
+    """NULL payloads pass through as NULL rows (never dropped), with
+    NULL size/digest; stride < 1 refuses."""
+    media = spark.createDataFrame(
+        [(1, b"abcdefgh", ("application/octet-stream", 8, "x")),
+         (2, None, ("application/octet-stream", None, None))],
+        M.attach_payload(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        ).schema,
+    )
+    out = {r.doc_id: r for r in M.resize_media(media, stride=2).collect()}
+    assert bytes(out[1].payload) == b"aceg"
+    assert out[1].media_meta.n_bytes == 4
+    assert out[2].payload is None
+    assert out[2].media_meta.n_bytes is None
+    assert out[2].media_meta.digest is None
+    with pytest.raises(ValueError, match="stride must be >= 1"):
+        M.resize_media(media, stride=0)
+
+
 def test_benchmark_decontamination_flags_overlap(spark):
     bench = spark.createDataFrame(
         [(0, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
@@ -2019,6 +2069,60 @@ def test_pca_project_matches_python_fold_and_reconstructs(spark):
     assert "EvalPython" not in plan, plan
     with pytest.raises(ValueError, match="dimension mismatch"):
         S.pca_project(df, {"mean": [0.0, 0.0], "components": [[1.0]]})
+
+
+def test_pca_project_subspace_matches_mllib_production_path(spark):
+    """Rotation-independent twin for the rows-only
+    pca_project_embeddings entry, in the semdedup_kmeans style (r13
+    verdict #8): fit the SAME float32-quantized cloud with our
+    distributed (n, Σx, XᵀX) fit AND with MLlib's production PCA, then
+    pin the projected GEOMETRY — pairwise distances in the k-space.
+    Distances are invariant to the basis orientation inside the fitted
+    subspace AND to centering (MLlib transforms uncentered vectors;
+    ours centers — the translation cancels in differences), so the two
+    independent implementations must agree on them whenever they agree
+    on the principal subspace itself. The fixture's eigengaps (9x/4x
+    axes) make that subspace unambiguous."""
+    import numpy as np
+
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector
+
+    x = _pca_fixture_vecs(n=50, d=6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    model = S.fit_pca(df, k=2)
+    ours = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in S.pca_project(df, model).collect()
+    }
+    vdf = df.select(
+        "vec_id",
+        array_to_vector(
+            F.col("embedding").cast("array<double>")
+        ).alias("features"),
+    )
+    ml = MLPCA(k=2, inputCol="features", outputCol="p").fit(vdf)
+    theirs = {
+        r["vec_id"]: r["p"].toArray()
+        for r in ml.transform(vdf).collect()
+    }
+    ids = sorted(ours)
+    for a in ids[:12]:
+        for b in ids[12:24]:
+            d_ours = float(np.linalg.norm(ours[a] - ours[b]))
+            d_ml = float(np.linalg.norm(theirs[a] - theirs[b]))
+            assert d_ours == pytest.approx(d_ml, rel=1e-5), (a, b)
+    # and the explained top-2 variance mass agrees with MLlib's
+    # explainedVariance ratios applied to the total
+    x32 = x.astype(np.float32).astype(np.float64)
+    total = np.trace(np.cov(x32, rowvar=False))
+    ml_var = np.array(ml.explainedVariance.toArray()) * total
+    assert model["explained_variance"] == pytest.approx(
+        ml_var, rel=1e-4
+    )
 
 
 def test_fit_pca_plan_one_kernel_one_exchange(spark, emb):

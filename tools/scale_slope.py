@@ -144,6 +144,18 @@ def main() -> None:
                         "rows": n_docs * scale, "sec": sec})
         print(json.dumps(results[-1]), flush=True)
 
+    # exact dedup in its r14 single-scan window form: one exchange on
+    # the digest, so the slope should track the shuffle volume
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        drop_exact_dupes,
+    )
+
+    for scale, d in ((1, docs1), (10, docs10)):
+        sec = _time2(lambda: drop_exact_dupes(d).count())
+        results.append({"op": "drop_exact_dupes", "scale": scale,
+                        "rows": n_docs * scale, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
     # ---- round-5 text ops on the same 1x/10x documents fixture ----
     # (the per-copy " c{i}" suffix also perturbs each copy's trailing
     # bigram/window, so cross-copy hot-window/bigram collapse is mild)
