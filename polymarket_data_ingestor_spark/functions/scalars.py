@@ -35,12 +35,19 @@ SQL_HASH32 = sql_hash32("x")
 
 
 def side_sink_label(wire: Column | str) -> Column:
-    """Wire BUY/SELL → sink BID/ASK (``cli/src/tick_generator.rs:85-88``)."""
+    """Wire BUY/SELL → sink BID/ASK (``cli/src/tick_generator.rs:85-88``).
+
+    The reference's side is a TOTAL enum (serde rejects anything else
+    upstream), so its match is binary; this string-typed helper can see
+    NULL or garbage, which map to NULL rather than silently becoming
+    ASK (the old ``otherwise`` — a mislabeled order-book side is the
+    worst possible silent failure for a market-data consumer)."""
     c = F.col(wire) if isinstance(wire, str) else wire
-    return F.when(c == "BUY", "BID").otherwise("ASK")
+    return F.when(c == "BUY", "BID").when(c == "SELL", "ASK")
 
 
 def side_wire_label(sink: Column | str) -> Column:
-    """Sink BID/ASK → wire BUY/SELL (inverse of :func:`side_sink_label`)."""
+    """Sink BID/ASK → wire BUY/SELL (inverse of :func:`side_sink_label`);
+    NULL/garbage → NULL, same rationale."""
     c = F.col(sink) if isinstance(sink, str) else sink
-    return F.when(c == "BID", "BUY").otherwise("SELL")
+    return F.when(c == "BID", "BUY").when(c == "ASK", "SELL")

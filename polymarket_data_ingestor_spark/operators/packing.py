@@ -81,10 +81,30 @@ def pack_sequences(
         if n_tok_col is not None
         else F.size(tokens(text_col)).cast("long")
     )
+    # A NULL id has no position in a total-order layout: its shard key
+    # is NULL, the broadcast offsets join never matches NULL, and the
+    # row would VANISH from the assignment map silently (the same
+    # silent-loss class the dedup NULL reviews closed). Fail loudly
+    # instead, naming the column — the _precomputed_counts convention.
+    # The guard must ride the SHARD KEY, not just the id projection:
+    # the inner offsets join infers IsNotNull on its key, and Catalyst
+    # pushes that filter below a plain projection — the NULL row would
+    # be pruned before a guard on the id column ever evaluated
+    # (observed: the test's raise never fired). With the CASE inside
+    # the key expression, the pushed filter itself evaluates the raise.
+    guarded_id = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"pack_sequences: NULL in id_col '{id_col}' — the "
+                "layout is a total order over ids; filter or assign "
+                "ids upstream"
+            )
+        )
+    )
     d = docs.select(
         F.col(id_col),
         F.greatest(n_tok, F.lit(1)).alias("__n_tok"),
-        F.expr(f"{id_col} div {shard_size}").alias("__shard"),
+        F.floor(guarded_id / F.lit(shard_size)).alias("__shard"),
     )
     w_in = (
         Window.partitionBy("__shard")

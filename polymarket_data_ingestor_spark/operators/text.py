@@ -348,6 +348,18 @@ def length_bucket_batches(
     """
     from pyspark.sql import Window
 
+    # parameter guards at PLAN time: batch_size=0 would otherwise be a
+    # runtime ANSI DIVIDE_BY_ZERO mid-job, n_shards=0 a NULL-producing
+    # modulo that silently merges every bucket into one NULL shard
+    if batch_size < 1:
+        raise ValueError(
+            f"length_bucket_batches: batch_size must be >= 1, got "
+            f"{batch_size}"
+        )
+    if n_shards < 1:
+        raise ValueError(
+            f"length_bucket_batches: n_shards must be >= 1, got {n_shards}"
+        )
     base = docs.select(
         F.col(id_col),
         F.greatest(F.size(tokens(text_col)), F.lit(1))

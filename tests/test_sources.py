@@ -203,3 +203,25 @@ def test_frames_quality_report_nonconforming_names_stay_separate(
     by_name = {r.file_hour.rsplit("/", 1)[-1]: r for r in rep}
     assert by_name["a.jsonl"].n_malformed == 0
     assert by_name["b.jsonl"].n_malformed == 1
+def test_side_label_helpers_null_propagate(spark):
+    """BUY/SELL <-> BID/ASK are total on the enum domain and NULL on
+    anything else — a mislabeled book side is the worst silent failure
+    for a market-data consumer (the old otherwise() mapped NULL and
+    garbage to ASK/SELL)."""
+    from polymarket_data_ingestor_spark.functions import (
+        side_sink_label,
+        side_wire_label,
+    )
+
+    df = spark.createDataFrame(
+        [("BUY",), ("SELL",), (None,), ("junk",)], "side string"
+    )
+    got = [
+        (r.sink, r.wire)
+        for r in df.select(
+            side_sink_label("side").alias("sink"),
+            side_wire_label(side_sink_label("side")).alias("wire"),
+        ).collect()
+    ]
+    assert got == [("BID", "BUY"), ("ASK", "SELL"), (None, None),
+                   (None, None)]

@@ -1624,6 +1624,12 @@ def test_length_bucket_batches_invariants(spark):
     assert all(len(v) <= 4 for v in by_batch.values())
     again = T.length_bucket_batches(docs, batch_size=4, n_shards=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # parameter guards fail at PLAN time, not as a mid-job ANSI
+    # divide-by-zero / NULL-shard merge (review finding)
+    with pytest.raises(ValueError, match="batch_size must be >= 1"):
+        T.length_bucket_batches(docs, batch_size=0)
+    with pytest.raises(ValueError, match="n_shards must be >= 1"):
+        T.length_bucket_batches(docs, n_shards=0)
 
 
 def _naive_bpe(texts, n_merges):

@@ -77,6 +77,19 @@ def test_pack_sequences_edge_cases(spark):
     assert len(out1) == 2 and (out1.n_tok == 1).all()
 
 
+def test_pack_sequences_null_id_raises_not_drops(spark):
+    """A NULL id has no position in the total-order layout; it
+    previously VANISHED through the NULL shard key's unmatched offsets
+    join — the job must fail loudly instead (review finding, the
+    _precomputed_counts convention)."""
+    df = spark.createDataFrame(
+        [(0, "a b"), (None, "c d"), (2, "e")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="NULL in id_col"):
+        pack_sequences(df, seq_len=4).collect()
+
+
 def test_pack_sequences_pretokenized_counts(spark):
     """n_tok_col consumes precomputed tokenizer counts: the layout must
     follow the given counts exactly (not whitespace tokens), clamp to
