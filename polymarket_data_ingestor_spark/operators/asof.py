@@ -63,6 +63,17 @@ def asof_join(
     multiple reference rows at the SAME order key the carried one is
     unspecified — use a unique order key (or a pre-aggregated
     reference) when that matters.
+
+    A NULL ``order_col`` on EITHER side raises at execution: a NULL
+    sorts before every real key, so a NULL-ord reference row would
+    silently become "the latest quote before" every probe in its group
+    (and a NULL-ord probe would match arbitrarily) — pandas
+    ``merge_asof`` refuses NaN keys for the same reason; filter
+    upstream. Documented divergence: NULL ``by`` keys GROUP TOGETHER
+    (Spark window semantics) rather than matching nothing as in
+    pandas — grouping the unknown-key rows with each other is the
+    useful behavior for feed data, and dropping them silently would be
+    the worst one.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -94,16 +105,34 @@ def asof_join(
         [T.StructField("__o", reference.schema[order_col].dataType)]
         + [reference.schema[c] for c in value_cols]
     )
+
+    def _ord_guard(side: str):
+        # rides the window ORDER key, so no plan can prune it (the
+        # pack_sequences pushdown lesson); NULL order keys otherwise
+        # silently win/lose every sort tie (docstring)
+        return F.when(
+            F.col(order_col).isNotNull(), F.col(order_col)
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"asof_join: NULL {order_col!r} in the {side} side "
+                    "— as-of order keys must be non-NULL (pandas "
+                    "merge_asof refuses NaN keys for the same reason); "
+                    "filter upstream"
+                )
+            )
+        )
+
     p = probe.select(
         *by,
-        F.col(order_col).alias("__ord"),
+        _ord_guard("probe").alias("__ord"),
         F.lit(1).alias("__is_probe"),
         F.struct(*probe_cols).alias("__row"),
         F.lit(None).cast(ref_type).alias("__ref"),
     )
     r = reference.select(
         *by,
-        F.col(order_col).alias("__ord"),
+        _ord_guard("reference").alias("__ord"),
         F.lit(0).alias("__is_probe"),
         F.lit(None).cast(p.schema["__row"].dataType).alias("__row"),
         F.struct(

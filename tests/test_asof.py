@@ -329,3 +329,40 @@ def test_asof_rejects_internal_value_col_names(spark):
     ref = spark.createDataFrame([(1, 9, 5)], "k int, t int, __o int")
     with pytest.raises(ValueError, match="internal"):
         asof_join(probe, ref, by=["k"], order_col="t", value_cols=["__o"])
+
+
+def test_asof_null_order_key_raises_not_garbage(spark):
+    """A NULL order key sorts before every real key, so a NULL-ord
+    reference row would silently become 'the latest quote before'
+    every probe in its group — raise instead (pandas merge_asof
+    refuses NaN keys); NULL by-keys GROUP TOGETHER (documented
+    divergence from pandas' match-nothing)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [("a", 5), ("a", 9)], "k string, t long"
+    )
+    ref_null = spark.createDataFrame(
+        [("a", None, 1.0), ("a", 3, 2.0)], "k string, t long, v double"
+    )
+    with pytest.raises(Exception, match="NULL 't' in the reference"):
+        asof_join(probe, ref_null, by=["k"], order_col="t",
+                  value_cols=["v"]).collect()
+    probe_null = spark.createDataFrame(
+        [("a", None)], "k string, t long"
+    )
+    ref = ref_null.filter(F.col("t").isNotNull())
+    with pytest.raises(Exception, match="NULL 't' in the probe"):
+        asof_join(probe_null, ref, by=["k"], order_col="t",
+                  value_cols=["v"]).collect()
+    # NULL by-keys group together: the NULL-k probe sees the NULL-k ref
+    got = asof_join(
+        spark.createDataFrame([(None, 5)], "k string, t long"),
+        spark.createDataFrame([(None, 3, 7.0)],
+                              "k string, t long, v double"),
+        by=["k"], order_col="t", value_cols=["v"],
+    ).collect()
+    assert len(got) == 1 and got[0]["v"] == 7.0
