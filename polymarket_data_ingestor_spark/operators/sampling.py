@@ -49,11 +49,15 @@ def stratified_sample(
     same rows survive on every engine and every run. No shuffle — it is
     a pure filter, and Catalyst pushes the stratum predicate to the scan.
     """
-    rate_expr: Column = F.lit(int(default_rate * RATE_DENOM))
+    # round, not int(): 0.3 * 10000 is 2999.999... in binary floats and
+    # truncation would shift the boundary a full permyriad (the
+    # hash_split lesson — this function originally used int() while
+    # documenting the bug class forty lines down)
+    rate_expr: Column = F.lit(round(default_rate * RATE_DENOM))
     for value, rate in sorted(rates.items()):
         rate_expr = (
             F.when(F.col(stratum_col) == value,
-                   F.lit(int(rate * RATE_DENOM)))
+                   F.lit(round(rate * RATE_DENOM)))
             .otherwise(rate_expr)
         )
     return df.filter(_sample_hash(id_col, seed) < rate_expr)

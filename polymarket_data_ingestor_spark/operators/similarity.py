@@ -128,6 +128,14 @@ def cosine_topk(
 
     rows = _collect_query_probe(queries, query_id_col, vec_col,
                                 "cosine_topk")
+    # Zero-norm refusal, BOTH sides: the JVM cosine paths (lsh/ivf/
+    # dup_pairs) already refuse zero norms loudly — ANSI mode turns
+    # their 0-divisor into DIVIDE_BY_ZERO at execution — but numpy
+    # silently yields NaN, and Spark ranks NaN FIRST in a desc window
+    # (NaN > any double) while np.lexsort ranks it LAST: a zero-norm
+    # vector surviving a sparse partition's local top-k would jump to
+    # rank 1 in the merge (review finding, reproduced). Refuse like
+    # the engine does instead of emitting order-dependent garbage.
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     id_t = emb.schema[id_col].dataType.simpleString()
     mid_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, __cos double"
@@ -147,6 +155,12 @@ def cosine_topk(
     for p in range(dim):  # dimension order == fold order
         qn += Q[:, p] * Q[:, p]
     qn = np.sqrt(qn)
+    if np.any(qn == 0.0):
+        bad = [q for q, n in zip(qids.tolist(), qn) if n == 0.0][:5]
+        raise ValueError(
+            f"cosine_topk: zero-norm query vector(s) {bad} — cosine is "
+            "undefined; filter upstream"
+        )
 
     def _partition_topk(batches):
         # per-query candidate pools, trimmed to k after every batch:
@@ -165,6 +179,14 @@ def cosine_topk(
             for p in range(dim):  # dimension order == fold order
                 acc += V[:, p : p + 1] * Q[None, :, p]
                 vn += V[:, p] * V[:, p]
+            if np.any(vn == 0.0):
+                bad = ids[vn == 0.0][:5].tolist()
+                raise ValueError(
+                    f"cosine_topk: zero-norm corpus vector(s) {bad} — "
+                    "cosine is undefined and NaN scores rank "
+                    "nondeterministically; filter upstream (the JVM "
+                    "paths refuse the same input via DIVIDE_BY_ZERO)"
+                )
             cos = acc / (qn[None, :] * np.sqrt(vn)[:, None])
             for j in range(nq):
                 mask = ids != qids[j]  # self-match excluded
@@ -902,7 +924,22 @@ def label_centroids(
     ex = emb.select(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "__v")
     )
-    scaled = F.floor(F.col("__v").cast("double") * F.lit(1.0e12))
+    # NULL COMPONENT refusal riding the summed value itself (the
+    # pca_project discipline — a side-channel guard column could be
+    # projection-pruned): SUM skips NULLs while the per-dim count does
+    # not, so an unguarded NULL component would silently shrink that
+    # dimension's mean toward 0 (review finding, reproduced: mean of
+    # [NULL, 4.0] came back 2.0). A whole-NULL vector emits no
+    # posexplode rows at all and is excluded from n_vecs — a missing
+    # VECTOR is absence, a missing component is corruption.
+    scaled = F.when(
+        F.col("__v").isNull(),
+        F.raise_error(F.lit(
+            "label_centroids: NULL vector component — SUM would skip "
+            "it while the count does not, silently shrinking the "
+            "centroid toward 0; clean or filter upstream"
+        )),
+    ).otherwise(F.floor(F.col("__v").cast("double") * F.lit(1.0e12)))
     per_dim = ex.groupBy(label_col, "dim").agg(
         F.sum(scaled.cast("decimal(38,0)")).alias("__s"),
         F.count(F.lit(1)).alias("__n"),
@@ -1125,6 +1162,12 @@ def pq_topk(
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in probe])
     nq = len(qids)
     qn = np.sqrt((Q * Q).sum(axis=1))
+    if np.any(qn == 0.0):
+        bad = [q for q, n in zip(qids.tolist(), qn) if n == 0.0][:5]
+        raise ValueError(
+            f"pq_topk: zero-norm query vector(s) {bad} — cosine is "
+            "undefined; filter upstream"
+        )
     # LUT[j, m, c] = dot(q_j subvector m, codebook m centroid c)
     lut = np.stack(
         [Q[:, m * w:(m + 1) * w] @ Cs[m].T for m in range(n_subspaces)],
@@ -1149,6 +1192,15 @@ def pq_topk(
             # dot(q, v̂) = Σ_m LUT[j, m, code_m]; |v̂|² = Σ_m |c|²
             dots = lut[:, rows, codes].sum(axis=2)  # (nq, n)
             vn = np.sqrt(cn2[rows, codes].sum(axis=1))  # (n,)
+            if np.any(vn == 0.0):
+                # only reachable when every assigned centroid is the
+                # zero vector — same NaN-ranks-first hazard as the
+                # cosine_topk kernel, same loud refusal
+                bad = ids[vn == 0.0][:5].tolist()
+                raise ValueError(
+                    f"pq_topk: zero-norm reconstruction for id(s) "
+                    f"{bad} — ADC score undefined; check the codebooks"
+                )
             score = dots / (qn[:, None] * vn[None, :])
             for j in range(nq):
                 mask = ids != qids[j]

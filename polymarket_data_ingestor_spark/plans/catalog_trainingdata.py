@@ -1887,7 +1887,7 @@ _SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.1}
     FROM documents
     WHERE ({sql_hash32("CAST(doc_id AS VARCHAR)", seed=1)} % 10000) <
           CASE {"".join(
-              f"WHEN lang = '{lang}' THEN {int(rate * 10000)} "
+              f"WHEN lang = '{lang}' THEN {round(rate * 10000)} "
               for lang, rate in sorted(_SAMPLE_RATES.items()))}
           ELSE 0 END
     """,

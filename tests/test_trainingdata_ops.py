@@ -2285,3 +2285,68 @@ def test_random_projection_matches_python_fold_and_determinism(spark):
     assert S.random_projection(
         nulls.unionByName(df).coalesce(1), out_dim=2
     ).filter(F.col("vec_id") == 1).first()["rp"] is None
+
+
+def test_label_centroids_refuses_null_component(spark):
+    """A NULL component silently shrank its dimension's mean toward 0
+    (SUM skips NULLs, the count does not — reproduced: mean of
+    [NULL, 4.0] came back 2.0). The refusal must ride the summed value
+    so no projection pruning can skip it; whole-NULL vectors stay
+    excluded-by-absence (posexplode emits no rows)."""
+    bad = spark.createDataFrame(
+        [("a", [1.0, None]), ("a", [3.0, 4.0])],
+        "label string, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL vector component"):
+        S.label_centroids(bad).collect()
+    # a whole-NULL vector is absence, not corruption: excluded from
+    # the mean AND from n_vecs
+    absent = spark.createDataFrame(
+        [("a", None), ("a", [3.0, 4.0])],
+        "label string, embedding array<double>",
+    )
+    got = S.label_centroids(absent).collect()
+    assert len(got) == 1
+    assert got[0]["n_vecs"] == 1
+    assert list(got[0]["centroid"]) == [3.0, 4.0]
+
+
+def test_cosine_topk_refuses_zero_norm_vectors(spark, emb):
+    """numpy yields NaN for a zero-norm cosine and Spark ranks NaN
+    FIRST in a desc window (NaN > any double) while the kernel's
+    lexsort ranks it LAST — a zero-norm vector surviving a sparse
+    partition's local top-k would take rank 1 in the merge. Both
+    kernel paths must refuse loudly instead (the JVM paths already do,
+    via ANSI DIVIDE_BY_ZERO)."""
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="zero-norm corpus vector"):
+        S.cosine_topk(
+            emb.select("vec_id", "embedding").unionByName(zero),
+            queries, k=3,
+        ).collect()
+    zq = spark.createDataFrame(
+        [(999999, [0.0] * dim)],
+        "query_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="zero-norm query vector"):
+        S.cosine_topk(emb, queries.unionByName(zq), k=3)
+
+
+def test_pq_topk_refuses_zero_norm_query(spark, emb):
+    dim = len(emb.first()["embedding"])
+    zq = spark.createDataFrame(
+        [(999999, [0.0] * dim)],
+        "query_id long, embedding array<float>",
+    )
+    codebooks = [
+        [[1.0] * (dim // 4), [-1.0] * (dim // 4)] for _ in range(4)
+    ]
+    with pytest.raises(ValueError, match="zero-norm query vector"):
+        S.pq_topk(emb, zq, k=3, codebooks=codebooks)

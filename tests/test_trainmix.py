@@ -984,3 +984,32 @@ def test_scorer_append_column_collisions_refused(spark):
         dsir_score(
             rdf.withColumn("n_feats", F.lit(1)), dmodel, n_buckets=256
         )
+
+
+def test_stratified_sample_rounds_permyriad_rates(spark):
+    """int() truncation of 0.3*10000 (= 2999.999...) shifted the keep
+    boundary a full permyriad (the hash_split lesson — this operator
+    documented the bug class while still using int()). Pinned on a
+    synthetic corpus that PROVABLY covers the boundary: doc_id 15665
+    hashes to bucket 2999 at seed 7 (computed with the python md5
+    twin), so truncation to 2999 would drop it while rounding keeps
+    it."""
+    from polymarket_data_ingestor_spark.functions.scalars import hash32
+    from polymarket_data_ingestor_spark.operators.dedup import _h32
+
+    ids = list(range(400)) + [15665]
+    assert _h32("s7:15665") % 10000 == 2999  # the boundary witness
+    df = spark.createDataFrame(
+        [(i, "en") for i in ids], "doc_id long, lang string"
+    )
+    kept = {r.doc_id for r in
+            stratified_sample(df, {"en": 0.3}, stratum_col="lang",
+                              seed=7).select("doc_id").collect()}
+    buckets = {r.doc_id: r.b for r in df.select(
+        "doc_id",
+        (hash32(F.col("doc_id").cast("string"), seed=7)
+         % 10000).alias("b"),
+    ).collect()}
+    expect = {d for d, b in buckets.items() if b < 3000}
+    assert 15665 in kept
+    assert kept == expect
