@@ -835,6 +835,16 @@ def hamming_pairs(
             )
             .filter(F.col("hamming") <= max_distance)
         )
+    if max_distance + 1 > bits:
+        # bits // n_bands would be 0 for some bands: an all-zero band
+        # key puts EVERY signature in one bucket and the candidate join
+        # silently goes quadratic. A distance bound >= bits is also
+        # vacuous (every pair of b-bit signatures is within b).
+        raise ValueError(
+            f"hamming_pairs: max_distance ({max_distance}) must be < "
+            f"bits ({bits}) — the banded path would degenerate to an "
+            f"all-pairs join; use all_pairs=True if that is intended"
+        )
     n_bands = max_distance + 1
     band_exprs = []
     lo = 0
@@ -1049,13 +1059,29 @@ def drop_dup_clusters(
     rows that are their own cluster label (the min id of each connected
     component) — so a chain a~b~c keeps only ``a``, unlike the pair-local
     greedy keeper in :func:`drop_near_dupes` which cannot see that ``c``
-    transitively duplicates ``a``. One left-semi join back to the corpus.
+    transitively duplicates ``a``. One keep-flag join back to the corpus.
+
+    NULL-id rows pass through unchanged: with no usable identity they
+    cannot appear in any pair, and a semi-join key never matches NULL —
+    the old left-semi silently DROPPED them while the sibling
+    materializers (:func:`drop_exact_dupes`, :func:`drop_near_dupes`)
+    pass them through (review finding, reproduced).
     """
     comp = dup_components(
-        pairs, nodes=df.select(id_col), id_a=id_a, id_b=id_b, id_col=id_col
+        pairs,
+        nodes=df.select(id_col).where(F.col(id_col).isNotNull()),
+        id_a=id_a, id_b=id_b, id_col=id_col,
     )
-    keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    keep = (
+        comp.filter(F.col(id_col) == F.col("component"))
+        .select(id_col)
+        .withColumn("__keep", F.lit(True))
+    )
+    return (
+        df.join(keep, id_col, "left")
+        .filter(F.col(id_col).isNull() | F.col("__keep").isNotNull())
+        .drop("__keep")
+    )
 
 
 def remove_boilerplate_lines(
@@ -1092,8 +1118,23 @@ def remove_boilerplate_lines(
     # re-derive the corpus subtree (the r13 scan-budget regression).
     # A NULL pos is unambiguous: real positions are 0..n-1, and split()
     # of a non-NULL string never yields NULL elements.
+    # NULL id refuses LOUDLY (the pack_sequences convention): the
+    # regroup-by-doc keys on the id, and groupBy puts every NULL key in
+    # ONE group — two NULL-id docs would come back as a single row with
+    # their lines INTERLEAVED (review finding, reproduced: 'a\nb' +
+    # 'c\nd' merged to 'a\nc\nb\nd'). The raise rides the id expression
+    # itself — the group key is always evaluated, so no pruning can
+    # skip it.
     lines = docs.select(
-        F.col(id_col),
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit(
+                f"remove_boilerplate_lines: NULL {id_col} — the "
+                "regroup-by-doc would merge every NULL-id document "
+                "into one interleaved row; assign ids or filter "
+                "upstream"
+            )),
+        ).otherwise(F.col(id_col)).alias(id_col),
         F.posexplode_outer(F.split(F.col(text_col), "\n", -1)).alias(
             "pos", "line"
         ),

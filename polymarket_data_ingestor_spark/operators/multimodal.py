@@ -37,13 +37,18 @@ from pyspark.sql.types import (
 
 FEATURE_DIM = 8
 
+#: n_bytes/digest/features are nullable: a NULL payload (attach_payload
+#: of NULL text, or a lake row with missing media) flows through as a
+#: NULL-feature row instead of crashing the kernel — the batch
+#: absence-propagates convention (callers exploding ``features`` drop
+#: the row, like every other feature stream).
 MEDIA_FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("media_type", StringType(), False),
-        StructField("n_bytes", LongType(), False),
-        StructField("digest", StringType(), False),
-        StructField("features", ArrayType(DoubleType()), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("digest", StringType(), True),
+        StructField("features", ArrayType(DoubleType()), True),
     ]
 )
 
@@ -108,6 +113,14 @@ def extract_features(
     the deterministic fake. The UDF signature (iterator of pandas
     DataFrames) streams batches — constant memory regardless of partition
     size, the required shape for 100 MB+ media payloads.
+
+    NULL payloads pass through as NULL-feature rows (the featurizer is
+    never called on a missing payload): :func:`resize_media` and
+    :func:`attach_payload` both emit NULL payloads for missing inputs,
+    and the old ``bytes(None)`` / ``int(None)`` crashed the composition
+    with an opaque mid-kernel TypeError (review finding, reproduced).
+    Callers exploding ``features`` drop the row — the batch
+    absence-propagates convention.
     """
     fz = featurizer or _fake_features
 
@@ -117,9 +130,15 @@ def extract_features(
                 {
                     "doc_id": pdf[id_col],
                     "media_type": [m["media_type"] for m in pdf["media_meta"]],
-                    "n_bytes": [int(m["n_bytes"]) for m in pdf["media_meta"]],
+                    "n_bytes": [
+                        None if m["n_bytes"] is None else int(m["n_bytes"])
+                        for m in pdf["media_meta"]
+                    ],
                     "digest": [m["digest"] for m in pdf["media_meta"]],
-                    "features": [fz(bytes(p)) for p in pdf["payload"]],
+                    "features": [
+                        None if p is None else fz(bytes(p))
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
@@ -189,7 +208,18 @@ def frame_sample(
     Models video frame extraction's 1→N row shape (posexplode over a
     computed index) with deterministic sampled offsets; a real decoder
     replaces the stride arithmetic with frame timestamps.
+
+    Empty and NULL payloads emit frame 0 at offset 0 (both engines'
+    ``greatest`` ignores the NULL, oracle-pinned). ``every_n_bytes``
+    must be >= 1: zero was a mid-job ANSI DIVIDE_BY_ZERO and a negative
+    stride inverts the sequence bound — refuse at plan time (the
+    length_bucket_batches convention).
     """
+    if every_n_bytes < 1:
+        raise ValueError(
+            f"frame_sample: every_n_bytes must be >= 1, got "
+            f"{every_n_bytes}"
+        )
     n = F.col("media_meta.n_bytes")
     idx = F.sequence(
         F.lit(0), F.greatest((n - 1) / every_n_bytes, F.lit(0)).cast("long")

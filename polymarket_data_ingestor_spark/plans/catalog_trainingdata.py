@@ -2835,6 +2835,10 @@ def q_curation_pipeline(spark, sf_dir):
       SELECT doc_id, encode(text) AS payload, text FROM documents
       WHERE doc_id < 100
     ), feats AS (
+      -- NULL-text docs emit no feature rows (Spark: NULL payload ->
+      -- NULL features, dropped by the entry's posexplode — the batch
+      -- absence-propagates convention); fixture has none, kept aligned
+      -- for the latent class
       SELECT doc_id, f.i AS feat_idx,
              CAST(COALESCE((
                SELECT sum(ascii(substr(m.text, p.i, 1)))
@@ -2842,6 +2846,7 @@ def q_curation_pipeline(spark, sf_dir):
                WHERE (p.i - 1) % 8 = f.i), 0) % 997 AS DOUBLE) AS feat
       FROM meta m CROSS JOIN
            (SELECT unnest(generate_series(0, 7)) AS i) f
+      WHERE m.text IS NOT NULL
     )
     SELECT m.doc_id, 'application/octet-stream' AS media_type,
            octet_length(m.payload) AS n_bytes,

@@ -2350,3 +2350,87 @@ def test_pq_topk_refuses_zero_norm_query(spark, emb):
     ]
     with pytest.raises(ValueError, match="zero-norm query vector"):
         S.pq_topk(emb, zq, k=3, codebooks=codebooks)
+
+
+def test_remove_boilerplate_lines_refuses_null_id(spark):
+    """groupBy puts every NULL key in ONE group: two NULL-id docs came
+    back as a single row with their lines INTERLEAVED ('a\\nb' + 'c\\nd'
+    -> 'a\\nc\\nb\\nd', reproduced). The regroup key has no usable
+    identity — refuse loudly (the pack_sequences convention), riding
+    the id expression so no pruning can skip it."""
+    docs = spark.createDataFrame(
+        [(None, "a\nb"), (None, "c\nd"), (1, "x\ny")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        D.remove_boilerplate_lines(docs, min_docs=99).collect()
+
+
+def test_drop_dup_clusters_passes_null_id_through(spark):
+    """A NULL id can appear in no pair, so it is never a duplicate —
+    but the old left-semi keep-join silently DROPPED it (NULL never
+    equi-matches) while the sibling materializers (drop_exact_dupes,
+    drop_near_dupes) pass NULL-id rows through. All three now agree."""
+    df = spark.createDataFrame(
+        [(1, "t1"), (2, "t1"), (None, "solo")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept = sorted(
+        (r.doc_id for r in D.drop_dup_clusters(df, pairs).collect()),
+        key=lambda x: (x is None, x),
+    )
+    assert kept == [1, None]
+    near = sorted(
+        (r.doc_id for r in D.drop_near_dupes(df, pairs).collect()),
+        key=lambda x: (x is None, x),
+    )
+    assert near == [1, None]  # the convention drop_dup_clusters now shares
+
+
+def test_hamming_pairs_refuses_degenerate_bands(spark):
+    """max_distance + 1 > bits makes some band masks zero-width: every
+    signature shares band key 0 and the candidate join silently goes
+    quadratic (reproduced: 15/15 pairs at max_distance=40, bits=32)."""
+    sig = spark.createDataFrame(
+        [(i, i) for i in range(4)], "doc_id long, simhash long"
+    )
+    with pytest.raises(ValueError, match="all_pairs=True"):
+        D.hamming_pairs(sig, max_distance=40, bits=32)
+    # the all-pairs escape hatch stays available
+    assert D.hamming_pairs(
+        sig, max_distance=40, bits=32, all_pairs=True
+    ).count() == 6
+
+
+def test_extract_features_null_payload_passthrough(spark):
+    """resize_media and attach_payload both emit NULL payloads for
+    missing inputs, but extract_features crashed the composition with
+    an opaque mid-kernel TypeError (bytes(None) / int(None) —
+    reproduced). NULL payloads now flow through as NULL-feature rows;
+    the featurizer is never called on them."""
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, text string"
+    )
+    feats = {r.doc_id: r for r in
+             M.extract_features(M.attach_payload(docs)).collect()}
+    assert feats[1].features is not None and feats[1].n_bytes == 5
+    assert feats[2].features is None
+    assert feats[2].n_bytes is None and feats[2].digest is None
+    # a poisoning featurizer proves the kernel never ran on the NULL
+    def boom(payload):
+        raise AssertionError("featurizer called on NULL payload")
+    only_null = M.attach_payload(docs.filter(F.col("doc_id") == 2))
+    out = M.extract_features(only_null, featurizer=boom).collect()
+    assert len(out) == 1 and out[0].features is None
+
+
+def test_frame_sample_refuses_zero_stride(spark):
+    """every_n_bytes=0 was a mid-job ANSI DIVIDE_BY_ZERO (the
+    length_bucket_batches class); refuse at plan time."""
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    media = M.attach_payload(docs)
+    with pytest.raises(ValueError, match="every_n_bytes"):
+        M.frame_sample(media, every_n_bytes=0)
+    with pytest.raises(ValueError, match="every_n_bytes"):
+        M.frame_sample(media, every_n_bytes=-4)
