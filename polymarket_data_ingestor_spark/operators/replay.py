@@ -306,10 +306,26 @@ def replay_feed_messages(
     # present arrays stay valid: they pack to empty (non-NULL) arrays.
     # try_cast: under ANSI mode a plain cast would THROW on garbage
     # instead of classifying it for rejection.
+    #
+    # _finite: try_cast ACCEPTS "NaN"/"Infinity"/"-Infinity" as doubles,
+    # but the reference's Decimal parse rejects those strings (serde
+    # fails -> whole message dropped) — and a NaN price would corrupt
+    # the kernel besides (NaN dict keys never equal themselves, so every
+    # NaN upsert opens a phantom level, and a later max()/min() best
+    # recompute propagates NaN into the BBO order-dependently; review
+    # finding, reproduced: a NaN price_change emitted a BBO pair the
+    # reference would not emit). Spark orders NaN above +Infinity, so
+    # strictly-between-infinities excludes NaN and both infinities in
+    # one predicate.
+    def _finite(v):
+        return F.when(
+            (v > F.lit(float("-inf"))) & (v < F.lit(float("inf"))), v
+        )
+
     def level_pairs(col):
         def pack(lv):
-            p = lv["price"].try_cast("double")
-            s = lv["size"].try_cast("double")
+            p = _finite(lv["price"].try_cast("double"))
+            s = _finite(lv["size"].try_cast("double"))
             return F.when(p.isNotNull() & s.isNotNull(), F.array(p, s))
 
         return F.flatten(F.transform(col, pack))
@@ -317,8 +333,8 @@ def replay_feed_messages(
     def signed_pack(side, price, size):
         # Sign-encodes BUY(+)/SELL(-); an unknown side yields NULL (not
         # a sign-encoded guess), poisoning the element → message.
-        p = price.try_cast("double")
-        s = size.try_cast("double")
+        p = _finite(price.try_cast("double"))
+        s = _finite(size.try_cast("double"))
         sp = F.when(side == "BUY", p).when(side == "SELL", -p)
         return F.when(sp.isNotNull() & s.isNotNull(), F.array(sp, s))
 

@@ -904,3 +904,51 @@ def test_manifest_same_size_rewrite_detected_via_mtime(tmp_path):
     doc["file_size"] = f.stat().st_size
     manifest_path(f).write_text(json.dumps(doc))
     assert read_manifest_counts(f) == {"1": 3}
+
+
+def test_nonfinite_prices_rejected_like_reference_serde(spark, tmp_path):
+    """try_cast accepts 'NaN'/'Infinity'/'-Infinity' as doubles, but the
+    reference's Decimal parse rejects those strings — the whole message
+    drops, no emission. Unguarded, a NaN price also corrupts the kernel
+    (NaN dict keys never equal themselves: every NaN upsert opens a
+    phantom level and a later best-recompute propagates NaN into the
+    BBO order-dependently; reproduced — the NaN change even emitted a
+    BBO pair the reference would not emit)."""
+    mkt, asset = _mkt_id(11), _asset_id(11, 0)
+    msgs = [
+        {"event_type": "book", "timestamp": "1000", "market": mkt,
+         "asset_id": asset, "bids": [{"price": "0.4", "size": "5"}],
+         "asks": [{"price": "0.6", "size": "2"}]},  # ok
+        {"event_type": "price_change", "timestamp": "2000", "market": mkt,
+         "asset_id": asset,
+         "changes": [{"price": "NaN", "size": "3", "side": "BUY"}]},
+        {"event_type": "price_change", "timestamp": "2100", "market": mkt,
+         "asset_id": asset,
+         "changes": [{"price": "0.5", "size": "Infinity",
+                      "side": "BUY"}]},
+        {"event_type": "book", "timestamp": "2200", "market": mkt,
+         "asset_id": asset,
+         "bids": [{"price": "-Infinity", "size": "1"}],
+         "asks": []},  # non-finite book level -> whole snapshot rejected
+        {"event_type": "last_trade_price", "timestamp": "2300",
+         "market": mkt, "asset_id": asset, "side": "SELL",
+         "price": "Infinity", "size": "1"},
+        {"event_type": "last_trade_price", "timestamp": "2400",
+         "market": mkt, "asset_id": asset, "side": "BUY",
+         "price": "0.45", "size": "NaN"},
+        {"event_type": "price_change", "timestamp": "3000", "market": mkt,
+         "asset_id": asset,
+         "changes": [{"price": "0.45", "size": "7", "side": "BUY"}]},  # ok
+    ]
+    p = tmp_path / "2025-10-01-09.jsonl"
+    p.write_text("\n".join(
+        json.dumps({"timestamp": "t", "message_type": "feed_message",
+                    "content": json.dumps([m])}) for m in msgs) + "\n")
+    rows = _spark_rows(replay(spark, [str(p)], in_log_order=True,
+                              ticks_only=False))
+    assert rows == [
+        ("1000", "BBO", mkt, asset, "ASK", 0.6, 2.0),
+        ("1000", "BBO", mkt, asset, "BID", 0.4, 5.0),
+        ("3000", "BBO", mkt, asset, "ASK", 0.6, 2.0),
+        ("3000", "BBO", mkt, asset, "BID", 0.45, 7.0),
+    ]
