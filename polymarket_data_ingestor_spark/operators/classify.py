@@ -188,8 +188,11 @@ def nb_predict(
     Returns ``(id, n_feats, label, score, margin)`` — margin is the
     decimal gap to the runner-up class (NULL for a 1-class model), the
     standard confidence gate. Docs with no features (empty/NULL text)
-    drop out, the ``dsir_log_weights`` convention; the streaming twin
-    :func:`nb_score` instead emits the prior argmax for them.
+    drop out, the ``dsir_log_weights`` convention, and so do NULL-id
+    docs (unkeyable in the per-doc rollup — the monoid convention; use
+    :func:`nb_score`, which keys on nothing, to score them); the
+    streaming twin :func:`nb_score` also emits the prior argmax for
+    featureless docs.
 
     Plan shape: the collected weights re-enter as a LocalRelation of
     ``<= n_buckets`` rows — bucket -> ``map<class, weight>`` — and

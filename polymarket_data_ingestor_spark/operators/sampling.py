@@ -406,7 +406,9 @@ def dsir_log_weights(
     distribution (e.g. a trusted high-quality slice) than the raw corpus
     it came from. Returns (id, n_feats, log_weight); docs with no
     features (empty/NULL text) drop out, the `bigram_lm_score`
-    convention.
+    convention, and so do NULL-id docs (unkeyable in the per-doc
+    rollup — the monoid convention; :func:`dsir_score` keys on
+    nothing and can score them).
 
     Scale shape at 100 TB: the learned model is ``<= n_buckets`` rows
     and BROADCASTS to the per-doc counts, so after the count exchanges

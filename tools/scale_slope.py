@@ -156,6 +156,20 @@ def main() -> None:
                         "rows": n_docs * scale, "sec": sec})
         print(json.dumps(results[-1]), flush=True)
 
+    # line dedup in its r14 single-scan posexplode_outer form: the line
+    # digest rollup + broadcast tag + regroup-by-doc should all track
+    # the corpus linearly (the fixture's docs are single-line, which
+    # still exercises explode -> md5 rollup -> tag -> regroup)
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    for scale, d in ((1, docs1), (10, docs10)):
+        sec = _time2(lambda: remove_boilerplate_lines(d).count())
+        results.append({"op": "remove_boilerplate_lines", "scale": scale,
+                        "rows": n_docs * scale, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
     # ---- round-5 text ops on the same 1x/10x documents fixture ----
     # (the per-copy " c{i}" suffix also perturbs each copy's trailing
     # bigram/window, so cross-copy hot-window/bigram collapse is mild)
