@@ -170,6 +170,57 @@ def main() -> None:
                         "rows": n_docs * scale, "sec": sec})
         print(json.dumps(results[-1]), flush=True)
 
+    # the flagship composition whose scan budget the r14 rework fixed
+    # (quality filter -> single-scan exact dedup -> stratified sample ->
+    # sequence packing -> doc join): every stage is width-preserving or
+    # key-bounded, so the slope should track the corpus. The 10x copies
+    # carry no lang column; a doc_id%3 synthetic keeps the stratum MIX
+    # (and so the sample's survival rate) identical at both scales.
+    from polymarket_data_ingestor_spark.operators.packing import (
+        pack_sequences,
+    )
+    from polymarket_data_ingestor_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from polymarket_data_ingestor_spark.operators.text import quality_score
+
+    def _curation(d):
+        lab = d.withColumn(
+            "lang",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        )
+        kept = quality_score(lab).filter(F.col("quality") >= 0.5)
+        deduped = drop_exact_dupes(kept)
+        sampled = stratified_sample(
+            deduped, {"en": 1.0, "de": 0.5}, seed=1, default_rate=0.25
+        )
+        packed = pack_sequences(sampled, seq_len=128, shard_size=100)
+        first_seq = packed.filter(F.col("doc_start") == 0).select(
+            "seq_id", "doc_id"
+        )
+        return first_seq.join(
+            sampled.select("doc_id", "lang", "quality"), "doc_id"
+        ).count()
+
+    for scale, d in ((1, docs1), (10, docs10)):
+        sec = _time2(lambda: _curation(d))
+        results.append({"op": "curation_pipeline", "scale": scale,
+                        "rows": n_docs * scale, "sec": sec})
+        print(json.dumps(results[-1]), flush=True)
+
+    if "--until-curation" in sys.argv:
+        by_op = {}
+        for r in results:
+            by_op.setdefault(r["op"], {})[r["scale"]] = r["sec"]
+        print(json.dumps({"slope_10x_over_1x": {
+            op: round(v[10] / v[1], 2)
+            for op, v in by_op.items() if 1 in v and 10 in v
+        }, "repeats": REPEATS}))
+        return
+
     # ---- round-5 text ops on the same 1x/10x documents fixture ----
     # (the per-copy " c{i}" suffix also perturbs each copy's trailing
     # bigram/window, so cross-copy hot-window/bigram collapse is mild)
