@@ -257,6 +257,14 @@ def vwap_bars(
     order-independent, so any shuffle layout produces the bit-identical
     answer.
 
+    A bucket whose trades all have size 0 has no defined VWAP: it
+    emits a NULL ``vwap`` (volume 0, n_trades counted). Unguarded, the
+    division is an ANSI ``DIVIDE_BY_ZERO`` — ONE poison bucket aborts
+    the whole job mid-flight (zero sizes are finite, so the replay
+    packer's non-finite rejection does not screen them). NULL is also
+    what DuckDB's ``0.0/0.0`` yields, keeping the oracle pair exact on
+    the degenerate class, not just on healthy data.
+
     Scale shape: a single map-side-combined aggregate — no window at
     all (unlike TWAP, VWAP needs no neighbor), so the one shuffle
     carries one row per (bucket, key) per map task. The cheapest bar
@@ -269,8 +277,9 @@ def vwap_bars(
     return (
         trades.groupBy(bkt["start"].alias("bar_time"), *by)
         .agg(
-            (
-                F.sum(p * s).cast("double") / F.sum(s).cast("double")
+            F.when(
+                F.sum(s) != 0,
+                F.sum(p * s).cast("double") / F.sum(s).cast("double"),
             ).alias("vwap"),
             F.sum(s).cast("double").alias("volume"),
             F.count(F.lit(1)).alias("n_trades"),

@@ -981,10 +981,32 @@ def dup_components(
     relabeled to the component min). Hitting it means the pair graph has
     a path longer than ``max_iter`` — raise ``max_iter`` (rounds needed =
     component diameter) or pre-split the input.
+
+    A NULL id on either side of a pair raises loudly: the engine's pair
+    generators can never emit one (they join on id equality), so a NULL
+    here means a corrupt hand-fed pair list — and unguarded it would
+    emit a garbage ``(doc_id=NULL, component=<neighbor's label>)`` row
+    while silently NOT connecting the NULL edge's endpoints (NULL never
+    equi-joins), the silent-loss class the pack_sequences/asof reviews
+    closed. The guard rides the cast expression itself so no pushed
+    filter can prune the row before it evaluates.
     """
+    def _ids_or_raise(col: str) -> F.Column:
+        return F.when(
+            F.col(col).isNotNull(), F.col(col).cast("long")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"dup_components: NULL id in column '{col}' — a "
+                    "NULL id cannot identify a document; filter or "
+                    "repair the pair/node source upstream"
+                )
+            )
+        )
+
     sym = pairs.select(
-        F.col(id_a).cast("long").alias("u"),
-        F.col(id_b).cast("long").alias("v"),
+        _ids_or_raise(id_a).alias("u"),
+        _ids_or_raise(id_b).alias("v"),
     )
     # Materialize the edge list ONCE: `pairs` usually carries a whole
     # detector subplan (LSH band join, substring gram shuffle, Hamming
@@ -1006,9 +1028,12 @@ def dup_components(
     edges.count()
     if nodes is None:
         nodes = edges.select(F.col("u").alias(id_col)).distinct()
+        node_id = F.col(id_col).cast("long")  # already guarded via sym
+    else:
+        node_id = _ids_or_raise(id_col)  # hand-fed node list: same rule
     labels = nodes.select(
-        F.col(id_col).cast("long").alias("u"),
-        F.col(id_col).cast("long").alias("comp"),
+        node_id.alias("u"),
+        node_id.alias("comp"),
     )
     prev_sum = None
     converged = False

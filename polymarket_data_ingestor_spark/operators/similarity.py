@@ -989,12 +989,16 @@ def topk_recall(
         .withColumn("__hit", F.lit(1))
     )
     flagged = e.join(a, [query_id_col, id_col], "left")
+    # empty exact set -> 0/0: NULL recall (n_queries 0), not an ANSI
+    # DIVIDE_BY_ZERO abort — an empty query batch must not kill the
+    # measurement job (same poison-input class as vwap_bars)
     return flagged.agg(
         F.lit(int(k)).cast("long").alias("k"),
         F.countDistinct(query_id_col).cast("long").alias("n_queries"),
-        (
+        F.when(
+            F.count(F.lit(1)) > 0,
             F.count("__hit").cast("double")
-            / F.count(F.lit(1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
         ).alias("recall"),
     )
 

@@ -2314,7 +2314,12 @@ def q_vwap_monthly(spark, sf_dir):
     return li.groupBy(
         "l_returnflag", F.date_trunc("month", "l_shipdate").alias("month")
     ).agg(
-        (F.sum(p * s).cast("double") / F.sum(s).cast("double")).alias("vwap"),
+        # same zero-volume guard as vwap_bars: NULL vwap, matching
+        # DuckDB's native 0.0/0.0 -> NULL (ANSI Spark would abort)
+        F.when(
+            F.sum(s) != 0,
+            F.sum(p * s).cast("double") / F.sum(s).cast("double"),
+        ).alias("vwap"),
         F.sum(s).cast("double").alias("volume"),
         F.count(F.lit(1)).alias("n_trades"),
     )

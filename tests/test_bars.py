@@ -134,6 +134,32 @@ def test_vwap_bars(ticks_env):
     assert got["volume"].tolist() == pytest.approx(want["volume"].tolist())
 
 
+def test_vwap_zero_volume_bucket_is_null_not_abort(spark):
+    """A bucket whose trades all have size 0 has no defined VWAP: it
+    must emit a NULL vwap row, not abort the job with an ANSI
+    DIVIDE_BY_ZERO (zero sizes are finite, so the replay packer's
+    non-finite rejection does not screen them — one poison bucket
+    would kill a full-corpus rollup). DuckDB's 0.0/0.0 is NULL, so
+    NULL also keeps the oracle pair exact on this input class."""
+    import pyspark.sql.functions as F
+
+    ticks = spark.createDataFrame(
+        [
+            ("TRADE", "a", "2024-01-01 00:01:00", 0.5, 0.0),
+            ("TRADE", "a", "2024-01-01 00:02:00", 0.6, 0.0),
+            ("TRADE", "b", "2024-01-01 00:01:00", 0.5, 2.0),
+        ],
+        "kind string, asset string, event_time string, "
+        "price double, size double",
+    ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+    rows = {
+        r["asset"]: (r["vwap"], r["volume"], r["n_trades"])
+        for r in vwap_bars(ticks).collect()
+    }
+    assert rows["a"] == (None, 0.0, 2)
+    assert rows["b"][0] == pytest.approx(0.5) and rows["b"][2] == 1
+
+
 def test_trade_summary(ticks_env):
     _, _, ticks, oracle = ticks_env
     got = trade_summary(ticks).toPandas().iloc[0]

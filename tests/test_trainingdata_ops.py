@@ -1087,6 +1087,41 @@ def test_topk_recall_dedups_inputs(spark):
     assert r.recall == 0.5, r  # fan-out would report 3/4
 
 
+def test_topk_recall_empty_exact_is_null_not_abort(spark):
+    """Recall of an empty exact set is undefined: NULL recall with
+    n_queries 0, not an ANSI DIVIDE_BY_ZERO abort — an empty query
+    batch must not kill the measurement job."""
+    empty = spark.createDataFrame([], "query_id long, vec_id long")
+    r = S.topk_recall(empty, empty, k=5).first()
+    assert r.recall is None and r.n_queries == 0 and r.k == 5
+
+
+def test_dup_components_raises_on_null_pair_or_node_ids(spark):
+    """A NULL id on either side of a pair (or in a hand-fed node list)
+    raises loudly: unguarded, the NULL never equi-joins, so its edge
+    silently fails to connect its endpoints AND a garbage
+    (doc_id=NULL, component=<neighbor>) row leaks into the output —
+    the silent-loss class the pack_sequences/asof reviews closed. The
+    guard rides the cast expression, so no pushed filter prunes it."""
+    import pytest as _pytest
+
+    bad_pairs = spark.createDataFrame(
+        [(1, 2), (None, 4)], "id_a long, id_b long"
+    )
+    with _pytest.raises(Exception, match="NULL id in column 'id_a'"):
+        D.dup_components(bad_pairs).collect()
+
+    ok_pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    bad_nodes = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with _pytest.raises(Exception, match="NULL id in column 'doc_id'"):
+        D.dup_components(ok_pairs, nodes=bad_nodes).collect()
+
+    # clean path unchanged
+    got = {r["doc_id"]: r["component"]
+           for r in D.dup_components(ok_pairs).collect()}
+    assert got == {1: 1, 2: 1}
+
+
 def test_with_token_counts_greedy_semantics(spark):
     """Hand-computed greedy longest-match counts on a fixed tiny vocab,
     including the [UNK] collapse and the empty/whitespace-only edges."""
