@@ -41,13 +41,32 @@ def _dot(a, b) -> F.Column:
 
 
 def _norm(a) -> F.Column:
-    return F.sqrt(
+    """L2 norm (JVM fold). Refuses a NON-FINITE norm loudly: a NaN/Inf
+    component yields a NaN/Inf norm, and the resulting NaN cosine ranks
+    FIRST in a desc window (Spark orders NaN above every double) — the
+    same nondeterministic-garbage class as the zero-norm review finding,
+    which ANSI's DIVIDE_BY_ZERO already catches at the division. The
+    guard rides the norm expression itself so every JVM cosine path
+    (lsh/ivf/dup_pairs/semdedup) inherits it; a NULL vector still
+    yields a NULL norm (isnan(NULL) is NULL -> otherwise branch)."""
+    n = F.sqrt(
         F.aggregate(
             a,
             F.lit(0.0),
             lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
     )
+    return F.when(
+        F.isnan(n) | (n == F.lit(float("inf"))),
+        F.raise_error(
+            F.lit(
+                "cosine norm: non-finite vector norm — a NaN/Inf "
+                "component poisons similarity scores, which rank "
+                "nondeterministically; filter upstream (see "
+                "quantize_embeddings' non-finite gate)"
+            )
+        ).cast("double"),
+    ).otherwise(n)
 
 
 def cosine(a, b) -> F.Column:
@@ -155,11 +174,15 @@ def cosine_topk(
     for p in range(dim):  # dimension order == fold order
         qn += Q[:, p] * Q[:, p]
     qn = np.sqrt(qn)
-    if np.any(qn == 0.0):
-        bad = [q for q, n in zip(qids.tolist(), qn) if n == 0.0][:5]
+    # zero-norm OR non-finite (NaN/Inf component): both yield NaN
+    # cosines, which Spark's desc window ranks FIRST while np.lexsort
+    # ranks LAST — refuse rather than emit order-dependent garbage
+    if np.any((qn == 0.0) | ~np.isfinite(qn)):
+        bad = [q for q, n in zip(qids.tolist(), qn)
+               if n == 0.0 or not np.isfinite(n)][:5]
         raise ValueError(
-            f"cosine_topk: zero-norm query vector(s) {bad} — cosine is "
-            "undefined; filter upstream"
+            f"cosine_topk: zero-norm or non-finite query vector(s) "
+            f"{bad} — cosine is undefined; filter upstream"
         )
 
     def _partition_topk(batches):
@@ -179,13 +202,15 @@ def cosine_topk(
             for p in range(dim):  # dimension order == fold order
                 acc += V[:, p : p + 1] * Q[None, :, p]
                 vn += V[:, p] * V[:, p]
-            if np.any(vn == 0.0):
-                bad = ids[vn == 0.0][:5].tolist()
+            bad_vn = (vn == 0.0) | ~np.isfinite(vn)
+            if np.any(bad_vn):
+                bad = ids[bad_vn][:5].tolist()
                 raise ValueError(
-                    f"cosine_topk: zero-norm corpus vector(s) {bad} — "
-                    "cosine is undefined and NaN scores rank "
-                    "nondeterministically; filter upstream (the JVM "
-                    "paths refuse the same input via DIVIDE_BY_ZERO)"
+                    f"cosine_topk: zero-norm or non-finite corpus "
+                    f"vector(s) {bad} — cosine is undefined and NaN "
+                    "scores rank nondeterministically; filter upstream "
+                    "(the JVM paths refuse the same input via "
+                    "DIVIDE_BY_ZERO / the _norm non-finite guard)"
                 )
             cos = acc / (qn[None, :] * np.sqrt(vn)[:, None])
             for j in range(nq):
@@ -771,20 +796,42 @@ def quantize_embeddings(
     floor would yield -128 — the clamp is itself deterministic, so
     cross-engine exactness survives.
 
+    A vector containing a non-finite component (NaN or ±Inf) maps to
+    (NULL scale, NULL qvec) — the same representation as a NULL input
+    vector. Unguarded, NaN poisons the absmax fold (Spark's
+    ``greatest`` ranks NaN above everything), so scale went NaN/Inf and
+    EVERY component — including the healthy ones — quantized to 0 via
+    ``floor(NaN)``; dequantize then resurrected the vector as all-NaN
+    garbage feeding every downstream cosine/centroid. NULL is visible,
+    engine-exact, and doesn't abort a corpus-scale job over one corrupt
+    row (the replay packer's non-finite-rejection convention, applied
+    to the representation a filter can act on).
+
     Pure Catalyst array transforms — zero shuffle, zero UDF; the
     aggregate fold for ``max|v|`` is order-independent (max).
     """
+    xd = lambda x: x.cast("double")  # noqa: E731
+    nonfinite = F.exists(
+        F.col(vec_col),
+        lambda x: x.isNotNull()
+        & (F.isnan(xd(x)) | (F.abs(xd(x)) == F.lit(float("inf")))),
+    )
     absmax = F.aggregate(
         F.col(vec_col),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
-    scale = (absmax / F.lit(127.0)).alias(scale_col)
+    # exists() is NULL on a NULL array -> when() falls through to NULL
+    # scale, which is already the NULL-vec contract
+    scale = F.when(~nonfinite, absmax / F.lit(127.0)).alias(scale_col)
     # NULL element -> NULL q (and back to NULL on dequantize): Spark's
     # least/greatest SKIP NULLs, so an unguarded clamp would silently
     # quantize a missing component to +127 — max-magnitude garbage
     # injected into every downstream cosine/centroid.
     q = F.when(
+        nonfinite,
+        F.lit(None).cast("array<int>"),
+    ).when(
         F.col(scale_col) == 0.0,
         F.transform(
             F.col(vec_col),
@@ -1166,11 +1213,12 @@ def pq_topk(
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in probe])
     nq = len(qids)
     qn = np.sqrt((Q * Q).sum(axis=1))
-    if np.any(qn == 0.0):
-        bad = [q for q, n in zip(qids.tolist(), qn) if n == 0.0][:5]
+    if np.any((qn == 0.0) | ~np.isfinite(qn)):
+        bad = [q for q, n in zip(qids.tolist(), qn)
+               if n == 0.0 or not np.isfinite(n)][:5]
         raise ValueError(
-            f"pq_topk: zero-norm query vector(s) {bad} — cosine is "
-            "undefined; filter upstream"
+            f"pq_topk: zero-norm or non-finite query vector(s) {bad} — "
+            "cosine is undefined; filter upstream"
         )
     # LUT[j, m, c] = dot(q_j subvector m, codebook m centroid c)
     lut = np.stack(

@@ -126,9 +126,12 @@ def q_hashed_embedding_docs(spark, sf_dir):
     """
     WITH s AS (
       SELECT vec_id, embedding,
-             list_aggregate(
-               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-               'max') / 127.0 AS scale
+             CASE WHEN len(list_filter(embedding, x ->
+                    isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+                  )) > 0 THEN NULL
+                  ELSE list_aggregate(
+                    list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                    'max') / 127.0 END AS scale
       FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT vec_id, scale, CAST(t.range AS BIGINT) AS dim,
@@ -138,6 +141,7 @@ def q_hashed_embedding_docs(spark, sf_dir):
                        FLOOR(CAST(embedding[t.range + 1] AS DOUBLE)
                              / scale))) AS INTEGER) END AS q
     FROM s, range(0, 64) t
+    WHERE scale IS NOT NULL  -- posexplode drops a NULL (non-finite) qvec
     """,
     doc="Symmetric int8 embedding quantization "
     "(operators/similarity.py::quantize_embeddings), unpacked to one "
@@ -4033,6 +4037,15 @@ _CODE_CHANGED_THIS_ROUND = (
     # All four were re-verified bit-exact locally this round at
     # sf0.001 AND sf0.01 (tools/check.py), as was
     # random_projection_embeddings' new oracle.
+    #
+    # Post-snapshot degenerate-input fixes (same unseeded rationale —
+    # NULL-free/healthy data is bit-unchanged, all re-verified locally
+    # at sf0.001 AND sf0.01): vwap_monthly (zero-volume NULL guard) is
+    # ALREADY in the window via the r11-stale cohort, so its changed
+    # code gets a first-party row anyway; dup_components +
+    # dedup_{near,transitive}_materialize (NULL-id pair refusal) and
+    # the three *_recall entries (empty-exact NULL guard) are r12/r13
+    # green and rotate naturally next round.
     "dsir_weights",
 )
 

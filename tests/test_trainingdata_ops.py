@@ -1808,6 +1808,31 @@ def test_quantize_null_component_propagates(spark):
     assert back.embedding[1] is None
 
 
+def test_quantize_nonfinite_vector_nulls_not_zero_garbage(spark):
+    """A NaN/Inf component must map the WHOLE vector to (NULL scale,
+    NULL qvec) — the NULL-vec representation a filter can act on.
+    Unguarded, NaN poisoned the absmax fold (Spark's greatest ranks
+    NaN above everything): scale went NaN/Inf, every component —
+    healthy ones included — quantized to 0 via floor(NaN), and
+    dequantize resurrected the vector as all-NaN garbage feeding
+    every downstream cosine/centroid."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, float("nan"), 0.5]),
+         (2, [float("inf"), 1.0]),
+         (3, [1.0, None, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = S.quantize_embeddings(emb)
+    rows = {r.vec_id: (r.scale, r.qvec) for r in q.collect()}
+    assert rows[1] == (None, None) and rows[2] == (None, None)
+    # healthy vectors (NULL components allowed) are untouched
+    s3, q3 = rows[3]
+    assert abs(s3 - 2.0 / 127) < 1e-15 and q3 == [63, None, -127]
+    back = {r.vec_id: r.embedding
+            for r in S.dequantize_embeddings(q.drop("embedding")).collect()}
+    assert back[1] is None and back[2] is None
+
+
 def test_containment_blank_docs_never_pair(spark):
     """Blank/NULL/whitespace-only docs have EMPTY gram sets after the
     '' sentinel removal: no containment pairs, no jaccard pairs, no
@@ -2361,7 +2386,7 @@ def test_cosine_topk_refuses_zero_norm_vectors(spark, emb):
         [(999999, [0.0] * dim)],
         "vec_id long, embedding array<float>",
     )
-    with pytest.raises(Exception, match="zero-norm corpus vector"):
+    with pytest.raises(Exception, match="zero-norm or non-finite corpus"):
         S.cosine_topk(
             emb.select("vec_id", "embedding").unionByName(zero),
             queries, k=3,
@@ -2370,8 +2395,41 @@ def test_cosine_topk_refuses_zero_norm_vectors(spark, emb):
         [(999999, [0.0] * dim)],
         "query_id long, embedding array<float>",
     )
-    with pytest.raises(ValueError, match="zero-norm query vector"):
+    with pytest.raises(ValueError, match="zero-norm or non-finite query"):
         S.cosine_topk(emb, queries.unionByName(zq), k=3)
+    # a NaN component re-opens the same door through a non-zero norm:
+    # vn/qn go NaN, pass an ==0 check, and the NaN cosine again ranks
+    # first in the Spark merge — the guard must be non-finite-wide
+    nanq = spark.createDataFrame(
+        [(999998, [float("nan")] + [1.0] * (dim - 1))],
+        "query_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="zero-norm or non-finite query"):
+        S.cosine_topk(emb, queries.unionByName(nanq), k=3)
+    nanv = spark.createDataFrame(
+        [(999998, [float("nan")] + [1.0] * (dim - 1))],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="zero-norm or non-finite corpus"):
+        S.cosine_topk(
+            emb.select("vec_id", "embedding").unionByName(nanv),
+            queries, k=3,
+        ).collect()
+
+
+def test_jvm_cosine_paths_refuse_nonfinite_norm(spark, emb):
+    """The JVM cosine fold (lsh/ivf/dup_pairs/semdedup) refuses a
+    NaN-component vector loudly via the _norm guard — previously the
+    NaN cosine flowed silently into desc ranking windows, where Spark
+    orders NaN ABOVE every real score (rank 1 garbage)."""
+    dim = len(emb.first()["embedding"])
+    nanv = spark.createDataFrame(
+        [(999998, [float("nan")] + [1.0] * (dim - 1))],
+        "vec_id long, embedding array<float>",
+    )
+    poisoned = emb.select("vec_id", "embedding").unionByName(nanv)
+    with pytest.raises(Exception, match="non-finite vector norm"):
+        S.embedding_dup_pairs(poisoned, threshold=0.9).collect()
 
 
 def test_pq_topk_refuses_zero_norm_query(spark, emb):
@@ -2383,7 +2441,7 @@ def test_pq_topk_refuses_zero_norm_query(spark, emb):
     codebooks = [
         [[1.0] * (dim // 4), [-1.0] * (dim // 4)] for _ in range(4)
     ]
-    with pytest.raises(ValueError, match="zero-norm query vector"):
+    with pytest.raises(ValueError, match="zero-norm or non-finite query"):
         S.pq_topk(emb, zq, k=3, codebooks=codebooks)
 
 
