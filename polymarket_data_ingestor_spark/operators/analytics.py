@@ -442,7 +442,15 @@ def snapshot_diff(
 
     ``compare_cols`` defaults to every shared non-key column.
     Comparison is null-safe (``<=>``): a NULL→value transition is a
-    real change, NULL→NULL is not. ``unchanged`` rows are dropped
+    real change, NULL→NULL is not. The JOIN keys are deliberately NOT
+    null-safe: a NULL key carries no identity, so a NULL-keyed row
+    present in both snapshots reports as ``removed`` + ``added`` rather
+    than pairing up — plain SQL equi-join semantics, identical in the
+    DuckDB oracle (pinned). This is the opposite convention from
+    ``asof_join``'s NULL ``by``-keys (which group together); a diff
+    needs per-ROW identity where asof needs per-GROUP membership, and
+    null-safe diff keys would nondeterministically pair up MULTIPLE
+    NULL-keyed rows. ``unchanged`` rows are dropped
     unless asked for — the diff of two mostly-identical 100 TB
     snapshots should be small output, not a third copy.
 

@@ -1496,6 +1496,14 @@ def test_snapshot_diff_classification(spark):
     # old/new values ride along
     row2 = {r.k: r for r in snapshot_diff(old, new, ("k",)).collect()}[2]
     assert (row2.old_v, row2.new_v) == (20.0, 21.0)
+    # NULL join keys carry no identity: a NULL-keyed row in both
+    # snapshots reports removed + added, never pairs (plain SQL
+    # equi-join semantics, same in the DuckDB oracle; deliberate
+    # opposite of asof_join's NULL by-key grouping — see docstring)
+    nold = spark.createDataFrame([(None, 1.0)], "k long, v double")
+    nnew = spark.createDataFrame([(None, 1.0)], "k long, v double")
+    nd = [(r.k, r.change) for r in snapshot_diff(nold, nnew, ("k",)).collect()]
+    assert sorted(nd, key=str) == [(None, "added"), (None, "removed")]
 
 
 def test_dup_size_histogram(spark):
