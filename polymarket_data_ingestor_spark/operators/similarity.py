@@ -810,29 +810,37 @@ def quantize_embeddings(
     Pure Catalyst array transforms — zero shuffle, zero UDF; the
     aggregate fold for ``max|v|`` is order-independent (max).
     """
-    xd = lambda x: x.cast("double")  # noqa: E731
-    nonfinite = F.exists(
-        F.col(vec_col),
-        lambda x: x.isNotNull()
-        & (F.isnan(xd(x)) | (F.abs(xd(x)) == F.lit(float("inf")))),
-    )
+    # the absmax fold IS the non-finite detector — greatest holds NaN
+    # above every double and |±Inf| is Inf, so any non-finite component
+    # surfaces as a non-finite raw scale. The gate lives entirely in
+    # the SECOND projection, where every reference is to the cheap
+    # materialized ``__scale_raw`` column: any multi-reference of the
+    # fold itself (when() over isnan/==Inf, nullif() which internally
+    # references its arg twice, an exists() second array scan, or
+    # per-element NaN-folding flops) measured 1.5-2x on the sf0.1
+    # entry — Catalyst factors non-cheap common expressions into an
+    # extra CodegenFallback projection layer whose row materialization
+    # dominates. This form keeps the old plan shape exactly: two
+    # projections, one fold, untouched per-element lambdas. NULL
+    # array -> NULL fold -> NULL scale, the NULL-vec contract.
     absmax = F.aggregate(
         F.col(vec_col),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
-    # exists() is NULL on a NULL array -> when() falls through to NULL
-    # scale, which is already the NULL-vec contract
-    scale = F.when(~nonfinite, absmax / F.lit(127.0)).alias(scale_col)
+    raw = F.col("__scale_raw")
+    bad = F.isnan(raw) | (raw == F.lit(float("inf")))
+    scale = F.when(~bad, raw)
     # NULL element -> NULL q (and back to NULL on dequantize): Spark's
     # least/greatest SKIP NULLs, so an unguarded clamp would silently
     # quantize a missing component to +127 — max-magnitude garbage
-    # injected into every downstream cosine/centroid.
+    # injected into every downstream cosine/centroid. A non-finite
+    # vector maps to (NULL scale, NULL qvec) — same as a NULL input.
     q = F.when(
-        nonfinite,
+        bad,
         F.lit(None).cast("array<int>"),
     ).when(
-        F.col(scale_col) == 0.0,
+        raw == 0.0,
         F.transform(
             F.col(vec_col),
             lambda x: F.when(x.isNotNull(), F.lit(0)).cast("int"),
@@ -846,13 +854,16 @@ def quantize_embeddings(
                     F.lit(-127),
                     F.least(
                         F.lit(127),
-                        F.floor(x.cast("double") / F.col(scale_col)),
+                        F.floor(x.cast("double") / raw),
                     ),
                 ),
             ).cast("int"),
         )
     )
-    return emb.withColumn(scale_col, scale).withColumn(out_col, q)
+    orig_cols = [F.col(c) for c in emb.columns]
+    return emb.withColumn(
+        "__scale_raw", absmax / F.lit(127.0)
+    ).select(*orig_cols, scale.alias(scale_col), q.alias(out_col))
 
 
 def dequantize_embeddings(
