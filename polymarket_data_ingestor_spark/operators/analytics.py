@@ -331,7 +331,22 @@ def delta_volatility(
     nd = n.cast("double")
     s1 = F.sum(F.col("__d")).cast("double")
     s2 = F.sum(F.col("__d") * F.col("__d")).cast("double")
-    var = F.when(n >= 2, (nd * s2 - s1 * s1) / (nd * (nd - F.lit(1.0))))
+    # constant deltas pinned to EXACTLY 0.0 on decimal min/max
+    # witnesses, and the identity clamped non-negative: past ~2^53 the
+    # n·S2 − S1² cancellation leaves noise with a random sign, so a
+    # constant-move bucket with large deltas emitted a nonzero — half
+    # the time NEGATIVE — variance (reproduced: delta 8602516521735.17
+    # over 6 moves → −3.7e10; the cross_key_correlation /
+    # linreg_rollup witness lesson). For near-constant huge deltas the
+    # clamped double value remains noise-dominated but deterministic
+    # and engine-identical — the documented 4-flop contract.
+    identity = (nd * s2 - s1 * s1) / (nd * (nd - F.lit(1.0)))
+    var = F.when(
+        n >= 2,
+        F.when(F.min("__d") == F.max("__d"), F.lit(0.0)).otherwise(
+            F.greatest(identity, F.lit(0.0))
+        ),
+    )
     return obs.groupBy(*key_cols, "bucket_ts").agg(
         n.alias("n_moves"),
         s1.alias("net_move"),
@@ -418,10 +433,22 @@ def cross_key_correlation(
     cov = nd * sab - sa * sb
     va = nd * saa - sa * sa
     vb = nd * sbb - sb * sb
+    # constant-side detection on EXACT decimal witnesses (min == max),
+    # never on the double image of nΣa² − (Σa)² — the linreg_rollup /
+    # corr_rollup lesson applied here too: past ~2^53 the cancellation
+    # leaves ±1e17-scale noise with a random sign, and a CONSTANT key
+    # emitted corr ≈ 3e-8 instead of NULL (reproduced: constant
+    # 5971895478.44 over 1936 buckets; the oracle ran the same formula
+    # and agreed — the agree-on-garbage class). The va/vb > 0 guard
+    # stays as the numeric floor for sqrt; the witnesses carry the
+    # semantics.
+    varies_a = F.min("ma") < F.max("ma")
+    varies_b = F.min("mb") < F.max("mb")
     return pairs.groupBy("key_a", "key_b").agg(
         n.alias("n_buckets"),
         F.when(
-            (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
+            varies_a & varies_b & (va > 0) & (vb > 0),
+            cov / F.sqrt(va * vb),
         ).alias("corr"),
     )
 

@@ -839,11 +839,14 @@ def q_gap_fill_hourly(spark, sf_dir):
     SELECT event_type, bucket_ts,
            count(*) AS n_moves,
            CAST(SUM(dd) AS DOUBLE) AS net_move,
+           -- constant deltas -> exactly 0.0 on exact min/max witnesses;
+           -- identity clamped non-negative (see operator docstring)
            CASE WHEN count(*) >= 2 THEN
-             (CAST(count(*) AS DOUBLE) * CAST(SUM(dd * dd) AS DOUBLE)
-              - CAST(SUM(dd) AS DOUBLE) * CAST(SUM(dd) AS DOUBLE))
-             / (CAST(count(*) AS DOUBLE)
-                * (CAST(count(*) AS DOUBLE) - 1.0))
+             CASE WHEN MIN(dd) = MAX(dd) THEN 0.0 ELSE greatest(
+               (CAST(count(*) AS DOUBLE) * CAST(SUM(dd * dd) AS DOUBLE)
+                - CAST(SUM(dd) AS DOUBLE) * CAST(SUM(dd) AS DOUBLE))
+               / (CAST(count(*) AS DOUBLE)
+                  * (CAST(count(*) AS DOUBLE) - 1.0)), 0.0) END
            END AS move_var
     FROM d WHERE dd IS NOT NULL
     GROUP BY 1, 2
@@ -885,10 +888,14 @@ def q_delta_volatility(spark, sf_dir):
       FROM m a JOIN m b2 ON a.b = b2.b AND a.k < b2.k
     )
     SELECT key_a, key_b, n AS n_buckets,
-           CASE WHEN va > 0 AND vb > 0
+           -- constant sides gated on EXACT min/max witnesses, not the
+           -- double image of n*Saa - Sa^2 (see the operator docstring)
+           CASE WHEN mina < maxa AND minb < maxb AND va > 0 AND vb > 0
                 THEN cov / sqrt(va * vb) END AS corr
     FROM (
       SELECT key_a, key_b, count(*) AS n,
+             MIN(ma) AS mina, MAX(ma) AS maxa,
+             MIN(mb) AS minb, MAX(mb) AS maxb,
              CAST(count(*) AS DOUBLE) * CAST(SUM(ma * mb) AS DOUBLE)
                - CAST(SUM(ma) AS DOUBLE) * CAST(SUM(mb) AS DOUBLE) AS cov,
              CAST(count(*) AS DOUBLE) * CAST(SUM(ma * ma) AS DOUBLE)

@@ -125,6 +125,27 @@ def test_delta_volatility_matches_naive(spark, events):
             assert abs(gvar - wvar) < 1e-9, (key, gvar, wvar)
 
 
+def test_delta_volatility_constant_huge_deltas_exact_zero(spark):
+    """Constant deltas must report variance EXACTLY 0.0 via the decimal
+    min/max witnesses, and the identity is clamped non-negative: past
+    ~2^53 the n·S2 − S1² double cancellation leaves random-signed
+    noise, and this exact input (6 constant moves of 8602516521735.17)
+    emitted move_var = −3.7e10 — a NEGATIVE variance — with the DuckDB
+    oracle agreeing on the garbage (the linreg/corr witness class)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 5, 0, 0)
+    rows, v = [], 0.0
+    for i in range(7):
+        rows.append((i, "A", t0 + dt.timedelta(minutes=i), v))
+        v += 8602516521735.17
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    r = delta_volatility(df).collect()[0]
+    assert r.n_moves == 6 and r.move_var == 0.0, r
+
+
 @given(
     st.lists(
         st.floats(min_value=-1e6, max_value=1e6,

@@ -1560,6 +1560,33 @@ def test_cross_key_correlation_matches_numpy(spark):
     assert got[("A", "B")][1] == pytest.approx(np.corrcoef(a, b)[0, 1])
 
 
+def test_cross_key_correlation_large_constant_exact_witness(spark):
+    """Constant-side detection must ride EXACT min/max witnesses, not
+    the double image of nΣa² − (Σa)²: past ~2^53 that cancellation
+    leaves ±1e17-scale noise with a random sign, and this exact input
+    (constant 5971895478.44 over 1936 hourly buckets — inside the
+    documented |mean| < 9e9 domain) emitted corr ≈ 2.93e-8 instead of
+    NULL, with the DuckDB oracle agreeing on the garbage (the
+    linreg_rollup r12 class)."""
+    import datetime as dt
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        cross_key_correlation,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(1936):
+        ts = base + dt.timedelta(hours=h)
+        rows.append(("A", ts, 5971895478.44))
+        rows.append(("B", ts, float(100 + (h * 37) % 1000)))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    r = cross_key_correlation(df).collect()[0]
+    assert r.n_buckets == 1936 and r.corr is None, r
+
+
 def test_gap_fill_null_values_are_not_observations(spark):
     """A bucket whose rows are all NULL-valued is a GAP: LOCF carries
     the previous real value over it and value_filled is never NULL."""
