@@ -1819,16 +1819,28 @@ def finalize_rollup(state: DataFrame) -> DataFrame:
     with only the final 4-flop identity in double (the
     ``delta_volatility`` convention) — every operand is bit-identical
     however the state was merged, so the doubles are too. <2 values
-    reports NULL variance, not 0."""
+    reports NULL variance, not 0.
+
+    A constant key (state's exact ``min_v == max_v`` witness) reports
+    EXACTLY 0.0, and the identity is clamped non-negative — past ~2^53
+    the double cancellation leaves random-signed noise (the
+    ``cross_key_correlation`` / ``delta_volatility`` witness lesson).
+    Residual: values that differ only below the 2-dp quantization at
+    huge magnitude pass the raw-value witness, so their variance stays
+    the clamped (deterministic, engine-identical) double image."""
     n = F.col("n").cast("double")
     s1 = F.col("sum_v").cast("double")
     s2 = F.col("sum_sq").cast("double")
+    identity = (n * s2 - s1 * s1) / (n * (n - 1.0))
     return state.withColumn(
         "avg_v", F.col("sum_v").cast("double") / F.col("n")
     ).withColumn(
         "var_v",
         F.when(
-            F.col("n") >= 2, (n * s2 - s1 * s1) / (n * (n - 1.0))
+            F.col("n") >= 2,
+            F.when(
+                F.col("min_v") == F.col("max_v"), F.lit(0.0)
+            ).otherwise(F.greatest(identity, F.lit(0.0))),
         ),
     )
 

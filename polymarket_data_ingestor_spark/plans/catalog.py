@@ -1546,9 +1546,13 @@ def q_holt_smoothed(spark, sf_dir):
     )
     SELECT event_type, day, n, sum_v, sum_sq, min_v, max_v,
            sum_v / n AS avg_v,
+           -- constant key -> exactly 0.0 on the min/max witness;
+           -- identity clamped non-negative (finalize_rollup docstring)
            CASE WHEN n >= 2 THEN
-             (CAST(n AS DOUBLE) * sum_sq - sum_v * sum_v)
-             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             CASE WHEN min_v = max_v THEN 0.0 ELSE greatest(
+               (CAST(n AS DOUBLE) * sum_sq - sum_v * sum_v)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+               0.0) END
            END AS var_v
     FROM s
     """,

@@ -1099,6 +1099,29 @@ def test_holt_linear_matches_naive_model_and_reduces_to_ewma(spark):
         holt_linear(dfn).collect()
 
 
+def test_finalize_rollup_constant_key_exact_zero_variance(spark):
+    """A constant key must finalize to var_v EXACTLY 0.0 via the
+    state's min/max witness, with the identity clamped non-negative —
+    past ~2^53 the n·S2 − S1² double cancellation leaves random-signed
+    noise (the cross_key_correlation / delta_volatility witness
+    class; same huge-constant repro family)."""
+    import datetime as dt2
+
+    from polymarket_data_ingestor_spark.operators.analytics import (
+        finalize_rollup, rollup_state,
+    )
+
+    t0 = dt2.datetime(2024, 1, 1)
+    rows = [(i, "A", t0 + dt2.timedelta(minutes=i), 8602516521735.17)
+            for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = finalize_rollup(rollup_state(df, keys=("event_type",))).first()
+    assert out.n == 6 and out.var_v == 0.0, out
+    assert out.min_v == out.max_v == 8602516521735.17
+
+
 def test_rollup_state_merge_equals_full_recompute(spark):
     """The incremental-maintenance contract: merging per-split rollup
     states — any split, any merge arity/order — equals the one-pass
