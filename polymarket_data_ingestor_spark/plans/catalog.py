@@ -227,19 +227,28 @@ def q_hourly_volume(spark, sf_dir):
            count(value) AS value_count,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
              / CAST(count(value) AS DOUBLE) AS value_mean,
-           round(sqrt(
-             (CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-              - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                / CAST(count(value) AS DOUBLE))
-             / (CAST(count(value) AS DOUBLE) - 1.0)), 6) AS value_std,
+           -- constant key -> exactly 0.0 on the min/max witness; inner
+           -- term clamped >= 0 before sqrt; <2 values -> NULL (the
+           -- r14 witness class: unguarded, a constant key fabricated
+           -- std 65.84 / NaN and a 1-row group aborted ANSI Spark)
+           CASE WHEN count(value) >= 2 THEN
+             CASE WHEN MIN(value) = MAX(value) THEN 0.0 ELSE
+               round(sqrt(greatest(
+                 (CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / CAST(count(value) AS DOUBLE))
+                 / (CAST(count(value) AS DOUBLE) - 1.0), 0.0)), 6) END
+           END AS value_std,
            min(value) AS value_min,
            round(quantile_cont(value, 0.5), 6) AS value_p50,
            max(value) AS value_max
     FROM events
     GROUP BY event_type
     """,
-    doc="A5: describe() — exact-decimal moments, rounded percentile.",
+    doc="A5: describe() — exact-decimal moments, rounded percentile; "
+    "std gated on the exact min/max witness (constant -> 0.0, <2 "
+    "values -> NULL, inner term clamped non-negative before sqrt).",
     tags=("agg",),
 )
 def q_summary_stats(spark, sf_dir):
@@ -248,10 +257,23 @@ def q_summary_stats(spark, sf_dir):
     s = F.sum(dec).cast("double")
     ss = F.sum(dec * dec).cast("double")
     n = F.count("value").cast("double")
+    # std gated like the rest of the r14 witness family: a constant
+    # key is EXACTLY 0.0 on the min/max witness (the double identity
+    # fabricated std 65.84 for constant 5971895478.44 x 1936 and NaN
+    # for larger constants), the inner term clamps non-negative before
+    # sqrt, and a 1-row group is NULL instead of an ANSI
+    # DIVIDE_BY_ZERO job abort (DuckDB's 0/0 is NULL natively).
+    inner = (ss - s * s / n) / (n - F.lit(1.0))
+    std = F.when(
+        F.count("value") >= 2,
+        F.when(F.min("value") == F.max("value"), F.lit(0.0)).otherwise(
+            F.round(F.sqrt(F.greatest(inner, F.lit(0.0))), 6)
+        ),
+    )
     return e.groupBy("event_type").agg(
         F.count("value").alias("value_count"),
         (s / n).alias("value_mean"),
-        F.round(F.sqrt((ss - s * s / n) / (n - F.lit(1.0))), 6).alias("value_std"),
+        std.alias("value_std"),
         F.min("value").alias("value_min"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("value_p50"),
         F.max("value").alias("value_max"),

@@ -1560,6 +1560,33 @@ def test_cross_key_correlation_matches_numpy(spark):
     assert got[("A", "B")][1] == pytest.approx(np.corrcoef(a, b)[0, 1])
 
 
+def test_summary_stats_constant_key_and_single_row(spark, tmp_path):
+    """The describe-style entry's std must ride the same witness gate
+    as the rest of the r14 family: a constant key is EXACTLY 0.0 (the
+    unguarded double identity fabricated std 65.84 for constant
+    5971895478.44 x 1936 rows and NaN for larger constants — the
+    DuckDB oracle overflowed or agreed), a 1-row group is NULL (was an
+    ANSI DIVIDE_BY_ZERO job abort; DuckDB's 0/0 is NULL), and a
+    healthy group still matches statistics.stdev."""
+    import statistics
+
+    from polymarket_data_ingestor_spark.plans.catalog import CATALOG
+
+    rows = ([("A", 8602516521735.17)] * 6
+            + [("B", 5971895478.44)] * 1936
+            + [("C", 7.0)]
+            + [("D", 1.0), ("D", 2.0), ("D", 4.0)])
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: (r.value_count, r.value_std)
+           for r in CATALOG["summary_stats"].spark(spark, str(tmp_path))
+           .collect()}
+    assert out["A"] == (6, 0.0) and out["B"] == (1936, 0.0)
+    assert out["C"] == (1, None)
+    want = round(statistics.stdev([1.0, 2.0, 4.0]), 6)
+    assert abs(out["D"][1] - want) < 1e-9
+
+
 def test_cross_key_correlation_large_constant_exact_witness(spark):
     """Constant-side detection must ride EXACT min/max witnesses, not
     the double image of nΣa² − (Σa)²: past ~2^53 that cancellation
