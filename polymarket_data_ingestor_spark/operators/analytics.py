@@ -858,11 +858,20 @@ def quantile_bucket(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     v = F.col(value_col)
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE aggregation buffer for all n−1 boundaries (array-percentage
+    # form): n−1 scalar percentile aggregates would each materialize
+    # their own copy of the full column and sort it; the array form
+    # buffers/sorts once and interpolates every rank from the same
+    # sorted run — bit-identical per percentage.
     bounds = F.broadcast(
         df.agg(
+            F.percentile(v, F.array(*[F.lit(p) for p in probs])).alias(
+                "__qs"
+            )
+        ).select(
             *[
-                F.percentile(v, F.lit(p)).alias(f"__q{i}")
-                for i, p in enumerate(probs)
+                F.element_at("__qs", i + 1).alias(f"__q{i}")
+                for i in range(len(probs))
             ]
         )
     )
@@ -1038,20 +1047,32 @@ def iqr_outliers(
     approx form carries no SQL oracle.
     """
     v = F.col(value_col)
+    # ONE aggregation buffer for both quartiles: percentile over an
+    # ARRAY of percentages sorts each group's value buffer once and
+    # interpolates both ranks from it — two scalar percentile
+    # aggregates each materialize their own copy of the group's full
+    # value list (2x aggregation state, 2x sort). Same interpolation
+    # arithmetic per percentage, so the values are bit-identical
+    # (likewise percentile_approx: one GK summary queried at both
+    # ranks vs two identical summaries).
     if approx_accuracy is not None:
-        q1 = F.percentile_approx(
-            v, F.lit(0.25), F.lit(approx_accuracy)
-        ).cast("double")
-        q3 = F.percentile_approx(
-            v, F.lit(0.75), F.lit(approx_accuracy)
-        ).cast("double")
-    else:
-        q1 = F.percentile(v, F.lit(0.25))
-        q3 = F.percentile(v, F.lit(0.75))
-    qs = F.broadcast(
-        df.groupBy(stratum_col).agg(
-            q1.alias("__q1"), q3.alias("__q3")
+        qb = F.percentile_approx(
+            v, F.array(F.lit(0.25), F.lit(0.75)), F.lit(approx_accuracy)
         )
+        unpack = [
+            F.element_at("__qb", 1).cast("double").alias("__q1"),
+            F.element_at("__qb", 2).cast("double").alias("__q3"),
+        ]
+    else:
+        qb = F.percentile(v, F.array(F.lit(0.25), F.lit(0.75)))
+        unpack = [
+            F.element_at("__qb", 1).alias("__q1"),
+            F.element_at("__qb", 2).alias("__q3"),
+        ]
+    qs = F.broadcast(
+        df.groupBy(stratum_col)
+        .agg(qb.alias("__qb"))
+        .select(stratum_col, *unpack)
     )
     # quantiles of integers are k/2 halves: ×10 keeps everything an
     # exactly-representable double, so the comparisons are exact
@@ -1320,22 +1341,33 @@ def winsorize(
     if not (0 <= p_lo < p_hi <= 1):
         raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
     v = F.col(value_col)
+    # ONE aggregation buffer for both bounds (array-percentage form):
+    # two scalar percentile aggregates each materialize their own copy
+    # of the FULL value list (this is a global aggregate — the whole
+    # column, twice) and sort it twice; the array form buffers and
+    # sorts once and interpolates both ranks from the same sorted run,
+    # bit-identically. Same dedup for the GK sketch pair.
     if approx_accuracy is not None:
         bounds = F.broadcast(
             df.agg(
                 F.percentile_approx(
-                    v, F.lit(p_lo), F.lit(approx_accuracy)
-                ).cast("double").alias("__lo"),
-                F.percentile_approx(
-                    v, F.lit(p_hi), F.lit(approx_accuracy)
-                ).cast("double").alias("__hi"),
+                    v, F.array(F.lit(p_lo), F.lit(p_hi)),
+                    F.lit(approx_accuracy),
+                ).alias("__b")
+            ).select(
+                F.element_at("__b", 1).cast("double").alias("__lo"),
+                F.element_at("__b", 2).cast("double").alias("__hi"),
             )
         )
     else:
         bounds = F.broadcast(
             df.agg(
-                F.percentile(v, F.lit(p_lo)).alias("__lo"),
-                F.percentile(v, F.lit(p_hi)).alias("__hi"),
+                F.percentile(
+                    v, F.array(F.lit(p_lo), F.lit(p_hi))
+                ).alias("__b")
+            ).select(
+                F.element_at("__b", 1).alias("__lo"),
+                F.element_at("__b", 2).alias("__hi"),
             )
         )
     name = out_col or f"{value_col}_winsorized"
@@ -1467,6 +1499,96 @@ def robust_stats(
     )
 
 
+def _keyed_scan_map(
+    prepared: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_schema: str,
+    scan_fn,
+) -> DataFrame:
+    """Run an O(1)-state serial scan over every key's ordered values
+    WITHOUT the per-group pandas overhead of ``applyInPandas``.
+
+    The grouped-map form builds one pandas DataFrame (plus a sort and
+    a copy) per KEY; with the many-tiny-series shape these kernels
+    actually see (thousands of keys, tens of rows each), that fixed
+    per-group cost dwarfs the arithmetic. Here the same single
+    exchange is spent as ``repartition(key)`` +
+    ``sortWithinPartitions(key, ts_us, order)`` — each key's rows are
+    then contiguous and ordered inside every partition — and
+    ``mapInPandas`` runs ONE pandas pass per Arrow batch, slicing
+    group runs out of the batch by vectorized key-change detection.
+    A key whose rows span consecutive batches is continued via the
+    scan's own seeded-restart form (the same checkpoint/restore
+    contract the streaming twins use), so memory stays O(batch), not
+    O(partition).
+
+    ``scan_fn(values, seed) -> (cols_dict, new_seed)`` computes one
+    key run (``seed is None`` for a fresh key) — bit-identical to the
+    grouped form because both feed the identical ordered value list
+    to the identical series kernel, and the seeded continuation is
+    the kernels' documented bit-exact restart.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _partition(batches):
+        carry_key = None
+        have_carry = False
+        seed = None
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            keys = pdf[key_col]
+            # factorize: consecutive equal keys (incl. a NULL run —
+            # one group under groupBy semantics) share a code
+            codes, _ = pd.factorize(keys, use_na_sentinel=True)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            np.not_equal(codes[1:], codes[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            vals = pdf[value_col].to_list()
+            pdf = pdf.copy(deep=False)
+            new_cols: dict[str, list] = {}
+            for s, e in zip(starts, ends):
+                k = keys.iloc[s]
+                continues = (
+                    have_carry
+                    and s == 0
+                    and (
+                        (pd.isna(k) and pd.isna(carry_key))
+                        or (
+                            not pd.isna(k)
+                            and not pd.isna(carry_key)
+                            and k == carry_key
+                        )
+                    )
+                )
+                cols, seed = scan_fn(vals[s:e], seed if continues else None)
+                for name, arr in cols.items():
+                    new_cols.setdefault(name, []).extend(arr)
+            carry_key = keys.iloc[starts[-1]]
+            have_carry = True
+            for name, arr in new_cols.items():
+                pdf[name] = arr
+            yield pdf
+
+    return (
+        prepared.repartition(key_col)
+        # nulls LAST to match the grouped kernels' pandas sort_values
+        # (NaN sorts last there; Spark's asc default is nulls first)
+        .sortWithinPartitions(
+            F.col(key_col),
+            F.col("ts_us").asc_nulls_last(),
+            F.col(order_col).asc_nulls_last(),
+        )
+        .mapInPandas(_partition, out_schema)
+    )
+
+
 def ewma(
     events: DataFrame,
     alpha: float = 0.5,
@@ -1508,10 +1630,7 @@ def ewma(
     """
     if not (0 < alpha <= 1):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    import pandas as pd
-
     a = float(alpha)
-    om = 1.0 - a
     # schema derives from the input — key and order columns keep their
     # real types (string asset ids are as natural a key as long user
     # ids); the ordering epoch is MICROsecond so the kernel's sort sees
@@ -1519,16 +1638,17 @@ def ewma(
     # ORDER BY ts does (a ms truncation would let sub-ms neighbors fall
     # back to the order column while the oracle still splits them by
     # time — divergent recursion order, divergent values)
-    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", order_col], kind="mergesort")
-        pdf = pdf.copy()
-        pdf["ewma"] = ewma_series(pdf[value_col].to_numpy(), a)
-        return pdf
-
     prepared, out_schema = ewma_prepare(
         events, value_col, key_col, ts_col, order_col
     )
-    return prepared.groupBy(key_col).applyInPandas(_group, out_schema)
+
+    def _scan(values, seed):
+        out = ewma_series(values, a, prev=seed)
+        return {"ewma": out}, float(out[-1])
+
+    return _keyed_scan_map(
+        prepared, key_col, order_col, value_col, out_schema, _scan
+    )
 
 
 def ewma_series(values, alpha: float, prev: float | None = None):
@@ -1679,24 +1799,20 @@ def holt_linear(
     NULLS precondition as in :func:`ewma`: a null value raises loudly.
     """
     _validate_holt(alpha, beta)
-    import pandas as pd
-
     prepared, out_schema = holt_prepare(
         events, value_col, key_col, ts_col, order_col
     )
 
-    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", order_col], kind="mergesort")
-        pdf = pdf.copy()
-        levels, trends, fcs = holt_series(
-            pdf[value_col].to_list(), alpha, beta
+    def _scan(values, seed):
+        levels, trends, fcs = holt_series(values, alpha, beta, seed=seed)
+        return (
+            {"level": levels, "trend": trends, "forecast": fcs},
+            (levels[-1], trends[-1]),
         )
-        pdf["level"] = levels
-        pdf["trend"] = trends
-        pdf["forecast"] = fcs
-        return pdf
 
-    return prepared.groupBy(key_col).applyInPandas(_group, out_schema)
+    return _keyed_scan_map(
+        prepared, key_col, order_col, value_col, out_schema, _scan
+    )
 
 
 def _validate_holt(alpha: float, beta: float) -> None:
@@ -3892,8 +4008,6 @@ def cusum(
     even the ewma C-path guard analysis is unnecessary. NO NULLS
     precondition as in :func:`ewma`.
     """
-    import pandas as pd
-
     k_hi = target + slack
     k_lo = target - slack
     prepared, base_schema = ewma_prepare(
@@ -3905,16 +4019,15 @@ def cusum(
     if threshold is not None:
         out_schema += ", alarm boolean"
 
-    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", order_col], kind="mergesort")
-        pdf = pdf.copy()
-        his, los = cusum_series(pdf[value_col].to_list(), k_hi, k_lo)
-        pdf["s_hi"] = his
-        pdf["s_lo"] = los
+    def _scan(values, seed):
+        his, los = cusum_series(values, k_hi, k_lo, seed=seed)
+        cols = {"s_hi": his, "s_lo": los}
         if threshold is not None:
-            pdf["alarm"] = [
+            cols["alarm"] = [
                 h > threshold or l > threshold for h, l in zip(his, los)
             ]
-        return pdf
+        return cols, (his[-1], los[-1])
 
-    return prepared.groupBy(key_col).applyInPandas(_group, out_schema)
+    return _keyed_scan_map(
+        prepared, key_col, order_col, value_col, out_schema, _scan
+    )

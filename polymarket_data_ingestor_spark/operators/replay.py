@@ -126,45 +126,65 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
     prices: list[float] = []
     sizes: list[float] = []
 
-    for i, (kind, b_flat, a_flat, c_flat) in enumerate(
-        zip(
-            pdf["kind_code"].to_numpy(),
-            pdf["bids_flat"].to_numpy(),
-            pdf["asks_flat"].to_numpy(),
-            pdf["changes_flat"].to_numpy(),
-        )
-    ):
+    # Python-native hot loop: numpy SCALARS (np.float64/np.int8) pay a
+    # C-object dispatch on every compare, negate, hash and dict probe —
+    # measured ~2-3x the whole kernel on large groups. ``tolist()``
+    # converts each message's arrays to Python floats ONCE (bit-exact:
+    # float64 → Python float is the identity on the value), and
+    # ``math.copysign`` replaces ``np.signbit`` (identical -0.0
+    # semantics) so the loop touches no numpy scalar at all. Cells
+    # arrive as numpy arrays under Arrow but plain lists when the
+    # kernel is driven directly (tests, seeded restarts) — ``_pl``
+    # accepts both; a list's elements are already Python floats.
+    from math import copysign
+
+    def _pl(a):
+        return a.tolist() if hasattr(a, "tolist") else a
+
+    kinds = pdf["kind_code"].to_numpy().tolist()
+    b_col = pdf["bids_flat"].to_numpy()
+    a_col = pdf["asks_flat"].to_numpy()
+    c_col = pdf["changes_flat"].to_numpy()
+    for i in range(len(kinds)):
+        kind = kinds[i]
         # A NULL flat array marks a message the packing pass rejected
         # (unparseable price/size, non-BUY/SELL side, or a missing/null
         # collection — required Vecs in the reference's serde structs):
         # drop the whole message, exactly like the reference's parse-time
         # rejection — no emission, no state mutation.
         if kind == KIND_BOOK:
+            b_flat, a_flat = b_col[i], a_col[i]
             if b_flat is None or a_flat is None:
                 continue
-        elif c_flat is None:
-            continue
+        else:
+            c_flat = c_col[i]
+            if c_flat is None:
+                continue
         if kind == KIND_TRADE:
             # One TRADE row; no book mutation (tick_generator.rs:322-330).
-            sp = c_flat[0]
-            buy = not np.signbit(sp)  # signbit: price 0.0 vs -0.0 exact
+            cl = _pl(c_flat)
+            sp = cl[0]
+            buy = copysign(1.0, sp) > 0.0  # sign bit: 0.0 vs -0.0 exact
             src_idx.append(i)
             is_trade.append(True)
             is_ask_row.append(not buy)
             prices.append(sp if buy else -sp)
-            sizes.append(c_flat[1])
+            sizes.append(cl[1])
             continue
         if kind == KIND_BOOK:
             # Snapshot replaces both sides (tick_generator.rs:242-254).
-            bids = dict(zip(b_flat[0::2], b_flat[1::2]))
-            asks = dict(zip(a_flat[0::2], a_flat[1::2]))
+            bl = _pl(b_flat)
+            al = _pl(a_flat)
+            bids = dict(zip(bl[0::2], bl[1::2]))
+            asks = dict(zip(al[0::2], al[1::2]))
             best_bid = max(bids) if bids else None
             best_ask = min(asks) if asks else None
         else:
             # Diff upserts; size==0 deletes (tick_generator.rs:257-272);
             # sign of the packed price encodes BUY(+)/SELL(-).
-            for sp, size in zip(c_flat[0::2], c_flat[1::2]):
-                if not np.signbit(sp):
+            cl = _pl(c_flat)
+            for sp, size in zip(cl[0::2], cl[1::2]):
+                if copysign(1.0, sp) > 0.0:
                     price = sp
                     if size == 0.0:
                         if bids.pop(price, None) is not None \

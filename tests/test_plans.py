@@ -675,11 +675,14 @@ def test_sketch_twins_use_gk_not_exact_percentile(spark, name, exact_twin):
 
 
 def test_ewma_single_key_shuffle_grouped_map(spark):
-    """EWMA is the second genuine grouped-map kernel: exactly one
-    exchange (the key shuffle feeding FlatMapGroupsInPandas), no join,
-    no window."""
+    """EWMA's serial-kernel plan contract: exactly one exchange (the
+    key repartition feeding the keyed-scan MapInPandas — r14 replaced
+    the per-group FlatMapGroupsInPandas with one sorted-partition scan
+    pass, same exchange count), no join, no window, and no stray
+    grouped-map node."""
     plan = plan_of(spark, "ewma_smoothed")
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
 
@@ -877,9 +880,10 @@ def test_small_shuffle_gets_aqe_partition_coalescing(spark):
 
 def test_holt_single_key_shuffle_grouped_map(spark):
     """Holt shares ewma's plan contract: exactly one exchange feeding
-    FlatMapGroupsInPandas, no join, no window."""
+    the keyed-scan MapInPandas (r14 form), no join, no window."""
     plan = plan_of(spark, "holt_smoothed")
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
 
@@ -1107,10 +1111,11 @@ def test_substring_trim_plan_linear_no_self_join(spark):
 
 def test_cusum_single_key_shuffle_grouped_map(spark):
     """CUSUM shares the serial-kernel plan contract (ewma, holt):
-    exactly one exchange feeding FlatMapGroupsInPandas, no join, no
-    window."""
+    exactly one exchange feeding the keyed-scan MapInPandas (r14
+    form), no join, no window."""
     plan = plan_of(spark, "cusum_drift")
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
 
