@@ -743,34 +743,110 @@ def semdedup(
             Window.partitionBy("cluster").orderBy(order, F.col(id_col))
         ),
     )
-    # Verify stage: one dot product per within-cluster candidate pair
-    # (cluster_size² pairs — n_clusters is the bound). One JVM fold per
-    # pair with both norms precomputed per VECTOR: measured FASTER here
-    # than the embedding_dup_pairs Arrow seq_dot kernel (the pairs
-    # would ship two 64-float arrays through Arrow per row, and the
-    # serialization exceeds the fold win — 4.7 s vs 6.7 s at sf0.1).
-    a, b = ranked.alias("a"), ranked.alias("b")
-    pair_cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a.__n") * F.col("b.__n")
+    # Verify stage (r14 optimization round): the within-cluster pairs
+    # are never materialized in the engine at all. The r13 form
+    # self-joined `ranked` on the cluster key and evaluated one
+    # interpreted zip_with/aggregate fold per candidate pair —
+    # cluster_size² rows through a join, a Filter, a distinct and a
+    # join-back (3 reads of the assignment subtree). An earlier Arrow
+    # attempt that shipped both 64-float arrays PER PAIR measured
+    # slower than the JVM fold (6.7 s vs 4.7 s at sf0.1) — the guide
+    # §8 lesson is to ship each vector ONCE and form pairs inside the
+    # kernel: one applyInPandas per cluster (reusing the window's
+    # hashpartitioning(cluster) — no new exchange) computes the full
+    # pairwise-cosine decision with numpy accumulating in DIMENSION
+    # order, i.e. acc[i,j] after step k equals the JVM fold's partial
+    # sum exactly, so every IEEE add/mul/div happens in the identical
+    # order and the `>= eps` decisions are bit-identical (pinned by
+    # the Hypothesis python-model test and the degenerate-class pins
+    # in tests/test_trainingdata_ops.py). Degenerate classes map 1:1:
+    # a NULL vector or NULL component gave a NULL pair cosine (filter
+    # drops it → never removed, never removes) — here a None cell is
+    # excluded from pairing and a NaN component yields a NaN cosine
+    # (NaN >= eps is False in numpy exactly as NULL/NaN fails the
+    # Spark filter); length-mismatched pairs gave NULL via zip_with's
+    # padding — here pairing is restricted to equal-length members.
+    # Memory is blocked (O(block²)), never cluster_size². Arrow merges
+    # a NULL __ccos into NaN on the way into pandas, so a null flag
+    # rides along and restores the true NULL on the way out (a
+    # zero-norm vector's GENUINE NaN cosine must stay NaN).
+    from pyspark.sql import types as T
+
+    id_field = assigned.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("cluster", T.IntegerType(), True),
+            T.StructField("__ccos", T.DoubleType(), True),
+            T.StructField("kept", T.BooleanType(), False),
+        ]
     )
-    removed = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.__rn") < F.col("b.__rn")),
+    blk = 2048
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn", kind="mergesort").reset_index(
+            drop=True
         )
-        .filter(pair_cos >= F.lit(eps))
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
-        .withColumn("__removed", F.lit(True))
-    )
+        embs = pdf[vec_col].tolist()
+        norms = pdf["__n"].to_numpy(dtype=np.float64, na_value=np.nan)
+        n = len(pdf)
+        removed = np.zeros(n, dtype=bool)
+        by_len: dict[int, list[int]] = {}
+        for idx, e in enumerate(embs):
+            if e is not None:
+                by_len.setdefault(len(e), []).append(idx)
+        for length, idxs in by_len.items():
+            m = len(idxs)
+            if m < 2 or length == 0:
+                # empty vectors: dot 0.0 over norm 0.0 → NaN cosine on
+                # both paths → never removed
+                continue
+            # float32 → float64 widening is exact, matching the JVM
+            # fold's per-element double cast; a NULL component arrives
+            # as NaN and poisons its pair cosines to NaN, exactly as
+            # the NULL-propagating JVM fold fails the >= eps filter
+            V = np.array([embs[i] for i in idxs], dtype=np.float64)
+            ns = norms[idxs]
+            for jb in range(0, m, blk):
+                je = min(jb + blk, m)
+                hit = np.zeros(je - jb, dtype=bool)
+                for ib in range(0, je, blk):
+                    ie = min(ib + blk, je)
+                    acc = np.zeros((ie - ib, je - jb))
+                    for k in range(length):
+                        acc += np.multiply.outer(V[ib:ie, k], V[jb:je, k])
+                    cos = acc / np.multiply.outer(ns[ib:ie], ns[jb:je])
+                    mask = cos >= eps
+                    if ib + blk > jb:
+                        # intra-diagonal block: only i < j pairs count
+                        ii = np.arange(ib, ie)[:, None]
+                        jj = np.arange(jb, je)[None, :]
+                        mask &= ii < jj
+                    hit |= mask.any(axis=0)
+                for c in np.flatnonzero(hit):
+                    removed[idxs[jb + c]] = True
+        ccos = pdf["__ccos"].astype(object)
+        was_null = pdf["__cnull"].astype(bool)
+        if was_null.any():
+            ccos = ccos.where(~was_null, None)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "__ccos": ccos,
+                "kept": ~removed,
+            }
+        )
+
     return (
-        assigned.join(removed, id_col, "left")
+        ranked.withColumn("__cnull", F.col("__ccos").isNull())
+        .groupBy("cluster")
+        .applyInPandas(_verify, out_schema)
         .select(
             id_col,
             "cluster",
             F.round("__ccos", 6).alias("centroid_cos"),
-            F.coalesce(~F.col("__removed"), F.lit(True)).alias("kept"),
+            "kept",
         )
     )
 

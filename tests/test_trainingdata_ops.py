@@ -2008,6 +2008,44 @@ def test_semdedup_removals_are_sound(spark):
     assert removed <= has_neighbor, removed - has_neighbor
 
 
+def test_semdedup_verify_kernel_degenerate_classes(spark):
+    """The r14 applyInPandas pair-verify kernel must reproduce the JVM
+    fold's degenerate classes exactly: a NULL vector or NULL component
+    gave a NULL pair cosine (filter drops -> never removed, never
+    removes), a length-mismatched pair gave NULL via zip_with padding,
+    and equal-length short vectors still pair among themselves. The
+    centroid_cos NULL (vs NaN) distinction must survive the Arrow
+    round trip."""
+    vecs = [
+        [1.0, 0.0, 0.0],      # 0
+        [1.0, 0.0, 0.0],      # 1 exact dup of 0
+        [0.5, 0.5],           # 2 ragged (len 2)
+        [0.5, 0.5],           # 3 ragged dup of 2
+        None,                 # 4 NULL vector
+        [1.0, None, 0.0],     # 5 NULL component
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in S.semdedup(
+            df, eps=0.95, codebook=[[1.0, 0.0, 0.0]]
+        ).collect()
+    }
+    kept = {k: r["kept"] for k, r in got.items()}
+    # the exact-dup pairs collapse within their length class; the
+    # NULL-vec/NULL-comp rows neither remove nor get removed
+    assert kept == {0: True, 1: False, 2: True, 3: False, 4: True,
+                    5: True}
+    # ragged/NULL rows assign NULL centroid_cos (NOT NaN) — the null
+    # flag must restore the true NULL through the Arrow boundary
+    for i in (2, 3, 4, 5):
+        assert got[i]["centroid_cos"] is None, (i, got[i])
+    assert got[0]["centroid_cos"] == 1.0
+
+
 def test_cluster_balanced_sample_composition(spark):
     """semdedup -> rank_sample composition: at most k per cluster, only
     kept members eligible, deterministic under partition layout."""
