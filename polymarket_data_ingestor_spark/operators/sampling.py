@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -145,40 +147,56 @@ def _dsir_feature_stream(
     The DSIR feature map: whitespace unigrams plus space-joined bigrams,
     each hashed into ``n_buckets`` via the portable :func:`hash32` — so
     the featurization is identical in Spark, DuckDB, and the paper's
-    own hashed-n-gram construction. Pure Catalyst: array slicing +
-    ``zip_with`` form bigrams per row (zero joins), one explode.
-    ``extra_cols`` ride through unchanged (the NB classifier threads its
-    label this way — no corpus-sized join back for it)."""
-    from polymarket_data_ingestor_spark.operators.text import tokens
+    own hashed-n-gram construction. The gram formation + hashing runs
+    in the repo's standard Arrow kernel (the
+    ``gram_hashes_vectorized`` pattern — r14 optimization round): the
+    r13 pure-Catalyst form (slice/zip_with/filter HOFs + one JVM md5
+    per gram instance) is interpreted per element and measured ~2.0 s
+    per corpus featurization at sf0.1 vs ~0.5 s for the kernel; the
+    Arrow batch carries one int64 per feature instance, and the
+    ``_h32``/``_py_tokens`` twins are the exact pinned replicas of
+    ``hash32``/``tokens``, so every bucket value is unchanged (the
+    DuckDB oracles and the Hypothesis python-model pins verify this
+    bit-exactly). One explode, zero joins, as before. ``extra_cols``
+    ride through unchanged (the NB classifier threads its label this
+    way — no corpus-sized join back for it)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        _h32,
+        _py_tokens,
+    )
 
     if n_buckets <= 0:
         raise ValueError(f"dsir: n_buckets must be positive, got {n_buckets}")
 
-    arr = tokens(text_col)
-    n = F.size(arr)
-    unis = F.filter(arr, lambda w: w != F.lit(""))
-    bigs = F.filter(
-        F.zip_with(
-            F.slice(arr, 1, n - 1),
-            F.slice(arr, 2, n - 1),
-            lambda a, b: F.when(
-                (a != "") & (b != ""), F.concat(a, F.lit(" "), b)
-            ),
-        ),
-        lambda g: g.isNotNull(),
-    )
+    @pandas_udf("array<long>")
+    def feat_buckets(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                # Catalyst: split(NULL) → NULL arrays → explode drops
+                out.append([])
+                continue
+            toks = _py_tokens(t)
+            feats = [
+                _h32(w) % n_buckets for w in toks if w != ""
+            ]
+            feats.extend(
+                _h32(a + " " + b) % n_buckets
+                for a, b in zip(toks, toks[1:])
+                if a != "" and b != ""
+            )
+            out.append(feats)
+        return pd.Series(out)
+
     extra = [F.col(c) for c in extra_cols]
     return (
         df.filter(F.col(id_col).isNotNull())
         .select(
             F.col(id_col),
             *extra,
-            F.explode(F.concat(unis, bigs)).alias("__g"),
-        )
-        .select(
-            id_col,
-            *extra_cols,
-            (hash32(F.col("__g")) % F.lit(n_buckets)).alias("__b"),
+            F.explode(feat_buckets(F.col(text_col))).alias("__b"),
         )
     )
 

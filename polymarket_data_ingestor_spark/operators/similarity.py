@@ -1548,17 +1548,30 @@ def pca_project(
             f"({[len(c) for c in comps]} vs {len(mean)})"
         )
     d = len(mean)
+    # r14 optimization round: the centering subtract is factored into
+    # its OWN projected column instead of being inlined into every
+    # per-axis fold — HOFs are CodegenFallback, so Catalyst's
+    # subexpression elimination never deduplicates them and the r13
+    # form re-evaluated the d subtractions k times per row.
+    # CollapseProject leaves the alias alone (non-cheap expression
+    # referenced k times), which the plan gate below this function's
+    # tests pin. The rotation rows enter as SINGLE array literals
+    # (numpy float64 round-trips exactly) rather than d scalar lit
+    # nodes — identical values, k·d fewer expression nodes to analyze.
+    # Arithmetic order is unchanged: subtract, then multiply, then the
+    # same sequential fold — bit-identical to the r13 form.
+    ctr = f"__pca_ctr_{out_col}"
     centered = F.zip_with(
         F.col(vec_col),
-        F.array(*[F.lit(float(m)) for m in mean]),
+        F.lit(np.asarray(mean, dtype=np.float64)),
         lambda x, m: x.cast("double") - m,
     )
     out = F.array(
         *[
             F.aggregate(
                 F.zip_with(
-                    centered,
-                    F.array(*[F.lit(float(c)) for c in row]),
+                    F.col(ctr),
+                    F.lit(np.asarray(row, dtype=np.float64)),
                     lambda x, c: x * c,
                 ),
                 F.lit(0.0),
@@ -1600,7 +1613,11 @@ def pca_project(
         )
         .otherwise(out)
     )
-    return df.withColumn(out_col, out)
+    return (
+        df.withColumn(ctr, centered)
+        .withColumn(out_col, out)
+        .drop(ctr)
+    )
 
 
 def random_projection(

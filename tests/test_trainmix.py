@@ -476,11 +476,14 @@ def test_dsir_plan_gates(spark, docs):
         sel._jdf.queryExecution().executedPlan().toString()
         .split("== Initial Plan ==")[0]
     )
-    # model join broadcasts; top-k lowers to per-partition heaps; all
-    # JVM-side
+    # model join broadcasts; top-k lowers to per-partition heaps; the
+    # featurization is the Arrow gram kernel (r14: ArrowEvalPython is
+    # the contract — one int64 per feature instance crosses the
+    # boundary), never row-pickled BatchEvalPython
     assert "SortMergeJoin" not in final, final
     assert "TakeOrderedAndProject" in final, final
-    assert "EvalPython" not in final, final
+    assert "ArrowEvalPython" in final, final
+    assert "BatchEvalPython" not in final, final
     assert "CartesianProduct" not in final, final
 
 
@@ -923,12 +926,15 @@ def test_nb_guards_and_plan_gates(spark):
         .split("== Initial Plan ==")[0]
     )
     # model joins as a BROADCAST of a LocalRelation straight onto the
-    # gram stream; batch path is zero-Python; map-side combine
-    # collapses grams to doc partials before the ONE shuffle, and the
-    # argmax window reuses that aggregate's partitioning (one shuffle
-    # exchange + one broadcast exchange, nothing more)
+    # gram stream; featurization is the Arrow gram kernel (r14:
+    # ArrowEvalPython, one int64 per feature instance — never
+    # row-pickled BatchEvalPython); map-side combine collapses grams
+    # to doc partials before the ONE shuffle, and the argmax window
+    # reuses that aggregate's partitioning (one shuffle exchange + one
+    # broadcast exchange, nothing more)
     assert "BroadcastHashJoin" in final, final
-    assert "EvalPython" not in final, final
+    assert "ArrowEvalPython" in final, final
+    assert "BatchEvalPython" not in final, final
     assert "CartesianProduct" not in final, final
     assert "SortMergeJoin" not in final, final
     import re
