@@ -78,6 +78,13 @@ ORDER_COLUMNS = ["file_hour", "line_id", "msg_idx", "emit_idx"]
 # Packed message kind codes (see replay_feed_messages).
 KIND_BOOK, KIND_CHANGE, KIND_TRADE = 0, 1, 2
 
+#: Output enum lookup tables for the kernel: indexing these with a
+#: bool-viewed int8 mask yields object arrays sharing two interned
+#: strings — cheaper to build and to Arrow-convert than np.where's
+#: fixed-width unicode arrays.
+_KIND_ENUM = np.array(["BBO", "TRADE"], dtype=object)
+_SIDE_ENUM = np.array(["BID", "ASK"], dtype=object)
+
 # Ship this module's code inside the serialized plan instead of by reference:
 # executors then never need the package on their PYTHONPATH (the kernel only
 # uses pandas + stdlib). Without this, a driver script running from outside
@@ -227,21 +234,28 @@ def _replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
     ask_mask = np.asarray(is_ask_row, dtype=bool)
     # emit_idx: 0 for trades and ASK legs, 1 for BID legs of BBO pairs
     emit = (~trade_mask & ~ask_mask).astype(np.int64)
-    return pd.DataFrame(
-        {
-            "timestamp": pdf["timestamp"].to_numpy()[idx],
-            "kind": np.where(trade_mask, "TRADE", "BBO"),
-            "market": pdf["market"].to_numpy()[idx],
-            "asset": pdf["asset_id"].to_numpy()[idx],
-            "side": np.where(ask_mask, "ASK", "BID"),
-            "price": np.asarray(prices, dtype=np.float64),
-            "size": np.asarray(sizes, dtype=np.float64),
-            "file_hour": pdf["file_hour"].to_numpy()[idx],
-            "line_id": pdf["line_id"].to_numpy()[idx],
-            "msg_idx": pdf["msg_idx"].to_numpy()[idx],
-            "emit_idx": emit,
-        }
-    )
+    # Column-by-column assembly, NOT the dict constructor: pandas
+    # consolidates a dict of same-dtype columns into 2-D blocks
+    # (vstack + merge — measured ~2-3 s of pure copying on a 932k-row
+    # hot-asset output, about half the kernel's wall time), and the
+    # Arrow serializer reads columns individually so the consolidated
+    # layout is never used. Assigning columns onto an empty frame
+    # keeps one block per column — zero copies. The enum columns index
+    # a 2-element object array (shared interned strings) instead of
+    # np.where's fixed-width unicode materialization.
+    out = pd.DataFrame()
+    out["timestamp"] = pdf["timestamp"].to_numpy()[idx]
+    out["kind"] = _KIND_ENUM[trade_mask.view(np.int8)]
+    out["market"] = pdf["market"].to_numpy()[idx]
+    out["asset"] = pdf["asset_id"].to_numpy()[idx]
+    out["side"] = _SIDE_ENUM[ask_mask.view(np.int8)]
+    out["price"] = np.asarray(prices, dtype=np.float64)
+    out["size"] = np.asarray(sizes, dtype=np.float64)
+    out["file_hour"] = pdf["file_hour"].to_numpy()[idx]
+    out["line_id"] = pdf["line_id"].to_numpy()[idx]
+    out["msg_idx"] = pdf["msg_idx"].to_numpy()[idx]
+    out["emit_idx"] = emit
+    return out
 
 
 def replay_feed_messages(
