@@ -1041,9 +1041,15 @@ def dup_components(
         nbr = edges.join(
             labels.select(F.col("u").alias("v"), "comp"), "v"
         ).select("u", "comp")
+        # lazy localCheckpoint (r14 optimization round): the round's
+        # convergence sum below is the round's first action, so it
+        # materializes the checkpoint as a side effect — one Spark job
+        # per round instead of two (eager checkpoint + sum). The
+        # checkpoint boundary sits below the sum's plan, so the cached
+        # blocks hold the full label rows, not a column-pruned view.
         labels = (
             labels.union(nbr).groupBy("u").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # decimal sum: an int64 sum of 63-bit-scale labels (hash- or
         # snowflake-derived ids) overflows — ANSI mode throws
         # ARITHMETIC_OVERFLOW on round one, non-ANSI could wrap to a
