@@ -71,6 +71,61 @@ class QueryDef:
 CATALOG: dict[str, QueryDef] = {}
 
 
+def spread_scan(df: DataFrame, source_path: str) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy map-side work (opt guide
+    §2.5 "input skew": one unsplittable file caps every downstream map
+    stage at one task).
+
+    A single-row-group parquet file scans as ONE task no matter what
+    ``maxPartitionBytes`` says (byte-range splits assign a row group to
+    exactly one task), so an Expand/aggregate right after the scan runs
+    serially while the rest of the cluster idles. When — and only when —
+    the scan yields fewer partitions than the cluster's default
+    parallelism, round-robin repartition to that parallelism: one cheap
+    shuffle of the (projected!) input buys full-width map-side partials.
+    At production scale the scan has thousands of splits, the condition
+    is false, and this is the identity — no extra exchange in the plan.
+
+    Only for subtrees whose downstream computation is value-identical
+    under any partitioning (exact decimal/integer aggregates, exact
+    percentiles — never float sums, rand(), or partition-id-dependent
+    expressions); callers own that proof.
+
+    The narrowness probe is a driver-side ``os.stat`` of the source
+    path (``df.rdd.getNumPartitions()`` would answer exactly but costs
+    ~0.2 s of RDD-conversion planning per call — measured): the scan is
+    treated as narrow when its bytes cannot fill ``defaultParallelism``
+    input splits. That underestimates splits for multi-row-group files,
+    which only ever errs toward the identity at scale.
+    """
+    import os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    nbytes = 0
+    for root, _dirs, files in os.walk(source_path):
+        nbytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    if not nbytes and os.path.isfile(source_path):
+        nbytes = os.path.getsize(source_path)
+    if nbytes >= target * _max_split_bytes(spark):
+        return df
+    return df.repartition(target)
+
+
+def _max_split_bytes(spark) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an int (handles the
+    '134217728b' / '128m' spellings the conf accepts)."""
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).strip().lower()
+    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+    mult = 1
+    if raw and raw[-1] in units:
+        mult = units[raw[-1]]
+        raw = raw[:-1]
+    return int(raw) * mult
+
+
 def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         CATALOG[name] = QueryDef(name, fn, sql, doc, tags)
@@ -2717,7 +2772,14 @@ def q_robust_price_stats(spark, sf_dir):
     tags=("agg",),
 )
 def q_grouping_sets_revenue(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
+    # Same widen as cube_lineitem: the Expand ×3 + decimal partials
+    # parallelize off the (locally one-task) scan; identity at scale.
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_extendedprice"
+        ),
+        f"{sf_dir}/lineitem.parquet",
+    )
     return li.groupingSets(
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
         "l_returnflag",

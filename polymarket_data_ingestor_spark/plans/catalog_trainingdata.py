@@ -16,7 +16,11 @@ from polymarket_data_ingestor_spark.operators import dedup as D
 from polymarket_data_ingestor_spark.operators import multimodal as M
 from polymarket_data_ingestor_spark.operators import similarity as S
 from polymarket_data_ingestor_spark.operators import text as T
-from polymarket_data_ingestor_spark.plans.catalog import register, table
+from polymarket_data_ingestor_spark.plans.catalog import (
+    register,
+    spread_scan,
+    table,
+)
 
 # DuckDB fragments shared by the oracles below.
 _SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
@@ -3754,7 +3758,18 @@ def q_substring_trim_materialize(spark, sf_dir):
     tags=("agg", "rollup"),
 )
 def q_cube_lineitem(spark, sf_dir):
-    le = table(spark, sf_dir, "lineitem")
+    # Project to the four cube columns, then widen the (locally
+    # single-row-group) scan so the Expand ×4 + decimal partials run
+    # map-side-parallel instead of on the one scan task; exact decimal
+    # sums and counts are value-identical under any partitioning, and
+    # spread_scan is the identity once the scan itself splits wide
+    # (guide §2.5 / §2.3 "project before the exchange").
+    le = spread_scan(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+        ),
+        f"{sf_dir}/lineitem.parquet",
+    )
     return (
         le.cube("l_returnflag", "l_linestatus")
         .agg(

@@ -311,6 +311,39 @@ def test_line_dedup_broadcasts_boilerplate_set(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_spread_scan_widens_narrow_and_noops_wide(spark):
+    """The r14 scan widener: below defaultParallelism's worth of input
+    bytes it round-robins the scan to full width (the local single-
+    row-group fixture caps every map stage at one task otherwise); at
+    or above it — the 100 TB case — it is the IDENTITY, no extra
+    exchange. Value identity is the caller's burden (cube/grouping
+    sets are exact decimal sums; oracle-checked bit-exact)."""
+    from polymarket_data_ingestor_spark.plans.catalog import (
+        _max_split_bytes,
+        spread_scan,
+    )
+
+    path = f"{SF}/lineitem.parquet"
+    df = spark.read.parquet(path).select("l_returnflag")
+    widened = spread_scan(df, path)
+    assert "RoundRobinPartitioning" in (
+        widened._jdf.queryExecution().executedPlan().toString()
+    )
+    # Same frame, but the conf says splits are tiny → the scan is
+    # already at least defaultParallelism wide → identity (is-check:
+    # no node added at all).
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1b")
+        assert spread_scan(df, path) is df
+        # conf spellings the probe must understand
+        assert _max_split_bytes(spark) == 1
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        assert _max_split_bytes(spark) == 128 * 1024**2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_cube_is_one_expand_one_shuffle(spark):
     """CUBE must expand grouping sets inside a single aggregation — one
     Expand node feeding one hash-partition exchange, not a rescan or
