@@ -711,6 +711,17 @@ def minhash_lsh_pairs(
 
     ``num_hashes`` must divide evenly into ``bands``: a silent remainder
     would drop the trailing minima from every band key and lower recall.
+
+    The band-key table is lazily ``localCheckpoint``-ed before the
+    self-join: without it each join side re-derives the whole
+    signature subtree — two full corpus scans and two runs of the
+    tokenize+shingle+minhash Arrow kernel for one logical pass (r14
+    measurement: 2.22 s → 1.30 s at sf0.1, and at 100 TB the second
+    featurize pass is the single most expensive node in the plan).
+    The checkpointed rows are (id, band, band_key) — ~bands small
+    fields per doc, far cheaper to hold than to recompute; lazy, so
+    the first downstream action materializes it (no extra job). Same
+    no-recompute-on-executor-loss trade as the state-pair scaffold.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -720,7 +731,7 @@ def minhash_lsh_pairs(
         )
     band_keys = _band_keys(
         df, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    ).localCheckpoint(eager=False)
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     return (

@@ -199,6 +199,29 @@ def test_approx_quantiles_within_rank_error(spark):
         assert abs(a95 - e95) <= max(0.01, 0.01 * abs(e95)), (et, a95, e95)
 
 
+def test_lsh_pairs_single_signature_pass(spark):
+    """minhash_lsh_pairs (r14): the band-key table is localCheckpoint-ed
+    before the self-join, so the corpus scan + tokenize/shingle/minhash
+    Arrow kernel run ONCE — the join sides read the checkpointed rows
+    (plan: Scan ExistingRDD), never a re-derived signature subtree. The
+    checkpoint's own lineage (one documents scan, one ArrowEvalPython)
+    is pinned on the band-key frame itself."""
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        _band_keys,
+    )
+
+    plan = plan_of(spark, "minhash_lsh_pairs")
+    assert "ExistingRDD" in plan, plan
+    assert "ArrowEvalPython" not in plan, plan  # no re-featurize
+    bk_plan = (
+        _band_keys(
+            spark.read.parquet(f"{SF}/documents.parquet"),
+            "text", "doc_id", 16, 8, 3,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert bk_plan.count("ArrowEvalPython") == 1, bk_plan
+
+
 def test_dedup_exact_partial_agg(spark):
     plan = plan_of(spark, "dedup_exact")
     assert "partial_min" in plan and "partial_count" in plan
