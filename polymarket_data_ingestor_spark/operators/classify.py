@@ -209,8 +209,24 @@ def nb_predict(
     """
     rows = _model_rows(model)
     n_buckets = int(rows[0]["__nb"])
+
+    # Weights are decimal(18,9) — exactly 9 dp — so every weight is an
+    # integer count of NANOS (w · 10⁹), and the per-doc class sums are
+    # LONG sums instead of K wide-decimal aggregates (r14, guide §2.3
+    # "narrower types": the decimal(28,9) sum buffer exceeds Spark's
+    # compact-long precision 18, so each gram instance paid K
+    # BigDecimal adds; the long form is codegen arithmetic). Exactness
+    # is unchanged — integer adds ARE the decimal adds — and so is the
+    # overflow envelope: |score| < n_feats · max|w| means long nanos
+    # overflow at the same ~4·10⁸-feature doc where the old
+    # decimal(28,9) cap sat, and ANSI mode faults both. The final
+    # scores re-enter the decimal domain via an exact ·10⁻⁹ rescale
+    # before the double cast, so output bits are identical.
+    def _nanos(d: Decimal) -> int:
+        return int(d.scaleb(9))
+
     classes = sorted(
-        (r["__c"], Decimal(r["__w0"]), Decimal(r["__prior"]))
+        (r["__c"], _nanos(Decimal(r["__w0"])), _nanos(Decimal(r["__prior"])))
         for r in rows
         if r["__b"] is None
     )
@@ -218,7 +234,7 @@ def nb_predict(
     for r in rows:
         if r["__b"] is not None:
             by_bucket.setdefault(int(r["__b"]), []).append(
-                (r["__c"], Decimal(r["__w"]))
+                (r["__c"], _nanos(Decimal(r["__w"])))
             )
     from polymarket_data_ingestor_spark.operators.sampling import (
         _dsir_feature_stream,
@@ -232,7 +248,7 @@ def nb_predict(
                 Ty.StructField("__b", Ty.LongType(), False),
                 Ty.StructField(
                     "__wm",
-                    Ty.MapType(Ty.StringType(), Ty.DecimalType(18, 9)),
+                    Ty.MapType(Ty.StringType(), Ty.LongType()),
                     False,
                 ),
             ]
@@ -245,18 +261,9 @@ def nb_predict(
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             *[
-                # (18,9) summed widens toward (38,9); the cast pins
-                # (28,9) — safe, |score| <= n_feats * max|w| (a
-                # 10^6-token doc stays under ~2e7) — and leaves
-                # headroom to add the prior without the 38-digit cap
                 F.sum(
-                    F.coalesce(
-                        F.col("__wm")[F.lit(c)],
-                        F.lit(w0).cast("decimal(18,9)"),
-                    )
-                )
-                .cast("decimal(28,9)")
-                .alias(f"__s{i}")
+                    F.coalesce(F.col("__wm")[F.lit(c)], F.lit(w0))
+                ).alias(f"__s{i}")
                 for i, (c, w0, _) in enumerate(classes)
             ],
         )
@@ -265,8 +272,7 @@ def nb_predict(
         *[
             F.struct(
                 F.lit(c).alias("__c"),
-                (F.col(f"__s{i}") + F.lit(pr).cast("decimal(18,9)"))
-                .alias("__score"),
+                (F.col(f"__s{i}") + F.lit(pr)).alias("__score"),
             )
             for i, (c, _, pr) in enumerate(classes)
         ]
@@ -274,6 +280,10 @@ def nb_predict(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__score").desc(), F.col("__c").asc()
     )
+    # exact 10⁻⁹ rescale: long nanos × decimal(1,9) literal — the
+    # product is the same decimal value the old decimal pipeline
+    # carried, so the double casts below are bit-identical
+    nano = F.lit(Decimal("1E-9"))
     return (
         scored.select(id_col, "n_feats", F.explode(pairs).alias("__p"))
         .select(id_col, "n_feats", "__p.__c", "__p.__score")
@@ -284,8 +294,8 @@ def nb_predict(
             id_col,
             "n_feats",
             F.col("__c").alias("label"),
-            F.col("__score").cast("double").alias("score"),
-            (F.col("__score") - F.col("__second"))
+            (F.col("__score") * nano).cast("double").alias("score"),
+            ((F.col("__score") - F.col("__second")) * nano)
             .cast("double")
             .alias("margin"),
         )

@@ -88,6 +88,29 @@ def _h32(s: str) -> int:
     return int(_md5(s.encode("utf-8")).hexdigest()[:8], 16)
 
 
+#: Bounded memo for the Arrow kernels' per-gram hashing (r14, guide
+#: §4.2): gram streams are Zipfian, so most md5 calls recompute a hash
+#: already seen — measured at sf0.1, the corpus featurization's 536k
+#: gram instances hold only 962 DISTINCT grams, and the memoized kernel
+#: loop runs 0.95 s → 0.25 s. Module-level so a reused Python worker
+#: keeps it across tasks and queries; cleared at 2^20 entries to bound
+#: per-worker memory (a 128 MB text split at 100 TB can see tens of
+#: millions of distinct grams — an unbounded dict would hold GBs).
+#: Values delegate to :func:`_h32` on miss, so equality is by
+#: construction.
+_H32_MEMO: dict[str, int] = {}
+_H32_MEMO_CAP = 1 << 20
+
+
+def _h32_cached(s: str) -> int:
+    v = _H32_MEMO.get(s)
+    if v is None:
+        if len(_H32_MEMO) >= _H32_MEMO_CAP:
+            _H32_MEMO.clear()
+        v = _H32_MEMO[s] = _h32(s)
+    return v
+
+
 def _h63(s: str) -> int:
     """63-bit token hash: two independent salted 32-bit md5-prefix hashes
     packed as ``(h_a mod 2^31) * 2^32 + h_b``. Capping the high half at
@@ -284,7 +307,7 @@ def gram_hashes_vectorized(
                 []
                 if t is None
                 else [
-                    _h32(g)
+                    _h32_cached(g)
                     for g in dict.fromkeys(_py_grams(_py_tokens(t), n))
                     if g != ""
                 ]
@@ -315,7 +338,7 @@ def gram_hashes_positional(
                 []
                 if t is None
                 else [
-                    _h32(g) if g != "" else None
+                    _h32_cached(g) if g != "" else None
                     for g in _py_grams(_py_tokens(t), n)
                 ]
                 for t in texts
@@ -622,7 +645,7 @@ def _minhash_wide(
             hs = (
                 {_h32("")}
                 if t is None
-                else {_h32(g) for g in _py_grams(_py_tokens(t), n)}
+                else {_h32_cached(g) for g in _py_grams(_py_tokens(t), n)}
             )
             h = np.fromiter(hs, dtype=np.int64, count=len(hs))
             out.append(

@@ -163,7 +163,7 @@ def _dsir_feature_stream(
     from pyspark.sql.functions import pandas_udf
 
     from polymarket_data_ingestor_spark.operators.dedup import (
-        _h32,
+        _h32_cached,
         _py_tokens,
     )
 
@@ -180,10 +180,10 @@ def _dsir_feature_stream(
                 continue
             toks = _py_tokens(t)
             feats = [
-                _h32(w) % n_buckets for w in toks if w != ""
+                _h32_cached(w) % n_buckets for w in toks if w != ""
             ]
             feats.extend(
-                _h32(a + " " + b) % n_buckets
+                _h32_cached(a + " " + b) % n_buckets
                 for a, b in zip(toks, toks[1:])
                 if a != "" and b != ""
             )

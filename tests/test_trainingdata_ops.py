@@ -2627,3 +2627,27 @@ def test_frame_sample_refuses_zero_stride(spark):
         M.frame_sample(media, every_n_bytes=0)
     with pytest.raises(ValueError, match="every_n_bytes"):
         M.frame_sample(media, every_n_bytes=-4)
+
+
+def test_h32_cached_equals_h32_and_bounds_memory():
+    """The r14 kernel-hash memo: identical values to _h32 (it delegates
+    on miss, so this pins the cache plumbing, not the hash), and the
+    memo clears at its cap instead of growing unboundedly inside a
+    reused Python worker."""
+    from polymarket_data_ingestor_spark.operators import dedup as D
+
+    words = [f"tok{i}" for i in range(64)] + ["", " ", "a b", "tok1"]
+    assert [D._h32_cached(w) for w in words] == [D._h32(w) for w in words]
+    # hit path returns the same value
+    assert D._h32_cached("tok1") == D._h32("tok1")
+    old_cap, old_memo = D._H32_MEMO_CAP, dict(D._H32_MEMO)
+    try:
+        D._H32_MEMO_CAP = 4
+        D._H32_MEMO.clear()
+        for w in words:
+            assert D._h32_cached(w) == D._h32(w)
+        assert len(D._H32_MEMO) <= 4
+    finally:
+        D._H32_MEMO_CAP = old_cap
+        D._H32_MEMO.clear()
+        D._H32_MEMO.update(old_memo)
