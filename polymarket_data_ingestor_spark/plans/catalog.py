@@ -2657,12 +2657,22 @@ def q_user_state_scd2(spark, sf_dir):
 def q_winsorized_prices(spark, sf_dir):
     from polymarket_data_ingestor_spark.operators.analytics import winsorize
 
-    c = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    # Widen the (locally one-task) scan before the exact-percentile
+    # aggregate: the partial buffers build in parallel and the clip
+    # branch's per-row work spreads too. Exact percentiles over longs
+    # are value-identical under any partitioning; identity at scale.
+    # The GK-sketch twin stays NARROW on purpose — percentile_approx
+    # results depend on partial-merge grouping, so widening would make
+    # the sketch output core-count-dependent.
+    c = spread_scan(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+        f"{sf_dir}/lineitem.parquet",
     )
     return winsorize(c, "cents", 0.05, 0.95)
 
@@ -2740,11 +2750,17 @@ def q_robust_price_stats(spark, sf_dir):
         robust_stats,
     )
 
-    c = table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    # Same widen as winsorized_prices (exact per-stratum percentiles
+    # are partition-invariant; both grouped passes parallelize their
+    # partial buffers); the approx twin stays narrow — see there.
+    c = spread_scan(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+        f"{sf_dir}/lineitem.parquet",
     )
     return robust_stats(c, "cents", "l_returnflag")
 

@@ -2512,13 +2512,20 @@ def q_price_outliers(spark, sf_dir):
         iqr_outliers,
     )
 
-    c = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    # Widened like winsorized_prices/robust_price_stats (exact
+    # percentile bounds are partition-invariant; identity at scale);
+    # the GK twin below stays narrow — sketch merge order must stay
+    # fixed for core-count-reproducible output.
+    c = spread_scan(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+        f"{sf_dir}/lineitem.parquet",
     )
     return iqr_outliers(c, "cents", "l_returnflag", k_tenths=5)
 
