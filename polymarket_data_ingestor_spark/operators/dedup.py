@@ -101,6 +101,15 @@ def _h32(s: str) -> int:
 _H32_MEMO: dict[str, int] = {}
 _H32_MEMO_CAP = 1 << 20
 
+#: Memoize only SHORT grams (unigrams/bigrams/shingles up to this n).
+#: Long positional windows (the substring family's 8-grams) are mostly
+#: DISTINCT — measured at sf0.1: 224k distinct of 235k instances — so
+#: the memo is all misses there: pure dict overhead plus up to ~100
+#: bytes of retained key per gram (a worker-memory liability), with no
+#: hit-rate to pay for it. Short grams are where Zipf bites (962
+#: distinct of 536k instances) and keys are tens of bytes.
+_MEMO_MAX_GRAM_N = 4
+
 
 def _h32_cached(s: str) -> int:
     v = _H32_MEMO.get(s)
@@ -299,6 +308,7 @@ def gram_hashes_vectorized(
     explode, same result.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    h = _h32_cached if n <= _MEMO_MAX_GRAM_N else _h32
 
     @pandas_udf("array<long>")
     def gram_hashes(texts: pd.Series) -> pd.Series:
@@ -307,7 +317,7 @@ def gram_hashes_vectorized(
                 []
                 if t is None
                 else [
-                    _h32_cached(g)
+                    h(g)
                     for g in dict.fromkeys(_py_grams(_py_tokens(t), n))
                     if g != ""
                 ]
@@ -330,6 +340,7 @@ def gram_hashes_positional(
     (blank/NULL text) becomes a NULL element instead of being dropped,
     preserving index == token position. NULL text → empty array."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    h = _h32_cached if n <= _MEMO_MAX_GRAM_N else _h32
 
     @pandas_udf("array<long>")
     def gram_hashes_pos(texts: pd.Series) -> pd.Series:
@@ -338,7 +349,7 @@ def gram_hashes_positional(
                 []
                 if t is None
                 else [
-                    _h32_cached(g) if g != "" else None
+                    h(g) if g != "" else None
                     for g in _py_grams(_py_tokens(t), n)
                 ]
                 for t in texts
@@ -634,6 +645,7 @@ def _minhash_wide(
     # i * 987654321 overflows int32; keep the int64 form the SQL uses
     add = ii * np.int64(987_654_321)
     n = shingle_n
+    hfn = _h32_cached if n <= _MEMO_MAX_GRAM_N else _h32
 
     @pandas_udf("array<bigint>")
     def sig(texts: pd.Series) -> pd.Series:
@@ -645,7 +657,7 @@ def _minhash_wide(
             hs = (
                 {_h32("")}
                 if t is None
-                else {_h32_cached(g) for g in _py_grams(_py_tokens(t), n)}
+                else {hfn(g) for g in _py_grams(_py_tokens(t), n)}
             )
             h = np.fromiter(hs, dtype=np.int64, count=len(hs))
             out.append(
