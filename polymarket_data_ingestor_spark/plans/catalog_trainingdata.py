@@ -4038,37 +4038,18 @@ from polymarket_data_ingestor_spark.plans.catalog import CATALOG as _CATALOG
 #: the CURRENT round — the only hand-maintained input to the queue; they
 #: take the head of the window regardless of staleness so every change
 #: gets a first-party driver row in its own round.
-_CODE_CHANGED_THIS_ROUND = (
-    # r14: the window holds exactly 50 = the 48-entry r11-stale cohort
-    # + random_projection_embeddings (flipped to oracle-paired this
-    # round → never-green, sorts first without being listed) + this ONE
-    # seed. dsir_weights carries the r14 dsir_model fix (the
-    # target-total collapse on bucket-disjoint corpora) through the
-    # fixed join into a first-party driver row. The other three entries
-    # whose code changed this round are deliberately not seeded —
-    # seeding any would evict a 3-rounds-stale entry from the full
-    # window (the r13 kmv_overlap precedent):
-    #  - dsir_resample: SAME fixed dsir_model + _dsir_decimal_weights
-    #    core as dsir_weights; only its (unchanged) gumbel top-k
-    #    differs, and it was r13-green;
-    #  - curation_pipeline (drop_exact_dupes rewritten to the
-    #    single-scan window form) and line_dedup_clean
-    #    (remove_boilerplate_lines' NULL passthrough folded into the
-    #    one scan via posexplode_outer): plan-shape-only changes whose
-    #    semantics pins stayed green, both r13-green.
-    # All four were re-verified bit-exact locally this round at
-    # sf0.001 AND sf0.01 (tools/check.py), as was
-    # random_projection_embeddings' new oracle.
-    #
-    # Post-snapshot degenerate-input fixes (same unseeded rationale —
-    # NULL-free/healthy data is bit-unchanged, all re-verified locally
-    # at sf0.001 AND sf0.01): vwap_monthly (zero-volume NULL guard) is
-    # ALREADY in the window via the r11-stale cohort, so its changed
-    # code gets a first-party row anyway; dup_components +
-    # dedup_{near,transitive}_materialize (NULL-id pair refusal) and
-    # the three *_recall entries (empty-exact NULL guard) are r12/r13
-    # green and rotate naturally next round.
-    "dsir_weights",
+_CODE_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r15: EMPTY by necessity — the r12-stale cohort is exactly 50
+    # entries (the driver's r13 and r14 samples were disjoint except
+    # dsir_weights, so both samples' complements are now 2 rounds
+    # stale), and the staleness contract fills every slot: seeding ANY
+    # code-changed entry would evict a must-rotate entry and fail
+    # test_no_oracle_entry_goes_three_rounds_stale. Entries whose code
+    # changes this optimization round are re-verified bit-exact locally
+    # at sf0.001 AND sf0.01/0.1 (tools/check.py, recorded in
+    # OPTIMIZATION_r15.md) and rotate into driver coverage naturally
+    # next round; any that already sit in the stale cohort get their
+    # first-party row this round for free.
 )
 
 
