@@ -194,34 +194,37 @@ def nb_predict(
     streaming twin :func:`nb_score` also emits the prior argmax for
     featureless docs.
 
-    Plan shape: the collected weights re-enter as a LocalRelation of
-    ``<= n_buckets`` rows — bucket -> ``map<class, weight>`` — and
-    BROADCAST directly to the per-GRAM feature stream (no per-(doc,
-    bucket) pre-count: summing ``w`` per instance is decimal-exactly
-    the same as ``m * w`` per bucket, and the count exchange the DSIR
-    shape needs would be pure overhead here). All K class sums ride ONE
-    ``groupBy(doc)`` aggregate whose map-side combine collapses the
-    gram stream to doc-count-sized partials BEFORE the exchange — the
-    single shuffle in the whole plan moves docs x (K decimals), never
-    gram instances. The argmax window partitions on the same key the
-    aggregate just produced: Catalyst reuses the partitioning, no
-    second shuffle.
+    Plan shape (r15, guide §4.1/§2.3): the class scoring is FOLDED INTO
+    the Arrow featurize kernel — per input row it tokenizes, hashes,
+    and emits ``(n_grams, K long-nano partial scores)`` directly, so
+    the aggregate's input is #rows, never #gram-instances (the r14 form
+    exploded one row per gram instance through a broadcast join into
+    the hash aggregate — at sf0.1 that was 536k rows of join+agg for
+    5k docs). The kernel's scoring is one vectorized int64
+    gather+reduce per doc over a dense ``(n_buckets x K)`` weight
+    matrix (model-sized by construction: ``n_buckets`` rows of K
+    nanos, unseen buckets pre-filled with ``w0``) — integer adds ARE
+    the decimal adds, so outputs are bit-identical to the decimal
+    pipeline. The single shuffle moves docs x (K+1) longs; the argmax
+    window partitions on the same key the aggregate just produced:
+    Catalyst reuses the partitioning, no second shuffle.
+
+    Overflow envelope: per-doc long-nano scores overflow at the same
+    ~4·10⁸-feature doc where the old decimal(28,9) sum buffer sat. The
+    kernel guards it EXPLICITLY (raises past 2³¹ grams/doc, far below
+    any overflow) — unlike the JVM long sum, whose non-ANSI mode would
+    wrap silently (r14 advisor note), the guard holds under any SQL
+    mode.
     """
     rows = _model_rows(model)
     n_buckets = int(rows[0]["__nb"])
 
     # Weights are decimal(18,9) — exactly 9 dp — so every weight is an
-    # integer count of NANOS (w · 10⁹), and the per-doc class sums are
-    # LONG sums instead of K wide-decimal aggregates (r14, guide §2.3
-    # "narrower types": the decimal(28,9) sum buffer exceeds Spark's
-    # compact-long precision 18, so each gram instance paid K
-    # BigDecimal adds; the long form is codegen arithmetic). Exactness
-    # is unchanged — integer adds ARE the decimal adds — and so is the
-    # overflow envelope: |score| < n_feats · max|w| means long nanos
-    # overflow at the same ~4·10⁸-feature doc where the old
-    # decimal(28,9) cap sat, and ANSI mode faults both. The final
-    # scores re-enter the decimal domain via an exact ·10⁻⁹ rescale
-    # before the double cast, so output bits are identical.
+    # integer count of NANOS (w · 10⁹), and all per-doc class sums are
+    # exact int64 arithmetic (r14, guide §2.3 "narrower types"). The
+    # final scores re-enter the decimal domain via an exact ·10⁻⁹
+    # rescale before the double cast, so output bits are identical to
+    # the original decimal pipeline.
     def _nanos(d: Decimal) -> int:
         return int(d.scaleb(9))
 
@@ -230,43 +233,38 @@ def nb_predict(
         for r in rows
         if r["__b"] is None
     )
-    by_bucket: dict[int, list] = {}
-    for r in rows:
-        if r["__b"] is not None:
-            by_bucket.setdefault(int(r["__b"]), []).append(
-                (r["__c"], _nanos(Decimal(r["__w"])))
-            )
-    from polymarket_data_ingestor_spark.operators.sampling import (
-        _dsir_feature_stream,
-    )
-
-    spark = df.sparkSession
-    wmap = spark.createDataFrame(
-        [(b, dict(cws)) for b, cws in sorted(by_bucket.items())],
-        Ty.StructType(
-            [
-                Ty.StructField("__b", Ty.LongType(), False),
-                Ty.StructField(
-                    "__wm",
-                    Ty.MapType(Ty.StringType(), Ty.LongType()),
-                    False,
-                ),
-            ]
-        ),
-    )
+    weight_rows = [
+        (int(r["__b"]), r["__c"], _nanos(Decimal(r["__w"])))
+        for r in rows
+        if r["__b"] is not None
+    ]
+    bad = sorted({b for b, _, _ in weight_rows if not 0 <= b < n_buckets})
+    if bad:
+        raise ValueError(
+            f"nb: model weight rows carry buckets {bad[:5]} outside "
+            f"[0, {n_buckets}) — the model disagrees with its own __nb; "
+            f"refit or pass the full nb_model output"
+        )
     scored = (
-        _dsir_feature_stream(df, text_col, id_col, n_buckets)
-        .join(F.broadcast(wmap), "__b", "left")
+        _nb_partial_scores(
+            df, text_col, id_col, n_buckets,
+            [c for c, _, _ in classes],
+            [w0 for _, w0, _ in classes],
+            weight_rows,
+        )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("__n").alias("n_feats"),
             *[
-                F.sum(
-                    F.coalesce(F.col("__wm")[F.lit(c)], F.lit(w0))
-                ).alias(f"__s{i}")
-                for i, (c, w0, _) in enumerate(classes)
+                F.sum(F.col(f"__p{i}")).alias(f"__s{i}")
+                for i in range(len(classes))
             ],
         )
+        # featureless docs (empty/NULL text) drop out — the
+        # dsir_log_weights convention the per-instance form got for
+        # free (no feature rows → no group); per-row partials emit
+        # n=0 rows, so the drop is explicit here
+        .filter(F.col("n_feats") > 0)
     )
     pairs = F.array(
         *[
@@ -298,6 +296,106 @@ def nb_predict(
             ((F.col("__score") - F.col("__second")) * nano)
             .cast("double")
             .alias("margin"),
+        )
+    )
+
+
+def _nb_partial_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    class_names: list,
+    w0_nanos: list,
+    weight_rows: list,
+) -> DataFrame:
+    """Per input ROW: ``(id, __n grams, __p0..__pK-1 long-nano class
+    scores)`` from ONE Arrow kernel — featurize and score fused.
+
+    The featurization is the exact ``_dsir_feature_stream`` twin
+    (``_py_tokens`` / ``_h32_cached``: whitespace unigrams + space-
+    joined bigrams hashed into ``n_buckets`` — every bucket value
+    bit-identical to the Catalyst/DuckDB ``hash32`` featurization).
+    Scoring gathers rows of a dense int64 ``(n_buckets, K)`` weight
+    matrix (unseen buckets pre-filled with ``w0``) and reduces with
+    int64 adds — exact integer arithmetic, order-independent, so the
+    per-row partials sum to the same totals under any shuffle.
+
+    The matrix is rebuilt per Arrow batch from the model lists in the
+    closure (the struct-returning iterator signature is unsupported in
+    Spark 4.1's pandas_udf) — at ``n_buckets=10k`` and single-digit K
+    that is one ~100 KB ``np.tile`` + a model-sized scatter, well under
+    a millisecond against a 10k-row batch. Rows with NULL text emit
+    ``(0, 0...)`` — the caller drops zero-feature ids after the merge.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        _h32_cached,
+        _py_tokens,
+    )
+
+    K = len(class_names)
+    cls_index = {c: k for k, c in enumerate(class_names)}
+    out_fields = ", ".join(
+        ["__n: bigint"] + [f"__p{i}: bigint" for i in range(K)]
+    )
+
+    @pandas_udf(f"struct<{out_fields}>")
+    def partial_scores(texts):
+        W = np.tile(
+            np.asarray(w0_nanos, dtype=np.int64), (n_buckets, 1)
+        )
+        for b, c, w in weight_rows:
+            W[b, cls_index[c]] = w
+        ns = np.zeros(len(texts), dtype=np.int64)
+        ps = np.zeros((len(texts), K), dtype=np.int64)
+        for j, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = _py_tokens(t)
+            feats = [
+                _h32_cached(w) % n_buckets for w in toks if w != ""
+            ]
+            feats.extend(
+                _h32_cached(a + " " + b) % n_buckets
+                for a, b in zip(toks, toks[1:])
+                if a != "" and b != ""
+            )
+            if not feats:
+                continue
+            if len(feats) > 2**31:  # pragma: no cover - guard only
+                # int64 nano-sums overflow around 4e8 features/doc;
+                # fault loudly like the ANSI decimal path did
+                # instead of wrapping silently
+                raise ValueError(
+                    f"nb: document with {len(feats)} features "
+                    f"exceeds the exact long-nano scoring envelope"
+                )
+            ns[j] = len(feats)
+            ps[j] = W[np.asarray(feats, dtype=np.int64)].sum(
+                axis=0, dtype=np.int64
+            )
+        out = pd.DataFrame({"__n": ns})
+        for i in range(K):
+            out[f"__p{i}"] = ps[:, i]
+        return out
+
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            partial_scores(F.col(text_col)).alias("__ps"),
+        )
+        .select(
+            id_col,
+            F.col("__ps.__n").alias("__n"),
+            *[
+                F.col(f"__ps.__p{i}").alias(f"__p{i}")
+                for i in range(K)
+            ],
         )
     )
 

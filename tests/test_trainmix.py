@@ -925,21 +925,27 @@ def test_nb_guards_and_plan_gates(spark):
         pred._jdf.queryExecution().executedPlan().toString()
         .split("== Initial Plan ==")[0]
     )
-    # model joins as a BROADCAST of a LocalRelation straight onto the
-    # gram stream; featurization is the Arrow gram kernel (r14:
-    # ArrowEvalPython, one int64 per feature instance — never
-    # row-pickled BatchEvalPython); map-side combine collapses grams
-    # to doc partials before the ONE shuffle, and the argmax window
-    # reuses that aggregate's partitioning (one shuffle exchange + one
-    # broadcast exchange, nothing more)
-    assert "BroadcastHashJoin" in final, final
+    # r15: featurize + class scoring are FUSED into one Arrow kernel
+    # emitting per-ROW long-nano partials — the model never joins at
+    # all (the r14 shape broadcast the bucket→weights map onto an
+    # exploded per-gram-instance stream; the aggregate's input is now
+    # #rows, not #gram-instances). One ArrowEvalPython, map-side
+    # combine collapses rows to doc partials before the ONE shuffle,
+    # and the argmax window reuses that aggregate's partitioning —
+    # one shuffle exchange, zero joins, zero Generate/explode before
+    # the aggregate.
     assert "ArrowEvalPython" in final, final
     assert "BatchEvalPython" not in final, final
+    assert "Join" not in final, final  # no broadcast/SMJ/cartesian
     assert "CartesianProduct" not in final, final
-    assert "SortMergeJoin" not in final, final
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final
+    # the only Generate is the K-way argmax explode AFTER the per-doc
+    # aggregate (docs x K rows) — nothing explodes gram instances
+    agg_pos = final.index("HashAggregate")
+    gen_pos = [m.start() for m in re.finditer("Generate", final)]
+    assert all(g < agg_pos for g in gen_pos), final  # plan prints top-down
 
 
 def test_nb_truncated_model_refused(spark):
