@@ -766,7 +766,7 @@ def replay(
     markets: Iterable[str] | None = None,
     in_log_order: bool = False,
     ticks_only: bool = True,
-    split_at_snapshots: bool = False,
+    split_at_snapshots: bool | str = "auto",
     snapshots_per_segment: int = 1000,
 ) -> DataFrame:
     """End-to-end replay: raw frame logs → tick table (SURVEY §3.1).
@@ -778,15 +778,33 @@ def replay(
     skew mitigation; identical output). When ``paths`` are given, the
     cold-profile gate runs as a raw-text scan (regex count, no JSON parse
     of non-book lines) whose result is memoized per immutable file set —
-    so on a uniform profile ``split_at_snapshots=True`` costs nothing
-    after the first call, and the first call pays only the light text
-    pass, not a second JSON parse.
+    so on a uniform profile the gate costs nothing after the first call,
+    and the first call pays only the light text pass, not a second JSON
+    parse.
+
+    ``split_at_snapshots="auto"`` (the default since r15) applies the
+    skew mitigation automatically: with ``paths``, the memoized raw-text
+    gate decides hot vs cold exactly as the explicit ``True`` path
+    always has — so a feed where one hyper-active asset carries half the
+    messages no longer serializes that asset on one task by default
+    (measured on the skewed sf0.1 bench fixture: ~11.5 s → ~4.5 s at 32
+    cores, and the default path stops scaling NEGATIVELY with cores).
+    Output is bit-identical row-for-row either way (a segment starts at
+    a ``book`` snapshot, which fully resets per-asset state — parity is
+    pinned by tests/test_replay.py and the bench's row-hash assert).
+    Without ``paths`` (an already-parsed frames DataFrame), "auto"
+    takes the plain per-asset path: the only gate available there is
+    the parse-based eager Spark job, which a plan-building default must
+    not silently run. Pass ``True`` to opt in to that gate, ``False``
+    to force the plain path.
     """
     from polymarket_data_ingestor_spark.sources.frames import (
         parse_feed_messages,
         read_frames,
     )
 
+    if split_at_snapshots == "auto":
+        split_at_snapshots = paths is not None
     if paths is not None:
         frames = read_frames(spark_or_frames, paths)
     else:

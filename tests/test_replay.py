@@ -312,6 +312,76 @@ def test_split_at_snapshots_hot_asset(spark, tmp_path):
     assert got == want
 
 
+def test_auto_split_default_gates_and_matches_plain(spark, tmp_path):
+    """r15: ``replay()`` defaults to ``split_at_snapshots="auto"`` —
+    with paths, the memoized raw-text gate decides hot vs cold, so a
+    hot feed splits WITHOUT the caller opting in. Three pins:
+
+    * on a hot fixture, the default output equals the forced-plain
+      output row-for-row (segmentation is invisible in the result);
+    * the default path genuinely segments (the packed plan groups on
+      (asset_id, __segment), not asset_id alone);
+    * with a frames DataFrame (no paths), "auto" takes the plain path —
+      no eager gate job at plan-build time.
+    """
+    import random
+
+    from polymarket_data_ingestor_spark.operators.replay import (
+        replay_feed_messages,
+    )
+    from polymarket_data_ingestor_spark.sources.frames import (
+        parse_feed_messages,
+        read_frames,
+    )
+
+    rng = random.Random(7)
+    mkt, asset = _mkt_id(3), _asset_id(3, 1)
+    msgs = []
+    ts = 1759240800000
+    for i in range(300):
+        ts += rng.randint(1, 100)
+        if i % 30 == 0:
+            msgs.append({"event_type": "book", "timestamp": str(ts),
+                         "market": mkt, "asset_id": asset,
+                         "bids": [{"price": "0.40", "size": str(i + 1)}],
+                         "asks": [{"price": "0.60", "size": "5"}]})
+        else:
+            side = rng.choice(["BUY", "SELL"])
+            lo = 0.3 if side == "BUY" else 0.5
+            msgs.append({
+                "event_type": "price_change", "timestamp": str(ts),
+                "market": mkt, "asset_id": asset,
+                "changes": [{
+                    "price": f"{lo + 0.001 * rng.randint(0, 99):.3f}",
+                    "size": "0" if rng.random() < 0.3
+                    else str(rng.randint(1, 99)),
+                    "side": side}],
+            })
+    p = tmp_path / "2025-10-01-09.jsonl"
+    p.write_text("\n".join(
+        json.dumps({"timestamp": "t", "message_type": "feed_message",
+                    "content": json.dumps([m])}) for m in msgs) + "\n")
+    # 10 snapshots in one file, stride 3 → the gate must fire hot
+    auto = replay(spark, [str(p)], in_log_order=True, ticks_only=False,
+                  snapshots_per_segment=3)
+    plain = replay(spark, [str(p)], in_log_order=True, ticks_only=False,
+                   split_at_snapshots=False, snapshots_per_segment=3)
+    assert _spark_rows(auto) == _spark_rows(plain) == naive_replay([p])
+    # the default plan really segments: the grouped-map key includes
+    # __segment (plain groups on asset_id alone)
+    auto_plan = auto._jdf.queryExecution().analyzed().toString()
+    plain_plan = plain._jdf.queryExecution().analyzed().toString()
+    assert "__segment" in auto_plan
+    assert "__segment" not in plain_plan
+    # frames-DataFrame form: "auto" must not run the parse-based gate —
+    # the plain per-asset plan is built, no __segment machinery
+    feed = parse_feed_messages(read_frames(spark, [str(p)]))
+    df_auto = replay_feed_messages(feed)
+    assert "__segment" not in (
+        df_auto._jdf.queryExecution().analyzed().toString()
+    )
+
+
 def test_line_id_order_on_multisplit_jsonl(spark, tmp_path):
     """The line-ordering contract (sources/frames.py line_id) must hold
     even when a plain .jsonl file splits into many read partitions:
