@@ -672,6 +672,16 @@ def bigram_lm_score(
     absorbs the stopword head). V rides the plan as a broadcast 1-row
     aggregate.
     """
+    # NOTE (r15): an Arrow pair kernel here (the term_pmi_pairs /
+    # _doc_pair_partials treatment — tokenize + per-row Counter in
+    # Python, aggregate input shrunk to distinct-bigrams-per-row) was
+    # implemented, oracle-verified bit-exact, and REVERTED: a
+    # MapInPandas below the dbig exchange defeats AQE's runtime
+    # exchange reuse across the deduplicated c1/V branches (executed
+    # plan measured: 1 corpus scan with the HOF form, 3 scans +
+    # 3 kernel passes with the kernel form). The single-scan chain is
+    # worth more than the per-scan kernel speedup at every scale, so
+    # the interpreted zip_with stays.
     arr = tokens(text_col)
     n = F.size(arr)
     pairs = F.zip_with(
@@ -1121,6 +1131,44 @@ def source_token_drift(
     )
 
 
+def _doc_pair_partials(arrs: DataFrame) -> DataFrame:
+    """Batch-combined unordered-pair counts from per-doc sorted-distinct
+    term arrays: one ``(ta, tb, c)`` row per distinct pair per Arrow
+    batch.
+
+    ``arrs`` is a single-column frame ``__arr: array<string>`` where
+    each array is sorted and duplicate-free — so
+    ``itertools.combinations(arr, 2)`` enumerates exactly the ``a < b``
+    pairs the PMI rollup counts, once per document. The per-batch
+    ``Counter`` is the map-side pre-combine (guide §2.3 "aggregate
+    before you shuffle" applied at the Python boundary): the kernel's
+    output is bounded by distinct-pairs-per-batch, never Σk_d² rows.
+    Exact by construction — integer partial counts merge to the same
+    totals under any batching or partitioning.
+    """
+    from collections import Counter
+    from itertools import combinations
+
+    def gen(it):
+        for pdf in it:
+            cnt: Counter = Counter()
+            for a in pdf["__arr"]:
+                lst = a.tolist() if hasattr(a, "tolist") else a
+                if lst is not None and len(lst) > 1:
+                    cnt.update(combinations(lst, 2))
+            if cnt:
+                ks = list(cnt.keys())
+                yield pd.DataFrame(
+                    {
+                        "ta": [k[0] for k in ks],
+                        "tb": [k[1] for k in ks],
+                        "c": [cnt[k] for k in ks],
+                    }
+                )
+
+    return arrs.mapInPandas(gen, "ta string, tb string, c long")
+
+
 def term_pmi_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1145,11 +1193,15 @@ def term_pmi_pairs(
     AND marginals, and marginals are not derivable from a capped pair
     table. Scan 1 is the vocabulary pass (per-doc distinct terms →
     doc-frequency rollup, broadcast back). Scan 2 generates each doc's
-    sorted-distinct pair set IN THE SCAN (nested ``transform`` over the
-    array — no self-join on doc_id, which would shuffle the token
-    stream twice and explode skewed docs quadratically ACROSS the
-    join); the pair rollup is map-side combined and the top-k is
-    TakeOrderedAndProject. Cost is Σ k_d² over per-doc distinct counts
+    sorted-distinct pair set straight off the scan via the Arrow pair
+    kernel (:func:`_doc_pair_partials` — C-speed ``combinations`` +
+    per-batch ``Counter`` pre-combine; the r14 nested-``transform``
+    HOF was interpreted per element and exploded Σ k_d² rows into the
+    hash aggregate — no self-join on doc_id either way, which would
+    shuffle the token stream twice and explode skewed docs
+    quadratically ACROSS the join); the pair rollup merges the batch
+    partials and the top-k is TakeOrderedAndProject. Cost is Σ k_d²
+    over per-doc distinct counts
     k_d — the quadratic that kills a web-scale run unless the
     vocabulary is restricted FIRST, so restriction is a first-class,
     ON-BY-DEFAULT argument, not a docstring suggestion:
@@ -1215,20 +1267,21 @@ def term_pmi_pairs(
             .agg(F.sort_array(F.collect_list("term")).alias("__arr"))
         )
         arr = F.col("__arr")
-    pair_structs = F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + 2, F.size(arr)),
-                lambda y: F.struct(x.alias("ta"), y.alias("tb")),
-            ),
-        )
-    )
+    # Pair generation + the first level of counting run in ONE Arrow
+    # kernel (r15, guide §4.1/§2.3): the r14 nested-transform HOF was
+    # CodegenFallback — interpreted per element — and exploded Σk_d²
+    # pair rows into the hash aggregate (1.37M at sf0.1, measured
+    # ~0.9 s of the entry). The kernel iterates C-speed
+    # ``itertools.combinations`` over each doc's sorted-distinct array
+    # and pre-counts pairs per Arrow batch in a ``Counter``, so the
+    # aggregate's input is batch-combined (ta, tb, c) partials — the
+    # exchange then merges longs exactly as before (integer sums are
+    # associative; output bit-identical, oracle-checked). The projected
+    # single-column input keeps scan pruning intact.
     pairs = (
-        df.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
+        _doc_pair_partials(df.select(arr.alias("__arr")))
         .groupBy("ta", "tb")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .agg(F.sum("c").alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_docs)
     )
     ca = F.broadcast(term_docs.select(F.col("term").alias("ta"),

@@ -406,6 +406,41 @@ def test_source_token_drift_matches_naive_model(spark):
     assert solo[0]["kl_vs_corpus"] == 0.0
 
 
+def test_doc_pair_partials_kernel(spark):
+    """r15 Arrow pair kernel: batch-combined (ta, tb, c) partials from
+    sorted-distinct arrays must sum to exactly the per-doc unordered
+    pair counts under ANY batching/partitioning; degenerate arrays
+    (empty, singleton, NULL) contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.operators.text import (
+        _doc_pair_partials,
+    )
+
+    rows = [
+        (["a", "b", "c"],),
+        (["a", "b"],),
+        (["z"],),
+        ([],),
+        (None,),
+        (["a", "b"],),
+    ]
+    df = spark.createDataFrame(rows, "__arr array<string>")
+    for parts in (1, 4):
+        got = {
+            (r["ta"], r["tb"]): r["c"]
+            for r in _doc_pair_partials(df.repartition(parts))
+            .groupBy("ta", "tb")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+        assert got == {
+            ("a", "b"): 3,
+            ("a", "c"): 1,
+            ("b", "c"): 1,
+        }, (parts, got)
+
+
 def test_term_pmi_pairs_matches_naive_model(spark):
     from collections import Counter
     from itertools import combinations
