@@ -199,6 +199,65 @@ def test_approx_quantiles_within_rank_error(spark):
         assert abs(a95 - e95) <= max(0.01, 0.01 * abs(e95)), (et, a95, e95)
 
 
+def test_reliable_checkpoint_switch(spark, tmp_path):
+    """r15: the lineage cuts in dedup (LSH band-key table, CC labels)
+    default to localCheckpoint but switch to RELIABLE checkpointing
+    under the conf — same results, and the checkpoint dir actually
+    receives RDD checkpoint data. Opting in without a checkpoint dir
+    fails loudly rather than silently falling back."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polymarket_data_ingestor_spark.operators.dedup import (
+        RELIABLE_CHECKPOINT_CONF,
+        dup_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "the quick brown fox jumps over the lazy dog again"),
+        (3, "a completely different document about spark joins"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    base_pairs = sorted(
+        map(tuple, minhash_lsh_pairs(df, num_hashes=16, bands=8).collect())
+    )
+    base_comp = sorted(
+        map(tuple, dup_components(
+            minhash_lsh_pairs(df, num_hashes=16, bands=8)
+        ).collect())
+    )
+    try:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+        # no checkpoint dir yet → loud failure, not a silent fallback
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="[Cc]heckpoint"):
+            minhash_lsh_pairs(df, num_hashes=16, bands=8).collect()
+        ckdir = str(tmp_path / "ck")
+        spark.sparkContext.setCheckpointDir(ckdir)
+        rel_pairs = sorted(
+            map(tuple,
+                minhash_lsh_pairs(df, num_hashes=16, bands=8).collect())
+        )
+        rel_comp = sorted(
+            map(tuple, dup_components(
+                minhash_lsh_pairs(df, num_hashes=16, bands=8)
+            ).collect())
+        )
+        assert rel_pairs == base_pairs
+        assert rel_comp == base_comp
+        # reliable data really landed in the dir
+        found = [
+            f for root, _d, fs in os.walk(ckdir) for f in fs
+        ]
+        assert found, f"no checkpoint files under {ckdir}"
+    finally:
+        spark.conf.unset(RELIABLE_CHECKPOINT_CONF)
+
+
 def test_lsh_pairs_single_signature_pass(spark):
     """minhash_lsh_pairs (r14): the band-key table is localCheckpoint-ed
     before the self-join, so the corpus scan + tokenize/shingle/minhash
