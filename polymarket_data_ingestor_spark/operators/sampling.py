@@ -300,7 +300,21 @@ def _dsir_decimal_weights(
     id_col: str,
 ) -> DataFrame:
     """(id, n_feats, __lw decimal(28,9)) — shared exact-decimal core of
-    :func:`dsir_log_weights` / :func:`dsir_resample`."""
+    :func:`dsir_log_weights` / :func:`dsir_resample`.
+
+    NOTE (r15): the nb_predict treatment — collect the model, fold the
+    λ summation into the featurize kernel as long-nano per-row
+    partials, drop the count exchange + broadcast join — was
+    implemented, verified hash-identical, and REVERTED on an
+    interleaved A/B (sf0.1, one session: old min 1.08 / med 1.35 s vs
+    new min 1.23 / med 1.53 s). Unlike nb_predict (whose model is
+    prefit, so collecting is free), the DSIR model derives from the
+    SAME plan: collecting it splits the one fused fit+score job into
+    two (an eager model job at build plus the scoring job), and that
+    extra driver round-trip costs more than the per-(doc, bucket)
+    count exchange saves — the exchange input is already map-side
+    combined to distinct (doc, bucket) pairs. The fused lazy single
+    plan stays."""
     feats = _dsir_feature_stream(df, text_col, id_col, n_buckets)
     dcnt = feats.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__m"))
     lam = dsir_model(df, target, n_buckets, text_col, id_col)

@@ -58,6 +58,12 @@ def main() -> int:
 
                 paths = _ensure_replay_fixture(sf_dir, Path("/tmp/pdi_bench"))
                 df = replay(spark, paths, split_at_snapshots=True)
+            elif name == "replay_e2e_skewed":
+                from bench import _ensure_skewed_fixture
+                from polymarket_data_ingestor_spark.operators.replay import replay
+
+                skew = _ensure_skewed_fixture(sf_dir, Path("/tmp/pdi_bench"))
+                df = replay(spark, skew)  # default path (r15: auto gate)
             elif name == "tick_lake_write":
                 from polymarket_data_ingestor_spark.operators.replay import replay
 
